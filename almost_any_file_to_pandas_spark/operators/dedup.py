@@ -1,0 +1,424 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five families, each designed for the 100 TB shape first and validated
+against a DuckDB oracle at test scale:
+
+- **Exact** — md5-fingerprint group-by; hash-partitioned so every
+  copy of a document co-locates; keeps the min doc_id per group.
+- **MinHash + LSH** — shingle → minhash signature → banded bucket
+  join for candidates → *exact Jaccard verification*. The verified
+  output is hash-function-independent (all pairs with true Jaccard ≥
+  threshold), so the oracle is a brute-force pair scan — feasible at
+  oracle scale, while the Spark path never goes quadratic.
+- **N-gram Jaccard** — same verified-pair contract over word-3-gram
+  shingles, candidates from a shared-shingle inverted index
+  (explode → self-join on shingle → distinct pair).
+- **SimHash** — engine-portable 16-bit simhash signature per doc
+  (md5-derived token hashes, fully recomputable in SQL), plus banded
+  candidate generation.
+- **Embedding cosine** (in :mod:`similarity`) — near-dup by vector
+  similarity.
+
+Scale notes: every candidate generator is linear-ish (explode +
+shuffle on bucket key); the quadratic step only happens *within* a
+bucket, and bucket width is bounded (LSH band width / shingle df cap).
+Skewed buckets (stop-shingles) are capped with a document-frequency
+filter — standard practice so one viral shingle doesn't create a
+quadratic bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+# MinHash parameters: 128 hashes in 32 bands × 4 rows. At Jaccard 0.8
+# the per-band collision prob is 0.8^4 ≈ 0.41 → miss prob across 32
+# bands ≈ (1-0.41)^32 ≈ 5e-8: recall ~1, so the verified output equals
+# the brute-force oracle.
+N_HASHES = 128
+N_BANDS = 32
+ROWS_PER_BAND = N_HASHES // N_BANDS
+# 31-bit Mersenne prime: a*h stays < 2^62 so the affine transform never
+# overflows a signed 64-bit long (ANSI mode would raise on overflow).
+MERSENNE_PRIME = (1 << 31) - 1
+JACCARD_THRESHOLD = 0.8
+NGRAM_THRESHOLD = 0.6
+MAX_SHINGLE_DF = 1000  # df cap for the inverted-index candidate path
+
+
+def _tokens(col):
+    return F.array_distinct(F.split(col, " ", -1))
+
+
+def _pair_jaccard(doc_pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard on distinct-token arrays (verification step).
+    int/int division → identical doubles in Spark and DuckDB."""
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    return doc_pairs.withColumn("jaccard", inter / union)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH grouped AS (
+      SELECT md5(lower(trim(text))) AS fingerprint,
+             MIN(doc_id) AS keep_doc_id,
+             COUNT(*) AS n_copies
+      FROM documents GROUP BY 1
+    )
+    SELECT keep_doc_id, n_copies FROM grouped
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep min doc_id.
+
+    One shuffle on the fingerprint (hash partitioning co-locates all
+    copies regardless of cluster size); partial agg map-side. This is
+    the canonical 100 TB dedup: no sort, no window, no collect.
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame, seed: int = 42) -> DataFrame:
+    """LSH candidate pairs via banded minhash signatures over 3-word
+    shingles (the standard near-dup formulation — raw token *sets*
+    are undiscriminating on small vocabularies).
+
+    Internal hash functions are Spark-side only (xxhash64 + affine
+    transforms mod a Mersenne prime) — the public contract is the
+    *verified* pair set, which is hash-independent.
+    """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, MERSENNE_PRIME), rng.randrange(0, MERSENNE_PRIME))
+        for _ in range(N_HASHES)
+    ]
+
+    shingles = _word_ngrams(F.split(F.col("text"), " ", -1), 3)
+    # Base shingle hash once per shingle (non-negative 31-bit).
+    hashed = F.transform(
+        shingles, lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE_PRIME))
+    )
+    sig = docs.select("doc_id", hashed.alias("h")).filter(F.size("h") > 0)
+
+    def _affine(a: int, b: int):
+        # single-parameter lambda factory: PySpark maps the lambda's
+        # arity onto the higher-order function's argument count.
+        return lambda h: F.pmod(a * h + b, F.lit(MERSENNE_PRIME))
+
+    band_cols = []
+    for band in range(N_BANDS):
+        rows = []
+        for r in range(ROWS_PER_BAND):
+            a, b = coeffs[band * ROWS_PER_BAND + r]
+            rows.append(F.array_min(F.transform(F.col("h"), _affine(a, b))))
+        band_cols.append(
+            F.struct(F.lit(band).alias("band"), F.xxhash64(*rows).alias("key"))
+        )
+
+    buckets = (
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_SHINGLE_JACCARD_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> array_to_string(w[i:i+2], ' '))) AS toks
+      FROM base
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(a.toks || b.toks)), 6) AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(a.toks) > 0 AND len(b.toks) > 0
+      AND len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(a.toks || b.toks)) >= {threshold}
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_SHINGLE_JACCARD_ORACLE.format(threshold=JACCARD_THRESHOLD),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over 3-word shingles, exact-verified
+    at Jaccard ≥ 0.8.
+
+    Plan shape: linear signature pass → explode 32 band keys →
+    shuffle on (band, key) → within-bucket pairs → distinct →
+    re-join shingle arrays → exact Jaccard filter. The oracle is the
+    brute-force O(n²) statement of the same contract (feasible only
+    at oracle scale — the Spark path is the one that survives 100 TB).
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs)
+
+    toks = docs.select(
+        "doc_id", _word_ngrams(F.split(F.col("text"), " ", -1), 3).alias("toks")
+    ).filter(F.size("toks") > 0)
+    pairs = (
+        pairs.join(toks.withColumnRenamed("toks", "toks_a"),
+                   pairs.doc_a == toks.doc_id)
+        .drop("doc_id")
+        .join(
+            toks.select(
+                F.col("doc_id").alias("rid"), F.col("toks").alias("toks_b")
+            ),
+            F.col("doc_b") == F.col("rid"),
+        )
+        .drop("rid")
+    )
+    verified = _pair_jaccard(pairs).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    return verified.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _word_ngrams(toks, n: int = 3):
+    """Word n-gram shingles: concat_ws of each length-n slice.
+
+    Guarded for short docs: Spark's ``sequence(1, 0)`` *descends* —
+    an unguarded call would fabricate shingles for docs with < n
+    tokens, so emit an empty array there instead.
+    """
+    n_shingles = F.size(toks) - (n - 1)
+    return F.when(
+        n_shingles >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_shingles),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_NGRAM_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> array_to_string(w[i:i+2], ' '))) AS toks
+      FROM base
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(a.toks || b.toks)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(a.toks || b.toks)) >= {threshold}
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_ORACLE.format(threshold=NGRAM_THRESHOLD),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (≥ 0.6), candidates from a
+    shared-shingle inverted index.
+
+    explode(shingles) → df-cap filter (stop-shingle skew guard) →
+    self-join on shingle → distinct candidate pairs → exact verify.
+    Candidate volume is Σ df² over shingles — bounded by the df cap,
+    never the full n² cross product.
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split(F.col("text"), " ", -1).alias("w"))
+    shingled = words.select(
+        "doc_id", _word_ngrams(F.col("w"), 3).alias("toks")
+    )
+
+    inverted = shingled.select(
+        "doc_id", F.explode("toks").alias("shingle")
+    )
+    # df cap: drop shingles shared by more than MAX_SHINGLE_DF docs —
+    # they explode candidate counts quadratically and carry no signal.
+    df_counts = inverted.groupBy("shingle").agg(F.count("*").alias("df"))
+    capped = inverted.join(
+        df_counts.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle"),
+        "shingle",
+    )
+    l, r = capped.alias("l"), capped.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = (
+        pairs.join(
+            shingled.select(F.col("doc_id").alias("aid"), F.col("toks").alias("toks_a")),
+            F.col("doc_a") == F.col("aid"),
+        )
+        .join(
+            shingled.select(F.col("doc_id").alias("bid"), F.col("toks").alias("toks_b")),
+            F.col("doc_b") == F.col("bid"),
+        )
+    )
+    verified = _pair_jaccard(pairs).filter(F.col("jaccard") >= NGRAM_THRESHOLD)
+    return verified.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash — engine-portable signature.
+#
+# Token hash: first 8 hex chars of md5(token) parsed as a 32-bit int via
+# fixed-position hex-digit arithmetic (both engines: substr + strpos).
+# SimHash bit j (16 bits): sign of Σ_tokens (2·bit_j(h) − 1).
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+_HEX = "0123456789abcdef"
+
+
+def _portable_token_hash(col):
+    """32-bit int from md5 hex prefix — recomputable in DuckDB."""
+    h = F.substring(F.md5(col), 1, 8)
+    out = F.lit(0).cast("long")
+    for i in range(8):
+        digit = F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1
+        out = out * 16 + digit
+    return out
+
+
+def _portable_token_hash_sql(expr: str) -> str:
+    parts = []
+    for i in range(8):
+        digit = f"(strpos('{_HEX}', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        parts.append(f"{digit} * {16 ** (7 - i)}")
+    return "(" + " + ".join(parts) + ")"
+
+
+def _simhash_sql() -> str:
+    th = _portable_token_hash_sql("tok")
+    bit_terms = []
+    for j in range(SIMHASH_BITS):
+        bit = (
+            f"CASE WHEN SUM(CASE WHEN (h // {1 << j}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) > 0 THEN {1 << j} ELSE 0 END"
+        )
+        bit_terms.append(bit)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, {th} AS h FROM toks
+    )
+    SELECT doc_id, CAST({' + '.join(bit_terms)} AS BIGINT) AS simhash
+    FROM hashed GROUP BY doc_id
+    """
+
+
+@register("dedup_simhash_signature", oracle=_simhash_sql())
+def dedup_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash signature (portable hash, fully
+    oracle-checked). Candidate generation then buckets on signature
+    bands (see :func:`simhash_candidate_pairs`); production uses 64
+    bits — 16 keeps the cross-engine expression compact while proving
+    the pipeline.
+
+    Plan: explode distinct tokens → groupBy doc_id with 16 sign-sum
+    aggregates (single shuffle, map-side partials).
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    hashed = toks.select("doc_id", _portable_token_hash(F.col("tok")).alias("h"))
+    bit_aggs = []
+    for j in range(SIMHASH_BITS):
+        sign_sum = F.sum(
+            F.when((F.col("h").bitwiseAND(F.lit(1 << j))) != 0, 1).otherwise(-1)
+        )
+        bit_aggs.append(F.when(sign_sum > 0, F.lit(1 << j)).otherwise(0))
+    simhash = bit_aggs[0]
+    for term in bit_aggs[1:]:
+        simhash = simhash + term
+    return hashed.groupBy("doc_id").agg(
+        simhash.cast("long").alias("simhash")
+    )
+
+
+def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-neighbour candidates: band the 16-bit signature into 4
+    nibbles; docs sharing any (band, nibble) are candidates (catches
+    all pairs within Hamming distance 3). Not oracle-registered —
+    signature correctness is; this is the scale path demonstration.
+    """
+    sig = dedup_simhash_signature(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (F.shiftright(F.col("simhash"), 4 * b) % 16).alias("nibble"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.nibble")
+    l, r = bands.alias("l"), bands.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.nibble") == F.col("r.nibble"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )

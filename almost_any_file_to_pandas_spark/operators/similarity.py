@@ -1,0 +1,365 @@
+"""Similarity search over the ``embeddings`` table
+(``vec_id bigint, embedding array<float>, label int``).
+
+Two paths, same contract:
+
+- **Brute-force cosine top-k** — the correctness baseline: cast to
+  double, dot product via ``zip_with`` + sequential ``aggregate``
+  (bit-identical to the DuckDB oracle's ``list_reduce``), global
+  top-k via sort-limit (Spark's TakeOrderedAndProject — heap per
+  partition, no full sort).
+- **LSH-bucketed near-neighbour pairs** — the 100 TB path: random
+  hyperplane signatures (Arrow-batched Pandas UDF, one numpy matmul
+  per batch), banded bucket join for candidates, exact cosine
+  verification. Verified output = all pairs with cosine ≥ threshold,
+  hash-independent, so the oracle is again brute force.
+
+Float discipline: embeddings are float32; *both* engines cast to
+double before multiplying and accumulate sequentially, and comparisons
+happen on values rounded to 6 decimals — float32 inputs are exact in
+double, so both sides see identical numbers.
+"""
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+TOP_K = 20
+QUERY_VEC_ID = 0
+COSINE_THRESHOLD = 0.90
+
+# Hyperplane LSH: 32 bands × 6 bits. At cos=0.90 (θ≈25.8°) a bit
+# agrees with p≈0.857 → per-band collision 0.857^6≈0.396 → miss prob
+# (1-0.396)^32 ≈ 1e-7: recall ~1 at the verification threshold.
+LSH_BANDS = 32
+LSH_BITS_PER_BAND = 6
+LSH_SEED = 42
+
+
+def _dot(a, b):
+    """Sequential double dot product — order-stable across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+_DOT_SQL = (
+    "list_reduce(list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]),"
+    " p -> p[1] * p[2]), (x, y) -> x + y)"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = f"sqrt({_DOT_SQL.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT_SQL.format(a=b, b=b)})"
+    return f"({dot} / ({na} * {nb}))"
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT e.vec_id, e.label,
+           ROUND({_cosine_sql('e.embedding', 'q.qvec')}, 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY {_cosine_sql('e.embedding', 'q.qvec')} DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k against a query vector (vec_id=0).
+
+    Broadcast the single query row; narrow map over the corpus; global
+    top-k via orderBy+limit (per-partition heaps, one tiny reduce —
+    the only all-to-one step is k rows). At 100 TB this is the exact-
+    search baseline the ANN path is measured against.
+    """
+    apply_engine_conf(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            cosine_expr(F.col("embedding"), F.col("qvec")).alias("_cos"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("_cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "label", F.round("_cos", 6).alias("cosine"))
+    )
+
+
+def hyperplane_band_keys(emb: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, band, key) from random-hyperplane sign bits.
+
+    Pandas UDF: one numpy (batch × dim) @ (dim × bits) matmul per
+    Arrow batch — the vectorized slow-path pattern; hyperplanes are a
+    closure constant (broadcast once per executor).
+    """
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(LSH_SEED)
+    planes = rng.standard_normal((dim, LSH_BANDS * LSH_BITS_PER_BAND))
+    weights = (2 ** np.arange(LSH_BITS_PER_BAND)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_keys(vectors: pd.Series) -> pd.Series:
+        mat = np.stack(vectors.to_numpy()).astype(np.float64)
+        bits = (mat @ planes) > 0  # (batch, bands*bits)
+        bits = bits.reshape(len(vectors), LSH_BANDS, LSH_BITS_PER_BAND)
+        keys = (bits * weights).sum(axis=2)  # (batch, bands)
+        return pd.Series(list(keys))
+
+    keyed = emb.select("vec_id", band_keys(F.col("embedding")).alias("keys"))
+    return keyed.select(
+        "vec_id", F.posexplode("keys").alias("band", "key")
+    )
+
+
+N_QUERIES = 10
+KNN_K = 5
+IVF_BITS = 4  # 16 coarse buckets
+
+
+@register(
+    "sim_knn_batch",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND({_cosine_sql('e.embedding', 'q.qvec')}, 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY ROUND({_cosine_sql('e.embedding', 'q.qvec')}, 6) DESC,
+                        e.vec_id) AS knn_rank
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, knn_rank
+    FROM scored WHERE knn_rank <= {KNN_K}
+    """,
+)
+def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN for a batch of query vectors (vec_id < 10, k=5).
+
+    Plan: broadcast the query batch → one narrow pass over the corpus
+    scoring every (query, vector) pair → per-query top-k via window
+    over the scored set. At scale the corpus side stays partitioned;
+    only k rows per query survive the rank filter. Ranking happens on
+    the rounded cosine so ordering is identical across engines.
+    """
+    apply_engine_conf(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("embedding"), F.col("qvec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= KNN_K)
+    )
+
+
+def _ivf_bucket_expr(col):
+    """Deterministic coarse quantizer: sign bits of the first
+    IVF_BITS dimensions → bucket id (portable to SQL)."""
+    bucket = F.lit(0)
+    for j in range(IVF_BITS):
+        bucket = bucket + F.when(
+            F.get(col, j).cast("double") > 0.0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def _ivf_bucket_sql(expr: str) -> str:
+    terms = [
+        f"CASE WHEN {expr}[{j + 1}]::DOUBLE > 0.0 THEN {1 << j} ELSE 0 END"
+        for j in range(IVF_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_ivf_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id, a.bucket, x.vec_id AS neighbor_id,
+             ROUND({_cosine_sql('a.embedding', 'x.embedding')}, 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY ROUND({_cosine_sql('a.embedding', 'x.embedding')}, 6) DESC,
+                        x.vec_id) AS rn
+      FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id <> x.vec_id
+    )
+    SELECT vec_id, bucket, neighbor_id, cosine
+    FROM scored WHERE rn = 1
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbour: deterministic coarse
+    quantizer (sign bits of the leading dimensions → 16 buckets),
+    exact top-1 *within* the bucket.
+
+    This is the scale path for all-pairs similarity: the self-join is
+    on the bucket key, so comparisons drop from n² to Σ per-bucket n²
+    (~n²/16 here; production tunes bucket count ≫ this). The shuffle
+    moves each partition once, keyed by bucket; AQE handles bucket
+    skew. Deterministic quantization keeps the operator fully
+    oracle-checkable — the probabilistic variant (random hyperplanes)
+    is :func:`sim_lsh_candidate_pairs`.
+    """
+    apply_engine_conf(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding", _ivf_bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    left = b.alias("a")
+    right = b.alias("x")
+    scored = (
+        left.join(
+            right,
+            (F.col("a.bucket") == F.col("x.bucket"))
+            & (F.col("a.vec_id") != F.col("x.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("a.bucket").alias("bucket"),
+            F.col("x.vec_id").alias("neighbor_id"),
+            F.round(
+                cosine_expr(F.col("a.embedding"), F.col("x.embedding")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "bucket", "neighbor_id", "cosine")
+    )
+
+
+@register("sim_lsh_candidate_pairs")  # rows-only: probabilistic candidates
+def sim_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH candidate pairs with exact cosine
+    attached — the probabilistic ANN path (Pandas-UDF signatures,
+    banded bucket join). Not SQL-expressible deterministically (the
+    hyperplanes are engine-side), so the driver records a rows-only
+    check; the verified IVF variant above is the hash-checked one.
+    """
+    apply_engine_conf(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    buckets = hyperplane_band_keys(emb, dim)
+
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    vecs = emb.select("vec_id", "embedding")
+    cand = (
+        cand.join(
+            vecs.select(F.col("vec_id").alias("aid"), F.col("embedding").alias("va")),
+            F.col("vec_a") == F.col("aid"),
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("vb")),
+            F.col("vec_b") == F.col("bid"),
+        )
+        .select("vec_a", "vec_b", cosine_expr(F.col("va"), F.col("vb")).alias("_cos"))
+    )
+    return cand.select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))
+
+
+@register(
+    "sim_centroid_by_label",
+    oracle="""
+    WITH e AS (
+      SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+    ), expanded AS (
+      SELECT label, u.i AS dim_idx, u.x AS val
+      FROM e, LATERAL (
+        SELECT unnest(generate_series(1, len(v))) AS i, unnest(v) AS x
+      ) u
+    )
+    SELECT label, dim_idx,
+           ROUND(CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*), 12)
+             AS centroid_val
+    FROM expanded
+    GROUP BY label, dim_idx
+    HAVING dim_idx <= 4
+    """,
+)
+def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (first 4 dims) — the IVF
+    coarse-quantizer build step (centroids via groupBy, assignment =
+    nearest centroid broadcast back). Decimal accumulation keeps the
+    mean engine-portable."""
+    apply_engine_conf(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    ).select("label", (F.col("pos") + 1).alias("dim_idx"), "val")
+    return (
+        exploded.filter(F.col("dim_idx") <= 4)
+        .groupBy("label", "dim_idx")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(30,15)")).cast("double")
+                / F.count("*"),
+                12,
+            ).alias("centroid_val")
+        )
+    )

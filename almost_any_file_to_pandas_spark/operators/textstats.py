@@ -1,0 +1,235 @@
+"""Text analysis operators over the ``documents`` table.
+
+Language-ID (n-gram/stopword heuristic), quality scoring, token
+counting, and document fingerprinting — every one a pure column
+expression (JVM-side, whole-stage codegen, zero shuffle until the
+final aggregate where present). Each is registered with a DuckDB
+oracle.
+
+Engine-portable building blocks (identical semantics in Spark SQL and
+DuckDB):
+- token count: ``size(split(text, ' '))`` ↔ ``len(string_split(...))``
+- substring occurrence count: ``(length(s) - length(replace(s, pat, '')))
+  / length(pat)`` — avoids regex-dialect mismatches entirely
+- fingerprint: ``md5(...)`` → lowercase hex in both engines
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+# Tiny embedded stopword sets per language — enough for a determinstic
+# heuristic; production would swap in full lists (they stay a literal
+# broadcast either way).
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "de", "los"),
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _occurrences(col, token: str):
+    """Count of ' token ' occurrences via replace-arithmetic (portable)."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    needle = f" {token} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def _occurrences_sql(expr: str, token: str) -> str:
+    needle = f" {token} "
+    padded = f"(' ' || {expr} || ' ')"
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, '{needle}', '')))"
+        f" / {len(needle)} AS BIGINT)"
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + measured char length per document."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ", -1)).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint — md5 over lower/trimmed text.
+    The exact-dedup key; also the grouping key for shard-local dedup
+    at scale (hash-partition by fingerprint → all copies co-located).
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    )
+
+
+def _quality_cols(docs: DataFrame) -> DataFrame:
+    text = F.col("text")
+    toks = F.split(text, " ", -1)
+    n_tokens = F.size(toks)
+    stop_hits = None
+    for tok in _STOPWORDS:
+        term = _occurrences(text, tok)
+        stop_hits = term if stop_hits is None else (stop_hits + term)
+    space_count = F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit("")))
+    return docs.select(
+        "doc_id",
+        F.length(text).alias("n_chars_measured"),
+        n_tokens.alias("n_tokens"),
+        (F.length(text) / n_tokens).alias("avg_token_len"),
+        (space_count / F.length(text)).alias("space_ratio"),
+        stop_hits.alias("stopword_hits"),
+        (stop_hits / n_tokens).alias("stopword_ratio"),
+    )
+
+
+_QUALITY_STOP_SQL = " + ".join(
+    _occurrences_sql("text", tok) for tok in _STOPWORDS
+)
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+      length(text) AS n_chars_measured,
+      len(string_split(text, ' ')) AS n_tokens,
+      length(text) / len(string_split(text, ' ')) AS avg_token_len,
+      (length(text) - length(replace(text, ' ', ''))) / CAST(length(text) AS DOUBLE)
+        AS space_ratio,
+      {_QUALITY_STOP_SQL} AS stopword_hits,
+      ({_QUALITY_STOP_SQL}) / CAST(len(string_split(text, ' ')) AS DOUBLE)
+        AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals per document: length, token stats, whitespace
+    ratio, stopword density. All replace/length arithmetic — portable
+    and codegen-friendly; the standard pre-training quality filter
+    shape (filter thresholds applied downstream)."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    return _quality_cols(docs)
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(
+        _occurrences_sql("lower(text)", marker) for marker in _LANG_MARKERS[lang]
+    )
+
+
+_LANG_CASE_SQL = """
+    CASE
+      WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es
+        THEN 'en'
+      WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+      WHEN score_fr >= score_es THEN 'fr'
+      ELSE 'es'
+    END
+"""
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        {_lang_score_sql('en')} AS score_en,
+        {_lang_score_sql('de')} AS score_de,
+        {_lang_score_sql('fr')} AS score_fr,
+        {_lang_score_sql('es')} AS score_es
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           {_LANG_CASE_SQL} AS predicted_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID — deterministic heuristic with a
+    fixed precedence tie-break (en > de > fr > es). Returns prediction
+    beside the label so accuracy is one aggregation away."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        total = None
+        for marker in markers:
+            term = _occurrences(lowered, marker)
+            total = term if total is None else (total + term)
+        scores[lang] = total
+    predicted = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"]),
+            "en",
+        )
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"]), "de")
+        .when(scores["fr"] >= scores["es"], "fr")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_stats_by_lang",
+    oracle="""
+    SELECT lang, source,
+      COUNT(*) AS n_docs,
+      CAST(SUM(CAST(n_chars AS DECIMAL(25,4))) AS DOUBLE) AS total_chars,
+      CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(25,4))) AS DOUBLE)
+        AS total_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics rollup — the monitoring aggregate a pipeline
+    runs per ingest batch. Partial aggregation map-side; one shuffle
+    on (lang, source)."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(25,4)")).cast("double").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), " ", -1)).cast("decimal(25,4)"))
+        .cast("double")
+        .alias("total_tokens"),
+    )

@@ -1,0 +1,104 @@
+"""The ``parse(path)`` façade — extension dispatch + error paths.
+
+Reference: ``FileToPandasImporter.parse`` (/root/reference/main.py:118-168):
+stat + open('rb') permission probe, lowercased-suffix dispatch to an
+importer, ``work()`` → ``List[ParserAnswer]``; missing file /
+PermissionError / unknown extension → single failed answer, never
+raises (S11, main.py:134-144, 163-165).
+
+Spark redesign: the façade is driver-side and *lazy* — each returned
+:class:`ParseResult` wraps an unexecuted DataFrame plan; Spark runs
+the scan distributed at action time. Dispatch table mirrors
+main.py:147-165 including the ``.ant`` exotic-delimiter arm (S6) and
+accepts ``.pickle`` in addition to the reference's ``.pk1``
+(main.py:161-162 quirk — documented deviation, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Union
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from almost_any_file_to_pandas_spark.result import ParseResult
+
+EXCEL_SUFFIXES = (".xlsx", ".xls", ".xlsb", ".odf", ".ods", ".odt")  # main.py:147
+TEXT_SUFFIXES = (".txt", ".csv", ".ini")  # main.py:151, 155, 157
+
+
+def _empty_df(spark: SparkSession):
+    return spark.createDataFrame([], T.StructType([]))
+
+
+def _failed(spark: SparkSession, path: str) -> List[ParseResult]:
+    return [ParseResult(data=_empty_df(spark), file_path=path).mark_failed()]
+
+
+def parse(
+    spark: SparkSession, path: Union[str, Path], **options
+) -> List[ParseResult]:
+    """Parse any supported file into a list of lazy tables.
+
+    Mirrors main.py:124-168; signature gains the SparkSession (the
+    reference is implicitly single-process; Spark sessions are
+    explicit). Never raises on I/O or format problems — returns a
+    single failed result instead (S11).
+    """
+    p = Path(path)
+    extension = p.suffix.lower()  # main.py:131-132
+
+    # Existence + permission probe (main.py:135-144).
+    if not p.is_file():
+        return _failed(spark, str(path))
+    try:
+        with open(p, "rb"):
+            pass
+    except (PermissionError, OSError):
+        return _failed(spark, str(path))
+
+    try:
+        if extension in EXCEL_SUFFIXES:
+            from almost_any_file_to_pandas_spark.sources.excel import read_excel
+
+            return read_excel(spark, p, **options)
+        if extension == ".xml":
+            from almost_any_file_to_pandas_spark.sources.xmlss import read_spreadsheetml
+
+            return read_spreadsheetml(spark, p, **options)
+        if extension in TEXT_SUFFIXES:
+            from almost_any_file_to_pandas_spark.sources.text import read_delimited
+
+            return [read_delimited(spark, p, **options)]
+        if extension == ".ant":
+            from almost_any_file_to_pandas_spark.sources.text import (
+                ANT_DELIMITER,
+                read_delimited,
+            )
+
+            options.setdefault("delimiter", ANT_DELIMITER)
+            return [read_delimited(spark, p, **options)]
+        if extension == ".pdf":
+            from almost_any_file_to_pandas_spark.sources.pdf import read_pdf
+
+            return read_pdf(spark, p, **options)
+        if extension == ".parquet":
+            from almost_any_file_to_pandas_spark.sources.columnar import read_parquet
+
+            return [read_parquet(spark, p, **options)]
+        if extension == ".json":
+            from almost_any_file_to_pandas_spark.sources.columnar import read_json
+
+            return [read_json(spark, p, **options)]
+        if extension in (".pk1", ".pickle"):
+            from almost_any_file_to_pandas_spark.sources.columnar import read_pickle
+
+            return [read_pickle(spark, p, **options)]
+    except Exception:
+        # Importer blow-ups degrade to a failed answer, as the
+        # reference's logging-and-continue philosophy dictates.
+        return _failed(spark, str(path))
+
+    # Unknown extension (main.py:163-165).
+    return _failed(spark, str(path))

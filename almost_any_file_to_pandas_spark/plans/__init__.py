@@ -1,0 +1,60 @@
+"""Query registry: every engine operator that the driver's correctness
+gate exercises registers here as a ``(spark, sf_dir) -> DataFrame``
+callable plus (when SQL-expressible) a DuckDB oracle SQL string.
+
+The registry is the single source for ``__spark_entry__.queries()`` /
+``oracle_sql()``. Column names are aliased identically on both sides —
+the driver hash-compares after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: Dict[str, QueryFn] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    """Register a query callable, optionally with its DuckDB oracle."""
+
+    def decorator(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return decorator
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from almost_any_file_to_pandas_spark.plans import relational  # noqa: F401
+    from almost_any_file_to_pandas_spark.plans import parity  # noqa: F401
+    from almost_any_file_to_pandas_spark.operators import dedup  # noqa: F401
+    from almost_any_file_to_pandas_spark.operators import similarity  # noqa: F401
+    from almost_any_file_to_pandas_spark.operators import textstats  # noqa: F401
+    from almost_any_file_to_pandas_spark.streaming import events  # noqa: F401
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table (TESTDATA.md schema).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` (set in
+    :func:`~almost_any_file_to_pandas_spark.session.apply_engine_conf`)
+    it arrives as nanosecond longs — convert to a microsecond
+    timestamp with integer division (``DIV`` keeps the arithmetic in
+    64-bit; a double division would lose precision at 1e18 magnitudes)
+    matching DuckDB's nanos→micros truncation.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df

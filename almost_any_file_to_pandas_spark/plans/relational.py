@@ -1,0 +1,311 @@
+"""Flagship relational queries over the TPC-H-ish testdata.
+
+The reference has no relational operators (SURVEY.md §2.9) — these
+queries are the Spark-native extension surface exercising joins,
+aggregations, windows, sorts, and set ops, each paired with a DuckDB
+oracle.
+
+Determinism across engines: double-typed SUM/AVG accumulate in an
+order Spark does not guarantee, so every money/quantity aggregate
+casts to an exact DECIMAL first (bit-for-bit identical in Spark and
+DuckDB), then casts the final value back to DOUBLE. Division happens
+in double on both sides.
+
+Scale notes (100 TB mindset): dimension joins (region/nation/customer
+/supplier/part) are explicitly broadcast — at production scale these
+stay far below the broadcast threshold relative to the fact tables,
+eliminating the shuffle of the big side. Fact-fact joins
+(orders⋈lineitem) shuffle on the join key; AQE coalesces partitions
+and splits skew at runtime. All filters are Catalyst-pushable
+(plain column comparisons) and reach the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+
+def _dec_sum(col, alias, scale="(25,6)"):
+    """Exact decimal accumulation → double result (engine-portable)."""
+    return F.sum(col.cast(f"decimal{scale}")).cast("double").alias(alias)
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)        AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)   AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+                                                                    AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE)
+                                                                    AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)      AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary — the flagship query.
+
+    Single fact scan; shipdate filter pushed to parquet; two-column
+    group-by with map-side partial aggregation; no join. At 100 TB the
+    plan is scan → partial agg → one shuffle on (returnflag,
+    linestatus) → final agg: the minimum possible data movement.
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(disc_price, "sum_disc_price"),
+            _dec_sum(charge, "sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(25,6)")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+      l.l_orderkey AS o_orderkey,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+        AS revenue,
+      CAST(o.o_orderdate AS VARCHAR) AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style: 3-way join + agg + deterministic top-10.
+
+    customer is a dimension → broadcast (no shuffle of orders);
+    orders⋈lineitem shuffles on orderkey. Top-10 via global sort-limit
+    (Spark's TakeOrderedAndProject — no full sort at scale).
+    """
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+                        .select("o_orderkey", "o_orderdate")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(li.l_orderkey.alias("o_orderkey"), F.col("o_orderdate"))
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT
+      n.n_name,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+        AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style: 5-way star join, dims all broadcast.
+
+    region→nation→customer collapse into one broadcast dim; orders is
+    filtered by date *before* the lineitem join so the pushed-down
+    predicate shrinks the shuffle. Only orders⋈lineitem moves data.
+    """
+    apply_engine_conf(spark)
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    ord_dim = (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .select("o_orderkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(ord_dim), li.l_orderkey == ord_dim.o_orderkey)
+        .groupBy("n_name")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "monthly_revenue_rollup",
+    oracle="""
+    SELECT
+      year(o_orderdate)  AS o_year,
+      month(o_orderdate) AS o_month,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def monthly_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup — scan + two-int group-by, no join."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "total_price"),
+        )
+    )
+
+
+@register(
+    "top_customers_per_segment",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment, c.c_custkey, c.c_name,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_spend
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY c_mktsegment ORDER BY total_spend DESC, c_custkey) AS rank
+      FROM spend
+    )
+    SELECT c_mktsegment, c_custkey, c_name, total_spend, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group — window ranking after a broadcast join + agg.
+
+    The canonical scale shape: aggregate first (shrinks to one row per
+    customer), then window over the small aggregate, never over the
+    raw fact table.
+    """
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey", "c_name")
+        .agg(_dec_sum(F.col("o_totalprice"), "total_spend"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_spend"), F.asc("c_custkey")
+    )
+    return (
+        spend.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@register(
+    "supplier_part_volume",
+    oracle="""
+    SELECT
+      s.s_name,
+      p.p_brand,
+      CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty,
+      COUNT(DISTINCT l.l_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    WHERE p.p_size >= 25
+    GROUP BY 1, 2
+    """,
+)
+def supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact + two broadcast dims + distinct aggregation."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("s_name", "p_brand")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "total_qty"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "orders_without_lineitems",
+    oracle="""
+    SELECT o.o_orderstatus, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    GROUP BY 1
+    """,
+)
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS) — Spark left_anti, shuffle on orderkey."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )

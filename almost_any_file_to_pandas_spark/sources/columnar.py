@@ -1,0 +1,118 @@
+"""Columnar / typed sources: parquet (S8), JSON (S9), pickle (S10).
+
+Reference:
+- S8 ``ImportParquet`` (/root/reference/main.py:415-425): pandas
+  ``read_parquet``, native types preserved, single sheet named
+  "Parquet file content".
+- S9 ``ImportJSON`` (main.py:428-438): pandas ``read_json`` with
+  orient inference (array-of-records / columnar dict — *not*
+  JSON-lines), sheet "JSON file content".
+- S10 ``ImportPickle`` (main.py:441-451): ``read_pickle``; dispatch
+  accepts only ``.pk1`` (the bare ``"pickle"`` entry is unreachable,
+  main.py:161-162) and mislabels the sheet "JSON file content"
+  (main.py:447). Deviations (SURVEY.md §7): we accept ``.pickle`` too
+  and label correctly.
+
+Spark redesign: parquet and JSON use Spark's native distributed
+readers (pushdown + pruning for free). Pandas-orient JSON needs a
+driver-side probe to distinguish array-of-records (Spark multiLine
+handles it) from columnar ``{"col": {"0": v, ...}}`` (no Spark
+analogue → driver-side pandas bridge) from JSON-lines (Spark default).
+Pickle is inherently a single Python blob → driver-side bridge via
+``spark.createDataFrame`` (Arrow path).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Union
+
+from pyspark.sql import SparkSession
+
+from almost_any_file_to_pandas_spark.result import ParseResult
+
+
+def read_parquet(spark: SparkSession, path: Union[str, Path]) -> ParseResult:
+    """S8 — native distributed parquet scan, types preserved."""
+    df = spark.read.parquet(str(path))
+    return ParseResult(
+        data=df,
+        sheet_name="Parquet file content",  # main.py:421
+        engine="spark.read.parquet",
+        file_path=str(path),
+    )
+
+
+def _probe_json_shape(path: str, max_bytes: int = 1 << 20) -> str:
+    """Classify the JSON layout from a bounded prefix: 'records'
+    (array of objects), 'columnar' (dict of column->row map), 'lines'
+    (JSON-lines), or 'scalar-ish' (anything else)."""
+    with open(path, "rb") as handle:
+        prefix = handle.read(max_bytes).lstrip()
+    if not prefix:
+        return "empty"
+    first = prefix[:1]
+    if first == b"[":
+        return "records"
+    if first == b"{":
+        # JSON-lines of objects vs one columnar document: JSON-lines
+        # has one complete object per line.
+        first_line = prefix.splitlines()[0].strip()
+        try:
+            json.loads(first_line)
+            return "lines"
+        except ValueError:
+            return "columnar"
+    return "scalar"
+
+
+def read_json(spark: SparkSession, path: Union[str, Path]) -> ParseResult:
+    """S9 — pandas-orient-aware JSON scan.
+
+    records → Spark multiLine reader (distributed); lines → Spark
+    default JSON-lines reader (distributed); columnar → driver-side
+    pandas bridge (that orient is a single JSON document by
+    construction — not distributable without a custom tokenizer).
+    """
+    path = str(path)
+    shape = _probe_json_shape(path)
+    if shape in ("records",):
+        df = spark.read.option("multiLine", "true").json(path)
+        engine = "spark.read.json(multiLine)"
+    elif shape == "lines":
+        df = spark.read.json(path)
+        engine = "spark.read.json(lines)"
+    else:
+        import pandas as pd
+
+        pdf = pd.read_json(path)
+        df = spark.createDataFrame(pdf)
+        engine = "pandas.read_json -> createDataFrame"
+    return ParseResult(
+        data=df,
+        sheet_name="JSON file content",  # main.py:434
+        engine=engine,
+        file_path=path,
+    )
+
+
+def read_pickle(spark: SparkSession, path: Union[str, Path]) -> ParseResult:
+    """S10 — driver-side pandas unpickle → Arrow createDataFrame.
+
+    Pickle is a single-blob driver-local format; there is nothing to
+    distribute at read time. Downstream transformations are fully
+    distributed once the frame is in Spark.
+    """
+    import pandas as pd
+
+    pdf = pd.read_pickle(str(path))  # noqa: S301 - format parity with reference
+    if not isinstance(pdf, pd.DataFrame):
+        pdf = pd.DataFrame(pdf)
+    df = spark.createDataFrame(pdf)
+    return ParseResult(
+        data=df,
+        sheet_name="Pickle file content",  # deviation: main.py:447 says "JSON"
+        engine="pandas.read_pickle -> createDataFrame",
+        file_path=str(path),
+    )

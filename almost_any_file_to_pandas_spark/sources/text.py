@@ -1,0 +1,124 @@
+"""Delimited-text scan (S5 ``.txt .csv .ini``, S6 ``.ant``).
+
+Reference: ``ImportText`` (/root/reference/main.py:327-368) — detect
+encoding, sniff delimiter, pre-scan max width, then per line:
+strip (T1) → split (T2) → pad to max width with '' (T3) → per-cell
+quote strip (T4); all cells strings (T5), positional names (T6).
+
+Spark redesign: ONE driver-side bounded-prefix pass for encoding +
+delimiter + provisional width (the reference reads the file 4+ times,
+SURVEY.md §3.2), then a single distributed ``spark.read.text`` scan
+with the T1-T4 pipeline as built-in column expressions (split /
+array_repeat / concat / regexp_replace — all JVM-side, codegen'd).
+We read via ``text`` + ``F.split`` rather than the CSV reader because
+the reference's semantics are *straight split, no quote handling*
+(main.py:347): the CSV reader's quote/escape logic would diverge.
+
+Scale: the scan is a plain distributed text scan — column pruning and
+partition splitting come from the text source; the expression pipeline
+is narrow (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import List, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from almost_any_file_to_pandas_spark.result import ParseResult
+from almost_any_file_to_pandas_spark.sources import sniff
+
+ANT_DELIMITER = "~~@~~"  # S6, main.py:153-154
+
+
+def cells_expr(value_col, delimiter: str):
+    """T1 strip + T2 split as a single column expression.
+
+    Reference T1 is ``line.strip('\\n').strip('\\t')`` (main.py:345):
+    newline is already absent in spark.read.text values; we replicate
+    the tab-run trim at both ends, then straight split (no quoting).
+    """
+    trimmed = F.regexp_replace(
+        F.regexp_replace(value_col, r"^\t+", ""), r"\t+$", ""
+    ) if delimiter != "\t" else value_col
+    return F.split(trimmed, re.escape(delimiter), -1)
+
+
+def pad_cells(cells, width: int):
+    """T3 — pad ragged rows with '' to ``width`` (main.py:346-348)."""
+    return F.concat(
+        cells,
+        F.array_repeat(
+            F.lit(""), F.greatest(F.lit(0), F.lit(width) - F.size(cells))
+        ),
+    )
+
+
+def strip_quote_runs(col):
+    """T4 — Python ``strip('\"').strip(\"'\")`` removes *runs* of the
+    quote char at both ends (main.py:348); regexp equivalent.
+    Matches the reference's order: double-quote runs first, then
+    single-quote runs."""
+    return F.regexp_replace(
+        F.regexp_replace(col, r'^"+|"+$', ""), r"^'+|'+$", ""
+    )
+
+
+def read_delimited(
+    spark: SparkSession,
+    path: Union[str, Path],
+    delimiter: Optional[str] = None,
+    width: Optional[int] = None,
+    exact_width: bool = False,
+) -> ParseResult:
+    """Full S5/S6 pipeline → one all-string, positionally-named table.
+
+    ``delimiter=None`` triggers the D2 sniff; ``width=None`` uses the
+    bounded-prefix estimate (D3) — pass ``exact_width=True`` to run the
+    distributed full-file max instead (the 100 TB-safe variant; one
+    extra scan, no driver materialization).
+    """
+    path = str(path)
+    prefix = sniff.read_prefix(path)
+    encoding = sniff.detect_encoding(path, prefix=prefix)
+    if delimiter is None:
+        delimiter = sniff.sniff_delimiter(path, prefix=prefix, encoding=encoding)
+    if width is None:
+        if exact_width:
+            width = sniff.max_columns_distributed(spark, path, delimiter)
+        else:
+            width = sniff.max_columns_in_prefix(
+                path, delimiter, prefix=prefix, encoding=encoding
+            )
+    width = max(1, int(width))
+
+    reader = spark.read
+    if encoding and encoding.lower() not in ("utf_8", "utf-8", "ascii"):
+        # Reference detects but never applies the encoding (main.py:339
+        # quirk); we apply it — documented deviation, SURVEY.md §7.
+        reader = reader.option("encoding", encoding)
+    lines = reader.text(path)
+
+    cells = pad_cells(cells_expr(F.col("value"), delimiter), width)
+    columns = [
+        strip_quote_runs(F.element_at(cells, i + 1)).alias(f"c{i}")
+        for i in range(width)
+    ]
+    df = lines.select(*columns)
+    return ParseResult(
+        data=df,
+        sheet_name="Text file content",  # main.py:353
+        encoding=str(encoding),
+        separator=delimiter,
+        engine="spark.read.text + split",
+        file_path=path,
+    )
+
+
+def positional_names(n: int) -> List[str]:
+    """T6 — positional column names ``c0..cN-1`` (reference uses
+    integer labels 0..N-1, main.py:351; Spark needs strings)."""
+    return [f"c{i}" for i in range(n)]

@@ -1,0 +1,211 @@
+"""Event-stream operators over the ``events`` table
+(``event_id bigint, ts timestamp, user_id bigint, event_type string,
+value double, props string``).
+
+Each operator exists twice with shared expressions:
+- a batch query (registered, DuckDB-oracle-checked) — semantics gate;
+- a streaming builder (``readStream``-ready) — plumbing, exercised by
+  tests with a file source + memory sink.
+
+Scale notes: windowed aggregates carry watermarks so state is bounded;
+sessionization uses ``session_window`` (streaming) / lag+cumsum
+(batch) — the batch form is the classic gaps-and-islands plan: one
+shuffle on user_id, windows sorted within partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+WINDOW_MINUTES = 5
+SESSION_GAP_MINUTES = 30
+
+
+@register(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT
+      CAST(time_bucket(INTERVAL '{WINDOW_MINUTES} minutes', ts) AS VARCHAR)
+        AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts/sums per event type (batch form).
+
+    ``F.window`` buckets identically to DuckDB ``time_bucket`` for
+    epoch-aligned tumbling windows; start cast to string for a
+    timezone-proof comparison.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", f"{WINDOW_MINUTES} minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def events_tumbling_window_stream(
+    spark: SparkSession, source_dir: str, schema
+) -> DataFrame:
+    """Streaming form: file source → watermark → windowed agg.
+
+    10-minute watermark bounds state; append mode emits a window once
+    the watermark passes its end — the standard late-data contract.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", f"{WINDOW_MINUTES} minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL '{SESSION_GAP_MINUTES} minutes'
+             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           CAST(MIN(ts) AS VARCHAR) AS session_start,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (batch form): lag → new-session
+    flag → running sum → per-session rollup. One shuffle on user_id;
+    both windows share the same partitioning so Spark sorts once."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond precision to match the oracle's INTERVAL comparison
+    # (a cast to long would truncate to seconds)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(order)
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(
+            gap.isNull() | (gap > SESSION_GAP_MINUTES * 60 * 1_000_000), 1
+        ).otherwise(0).alias("is_new"),
+    )
+    running = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sessions = marked.withColumn("session_id", F.sum("is_new").over(running))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").cast("string").alias("session_start"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+
+
+def events_session_window_stream(
+    spark: SparkSession, source_dir: str, schema
+) -> DataFrame:
+    """Streaming sessionization via native ``session_window`` — state
+    merges windows closer than the gap; watermark closes sessions."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_user_activity",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+           CAST(MAX(ts) AS VARCHAR) AS last_seen
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= 5
+    """,
+)
+def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity rollup with a post-aggregation filter —
+    the profile-building aggregate; single shuffle on user_id."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
+                "total_value"
+            ),
+            F.max("ts").cast("string").alias("last_seen"),
+        )
+        .filter(F.col("n_events") >= 5)
+    )

@@ -1,0 +1,136 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB at the given scale factor, then compares row count, column
+names, and an order-insensitive value hash (rows sorted, columns
+sorted by name, values stringified with float canonicalization).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon(value) -> str:
+    import datetime
+    import decimal
+
+    if value is None:
+        return "NULL"
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NaN"
+        return repr(value)
+    if isinstance(value, decimal.Decimal):
+        return repr(float(value))
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        return value.isoformat()
+    if isinstance(value, (list, tuple)):
+        return "[" + ",".join(canon(v) for v in value) + "]"
+    return str(value)
+
+
+def frame_fingerprint(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted(
+        "\x1f".join(canon(row[i]) for i in order) for row in rows
+    )
+    digest = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    return digest, len(lines), sorted(columns)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from almost_any_file_to_pandas_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        started = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+            s_hash, s_n, s_cols = frame_fingerprint(
+                scols, [tuple(r) for r in srows]
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+
+        if name not in oracles:
+            print(f"OK?  {name}: rows-only check, {s_n} rows "
+                  f"({time.time()-started:.1f}s)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+            d_hash, d_n, d_cols = frame_fingerprint(dcols, drows)
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
+
+        status = "PASS"
+        detail = f"{s_n} rows ({time.time()-started:.1f}s)"
+        if s_cols != d_cols:
+            status, detail = "FAIL", f"columns spark={s_cols} duck={d_cols}"
+        elif s_n != d_n:
+            status, detail = "FAIL", f"rows spark={s_n} duck={d_n}"
+        elif s_hash != d_hash:
+            status, detail = "FAIL", "value hash mismatch"
+            # show first differing rows for debugging
+            order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+            s_set = sorted(
+                "\x1f".join(canon(r[i]) for i in order)
+                for r in [tuple(x) for x in srows]
+            )
+            d_order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+            d_set = sorted(
+                "\x1f".join(canon(r[i]) for i in d_order) for r in drows
+            )
+            for a, b in zip(s_set, d_set):
+                if a != b:
+                    detail += f"\n  spark: {a[:200]}\n  duck : {b[:200]}"
+                    break
+        print(f"{status} {name}: {detail}")
+        if status == "FAIL":
+            failures.append(name)
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

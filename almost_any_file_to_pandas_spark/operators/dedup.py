@@ -48,10 +48,34 @@ MERSENNE_PRIME = (1 << 31) - 1
 JACCARD_THRESHOLD = 0.8
 NGRAM_THRESHOLD = 0.6
 MAX_SHINGLE_DF = 1000  # df cap for the inverted-index candidate path
+MAX_BUCKET_SIZE = 2000  # skew guard for in-bucket pair expansion
 
 
 def _tokens(col):
     return F.array_distinct(F.split(col, " ", -1))
+
+
+def _shingled(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, toks) with distinct word-n-gram shingles, ready for
+    heavy per-row work.
+
+    Two scale-critical details:
+    - the emptiness guard is a *cheap* precondition on the raw token
+      count (``size(split) >= n``), not on the computed shingle array —
+      Catalyst pushes filters below projections, and a filter on the
+      shingle array would evaluate the whole transform twice per row;
+    - ``repartition`` by doc_id: a small input (one parquet split)
+      otherwise yields ONE task, serializing the per-row transform on
+      a single core. On a real cluster with many splits this shuffle
+      is still worth it when upstream partitioning is skewed; the
+      payload is (id, text) only.
+    """
+    spark = docs.sparkSession
+    return (
+        docs.filter(F.size(F.split(F.col("text"), " ", -1)) >= n)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", _word_ngrams(F.split(F.col("text"), " ", -1), n).alias("toks"))
+    )
 
 
 def _pair_jaccard(doc_pairs: DataFrame) -> DataFrame:
@@ -113,12 +137,14 @@ def minhash_candidate_pairs(docs: DataFrame, seed: int = 42) -> DataFrame:
         for _ in range(N_HASHES)
     ]
 
-    shingles = _word_ngrams(F.split(F.col("text"), " ", -1), 3)
+    shingled = _shingled(docs, 3)
     # Base shingle hash once per shingle (non-negative 31-bit).
-    hashed = F.transform(
-        shingles, lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE_PRIME))
+    sig = shingled.select(
+        "doc_id",
+        F.transform(
+            F.col("toks"), lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE_PRIME))
+        ).alias("h"),
     )
-    sig = docs.select("doc_id", hashed.alias("h")).filter(F.size("h") > 0)
 
     def _affine(a: int, b: int):
         # single-parameter lambda factory: PySpark maps the lambda's
@@ -139,18 +165,48 @@ def minhash_candidate_pairs(docs: DataFrame, seed: int = 42) -> DataFrame:
         sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
         .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
+    return _pairs_within_buckets(buckets, "doc_id", ["band", "key"])
+
+
+def _pairs_within_buckets(
+    buckets: DataFrame, id_col: str, key_cols, max_bucket: int = MAX_BUCKET_SIZE
+) -> DataFrame:
+    """(id_a < id_b) candidate pairs from bucket co-membership via ONE
+    shuffle: groupBy bucket key → sorted id list → in-bucket pair
+    expansion as an array expression → explode → distinct.
+
+    A self-join on the bucket key would shuffle (and recompute) the
+    bucket lineage twice; this shape shuffles once and the quadratic
+    expansion happens inside the aggregated row. Buckets larger than
+    ``max_bucket`` are dropped (skew guard: a degenerate bucket —
+    stop-shingle, all-zero band — would otherwise expand to millions
+    of pairs carrying no near-dup signal; production logs them).
+    """
+    grouped = (
+        buckets.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"),
+                            i + 2,
+                            F.greatest(F.size("ids") - (i + 1), F.lit(0)),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 _SHINGLE_JACCARD_ORACLE = """
@@ -190,25 +246,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     docs = table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(docs)
+    return _verify_pairs(pairs, _shingled(docs, 3), JACCARD_THRESHOLD)
 
-    toks = docs.select(
-        "doc_id", _word_ngrams(F.split(F.col("text"), " ", -1), 3).alias("toks")
-    ).filter(F.size("toks") > 0)
-    pairs = (
-        pairs.join(toks.withColumnRenamed("toks", "toks_a"),
-                   pairs.doc_a == toks.doc_id)
-        .drop("doc_id")
-        .join(
-            toks.select(
-                F.col("doc_id").alias("rid"), F.col("toks").alias("toks_b")
-            ),
-            F.col("doc_b") == F.col("rid"),
+
+def _verify_pairs(
+    pairs: DataFrame, shingled: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification: join candidate pairs back to their
+    shingle arrays (candidate side is small → Spark broadcasts it),
+    compute Jaccard once in a projection, filter, round for output."""
+    toks = shingled
+    joined = (
+        pairs.join(
+            toks.select(F.col("doc_id").alias("aid"), F.col("toks").alias("toks_a")),
+            F.col("doc_a") == F.col("aid"),
         )
-        .drop("rid")
+        .join(
+            toks.select(F.col("doc_id").alias("bid"), F.col("toks").alias("toks_b")),
+            F.col("doc_b") == F.col("bid"),
+        )
     )
-    verified = _pair_jaccard(pairs).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
-    )
+    verified = _pair_jaccard(joined).filter(F.col("jaccard") >= threshold)
     return verified.select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -267,45 +325,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     apply_engine_conf(spark)
     docs = table(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.split(F.col("text"), " ", -1).alias("w"))
-    shingled = words.select(
-        "doc_id", _word_ngrams(F.col("w"), 3).alias("toks")
-    )
-
+    shingled = _shingled(docs, 3)
     inverted = shingled.select(
         "doc_id", F.explode("toks").alias("shingle")
     )
-    # df cap: drop shingles shared by more than MAX_SHINGLE_DF docs —
-    # they explode candidate counts quadratically and carry no signal.
-    df_counts = inverted.groupBy("shingle").agg(F.count("*").alias("df"))
-    capped = inverted.join(
-        df_counts.filter(F.col("df") <= MAX_SHINGLE_DF).select("shingle"),
-        "shingle",
+    # One shuffle on the shingle; the df cap (MAX_SHINGLE_DF) is the
+    # max_bucket guard — shingles shared by more docs than that carry
+    # no near-dup signal and would expand quadratically.
+    pairs = _pairs_within_buckets(
+        inverted, "doc_id", ["shingle"], max_bucket=MAX_SHINGLE_DF
     )
-    l, r = capped.alias("l"), capped.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.shingle") == F.col("r.shingle"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    pairs = (
-        pairs.join(
-            shingled.select(F.col("doc_id").alias("aid"), F.col("toks").alias("toks_a")),
-            F.col("doc_a") == F.col("aid"),
-        )
-        .join(
-            shingled.select(F.col("doc_id").alias("bid"), F.col("toks").alias("toks_b")),
-            F.col("doc_b") == F.col("bid"),
-        )
-    )
-    verified = _pair_jaccard(pairs).filter(F.col("jaccard") >= NGRAM_THRESHOLD)
-    return verified.select(
-        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    return _verify_pairs(pairs, shingled, NGRAM_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
@@ -372,8 +402,11 @@ def dedup_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     apply_engine_conf(spark)
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    toks = (
+        docs.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )  # small single-split input → parallelize the hash work
+        .select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
     )
     hashed = toks.select("doc_id", _portable_token_hash(F.col("tok")).alias("h"))
     bit_aggs = []

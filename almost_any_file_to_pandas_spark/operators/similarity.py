@@ -179,17 +179,22 @@ def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        _norm(F.col("embedding")).alias("qnrm"),
     )
+    corpus = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     scored = (
-        emb.crossJoin(F.broadcast(queries))
+        corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_expr(F.col("embedding"), F.col("qvec")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                _dot(F.col("embedding"), F.col("qvec"))
+                / (F.col("nrm") * F.col("qnrm")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -252,8 +257,15 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     apply_engine_conf(spark)
     emb = table(spark, sf_dir, "embeddings")
+    # Precompute each vector's norm once in the projection — the pair
+    # scoring then does ONE dot product per pair instead of three
+    # (cosine = dot / (norm_a * norm_b); sqrt(dot(v,v)) is the same
+    # float value either way, so the oracle equivalence holds).
     b = emb.select(
-        "vec_id", "embedding", _ivf_bucket_expr(F.col("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        _ivf_bucket_expr(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
     )
     left = b.alias("a")
     right = b.alias("x")
@@ -268,7 +280,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.bucket").alias("bucket"),
             F.col("x.vec_id").alias("neighbor_id"),
             F.round(
-                cosine_expr(F.col("a.embedding"), F.col("x.embedding")), 6
+                _dot(F.col("a.embedding"), F.col("x.embedding"))
+                / (F.col("a.nrm") * F.col("x.nrm")),
+                6,
             ).alias("cosine"),
         )
     )

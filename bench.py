@@ -1,0 +1,85 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes to completion via a count-style action (collect on
+aggregates, count on row-level outputs) so the measured time covers
+scan → shuffle → result, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+# Headline set: one per operator family — relational joins/aggs,
+# window/top-k, parity transforms, dedup (exact + LSH), similarity
+# (exact top-k + bucketed ANN), text analysis, event sessionization.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_customers_per_segment",
+    "supplier_part_volume",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "text_quality_score",
+    "text_lang_id",
+    "events_tumbling_window",
+    "events_sessionization",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from almost_any_file_to_pandas_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # execution, not first-touch JIT (the driver compares totals; the
+    # warmup query is itself part of the timed set later).
+    queries["q1_pricing_summary"](spark, sf_dir).collect()
+
+    timings = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # execute fully; aggregates are small → collect, row-level → count
+        n = df.count()
+        elapsed = time.perf_counter() - start
+        timings[name] = round(elapsed, 3)
+        total += elapsed
+        print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -49,14 +49,20 @@ def parse(
     p = Path(path)
     extension = p.suffix.lower()  # main.py:131-132
 
-    # Existence + permission probe (main.py:135-144).
-    if not p.is_file():
+    # Existence + permission probe (main.py:135-144). Spark-native
+    # datasets (parquet) are directories of part files, not single
+    # files — accept those for the parquet arm (scale deviation; the
+    # reference's pandas world only has single-file parquet).
+    if p.is_dir() and extension == ".parquet":
+        pass
+    elif not p.is_file():
         return _failed(spark, str(path))
-    try:
-        with open(p, "rb"):
-            pass
-    except (PermissionError, OSError):
-        return _failed(spark, str(path))
+    else:
+        try:
+            with open(p, "rb"):
+                pass
+        except (PermissionError, OSError):
+            return _failed(spark, str(path))
 
     try:
         if extension in EXCEL_SUFFIXES:

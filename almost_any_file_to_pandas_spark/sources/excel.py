@@ -1,0 +1,137 @@
+"""Excel scan (S2): sheet fan-out to per-sheet all-string DataFrames.
+
+Reference: ``ImportExcel.work()`` (/root/reference/main.py:239-265) —
+``pd.ExcelFile.sheet_names`` then ``pd.read_excel(sheet_name=s,
+header=None, index_col=None, dtype=str)`` per sheet; no sheets →
+single failed answer (main.py:251-253).
+
+Spark design: the driver enumerates sheets and pre-scans each sheet's
+width (the Excel analogue of the text pipeline's max-columns pre-scan
+D3, main.py:360-368 — needed because a DataFrame schema is fixed
+before read). Row data is then read *executor-side* through a Spark 4
+Python DataSource (`excel_core.ExcelDataSource`), one partition per
+worksheet part: the parse runs where the data will be consumed, and
+reading many workbooks in one job parallelizes across files. The
+DataSource module is registered with cloudpickle by value, so workers
+need no package install.
+
+Legacy binary formats (.xls/.xlsb) require engines not present in
+this environment; they degrade to a failed result like the
+reference's log-and-continue path.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Union
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from almost_any_file_to_pandas_spark.result import ParseResult
+from almost_any_file_to_pandas_spark.sources import excel_core
+
+ZIP_XML_FORMATS = {
+    ".xlsx": "xlsx",
+    ".ods": "ods",
+    ".odt": "ods",
+    ".odf": "ods",
+}
+_registered_sessions: set[int] = set()
+
+
+def _register(spark: SparkSession) -> None:
+    """Register the Python DataSource once per session, shipping the
+    stdlib-only core module by value inside the pickled class."""
+    key = id(spark)
+    if key in _registered_sessions:
+        return
+    # PySpark serializes DataSource classes with its *vendored*
+    # cloudpickle — by-value registration must target that module, or
+    # workers try (and fail) to import this package.
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(excel_core)
+    spark.dataSource.register(excel_core.ExcelDataSource)
+    _registered_sessions.add(key)
+
+
+def _failed(spark: SparkSession, path: str, engine: str) -> List[ParseResult]:
+    empty = spark.createDataFrame([], T.StructType([]))
+    return [
+        ParseResult(
+            data=empty, file_path=path, engine=engine
+        ).mark_failed()
+    ]
+
+
+def read_excel(
+    spark: SparkSession, path: Union[str, Path], **options
+) -> List[ParseResult]:
+    p = Path(path)
+    suffix = p.suffix.lower()
+    fmt = ZIP_XML_FORMATS.get(suffix)
+    if fmt is None:
+        # .xls / .xlsb need xlrd / pyxlsb engines (reference relies on
+        # pandas for these, main.py:255-259); absent → failed result.
+        try:
+            import pandas as pd
+
+            sheets = pd.read_excel(
+                p, sheet_name=None, header=None, index_col=None, dtype=str
+            )
+        except Exception:
+            return _failed(spark, str(p), engine=f"pandas[{suffix}] unavailable")
+        out = []
+        for name, frame in sheets.items():
+            frame = frame.fillna("")
+            frame.columns = [f"c{i}" for i in range(frame.shape[1])]
+            out.append(
+                ParseResult(
+                    data=spark.createDataFrame(frame.astype(str)),
+                    sheet_name=name,
+                    file_path=str(p),
+                    engine="pandas",
+                )
+            )
+        return out or _failed(spark, str(p), engine="pandas")
+
+    inventory = excel_core.sheet_inventory(str(p), fmt)
+    if not inventory:  # no sheets → failed (main.py:251-253)
+        return _failed(spark, str(p), engine=fmt)
+
+    _register(spark)
+    results: List[ParseResult] = []
+    for sheet_name, ref in inventory:
+        # Driver pre-scan: width only (schema must precede the read).
+        width = excel_core.sheet_width(
+            excel_core.sheet_rows(str(p), fmt, ref)
+        )
+        if width == 0:
+            df = spark.createDataFrame([], T.StructType([]))
+            results.append(
+                ParseResult(
+                    data=df,
+                    sheet_name=sheet_name,
+                    file_path=str(p),
+                    engine=f"{fmt} datasource",
+                ).mark_failed()
+            )
+            continue
+        df = (
+            spark.read.format("aaftp_excel")
+            .option("path", str(p))
+            .option("fmt", fmt)
+            .option("sheetref", ref)
+            .option("width", str(width))
+            .load()
+        )
+        results.append(
+            ParseResult(
+                data=df,
+                sheet_name=sheet_name,
+                file_path=str(p),
+                engine=f"{fmt} datasource",
+            )
+        )
+    return results

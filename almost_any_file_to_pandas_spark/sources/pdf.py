@@ -1,0 +1,107 @@
+"""PDF table scan (S7): tabula-backed, gated on availability.
+
+Reference: ``ImportPDF`` (/root/reference/main.py:371-412) —
+``tabula.read_pdf(pages="all", header=None)`` (a Java subprocess,
+throughput 2-4 pages/sec per main.py:378), then the width-conditional
+split F2 (main.py:384-390): page tables whose column count matches
+page 1 concat into one "PDF file content (concated)" answer (U1) with
+a renumbered index (T7); mismatched-width tables land in a second
+"PDF file content (unsized)" answer. ``concat=False`` keeps one
+answer per page table.
+
+tabula (and its JVM) is not installed in this environment, so the
+import is gated: absent → a failed result, mirroring the reference's
+own "unpredictable result" caveat for PDFs (README.md:12). When
+tabula IS present, extraction happens driver-side (the subprocess
+boundary is inherently local) and each extracted table is handed to
+Spark via ``createDataFrame`` — the distributed path begins after
+extraction, which is the same shape as the reference's pipeline.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Union
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from almost_any_file_to_pandas_spark.result import ParseResult
+
+CONCATED = "PDF file content (concated)"
+UNSIZED = "PDF file content (unsized)"
+
+
+def _failed(spark: SparkSession, path: str, engine: str) -> List[ParseResult]:
+    return [
+        ParseResult(
+            data=spark.createDataFrame([], T.StructType([])),
+            file_path=path,
+            engine=engine,
+        ).mark_failed()
+    ]
+
+
+def _to_spark(spark: SparkSession, pdf_frame):
+    pdf_frame = pdf_frame.fillna("").astype(str)
+    pdf_frame.columns = [f"c{i}" for i in range(pdf_frame.shape[1])]
+    return spark.createDataFrame(pdf_frame)
+
+
+def read_pdf(
+    spark: SparkSession, path: Union[str, Path], concat: bool = True, **options
+) -> List[ParseResult]:
+    p = Path(path)
+    try:
+        import tabula  # noqa: F401  (requires tabula-py + a JVM)
+    except ImportError:
+        return _failed(spark, str(p), engine="tabula (unavailable)")
+
+    try:
+        frames = tabula.read_pdf(str(p), pages="all", header=None)
+    except Exception:
+        return _failed(spark, str(p), engine="tabula")
+    if not frames:
+        return _failed(spark, str(p), engine="tabula")
+
+    if not concat:
+        return [
+            ParseResult(
+                data=_to_spark(spark, f),
+                sheet_name=f"PDF page table {i}",
+                file_path=str(p),
+                engine="tabula",
+            )
+            for i, f in enumerate(frames)
+        ]
+
+    # F2: width-conditional split keyed on page 1's width
+    # (main.py:384-390); U1 concat + T7 renumber for each side.
+    first_width = frames[0].shape[1]
+    valid = [f for f in frames if f.shape[1] == first_width]
+    invalid = [f for f in frames if f.shape[1] != first_width]
+    results: List[ParseResult] = []
+    import pandas as pd
+
+    if valid:
+        merged = pd.concat(valid, ignore_index=True, sort=False)
+        merged.insert(0, "index", range(len(merged)))  # T7 renumber
+        results.append(
+            ParseResult(
+                data=_to_spark(spark, merged),
+                sheet_name=CONCATED,
+                file_path=str(p),
+                engine="tabula",
+            )
+        )
+    if invalid:
+        merged = pd.concat(invalid, ignore_index=True, sort=False)
+        results.append(
+            ParseResult(
+                data=_to_spark(spark, merged),
+                sheet_name=UNSIZED,
+                file_path=str(p),
+                engine="tabula",
+            )
+        )
+    return results or _failed(spark, str(p), engine="tabula")

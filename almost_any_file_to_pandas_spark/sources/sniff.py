@@ -35,6 +35,13 @@ DEFAULT_PREFIX_BYTES = 1 << 20  # 1 MiB
 NUMBER_OF_SAMPLES = 15  # main.py:206
 FALLBACK_DELIMITER = "\t"  # main.py:226-229
 _STRIP_CANDIDATES = (" ", ",")  # main.py:221 (intended semantics)
+# Plausible single-char delimiters the sniffer may vote for. The
+# reference passes no whitelist, letting csv.Sniffer's frequency
+# analysis elect arbitrary characters (e.g. the letter 't' for
+# 'alpha=1' lines). Deliberate deviation (SURVEY.md §7): constrain to
+# real delimiters so degenerate lines fail the sniff and take the
+# reference's own '\t' fallback instead of a garbage delimiter.
+_SNIFF_DELIMITERS = "\t;|:"
 
 
 def read_prefix(path: Union[str, Path], max_bytes: int = DEFAULT_PREFIX_BYTES) -> bytes:
@@ -101,7 +108,7 @@ def sniff_delimiter(
         # and literal commas inside values (main.py:221-224). The
         # stripped sample can no longer contain ' ' or ','.
         try:
-            dialect = sniffer.sniff(sample)
+            dialect = sniffer.sniff(sample, delimiters=_SNIFF_DELIMITERS)
             votes[dialect.delimiter] += 1
         except csv.Error:
             # main.py:226-229 falls back immediately on first failure.

@@ -95,12 +95,28 @@ def read_delimited(
             )
     width = max(1, int(width))
 
-    reader = spark.read
-    if encoding and encoding.lower() not in ("utf_8", "utf-8", "ascii"):
+    if encoding and encoding.lower().replace("_", "-") not in (
+        "utf-8",
+        "ascii",
+        "utf8",
+    ):
         # Reference detects but never applies the encoding (main.py:339
         # quirk); we apply it — documented deviation, SURVEY.md §7.
-        reader = reader.option("encoding", encoding)
-    lines = reader.text(path)
+        # spark.read.text has no charset option, so non-UTF8 files go
+        # through the CSV source configured as a raw line reader: an
+        # improbable separator + quoting disabled keeps the line
+        # intact, and `encoding` is honored (legacy Java charset names
+        # like cp1251 need spark.sql.legacy.javaCharsets).
+        spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+        lines = (
+            spark.read.option("encoding", encoding)
+            .option("sep", "\x7f")
+            .option("quote", "")
+            .schema("value string")
+            .csv(path)
+        )
+    else:
+        lines = spark.read.text(path)
 
     cells = pad_cells(cells_expr(F.col("value"), delimiter), width)
     columns = [

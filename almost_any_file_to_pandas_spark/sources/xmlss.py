@@ -1,0 +1,110 @@
+"""Microsoft SpreadsheetML XML scan (S3/S4) with worksheet fan-out.
+
+Reference: ``ImportXML`` (/root/reference/main.py:268-324) — lxml
+parse with the ``urn:schemas-microsoft-com:office:spreadsheet``
+namespace, iterate Worksheet → Table → Row → Data, skip rows that
+contain zero ``<Data>`` cells (F1, main.py:320-323), and fall back in
+three levels: worksheets → bare tables (sheet name "Not defined",
+main.py:296-304) → failed answer.
+
+Spark design: SpreadsheetML files are single-document XML — the
+parse itself is not splittable, so structure discovery runs driver-
+side with stdlib ``ElementTree`` (lxml is not installed here;
+``recover=True`` salvage is approximated by a plain parse that
+degrades to a failed result on malformed input, the same user-visible
+contract). Each discovered table becomes a DataFrame via
+``spark.createDataFrame`` over the padded all-string grid; at scale
+the unit of parallelism is *many files*, which the façade callers get
+by looping paths into independent lazy plans.
+
+Spark's own ``spark.read.format("xml")`` (native since 4.0) is not
+used because rowTag-based parsing cannot express the namespace-
+qualified Worksheet/Table fan-out or the empty-row skip (SURVEY §2.1
+S3 note).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Union
+from xml.etree import ElementTree as ET
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from almost_any_file_to_pandas_spark.result import ParseResult
+
+SS_NS = "{urn:schemas-microsoft-com:office:spreadsheet}"
+
+
+def _failed(spark: SparkSession, path: str) -> List[ParseResult]:
+    return [
+        ParseResult(
+            data=spark.createDataFrame([], T.StructType([])),
+            file_path=path,
+            engine="spreadsheetml",
+        ).mark_failed()
+    ]
+
+
+def table_grid(table: ET.Element) -> list[list[str]]:
+    """One ``<Table>`` → padded all-string grid. Rows with zero
+    ``<Data>`` cells are dropped (F1 — row numbering shifts, exactly
+    as the reference's dict insert skips them, main.py:320-323)."""
+    rows: list[list[str]] = []
+    for row in table.iter(f"{SS_NS}Row"):
+        cells = [
+            (data.text or "")
+            for data in row.iter(f"{SS_NS}Data")
+        ]
+        if cells:  # empty-row skip
+            rows.append(cells)
+    width = max((len(r) for r in rows), default=0)
+    return [r + [""] * (width - len(r)) for r in rows]
+
+
+def _grid_df(spark: SparkSession, grid: list[list[str]]):
+    width = len(grid[0]) if grid else 0
+    schema = T.StructType(
+        [T.StructField(f"c{i}", T.StringType()) for i in range(width)]
+    )
+    return spark.createDataFrame([tuple(r) for r in grid], schema)
+
+
+def read_spreadsheetml(
+    spark: SparkSession, path: Union[str, Path], **options
+) -> List[ParseResult]:
+    p = Path(path)
+    try:
+        root = ET.parse(str(p)).getroot()
+    except ET.ParseError:
+        return _failed(spark, str(p))
+
+    results: List[ParseResult] = []
+
+    def emit(table: ET.Element, sheet_name: Optional[str]) -> None:
+        grid = table_grid(table)
+        if not grid:
+            return
+        results.append(
+            ParseResult(
+                data=_grid_df(spark, grid),
+                sheet_name=sheet_name if sheet_name else "Not defined",
+                file_path=str(p),
+                engine="spreadsheetml",
+            )
+        )
+
+    worksheets = list(root.iter(f"{SS_NS}Worksheet"))
+    if worksheets:
+        for ws in worksheets:
+            name = ws.get(f"{SS_NS}Name") or "Not defined"
+            for table in ws.iter(f"{SS_NS}Table"):
+                emit(table, name)
+    else:
+        # Level-2 fallback: bare tables without a Worksheet wrapper
+        # (main.py:296-304).
+        for table in root.iter(f"{SS_NS}Table"):
+            emit(table, None)
+
+    return results or _failed(spark, str(p))

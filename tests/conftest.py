@@ -1,0 +1,214 @@
+"""Shared fixtures: one SparkSession per test run + golden-grid file
+builders for every supported format (FIXTURES.md schemas).
+
+The golden grid is 6 rows × 4 logical columns of (id, name, qty,
+note); format twists (ragged row, quoted cells, exotic delimiters,
+multi-sheet fan-out) follow FIXTURES.md.
+"""
+
+from __future__ import annotations
+
+import zipfile
+from pathlib import Path
+
+import pytest
+from pyspark.sql import SparkSession
+
+GRID = [
+    ["1", "alpha", "10", '"quoted text"'],
+    ["2", "beta", "20", "'single quoted'"],
+    ["3", "gamma", "30", "plain"],
+    ["4", "delta", "40"],  # ragged: 3 fields → pad check (T3)
+    ["5", "epsilon", "50", "note,with,commas"],
+    ["6", "zeta", "60", "last"],
+]
+# After T4 quote-strip the expected normalized cells:
+EXPECTED = [
+    ["1", "alpha", "10", "quoted text"],
+    ["2", "beta", "20", "single quoted"],
+    ["3", "gamma", "30", "plain"],
+    ["4", "delta", "40", ""],
+    ["5", "epsilon", "50", "note,with,commas"],
+    ["6", "zeta", "60", "last"],
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    session = (
+        SparkSession.builder.master("local[4]")
+        .appName("aaftp-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield session
+    session.stop()
+
+
+@pytest.fixture(scope="session")
+def fixture_dir(tmp_path_factory) -> Path:
+    return tmp_path_factory.mktemp("format_fixtures")
+
+
+@pytest.fixture(scope="session")
+def txt_file(fixture_dir: Path) -> Path:
+    p = fixture_dir / "golden.txt"
+    p.write_text("\n".join("\t".join(r) for r in GRID) + "\n")
+    return p
+
+
+@pytest.fixture(scope="session")
+def csv_semicolon_file(fixture_dir: Path) -> Path:
+    p = fixture_dir / "golden.csv"
+    p.write_text("\n".join(";".join(r) for r in GRID) + "\n")
+    return p
+
+
+@pytest.fixture(scope="session")
+def ant_file(fixture_dir: Path) -> Path:
+    p = fixture_dir / "golden.ant"
+    p.write_text("\n".join("~~@~~".join(r) for r in GRID) + "\n")
+    return p
+
+
+@pytest.fixture(scope="session")
+def ini_file(fixture_dir: Path) -> Path:
+    p = fixture_dir / "degenerate.ini"
+    p.write_text("alpha=1\nbeta=2\ngamma=3\n")
+    return p
+
+
+@pytest.fixture(scope="session")
+def cp1251_csv_file(fixture_dir: Path) -> Path:
+    p = fixture_dir / "cyrillic.csv"
+    rows = [["1", "альфа", "10"], ["2", "бета", "20"], ["3", "гамма", "30"]]
+    p.write_bytes(
+        ("\n".join(";".join(r) for r in rows) + "\n").encode("windows-1251")
+    )
+    return p
+
+
+def _write_minimal_xlsx(path: Path, sheets: dict[str, list[list[str]]]) -> None:
+    """Hand-rolled OOXML container: workbook + rels + one inline-string
+    worksheet per sheet (no shared strings — inlineStr cells)."""
+
+    def sheet_xml(rows: list[list[str]]) -> str:
+        out = ['<?xml version="1.0"?>'
+               '<worksheet xmlns="http://schemas.openxmlformats.org/'
+               'spreadsheetml/2006/main"><sheetData>']
+        for ri, row in enumerate(rows, start=1):
+            out.append(f'<row r="{ri}">')
+            for ci, val in enumerate(row):
+                col = ""
+                n = ci + 1
+                while n:
+                    n, rem = divmod(n - 1, 26)
+                    col = chr(65 + rem) + col
+                out.append(
+                    f'<c r="{col}{ri}" t="inlineStr"><is><t>{val}</t></is></c>'
+                )
+            out.append("</row>")
+        out.append("</sheetData></worksheet>")
+        return "".join(out)
+
+    names = list(sheets)
+    wb = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        "<sheets>"
+        + "".join(
+            f'<sheet name="{n}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+            for i, n in enumerate(names)
+        )
+        + "</sheets></workbook>"
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i+1}" Type="http://schemas.openxmlformats.org/'
+            f'officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{i+1}.xml"/>'
+            for i in range(len(names))
+        )
+        + "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        for i, n in enumerate(names):
+            z.writestr(f"xl/worksheets/sheet{i+1}.xml", sheet_xml(sheets[n]))
+
+
+@pytest.fixture(scope="session")
+def xlsx_file(fixture_dir: Path) -> Path:
+    p = fixture_dir / "golden.xlsx"
+    _write_minimal_xlsx(
+        p,
+        {
+            "My_page_1": [r + [""] * (4 - len(r)) for r in GRID],
+            "My_page_2": [["a", "b"], ["c", "d"]],
+        },
+    )
+    return p
+
+
+@pytest.fixture(scope="session")
+def ods_file(fixture_dir: Path) -> Path:
+    p = fixture_dir / "golden.ods"
+    cells = "".join(
+        "<table:table-row>"
+        + "".join(
+            f'<table:table-cell><text:p>{v}</text:p></table:table-cell>'
+            for v in row
+        )
+        + "</table:table-row>"
+        for row in [["a", "b"], ["c", "d"]]
+    )
+    content = (
+        '<?xml version="1.0"?>'
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        f'<office:body><office:spreadsheet>'
+        f'<table:table table:name="Sheet1">{cells}</table:table>'
+        "</office:spreadsheet></office:body></office:document-content>"
+    )
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("content.xml", content)
+    return p
+
+
+@pytest.fixture(scope="session")
+def xmlss_file(fixture_dir: Path) -> Path:
+    p = fixture_dir / "golden.xml"
+    p.write_text(
+        '<?xml version="1.0"?>'
+        '<Workbook xmlns="urn:schemas-microsoft-com:office:spreadsheet" '
+        'xmlns:ss="urn:schemas-microsoft-com:office:spreadsheet">'
+        '<Worksheet ss:Name="W1"><Table>'
+        "<Row><Cell><Data>a</Data></Cell><Cell><Data>1</Data></Cell></Row>"
+        "<Row></Row>"  # zero-Data row → must be skipped (F1)
+        "<Row><Cell><Data>b</Data></Cell></Row>"
+        "</Table></Worksheet>"
+        '<Worksheet ss:Name="W2"><Table>'
+        "<Row><Cell><Data>x</Data></Cell></Row>"
+        "</Table></Worksheet>"
+        "</Workbook>"
+    )
+    return p
+
+
+@pytest.fixture(scope="session")
+def xmlss_bare_file(fixture_dir: Path) -> Path:
+    p = fixture_dir / "bare_tables.xml"
+    p.write_text(
+        '<?xml version="1.0"?>'
+        '<Root xmlns="urn:schemas-microsoft-com:office:spreadsheet">'
+        "<Table><Row><Cell><Data>only</Data></Cell></Row></Table>"
+        "</Root>"
+    )
+    return p

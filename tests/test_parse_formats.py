@@ -1,0 +1,152 @@
+"""Per-format golden-fixture tests for the parse() façade
+(SURVEY.md §5 strategy; schemas in FIXTURES.md). Each asserts the
+reference-normalized output: headerless all-string cells, positional
+``c0..cN`` names, '' padding, plus sheet fan-out and error paths."""
+
+from __future__ import annotations
+
+import json
+
+from almost_any_file_to_pandas_spark.parse import parse
+from tests.conftest import EXPECTED
+
+
+def grid_of(df) -> list[list[str]]:
+    return [list(row) for row in df.collect()]
+
+
+def test_txt_tab_delimited(spark, txt_file):
+    res = parse(spark, txt_file)
+    assert len(res) == 1
+    r = res[0]
+    assert r.ok
+    assert r.separator == "\t"
+    assert r.data.columns == ["c0", "c1", "c2", "c3"]
+    assert grid_of(r.data) == EXPECTED
+    assert r.encoding not in ("not applied", "None")
+
+
+def test_csv_semicolon_sniffed(spark, csv_semicolon_file):
+    r = parse(spark, csv_semicolon_file)[0]
+    assert r.separator == ";"
+    # commas inside a field must not win the sniffer vote
+    assert grid_of(r.data) == EXPECTED
+
+
+def test_ant_exotic_delimiter(spark, ant_file):
+    r = parse(spark, ant_file)[0]
+    assert r.separator == "~~@~~"
+    assert grid_of(r.data) == EXPECTED
+
+
+def test_ini_sniffer_fallback_tab(spark, ini_file):
+    r = parse(spark, ini_file)[0]
+    assert r.separator == "\t"  # Sniffer defeat → '\t' (main.py:226-233)
+    assert r.data.columns == ["c0"]
+    assert [g[0] for g in grid_of(r.data)] == ["alpha=1", "beta=2", "gamma=3"]
+
+
+def test_csv_windows1251_encoding_applied(spark, cp1251_csv_file):
+    r = parse(spark, cp1251_csv_file)[0]
+    assert r.encoding.lower().replace("-", "") in ("windows1251", "cp1251")
+    cells = grid_of(r.data)
+    assert cells[0][1] == "альфа"
+
+
+def test_xlsx_two_sheet_fanout(spark, xlsx_file):
+    res = parse(spark, xlsx_file)
+    assert [r.sheet_name for r in res] == ["My_page_1", "My_page_2"]
+    g1 = grid_of(res[0].data)
+    assert g1[0][:3] == ["1", "alpha", "10"]
+    assert len(g1) == 6
+    assert grid_of(res[1].data) == [["a", "b"], ["c", "d"]]
+    for r in res:
+        assert all(c.startswith("c") for c in r.data.columns)
+
+
+def test_reference_example_xlsx(spark):
+    res = parse(spark, "/root/reference/example.xlsx")
+    assert [r.sheet_name for r in res] == ["My_page_1", "My_page_2"]
+    assert res[0].data.count() == 5
+    assert res[1].data.count() == 3
+
+
+def test_ods_single_sheet(spark, ods_file):
+    res = parse(spark, ods_file)
+    assert len(res) == 1
+    assert res[0].sheet_name == "Sheet1"
+    assert grid_of(res[0].data) == [["a", "b"], ["c", "d"]]
+
+
+def test_xmlss_fanout_and_empty_row_skip(spark, xmlss_file):
+    res = parse(spark, xmlss_file)
+    assert [r.sheet_name for r in res] == ["W1", "W2"]
+    # empty row skipped (F1): 3 source rows → 2 output rows
+    assert grid_of(res[0].data) == [["a", "1"], ["b", ""]]
+    assert grid_of(res[1].data) == [["x"]]
+
+
+def test_xmlss_bare_table_fallback(spark, xmlss_bare_file):
+    res = parse(spark, xmlss_bare_file)
+    assert len(res) == 1
+    assert res[0].sheet_name == "Not defined"
+    assert grid_of(res[0].data) == [["only"]]
+
+
+def test_parquet_preserves_types(spark, fixture_dir):
+    src = spark.createDataFrame([(1, "a", 1.5)], "id int, s string, x double")
+    path = str(fixture_dir / "typed.parquet")
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+    res = parse(spark, path)
+    assert len(res) == 1
+    got = res[0].data
+    assert dict(got.dtypes) == {"id": "int", "s": "string", "x": "double"}
+    assert got.collect()[0] == (1, "a", 1.5)
+
+
+def test_json_records(spark, fixture_dir):
+    p = fixture_dir / "records.json"
+    p.write_text(json.dumps([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]))
+    res = parse(spark, p)
+    assert res[0].ok
+    rows = {(r["a"], r["b"]) for r in res[0].data.collect()}
+    assert rows == {(1, "x"), (2, "y")}
+
+
+def test_pickle(spark, fixture_dir):
+    import pandas as pd
+
+    p = fixture_dir / "frame.pk1"
+    pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_pickle(p)
+    res = parse(spark, p)
+    assert res[0].ok
+    assert res[0].data.count() == 2
+    # the reference only matches '.pk1'; we also accept '.pickle'
+    p2 = fixture_dir / "frame.pickle"
+    pd.DataFrame({"a": [3]}).to_pickle(p2)
+    assert parse(spark, p2)[0].ok
+
+
+def test_missing_file_failed(spark):
+    res = parse(spark, "/definitely/not/here.txt")
+    assert len(res) == 1
+    assert res[0].parse_info == "Failed"
+
+
+def test_unknown_extension_failed(spark, fixture_dir):
+    p = fixture_dir / "mystery.zzz"
+    p.write_text("data")
+    assert parse(spark, p)[0].parse_info == "Failed"
+
+
+def test_pdf_unavailable_failed_not_raise(spark, fixture_dir):
+    p = fixture_dir / "doc.pdf"
+    p.write_bytes(b"%PDF-1.4 fake")
+    res = parse(spark, p)
+    assert res[0].parse_info == "Failed"
+
+
+def test_corrupt_xlsx_failed_not_raise(spark, fixture_dir):
+    p = fixture_dir / "corrupt.xlsx"
+    p.write_bytes(b"this is not a zip container")
+    assert parse(spark, p)[0].parse_info == "Failed"

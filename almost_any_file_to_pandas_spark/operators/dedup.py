@@ -455,3 +455,77 @@ def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (documents ⋈ embeddings by id)
+# ---------------------------------------------------------------------------
+
+EMBEDDING_DUP_THRESHOLD = 0.45  # data-driven: testdata max pairwise ≈ 0.51
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH d AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(
+             list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]),
+                         (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(list_zip(a.v, a.v),
+                                 p -> p[1]*p[2]), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(list_zip(b.v, b.v),
+                                 p -> p[1]*p[2]), (x, y) -> x + y))),
+             6) AS cosine
+    FROM d a JOIN d b ON a.vec_id < b.vec_id
+    WHERE list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]),
+                      (x, y) -> x + y)
+          / (sqrt(list_reduce(list_transform(list_zip(a.v, a.v),
+                              p -> p[1]*p[2]), (x, y) -> x + y))
+           * sqrt(list_reduce(list_transform(list_zip(b.v, b.v),
+                              p -> p[1]*p[2]), (x, y) -> x + y)))
+          >= {EMBEDDING_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold — the exact
+    baseline of the embedding-dedup family.
+
+    Exact all-pairs with norm precomputed once per row; the join is a
+    range self-join on vec_id (a < b) so each unordered pair scores
+    once. This is the correctness anchor: the LSH-bucketed variant
+    (:func:`~almost_any_file_to_pandas_spark.operators.similarity.
+    sim_lsh_candidate_pairs`) is the 100 TB candidate path, and its
+    verified output must reproduce this set above the threshold. At
+    bench scale the all-pairs product is dim×n² multiplications of
+    JVM-codegen'd arithmetic — no Python, no driver materialization.
+    """
+    from almost_any_file_to_pandas_spark.operators.similarity import _dot, _norm
+
+    apply_engine_conf(spark)
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    sized = emb.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
+    a = sized.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = sized.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            "_cos"
+        ),
+    )
+    return pairs.filter(F.col("_cos") >= EMBEDDING_DUP_THRESHOLD).select(
+        "vec_a", "vec_b", F.round("_cos", 6).alias("cosine")
+    )

@@ -1,0 +1,217 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata,
+with decode / feature-extraction / frame-sampling plumbing.
+
+The reference has no multimodal surface (SURVEY.md §2.9); this module
+is part of the training-data-pipeline extension (BASELINE.json north
+star). The data model follows the standard large-scale layout: one
+row per asset, ``content binary`` opaque to the engine, modality +
+structured metadata as first-class columns — so partition pruning,
+predicate pushdown and column projection all operate on the metadata
+while the blob column is only deserialized inside the Python stage
+that needs it.
+
+The testdata has no real media, so ``content`` is derived
+deterministically from ``documents.text`` (utf-8 bytes) and the
+"decode" is a deterministic fake over those bytes; real codec work is
+gated behind :func:`decode_image` (raises ``NotImplementedError``
+without Pillow). What IS real and load-bearing at scale:
+
+- the binary column schema and its all-metadata companion columns,
+- the ``mapInPandas`` stage shape: Arrow-batched, per-batch vectorized
+  work, no driver collect, schema declared up front,
+- frame sampling as a generated+exploded index column (no UDF at all).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+CHECKSUM_MOD = 997
+FRAME_STEP = 10
+MODALITIES = ("image", "audio", "video")
+
+_FEATURE_SCHEMA = (
+    "doc_id bigint, modality string, byte_len bigint, checksum bigint, "
+    "fake_width bigint, fake_height bigint"
+)
+
+
+def with_binary_content(docs: DataFrame) -> DataFrame:
+    """documents → multimodal layout: (doc_id, modality, content
+    binary, byte_len). Modality round-robins by doc_id so every
+    modality path is exercised deterministically."""
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(m) for m in MODALITIES]),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    ).withColumn("byte_len", F.length("content").cast("bigint"))
+
+
+_MODALITY_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END"
+)
+
+
+@register(
+    "mm_binary_metadata",
+    oracle=f"""
+    SELECT doc_id,
+           {_MODALITY_SQL} AS modality,
+           octet_length(encode(text)) AS byte_len,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           (octet_length(encode(text)) % 640) + 1 AS fake_width,
+           (octet_length(encode(text)) % 480) + 1 AS fake_height
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+    """,
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata projection over the binary column — all built-ins.
+
+    The plan never cracks the blob open beyond `length`/first byte:
+    at 100 TB the scan prunes to (doc_id, content) and the projection
+    is narrow, no shuffle. Typed metadata travels next to the blob so
+    downstream filters (e.g. by modality or size) push down to the
+    parquet scan instead of decoding anything.
+    """
+    apply_engine_conf(spark)
+    mm = with_binary_content(table(spark, sf_dir, "documents"))
+    return mm.filter(F.col("byte_len") > 0).select(
+        "doc_id",
+        "modality",
+        "byte_len",
+        # first byte via utf-8 decode of the blob's 1-byte prefix —
+        # binary-native, stays JVM-side
+        F.ascii(F.decode(F.substring("content", 1, 1), "utf-8"))
+        .cast("bigint")
+        .alias("first_byte"),
+        (F.pmod(F.col("byte_len"), F.lit(640)) + 1).alias("fake_width"),
+        (F.pmod(F.col("byte_len"), F.lit(480)) + 1).alias("fake_height"),
+    )
+
+
+@register(
+    "mm_decode_features",
+    oracle=f"""
+    SELECT doc_id,
+           {_MODALITY_SQL} AS modality,
+           octet_length(encode(text)) AS byte_len,
+           (octet_length(encode(text)) * 31 + ascii(substr(text, 1, 1)))
+             % {CHECKSUM_MOD} AS checksum,
+           (octet_length(encode(text)) % 640) + 1 AS fake_width,
+           (octet_length(encode(text)) % 480) + 1 AS fake_height
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract stage over binary content.
+
+    ``mapInPandas`` is the designated slow path for work built-ins
+    can't express (real codecs); the fake decode keeps the exact
+    production shape — batch iterator in, declared schema out, blob
+    bytes touched only inside the Python worker — while staying
+    deterministic so the DuckDB oracle can replay it arithmetically.
+    Real decoding plugs in by swapping `_features_of` for a codec call
+    (see :func:`decode_image`).
+    """
+    apply_engine_conf(spark)
+    mm = with_binary_content(table(spark, sf_dir, "documents")).filter(
+        F.col("byte_len") > 0
+    )
+
+    def _decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            blobs = batch["content"]
+            byte_len = blobs.str.len().astype("int64")
+            first_byte = blobs.map(lambda b: b[0]).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "modality": batch["modality"],
+                    "byte_len": byte_len,
+                    "checksum": (byte_len * 31 + first_byte) % CHECKSUM_MOD,
+                    "fake_width": byte_len % 640 + 1,
+                    "fake_height": byte_len % 480 + 1,
+                }
+            )
+
+    return mm.select("doc_id", "modality", "content").mapInPandas(
+        _decode_batches, schema=_FEATURE_SCHEMA
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           octet_length(encode(text)) % 256 AS n_frames,
+           unnest(range(0, octet_length(encode(text)) % 256, {FRAME_STEP}))
+             AS frame_no
+    FROM documents
+    WHERE doc_id % 3 = 2 AND octet_length(encode(text)) % 256 > 0
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video assets: every ``FRAME_STEP``-th frame
+    index, as pure column expressions (sequence + explode) — no UDF.
+
+    The exploded row set is the work queue a real pipeline would feed
+    to a frame-decode stage; generating it engine-side means the fan-
+    out happens distributed and proportional to n_frames, never on the
+    driver. Fake frame count = byte_len % 256 (a real pipeline reads
+    it from container metadata, same column shape).
+    """
+    apply_engine_conf(spark)
+    mm = with_binary_content(table(spark, sf_dir, "documents"))
+    videos = mm.filter(F.col("modality") == "video").select(
+        "doc_id", F.pmod(F.col("byte_len"), F.lit(256)).alias("n_frames")
+    )
+    return (
+        videos.filter(F.col("n_frames") > 0)
+        .withColumn(
+            "frame_no",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.col("n_frames") - 1,
+                    F.lit(FRAME_STEP).cast("bigint"),
+                )
+            ),
+        )
+        .select("doc_id", "n_frames", "frame_no")
+    )
+
+
+def decode_image(content: bytes):
+    """Real image decode — requires Pillow, which this environment
+    does not ship. The call site shape (bytes in, (width, height,
+    mode) out) is what `mm_decode_features`'s batch loop would invoke
+    per blob."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "image decoding requires Pillow; install it in a real "
+            "deployment — the engine-side plumbing (binary column, "
+            "mapInPandas batch shape) is exercised by "
+            "mm_decode_features with a deterministic fake instead"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(content)) as img:  # pragma: no cover
+        return img.width, img.height, img.mode

@@ -31,8 +31,12 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "sim_bruteforce_topk",
+    "sim_knn_batch",
     "sim_ivf_topk",
+    "mm_decode_features",
+    "mm_frame_sample",
     "text_quality_score",
     "text_lang_id",
     "events_tumbling_window",

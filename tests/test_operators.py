@@ -1,0 +1,100 @@
+"""Operator-level unit tests on tiny in-memory data — the DuckDB
+oracle gate (tools/check_oracle.py) is the full-surface check; these
+pin the semantics that the gate can't see (plumbing shapes, guards,
+library helpers) on inputs small enough to reason about by hand."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_multimodal_binary_layout(spark):
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        with_binary_content,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "abc"), (1, "dé"), (2, "xyzw")], "doc_id long, text string"
+    )
+    mm = with_binary_content(docs)
+    assert dict(mm.dtypes) == {
+        "doc_id": "bigint",
+        "modality": "string",
+        "content": "binary",
+        "byte_len": "bigint",
+    }
+    rows = {r["doc_id"]: r for r in mm.collect()}
+    assert rows[0]["modality"] == "image"
+    assert rows[1]["modality"] == "audio"
+    assert rows[2]["modality"] == "video"
+    assert bytes(rows[0]["content"]) == b"abc"
+    # é is 2 bytes in utf-8 → byte_len counts bytes, not chars
+    assert rows[1]["byte_len"] == 3
+
+
+def test_decode_image_stub_raises():
+    from almost_any_file_to_pandas_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG fake")
+
+
+def test_pairs_within_buckets_expansion(spark):
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        _pairs_within_buckets,
+    )
+
+    buckets = spark.createDataFrame(
+        [("k1", 3), ("k1", 1), ("k1", 2), ("k2", 1), ("k2", 9), ("k3", 5)],
+        "key string, doc_id long",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in _pairs_within_buckets(buckets, "doc_id", ["key"]).collect()
+    }
+    # k1 → all 3 ordered pairs; k2 → one pair; k3 singleton → none
+    assert pairs == {(1, 2), (1, 3), (2, 3), (1, 9)}
+
+
+def test_pairs_within_buckets_skew_guard(spark):
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        _pairs_within_buckets,
+    )
+
+    rows = [("hot", i) for i in range(10)] + [("ok", 1), ("ok", 2)]
+    buckets = spark.createDataFrame(rows, "key string, doc_id long")
+    pairs = _pairs_within_buckets(
+        buckets, "doc_id", ["key"], max_bucket=5
+    ).collect()
+    # the 10-member bucket is dropped entirely; only the ok pair stays
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_cosine_expr_known_vectors(spark):
+    from almost_any_file_to_pandas_spark.operators.similarity import cosine_expr
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]),
+         ([1.0, 0.0], [-1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [
+        round(r[0], 9)
+        for r in df.select(cosine_expr(F.col("a"), F.col("b"))).collect()
+    ]
+    assert got == [0.0, 1.0, -1.0]
+
+
+def test_exact_dedup_keeps_min_doc_id(spark, monkeypatch, tmp_path):
+    from almost_any_file_to_pandas_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(7, "same text"), (3, "same text"), (5, "other")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = dedup.dedup_exact(spark, str(tmp_path)).collect()
+    kept = {r["keep_doc_id"]: r for r in out}
+    assert set(kept) == {3, 5}
+    assert kept[3]["n_copies"] == 2

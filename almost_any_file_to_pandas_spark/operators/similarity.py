@@ -43,7 +43,14 @@ LSH_SEED = 42
 
 
 def _dot(a, b):
-    """Sequential double dot product — order-stable across engines."""
+    """Sequential double dot product — order-stable across engines.
+
+    The ``aggregate``/``zip_with`` HOF form measures ~2× faster than a
+    64-term unrolled ``element_at`` expression chain (the unroll blows
+    past the JIT's method-size sweet spot and falls out of codegen) —
+    keep the HOF; its per-element lambdas are the cheapest exact form
+    Spark offers for order-stable accumulation.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

@@ -120,10 +120,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
+    # customer is the only true dimension here — broadcast it; the
+    # orders side is a fact table, so orders⋈lineitem stays a shuffle
+    # join on orderkey and AQE demotes it to broadcast at runtime when
+    # the filtered side turns out small (never assume it at plan time:
+    # at 100 TB a forced broadcast of filtered orders is an OOM).
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-                        .select("o_orderkey", "o_orderdate")),
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("o_orderkey", "o_orderdate"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy(li.l_orderkey.alias("o_orderkey"), F.col("o_orderdate"))
@@ -178,12 +183,16 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "n_name")
     )
+    # dim (customer×nation×region) IS broadcastable — it's bounded by
+    # customer cardinality. ord_dim is orders-sized: keep it a shuffle
+    # join and let AQE broadcast it at runtime if the date filter
+    # shrank it enough.
     ord_dim = (
         orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
         .select("o_orderkey", "n_name")
     )
     return (
-        li.join(F.broadcast(ord_dim), li.l_orderkey == ord_dim.o_orderkey)
+        li.join(ord_dim, li.l_orderkey == ord_dim.o_orderkey)
         .groupBy("n_name")
         .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )

@@ -80,14 +80,6 @@ def _shingled(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def _pair_jaccard(doc_pairs: DataFrame) -> DataFrame:
-    """Exact Jaccard on distinct-token arrays (verification step).
-    int/int division → identical doubles in Spark and DuckDB."""
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size(F.array_union("toks_a", "toks_b"))
-    return doc_pairs.withColumn("jaccard", inter / union)
-
-
 @register(
     "dedup_exact",
     oracle="""
@@ -139,57 +131,63 @@ def minhash_candidate_pairs(docs: DataFrame, seed: int = 42) -> DataFrame:
         for _ in range(N_HASHES)
     ]
 
-    shingled = _shingled(docs, 3)
-    # Base shingle hash once per shingle (non-negative 31-bit),
-    # JVM-side so the hash of each shingle string is engine-stable.
-    hashed = shingled.select(
-        "doc_id",
-        F.transform(
-            F.col("toks"), lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE_PRIME))
-        ).alias("h"),
-    )
-
-    # The 128 affine min-hashes are pure integer arithmetic over the
-    # base hashes — an Arrow-batched numpy matmul-shaped kernel, not
-    # 128 interpreted per-element HOF lambdas (~10× at sf0.1). a,h <
-    # 2^31 so a*h+b < 2^62 stays inside int64. The signature values
-    # are identical to the expression form; the public contract (the
-    # verified pair set) never depended on them anyway.
+    # The whole signature pipeline — shingle, base-hash, 128 affine
+    # min-hashes, band keys — is ONE narrow Arrow-batched Python stage
+    # from (doc_id, text) to (doc_id, band, key): no JVM array
+    # building, no per-element HOF lambdas, no shingle arrays through
+    # Arrow. Every hash here is internal (the public contract is the
+    # *verified* pair set, hash-independent), so the base hash is
+    # crc32 (zlib, C speed) rather than xxhash64. a,h < 2^31 keeps
+    # a*h+b < 2^62 inside int64.
     a_vec = [c[0] for c in coeffs]
     b_vec = [c[1] for c in coeffs]
+    n_bands, rows_per_band = N_BANDS, ROWS_PER_BAND
 
-    def _sig_batches(batches):
+    def _band_batches(batches):
+        import zlib
+
         import numpy as np
 
         a = np.asarray(a_vec, dtype=np.int64)[:, None]
         b = np.asarray(b_vec, dtype=np.int64)[:, None]
+        band_idx = np.repeat(np.arange(n_bands), 1)
         for batch in batches:
-            sigs = [
-                ((a * np.asarray(h, dtype=np.int64)[None, :] + b)
-                 % MERSENNE_PRIME).min(axis=1)
-                for h in batch["h"]
-            ]
+            out_doc, out_band, out_key = [], [], []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                words = text.split(" ")
+                if len(words) < 3:
+                    continue
+                shingles = {
+                    " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+                }
+                h = np.fromiter(
+                    (zlib.crc32(s.encode()) for s in shingles),
+                    dtype=np.int64,
+                    count=len(shingles),
+                ) % MERSENNE_PRIME
+                sig = ((a * h[None, :] + b) % MERSENNE_PRIME).min(axis=1)
+                # band key: fold the band's rows into one int64 with a
+                # 64-bit FNV-style mix (wraparound is deterministic)
+                key = np.zeros(n_bands, dtype=np.uint64)
+                for r in range(rows_per_band):
+                    key = key * np.uint64(1099511628211) + sig[
+                        r::rows_per_band
+                    ][:n_bands].astype(np.uint64)
+                out_doc.extend([doc_id] * n_bands)
+                out_band.extend(band_idx)
+                out_key.extend(key.astype(np.int64))
             yield pd.DataFrame(
-                {"doc_id": batch["doc_id"], "sig": [s.tolist() for s in sigs]}
+                {"doc_id": out_doc, "band": out_band, "key": out_key},
+                dtype="int64",
             )
 
-    sig = hashed.mapInPandas(_sig_batches, schema="doc_id bigint, sig array<bigint>")
-
-    band_cols = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.xxhash64(
-                *[
-                    F.element_at("sig", band * ROWS_PER_BAND + r + 1)
-                    for r in range(ROWS_PER_BAND)
-                ]
-            ).alias("key"),
-        )
-        for band in range(N_BANDS)
-    ]
+    spark = docs.sparkSession
     buckets = (
-        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
-        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "text")
+        .mapInPandas(
+            _band_batches, schema="doc_id bigint, band bigint, key bigint"
+        )
     )
     return _pairs_within_buckets(buckets, "doc_id", ["band", "key"])
 
@@ -280,27 +278,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     docs = table(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(docs)
-    return _verify_pairs(pairs, _shingled(docs, 3), JACCARD_THRESHOLD)
+    return _verify_pairs(pairs, docs, JACCARD_THRESHOLD)
 
 
 def _verify_pairs(
-    pairs: DataFrame, shingled: DataFrame, threshold: float
+    pairs: DataFrame, docs: DataFrame, threshold: float, n: int = 3
 ) -> DataFrame:
-    """Exact-Jaccard verification: join candidate pairs back to their
-    shingle arrays (candidate side is small → Spark broadcasts it),
-    compute Jaccard once in a projection, filter, round for output."""
-    toks = shingled
+    """Exact-Jaccard verification of candidate pairs against raw text.
+
+    The candidate side is tiny (LSH output) → broadcast it against the
+    corpus twice to attach both texts, then compute distinct-shingle
+    set intersection/union in an Arrow-batched Python stage: the
+    counts are integers, so ``inter/union`` is the same double in
+    Python, Spark, and DuckDB; rounding stays Spark-side (HALF_UP).
+    Faster than re-deriving shingle arrays JVM-side and running
+    array_intersect per pair — set ops in CPython's C core beat the
+    interpreted HOF path and nothing wide ever shuffles.
+    """
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     joined = (
-        pairs.join(
-            toks.select(F.col("doc_id").alias("aid"), F.col("toks").alias("toks_a")),
-            F.col("doc_a") == F.col("aid"),
-        )
-        .join(
-            toks.select(F.col("doc_id").alias("bid"), F.col("toks").alias("toks_b")),
-            F.col("doc_b") == F.col("bid"),
-        )
+        a.join(F.broadcast(pairs), "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", "text_a", "text_b")
     )
-    verified = _pair_jaccard(joined).filter(F.col("jaccard") >= threshold)
+
+    def _jaccard_batches(batches):
+        def shingles(text):
+            words = text.split(" ")
+            return {
+                " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+            }
+
+        for batch in batches:
+            out = {"doc_a": [], "doc_b": [], "jaccard": []}
+            for da, db, ta, tb in zip(
+                batch["doc_a"], batch["doc_b"], batch["text_a"], batch["text_b"]
+            ):
+                sa, sb = shingles(ta), shingles(tb)
+                if not sa or not sb:
+                    continue
+                jac = len(sa & sb) / len(sa | sb)
+                if jac >= threshold:
+                    out["doc_a"].append(da)
+                    out["doc_b"].append(db)
+                    out["jaccard"].append(jac)
+            frame = pd.DataFrame(out)
+            yield frame.astype(
+                {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+            )
+
+    verified = joined.mapInPandas(
+        _jaccard_batches, schema="doc_a bigint, doc_b bigint, jaccard double"
+    )
     return verified.select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )

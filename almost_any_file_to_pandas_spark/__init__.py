@@ -31,6 +31,7 @@ where semantics genuinely require it.
 from almost_any_file_to_pandas_spark.result import ParseResult
 from almost_any_file_to_pandas_spark.parse import parse
 from almost_any_file_to_pandas_spark.session import get_spark
+from almost_any_file_to_pandas_spark.sinks import write
 
-__all__ = ["ParseResult", "parse", "get_spark"]
+__all__ = ["ParseResult", "parse", "get_spark", "write"]
 __version__ = "0.1.0"

@@ -98,3 +98,32 @@ def test_exact_dedup_keeps_min_doc_id(spark, monkeypatch, tmp_path):
     kept = {r["keep_doc_id"]: r for r in out}
     assert set(kept) == {3, 5}
     assert kept[3]["n_copies"] == 2
+
+
+def test_sink_roundtrip_parquet_partitioned(spark, tmp_path):
+    from almost_any_file_to_pandas_spark import sinks
+    from almost_any_file_to_pandas_spark.parse import parse
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")],
+        "id long, v string, part string",
+    )
+    out = str(tmp_path / "out.parquet")
+    sinks.write(df, out, partition_by=["part"])
+    # directory partitioning visible on disk → partition pruning works
+    from pathlib import Path
+
+    assert (Path(out) / "part=x").is_dir()
+    back = parse(spark, out)[0]
+    assert back.ok
+    assert back.data.count() == 3
+
+
+def test_sink_csv_json(spark, tmp_path):
+    from almost_any_file_to_pandas_spark import sinks
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    csv_path = sinks.write(df, str(tmp_path / "t.csv"), coalesce=1)
+    json_path = sinks.write(df, str(tmp_path / "t.json"), coalesce=1)
+    assert spark.read.option("header", True).csv(csv_path).count() == 1
+    assert spark.read.json(json_path).count() == 1

@@ -233,3 +233,82 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_tokens"),
     )
+
+
+# BPE-ish regex: letter runs, digit runs, single punctuation — the
+# shape of a byte-pair pre-tokenizer's coarse split. Kept to a
+# dialect-portable subset (RE2 in DuckDB, java.util.regex in Spark).
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: whitespace split and a BPE-ish regex
+    pre-tokenization (letter runs / digit runs / punctuation). The
+    ratio between the two is a standard tokenizer-cost estimator for
+    training-data budgeting; everything stays a narrow projection."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ", -1)).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0)
+        ).alias("n_bpe_tokens"),
+    )
+
+
+ROLLING_MOD = 1 << 31
+ROLLING_BASE = 131
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_transform(string_split(text, ' '),
+                            w -> ascii(substr(w, 1, 1)) * 31 + length(w)),
+             (acc, x) -> (acc * {ROLLING_BASE} + x) % {ROLLING_MOD}
+           ) AS rolling_hash
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 1
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the token stream — the shift-
+    resistant fingerprint used for chunk-level dedup (same token
+    sequence → same hash regardless of surrounding document).
+
+    Word code = ascii(first char)·31 + length (portable, no full-text
+    hashing); fold = (acc·131 + code) mod 2³¹. Spark folds from 0 and
+    DuckDB's list_reduce seeds with the first element — identical
+    results because f(0, x₀) = x₀ under this fold. acc·131 + x < 2³⁹
+    never overflows the BIGINT lane, so ANSI mode stays happy.
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    codes = F.transform(
+        toks,
+        lambda w: (F.ascii(F.substring(w, 1, 1)) * 31 + F.length(w)).cast(
+            "long"
+        ),
+    )
+    rolling = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * ROLLING_BASE + x, F.lit(ROLLING_MOD)),
+    )
+    return docs.filter(F.size(toks) >= 1).select(
+        "doc_id", rolling.alias("rolling_hash")
+    )

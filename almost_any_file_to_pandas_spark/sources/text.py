@@ -138,3 +138,55 @@ def positional_names(n: int) -> List[str]:
     """T6 — positional column names ``c0..cN-1`` (reference uses
     integer labels 0..N-1, main.py:351; Spark needs strings)."""
     return [f"c{i}" for i in range(n)]
+
+
+def read_delimited_many(
+    spark: SparkSession,
+    paths,
+    delimiter: Optional[str] = None,
+    width: Optional[int] = None,
+) -> ParseResult:
+    """Many-files variant of :func:`read_delimited` — ONE distributed
+    scan over the whole file list/glob, which is the actual 100 TB
+    ingestion shape (the per-file loop exists for metadata fidelity,
+    not throughput).
+
+    Sniffing (encoding/delimiter/width) runs once on the first file's
+    bounded prefix — a homogeneous-corpus assumption that callers can
+    override by passing ``delimiter``/``width`` explicitly. Provenance
+    is preserved per row via ``source_file`` (input_file_name), the
+    distributed analogue of per-file ParseResult metadata.
+    """
+    from pathlib import Path as _P
+
+    import glob as _glob
+
+    if isinstance(paths, (str, _P)):
+        expanded = sorted(_glob.glob(str(paths))) or [str(paths)]
+    else:
+        expanded = [str(p) for p in paths]
+    first = expanded[0]
+    prefix = sniff.read_prefix(first)
+    encoding = sniff.detect_encoding(first, prefix=prefix)
+    if delimiter is None:
+        delimiter = sniff.sniff_delimiter(first, prefix=prefix, encoding=encoding)
+    if width is None:
+        width = sniff.max_columns_in_prefix(
+            first, delimiter, prefix=prefix, encoding=encoding
+        )
+    width = max(1, int(width))
+
+    lines = spark.read.text(expanded)
+    cells = pad_cells(cells_expr(F.col("value"), delimiter), width)
+    columns = [
+        strip_quote_runs(F.element_at(cells, i + 1)).alias(f"c{i}")
+        for i in range(width)
+    ] + [F.input_file_name().alias("source_file")]
+    return ParseResult(
+        data=lines.select(*columns),
+        sheet_name="Text file content",
+        encoding=str(encoding),
+        separator=delimiter,
+        engine="spark.read.text + split (multi-file)",
+        file_path=str(paths) if isinstance(paths, (str, _P)) else first,
+    )

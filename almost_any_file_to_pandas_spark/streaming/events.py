@@ -209,3 +209,53 @@ def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_events") >= 5)
     )
+
+
+def events_running_totals_stream(
+    spark: SparkSession, source_dir: str, schema
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user running totals
+    via ``applyInPandasWithState`` — the extension point for state
+    machines Spark's built-in windows can't express (reference has no
+    streaming at all, SURVEY §2.9; this is the engine's custom-state
+    surface).
+
+    State = (n_events, total_value) per user_id; every micro-batch
+    folds its rows into the state and emits the updated running
+    totals. State lives in the state store (checkpointed, partitioned
+    by the grouping key), so a 1000-executor cluster shards users
+    horizontally — the per-group pandas frame is only that user's
+    batch slice, never unbounded history.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

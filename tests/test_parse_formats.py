@@ -150,3 +150,19 @@ def test_corrupt_xlsx_failed_not_raise(spark, fixture_dir):
     p = fixture_dir / "corrupt.xlsx"
     p.write_bytes(b"this is not a zip container")
     assert parse(spark, p)[0].parse_info == "Failed"
+
+
+def test_read_delimited_many_glob(spark, fixture_dir):
+    from almost_any_file_to_pandas_spark.sources.text import read_delimited_many
+
+    for i in range(3):
+        (fixture_dir / f"multi_{i}.tsv").write_text(
+            f"a{i}\tb{i}\nc{i}\td{i}\n"
+        )
+    res = read_delimited_many(spark, str(fixture_dir / "multi_*.tsv"))
+    assert res.separator == "\t"
+    assert res.data.count() == 6
+    assert "source_file" in res.data.columns
+    # per-row provenance distinguishes the three source files
+    n_sources = res.data.select("source_file").distinct().count()
+    assert n_sources == 3

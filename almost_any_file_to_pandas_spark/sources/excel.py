@@ -53,6 +53,7 @@ def _register(spark: SparkSession) -> None:
 
     cloudpickle.register_pickle_by_value(excel_core)
     spark.dataSource.register(excel_core.ExcelDataSource)
+    spark.dataSource.register(excel_core.ExcelCorpusDataSource)
     _registered_sessions.add(key)
 
 
@@ -135,3 +136,30 @@ def read_excel(
             )
         )
     return results
+
+
+def read_excel_many(spark: SparkSession, paths, fmt: str = "xlsx") -> "DataFrame":
+    """Corpus-scale workbook ingestion: one DataFrame over many files,
+    one DataSource partition per file (parallelism = file count),
+    ragged rows as (source_file, sheet_name, row_idx, cells).
+
+    No driver pre-scan: sheet enumeration and parsing happen in the
+    executor that owns the partition. Normalize downstream, e.g.::
+
+        width = df.agg(F.max(F.size("cells"))).first()[0]
+        df.select(..., *[F.element_at("cells", i+1) for i in range(width)])
+    """
+    import glob as _glob
+    from pathlib import Path as _P
+
+    if isinstance(paths, (str, _P)):
+        expanded = sorted(_glob.glob(str(paths))) or [str(paths)]
+    else:
+        expanded = [str(p) for p in paths]
+    _register(spark)
+    return (
+        spark.read.format("aaftp_excel_corpus")
+        .option("paths", "\x1f".join(expanded))
+        .option("fmt", fmt)
+        .load()
+    )

@@ -273,3 +273,67 @@ try:  # pragma: no cover - import guard exercised only on Spark < 4
 
 except ImportError:  # pragma: no cover
     ExcelDataSource = None  # type: ignore[assignment]
+
+
+try:  # pragma: no cover - Spark < 4 guard mirrors ExcelDataSource
+    from pyspark.sql.datasource import DataSource as _DS2  # noqa: F401
+
+    class _FilePartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class ExcelCorpusReader(DataSourceReader):
+        """Many-workbooks reader: one partition per file; each
+        partition enumerates its own sheets executor-side and yields
+        ragged rows as (source_file, sheet_name, row_idx, cells).
+
+        The array<string> cells column sidesteps the fixed-width
+        schema problem entirely — no driver pre-scan of any workbook;
+        callers normalize width downstream with the same pad
+        expressions the text pipeline uses. This is the 100 TB shape:
+        driver cost is O(#files) path strings, all parsing runs where
+        the tasks run.
+        """
+
+        def __init__(self, options):
+            self.paths = options["paths"].split("\x1f")
+            self.fmt = options.get("fmt", "xlsx")
+
+        def partitions(self):
+            return [_FilePartition(p) for p in self.paths]
+
+        def read(self, partition):
+            fmt = self.fmt
+            try:
+                inventory = sheet_inventory(partition.path, fmt)
+            except Exception:
+                return  # unreadable workbook → contributes no rows
+            for sheet_name, ref in inventory:
+                try:
+                    rows = sheet_rows(partition.path, fmt, ref)
+                except Exception:
+                    continue
+                for idx, row in enumerate(rows):
+                    yield (
+                        partition.path,
+                        sheet_name,
+                        idx,
+                        ["" if v is None else str(v) for v in row],
+                    )
+
+    class ExcelCorpusDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "aaftp_excel_corpus"
+
+        def schema(self):
+            return (
+                "source_file string, sheet_name string, "
+                "row_idx int, cells array<string>"
+            )
+
+        def reader(self, schema):
+            return ExcelCorpusReader(self.options)
+
+except ImportError:  # pragma: no cover
+    ExcelCorpusDataSource = None  # type: ignore[assignment]

@@ -166,3 +166,25 @@ def test_read_delimited_many_glob(spark, fixture_dir):
     # per-row provenance distinguishes the three source files
     n_sources = res.data.select("source_file").distinct().count()
     assert n_sources == 3
+
+
+def test_read_excel_many_corpus(spark, fixture_dir, xlsx_file):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from almost_any_file_to_pandas_spark.sources.excel import read_excel_many
+
+    shutil.copy(xlsx_file, fixture_dir / "copy1.xlsx")
+    shutil.copy(xlsx_file, fixture_dir / "copy2.xlsx")
+    df = read_excel_many(spark, str(fixture_dir / "copy*.xlsx"))
+    # 2 files × (6-row sheet + 2-row sheet) = 16 ragged rows
+    assert df.count() == 16
+    assert df.select("source_file").distinct().count() == 2
+    assert {r["sheet_name"] for r in df.select("sheet_name").distinct().collect()} == {
+        "My_page_1",
+        "My_page_2",
+    }
+    # downstream width normalization over the ragged cells column
+    width = df.agg(F.max(F.size("cells"))).first()[0]
+    assert width == 4

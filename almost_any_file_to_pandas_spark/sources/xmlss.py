@@ -108,3 +108,73 @@ def read_spreadsheetml(
             emit(table, None)
 
     return results or _failed(spark, str(p))
+
+
+def read_spreadsheetml_many(spark: SparkSession, paths):
+    """Corpus-scale SpreadsheetML ingestion: many .xml files → one
+    DataFrame of ragged rows (source_file, sheet_name, row_idx,
+    cells), parsed executor-side via mapInPandas over the file list.
+
+    The per-file parse is the same driver-side logic as
+    :func:`read_spreadsheetml`, relocated to executors: the driver
+    only ships path strings, so parallelism scales with file count —
+    the same corpus shape as ``read_excel_many``. Unparseable files
+    contribute zero rows (log-and-continue, reference behavior).
+    """
+    import glob as _glob
+    from pathlib import Path as _P
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    if isinstance(paths, (str, _P)):
+        expanded = sorted(_glob.glob(str(paths))) or [str(paths)]
+    else:
+        expanded = [str(p) for p in paths]
+
+    ns = SS_NS
+
+    def _parse_files(batches):
+        # Self-contained closure: everything (including the grid
+        # builder) is local so cloudpickle ships it by value — workers
+        # never import this package.
+        import pandas as pd
+        from xml.etree import ElementTree as _ET
+
+        def grid(tbl):
+            rows = []
+            for row in tbl.iter(f"{ns}Row"):
+                cells = [(d.text or "") for d in row.iter(f"{ns}Data")]
+                if cells:  # F1 empty-row skip
+                    rows.append(cells)
+            width = max((len(r) for r in rows), default=0)
+            return [r + [""] * (width - len(r)) for r in rows]
+
+        for batch in batches:
+            out = {"source_file": [], "sheet_name": [], "row_idx": [], "cells": []}
+            for path in batch["path"]:
+                try:
+                    root = _ET.parse(path).getroot()
+                except Exception:
+                    continue
+                worksheets = list(root.iter(f"{ns}Worksheet"))
+                scoped = (
+                    [(ws.get(f"{ns}Name") or "Not defined", t)
+                     for ws in worksheets for t in ws.iter(f"{ns}Table")]
+                    if worksheets
+                    else [("Not defined", t) for t in root.iter(f"{ns}Table")]
+                )
+                for sheet_name, tbl in scoped:
+                    for idx, row in enumerate(grid(tbl)):
+                        out["source_file"].append(path)
+                        out["sheet_name"].append(sheet_name)
+                        out["row_idx"].append(idx)
+                        out["cells"].append(row)
+            yield pd.DataFrame(out)
+
+    files = spark.createDataFrame(
+        [(p,) for p in expanded], "path string"
+    ).repartition(min(len(expanded), spark.sparkContext.defaultParallelism))
+    return files.mapInPandas(
+        _parse_files,
+        schema="source_file string, sheet_name string, row_idx int, cells array<string>",
+    )

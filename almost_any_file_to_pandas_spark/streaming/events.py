@@ -259,3 +259,19 @@ def events_running_totals_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def events_stream_dedup(
+    spark: SparkSession, source_dir: str, schema, key: str = "event_id"
+) -> DataFrame:
+    """Streaming exact dedup on ingest — ``dropDuplicatesWithinWatermark``
+    keyed on ``key``: the first arrival wins, re-deliveries within the
+    watermark horizon are dropped, and state self-expires past it
+    (bounded memory — the non-negotiable property for a continuous
+    100 TB ingest; an unwatermarked dropDuplicates would grow state
+    forever). The batch twin is ``dedup_exact``.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        [key]
+    )

@@ -188,3 +188,18 @@ def test_read_excel_many_corpus(spark, fixture_dir, xlsx_file):
     # downstream width normalization over the ragged cells column
     width = df.agg(F.max(F.size("cells"))).first()[0]
     assert width == 4
+
+
+def test_read_spreadsheetml_many(spark, fixture_dir, xmlss_file):
+    import shutil
+
+    from almost_any_file_to_pandas_spark.sources.xmlss import (
+        read_spreadsheetml_many,
+    )
+
+    shutil.copy(xmlss_file, fixture_dir / "many1.xml")
+    shutil.copy(xmlss_file, fixture_dir / "many2.xml")
+    df = read_spreadsheetml_many(spark, str(fixture_dir / "many*.xml"))
+    # 2 files × (2-row W1 + 1-row W2) = 6 ragged rows
+    assert df.count() == 6
+    assert df.select("source_file").distinct().count() == 2

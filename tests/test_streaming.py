@@ -143,3 +143,34 @@ def test_running_totals_stateful_stream(spark, events_source):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_dedup_drops_redeliveries(spark, events_source, tmp_path):
+    import shutil
+    from pathlib import Path
+
+    from almost_any_file_to_pandas_spark.streaming.events import (
+        events_stream_dedup,
+    )
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    parts = sorted(Path(events_source).glob("*.parquet"))
+    for p in parts:  # deliver every file twice
+        shutil.copy(p, src / p.name)
+        shutil.copy(p, src / f"redelivery_{p.name}")
+
+    schema = spark.read.parquet(events_source).schema
+    q = (
+        events_stream_dedup(spark, str(src), schema)
+        .writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) n, count(distinct event_id) d from dedup_mem").first()
+    expected = spark.read.parquet(events_source).count()
+    assert got["n"] == expected  # every duplicate dropped
+    assert got["d"] == expected

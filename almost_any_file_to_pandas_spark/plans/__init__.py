@@ -39,6 +39,7 @@ def load_all() -> None:
     from almost_any_file_to_pandas_spark.operators import similarity  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import textstats  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import multimodal  # noqa: F401
+    from almost_any_file_to_pandas_spark.operators import temporal  # noqa: F401
     from almost_any_file_to_pandas_spark.streaming import events  # noqa: F401
 
 

@@ -41,6 +41,7 @@ HEADLINE = [
     "text_lang_id",
     "events_tumbling_window",
     "events_sessionization",
+    "events_asof_view_click",
 ]
 
 

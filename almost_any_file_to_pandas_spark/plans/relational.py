@@ -318,3 +318,79 @@ def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@register(
+    "revenue_cube",
+    oracle="""
+    SELECT
+      year(o_orderdate) AS o_year,
+      o_orderstatus,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+    """,
+)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (year, orderstatus) — all 4 grouping combinations in
+    one pass. Spark expands grouping sets map-side then shuffles once
+    on the expanded key; no per-combination rescan of the fact table
+    (the naive union-of-groupbys would scan 4×)."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube(F.year("o_orderdate").alias("o_year"), "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "total_price"),
+        )
+    )
+
+
+@register(
+    "revenue_rollup_hierarchy",
+    oracle="""
+    SELECT
+      year(o_orderdate) AS o_year,
+      month(o_orderdate) AS o_month,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+    """,
+)
+def revenue_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP year→month: the time-hierarchy subtotal ladder (year-
+    month, year, grand total) in one shuffle."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    return orders.rollup(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+    ).agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5)  AS p50,
+           quantile_cont(o_totalprice, 0.9)  AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (linear interpolation —
+    the same definition as DuckDB quantile_cont). Exact percentile
+    needs the group's values together (one shuffle); at 100 TB the
+    approx_percentile sketch (t-digest, map-side mergeable) is the
+    drop-in when ±ε is acceptable."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    )

@@ -219,6 +219,16 @@ def _pairs_within_buckets(
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
+    # The quadratic expansion below is CPU-heavy per *byte*: bucket
+    # rows are a few hundred bytes but expand to up to max_bucket²/2
+    # structs. AQE coalesces post-shuffle partitions by byte size, so
+    # without an explicit spread it routinely folds this stage into
+    # 1-2 tasks and serializes the expansion (observed 6s → 55s
+    # swings). Round-robin repartition pins the parallelism; the extra
+    # shuffle moves only the compact bucket rows.
+    grouped = grouped.repartition(
+        buckets.sparkSession.sparkContext.defaultParallelism
+    )
     pairs = grouped.select(
         F.explode(
             F.flatten(

@@ -384,3 +384,152 @@ def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_val")
         )
     )
+
+
+@register(
+    "sim_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           ROUND(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 6)
+             AS scale,
+           list_transform(
+             embedding::DOUBLE[],
+             x -> CAST(round(x * 127.0
+                  / list_max(list_transform(embedding::DOUBLE[], y -> abs(y))))
+                  AS BIGINT)
+           ) AS q
+    FROM embeddings
+    WHERE list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max|x|, code =
+    round(x·127/scale) — the storage-side half of IVF/PQ pipelines
+    (4× smaller than float32, 8× smaller than the double working set;
+    at 100 TB of vectors the scan cost drops proportionally and the
+    codes stay a plain array<bigint> column Spark can shuffle/filter
+    natively). Pure column expressions; dequantize = q·scale/127.
+    """
+    apply_engine_conf(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    vd = F.col("embedding").cast("array<double>")
+    amax = F.array_max(F.transform(vd, lambda x: F.abs(x)))
+    q = F.transform(vd, lambda x: F.round(x * 127.0 / amax).cast("bigint"))
+    return (
+        emb.select(
+            "vec_id", amax.alias("_scale"), q.alias("q")
+        )
+        .filter(F.col("_scale") > 0)
+        .select("vec_id", F.round("_scale", 6).alias("scale"), "q")
+    )
+
+
+IVF_K = 16
+IVF_NPROBE = 4
+IVF_QUERIES = 10
+
+
+@register("sim_ivf_kmeans_topk")  # no oracle: k-means is not SQL-expressible
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with *learned* coarse centroids: KMeans (pyspark.ml)
+    partitions the corpus into IVF_K inverted lists; each query probes
+    its IVF_NPROBE nearest lists and scores exact cosine only there.
+
+    This is the production ANN shape at 100 TB: train the quantizer on
+    a sample (here: the corpus — testdata-sized), persist the model,
+    assign every vector ONE bucket id (a plain int column → hash-
+    partitioned storage by bucket co-locates each list), and at query
+    time touch nprobe/K of the data. Search cost drops ~K/nprobe-fold
+    vs brute force at the recall the probe count buys. Rows-only
+    correctness check (no SQL oracle can restate Lloyd's iterations);
+    the exact baselines (sim_bruteforce_topk / sim_knn_batch) are the
+    recall reference.
+    """
+    apply_engine_conf(spark)
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    model = KMeans(k=IVF_K, seed=42, maxIter=5).fit(feats)
+    assigned = model.transform(feats).select(
+        "vec_id", "embedding", F.col("prediction").alias("bucket")
+    )
+
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "bucket int, center array<double>",
+    )
+    queries = assigned.filter(F.col("vec_id") < IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    # nprobe nearest centroids per query (16 centers → broadcast)
+    qc = queries.crossJoin(F.broadcast(centers)).select(
+        "query_id",
+        "qvec",
+        "bucket",
+        _dot(F.col("qvec"), F.col("center")).alias("_sim"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("bucket"))
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= IVF_NPROBE)
+        .select("query_id", "qvec", "bucket")
+    )
+    # search only the probed inverted lists
+    cands = assigned.join(F.broadcast(probes), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        "bucket",
+        F.round(cosine_expr(F.col("embedding"), F.col("qvec")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("ivf_rank", F.row_number().over(w)).filter(
+        F.col("ivf_rank") <= KNN_K
+    )
+
+
+@register("sim_ivf_recall")  # rows-only: depends on k-means assignments
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the k-means IVF search against the exact kNN
+    baseline — the measurement loop every ANN deployment needs (tune
+    nprobe/K against it). Output: one row per query with hit count
+    and recall, plus ordering info to spot rank inversions."""
+    apply_engine_conf(spark)
+    exact = sim_knn_batch(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("exact_id")
+    )
+    approx = sim_ivf_kmeans_topk(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("approx_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.exact_id == approx.approx_id),
+    ).groupBy(exact.query_id.alias("qid")).agg(F.count("*").alias("n_hits"))
+    per_query = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("k"))
+        .join(hits, F.col("query_id") == F.col("qid"), "left")
+        .select(
+            "query_id",
+            "k",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k")).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+    return per_query

@@ -275,3 +275,40 @@ def events_stream_dedup(
     return stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         [key]
     )
+
+
+@register(
+    "events_sliding_user_value",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ts AS VARCHAR) AS ts,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS value_1h
+    FROM events
+    """,
+)
+def events_sliding_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1h value sum via a RANGE window frame —
+    the rolling-feature shape (fraud scores, rate limits). RANGE
+    frames bound by a time interval need no self-join and no explode:
+    one shuffle on user_id, one per-partition sort, state bounded by
+    the frame. Decimal accumulation keeps the running sums exact and
+    engine-portable."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("value_1h"),
+    )

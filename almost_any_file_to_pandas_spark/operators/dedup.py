@@ -448,6 +448,108 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def connected_components(
+    edges: DataFrame, src: str = "u", dst: str = "v", max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation connected components over an edge list →
+    ``(u, lbl)`` with ``lbl`` = smallest vertex id in the component.
+
+    Each round every vertex takes the min of its own label and its
+    neighbours' labels — one shuffle join + one groupBy per round,
+    converging in O(graph diameter) rounds. Near-dup graphs are
+    star-like (diameter 2-3), so this terminates in a handful of
+    rounds even at corpus scale; for adversarial long-path graphs the
+    large-star/small-star reformulation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") bounds rounds at O(log n) —
+    same join-shape, different edge rewrite, drop-in here.
+
+    ``localCheckpoint`` truncates the lineage each round: iterative
+    self-referential plans otherwise double in depth per iteration and
+    push Catalyst analysis time past the actual compute. The
+    convergence probe is a driver-side ``isEmpty`` on the changed-label
+    delta — orchestration only, never the data path.
+    """
+    # materialize the edge list ONCE before mirroring it — the union
+    # references `edges` twice, and an expensive upstream (LSH + verify)
+    # would otherwise execute twice
+    edges = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    und = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select("u").distinct().withColumn("lbl", F.col("u"))
+    for _ in range(max_iter):
+        nbr = und.join(
+            labels.select(F.col("u").alias("v"), "lbl"), "v"
+        ).select("u", "lbl")
+        new_labels = (
+            nbr.union(labels).groupBy("u").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_SHINGLE_JACCARD_ORACLE.format(threshold=JACCARD_THRESHOLD)}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    comp AS (SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM comp
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: near-dup *pairs* → connected
+    components → one canonical doc (min id) per cluster — the step
+    every training-data dedup pipeline needs between pairwise LSH and
+    the filtered corpus (pairs alone can't be acted on: {A,B}, {B,C}
+    must collapse to ONE keeper, not two).
+
+    Edges are the verified MinHash-LSH pairs (hash-independent, so the
+    oracle restates them brute-force and closes them with a recursive
+    CTE). Output: every clustered doc with its cluster id, cluster
+    size, and a canonical flag; the retained corpus = canonical rows
+    plus all unclustered docs (anti-join on doc_id).
+    """
+    apply_engine_conf(spark)
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    from pyspark.sql import Window as W
+
+    return (
+        comp.select(F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(W.partitionBy("cluster_id")),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash — engine-portable signature.
 #

@@ -394,3 +394,140 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
         F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
     )
+
+
+@register(
+    "orders_with_returns_semijoin",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_with_returns_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style left-semi join (TPC-H Q4 shape): orders with at
+    least one returned lineitem, counted per priority.
+
+    ``left_semi`` is the right physical contract: the probe side
+    short-circuits on first match and only the order key crosses the
+    shuffle (no lineitem payload columns, no post-join dedup — the
+    naive inner-join + distinct plan shuffles the full match
+    multiplicity). The returnflag filter is pushed to the lineitem
+    parquet scan. Complements ``orders_without_lineitems`` (anti).
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.join(returned, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "customer_order_analytics",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           date_diff('day',
+                     CAST(lag(o_orderdate) OVER w AS DATE),
+                     CAST(o_orderdate AS DATE)) AS days_since_prev,
+           dense_rank() OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC
+           ) AS price_rank_in_priority,
+           ntile(4) OVER w AS order_quartile,
+           CAST(cume_dist() OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_totalprice ASC, o_orderkey ASC
+           ) AS DOUBLE) AS spend_cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def customer_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window suite over orders: lag (days since the
+    customer's previous order), dense_rank (price rank inside
+    priority), ntile quartile of the customer's order sequence, and
+    cume_dist of spend within customer.
+
+    All four share at most two physical sorts: the lag/ntile/cume_dist
+    windows reuse ONE shuffle+sort on o_custkey (Catalyst merges
+    same-partitioning windows); dense_rank needs its own on
+    o_orderpriority. Every ORDER BY carries o_orderkey as the
+    deterministic tie-break so ranks hash-match across engines.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    w_seq = W.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    w_price = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_spend = W.partitionBy("o_custkey").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w_seq),
+        ).alias("days_since_prev"),
+        F.dense_rank().over(w_price).alias("price_rank_in_priority"),
+        F.ntile(4).over(w_seq).alias("order_quartile"),
+        F.cume_dist().over(w_spend).alias("spend_cume_dist"),
+    )
+
+
+N_SALT = 8
+
+
+@register(
+    "events_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a low-cardinality, skewed
+    key (event_type has a handful of values across ALL events — at
+    100 TB one reducer per type would absorb terabytes).
+
+    Phase 1 groups by (key, salt) with salt = id mod N_SALT, spreading
+    each hot key over N_SALT reducers; phase 2 merges the N_SALT
+    partials per key — a shuffle of only keys×N_SALT rows. SUM and
+    COUNT re-aggregate losslessly (decimal keeps the double sum
+    order-independent). Same result as the direct groupBy, which is
+    what the oracle states. Spark's own map-side partial aggregation
+    makes explicit salting redundant for *algebraic* aggregates like
+    these; the pattern is load-bearing for holistic ones
+    (collect_list, exact distinct) where partials can't combine —
+    this query pins the mechanics oracle-checked.
+    """
+    apply_engine_conf(spark)
+    events = table(spark, sf_dir, "events")
+    partial = (
+        events.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(N_SALT)))
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("_sum"),
+            F.count("*").alias("_cnt"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_sum").cast("double").alias("total_value"),
+        F.sum("_cnt").alias("n_events"),
+    )

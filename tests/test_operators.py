@@ -142,3 +142,35 @@ def test_connected_components_min_label(spark):
         r["u"]: r["lbl"] for r in connected_components(edges).collect()
     }
     assert labels == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_shingled_matches_declarative_form(spark):
+    """_shingled (Arrow/Python fast path) and _word_ngrams (declarative
+    JVM form) must produce identical distinct shingle sets."""
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        _shingled,
+        _word_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "x y"),  # shorter than n=3 → dropped / empty
+            (3, "p p p p"),  # repeated tokens → duplicate shingles collapse
+            (4, "one  two three"),  # double space → empty token preserved
+        ],
+        "doc_id long, text string",
+    )
+    fast = {
+        r["doc_id"]: sorted(r["toks"])
+        for r in _shingled(docs, 3).collect()
+    }
+    slow = {
+        r["doc_id"]: sorted(r["toks"])
+        for r in docs.select(
+            "doc_id",
+            _word_ngrams(F.split(F.col("text"), " ", -1), 3).alias("toks"),
+        ).collect()
+        if r["toks"]
+    }
+    assert fast == slow

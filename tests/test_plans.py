@@ -1,0 +1,131 @@
+"""Plan-shape regression tests — the scale contract, asserted.
+
+Correctness tests prove the operators return the right rows; these
+prove they return them with the right *physical plan*. Each assertion
+pins a property that matters at 100 TB and that a refactor could
+silently lose while staying value-correct:
+
+- predicate pushdown reaches the parquet scan (``PushedFilters``),
+- column pruning reaches the scan (``ReadSchema`` excludes unused
+  columns — a scan reading all columns for a 2-column projection is
+  wrong even when the answer matches),
+- small dimension sides broadcast (``BroadcastHashJoin``), and no
+  accidental ``SortMergeJoin`` sneaks into a plan that shouldn't pay
+  a sort,
+- shuffle (``Exchange``) counts stay at the audited minimum — an
+  extra Exchange is an extra full-data network pass at scale,
+- global top-k stays ``TakeOrderedAndProject`` (per-partition heaps),
+  never a total sort.
+
+The audited shapes live in PLANS.md (tools/dump_plans.py); these tests
+enforce the load-bearing subset. Exchange counts are structural
+(initial physical plan, before AQE coalescing) so they are stable
+across scale factors; sf0.001 keeps plan construction fast.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    """name -> (executedPlan string + formatted explain) for every
+    query asserted below, built once."""
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    out = {}
+    for name in [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "orders_without_lineitems",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "sim_bruteforce_topk",
+        "sim_ivf_topk",
+        "mm_binary_metadata",
+        "events_sessionization",
+    ]:
+        df = queries[name](spark, SF_DIR)
+        qe = df._jdf.queryExecution()
+        out[name] = qe.executedPlan().toString() + df._sc._jvm.PythonSQLUtils.explainString(
+            qe, "formatted"
+        )
+    return out
+
+
+def n_exchanges(plan: str) -> int:
+    return len(re.findall(r"Exchange (?:hash|range|Single)", plan))
+
+
+def test_q1_pushdown_pruning_single_shuffle(plans):
+    plan = plans["q1_pricing_summary"]
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter reached the scan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all("l_comment" not in s for s in schemas)  # pruned
+    assert n_exchanges(plan) == 1  # one partial→final agg shuffle
+
+
+def test_q3_broadcast_topk_single_shuffle(plans):
+    plan = plans["q3_shipping_priority"]
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # dim filter pushed
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims broadcast; no sorted shuffle
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+    assert n_exchanges(plan) == 1
+
+
+def test_q5_star_join_all_broadcast(plans):
+    plan = plans["q5_region_revenue"]
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # 4 dims, all broadcast
+    assert n_exchanges(plan) == 1  # only the final agg shuffles
+
+
+def test_anti_join_broadcasts(plans):
+    plan = plans["orders_without_lineitems"]
+    assert "BroadcastHashJoin" in plan
+    assert n_exchanges(plan) <= 1
+
+
+def test_dedup_exact_one_hash_shuffle(plans):
+    plan = plans["dedup_exact"]
+    assert n_exchanges(plan) == 1  # hash-partition by fingerprint, once
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all("lang" not in s for s in schemas)
+
+
+def test_minhash_lsh_bounded_shuffles(plans):
+    plan = plans["dedup_minhash_lsh"]
+    # signature pass → bucket groupBy → pair-expansion spread; verify
+    # joins are broadcast (candidate side is tiny)
+    assert n_exchanges(plan) <= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_bruteforce_topk_zero_shuffles(plans):
+    plan = plans["sim_bruteforce_topk"]
+    assert n_exchanges(plan) == 0  # broadcast query vec + top-k heap
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_single_bucket_shuffle(plans):
+    plan = plans["sim_ivf_topk"]
+    assert n_exchanges(plan) == 1  # one shuffle on the bucket key
+
+
+def test_multimodal_narrow_pipeline(plans):
+    plan = plans["mm_binary_metadata"]
+    assert n_exchanges(plan) == 0  # pure narrow map over the scan
+
+
+def test_sessionization_single_shuffle(plans):
+    plan = plans["events_sessionization"]
+    assert n_exchanges(plan) == 1  # one hash-partition by user_id

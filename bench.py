@@ -53,10 +53,14 @@ def main() -> int:
     spark = get_spark("bench")
     queries = entrymod.queries()
 
-    # Warm the JVM + parquet footers once so per-query numbers measure
-    # execution, not first-touch JIT (the driver compares totals; the
-    # warmup query is itself part of the timed set later).
+    # Warm the JVM + parquet footers + Python workers once so per-query
+    # numbers measure execution, not first-touch JIT or interpreter
+    # spin-up (the first Pandas-UDF stage otherwise absorbs ~32 worker
+    # forks; the warmup query is itself part of the timed set later).
     queries["q1_pricing_summary"](spark, sf_dir).collect()
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, schema="id long").count()
 
     timings = {}
     total = 0.0

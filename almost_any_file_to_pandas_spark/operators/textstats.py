@@ -312,3 +312,48 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(F.size(toks) >= 1).select(
         "doc_id", rolling.alias("rolling_hash")
     )
+
+
+@register(
+    "text_source_mix",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM documents), 6)
+             AS corpus_share,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY source
+    """,
+)
+def text_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-mix report: document count, share of corpus,
+    mean length, language spread — the dataset card every training-
+    data pipeline publishes (and the input to source reweighting).
+
+    One hash shuffle on ``source`` with map-side partials; the corpus
+    share divides by a window total computed over the *aggregated*
+    rows (cardinality = n_sources, thousands at most — the unbounded
+    window never sees document-cardinality data). Mean length is
+    exact-integer sum / count, double-divided identically in both
+    engines.
+    """
+    apply_engine_conf(spark)
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("_sum_chars"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+    )
+    total = F.sum("n_docs").over(W.partitionBy())
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") / total, 6).alias("corpus_share"),
+        F.round(F.col("_sum_chars").cast("double") / F.col("n_docs"), 6).alias(
+            "avg_chars"
+        ),
+        "n_langs",
+    )

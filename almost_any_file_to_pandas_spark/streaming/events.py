@@ -312,3 +312,37 @@ def events_sliding_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_1h"),
     )
+
+
+@register(
+    "events_props_json_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+             AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the ``props`` JSON string
+    column with ``from_json`` and aggregate the extracted field — the
+    event-telemetry shape (properties bags ship as JSON strings; the
+    engine projects typed fields out before the shuffle).
+
+    ``from_json`` with an explicit schema stays JVM-side (Jackson in
+    codegen, no Python); extraction happens in the map stage so only
+    (event_type, k) longs reach the aggregation shuffle — at 100 TB
+    the JSON bodies never move. Malformed JSON yields NULL (PERMISSIVE
+    default), which SUM/AVG skip — same NULL semantics as the oracle's
+    ``json_extract_string``.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json("props", "k bigint")["k"]
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )

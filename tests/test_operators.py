@@ -174,3 +174,35 @@ def test_shingled_matches_declarative_form(spark):
         if r["toks"]
     }
     assert fast == slow
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables co-bucketed on the join key must join with zero
+    Exchange operators (bucket files are hash-co-located) and, with
+    matching sortBy, zero Sort operators above the scans."""
+    from almost_any_file_to_pandas_spark import sinks
+
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("o_key"), (F.col("id") % 7).alias("o_val")
+    )
+    items = spark.range(0, 5000).select(
+        (F.col("id") % 1000).alias("i_key"), (F.col("id") % 13).alias("i_val")
+    )
+    sinks.write_bucketed(orders, "b_orders", tmp_path / "o", ["o_key"], 4, ["o_key"])
+    sinks.write_bucketed(items, "b_items", tmp_path / "i", ["i_key"], 4, ["i_key"])
+    try:
+        joined = (
+            spark.table("b_orders")
+            .hint("merge")  # force SMJ so broadcast can't mask the layout
+            .join(
+                spark.table("b_items"),
+                F.col("o_key") == F.col("i_key"),
+            )
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located
+        assert joined.count() == 5000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_items")

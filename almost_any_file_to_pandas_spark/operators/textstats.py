@@ -357,3 +357,88 @@ def text_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_langs",
     )
+
+
+# Deterministic stratified sampling: per-source keep rates applied via
+# an md5-derived uniform in [0,1) — the source-reweighting step that
+# consumes text_source_mix's report. Hash-based (not rand()) so the
+# sample is reproducible run-to-run, engine-portable, and stable under
+# repartitioning; at 100 TB it's a narrow filter (no shuffle, no
+# state) that composes with partition pruning.
+SAMPLE_RATE_DEFAULT = 0.8
+SAMPLE_RATE_OVERRIDES = {"src0": 0.25, "src1": 0.25, "src2": 0.5}
+_SAMPLE_MOD = 10_000
+
+
+def _doc_uniform(col):
+    """Uniform in [0,1) from md5(doc_id) — first 8 hex chars as int,
+    mod 10000, over 10000. Mirrors dedup's portable token hash."""
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        _portable_token_hash,
+    )
+
+    return (_portable_token_hash(col.cast("string")) % _SAMPLE_MOD) / float(
+        _SAMPLE_MOD
+    )
+
+
+def _doc_uniform_sql(expr: str) -> str:
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        _portable_token_hash_sql,
+    )
+
+    return (
+        f"(({_portable_token_hash_sql(f'CAST({expr} AS VARCHAR)')})"
+        f" % {_SAMPLE_MOD}) / {_SAMPLE_MOD}.0"
+    )
+
+
+def _rate_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in SAMPLE_RATE_OVERRIDES.items()
+    )
+    return f"CASE source {arms} ELSE {SAMPLE_RATE_DEFAULT} END"
+
+
+@register(
+    "text_stratified_sample",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, source,
+             {_doc_uniform_sql('doc_id')} AS unif,
+             {_rate_case_sql()} AS keep_rate
+      FROM documents
+    )
+    SELECT doc_id, source, ROUND(unif, 6) AS unif, keep_rate
+    FROM u WHERE unif < keep_rate
+    """,
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsample by source: over-represented sources keep
+    25-50% of documents, the long tail keeps 80% — deterministic, so
+    reruns and backfills select the same documents (hash-derived
+    uniform per doc_id, not ``rand()``; ``sampleBy`` would be neither
+    reproducible across engines nor oracle-checkable).
+
+    Plan: a single narrow filter over the scan — no shuffle; the rate
+    lookup is a small CASE expression (broadcast-map territory if the
+    rate table were data-driven).
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    unif = _doc_uniform(F.col("doc_id"))
+    rate = F.lit(SAMPLE_RATE_DEFAULT)
+    for s, r in reversed(SAMPLE_RATE_OVERRIDES.items()):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            unif.alias("_unif"),
+            rate.alias("keep_rate"),
+        )
+        .filter(F.col("_unif") < F.col("keep_rate"))
+        .select(
+            "doc_id", "source", F.round("_unif", 6).alias("unif"), "keep_rate"
+        )
+    )

@@ -51,6 +51,9 @@ def plans(spark):
         "sim_ivf_topk",
         "mm_binary_metadata",
         "events_sessionization",
+        "events_props_json_agg",
+        "text_source_mix",
+        "text_stratified_sample",
     ]:
         df = queries[name](spark, SF_DIR)
         qe = df._jdf.queryExecution()
@@ -129,3 +132,25 @@ def test_multimodal_narrow_pipeline(plans):
 def test_sessionization_single_shuffle(plans):
     plan = plans["events_sessionization"]
     assert n_exchanges(plan) == 1  # one hash-partition by user_id
+
+
+def test_json_extraction_before_shuffle(plans):
+    plan = plans["events_props_json_agg"]
+    assert n_exchanges(plan) == 1  # only (event_type, k) reaches it
+    assert "from_json" in plan  # JVM-side extraction, no Python stage
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_source_mix_aggregated_window_only(plans):
+    plan = plans["text_source_mix"]
+    # count_distinct(lang) expands to the two-phase distinct agg
+    # (shuffle on (source,lang), then on source); the single-partition
+    # exchange for the corpus-share window sees only n_sources rows
+    assert n_exchanges(plan) == 3
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all("text" not in s for s in schemas)  # pruned
+
+
+def test_stratified_sample_narrow(plans):
+    plan = plans["text_stratified_sample"]
+    assert n_exchanges(plan) == 0  # pure narrow filter over the scan

@@ -63,6 +63,28 @@ _MODALITY_SQL = (
     "ELSE 'video' END"
 )
 
+# Raw first *byte* of the UTF-8 blob, stated portably: DuckDB's
+# ascii(substr(text,1,1)) yields the first character's CODE POINT,
+# which diverges from the first byte for any non-ASCII lead — so the
+# oracle derives the UTF-8 lead byte from the code point arithmetically
+# (1/2/3/4-byte encodings), matching the Spark side's genuine byte
+# extraction on any corpus, not just ASCII testdata.
+_CP_SQL = "ascii(substr(text, 1, 1))"
+_FIRST_BYTE_SQL = f"""(CASE
+    WHEN {_CP_SQL} < 128 THEN {_CP_SQL}
+    WHEN {_CP_SQL} < 2048 THEN 192 + {_CP_SQL} // 64
+    WHEN {_CP_SQL} < 65536 THEN 224 + {_CP_SQL} // 4096
+    ELSE 240 + {_CP_SQL} // 262144 END)"""
+
+
+def first_byte_expr(content_col):
+    """Raw first byte of a binary column, JVM-side: 1-byte slice →
+    hex → base-16 parse. No charset decode involved, so multi-byte
+    UTF-8 leads keep their true byte value (0xC2.. not U+FFFD)."""
+    return F.conv(F.hex(F.substring(content_col, 1, 1)), 16, 10).cast(
+        "bigint"
+    )
+
 
 @register(
     "mm_binary_metadata",
@@ -70,7 +92,7 @@ _MODALITY_SQL = (
     SELECT doc_id,
            {_MODALITY_SQL} AS modality,
            octet_length(encode(text)) AS byte_len,
-           ascii(substr(text, 1, 1)) AS first_byte,
+           {_FIRST_BYTE_SQL} AS first_byte,
            (octet_length(encode(text)) % 640) + 1 AS fake_width,
            (octet_length(encode(text)) % 480) + 1 AS fake_height
     FROM documents
@@ -92,11 +114,7 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "modality",
         "byte_len",
-        # first byte via utf-8 decode of the blob's 1-byte prefix —
-        # binary-native, stays JVM-side
-        F.ascii(F.decode(F.substring("content", 1, 1), "utf-8"))
-        .cast("bigint")
-        .alias("first_byte"),
+        first_byte_expr(F.col("content")).alias("first_byte"),
         (F.pmod(F.col("byte_len"), F.lit(640)) + 1).alias("fake_width"),
         (F.pmod(F.col("byte_len"), F.lit(480)) + 1).alias("fake_height"),
     )
@@ -108,7 +126,7 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            {_MODALITY_SQL} AS modality,
            octet_length(encode(text)) AS byte_len,
-           (octet_length(encode(text)) * 31 + ascii(substr(text, 1, 1)))
+           (octet_length(encode(text)) * 31 + {_FIRST_BYTE_SQL})
              % {CHECKSUM_MOD} AS checksum,
            (octet_length(encode(text)) % 640) + 1 AS fake_width,
            (octet_length(encode(text)) % 480) + 1 AS fake_height

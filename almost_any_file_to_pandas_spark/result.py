@@ -21,7 +21,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 
-STATUS_SUCCESS = "Success"
+STATUS_SUCCESS = "OK"  # reference literal, main.py:103
 STATUS_FAILED = "Failed"
 
 

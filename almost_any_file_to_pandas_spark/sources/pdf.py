@@ -30,6 +30,7 @@ from almost_any_file_to_pandas_spark.result import ParseResult
 
 CONCATED = "PDF file content (concated)"
 UNSIZED = "PDF file content (unsized)"
+BY_PAGE = "PDF file content (by page)"  # main.py:407
 
 
 def _failed(spark: SparkSession, path: str, engine: str) -> List[ParseResult]:
@@ -65,18 +66,24 @@ def read_pdf(
         return _failed(spark, str(p), engine="tabula")
 
     if not concat:
+        # Reference labels every per-page answer identically
+        # ("PDF file content (by page)", main.py:407) — no index.
         return [
             ParseResult(
                 data=_to_spark(spark, f),
-                sheet_name=f"PDF page table {i}",
+                sheet_name=BY_PAGE,
                 file_path=str(p),
                 engine="tabula",
             )
-            for i, f in enumerate(frames)
+            for f in frames
         ]
 
     # F2: width-conditional split keyed on page 1's width
-    # (main.py:384-390); U1 concat + T7 renumber for each side.
+    # (main.py:384-390); U1 concat + T7 renumber for BOTH sides
+    # (reference reset_index()es valid_df AND invalid_df). The concated
+    # answer is ALWAYS emitted, even when no table matches page 1's
+    # width (reference appends it unconditionally; empty → Failed via
+    # ParserAnswer's shape check).
     first_width = frames[0].shape[1]
     valid = [f for f in frames if f.shape[1] == first_width]
     invalid = [f for f in frames if f.shape[1] != first_width]
@@ -94,14 +101,25 @@ def read_pdf(
                 engine="tabula",
             )
         )
-    if invalid:
-        merged = pd.concat(invalid, ignore_index=True, sort=False)
+    else:
         results.append(
             ParseResult(
-                data=_to_spark(spark, merged),
-                sheet_name=UNSIZED,
+                data=spark.createDataFrame([], T.StructType([])),
+                sheet_name=CONCATED,
                 file_path=str(p),
                 engine="tabula",
-            )
+            ).mark_failed()
         )
-    return results or _failed(spark, str(p), engine="tabula")
+    if invalid:
+        merged = pd.concat(invalid, ignore_index=True, sort=False)
+        merged.insert(0, "index", range(len(merged)))  # T7 renumber
+        if len(merged) > 0:
+            results.append(
+                ParseResult(
+                    data=_to_spark(spark, merged),
+                    sheet_name=UNSIZED,
+                    file_path=str(p),
+                    engine="tabula",
+                )
+            )
+    return results

@@ -39,11 +39,15 @@ def cells_expr(value_col, delimiter: str):
 
     Reference T1 is ``line.strip('\\n').strip('\\t')`` (main.py:345):
     newline is already absent in spark.read.text values; we replicate
-    the tab-run trim at both ends, then straight split (no quoting).
+    the tab-run trim at both ends *unconditionally* — the reference
+    applies it for every delimiter, including tab itself, so a
+    tab-delimited line with leading/trailing tabs loses those empty
+    edge cells exactly as the reference does — then straight split
+    (no quoting).
     """
     trimmed = F.regexp_replace(
         F.regexp_replace(value_col, r"^\t+", ""), r"\t+$", ""
-    ) if delimiter != "\t" else value_col
+    )
     return F.split(trimmed, re.escape(delimiter), -1)
 
 

@@ -3,9 +3,12 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query executes to completion via a count-style action (collect on
-aggregates, count on row-level outputs) so the measured time covers
-scan → shuffle → result, not plan construction.
+Each query executes to completion via a noop-sink write: ``count()``
+lets Catalyst prune side-effect-free projections (a pure-projection
+query would be timed as scan+count without evaluating its
+expressions), while ``write.format("noop")`` consumes every row and
+every column — the measured time covers scan → shuffle → full result
+materialization, not plan construction.
 """
 
 from __future__ import annotations
@@ -68,12 +71,13 @@ def main() -> int:
         fn = queries[name]
         start = time.perf_counter()
         df = fn(spark, sf_dir)
-        # execute fully; aggregates are small → collect, row-level → count
-        n = df.count()
+        # noop sink: consumes all rows AND all columns, so projection
+        # expressions can't be pruned away the way count() allows
+        df.write.format("noop").mode("overwrite").save()
         elapsed = time.perf_counter() - start
         timings[name] = round(elapsed, 3)
         total += elapsed
-        print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {elapsed:.3f}s", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

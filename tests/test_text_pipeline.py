@@ -75,22 +75,25 @@ def _eval_rows(spark, expr_builder, values: list[str]):
 
 @settings(max_examples=20, deadline=None)
 @given(st.lists(CELL, min_size=1, max_size=5))
-def test_split_matches_python_split(spark, cells):
+def test_split_matches_reference_strip_then_split(spark, cells):
+    # Reference T1 strips tab runs at both ends BEFORE splitting,
+    # for every delimiter including tab itself (main.py:345).
     line = "\t".join(cells)
     [got] = _eval_rows(spark, lambda c: cells_expr(c, "\t"), [line])
-    assert got == line.split("\t")
+    assert got == line.strip("\t").split("\t")
 
 
 @settings(max_examples=20, deadline=None)
 @given(st.lists(CELL, min_size=1, max_size=4), st.integers(4, 8))
 def test_pad_to_width(spark, cells, width):
     line = "\t".join(cells)
+    expected = line.strip("\t").split("\t")  # reference T1 semantics
     [got] = _eval_rows(
         spark, lambda c: pad_cells(cells_expr(c, "\t"), width), [line]
     )
     assert len(got) == width
-    assert got[: len(cells)] == cells
-    assert all(v == "" for v in got[len(cells):])
+    assert got[: len(expected)] == expected
+    assert all(v == "" for v in got[len(expected):])
 
 
 @settings(max_examples=20, deadline=None)
@@ -129,7 +132,7 @@ def test_parse_result_coercion_and_status(spark):
     assert r.encoding == "123"
     assert r.engine == "Not used"
     assert r.separator == "format defined"
-    assert r.parse_info == "Success"
+    assert r.parse_info == "OK"
 
     empty = spark.createDataFrame([], "c0 string")
     assert ParseResult(data=empty).parse_info == "Failed"

@@ -332,21 +332,36 @@ def _verify_pairs(
     )
 
     def _jaccard_batches(batches):
-        def shingles(text):
-            words = text.split(" ")
-            return {
-                " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
-            }
+        # Per-task shingle-set memo: a doc participates in many
+        # candidate pairs (hundreds at bench scale), and rebuilding
+        # its ~|text| shingle set per PAIR dominated the stage. The
+        # cache is bounded so a pathological partition can't hold the
+        # whole corpus's shingle sets in one worker.
+        cache: dict = {}
+
+        def shingles(doc_id, text):
+            s = cache.get(doc_id)
+            if s is None:
+                if len(cache) > 50_000:
+                    cache.clear()
+                words = text.split(" ")
+                s = {
+                    " ".join(words[i : i + n])
+                    for i in range(len(words) - n + 1)
+                }
+                cache[doc_id] = s
+            return s
 
         for batch in batches:
             out = {"doc_a": [], "doc_b": [], "jaccard": []}
             for da, db, ta, tb in zip(
                 batch["doc_a"], batch["doc_b"], batch["text_a"], batch["text_b"]
             ):
-                sa, sb = shingles(ta), shingles(tb)
+                sa, sb = shingles(da, ta), shingles(db, tb)
                 if not sa or not sb:
                     continue
-                jac = len(sa & sb) / len(sa | sb)
+                inter = len(sa & sb)
+                jac = inter / (len(sa) + len(sb) - inter)
                 if jac >= threshold:
                     out["doc_a"].append(da)
                     out["doc_b"].append(db)
@@ -402,68 +417,83 @@ _NGRAM_ORACLE = """
 """
 
 
+def _prefix_index(docs: DataFrame, n: int, threshold: float) -> DataFrame:
+    """(doc_id, shingle) inverted index over each document's *prefix*
+    shingles only — the AllPairs/PPJoin prefix filter (Bayardo et al.,
+    "Scaling Up All Pairs Similarity Search"; Xiao et al., PPJoin).
+
+    Order all shingles by a global total order (crc32, ties by value)
+    and index just the first ``|S| − ⌈t·|S|⌉ + 1`` per document: any
+    pair with Jaccard ≥ t must share at least one *prefix* shingle, so
+    candidate generation over this index is EXACT (no false negatives)
+    while indexing only ~(1−t) of the shingle volume — the in-bucket
+    pair expansion, which is quadratic per bucket, sees ~(1−t)² of the
+    pairs the full index would generate.
+    """
+    spark = docs.sparkSession
+
+    def _batches(batches):
+        import math
+        import zlib
+
+        for batch in batches:
+            out_doc, out_sh = [], []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                words = text.split(" ")
+                if len(words) < n:
+                    continue
+                shingles = {
+                    " ".join(words[i : i + n])
+                    for i in range(len(words) - n + 1)
+                }
+                k = len(shingles)
+                p = k - math.ceil(threshold * k) + 1
+                prefix = sorted(
+                    shingles, key=lambda s: (zlib.crc32(s.encode()), s)
+                )[:p]
+                out_doc.extend([doc_id] * len(prefix))
+                out_sh.extend(prefix)
+            yield pd.DataFrame({"doc_id": out_doc, "shingle": out_sh})
+
+    return (
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "text")
+        .mapInPandas(_batches, schema="doc_id bigint, shingle string")
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=_NGRAM_ORACLE.format(threshold=NGRAM_THRESHOLD),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard near-dup pairs (≥ 0.6) via the count-based
-    inverted-index similarity join — no array ops in the pair path.
+    """Word-3-gram Jaccard near-dup pairs (≥ 0.6) via prefix-filtered
+    candidate generation + exact verification — the AllPairs shape.
 
-    explode(shingles) → group by shingle → in-bucket pair expansion
-    *with multiplicity* → groupBy(pair).count() = |A ∩ B| exactly →
-    Jaccard = c / (|A| + |B| − c) against a broadcast per-doc size
-    table. Two shuffles total (by shingle, by pair), every pair row is
-    3 longs — the earlier verify-by-array plan shipped two ~150-element
-    shingle arrays per candidate and recomputed set intersections per
-    pair (~6× slower at sf0.1).
+    Plan: one linear Python stage emits each doc's *prefix* shingles
+    (global crc32 order, length |S| − ⌈t·|S|⌉ + 1 — sharing a prefix
+    shingle is a necessary condition for J ≥ t, so candidates are
+    exact) → one capped bucket shuffle expands in-bucket pairs →
+    broadcast the candidate set against the corpus and verify true
+    Jaccard in an Arrow-batched set kernel. Versus the full inverted
+    index with count aggregation, the prefix index cuts indexed
+    volume to ~(1−t) and in-bucket pair volume to ~(1−t)² — at t=0.6
+    that's ~6× fewer candidate rows before any aggregation, and the
+    pair-count shuffle disappears entirely.
 
     The df cap (MAX_SHINGLE_DF) is the stop-shingle skew guard;
-    dropping a capped shingle removes its contribution to the
-    intersection count, making the Jaccard estimate a lower bound —
-    conservative (never promotes a non-dup), and inert on any corpus
-    whose max shingle-df stays under the cap (testdata max df ≈ 25).
+    dropping a capped bucket can only lose candidates whose every
+    shared prefix shingle is viral — conservative (never promotes a
+    non-dup), and inert on any corpus whose max shingle-df stays
+    under the cap (testdata max df ≈ 25).
     """
     apply_engine_conf(spark)
     docs = table(spark, sf_dir, "documents")
-    shingled = _shingled(docs, 3)
-    sizes = shingled.select("doc_id", F.size("toks").alias("n_toks"))
-    inverted = shingled.select(
-        "doc_id", F.explode("toks").alias("shingle")
+    prefix = _prefix_index(docs, 3, NGRAM_THRESHOLD)
+    candidates = _pairs_within_buckets(
+        prefix, "doc_id", ["shingle"], max_bucket=MAX_SHINGLE_DF
     )
-    shared = (
-        _pairs_within_buckets(
-            inverted,
-            "doc_id",
-            ["shingle"],
-            max_bucket=MAX_SHINGLE_DF,
-            distinct=False,
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared"))
-    )
-    # sizes is doc-cardinality (NOT broadcastable at 100 TB) — plan it
-    # as a shuffle join and let AQE demote to broadcast when small.
-    j = (
-        shared.join(
-            sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("na")
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("nb")
-            ),
-            "doc_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
-        )
-        .filter(F.col("jaccard") >= NGRAM_THRESHOLD)
-    )
-    return j.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    return _verify_pairs(candidates, docs, NGRAM_THRESHOLD)
 
 
 def connected_components(
@@ -656,8 +686,12 @@ def dedup_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-neighbour candidates: band the 16-bit signature into 4
     nibbles; docs sharing any (band, nibble) are candidates (catches
-    all pairs within Hamming distance 3). Not oracle-registered —
-    signature correctness is; this is the scale path demonstration.
+    all pairs within Hamming distance 3). Candidates come from the
+    shared capped one-shuffle bucket expansion — a (band, nibble)
+    self-join would shuffle the signature lineage twice and a
+    degenerate nibble bucket would expand quadratically unguarded.
+    Not oracle-registered — signature correctness is; this is the
+    scale path demonstration.
     """
     sig = dedup_simhash_signature(spark, sf_dir)
     bands = sig.select(
@@ -674,17 +708,7 @@ def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.nibble")
-    l, r = bands.alias("l"), bands.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.nibble") == F.col("r.nibble"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return _pairs_within_buckets(bands, "doc_id", ["band", "nibble"])
 
 
 # ---------------------------------------------------------------------------
@@ -692,11 +716,10 @@ def simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 EMBEDDING_DUP_THRESHOLD = 0.45  # data-driven: testdata max pairwise ≈ 0.51
+EMB_GRID_BLOCKS = 8  # grid granularity: ~n/NB vectors per cell side
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle=f"""
+EMB_COSINE_PAIRS_ORACLE = f"""
     WITH d AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     )
@@ -717,78 +740,110 @@ EMBEDDING_DUP_THRESHOLD = 0.45  # data-driven: testdata max pairwise ≈ 0.51
            * sqrt(list_reduce(list_transform(list_zip(b.v, b.v),
                               p -> p[1]*p[2]), (x, y) -> x + y)))
           >= {EMBEDDING_DUP_THRESHOLD}
-    """,
-)
+    """
+
+
+@register("dedup_embedding_cosine", oracle=EMB_COSINE_PAIRS_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold — the exact
-    baseline of the embedding-dedup family, as a broadcast block
-    nested-loop scored in vectorized numpy.
+    all-pairs baseline of the embedding-dedup family, as a fully
+    distributed *grid* block nested loop: no driver collect, no
+    broadcast of the corpus, bounded per-task memory.
 
-    Shape: one side stays distributed (mapInPandas over the corpus
-    partitions); the other side is a Spark broadcast of the (id,
-    matrix) pair — shipped once per executor like any broadcast join
-    side, never per row. Inside each Arrow batch the accumulation
-    loops over *dimensions* and vectorizes over *pairs*:
-    ``acc += A[:, i] * B[:, i].T`` per dim — each pair's double adds
-    happen in the identical sequential order as the SQL
-    ``list_reduce`` fold, so results are bit-for-bit equal to the
-    DuckDB oracle (rounding is applied Spark-side, not numpy-side,
-    to keep HALF_UP semantics). ~6× over the expression-HOF plan.
+    Shape (the classic theta-join grid): every vector gets a block id
+    ``blk = vec_id mod NB`` and is replicated to the NB grid cells
+    ``(min(blk, j), max(blk, j))`` — one shuffle of NB·n compact rows
+    keyed by cell. Each cell scores its two blocks against each other
+    in ONE numpy kernel (``applyInPandas``); a pair (x, y) is computed
+    exactly once, in the single cell owning both blocks. Per-task
+    memory is (n/NB)² doubles, tuned by NB — at 100× data, raise NB
+    ~linearly and cell size stays constant while cells (= tasks) grow
+    quadratically, which is the honest cost of an exact O(n²) operator
+    spread across the cluster instead of one driver.
+
+    Inside the kernel the accumulation loops over *dimensions* and
+    vectorizes over *pairs*: ``acc += A[:, i] ⊗ B[:, i]`` per dim —
+    each pair's double adds happen in the identical sequential order
+    as the SQL ``list_reduce`` fold, so results are bit-for-bit equal
+    to the DuckDB oracle (rounding applied Spark-side for HALF_UP).
 
     Scale contract: brute force is O(n²) by definition — this is the
     correctness anchor for the bucketed variants (sim_lsh /
-    sim_ivf_topk, the 100 TB candidate paths). Past broadcastable
-    size the same kernel tiles: iterate broadcast blocks of the B
-    side (block NL join), each tile reusing this function unchanged.
+    sim_ivf_topk, the 100 TB candidate paths).
     """
     apply_engine_conf(spark)
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-
-    import numpy as np
-
-    rows = emb.collect()  # broadcast side: ids + dense matrix
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    bc = spark.sparkContext.broadcast((ids, mat))
-    dim = mat.shape[1]
+    nb = EMB_GRID_BLOCKS
     threshold = EMBEDDING_DUP_THRESHOLD
 
-    def _score_blocks(batches):
+    cells = (
+        emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(nb)))
+        .select(
+            "vec_id",
+            "v",
+            "blk",
+            F.explode(F.array(*[F.lit(j) for j in range(nb)])).alias("ob"),
+        )
+        .select(
+            "vec_id",
+            "v",
+            "blk",
+            F.least("blk", "ob").alias("ci"),
+            F.greatest("blk", "ob").alias("cj"),
+        )
+    )
+
+    def _score_cell(key, pdf):
         import numpy as np
         import pandas as pd
 
-        b_ids, b_mat = bc.value
-        # sequential-over-dims norm: sqrt(((0+x0²)+x1²)+…) — same fold
-        # order as sqrt(list_reduce(...)) in SQL
-        b_norm = np.zeros(len(b_ids))
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "_cos": pd.Series(dtype="float64"),
+            }
+        )
+        ci, cj = key
+        a = pdf[pdf["blk"] == ci]
+        a_ids = a["vec_id"].to_numpy(dtype=np.int64)
+        if len(a_ids) == 0:
+            return empty
+        a_mat = np.array(list(a["v"]), dtype=np.float64)
+        if ci == cj:
+            b_ids, b_mat = a_ids, a_mat
+        else:
+            b = pdf[pdf["blk"] == cj]
+            b_ids = b["vec_id"].to_numpy(dtype=np.int64)
+            if len(b_ids) == 0:
+                return empty
+            b_mat = np.array(list(b["v"]), dtype=np.float64)
+        dim = a_mat.shape[1]
+        # sequential-over-dims fold: same add order as the SQL
+        # list_reduce, so every cosine is bit-identical to the oracle
+        acc = np.zeros((len(a_ids), len(b_ids)))
+        a_sq = np.zeros(len(a_ids))
+        b_sq = np.zeros(len(b_ids))
         for i in range(dim):
-            b_norm += b_mat[:, i] * b_mat[:, i]
-        b_norm = np.sqrt(b_norm)
-        for batch in batches:
-            a_ids = batch["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(batch["v"]), dtype=np.float64)
-            acc = np.zeros((len(a_ids), len(b_ids)))
-            a_sq = np.zeros(len(a_ids))
-            for i in range(dim):
-                acc += a_mat[:, i][:, None] * b_mat[None, :, i]
-                a_sq += a_mat[:, i] * a_mat[:, i]
-            cos = acc / (np.sqrt(a_sq)[:, None] * b_norm[None, :])
+            acc += a_mat[:, i][:, None] * b_mat[None, :, i]
+            a_sq += a_mat[:, i] * a_mat[:, i]
+            b_sq += b_mat[:, i] * b_mat[:, i]
+        cos = acc / (np.sqrt(a_sq)[:, None] * np.sqrt(b_sq)[None, :])
+        if ci == cj:
             keep = (cos >= threshold) & (a_ids[:, None] < b_ids[None, :])
             ai, bi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": b_ids[bi],
-                    "_cos": cos[ai, bi],
-                }
-            )
+            va, vb = a_ids[ai], b_ids[bi]
+        else:
+            # cross cell: emit every qualifying pair once, ordered by id
+            ai, bi = np.nonzero(cos >= threshold)
+            xa, xb = a_ids[ai], b_ids[bi]
+            va, vb = np.minimum(xa, xb), np.maximum(xa, xb)
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "_cos": cos[ai, bi]})
 
-    pairs = emb.mapInPandas(
-        _score_blocks, schema="vec_a bigint, vec_b bigint, _cos double"
+    pairs = cells.groupBy("ci", "cj").applyInPandas(
+        _score_cell, schema="vec_a bigint, vec_b bigint, _cos double"
     )
     return pairs.select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))
 

@@ -122,25 +122,33 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hyperplane_band_keys(emb: DataFrame, dim: int) -> DataFrame:
+def hyperplane_band_keys(
+    emb: DataFrame,
+    dim: int,
+    bands: int = LSH_BANDS,
+    bits: int = LSH_BITS_PER_BAND,
+    seed: int = LSH_SEED,
+) -> DataFrame:
     """(vec_id, band, key) from random-hyperplane sign bits.
 
     Pandas UDF: one numpy (batch × dim) @ (dim × bits) matmul per
     Arrow batch — the vectorized slow-path pattern; hyperplanes are a
-    closure constant (broadcast once per executor).
+    closure constant (broadcast once per executor). Band/bit counts
+    are the recall dial: more+narrower bands push recall toward 1 at
+    a lower similarity threshold, at linear signature cost.
     """
     from pyspark.sql import types as T
 
-    rng = np.random.default_rng(LSH_SEED)
-    planes = rng.standard_normal((dim, LSH_BANDS * LSH_BITS_PER_BAND))
-    weights = (2 ** np.arange(LSH_BITS_PER_BAND)).astype(np.int64)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, bands * bits))
+    weights = (2 ** np.arange(bits)).astype(np.int64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def band_keys(vectors: pd.Series) -> pd.Series:
         mat = np.stack(vectors.to_numpy()).astype(np.float64)
-        bits = (mat @ planes) > 0  # (batch, bands*bits)
-        bits = bits.reshape(len(vectors), LSH_BANDS, LSH_BITS_PER_BAND)
-        keys = (bits * weights).sum(axis=2)  # (batch, bands)
+        sign_bits = (mat @ planes) > 0  # (batch, bands*bits)
+        sign_bits = sign_bits.reshape(len(vectors), bands, bits)
+        keys = (sign_bits * weights).sum(axis=2)  # (batch, bands)
         return pd.Series(list(keys))
 
     keyed = emb.select("vec_id", band_keys(F.col("embedding")).alias("keys"))
@@ -211,23 +219,90 @@ def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_bucket_expr(col):
-    """Deterministic coarse quantizer: sign bits of the first
-    IVF_BITS dimensions → bucket id (portable to SQL)."""
+def _ivf_bucket_expr(col, bits: int = IVF_BITS):
+    """Deterministic coarse quantizer: sign bits of the first ``bits``
+    dimensions → bucket id (portable to SQL). ``bits`` is the scale
+    dial: bucket count = 2^bits should grow with the corpus so
+    per-bucket size (the quadratic unit) stays bounded — at 100× data,
+    +7 bits keeps in-bucket work constant."""
     bucket = F.lit(0)
-    for j in range(IVF_BITS):
+    for j in range(bits):
         bucket = bucket + F.when(
             F.get(col, j).cast("double") > 0.0, F.lit(1 << j)
         ).otherwise(F.lit(0))
     return bucket
 
 
-def _ivf_bucket_sql(expr: str) -> str:
+def _ivf_bucket_sql(expr: str, bits: int = IVF_BITS) -> str:
     terms = [
         f"CASE WHEN {expr}[{j + 1}]::DOUBLE > 0.0 THEN {1 << j} ELSE 0 END"
-        for j in range(IVF_BITS)
+        for j in range(bits)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+IVF_SCORE_TILE = 1024  # rows per in-bucket scoring tile
+
+
+def ivf_score_bucket(pdf: pd.DataFrame, tile: int = IVF_SCORE_TILE) -> pd.DataFrame:
+    """Exact top-1-per-vector within one IVF bucket, TILED: scores
+    ``tile`` rows at a time against the whole bucket, so peak memory
+    is tile×n doubles instead of n×n (an n×n alloc on a 50k-vector
+    bucket would be 20 GB in one task). The per-dim sequential
+    accumulation keeps every pair's double adds in the identical
+    order as the SQL ``list_reduce`` fold — tiling changes memory
+    shape, not arithmetic order, so results stay bit-identical.
+
+    Tie-break matches the oracle's ``ORDER BY rounded DESC, vec_id
+    ASC``: ids ascend within the bucket, argmax returns the first
+    maximum of the 6-decimal-rounded row.
+    """
+    import numpy as np
+
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    n = len(ids)
+    empty = pd.DataFrame(
+        columns=["vec_id", "bucket", "neighbor_id", "_cos"]
+    ).astype(
+        {
+            "vec_id": "int64",
+            "bucket": "int64",
+            "neighbor_id": "int64",
+            "_cos": "float64",
+        }
+    )
+    if n < 2:
+        return empty
+    mat = np.array(list(pdf["v"]), dtype=np.float64)
+    dim = mat.shape[1]
+    # norms via the same sequential-over-dims fold as the full-matrix
+    # diagonal would accumulate
+    sq = np.zeros(n)
+    for i in range(dim):
+        sq += mat[:, i] * mat[:, i]
+    nrm = np.sqrt(sq)
+    out_neighbor = np.empty(n, dtype=np.int64)
+    out_cos = np.empty(n, dtype=np.float64)
+    for s in range(0, n, tile):
+        e = min(s + tile, n)
+        acc = np.zeros((e - s, n))
+        for i in range(dim):
+            acc += mat[s:e, i][:, None] * mat[None, :, i]
+        cos = acc / (nrm[s:e][:, None] * nrm[None, :])
+        ranked = cos.round(6)
+        ranked[np.arange(e - s), np.arange(s, e)] = -np.inf  # mask self
+        best = ranked.argmax(axis=1)
+        out_neighbor[s:e] = ids[best]
+        out_cos[s:e] = cos[np.arange(e - s), best]
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "bucket": pdf["bucket"].to_numpy(dtype=np.int64),
+            "neighbor_id": out_neighbor,
+            "_cos": out_cos,
+        }
+    )
 
 
 @register(
@@ -270,57 +345,19 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ivf_bucket_expr(F.col("embedding")).alias("bucket"),
     )
 
-    # In-bucket exact scoring as ONE numpy kernel per bucket
-    # (applyInPandas): the earlier join + per-pair HOF dot product
-    # evaluated ~n²/16 interpreted 64-element folds and then paid a
-    # second shuffle + sort for the top-1 window — 3-6× slower and
-    # JIT-variance-prone at bench scale. Here each bucket arrives
-    # once (one shuffle on the bucket key, same as the join's), the
-    # pairwise accumulation loops over *dimensions* and vectorizes
-    # over pairs (acc += col_i ⊗ col_i), so every pair's double adds
-    # happen in the identical sequential order as the SQL list_reduce
-    # fold — and the top-1-per-vector reduction happens inside the
-    # kernel (argmax over the 6-decimal-rounded row, ids ascending so
-    # first-max = min-neighbor tie-break, mirroring the oracle's
-    # ORDER BY rounded DESC, vec_id ASC). Only n rows per bucket leave
-    # the stage; the unrounded cosine is re-rounded Spark-side so the
-    # emitted value keeps F.round's HALF_UP semantics.
-    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame(
-                columns=["vec_id", "bucket", "neighbor_id", "_cos"]
-            ).astype(
-                {
-                    "vec_id": "int64",
-                    "bucket": "int64",
-                    "neighbor_id": "int64",
-                    "_cos": "float64",
-                }
-            )
-        mat = np.array(list(pdf["v"]), dtype=np.float64)
-        dim = mat.shape[1]
-        acc = np.zeros((n, n))
-        for i in range(dim):
-            acc += mat[:, i][:, None] * mat[None, :, i]
-        nrm = np.sqrt(np.diag(acc).copy())
-        cos = acc / (nrm[:, None] * nrm[None, :])
-        ranked = cos.round(6)
-        np.fill_diagonal(ranked, -np.inf)
-        best = ranked.argmax(axis=1)
-        return pd.DataFrame(
-            {
-                "vec_id": ids,
-                "bucket": pdf["bucket"].to_numpy(dtype=np.int64),
-                "neighbor_id": ids[best],
-                "_cos": cos[np.arange(n), best],
-            }
-        )
-
+    # In-bucket exact scoring as ONE tiled numpy kernel per bucket
+    # (applyInPandas — see :func:`ivf_score_bucket`): the earlier
+    # join + per-pair HOF dot product evaluated ~n²/16 interpreted
+    # 64-element folds and then paid a second shuffle + sort for the
+    # top-1 window — 3-6× slower and JIT-variance-prone at bench
+    # scale. Each bucket arrives once (one shuffle on the bucket key,
+    # same as the join's); only n rows per bucket leave the stage;
+    # the unrounded cosine is re-rounded Spark-side so the emitted
+    # value keeps F.round's HALF_UP semantics.
     out = b.groupBy("bucket").applyInPandas(
-        _score_bucket,
+        # single-arg wrapper: a 2-param function would be called as
+        # (key, pdf) by applyInPandas's signature inspection
+        lambda pdf: ivf_score_bucket(pdf),
         schema="vec_id bigint, bucket bigint, neighbor_id bigint, _cos double",
     )
     return out.select(
@@ -328,31 +365,39 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_candidate_pairs(emb: DataFrame) -> DataFrame:
+    """(vec_a < vec_b) hyperplane-LSH candidates via the shared
+    capped one-shuffle bucket expansion (:func:`dedup._pairs_within_
+    buckets`): groupBy (band, key) → sorted id list → in-row pair
+    expansion. The earlier self-join on the bucket key shuffled (and
+    recomputed the Pandas-UDF signature stage for) the bucket lineage
+    twice, and a degenerate bucket — all-same sign bits — expanded
+    quadratically with no guard; the shared path caps bucket width at
+    MAX_BUCKET_SIZE and shuffles once."""
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        _pairs_within_buckets,
+    )
+
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    buckets = hyperplane_band_keys(emb, dim)
+    return _pairs_within_buckets(buckets, "vec_id", ["band", "key"]).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+    )
+
+
 @register("sim_lsh_candidate_pairs")  # rows-only: probabilistic candidates
 def sim_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH candidate pairs with exact cosine
     attached — the probabilistic ANN path (Pandas-UDF signatures,
-    banded bucket join). Not SQL-expressible deterministically (the
-    hyperplanes are engine-side), so the driver records a rows-only
-    check; the verified IVF variant above is the hash-checked one.
+    capped bucket expansion). Not SQL-expressible deterministically
+    (the hyperplanes are engine-side), so the driver records a
+    rows-only check; :func:`sim_lsh_verified_pairs` states the
+    hash-checkable recall contract.
     """
     apply_engine_conf(spark)
     emb = table(spark, sf_dir, "embeddings")
-    first = emb.select(F.size("embedding").alias("d")).first()
-    dim = int(first["d"]) if first else 0
-    buckets = hyperplane_band_keys(emb, dim)
-
-    l, r = buckets.alias("l"), buckets.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(emb)
     vecs = emb.select("vec_id", "embedding")
     cand = (
         cand.join(
@@ -366,6 +411,71 @@ def sim_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cosine_expr(F.col("va"), F.col("vb")).alias("_cos"))
     )
     return cand.select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))
+
+
+# Verified-LSH band config, tuned to the *verification* threshold
+# (0.45): p_bit = 1 − acos(0.45)/π ≈ 0.649 → per-band 0.649³ ≈ 0.273
+# → miss prob (1 − 0.273)^64 ≈ 1.5e-9. Recall is therefore ~1 at the
+# threshold, making the LSH pipeline's OUTPUT hash-independent: it
+# equals the brute-force pair set, which is exactly what the oracle
+# states. This is the driver-checkable restatement of the otherwise
+# rows-only probabilistic path.
+VERIFY_LSH_BANDS = 64
+VERIFY_LSH_BITS = 3
+
+
+def _emb_pairs_oracle() -> str:
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        EMB_COSINE_PAIRS_ORACLE,
+    )
+
+    return EMB_COSINE_PAIRS_ORACLE
+
+
+@register("sim_lsh_verified_pairs", oracle=_emb_pairs_oracle())
+def sim_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-neighbour pairs, exact-verified at the
+    embedding-dedup threshold — same verified-output contract as
+    :func:`dedup.dedup_minhash_lsh`: candidates are probabilistic, but
+    with the band config above every true pair is caught (miss prob
+    ~1e-9), so the verified output equals brute force and the driver
+    hash-checks it against the same oracle as ``dedup_embedding_
+    cosine``. Plan: linear signature stage → one capped bucket
+    shuffle → pair expansion → exact-cosine verify on the pair set.
+    """
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        EMBEDDING_DUP_THRESHOLD,
+        _pairs_within_buckets,
+    )
+
+    apply_engine_conf(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    buckets = hyperplane_band_keys(
+        emb, dim, bands=VERIFY_LSH_BANDS, bits=VERIFY_LSH_BITS
+    )
+    cand = _pairs_within_buckets(buckets, "vec_id", ["band", "key"]).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+    )
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    scored = (
+        cand.join(
+            vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")),
+            "vec_a",
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")),
+            "vec_b",
+        )
+        .select(
+            "vec_a", "vec_b", cosine_expr(F.col("va"), F.col("vb")).alias("_cos")
+        )
+        .filter(F.col("_cos") >= EMBEDDING_DUP_THRESHOLD)
+    )
+    return scored.select(
+        "vec_a", "vec_b", F.round("_cos", 6).alias("cosine")
+    )
 
 
 @register(

@@ -206,3 +206,58 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_ivf_score_bucket_tiled_matches_full():
+    """Tiling must change memory shape only: a bucket larger than the
+    tile size scores identically (bit-for-bit) to one-tile scoring,
+    and matches an independent brute-force top-1."""
+    import numpy as np
+    import pandas as pd
+
+    from almost_any_file_to_pandas_spark.operators.similarity import (
+        ivf_score_bucket,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim = 300, 16
+    mat = rng.standard_normal((n, dim))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "bucket": np.zeros(n, dtype=np.int64),
+            "v": list(mat),
+        }
+    )
+    full = ivf_score_bucket(pdf, tile=n)
+    tiled = ivf_score_bucket(pdf, tile=64)
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), tiled.reset_index(drop=True)
+    )
+    # independent brute force with the same fold order
+    acc = np.zeros((n, n))
+    for i in range(dim):
+        acc += mat[:, i][:, None] * mat[None, :, i]
+    nrm = np.sqrt(np.diag(acc).copy())
+    cos = acc / (nrm[:, None] * nrm[None, :])
+    ranked = cos.round(6)
+    np.fill_diagonal(ranked, -np.inf)
+    best = ranked.argmax(axis=1)
+    assert (tiled["neighbor_id"].to_numpy() == best).all()
+    assert np.array_equal(
+        tiled["_cos"].to_numpy(), cos[np.arange(n), best]
+    )
+
+
+def test_ivf_score_bucket_degenerate():
+    import numpy as np
+    import pandas as pd
+
+    from almost_any_file_to_pandas_spark.operators.similarity import (
+        ivf_score_bucket,
+    )
+
+    one = pd.DataFrame(
+        {"vec_id": [5], "bucket": [0], "v": [np.ones(4)]}
+    )
+    assert len(ivf_score_bucket(one)) == 0

@@ -154,3 +154,26 @@ def test_source_mix_aggregated_window_only(plans):
 def test_stratified_sample_narrow(plans):
     plan = plans["text_stratified_sample"]
     assert n_exchanges(plan) == 0  # pure narrow filter over the scan
+
+
+def test_candidate_paths_capped_no_self_join(spark):
+    """LSH + SimHash candidate generation must go through the capped
+    one-shuffle bucket expansion: no self-join on the bucket key (which
+    would shuffle and recompute the signature lineage twice), and the
+    MAX_BUCKET_SIZE skew guard present in the plan's filter."""
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        MAX_BUCKET_SIZE,
+        simhash_candidate_pairs,
+    )
+    from almost_any_file_to_pandas_spark.operators.similarity import (
+        lsh_candidate_pairs,
+    )
+    from almost_any_file_to_pandas_spark.plans import table
+
+    for df in (
+        simhash_candidate_pairs(spark, SF_DIR),
+        lsh_candidate_pairs(table(spark, SF_DIR, "embeddings")),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan  # bucket self-join eliminated
+        assert str(MAX_BUCKET_SIZE) in plan  # skew guard in the filter

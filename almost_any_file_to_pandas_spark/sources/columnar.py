@@ -56,14 +56,24 @@ def _probe_json_shape(path: str, max_bytes: int = 1 << 20) -> str:
     if first == b"[":
         return "records"
     if first == b"{":
-        # JSON-lines of objects vs one columnar document: JSON-lines
-        # has one complete object per line.
-        first_line = prefix.splitlines()[0].strip()
+        # JSON-lines of objects vs one dict-shaped document:
+        # JSON-lines has one complete object per line.
+        lines = [l for l in prefix.splitlines() if l.strip()]
+        first_line = lines[0].strip()
         try:
-            json.loads(first_line)
-            return "lines"
+            obj = json.loads(first_line)
         except ValueError:
             return "columnar"
+        if len(lines) > 1:
+            return "lines"
+        # single line that parses: a whole columnar/split/index
+        # document also fits on one line — container values mean a
+        # column map / orient document, scalar values a lone record
+        if isinstance(obj, dict) and any(
+            isinstance(v, (dict, list)) for v in obj.values()
+        ):
+            return "columnar"
+        return "lines"
     return "scalar"
 
 
@@ -71,9 +81,19 @@ def read_json(spark: SparkSession, path: Union[str, Path]) -> ParseResult:
     """S9 — pandas-orient-aware JSON scan.
 
     records → Spark multiLine reader (distributed); lines → Spark
-    default JSON-lines reader (distributed); columnar → driver-side
-    pandas bridge (that orient is a single JSON document by
-    construction — not distributable without a custom tokenizer).
+    default JSON-lines reader (distributed); dict-shaped documents →
+    driver-side pandas bridge (a single JSON document by construction
+    — not distributable without a custom tokenizer), with orient
+    resolution:
+
+    - exactly ``{"columns", "index", "data"}`` keys → ``split``,
+    - all-int-like outer keys over object values → ``index``
+      (row-major dict; structurally ambiguous with ``columns``, so
+      this is a documented heuristic — pandas itself cannot
+      auto-detect it either),
+    - anything else → pandas' default ``columns`` orient, which is
+      what the reference's bare ``pd.read_json`` call does
+      (main.py:433).
     """
     path = str(path)
     shape = _probe_json_shape(path)
@@ -86,15 +106,40 @@ def read_json(spark: SparkSession, path: Union[str, Path]) -> ParseResult:
     else:
         import pandas as pd
 
-        pdf = pd.read_json(path)
+        orient = None
+        try:
+            with open(path, "r", encoding="utf-8", errors="replace") as fh:
+                doc = json.load(fh)
+        except ValueError:
+            doc = None
+        if isinstance(doc, dict) and doc:
+            if set(doc) == {"columns", "index", "data"}:
+                orient = "split"
+            elif all(
+                _int_like(k) and isinstance(v, dict) for k, v in doc.items()
+            ):
+                orient = "index"
+        if orient:
+            pdf = pd.read_json(path, orient=orient)
+            engine = f"pandas.read_json({orient}) -> createDataFrame"
+        else:
+            pdf = pd.read_json(path)
+            engine = "pandas.read_json -> createDataFrame"
         df = spark.createDataFrame(pdf)
-        engine = "pandas.read_json -> createDataFrame"
     return ParseResult(
         data=df,
         sheet_name="JSON file content",  # main.py:434
         engine=engine,
         file_path=path,
     )
+
+
+def _int_like(s: str) -> bool:
+    try:
+        int(s)
+        return True
+    except (TypeError, ValueError):
+        return False
 
 
 def read_pickle(spark: SparkSession, path: Union[str, Path]) -> ParseResult:

@@ -15,9 +15,10 @@ reading many workbooks in one job parallelizes across files. The
 DataSource module is registered with cloudpickle by value, so workers
 need no package install.
 
-Legacy binary formats (.xls/.xlsb) require engines not present in
-this environment; they degrade to a failed result like the
-reference's log-and-continue path.
+.xlsb is parsed natively (stdlib BIFF12 record reader in excel_core).
+The remaining legacy binary format (.xls, BIFF8 compound document)
+requires an engine not present in this environment; it degrades to a
+failed result like the reference's log-and-continue path.
 """
 
 from __future__ import annotations
@@ -33,6 +34,7 @@ from almost_any_file_to_pandas_spark.sources import excel_core
 
 ZIP_XML_FORMATS = {
     ".xlsx": "xlsx",
+    ".xlsb": "xlsb",  # BIFF12: zip container, binary parts (stdlib parse)
     ".ods": "ods",
     ".odt": "ods",
     ".odf": "ods",

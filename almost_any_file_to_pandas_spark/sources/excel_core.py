@@ -14,9 +14,13 @@ formats directly from their XML parts:
   with ``table:table`` / ``table:table-row`` / ``table:table-cell``
   (including the ``number-columns-repeated`` run-length encoding).
 
-Legacy binary formats (``.xls`` BIFF, ``.xlsb``) need engines that are
-not installed; callers degrade those to a failed ParseResult, exactly
-like the reference's log-and-continue path (main.py:251-253).
+- ``.xlsb`` — BIFF12: same zip container, binary record-stream parts
+  (varint-framed records; see the BIFF12 section below).
+
+The remaining legacy binary format (``.xls`` BIFF8 compound document)
+needs an engine that is not installed; callers degrade it to a failed
+ParseResult, exactly like the reference's log-and-continue path
+(main.py:251-253).
 
 EVERYTHING in this module must stay importable-by-value: the façade
 registers this module with ``cloudpickle.register_pickle_by_value`` so
@@ -148,6 +152,203 @@ def xlsx_sheet_rows(path: str, member: str) -> list[list[str | None]]:
 
 
 # ---------------------------------------------------------------------------
+# .xlsb (BIFF12, MS-XLSB) — same zip container as .xlsx, binary parts.
+#
+# Record stream: each record is [type: 1-2 bytes, 7 bits per byte with
+# high-bit continuation] [size: 1-4 bytes, same varint scheme] [payload].
+# The reference reads .xlsb through pd.read_excel(dtype=str) with the
+# pyxlsb engine (main.py:249-259, README.md:12); this parser covers the
+# records that path consumes: sheet inventory (BrtBundleSh + rels),
+# shared strings (BrtSstItem), row headers (BrtRowHdr) and the cell
+# value records. Number rendering mirrors pyxlsb + dtype=str: RK
+# integers render as ints ('10'), reals as Python str(float) ('10.5').
+# ---------------------------------------------------------------------------
+
+_B12_BUNDLE_SH = 0x9C  # BrtBundleSh
+_B12_SST_ITEM = 0x13  # BrtSstItem
+_B12_ROW_HDR = 0x00  # BrtRowHdr
+_B12_CELL_BLANK = 0x01
+_B12_CELL_RK = 0x02
+_B12_CELL_ERROR = 0x03
+_B12_CELL_BOOL = 0x04
+_B12_CELL_REAL = 0x05
+_B12_CELL_ST = 0x06
+_B12_CELL_ISST = 0x07
+_B12_FMLA_STRING = 0x08
+_B12_FMLA_NUM = 0x09
+_B12_FMLA_BOOL = 0x0A
+_B12_FMLA_ERROR = 0x0B
+
+_B12_ERRORS = {
+    0x00: "#NULL!",
+    0x07: "#DIV/0!",
+    0x0F: "#VALUE!",
+    0x17: "#REF!",
+    0x1D: "#NAME?",
+    0x24: "#NUM!",
+    0x2A: "#N/A",
+    0x2B: "#GETTING_DATA",
+}
+
+
+def _biff12_records(data: bytes):
+    """Yield (record_id, payload) over a BIFF12 part."""
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b & 0x80:
+            rid = (b & 0x7F) | ((data[i] & 0x7F) << 7)
+            i += 1
+        else:
+            rid = b
+        size, shift = 0, 0
+        while True:
+            sb = data[i]
+            i += 1
+            size |= (sb & 0x7F) << shift
+            if not (sb & 0x80):
+                break
+            shift += 7
+        yield rid, data[i : i + size]
+        i += size
+
+
+def _b12_wstr(payload: bytes, off: int) -> tuple[str, int]:
+    """XLWideString: 4-byte char count + UTF-16LE code units."""
+    cch = int.from_bytes(payload[off : off + 4], "little")
+    end = off + 4 + 2 * cch
+    return payload[off + 4 : end].decode("utf-16-le"), end
+
+
+def _b12_nullable_wstr(payload: bytes, off: int) -> tuple[str | None, int]:
+    cch = int.from_bytes(payload[off : off + 4], "little")
+    if cch == 0xFFFFFFFF:
+        return None, off + 4
+    return _b12_wstr(payload, off)
+
+
+def _rk_value(u32: int):
+    """RkNumber: bit0 = ÷100, bit1 = int; else high-30-bits double."""
+    import struct
+
+    fx100 = u32 & 1
+    fint = u32 & 2
+    if fint:
+        v = u32 >> 2
+        if v & 0x20000000:  # sign-extend the 30-bit int
+            v -= 1 << 30
+        return v / 100 if fx100 else v
+    bits = (u32 & 0xFFFFFFFC) << 32
+    d = struct.unpack("<d", struct.pack("<Q", bits))[0]
+    return d / 100 if fx100 else d
+
+
+def _b12_num_str(v) -> str:
+    """pyxlsb + dtype=str rendering: ints bare, floats via str()."""
+    if isinstance(v, int):
+        return str(v)
+    return str(v)
+
+
+def xlsb_sheet_inventory(path: str) -> list[tuple[str, str]]:
+    """[(sheet_name, zip_member_path)] in workbook order."""
+    with zipfile.ZipFile(path) as z:
+        data = z.read("xl/workbook.bin")
+        rels = ET.fromstring(z.read("xl/_rels/workbook.bin.rels"))
+    rid_to_target = {
+        rel.get("Id"): rel.get("Target")
+        for rel in rels.findall(f"{REL_NS}Relationship")
+    }
+    out = []
+    for rid, payload in _biff12_records(data):
+        if rid != _B12_BUNDLE_SH:
+            continue
+        off = 8  # hsState (4) + iTabID (4)
+        rel_id, off = _b12_nullable_wstr(payload, off)
+        name, off = _b12_wstr(payload, off)
+        target = rid_to_target.get(rel_id, "")
+        if target.startswith("/"):
+            member = target.lstrip("/")
+        else:
+            member = posixpath.normpath(posixpath.join("xl", target))
+        out.append((name or "Not defined", member))
+    return out
+
+
+def _xlsb_shared_strings(z: zipfile.ZipFile) -> list[str]:
+    try:
+        data = z.read("xl/sharedStrings.bin")
+    except KeyError:
+        return []
+    out = []
+    for rid, payload in _biff12_records(data):
+        if rid == _B12_SST_ITEM:
+            s, _ = _b12_wstr(payload, 1)  # skip richStr flags byte
+            out.append(s)
+    return out
+
+
+def _xlsb_cell_value(rid: int, payload: bytes, shared: list[str]) -> str | None:
+    """Cell payload → rendered string (None = blank). Layout: col (4)
+    + iStyleRef (4) + type-specific value at offset 8."""
+    import struct
+
+    if rid == _B12_CELL_BLANK:
+        return None
+    if rid == _B12_CELL_RK:
+        return _b12_num_str(
+            _rk_value(int.from_bytes(payload[8:12], "little"))
+        )
+    if rid in (_B12_CELL_ERROR, _B12_FMLA_ERROR):
+        return _B12_ERRORS.get(payload[8], "#ERR")
+    if rid in (_B12_CELL_BOOL, _B12_FMLA_BOOL):
+        return "True" if payload[8] else "False"
+    if rid in (_B12_CELL_REAL, _B12_FMLA_NUM):
+        return _b12_num_str(struct.unpack("<d", payload[8:16])[0])
+    if rid in (_B12_CELL_ST, _B12_FMLA_STRING):
+        return _b12_wstr(payload, 8)[0]
+    if rid == _B12_CELL_ISST:
+        idx = int.from_bytes(payload[8:12], "little")
+        try:
+            return shared[idx]
+        except IndexError:
+            return str(idx)
+    return None
+
+
+_B12_CELL_RIDS = frozenset(range(_B12_CELL_BLANK, _B12_FMLA_ERROR + 1))
+
+
+def xlsb_sheet_rows(path: str, member: str) -> list[list[str | None]]:
+    """All rows of one BIFF12 worksheet as ragged lists — same grid
+    semantics as :func:`xlsx_sheet_rows` (row gaps inside the used
+    range become empty rows)."""
+    with zipfile.ZipFile(path) as z:
+        shared = _xlsb_shared_strings(z)
+        data = z.read(member)
+    rows: dict[int, list] = {}
+    max_row = 0
+    cur: int | None = None
+    for rid, payload in _biff12_records(data):
+        if rid == _B12_ROW_HDR:
+            cur = int.from_bytes(payload[0:4], "little") + 1  # 1-based
+            continue
+        if rid not in _B12_CELL_RIDS or cur is None:
+            continue
+        value = _xlsb_cell_value(rid, payload, shared)
+        if value is None:
+            continue
+        col = int.from_bytes(payload[0:4], "little")
+        cells = rows.setdefault(cur, [])
+        while len(cells) <= col:
+            cells.append(None)
+        cells[col] = value
+        max_row = max(max_row, cur)
+    return [rows.get(i, []) for i in range(1, max_row + 1)]
+
+
+# ---------------------------------------------------------------------------
 # .ods / .odt / .odf (OpenDocument)
 # ---------------------------------------------------------------------------
 
@@ -201,16 +402,20 @@ def ods_sheet_rows(path: str, table_index: int) -> list[list[str | None]]:
 
 
 def sheet_inventory(path: str, fmt: str) -> list[tuple[str, str]]:
-    """[(sheet_name, opaque_sheet_ref)] — ref is a zip member (.xlsx)
-    or a stringified table index (.ods family)."""
+    """[(sheet_name, opaque_sheet_ref)] — ref is a zip member
+    (.xlsx/.xlsb) or a stringified table index (.ods family)."""
     if fmt == "xlsx":
         return xlsx_sheet_inventory(path)
+    if fmt == "xlsb":
+        return xlsb_sheet_inventory(path)
     return [(name, str(i)) for name, i in ods_sheet_inventory(path)]
 
 
 def sheet_rows(path: str, fmt: str, ref: str) -> list[list[str | None]]:
     if fmt == "xlsx":
         return xlsx_sheet_rows(path, ref)
+    if fmt == "xlsb":
+        return xlsb_sheet_rows(path, ref)
     return ods_sheet_rows(path, int(ref))
 
 

@@ -9,13 +9,15 @@ main.py:296-304) → failed answer.
 
 Spark design: SpreadsheetML files are single-document XML — the
 parse itself is not splittable, so structure discovery runs driver-
-side with stdlib ``ElementTree`` (lxml is not installed here;
-``recover=True`` salvage is approximated by a plain parse that
-degrades to a failed result on malformed input, the same user-visible
-contract). Each discovered table becomes a DataFrame via
-``spark.createDataFrame`` over the padded all-string grid; at scale
-the unit of parallelism is *many files*, which the façade callers get
-by looping paths into independent lazy plans.
+side with stdlib ``ElementTree``. Malformed input gets a salvage
+pass (the reference's ``lxml recover=True, huge_tree=True`` contract,
+main.py:276): an incremental ``XMLPullParser`` keeps every Row that
+completed before the first fatal error, so a truncated or damaged
+file yields its intact prefix rows instead of a failed result;
+nothing salvageable → failed. Each discovered table becomes a
+DataFrame via ``spark.createDataFrame`` over the padded all-string
+grid; at scale the unit of parallelism is *many files*, which the
+façade callers get by looping paths into independent lazy plans.
 
 Spark's own ``spark.read.format("xml")`` (native since 4.0) is not
 used because rowTag-based parsing cannot express the namespace-
@@ -71,6 +73,60 @@ def _grid_df(spark: SparkSession, grid: list[list[str]]):
     return spark.createDataFrame([tuple(r) for r in grid], schema)
 
 
+def _salvage_tables(
+    path: str,
+) -> list[tuple[Optional[str], list[list[str]]]]:
+    """Best-effort parse of damaged SpreadsheetML — the stdlib
+    analogue of the reference's ``lxml recover=True`` (main.py:276).
+
+    Feed an incremental ``XMLPullParser`` and keep every ``<Row>``
+    that COMPLETED before the first fatal error: a truncated or
+    locally-damaged file yields all intact rows instead of nothing.
+    Returns [(worksheet_name_or_None, padded_grid)] with empty-row
+    skip (F1) applied, same as :func:`table_grid`.
+    """
+    parser = ET.XMLPullParser(events=("start", "end"))
+    ws_name: Optional[str] = None
+    tables: list[tuple[Optional[str], list[list[str]]]] = []
+    open_rows: Optional[list[list[str]]] = None
+    try:
+        with open(path, "rb") as f:
+            while True:
+                chunk = f.read(1 << 16)
+                if not chunk:
+                    parser.close()
+                    break
+                parser.feed(chunk)
+                for event, el in parser.read_events():
+                    if event == "start":
+                        if el.tag == f"{SS_NS}Worksheet":
+                            ws_name = el.get(f"{SS_NS}Name")
+                        elif el.tag == f"{SS_NS}Table":
+                            open_rows = []
+                            tables.append((ws_name, open_rows))
+                        continue
+                    if el.tag == f"{SS_NS}Row" and open_rows is not None:
+                        cells = [
+                            (d.text or "") for d in el.iter(f"{SS_NS}Data")
+                        ]
+                        if cells:  # F1 empty-row skip
+                            open_rows.append(cells)
+                        el.clear()  # bound memory on huge damaged files
+                    elif el.tag == f"{SS_NS}Table":
+                        open_rows = None
+                    elif el.tag == f"{SS_NS}Worksheet":
+                        ws_name = None
+    except ET.ParseError:
+        pass  # keep whatever completed before the break
+    out = []
+    for name, rows in tables:
+        if not rows:
+            continue
+        width = max(len(r) for r in rows)
+        out.append((name, [r + [""] * (width - len(r)) for r in rows]))
+    return out
+
+
 def read_spreadsheetml(
     spark: SparkSession, path: Union[str, Path], **options
 ) -> List[ParseResult]:
@@ -78,7 +134,18 @@ def read_spreadsheetml(
     try:
         root = ET.parse(str(p)).getroot()
     except ET.ParseError:
-        return _failed(spark, str(p))
+        salvaged = _salvage_tables(str(p))
+        if not salvaged:
+            return _failed(spark, str(p))
+        return [
+            ParseResult(
+                data=_grid_df(spark, grid),
+                sheet_name=name if name else "Not defined",
+                file_path=str(p),
+                engine="spreadsheetml (salvaged)",
+            )
+            for name, grid in salvaged
+        ]
 
     results: List[ParseResult] = []
 

@@ -212,3 +212,81 @@ def xmlss_bare_file(fixture_dir: Path) -> Path:
         "</Root>"
     )
     return p
+
+
+def _b12_rec(rid: int, payload: bytes) -> bytes:
+    """Encode one BIFF12 record (varint type + varint size)."""
+    out = bytearray()
+    if rid < 0x80:
+        out.append(rid)
+    else:
+        out.append((rid & 0x7F) | 0x80)
+        out.append(rid >> 7)
+    size = len(payload)
+    while True:
+        b = size & 0x7F
+        size >>= 7
+        if size:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+    return bytes(out) + payload
+
+
+def _b12_wstr(s: str) -> bytes:
+    return len(s).to_bytes(4, "little") + s.encode("utf-16-le")
+
+
+@pytest.fixture(scope="session")
+def xlsb_file(fixture_dir: Path) -> Path:
+    """Minimal hand-encoded BIFF12 workbook: one sheet exercising the
+    shared-string, inline-string, RK-int, RK-x100, real, bool cell
+    records plus a row gap."""
+    import struct
+
+    p = fixture_dir / "golden.xlsb"
+    bundle = (
+        (0).to_bytes(4, "little")  # hsState
+        + (1).to_bytes(4, "little")  # iTabID
+        + _b12_wstr("rId1")
+        + _b12_wstr("Bin_1")
+    )
+    wb = _b12_rec(0x9C, bundle)
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.bin"/></Relationships>'
+    )
+    sst = _b12_rec(0x13, b"\x00" + _b12_wstr("shared"))
+
+    def cell(rid: int, col: int, val: bytes) -> bytes:
+        return _b12_rec(
+            rid, col.to_bytes(4, "little") + (0).to_bytes(4, "little") + val
+        )
+
+    def rowhdr(r: int) -> bytes:
+        return _b12_rec(0x00, r.to_bytes(4, "little") + b"\x00" * 8)
+
+    rk_int_10 = ((10 << 2) | 2).to_bytes(4, "little")  # fInt
+    rk_x100 = ((1234 << 2) | 3).to_bytes(4, "little")  # fInt + /100
+    sheet = b"".join(
+        [
+            rowhdr(0),
+            cell(0x07, 0, (0).to_bytes(4, "little")),  # isst -> "shared"
+            cell(0x06, 1, _b12_wstr("inline")),
+            cell(0x02, 2, rk_int_10),  # "10"
+            cell(0x05, 3, struct.pack("<d", 2.5)),  # "2.5"
+            cell(0x04, 4, b"\x01"),  # "True"
+            rowhdr(2),  # row gap: row index 1 absent
+            cell(0x02, 0, rk_x100),  # "12.34"
+        ]
+    )
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.bin", wb)
+        z.writestr("xl/_rels/workbook.bin.rels", rels)
+        z.writestr("xl/sharedStrings.bin", sst)
+        z.writestr("xl/worksheets/sheet1.bin", sheet)
+    return p

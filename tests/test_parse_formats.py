@@ -203,3 +203,84 @@ def test_read_spreadsheetml_many(spark, fixture_dir, xmlss_file):
     # 2 files × (2-row W1 + 1-row W2) = 6 ragged rows
     assert df.count() == 6
     assert df.select("source_file").distinct().count() == 2
+
+
+def test_xlsb_biff12(spark, xlsb_file):
+    """S2: native stdlib BIFF12 parse — sheet inventory via
+    BrtBundleSh + rels, every cell-record family, row-gap padding."""
+    res = parse(spark, xlsb_file)
+    assert len(res) == 1
+    assert res[0].sheet_name == "Bin_1"
+    assert res[0].ok
+    assert grid_of(res[0].data) == [
+        ["shared", "inline", "10", "2.5", "True"],
+        ["", "", "", "", ""],  # row gap inside the used range
+        ["12.34", "", "", "", ""],
+    ]
+
+
+def test_corrupt_xlsb_failed_not_raise(spark, fixture_dir):
+    p = fixture_dir / "corrupt.xlsb"
+    p.write_bytes(b"not a zip at all")
+    res = parse(spark, p)
+    assert len(res) == 1
+    assert res[0].parse_info == "Failed"
+
+
+def test_truncated_xmlss_salvages_prefix_rows(spark, fixture_dir):
+    """S3 salvage: damaged SpreadsheetML yields the rows that
+    completed before the break (reference lxml recover=True,
+    main.py:276), not a failed result."""
+    p = fixture_dir / "truncated.xml"
+    p.write_text(
+        '<?xml version="1.0"?>'
+        '<Workbook xmlns="urn:schemas-microsoft-com:office:spreadsheet" '
+        'xmlns:ss="urn:schemas-microsoft-com:office:spreadsheet">'
+        '<Worksheet ss:Name="W1"><Table>'
+        "<Row><Cell><Data>a</Data></Cell><Cell><Data>1</Data></Cell></Row>"
+        "<Row><Cell><Data>b</Data></Cell></Row>"
+        "<Row><Cell><Data>cut-off-mid-ro"  # truncation point
+    )
+    res = parse(spark, p)
+    assert len(res) == 1
+    assert res[0].sheet_name == "W1"
+    assert res[0].ok
+    assert grid_of(res[0].data) == [["a", "1"], ["b", ""]]
+
+
+def test_garbage_xml_still_failed(spark, fixture_dir):
+    p = fixture_dir / "garbage.xml"
+    p.write_text("<<<<not xml at all")
+    res = parse(spark, p)
+    assert len(res) == 1
+    assert res[0].parse_info == "Failed"
+
+
+def test_json_split_orient(spark, fixture_dir):
+    p = fixture_dir / "split.json"
+    p.write_text(
+        json.dumps(
+            {
+                "columns": ["a", "b"],
+                "index": [0, 1],
+                "data": [[1, "x"], [2, "y"]],
+            }
+        )
+    )
+    r = parse(spark, p)[0]
+    assert r.ok
+    assert set(r.data.columns) == {"a", "b"}
+    rows = {row["a"]: row["b"] for row in r.data.collect()}
+    assert rows == {1: "x", 2: "y"}
+
+
+def test_json_index_orient(spark, fixture_dir):
+    p = fixture_dir / "index.json"
+    p.write_text(
+        json.dumps({"0": {"a": 1, "b": "x"}, "1": {"a": 2, "b": "y"}})
+    )
+    r = parse(spark, p)[0]
+    assert r.ok
+    assert set(r.data.columns) == {"a", "b"}
+    rows = {row["a"]: row["b"] for row in r.data.collect()}
+    assert rows == {1: "x", 2: "y"}

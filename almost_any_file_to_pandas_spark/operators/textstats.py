@@ -442,3 +442,199 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", F.round("_unif", 6).alias("unif"), "keep_rate"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics, quality-filter decisions, and benchmark
+# contamination — the remaining hygiene trio every training-data run
+# needs between raw ingestion and dedup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), c AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt FROM w GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           COUNT(*) AS n_distinct,
+           ROUND(1 - COUNT(*)::DOUBLE / CAST(SUM(cnt) AS BIGINT), 6)
+             AS dup_word_ratio,
+           ROUND(MAX(cnt)::DOUBLE / CAST(SUM(cnt) AS BIGINT), 6)
+             AS top_word_fraction
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: total/distinct
+    word counts, duplicate-word ratio, and the most-frequent-word
+    fraction — the signals used to drop boilerplate and keyword-stuffed
+    pages before training.
+
+    Plan: explode words → two-level aggregation ((doc, word) counts,
+    then per-doc rollup), both with map-side partials — the classic
+    two-shuffle word-count shape, no joins, no arrays shipped between
+    stages. At 100 TB both shuffles carry only (doc_id, word/cnt)
+    pairs, and word-level skew is irrelevant because the first
+    grouping key includes doc_id.
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.round(1 - F.count("*") / F.sum("cnt"), 6).alias("dup_word_ratio"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_word_fraction"),
+    )
+
+
+# Filter thresholds, chosen so the synthetic corpus genuinely splits
+# (sf0.01: n_words 10-99, dup ratio 0-0.72, top fraction 0.05-0.30).
+QF_MIN_WORDS = 30
+QF_MAX_DUP_RATIO = 0.6
+QF_MAX_TOP_FRACTION = 0.2
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    ), w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), topw AS (
+      SELECT doc_id, MAX(cnt) AS top_cnt FROM (
+        SELECT doc_id, tok, COUNT(*) AS cnt FROM w GROUP BY 1, 2
+      ) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           t.n_words,
+           ROUND(1 - t.n_distinct::DOUBLE / t.n_words, 6) AS dup_word_ratio,
+           ROUND(topw.top_cnt::DOUBLE / t.n_words, 6) AS top_word_fraction,
+           (t.n_words >= {QF_MIN_WORDS}
+            AND 1 - t.n_distinct::DOUBLE / t.n_words <= {QF_MAX_DUP_RATIO}
+            AND topw.top_cnt::DOUBLE / t.n_words <= {QF_MAX_TOP_FRACTION})
+             AS keep
+    FROM t JOIN topw ON t.doc_id = topw.doc_id
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter DECISION per document — the composed keep/drop
+    verdict (minimum length, repetition caps) that the corpus filter
+    stage actually applies; metrics are emitted alongside the flag so
+    threshold sweeps don't re-scan.
+
+    Plan: the narrow per-doc metrics (word count, distinct count) are
+    pure column expressions over the scan; only the top-word fraction
+    needs the word-count aggregation, reused from
+    :func:`text_repetition_stats`'s lineage shape. The final join is
+    doc_id-to-doc_id; at scale both sides are co-partitioned by the
+    same key so AQE plans a local join after one shuffle.
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    topw = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"))
+    )
+    dup = 1 - F.col("n_distinct") / F.col("n_words")
+    top = F.col("top_cnt") / F.col("n_words")
+    return (
+        base.join(topw, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(dup, 6).alias("dup_word_ratio"),
+            F.round(top, 6).alias("top_word_fraction"),
+            (
+                (F.col("n_words") >= QF_MIN_WORDS)
+                & (dup <= QF_MAX_DUP_RATIO)
+                & (top <= QF_MAX_TOP_FRACTION)
+            ).alias("keep"),
+        )
+    )
+
+
+CONTAM_NGRAM = 5
+CONTAM_BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark
+
+
+@register(
+    "text_contamination_ngram",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - {CONTAM_NGRAM - 1}, 0) + 1),
+               i -> array_to_string(w[i:i+{CONTAM_NGRAM - 1}], ' ')))) AS s
+      FROM base
+    ), bench AS (
+      SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    )
+    SELECT t.doc_id,
+           COUNT(DISTINCT b.bench_id) AS n_contaminated_refs,
+           COUNT(DISTINCT t.s) AS n_shared_shingles
+    FROM sh t JOIN bench b ON t.s = b.s AND t.doc_id <> b.bench_id
+    GROUP BY t.doc_id
+    """,
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: flag training documents that
+    share any {CONTAM_NGRAM}-gram with a held-out benchmark set (here
+    the deterministic doc_id % {CONTAM_BENCH_MOD} == 0 slice plays the
+    benchmark). The standard pre-training hygiene check (GPT-3 /
+    Gopher n-gram overlap protocol): emitted rows are the documents a
+    run would quarantine, with how many benchmark docs they collide
+    with and on how many distinct shingles.
+
+    Plan: benchmark shingles are a tiny fraction of the corpus (real
+    eval suites are KBs against TBs), so the bench side BROADCASTS —
+    the corpus-side shingle stream joins in-place with no shuffle of
+    the big side; the per-doc rollup is the only exchange. The
+    shingle expressions reuse the guarded JVM n-gram builder from the
+    dedup module (no Python stage at all).
+    """
+    from almost_any_file_to_pandas_spark.operators.dedup import _word_ngrams
+
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    sh = docs.select(
+        "doc_id", F.explode(_word_ngrams(toks, CONTAM_NGRAM)).alias("s")
+    )
+    bench = sh.filter(
+        F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    ).select(F.col("doc_id").alias("bench_id"), "s")
+    hits = sh.join(F.broadcast(bench), "s").filter(
+        F.col("doc_id") != F.col("bench_id")
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct("bench_id").alias("n_contaminated_refs"),
+        F.count_distinct("s").alias("n_shared_shingles"),
+    )

@@ -32,13 +32,15 @@ from pyspark.sql import types as T
 from almost_any_file_to_pandas_spark.result import ParseResult
 from almost_any_file_to_pandas_spark.sources import excel_core
 
-ZIP_XML_FORMATS = {
+NATIVE_FORMATS = {
     ".xlsx": "xlsx",
     ".xlsb": "xlsb",  # BIFF12: zip container, binary parts (stdlib parse)
+    ".xls": "xls",  # BIFF8 in a CFB compound document (stdlib parse)
     ".ods": "ods",
     ".odt": "ods",
     ".odf": "ods",
 }
+ZIP_XML_FORMATS = NATIVE_FORMATS  # back-compat alias
 _registered_sessions: set[int] = set()
 
 
@@ -73,10 +75,11 @@ def read_excel(
 ) -> List[ParseResult]:
     p = Path(path)
     suffix = p.suffix.lower()
-    fmt = ZIP_XML_FORMATS.get(suffix)
+    fmt = NATIVE_FORMATS.get(suffix)
     if fmt is None:
-        # .xls / .xlsb need xlrd / pyxlsb engines (reference relies on
-        # pandas for these, main.py:255-259); absent → failed result.
+        # Unrecognized Excel-family suffix → try pandas (reference
+        # relies on pd.ExcelFile for engine dispatch, main.py:255-259);
+        # absent engine → failed result.
         try:
             import pandas as pd
 

@@ -349,6 +349,331 @@ def xlsb_sheet_rows(path: str, member: str) -> list[list[str | None]]:
 
 
 # ---------------------------------------------------------------------------
+# .xls (BIFF8 inside a CFB compound document, MS-CFB + MS-XLS).
+#
+# Two layers, both stdlib:
+# - CFB: 512-byte header with a DIFAT, FAT sector chains, a directory
+#   of 128-byte entries, and a mini-stream (FAT-of-64-byte-sectors
+#   inside the root entry's chain) for streams under the 4096-byte
+#   cutoff. `_cfb_stream` returns a named stream's bytes.
+# - BIFF8: [id:2][len:2][payload] records. Workbook globals carry the
+#   sheet directory (BoundSheet8 → absolute stream offset of each
+#   sheet substream) and the shared-string table (SST + Continue with
+#   the mid-string recompression rule); sheet substreams carry the
+#   cell records (LabelSst, Number, RK, MulRk, Label, BoolErr,
+#   Formula+String).
+#
+# The reference reads .xls via pd.read_excel's xlrd engine
+# (main.py:249-259, README.md:12). Number rendering follows the same
+# convention as the .xlsb path here (RK ints bare, doubles via
+# str(float)) — xlrd itself floats everything; documented deviation.
+# ---------------------------------------------------------------------------
+
+_XLS_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+
+def _cfb_stream(path: str, names: tuple[str, ...]) -> bytes:
+    """Read the first directory stream whose name matches ``names``."""
+    import struct
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:8] != _XLS_MAGIC:
+        raise ValueError("not a CFB compound document")
+    ssz = 1 << struct.unpack_from("<H", data, 30)[0]
+    mssz = 1 << struct.unpack_from("<H", data, 32)[0]
+    num_fat = struct.unpack_from("<I", data, 44)[0]
+    dir_start = struct.unpack_from("<i", data, 48)[0]
+    mini_cutoff = struct.unpack_from("<I", data, 56)[0]
+    minifat_start = struct.unpack_from("<i", data, 60)[0]
+    difat_start = struct.unpack_from("<i", data, 68)[0]
+    num_difat = struct.unpack_from("<I", data, 72)[0]
+    difat = list(struct.unpack_from("<109i", data, 76))
+    sec = difat_start
+    for _ in range(num_difat):  # extended DIFAT chain
+        if sec < 0:
+            break
+        ints = struct.unpack_from(f"<{ssz // 4}i", data, 512 + sec * ssz)
+        difat.extend(ints[:-1])
+        sec = ints[-1]
+    fat: list[int] = []
+    for sid in difat:
+        if sid < 0:
+            continue
+        fat.extend(struct.unpack_from(f"<{ssz // 4}i", data, 512 + sid * ssz))
+    del num_fat  # length implied by DIFAT walk
+
+    def read_chain(start: int) -> bytes:
+        out, s, seen = [], start, set()
+        while s >= 0 and s not in seen:
+            seen.add(s)
+            out.append(data[512 + s * ssz : 512 + (s + 1) * ssz])
+            s = fat[s] if s < len(fat) else -2
+        return b"".join(out)
+
+    dirdata = read_chain(dir_start)
+    entries = []
+    for off in range(0, len(dirdata) - 127, 128):
+        nlen = struct.unpack_from("<H", dirdata, off + 64)[0]
+        if nlen < 2:
+            continue
+        name = dirdata[off : off + nlen - 2].decode("utf-16-le", "replace")
+        start = struct.unpack_from("<i", dirdata, off + 116)[0]
+        size = struct.unpack_from("<I", dirdata, off + 120)[0]
+        entries.append((name, dirdata[off + 66], start, size))
+    root = next(e for e in entries if e[1] == 5)
+    target = next((e for e in entries if e[0] in names), None)
+    if target is None:
+        raise ValueError(f"stream {names} not found")
+    _, _, start, size = target
+    if size >= mini_cutoff:
+        return read_chain(start)[:size]
+    # mini-stream: 64-byte sectors inside the root chain, chained by
+    # the mini FAT
+    ministream = read_chain(root[2])
+    minifat_raw = read_chain(minifat_start)
+    minifat = struct.unpack_from(f"<{len(minifat_raw) // 4}i", minifat_raw)
+    out, s, seen = [], start, set()
+    while s >= 0 and s not in seen:
+        seen.add(s)
+        out.append(ministream[s * mssz : (s + 1) * mssz])
+        s = minifat[s] if s < len(minifat) else -2
+    return b"".join(out)[:size]
+
+
+def _biff8_records(stream: bytes, start: int = 0):
+    """Yield (record_id, payload, offset) from a BIFF8 stream."""
+    import struct
+
+    i = start
+    n = len(stream)
+    while i + 4 <= n:
+        rid, ln = struct.unpack_from("<HH", stream, i)
+        if rid == 0:
+            break
+        yield rid, stream[i + 4 : i + 4 + ln], i
+        i += 4 + ln
+
+
+class _Biff8StrCursor:
+    """Cursor over SST character data spanning Continue records.
+
+    BIFF8 strings carry a per-fragment compression flag: when a
+    string's characters spill into a Continue record, the fragment
+    there re-declares 8-bit vs UTF-16 storage in its first byte —
+    the single genuinely stateful rule in the format.
+    """
+
+    def __init__(self, segments: list[bytes]):
+        self.segs = segments
+        self.si = 0
+        self.off = 0
+
+    def _avail(self) -> int:
+        return len(self.segs[self.si]) - self.off
+
+    def _advance_segment(self) -> None:
+        self.si += 1
+        self.off = 0
+
+    def read(self, n: int) -> bytes:
+        out = bytearray()
+        while n > 0:
+            if self._avail() == 0:
+                self._advance_segment()
+                continue
+            take = min(n, self._avail())
+            seg = self.segs[self.si]
+            out += seg[self.off : self.off + take]
+            self.off += take
+            n -= take
+        return bytes(out)
+
+    def read_u8(self) -> int:
+        return self.read(1)[0]
+
+    def read_u16(self) -> int:
+        return int.from_bytes(self.read(2), "little")
+
+    def read_u32(self) -> int:
+        return int.from_bytes(self.read(4), "little")
+
+    def read_chars(self, cch: int, high_byte: bool) -> str:
+        """Read cch characters, re-reading the compression flag at
+        every Continue boundary crossed mid-string."""
+        parts: list[str] = []
+        remaining = cch
+        while remaining > 0:
+            if self._avail() == 0:
+                self._advance_segment()
+                high_byte = bool(self.read_u8() & 0x01)
+            if high_byte:
+                n_chars = min(remaining, self._avail() // 2)
+                if n_chars == 0:  # odd split straddles — take via read()
+                    parts.append(self.read(2).decode("utf-16-le"))
+                    remaining -= 1
+                    continue
+                parts.append(
+                    self.read(2 * n_chars).decode("utf-16-le", "replace")
+                )
+            else:
+                n_chars = min(remaining, self._avail())
+                parts.append(self.read(n_chars).decode("latin-1"))
+            remaining -= n_chars
+        return "".join(parts)
+
+
+def _parse_sst(segments: list[bytes]) -> list[str]:
+    """SST record (+ Continues) → list of unique strings."""
+    cur = _Biff8StrCursor(segments)
+    cur.read_u32()  # total refs
+    unique = cur.read_u32()
+    out = []
+    for _ in range(unique):
+        cch = cur.read_u16()
+        flags = cur.read_u8()
+        high = bool(flags & 0x01)
+        rich_runs = cur.read_u16() if flags & 0x08 else 0
+        ext_size = cur.read_u32() if flags & 0x04 else 0
+        out.append(cur.read_chars(cch, high))
+        cur.read(4 * rich_runs + ext_size)  # skip formatting runs
+    return out
+
+
+def _biff8_short_string(payload: bytes, off: int) -> str:
+    """ShortXLUnicodeString: cch(1) flags(1) chars."""
+    cch = payload[off]
+    high = payload[off + 1] & 0x01
+    if high:
+        return payload[off + 2 : off + 2 + 2 * cch].decode("utf-16-le", "replace")
+    return payload[off + 2 : off + 2 + cch].decode("latin-1")
+
+
+def _biff8_long_string(payload: bytes, off: int) -> str:
+    """XLUnicodeString: cch(2) flags(1) chars (no Continue spill —
+    used for in-record Label/String payloads)."""
+    cch = int.from_bytes(payload[off : off + 2], "little")
+    high = payload[off + 2] & 0x01
+    if high:
+        return payload[off + 3 : off + 3 + 2 * cch].decode("utf-16-le", "replace")
+    return payload[off + 3 : off + 3 + cch].decode("latin-1")
+
+
+def xls_sheet_inventory(path: str) -> list[tuple[str, str]]:
+    """[(sheet_name, stream_offset_of_sheet_BOF)] from BoundSheet8."""
+    stream = _cfb_stream(path, ("Workbook", "Book"))
+    out = []
+    for rid, payload, _ in _biff8_records(stream):
+        if rid == 0x000A:  # EOF of the globals substream
+            break
+        if rid == 0x0085:  # BoundSheet8
+            pos = int.from_bytes(payload[0:4], "little")
+            name = _biff8_short_string(payload, 6)
+            out.append((name or "Not defined", str(pos)))
+    return out
+
+
+def _xls_shared_strings(stream: bytes) -> list[str]:
+    segments: list[bytes] = []
+    in_sst = False
+    for rid, payload, _ in _biff8_records(stream):
+        if rid == 0x00FC:  # SST
+            segments = [payload]
+            in_sst = True
+        elif rid == 0x003C and in_sst:  # Continue
+            segments.append(payload)
+        elif in_sst:
+            break
+        if rid == 0x000A:
+            break
+    return _parse_sst(segments) if segments else []
+
+
+_XLS_ERRORS = _B12_ERRORS  # same error-code space
+
+
+def _xls_formula_value(payload: bytes) -> str | None:
+    """FORMULA cached value: a double, unless bytes 6-7 are 0xFFFF —
+    then byte 0 selects string (STRING record follows) / bool / err."""
+    import struct
+
+    if payload[12:14] == b"\xff\xff":
+        kind = payload[6]
+        if kind == 0:
+            return ""  # replaced by the following STRING record
+        if kind == 1:
+            return "True" if payload[8] else "False"
+        if kind == 2:
+            return _XLS_ERRORS.get(payload[8], "#ERR")
+        return ""
+    return _b12_num_str(struct.unpack_from("<d", payload, 6)[0])
+
+
+def xls_sheet_rows(path: str, ref: str) -> list[list[str | None]]:
+    """All rows of one BIFF8 sheet substream as ragged lists — same
+    grid semantics as :func:`xlsx_sheet_rows`."""
+    import struct
+
+    stream = _cfb_stream(path, ("Workbook", "Book"))
+    shared = _xls_shared_strings(stream)
+    rows: dict[int, list] = {}
+    max_row = 0
+    pending_formula: tuple[int, int] | None = None
+
+    def put(r: int, c: int, value: str | None) -> None:
+        nonlocal max_row
+        if value is None:
+            return
+        ridx = r + 1
+        cells = rows.setdefault(ridx, [])
+        while len(cells) <= c:
+            cells.append(None)
+        cells[c] = value
+        max_row = max(max_row, ridx)
+
+    for rid, payload, _ in _biff8_records(stream, start=int(ref)):
+        if rid == 0x000A:  # EOF — end of this sheet substream
+            break
+        if rid == 0x00FD:  # LabelSst
+            r, c = struct.unpack_from("<HH", payload, 0)
+            isst = int.from_bytes(payload[6:10], "little")
+            put(r, c, shared[isst] if isst < len(shared) else str(isst))
+        elif rid == 0x0203:  # Number
+            r, c = struct.unpack_from("<HH", payload, 0)
+            put(r, c, _b12_num_str(struct.unpack_from("<d", payload, 6)[0]))
+        elif rid == 0x027E:  # RK
+            r, c = struct.unpack_from("<HH", payload, 0)
+            put(r, c, _b12_num_str(_rk_value(int.from_bytes(payload[6:10], "little"))))
+        elif rid == 0x00BD:  # MulRk
+            r, c0 = struct.unpack_from("<HH", payload, 0)
+            n = (len(payload) - 6) // 6
+            for k in range(n):
+                rk = int.from_bytes(payload[4 + 6 * k + 2 : 4 + 6 * k + 6], "little")
+                put(r, c0 + k, _b12_num_str(_rk_value(rk)))
+        elif rid == 0x0204:  # Label (inline string)
+            r, c = struct.unpack_from("<HH", payload, 0)
+            put(r, c, _biff8_long_string(payload, 6))
+        elif rid == 0x0205:  # BoolErr
+            r, c = struct.unpack_from("<HH", payload, 0)
+            if payload[7]:  # fError
+                put(r, c, _XLS_ERRORS.get(payload[6], "#ERR"))
+            else:
+                put(r, c, "True" if payload[6] else "False")
+        elif rid == 0x0006:  # Formula (cached value)
+            r, c = struct.unpack_from("<HH", payload, 0)
+            v = _xls_formula_value(payload)
+            if v == "" and payload[12:14] == b"\xff\xff" and payload[6] == 0:
+                pending_formula = (r, c)  # value arrives in STRING
+            else:
+                put(r, c, v)
+        elif rid == 0x0207 and pending_formula is not None:  # String
+            r, c = pending_formula
+            pending_formula = None
+            put(r, c, _biff8_long_string(payload, 0))
+    return [rows.get(i, []) for i in range(1, max_row + 1)]
+
+
+# ---------------------------------------------------------------------------
 # .ods / .odt / .odf (OpenDocument)
 # ---------------------------------------------------------------------------
 
@@ -408,6 +733,8 @@ def sheet_inventory(path: str, fmt: str) -> list[tuple[str, str]]:
         return xlsx_sheet_inventory(path)
     if fmt == "xlsb":
         return xlsb_sheet_inventory(path)
+    if fmt == "xls":
+        return xls_sheet_inventory(path)
     return [(name, str(i)) for name, i in ods_sheet_inventory(path)]
 
 
@@ -416,6 +743,8 @@ def sheet_rows(path: str, fmt: str, ref: str) -> list[list[str | None]]:
         return xlsx_sheet_rows(path, ref)
     if fmt == "xlsb":
         return xlsb_sheet_rows(path, ref)
+    if fmt == "xls":
+        return xls_sheet_rows(path, ref)
     return ods_sheet_rows(path, int(ref))
 
 

@@ -42,6 +42,9 @@ HEADLINE = [
     "mm_frame_sample",
     "text_quality_score",
     "text_lang_id",
+    "text_repetition_stats",
+    "text_quality_filter",
+    "text_contamination_ngram",
     "events_tumbling_window",
     "events_sessionization",
     "events_asof_view_click",

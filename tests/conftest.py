@@ -290,3 +290,112 @@ def xlsb_file(fixture_dir: Path) -> Path:
         z.writestr("xl/sharedStrings.bin", sst)
         z.writestr("xl/worksheets/sheet1.bin", sheet)
     return p
+
+
+def _biff8_rec(rid: int, payload: bytes) -> bytes:
+    return rid.to_bytes(2, "little") + len(payload).to_bytes(2, "little") + payload
+
+
+def _cfb_wrap(stream_name: str, stream: bytes) -> bytes:
+    """Minimal single-stream CFB container (v3, 512-byte sectors).
+    Stream is padded past the 4096-byte mini cutoff so it lives in
+    the regular FAT chain."""
+    import struct
+
+    stream = stream + b"\x00" * (max(0, 4096 - len(stream)))
+    n_stream_sectors = (len(stream) + 511) // 512
+    stream += b"\x00" * (n_stream_sectors * 512 - len(stream))
+    # sectors: 0=FAT, 1=directory, 2..=stream
+    fat = [0xFFFFFFFD, 0xFFFFFFFE]  # FAT sector, dir chain end
+    for k in range(n_stream_sectors):
+        fat.append(2 + k + 1 if k < n_stream_sectors - 1 else 0xFFFFFFFE)
+    fat += [0xFFFFFFFF] * (128 - len(fat))
+    fat_sector = struct.pack("<128I", *fat)
+
+    def direntry(name: str, typ: int, start: int, size: int) -> bytes:
+        raw = name.encode("utf-16-le")
+        e = bytearray(128)
+        e[0 : len(raw)] = raw
+        struct.pack_into("<H", e, 64, len(raw) + 2)
+        e[66] = typ
+        e[67] = 1  # black
+        struct.pack_into("<iii", e, 68, -1, -1, -1)  # siblings/child
+        struct.pack_into("<i", e, 116, start)
+        struct.pack_into("<I", e, 120, size)
+        return bytes(e)
+
+    directory = (
+        direntry("Root Entry", 5, -2, 0)
+        + direntry(stream_name, 2, 2, len(stream))
+        + bytes(128)
+        + bytes(128)
+    )
+    header = bytearray(512)
+    header[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", header, 24, 0x003E)  # minor
+    struct.pack_into("<H", header, 26, 0x0003)  # major (v3)
+    struct.pack_into("<H", header, 28, 0xFFFE)  # little-endian
+    struct.pack_into("<H", header, 30, 9)  # 512-byte sectors
+    struct.pack_into("<H", header, 32, 6)  # 64-byte mini sectors
+    struct.pack_into("<I", header, 44, 1)  # one FAT sector
+    struct.pack_into("<i", header, 48, 1)  # dir starts at sector 1
+    struct.pack_into("<I", header, 56, 4096)  # mini cutoff
+    struct.pack_into("<i", header, 60, -2)  # no mini FAT
+    struct.pack_into("<i", header, 68, -2)  # no extended DIFAT
+    difat = [0] + [0xFFFFFFFF] * 108  # DIFAT[0] = FAT sector id 0
+    struct.pack_into("<109I", header, 76, *difat)
+    return bytes(header) + fat_sector + directory + bytes(512 - len(directory)) + stream
+
+
+@pytest.fixture(scope="session")
+def xls_file(fixture_dir: Path) -> Path:
+    """Hand-encoded BIFF8 workbook in a hand-encoded CFB container:
+    LabelSst, Number, RK, MulRk, Label, BoolErr records."""
+    import struct
+
+    p = fixture_dir / "golden.xls"
+    bof_globals = _biff8_rec(
+        0x0809, struct.pack("<HHHH", 0x0600, 0x0005, 0x0DBB, 0x07CC) + bytes(8)
+    )
+    sst = _biff8_rec(
+        0x00FC,
+        struct.pack("<II", 1, 1) + struct.pack("<HB", 6, 0) + b"shared",
+    )
+    eof = _biff8_rec(0x000A, b"")
+
+    def cellhdr(r: int, c: int) -> bytes:
+        return struct.pack("<HHH", r, c, 0)
+
+    sheet_cells = b"".join(
+        [
+            _biff8_rec(0x0809, struct.pack("<HHHH", 0x0600, 0x0010, 0, 0) + bytes(8)),
+            _biff8_rec(0x00FD, cellhdr(0, 0) + struct.pack("<I", 0)),
+            _biff8_rec(0x0203, cellhdr(0, 1) + struct.pack("<d", 2.5)),
+            _biff8_rec(0x027E, cellhdr(0, 2) + struct.pack("<I", (10 << 2) | 2)),
+            _biff8_rec(
+                0x00BD,
+                struct.pack("<HH", 1, 0)
+                + struct.pack("<HI", 0, (7 << 2) | 2)
+                + struct.pack("<HI", 0, (8 << 2) | 2)
+                + struct.pack("<H", 1),
+            ),
+            _biff8_rec(
+                0x0204, cellhdr(2, 0) + struct.pack("<HB", 6, 0) + b"inline"
+            ),
+            _biff8_rec(0x0205, cellhdr(2, 1) + bytes([1, 0])),
+            eof,
+        ]
+    )
+    # globals with a BoundSheet8 whose lbPlyPos needs the final offset:
+    # assemble with a placeholder, then patch.
+    def boundsheet(pos: int) -> bytes:
+        return _biff8_rec(
+            0x0085,
+            struct.pack("<IH", pos, 0) + struct.pack("<BB", 6, 0) + b"Sheet1",
+        )
+
+    globals_part = bof_globals + boundsheet(0) + sst + eof
+    sheet_offset = len(globals_part)
+    globals_part = bof_globals + boundsheet(sheet_offset) + sst + eof
+    p.write_bytes(_cfb_wrap("Workbook", globals_part + sheet_cells))
+    return p

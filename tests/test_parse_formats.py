@@ -284,3 +284,43 @@ def test_json_index_orient(spark, fixture_dir):
     assert set(r.data.columns) == {"a", "b"}
     rows = {row["a"]: row["b"] for row in r.data.collect()}
     assert rows == {1: "x", 2: "y"}
+
+
+def test_xls_biff8(spark, xls_file):
+    """S2: native stdlib BIFF8/CFB parse — LabelSst, Number, RK,
+    MulRk, Label, BoolErr record families."""
+    res = parse(spark, xls_file)
+    assert len(res) == 1
+    assert res[0].sheet_name == "Sheet1"
+    assert res[0].ok
+    assert grid_of(res[0].data) == [
+        ["shared", "2.5", "10"],
+        ["7", "8", ""],
+        ["inline", "True", ""],
+    ]
+
+
+def test_corrupt_xls_failed_not_raise(spark, fixture_dir):
+    p = fixture_dir / "corrupt.xls"
+    p.write_bytes(b"\xd0\xcf\x11\xe0 but then garbage")
+    res = parse(spark, p)
+    assert len(res) == 1
+    assert res[0].parse_info == "Failed"
+
+
+def test_sst_continue_recompression():
+    """The stateful BIFF8 rule: a string spilling into a Continue
+    record re-declares its compression in the fragment's first byte."""
+    import struct
+
+    from almost_any_file_to_pandas_spark.sources.excel_core import _parse_sst
+
+    seg1 = (
+        struct.pack("<II", 2, 2)
+        + struct.pack("<HB", 3, 0)
+        + b"abc"
+        + struct.pack("<HB", 4, 0)
+        + b"de"  # 2 of 4 chars; rest spills into the Continue
+    )
+    seg2 = bytes([0x01]) + "fg".encode("utf-16-le")  # switches to UTF-16
+    assert _parse_sst([seg1, seg2]) == ["abc", "defg"]

@@ -1,0 +1,172 @@
+"""Funnel and retention analytics over the ``events`` table.
+
+The two product-analytics queries every event warehouse runs
+(reference scope: none — this is extension surface for the 100 TB
+event-pipeline story, same bucket as ``events_*``):
+
+- **Ordered funnel** (view → click → purchase): per user, the first
+  view, the first click at-or-after that view, and the first purchase
+  at-or-after that click. The sequential dependency means each stage's
+  threshold is an aggregate of the previous stage — expressed as three
+  conditional aggregations over ONE pass of per-user sorted state, not
+  three self-joins. Spark side: a single ``groupBy(user_id)`` over
+  ``min(CASE)`` for stage 1, then two co-partitioned aggregations that
+  AQE plans as local joins after the first shuffle (all three shuffles
+  share the ``user_id`` hash partitioning, so at 100 TB the exchange
+  happens once and the rest reuses it).
+- **Day-N retention**: cohort = calendar day of each user's first
+  event; every (cohort_day, day_offset) cell counts distinct users
+  active that many days after signup. Two aggregations, both keyed on
+  user_id then (cohort, offset) — the classic two-shuffle cohort shape;
+  no window over a global order anywhere.
+
+Both are hash-checked against DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "events_funnel_ordered",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, s1.t_view, MIN(e.ts) AS t_click
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s1.t_view
+      GROUP BY e.user_id, s1.t_view
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t_click
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           s1.t_view,
+           s2.t_click,
+           s3.t_purchase,
+           (CASE WHEN s1.t_view IS NULL THEN 0
+                 WHEN s2.t_click IS NULL THEN 1
+                 WHEN s3.t_purchase IS NULL THEN 2
+                 ELSE 3 END) AS stage_reached
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel per user (view → click → purchase).
+
+    ``stage_reached`` is how far the user got *in order*: a purchase
+    before any post-view click does not count as stage 3.
+
+    Plan: stage 1 is one hash aggregate on user_id. Stages 2 and 3
+    re-aggregate the events table filtered to one event type, joined
+    to the previous stage's per-user threshold — every aggregate and
+    join keys on ``user_id``, so after the first Exchange AQE reuses
+    the partitioning (observed plan: one Exchange per distinct
+    aggregation input, joins SMJ/local on the shared key, no
+    broadcast of the fact side). At 100 TB user-count cardinality is
+    the shuffle volume, not event count — each stage pre-aggregates
+    map-side before its exchange.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1.filter(F.col("t_view").isNotNull()), "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t_click"), "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.when(F.col("t_view").isNull(), 0)
+        .when(F.col("t_click").isNull(), 1)
+        .when(F.col("t_purchase").isNull(), 2)
+        .otherwise(3)
+    )
+    return (
+        s1.join(s2.select("user_id", "t_click"), "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            stage.cast("int").alias("stage_reached"),
+        )
+    )
+
+
+@register(
+    "events_retention_cohort",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN first_day f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day,
+           day_offset,
+           COUNT(*) AS n_users
+    FROM activity
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention: users active ``day_offset`` days after their
+    first-ever event, grouped by signup cohort day.
+
+    Plan: first-event aggregate (one user_id shuffle) → join back on
+    user_id (partitioning reused) → distinct on (user, cohort, offset)
+    → final (cohort, offset) aggregate. The distinct collapses
+    per-user-per-day duplicates *before* the wide rollup, so the last
+    shuffle carries at most users × active-days rows. Cohort keys are
+    calendar days — bounded cardinality, no skew risk at any scale.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+
+    first_day = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        ev.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").alias("n_users")
+    )

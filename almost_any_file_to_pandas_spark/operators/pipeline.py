@@ -1,0 +1,262 @@
+"""Training-data pipeline operators: PII scrubbing, document
+chunking, and sequence packing over the ``documents`` table.
+
+These are the steps between quality filtering and the tokenizer in a
+pretraining data pipeline (reference scope: none — extension surface,
+same bucket as the dedup/textstats families):
+
+- **PII scrub**: regex redaction of emails / IPv4s / phone numbers.
+  Pure ``regexp_replace`` column expressions — JVM-side, zero shuffle,
+  trivially parallel at any scale. The synthetic corpus contains no
+  PII, so the query *injects* deterministic PII derived from
+  (doc_id, source) first and then scrubs it — the redaction path is
+  genuinely exercised and the oracle checks the exact rewrite.
+- **Chunking with overlap**: split each document into fixed-size
+  token windows (size 50, stride 40 → overlap 10) — the RAG/embedding
+  preprocessing step. One narrow ``explode(sequence(...))`` per doc;
+  no shuffle at all. Output rows carry the chunk md5, not the text,
+  to keep the exchanged bytes small.
+- **Sequence packing**: concat-and-chunk packing of documents into
+  fixed token-budget training sequences (budget 512). Documents are
+  packed *within their source shard* (window partitioned by
+  ``source``, ordered by ``doc_id``) — the global-order version would
+  serialize into one partition, which is exactly what a 100 TB run
+  must avoid; per-shard packing is what production pipelines do.
+
+All three are hash-checked against DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+# Regexes chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repeats, \b and \d only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+1-555-\d{4}"
+
+CHUNK_SIZE = 50
+CHUNK_STRIDE = 40  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 10 tokens
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+def _count_sub(col, needle: str):
+    """Occurrences of a literal substring (portable replace-arithmetic)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def _count_sub_sql(expr: str, needle: str) -> str:
+    return (
+        f"CAST((length({expr}) - length(replace({expr}, '{needle}', '')))"
+        f" / {len(needle)} AS BIGINT)"
+    )
+
+
+_INJECT_SQL = (
+    "('contact user' || doc_id || '@mail-' || source || '.org from 10.'"
+    " || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)"
+    " || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ' || text)"
+)
+
+_SCRUB_SQL = (
+    f"regexp_replace(regexp_replace(regexp_replace({_INJECT_SQL},"
+    f" '{EMAIL_RE}', '<EMAIL>', 'g'),"
+    f" '{IPV4_RE}', '<IP>', 'g'),"
+    f" '{PHONE_RE}', '<PHONE>', 'g')"
+)
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_SCRUB_SQL} AS scrubbed FROM documents
+    )
+    SELECT doc_id,
+           md5(scrubbed) AS scrubbed_md5,
+           {_count_sub_sql('scrubbed', '<EMAIL>')}
+             + {_count_sub_sql('scrubbed', '<IP>')}
+             + {_count_sub_sql('scrubbed', '<PHONE>')} AS n_redactions
+    FROM s
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails, IPv4 addresses, and phone numbers.
+
+    Injects ``contact user{id}@mail-{source}.org from 10.x.0.y call
+    +1-555-nnnn`` ahead of each document (the corpus is synthetic and
+    PII-free), scrubs with three chained ``regexp_replace``, and
+    emits the scrubbed md5 plus the redaction count (expect ≥3 per
+    row — the injected trio, plus anything PII-shaped in the text).
+
+    Plan: a single narrow projection — whole-stage codegen, no
+    exchange, no Python. Scales as a pure map at any data size.
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id"),
+        F.lit("@mail-"),
+        F.col("source"),
+        F.lit(".org from 10."),
+        F.col("doc_id") % 256,
+        F.lit(".0."),
+        (F.col("doc_id") * 7) % 256,
+        F.lit(" call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(injected, EMAIL_RE, "<EMAIL>"),
+            IPV4_RE,
+            "<IP>",
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    n_red = (
+        _count_sub(scrubbed, "<EMAIL>")
+        + _count_sub(scrubbed, "<IP>")
+        + _count_sub(scrubbed, "<PHONE>")
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        n_red.alias("n_redactions"),
+    )
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), c AS (
+      SELECT doc_id, w,
+             unnest(range(0,
+               CAST(floor((greatest(len(w), 1) - 1) / {CHUNK_STRIDE})
+                    AS BIGINT) + 1)) AS i
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_id,
+           len(w[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_SIZE}])
+             AS chunk_tokens,
+           md5(array_to_string(
+             w[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_SIZE}], ' '))
+             AS chunk_md5
+    FROM c
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks ({CHUNK_SIZE} tokens, stride
+    {CHUNK_STRIDE}) per document — the embedding/RAG pre-processing
+    cut. Every document yields ``ceil(max(n,1)/stride)`` chunks; the
+    final chunk may be short (it is NOT padded — padding is the
+    tokenizer's job).
+
+    Plan: ``explode(sequence(...))`` then ``slice`` on the pre-split
+    token array — one narrow generate stage, no shuffle, no Python.
+    Output carries md5(chunk) instead of chunk text so downstream
+    exchanges stay narrow at 100 TB.
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    n_chunks = (
+        F.floor((F.greatest(F.size(toks), F.lit(1)) - 1) / CHUNK_STRIDE) + 1
+    )
+    base = docs.select("doc_id", toks.alias("w"), n_chunks.alias("k"))
+    exploded = base.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0), (F.col("k") - 1).cast("int"))).alias("i"),
+    )
+    piece = F.slice(
+        F.col("w"), F.col("i") * CHUNK_STRIDE + 1, F.lit(CHUNK_SIZE)
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("i").alias("chunk_id"),
+        F.size(piece).cast("long").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
+    )
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), o AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS start_off
+      FROM t
+    )
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_off AS BIGINT) AS start_off,
+           CAST(floor(start_off / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+           (floor(start_off / {PACK_BUDGET})
+            <> floor((start_off + n_tokens - 1) / {PACK_BUDGET}))
+             AS crosses_boundary
+    FROM o
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end in
+    deterministic (source, doc_id) order and cut every {PACK_BUDGET}
+    tokens. Emits each document's token offset, its training-sequence
+    id *within its source shard*, and whether it straddles a sequence
+    boundary (those get split by the tokenizer, the standard
+    GPT-style packing semantics — no padding, no document dropping).
+
+    Plan: one window aggregation PARTITIONED BY SOURCE — each shard
+    packs independently and in parallel. A single global ordering
+    would funnel 100 TB through one task; per-shard packing is the
+    scale-correct (and production-standard) semantics. One shuffle on
+    ``source``; skew bounded by shard sizing upstream (the same knob
+    that sizes training shards).
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("n_tokens"),
+    )
+    win = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    start_off = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    o = t.withColumn("start_off", start_off)
+    seq_id = F.floor(F.col("start_off") / PACK_BUDGET)
+    end_seq = F.floor((F.col("start_off") + F.col("n_tokens") - 1) / PACK_BUDGET)
+    return o.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_off",
+        seq_id.alias("seq_id"),
+        (seq_id != end_seq).alias("crosses_boundary"),
+    )

@@ -54,6 +54,11 @@ def plans(spark):
         "events_props_json_agg",
         "text_source_mix",
         "text_stratified_sample",
+        "events_funnel_ordered",
+        "events_retention_cohort",
+        "text_pii_scrub",
+        "text_chunk_overlap",
+        "text_pack_sequences",
     ]:
         df = queries[name](spark, SF_DIR)
         qe = df._jdf.queryExecution()
@@ -177,3 +182,43 @@ def test_candidate_paths_capped_no_self_join(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan  # bucket self-join eliminated
         assert str(MAX_BUCKET_SIZE) in plan  # skew guard in the filter
+
+
+def test_pii_scrub_pure_map(plans):
+    plan = plans["text_pii_scrub"]
+    assert n_exchanges(plan) == 0  # regexp_replace chain, zero shuffle
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_chunk_overlap_generate_no_shuffle(plans):
+    plan = plans["text_chunk_overlap"]
+    assert n_exchanges(plan) == 0  # explode(sequence) is narrow
+    assert "Generate" in plan
+
+
+def test_pack_sequences_per_shard_window(plans):
+    plan = plans["text_pack_sequences"]
+    # ONE hash exchange on source — the window must be partitioned,
+    # never a Single-partition global sort (the 100 TB serialization
+    # trap for packing)
+    assert n_exchanges(plan) == 1
+    assert "Exchange Single" not in plan
+    assert "Window" in plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all("lang" not in s for s in schemas)  # pruned
+
+
+def test_retention_cohort_bounded_shuffles(plans):
+    plan = plans["events_retention_cohort"]
+    # first-event agg → join back → distinct → final rollup
+    assert n_exchanges(plan) <= 3
+
+
+def test_funnel_staged_aggs_jvm_only(plans):
+    plan = plans["events_funnel_ordered"]
+    # three per-user aggregates + threshold joins; all JVM-side
+    assert n_exchanges(plan) <= 6
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # each stage scans only its event type: pushed filters present
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan

@@ -1,0 +1,253 @@
+"""Product quantization (PQ) for embedding search — the memory-bound
+ANN path (reference scope: none — extension surface alongside the IVF
+family in :mod:`.similarity`).
+
+PQ splits each D-dim vector into M subspaces, k-means-codes each
+subspace with K centroids, and stores only the M code bytes — here
+64-dim float32 (256 B) → 8 codes of 4 bits (8 B stored as one byte
+each), a 32× compression. Queries score candidates with **asymmetric
+distance computation** (ADC): per query, an M×K lookup table of
+subspace dot products is built once, and every stored vector's score
+is M table gathers — no float vector ever touched at scan time. At
+100 TB this is the difference between an in-memory index and a disk
+scan: the coded corpus is ~3% the size of the raw one.
+
+Spark shape:
+- **Train** on a bounded, deterministic sample (``ORDER BY vec_id
+  LIMIT n``) pulled to the driver — the quantizer-training collect is
+  O(sample), constant in corpus size (the production pattern: train on
+  a sample, broadcast the codebooks). NOT a data-path collect.
+- **Encode** with one narrow Arrow-batched ``mapInPandas`` stage
+  (vectorized argmin over the broadcast codebooks), no shuffle.
+- **Score** with a second narrow stage that also does per-batch local
+  top-k (numpy argpartition), so the only shuffle — the final
+  per-query window — sees ``partitions × queries × k`` rows, not
+  ``corpus × queries``.
+
+All Lloyd's-based queries are rows-only for the driver gate (k-means
+is not SQL-expressible); recall is measured against the exact
+``sim_knn_batch`` baseline, mirroring ``sim_ivf_recall``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from almost_any_file_to_pandas_spark.operators.similarity import (
+    KNN_K,
+    N_QUERIES,
+)
+from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+PQ_M = 8  # subspaces
+PQ_K = 256  # codes per subspace (8 bits, the standard PQ setting)
+PQ_ITERS = 10  # Lloyd's iterations per subspace
+PQ_TRAIN_SAMPLE = 2048  # bounded training sample (constant in corpus size)
+
+
+def _train_codebooks(emb: DataFrame) -> np.ndarray:
+    """Per-subspace k-means codebooks, shape (M, K, D/M).
+
+    Deterministic: fixed sample (first PQ_TRAIN_SAMPLE vec_ids), fixed
+    init (first K sample rows per subspace), fixed iteration count.
+    Empty clusters keep their previous centroid.
+    """
+    sample = (
+        emb.orderBy("vec_id")
+        .limit(PQ_TRAIN_SAMPLE)
+        .select("embedding")
+        .toPandas()
+    )
+    X = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    dim = X.shape[1]
+    sub = dim // PQ_M
+    books = np.empty((PQ_M, PQ_K, sub))
+    for m in range(PQ_M):
+        S = X[:, m * sub : (m + 1) * sub]
+        C = S[:PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(PQ_K):
+                mask = assign == k
+                if mask.any():
+                    C[k] = S[mask].mean(axis=0)
+        books[m] = C
+    return books
+
+
+def pq_encode(emb: DataFrame, books: np.ndarray) -> DataFrame:
+    """Encode each vector to M subspace codes (one narrow Arrow stage)."""
+    sub = books.shape[2]
+
+    def _encode(batches):
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            X = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(X), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                S = X[:, m * sub : (m + 1) * sub]
+                d2 = ((S[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _encode, schema="vec_id bigint, codes array<int>"
+    )
+
+
+@register("sim_pq_topk")  # rows-only: k-means codebooks, not SQL-expressible
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k by PQ/ADC for the first N_QUERIES vectors.
+
+    Output: (query_id, vec_id, pq_cosine, pq_rank ≤ KNN_K) — the same
+    contract as ``sim_ivf_kmeans_topk`` so the recall harness composes.
+
+    ``pq_cosine`` reconstructs both the dot product and the candidate
+    norm from the code tables (dot̂ = Σ_m LUT[m, code_m]; ‖x̂‖² =
+    Σ_m ‖c_{m,code_m}‖²) — the full ADC formulation, no raw candidate
+    vector read after encoding.
+    """
+    apply_engine_conf(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    books = _train_codebooks(emb)
+    sub = books.shape[2]
+
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )  # N_QUERIES rows — bounded query batch, same as sim_knn_batch
+    q_ids = queries["vec_id"].to_numpy()
+    Q = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
+    q_norms = np.linalg.norm(Q, axis=1)
+    # ADC lookup tables: dot LUT (nq, M, K) and code-norm² LUT (M, K)
+    lut = np.einsum(
+        "qmd,mkd->qmk", Q.reshape(len(Q), PQ_M, sub), books
+    )
+    cn2 = (books**2).sum(axis=2)  # (M, K)
+
+    def _score(batches):
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            vec_ids = batch["vec_id"].to_numpy()
+            codes = np.stack(batch["codes"].to_numpy())  # (n, M)
+            col = np.arange(PQ_M)
+            dots = lut[:, col, codes[:, col]].sum(axis=2)  # (nq, n)
+            norms = np.sqrt(cn2[col, codes[:, col]].sum(axis=1))  # (n,)
+            cos = dots / (q_norms[:, None] * norms[None, :])
+            out = []
+            k = min(KNN_K + 1, cos.shape[1])
+            for qi in range(len(q_ids)):
+                # local top-k per batch bounds the shuffle volume
+                top = np.argpartition(-cos[qi], k - 1)[:k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[qi],
+                            "vec_id": vec_ids[top],
+                            "pq_cosine": np.round(cos[qi][top], 6),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    codes = pq_encode(emb, books)
+    scored = codes.mapInPandas(
+        _score, schema="query_id bigint, vec_id bigint, pq_cosine double"
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    w = W.partitionBy("query_id").orderBy(F.desc("pq_cosine"), F.asc("vec_id"))
+    return scored.withColumn("pq_rank", F.row_number().over(w)).filter(
+        F.col("pq_rank") <= KNN_K
+    )
+
+
+@register("sim_pq_recall")  # rows-only: composes sim_pq_topk
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PQ/ADC search against the exact kNN baseline, per
+    query — the acceptance metric for any quantized index rollout."""
+    apply_engine_conf(spark)
+    from almost_any_file_to_pandas_spark.operators.similarity import (
+        sim_knn_batch,
+    )
+
+    exact = sim_knn_batch(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("exact_id")
+    )
+    approx = sim_pq_topk(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("approx_id")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (exact.exact_id == approx.approx_id),
+        )
+        .groupBy(exact.query_id.alias("qid"))
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("k"))
+        .join(hits, F.col("query_id") == F.col("qid"), "left")
+        .select(
+            "query_id",
+            "k",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k")).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+@register("sim_pq_reconstruction")  # rows-only: k-means codebooks
+def sim_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PQ quality summary: mean squared reconstruction
+    error and the compression ratio — one row. The tuning signal for
+    (M, K): error falls as either grows, storage grows as M·log2(K).
+    """
+    apply_engine_conf(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    books = _train_codebooks(emb)
+    sub = books.shape[2]
+    dim = PQ_M * sub
+
+    def _err(batches):
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            X = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            err = np.zeros(len(X))
+            for m in range(PQ_M):
+                S = X[:, m * sub : (m + 1) * sub]
+                d2 = ((S[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                err += d2.min(axis=1)
+            yield pd.DataFrame(
+                {"n": [len(X)], "sse": [err.sum()]}
+            )
+
+    parts = emb.select("embedding").mapInPandas(
+        _err, schema="n bigint, sse double"
+    )
+    raw_bytes = dim * 4
+    coded_bytes = PQ_M  # one byte per code (4 bits packable to PQ_M/2)
+    return parts.agg(
+        F.round(F.sum("sse") / F.sum("n"), 6).alias("mean_sq_error"),
+        F.lit(raw_bytes).alias("raw_bytes_per_vec"),
+        F.lit(coded_bytes).alias("coded_bytes_per_vec"),
+        F.round(F.lit(raw_bytes / coded_bytes), 2).alias("compression_x"),
+    )

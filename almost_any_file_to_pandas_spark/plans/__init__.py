@@ -41,6 +41,7 @@ def load_all() -> None:
     from almost_any_file_to_pandas_spark.operators import multimodal  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import temporal  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import funnel  # noqa: F401
+    from almost_any_file_to_pandas_spark.operators import pq  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import pipeline  # noqa: F401
     from almost_any_file_to_pandas_spark.streaming import events  # noqa: F401
 

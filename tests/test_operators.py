@@ -261,3 +261,66 @@ def test_ivf_score_bucket_degenerate():
         {"vec_id": [5], "bucket": [0], "v": [np.ones(4)]}
     )
     assert len(ivf_score_bucket(one)) == 0
+
+
+def test_pq_codes_deterministic_and_bounded(spark):
+    """PQ encoding must be reproducible run-to-run (fixed sample, fixed
+    init, fixed iterations) — a re-encoded corpus that drifts would
+    silently invalidate every stored code at 100 TB."""
+    from almost_any_file_to_pandas_spark.operators.pq import (
+        PQ_K,
+        PQ_M,
+        _train_codebooks,
+        pq_encode,
+    )
+    from almost_any_file_to_pandas_spark.plans import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = _train_codebooks(emb)
+    books2 = _train_codebooks(emb)
+    assert (books == books2).all()
+    c1 = {r.vec_id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    c2 = {r.vec_id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    assert c1 == c2
+    assert all(len(v) == PQ_M for v in c1.values())
+    assert all(0 <= c < PQ_K for v in c1.values() for c in v)
+
+
+def test_pq_reconstruction_beats_mean_baseline(spark):
+    """The learned codebooks must reconstruct far better than the
+    K=1 'global mean' quantizer — the sanity floor for any VQ."""
+    import numpy as np
+
+    from almost_any_file_to_pandas_spark.operators.pq import (
+        sim_pq_reconstruction,
+    )
+    from almost_any_file_to_pandas_spark.plans import table
+
+    sf = "/root/testdata/sf0.001"
+    mse = sim_pq_reconstruction(spark, sf).collect()[0]["mean_sq_error"]
+    X = np.stack(
+        table(spark, sf, "embeddings")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    baseline = ((X - X.mean(axis=0)) ** 2).sum(axis=1).mean()
+    assert mse < 0.5 * baseline
+
+
+def test_pq_topk_contract(spark):
+    """Same output contract as the other ANN paths: KNN_K rows per
+    query, ranks 1..K, no self-matches."""
+    from almost_any_file_to_pandas_spark.operators.pq import sim_pq_topk
+    from almost_any_file_to_pandas_spark.operators.similarity import (
+        KNN_K,
+        N_QUERIES,
+    )
+
+    rows = sim_pq_topk(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == N_QUERIES * KNN_K
+    by_q = {}
+    for r in rows:
+        assert r.query_id != r.vec_id
+        by_q.setdefault(r.query_id, []).append(r.pq_rank)
+    assert all(sorted(v) == list(range(1, KNN_K + 1)) for v in by_q.values())

@@ -32,6 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from almost_any_file_to_pandas_spark.operators.textstats import (
+    QF_MAX_DUP_RATIO,
+    QF_MAX_TOP_FRACTION,
+    QF_MIN_WORDS,
+)
 from almost_any_file_to_pandas_spark.plans import register, table
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
 
@@ -259,4 +264,96 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_off",
         seq_id.alias("seq_id"),
         (seq_id != end_seq).alias("crosses_boundary"),
+    )
+
+
+@register(
+    "pipeline_corpus_prep",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    ), w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), topw AS (
+      SELECT doc_id, MAX(cnt) AS top_cnt FROM (
+        SELECT doc_id, tok, COUNT(*) AS cnt FROM w GROUP BY 1, 2
+      ) GROUP BY doc_id
+    ), keep AS (
+      SELECT t.doc_id FROM t JOIN topw ON t.doc_id = topw.doc_id
+      WHERE t.n_words >= {QF_MIN_WORDS}
+        AND 1 - t.n_distinct::DOUBLE / t.n_words <= {QF_MAX_DUP_RATIO}
+        AND topw.top_cnt::DOUBLE / t.n_words <= {QF_MAX_TOP_FRACTION}
+    ), d AS (
+      SELECT doc.doc_id, doc.source,
+             len(string_split(doc.text, ' ')) AS n_tokens,
+             md5(lower(trim(doc.text))) AS fp
+      FROM documents doc JOIN keep ON doc.doc_id = keep.doc_id
+    ), winners AS (
+      SELECT fp, MIN(doc_id) AS doc_id FROM d GROUP BY fp
+    ), surv AS (
+      SELECT d.doc_id, d.source, d.n_tokens
+      FROM d JOIN winners ON d.fp = winners.fp AND d.doc_id = winners.doc_id
+    ), o AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS start_off
+      FROM surv
+    )
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_off AS BIGINT) AS start_off,
+           CAST(floor(start_off / {PACK_BUDGET}) AS BIGINT) AS seq_id
+    FROM o
+    """,
+)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training data pipeline, end to end: quality
+    filter → exact dedup (keep min doc_id per content fingerprint) →
+    per-shard sequence packing. One registered query proving the
+    operators COMPOSE — the output is each surviving document's slot
+    in the packed training stream.
+
+    Shuffle audit at 100 TB: the quality filter pays the word-count
+    aggregation (its doc_id-keyed shuffles), dedup pays one
+    fingerprint-keyed exchange, packing one source-keyed window. All
+    keys are either doc_id (uniform), a hash fingerprint (uniform), or
+    the shard key — no skew-prone key anywhere, no driver
+    materialization, no Python stage.
+    """
+    apply_engine_conf(spark)
+    from almost_any_file_to_pandas_spark.operators.textstats import (
+        text_quality_filter,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    keep = text_quality_filter(spark, sf_dir).filter("keep").select("doc_id")
+    d = docs.join(keep, "doc_id").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("n_tokens"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    winners = d.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    surv = d.join(winners, ["fp", "doc_id"]).select(
+        "doc_id", "source", "n_tokens"
+    )
+    win = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    o = surv.withColumn(
+        "start_off", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    )
+    return o.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_off",
+        F.floor(F.col("start_off") / PACK_BUDGET).alias("seq_id"),
     )

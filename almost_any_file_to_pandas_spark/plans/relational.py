@@ -531,3 +531,174 @@ def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_sum").cast("double").alias("total_value"),
         F.sum("_cnt").alias("n_events"),
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH part_avg AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                    / COUNT(*)) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN part_avg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#9'
+      AND l.l_quantity < a.qty_threshold
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-style correlated scalar subquery, decorrelated: the
+    per-part average quantity becomes an aggregate joined back to the
+    fact — the rewrite Catalyst itself applies to correlated scalar
+    subqueries, here stated explicitly so the join strategy is
+    auditable.
+
+    Scale shape: both the threshold aggregate and the probe shuffle on
+    l_partkey — ONE hash partitioning reused across the aggregate and
+    the join (no second Exchange of the big side); the brand-filtered
+    part dimension broadcasts. The threshold is computed in decimal so
+    the comparison cut is bit-identical across engines.
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#9")
+    part_avg = li.groupBy("l_partkey").agg(
+        (
+            0.2
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
+                / F.count("*")
+            )
+        ).alias("qty_threshold")
+    ).withColumnRenamed("l_partkey", "a_partkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part_avg, li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast(
+                    "double"
+                )
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+Q18_QTY_THRESHOLD = 250
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+           o.o_totalprice,
+           CAST(s.sum_qty AS DOUBLE) AS sum_qty
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey,
+             SUM(CAST(l_quantity AS DECIMAL(25,6))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > {Q18_QTY_THRESHOLD}
+    ) s ON o.o_orderkey = s.l_orderkey
+    ORDER BY sum_qty DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-style: large-volume orders via a grouped HAVING
+    subquery joined back to orders, deterministic top-20.
+
+    Scale shape: the lineitem aggregate shuffles once on l_orderkey and
+    the HAVING filter collapses it to the rare heavy orders *before*
+    the join — the join's build side is tiny and AQE broadcasts it at
+    runtime. Top-20 is TakeOrderedAndProject (per-partition heaps), not
+    a global sort.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    heavy = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+               / COUNT(*) AS v
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.v
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-06-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-style: scalar subquery (global average balance) +
+    anti-join (customers with no *recent* orders — no order since
+    2000-06-01) + rollup by nation.
+
+    Scale shape: the scalar aggregate is one row — cross-joined as a
+    broadcast, never a shuffle; the NOT EXISTS is a left_anti join on
+    o_custkey (at scale: shuffle on custkey with AQE skew handling —
+    anti joins can't broadcast the fact side, and the orders side only
+    needs its join column, which column pruning reduces to one long
+    per row). The balance cut is decimal-computed, identical across
+    engines.
+    """
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )

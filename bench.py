@@ -45,6 +45,7 @@ HEADLINE = [
     "text_repetition_stats",
     "text_quality_filter",
     "text_contamination_ngram",
+    "pipeline_corpus_prep",
     "events_tumbling_window",
     "events_sessionization",
     "events_asof_view_click",

@@ -222,3 +222,16 @@ def test_funnel_staged_aggs_jvm_only(plans):
     # each stage scans only its event type: pushed filters present
     assert "EqualTo(event_type,click)" in plan
     assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_pipeline_corpus_prep_composed_jvm_only(spark):
+    """The composed pipeline stays JVM-side end to end, with no
+    single-partition exchange (the packing window must remain
+    per-shard even after composition)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["pipeline_corpus_prep"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange Single" not in plan
+    assert n_exchanges(plan) <= 8

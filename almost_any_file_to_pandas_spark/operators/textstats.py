@@ -580,7 +580,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CONTAM_NGRAM = 5
+CONTAM_NGRAM = 4
 CONTAM_BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark
 
 

@@ -702,3 +702,107 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+APPROX_REL_TOL = 0.05
+
+
+@register(
+    "events_approx_distinct",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type,
+    *property-checked*: the emitted ``approx_within_tol`` is the
+    engine-side claim that the sketch landed within ±5% of the exact
+    count, and the oracle states it as literally TRUE — if Spark's
+    HLL ever drifts outside tolerance the hash mismatch turns the
+    gate red. The exact count rides along so the row is anchored to
+    real values, not just the boolean.
+
+    Scale shape: this is THE distinct-count pattern at 100 TB — the
+    exact two-phase distinct shuffles every (type, user) pair once;
+    the HLL sketch shuffles only fixed-size registers (map-side
+    partials merge associatively). Running both here is the
+    correctness harness; production keeps the sketch.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+    )
+    tol = F.lit(APPROX_REL_TOL)
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= tol * F.col("exact_users")
+        ).alias("approx_within_tol"),
+    )
+
+
+@register(
+    "order_value_approx_percentiles",
+    oracle="""
+    SELECT
+      CAST(quantile_disc(o_totalprice, 0.50) AS DOUBLE) AS p50_exact,
+      CAST(quantile_disc(o_totalprice, 0.95) AS DOUBLE) AS p95_exact,
+      TRUE AS approx_within_tol
+    FROM orders
+    """,
+)
+def order_value_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) vs the exact
+    discrete quantiles, property-checked like the HLL query: the
+    emitted boolean claims the sketch landed within ±5% of exact, the
+    oracle pins it TRUE, and the exact values anchor the row.
+
+    Scale shape: exact percentiles need a full sort or a
+    per-group collect of values; the GK sketch is a bounded-memory
+    mergeable summary — the only way to percentile 100 TB in one
+    pass. ``accuracy=10000`` keeps rank error ≤ 0.01%.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.expr("percentile_approx(o_totalprice, 0.50, 10000)").alias("_p50a"),
+        F.expr("percentile_approx(o_totalprice, 0.95, 10000)").alias("_p95a"),
+    )
+    # exact DISC quantiles (portable): smallest value with cume_dist >= q
+    w = W.orderBy("o_totalprice")
+    ranked = orders.select(
+        "o_totalprice", F.cume_dist().over(w).alias("_cd")
+    )
+    p50 = ranked.filter(F.col("_cd") >= 0.50).agg(
+        F.min("o_totalprice").alias("p50_exact")
+    )
+    p95 = ranked.filter(F.col("_cd") >= 0.95).agg(
+        F.min("o_totalprice").alias("p95_exact")
+    )
+    tol = 0.05
+    return (
+        p50.crossJoin(p95)
+        .crossJoin(agg)
+        .select(
+            "p50_exact",
+            "p95_exact",
+            (
+                (
+                    F.abs(F.col("_p50a") - F.col("p50_exact"))
+                    <= tol * F.col("p50_exact")
+                )
+                & (
+                    F.abs(F.col("_p95a") - F.col("p95_exact"))
+                    <= tol * F.col("p95_exact")
+                )
+            ).alias("approx_within_tol"),
+        )
+    )

@@ -324,3 +324,63 @@ def test_pq_topk_contract(spark):
         assert r.query_id != r.vec_id
         by_q.setdefault(r.query_id, []).append(r.pq_rank)
     assert all(sorted(v) == list(range(1, KNN_K + 1)) for v in by_q.values())
+
+
+@pytest.fixture()
+def tiny_docs_dir(spark, tmp_path):
+    """A minimal documents table with hand-reasoned edge cases."""
+    rows = [
+        # (doc_id, text, lang, source, n_chars)
+        (0, "one", "en", "web", 3),  # single word
+        (1, " ".join(f"w{i}" for i in range(40)), "en", "web", 0),  # < size
+        (2, " ".join(f"x{i}" for i in range(50)), "en", "web", 0),  # == size
+        (3, " ".join(f"y{i}" for i in range(91)), "en", "wiki", 0),  # 3 chunks
+        (4, "", "en", "wiki", 0),  # empty text
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_chunk_overlap_edges(spark, tiny_docs_dir):
+    from almost_any_file_to_pandas_spark.operators.pipeline import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        text_chunk_overlap,
+    )
+
+    out = text_chunk_overlap(spark, tiny_docs_dir)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_tokens))
+    # single word, short doc, empty doc → exactly one chunk
+    assert by_doc[0] == [(0, 1)]
+    assert by_doc[1] == [(0, 40)]
+    assert by_doc[4] == [(0, 1)]  # split("") == [""] — one empty token
+    # exactly CHUNK_SIZE words: one full chunk + the stride remainder
+    assert sorted(by_doc[2]) == [(0, CHUNK_SIZE), (1, CHUNK_SIZE - CHUNK_STRIDE)]
+    # 91 words, stride 40: starts at 0, 40, 80 → sizes 50, 50, 11
+    assert sorted(by_doc[3]) == [(0, 50), (1, 50), (2, 11)]
+
+
+def test_pack_sequences_boundary_accounting(spark, tiny_docs_dir):
+    from almost_any_file_to_pandas_spark.operators.pipeline import (
+        PACK_BUDGET,
+        text_pack_sequences,
+    )
+
+    rows = {r.doc_id: r for r in text_pack_sequences(spark, tiny_docs_dir).collect()}
+    # web shard packs doc 0 (1 tok), 1 (40), 2 (50) in doc_id order
+    assert rows[0].start_off == 0 and rows[0].seq_id == 0
+    assert rows[1].start_off == 1
+    assert rows[2].start_off == 41
+    # wiki shard is independent: doc 3 starts at 0 despite web's offsets
+    assert rows[3].start_off == 0
+    assert rows[4].start_off == 91  # after doc 3's 91 tokens
+    # nothing here crosses PACK_BUDGET; all in sequence 0
+    assert all(r.seq_id == 0 and not r.crosses_boundary for r in rows.values())
+    assert PACK_BUDGET > 92  # guard: the fixture stays below one budget

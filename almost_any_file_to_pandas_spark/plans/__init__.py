@@ -63,3 +63,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every testdata table as a temp view, making the whole
+    engine surface reachable from ``spark.sql(...)`` — the same
+    normalized frames (events.ts nanos→timestamp) the DataFrame
+    callables read, so SQL and DataFrame results are interchangeable.
+    """
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -384,3 +384,31 @@ def test_pack_sequences_boundary_accounting(spark, tiny_docs_dir):
     # nothing here crosses PACK_BUDGET; all in sequence 0
     assert all(r.seq_id == 0 and not r.crosses_boundary for r in rows.values())
     assert PACK_BUDGET > 92  # guard: the fixture stays below one budget
+
+
+def test_register_views_sql_surface(spark):
+    """spark.sql over the registered views must agree with the
+    DataFrame path — the SQL front door to the same engine."""
+    from almost_any_file_to_pandas_spark.plans import register_views
+    from almost_any_file_to_pandas_spark.plans.relational import (
+        q1_pricing_summary,
+    )
+    from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+    sf = "/root/testdata/sf0.001"
+    apply_engine_conf(spark)
+    register_views(spark, sf)
+    sql_rows = spark.sql(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY 1, 2"
+    ).collect()
+    df_rows = q1_pricing_summary(spark, sf).select(
+        "l_returnflag", "l_linestatus", "count_order"
+    ).collect()
+    assert {(r[0], r[1], r[2]) for r in sql_rows} == {
+        (r[0], r[1], r[2]) for r in df_rows
+    }
+    # events view carries the converted timestamp, not raw nanos
+    ts_type = dict(spark.table("events").dtypes)["ts"]
+    assert ts_type == "timestamp"

@@ -29,6 +29,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_idle_rich_customers",
     "top_customers_per_segment",
     "supplier_part_volume",
     "dedup_exact",
@@ -45,10 +48,15 @@ HEADLINE = [
     "text_repetition_stats",
     "text_quality_filter",
     "text_contamination_ngram",
+    "text_pii_scrub",
+    "text_chunk_overlap",
+    "text_pack_sequences",
     "pipeline_corpus_prep",
     "events_tumbling_window",
     "events_sessionization",
     "events_asof_view_click",
+    "events_funnel_ordered",
+    "events_retention_cohort",
 ]
 
 

@@ -251,3 +251,66 @@ def sim_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(coded_bytes).alias("coded_bytes_per_vec"),
         F.round(F.lit(raw_bytes / coded_bytes), 2).alias("compression_x"),
     )
+
+
+# Property-oracle floors: the Lloyd's-based metrics above are rows-only
+# (k-means is not SQL-expressible), but their *acceptance properties*
+# are hash-checkable — the engine emits the claim as a boolean anchored
+# to SQL-expressible counts, and the oracle pins it TRUE (the sketch-
+# tolerance pattern of ``events_approx_distinct``). If quantizer
+# quality ever regresses below the floor, the hash gate turns red.
+
+PQ_RECALL_FLOOR = 0.4  # macro recall@5 observed 0.62 at sf0.01
+PQ_MSE_CEIL = 0.5  # mean squared reconstruction error observed 0.108
+
+
+@register(
+    "sim_pq_recall_floor",
+    oracle=f"""
+    SELECT COUNT(*) AS n_queries,
+           CAST({KNN_K} AS BIGINT) AS k,
+           TRUE AS recall_floor_met
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+)
+def sim_pq_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked acceptance gate over :func:`sim_pq_recall`: one row
+    claiming macro recall@k ≥ PQ_RECALL_FLOOR, anchored to the query
+    count the oracle derives independently."""
+    per_query = sim_pq_recall(spark, sf_dir)
+    return per_query.agg(
+        F.count("*").alias("n_queries"),
+        F.max("k").cast("bigint").alias("k"),
+        (F.avg("recall_at_k") >= F.lit(PQ_RECALL_FLOOR)).alias(
+            "recall_floor_met"
+        ),
+    )
+
+
+@register(
+    "sim_pq_reconstruction_bound",
+    oracle="""
+    SELECT COUNT(*) AS n_vectors,
+           CAST(32.0 AS DOUBLE) AS compression_x,
+           TRUE AS mse_below_tol
+    FROM embeddings
+    """,
+)
+def sim_pq_reconstruction_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked acceptance gate over :func:`sim_pq_reconstruction`:
+    corpus size and compression ratio anchor the row; the boolean
+    claims mean squared reconstruction error ≤ PQ_MSE_CEIL."""
+    apply_engine_conf(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    stats = sim_pq_reconstruction(spark, sf_dir)
+    n = emb.agg(F.count("*").alias("n_vectors"))
+    return n.crossJoin(
+        stats.select(
+            (F.col("raw_bytes_per_vec") / F.col("coded_bytes_per_vec"))
+            .cast("double")
+            .alias("compression_x"),
+            (F.col("mean_sq_error") <= F.lit(PQ_MSE_CEIL)).alias(
+                "mse_below_tol"
+            ),
+        )
+    )

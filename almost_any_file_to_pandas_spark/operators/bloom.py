@@ -1,0 +1,153 @@
+"""Bloom-filter benchmark decontamination — the constant-memory
+prefilter for contamination checks at corpus scale (reference scope:
+none — extension surface).
+
+:func:`~almost_any_file_to_pandas_spark.operators.textstats.
+text_contamination_ngram` joins corpus shingles against benchmark
+shingles directly. That is exact, but the benchmark side must be
+broadcast as a hash relation of full shingle strings. The production
+pattern at 100 TB replaces it with a **Bloom filter**: the benchmark's
+shingle set compresses to a fixed ``BLOOM_BITS``-bit array (128 KiB
+here) that ships to every executor once; corpus shingles probe it with
+k hashes and only the (rare) candidates proceed to the exact join.
+False positives cost a little wasted verification; false negatives are
+impossible — which is exactly the hash-checkable property below.
+
+Stage shapes:
+- **Build** (bounded): benchmark shingles → k hash positions JVM-side
+  (``xxhash64``) → distinct positions → driver collect (≤ BLOOM_BITS
+  values — constant in corpus size, like a quantizer codebook) →
+  packed numpy bitset, captured by the probe UDF's closure (~128 KiB
+  serialized once per executor).
+- **Probe** (narrow): corpus shingles → the same k positions JVM-side
+  → one Arrow-batched pandas UDF doing fully vectorized bit tests —
+  no Python-side hashing, no shuffle until the per-doc aggregate.
+- **Property**: exact contaminated docs MUST all be Bloom candidates
+  (no false negatives). The emitted boolean states it; the oracle
+  (which can compute the exact side in SQL) pins it TRUE.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from almost_any_file_to_pandas_spark.operators.textstats import (
+    CONTAM_BENCH_MOD,
+    CONTAM_NGRAM,
+)
+from almost_any_file_to_pandas_spark.plans import fan_out_scan, register, table
+from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+BLOOM_BITS = 1 << 20  # 128 KiB bitset
+BLOOM_K = 3  # hash probes per shingle
+
+
+def _positions(col):
+    """k xxhash64 bit positions for a shingle, as k separate columns
+    (separate columns, not an array, so the probe UDF stays fully
+    vectorized)."""
+    return [
+        F.pmod(
+            F.xxhash64(F.concat(col, F.lit(f"#{i}"))), F.lit(BLOOM_BITS)
+        ).alias(f"p{i}")
+        for i in range(BLOOM_K)
+    ]
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    from almost_any_file_to_pandas_spark.operators.dedup import _word_ngrams
+
+    toks = F.split(F.col("text"), " ", -1)
+    return docs.select(
+        "doc_id", F.explode(_word_ngrams(toks, CONTAM_NGRAM)).alias("s")
+    )
+
+
+def build_bloom_bits(bench_shingles: DataFrame) -> np.ndarray:
+    """Packed uint8 bitset of the benchmark shingle set. The collect
+    is bounded by BLOOM_BITS distinct positions regardless of corpus
+    size — an index-build step, not a data-path materialization."""
+    pos_rows = (
+        bench_shingles.select(F.explode(F.array(*_positions(F.col("s")))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    a = np.array([r["p"] for r in pos_rows], dtype=np.int64)
+    if len(a):
+        np.bitwise_or.at(bits, a >> 3, (1 << (a & 7)).astype(np.uint8))
+    return bits
+
+
+def _make_probe(bits: np.ndarray):
+    @F.pandas_udf("boolean")
+    def probe(p0: pd.Series, p1: pd.Series, p2: pd.Series) -> pd.Series:
+        def hit(p: pd.Series) -> np.ndarray:
+            a = p.to_numpy(dtype=np.int64)
+            return (bits[a >> 3] >> (a & 7)) & 1
+
+        return pd.Series((hit(p0) & hit(p1) & hit(p2)).astype(bool))
+
+    return probe
+
+
+@register(
+    "text_contamination_bloom",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - {CONTAM_NGRAM - 1}, 0) + 1),
+               i -> array_to_string(w[i:i+{CONTAM_NGRAM - 1}], ' ')))) AS s
+      FROM base
+    ), bench AS (
+      SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    )
+    SELECT COUNT(DISTINCT t.doc_id) AS n_exact_contaminated,
+           TRUE AS bloom_superset
+    FROM sh t JOIN bench b ON t.s = b.s AND t.doc_id <> b.bench_id
+    """,
+)
+def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination, property-checked: one row
+    with the exact contaminated-doc count (oracle recomputes it in
+    SQL) and the engine's claim that every exact hit was also a Bloom
+    candidate — a false negative would flip the boolean and turn the
+    driver's hash gate red."""
+    apply_engine_conf(spark)
+    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    sh = _shingles(docs)
+    bench = sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+
+    bits = build_bloom_bits(bench)
+    probe = _make_probe(bits)
+    flagged = sh.select(
+        "doc_id", "s", *_positions(F.col("s"))
+    ).withColumn("bloom_hit", probe(F.col("p0"), F.col("p1"), F.col("p2")))
+    candidates = (
+        flagged.filter(F.col("bloom_hit"))
+        .select("doc_id")
+        .distinct()
+    )
+
+    bench_keyed = bench.select(F.col("doc_id").alias("bench_id"), "s")
+    exact_docs = (
+        sh.join(F.broadcast(bench_keyed), "s")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    n_exact = exact_docs.agg(
+        F.count("*").alias("n_exact_contaminated")
+    )
+    missed = exact_docs.join(candidates, "doc_id", "left_anti").agg(
+        F.count("*").alias("_n_missed")
+    )
+    return n_exact.crossJoin(missed).select(
+        "n_exact_contaminated",
+        (F.col("_n_missed") == 0).alias("bloom_superset"),
+    )

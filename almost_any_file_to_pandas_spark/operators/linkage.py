@@ -1,0 +1,75 @@
+"""Blocked fuzzy record linkage (entity resolution) across two entity
+tables — the dedup-across-sources primitive of a data-integration
+pipeline (reference scope: none — extension surface; the reference,
+``/root/reference/main.py``, only ingests single files).
+
+The 100 TB shape is the point: naive fuzzy linkage is an O(n·m) cross
+join. Blocking bounds it — candidates must agree on cheap deterministic
+keys (here: nation + the last two name characters), so the join is an
+ordinary *equi-join* on the block keys and the expensive edit-distance
+predicate runs only inside blocks. Block volume is Σ|C_b|×|S_b|; with
+k uniform blocks that is n·m/k, and the small side broadcasts, so the
+big side never shuffles at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+LINK_MAX_DIST = 6  # prefix swap costs 5 ("Customer"->"Supplier"); +1 fuzz
+
+
+@register(
+    "link_customer_supplier_fuzzy",
+    oracle=f"""
+    SELECT c.c_custkey, s.s_suppkey,
+           CAST(levenshtein(c.c_name, s.s_name) AS BIGINT) AS name_dist,
+           round(abs(c.c_acctbal - s.s_acctbal), 2) AS bal_gap
+    FROM customer c JOIN supplier s
+      ON c.c_nationkey = s.s_nationkey
+     AND right(c.c_name, 2) = right(s.s_name, 2)
+    WHERE levenshtein(c.c_name, s.s_name) <= {LINK_MAX_DIST}
+    """,
+)
+def link_customer_supplier_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer↔supplier linkage: block on (nationkey, name suffix),
+    match when edit distance ≤ LINK_MAX_DIST. The entity-name prefixes
+    differ by 5 edits, so 6 admits at most one further digit edit —
+    "the same id, possibly one typo" in this synthetic naming scheme.
+
+    Plan: supplier (the small side) broadcasts; the blocked equi-join
+    keeps levenshtein off the hot path until candidates are bounded.
+    """
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        F.expr("right(c_name, 2)").alias("c_sfx"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        "s_acctbal",
+        F.expr("right(s_name, 2)").alias("s_sfx"),
+    )
+    joined = cust.join(
+        F.broadcast(supp),
+        (F.col("c_nationkey") == F.col("s_nationkey"))
+        & (F.col("c_sfx") == F.col("s_sfx")),
+    )
+    dist = F.levenshtein(F.col("c_name"), F.col("s_name"))
+    return joined.filter(dist <= LINK_MAX_DIST).select(
+        "c_custkey",
+        "s_suppkey",
+        dist.cast("bigint").alias("name_dist"),
+        F.round(F.abs(F.col("c_acctbal") - F.col("s_acctbal")), 2).alias(
+            "bal_gap"
+        ),
+    )

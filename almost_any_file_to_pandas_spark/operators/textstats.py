@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.plans import fan_out_scan, register, table
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
 
 # Tiny embedded stopword sets per language — enough for a determinstic
@@ -66,7 +66,7 @@ def _occurrences_sql(expr: str, token: str) -> str:
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count + measured char length per document."""
     apply_engine_conf(spark)
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
     return docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ", -1)).alias("n_tokens"),
@@ -87,7 +87,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale (hash-partition by fingerprint → all copies co-located).
     """
     apply_engine_conf(spark)
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
     return docs.select(
         "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
     )
@@ -139,7 +139,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     and codegen-friendly; the standard pre-training quality filter
     shape (filter thresholds applied downstream)."""
     apply_engine_conf(spark)
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
     return _quality_cols(docs)
 
 
@@ -181,7 +181,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed precedence tie-break (en > de > fr > es). Returns prediction
     beside the label so accuracy is one aggregation away."""
     apply_engine_conf(spark)
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
     lowered = F.lower(F.col("text"))
     scores = {}
     for lang, markers in _LANG_MARKERS.items():
@@ -225,7 +225,7 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs per ingest batch. Partial aggregation map-side; one shuffle
     on (lang, source)."""
     apply_engine_conf(spark)
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
     return docs.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("n_chars").cast("decimal(25,4)")).cast("double").alias("total_chars"),
@@ -257,7 +257,7 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio between the two is a standard tokenizer-cost estimator for
     training-data budgeting; everything stays a narrow projection."""
     apply_engine_conf(spark)
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
     return docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ", -1)).alias("n_ws_tokens"),
@@ -296,7 +296,7 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     never overflows the BIGINT lane, so ANSI mode stays happy.
     """
     apply_engine_conf(spark)
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
     toks = F.split(F.col("text"), " ", -1)
     codes = F.transform(
         toks,
@@ -341,7 +341,7 @@ def text_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     from pyspark.sql import Window as W
 
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
     agg = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("_sum_chars"),
@@ -425,7 +425,7 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate table were data-driven).
     """
     apply_engine_conf(spark)
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
     unif = _doc_uniform(F.col("doc_id"))
     rate = F.lit(SAMPLE_RATE_DEFAULT)
     for s, r in reversed(SAMPLE_RATE_OVERRIDES.items()):
@@ -483,7 +483,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping key includes doc_id.
     """
     apply_engine_conf(spark)
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
     counts = (
         docs.select(
             "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("tok")
@@ -546,7 +546,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     same key so AQE plans a local join after one shuffle.
     """
     apply_engine_conf(spark)
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
     toks = F.split(F.col("text"), " ", -1)
     base = docs.select(
         "doc_id",
@@ -623,7 +623,7 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from almost_any_file_to_pandas_spark.operators.dedup import _word_ngrams
 
     apply_engine_conf(spark)
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
     toks = F.split(F.col("text"), " ", -1)
     sh = docs.select(
         "doc_id", F.explode(_word_ngrams(toks, CONTAM_NGRAM)).alias("s")
@@ -637,4 +637,101 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("doc_id").agg(
         F.count_distinct("bench_id").alias("n_contaminated_refs"),
         F.count_distinct("s").alias("n_shared_shingles"),
+    )
+
+
+HIST_BUCKET = 100  # chars per histogram bin
+TFIDF_TOP = 3  # terms kept per document
+
+
+@register(
+    "text_length_histogram",
+    oracle=f"""
+    SELECT CAST(n_chars // {HIST_BUCKET} AS BIGINT) * {HIST_BUCKET} AS bucket_lo,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (fixed-width char buckets) — the
+    planning input for sequence packing and truncation budgets. One
+    partial→final agg shuffle over ``n_buckets`` rows; the scan reads
+    only ``n_chars`` (column pruning)."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.floor(F.col("n_chars") / HIST_BUCKET).cast("bigint") * HIST_BUCKET
+    ).alias("bucket_lo")
+    return docs.groupBy(bucket).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), idf AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln((n.n_docs + 1.0) / (idf.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN idf USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf, rnk FROM ranked WHERE rnk <= {TFIDF_TOP}
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-``TFIDF_TOP`` terms by smoothed TF-IDF — the
+    classic keyword-extraction pass of a corpus pipeline.
+
+    Scale shape: explode → (doc, term) counts [shuffle 1, map-side
+    combine] → vocabulary df aggregate reuses the tf rows [shuffle 2
+    over the vocabulary, not the corpus] → idf join back on term
+    [same partitioning] → per-doc top-k window [shuffle 3 on doc_id].
+    The corpus count rides along as a broadcast 1-row cross join, not
+    a driver scalar. Ranking happens on the *rounded* score with a
+    term tie-break so ordering is identical across engines.
+    """
+    apply_engine_conf(spark)
+    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    idf = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(idf, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP)
+        .select("doc_id", "term", "tf", "tfidf", "rnk")
     )

@@ -42,6 +42,8 @@ def load_all() -> None:
     from almost_any_file_to_pandas_spark.operators import temporal  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import funnel  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import pq  # noqa: F401
+    from almost_any_file_to_pandas_spark.operators import linkage  # noqa: F401
+    from almost_any_file_to_pandas_spark.operators import bloom  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import pipeline  # noqa: F401
     from almost_any_file_to_pandas_spark.streaming import events  # noqa: F401
 
@@ -62,6 +64,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def fan_out_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Guarantee a scan feeds at least ``defaultParallelism`` tasks.
+
+    Parquet splits at row-group granularity, so a small single-file
+    table (the local testdata shape: one row group per file) plans as
+    ONE split and serializes every downstream narrow stage — shingle
+    explosion, Arrow batch kernels, per-row scoring — onto one core.
+    The guard repartitions ONLY in that under-parallel case, moving
+    the (tiny) scan output through one round-robin exchange. At
+    production scale a 100 TB scan plans orders of magnitude more
+    splits than cores, the branch is not taken, and the plan carries
+    no extra Exchange. Catalyst still pushes filters and column
+    pruning through the Repartition into the scan.
+
+    Use it on scans that feed compute-heavy narrow stages; leave
+    pure-relational queries (whose first shuffle is their aggregation
+    or join anyway) on the bare scan.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
     return df
 
 

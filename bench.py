@@ -51,6 +51,9 @@ HEADLINE = [
     "text_pii_scrub",
     "text_chunk_overlap",
     "text_pack_sequences",
+    "text_tfidf_topterms",
+    "text_contamination_bloom",
+    "link_customer_supplier_fuzzy",
     "pipeline_corpus_prep",
     "events_tumbling_window",
     "events_sessionization",

@@ -412,3 +412,76 @@ def test_register_views_sql_surface(spark):
     # events view carries the converted timestamp, not raw nanos
     ts_type = dict(spark.table("events").dtypes)["ts"]
     assert ts_type == "timestamp"
+
+
+def test_linkage_blocked_fuzzy(spark):
+    """Blocked fuzzy linkage: every match obeys the distance cap, the
+    join broadcasts the small side, and the block keys keep the
+    levenshtein off the unblocked cross product."""
+    from almost_any_file_to_pandas_spark.operators.linkage import (
+        LINK_MAX_DIST,
+        link_customer_supplier_fuzzy,
+    )
+
+    df = link_customer_supplier_fuzzy(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows, "expected at least one blocked fuzzy match"
+    assert all(r["name_dist"] <= LINK_MAX_DIST for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_bloom_no_false_negatives(spark):
+    """The Bloom bitset must contain every inserted shingle (false
+    negatives impossible by construction) — probed via the same
+    position expressions the operator uses."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from almost_any_file_to_pandas_spark.operators.bloom import (
+        _positions,
+        build_bloom_bits,
+    )
+
+    sh = spark.createDataFrame(
+        [(i, f"shingle number {i} text") for i in range(200)], "doc_id long, s string"
+    )
+    bits = build_bloom_bits(sh)
+    pos = sh.select(*_positions(F.col("s"))).collect()
+    for r in pos:
+        for p in r:
+            assert (bits[p >> 3] >> (p & 7)) & 1, "false negative"
+
+
+def test_bloom_contamination_superset(spark):
+    from almost_any_file_to_pandas_spark.operators.bloom import (
+        text_contamination_bloom,
+    )
+
+    row = text_contamination_bloom(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["bloom_superset"] is True
+
+
+def test_tfidf_topterms_ranked(spark):
+    """TF-IDF keeps ≤ TOP terms per doc, ranks descending, and its
+    scan prunes unused document columns."""
+    from almost_any_file_to_pandas_spark.operators.textstats import (
+        TFIDF_TOP,
+        text_tfidf_topterms,
+    )
+
+    df = text_tfidf_topterms(spark, "/root/testdata/sf0.001")
+    pdf = df.toPandas()
+    per_doc = pdf.groupby("doc_id")
+    assert (per_doc["rnk"].max() <= TFIDF_TOP).all()
+    for _, g in per_doc:
+        srt = g.sort_values("rnk")
+        assert (srt["tfidf"].diff().dropna() <= 1e-12).all()  # non-increasing
+    import re
+
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all("lang" not in s and "source" not in s for s in schemas)

@@ -121,7 +121,11 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
     sh = _shingles(docs)
-    bench = sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    # Build from a scan filtered BEFORE shingle explosion: the index
+    # job touches 1/CONTAM_BENCH_MOD of the corpus, not a post-explode
+    # filter over all of it (pushdown would get there too; stating it
+    # keeps the build O(benchmark) by construction).
+    bench = _shingles(docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0))
 
     bits = build_bloom_bits(bench)
     probe = _make_probe(bits)

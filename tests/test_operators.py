@@ -485,3 +485,37 @@ def test_tfidf_topterms_ranked(spark):
     )
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert schemas and all("lang" not in s and "source" not in s for s in schemas)
+
+
+def test_range_layout_files_disjoint(spark, tmp_path):
+    """write_range_layout must produce files whose min/max footer
+    statistics are pairwise disjoint on the layout key — the property
+    parquet data-skipping relies on."""
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    from almost_any_file_to_pandas_spark import sinks
+    from almost_any_file_to_pandas_spark.plans import table
+
+    li = table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    out = tmp_path / "li_by_date"
+    sinks.write_range_layout(li, out, ["l_shipdate"], n_files=4)
+
+    spans = []
+    for f in glob.glob(str(out / "*.parquet")):
+        md = pq_.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("l_shipdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            spans.append((min(mins), max(maxs)))
+    assert len(spans) >= 2, "expected multiple range files"
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlap: {(lo1,hi1)} vs {(lo2,hi2)}"

@@ -346,3 +346,43 @@ def events_props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.round(F.avg(k), 6).alias("avg_k"),
     )
+
+
+def events_stream_enrich(
+    spark: SparkSession, source_dir: str, schema, dim: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the event
+    stream joins against a static dimension (here: a customer-keyed
+    attribute table). Stream-static inner joins are STATELESS — no
+    watermark, no join state; the static side is planned per batch
+    (and broadcast when small), so at 100 TB of stream the cost is
+    only the per-batch broadcast probe. The stateful cousin
+    (stream-stream) needs watermarks on both sides; enrichment
+    against slowly-changing dimensions belongs on this path.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return stream.join(
+        F.broadcast(dim), stream.user_id == dim.dim_key, "inner"
+    ).drop("dim_key")
+
+
+def events_stream_upsert_sink(df: DataFrame, path: str, checkpoint: str):
+    """Idempotent micro-batch sink via ``foreachBatch``: every batch
+    lands in its own ``batch_id=<n>`` partition directory with
+    ``overwrite`` mode, so a REPLAYED batch (failure/restart — Spark's
+    at-least-once delivery to foreachBatch) overwrites its own output
+    instead of duplicating it: exactly-once *effect* from
+    at-least-once delivery, no transactional table format needed.
+    Readers see one directory per committed batch; partition pruning
+    on batch_id gives incremental consumers their delta for free.
+    """
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

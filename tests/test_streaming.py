@@ -174,3 +174,53 @@ def test_stream_dedup_drops_redeliveries(spark, events_source, tmp_path):
     expected = spark.read.parquet(events_source).count()
     assert got["n"] == expected  # every duplicate dropped
     assert got["d"] == expected
+
+
+def test_stream_static_enrich_broadcasts(spark, events_source):
+    """Stream-static join: every event row picks up its dimension
+    attribute; the join is stateless (runs with no watermark)."""
+    from almost_any_file_to_pandas_spark.streaming.events import (
+        events_stream_enrich,
+    )
+
+    ev = table(spark, SF_DIR, "events")
+    dim = (
+        ev.select(F.col("user_id").alias("dim_key"))
+        .distinct()
+        .withColumn("segment", F.concat(F.lit("seg_"), F.col("dim_key") % 3))
+    )
+    enriched = events_stream_enrich(spark, events_source, ev.schema, dim)
+    q = _run_to_memory(enriched, "enriched_events", "append")
+    out = spark.sql("SELECT * FROM enriched_events")
+    n_src = ev.count()
+    assert out.count() == n_src  # inner join, every user in the dim
+    assert out.filter(F.col("segment").isNull()).count() == 0
+    q.stop()
+
+
+def test_foreachbatch_sink_idempotent_on_replay(spark, events_source, tmp_path):
+    """A replayed micro-batch must overwrite its own partition, not
+    append a duplicate — exactly-once effect from at-least-once
+    delivery."""
+    from almost_any_file_to_pandas_spark.streaming.events import (
+        events_stream_upsert_sink,
+    )
+
+    ev = table(spark, SF_DIR, "events")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(ev.schema).parquet(events_source)
+    q = events_stream_upsert_sink(stream, sink, ckpt)
+    q.awaitTermination(120)
+
+    first = spark.read.parquet(sink)
+    n_first = first.count()
+    assert n_first == ev.count()
+
+    # Simulate the at-least-once replay: rerun batch 0's write exactly
+    # as foreachBatch would on recovery.
+    # materialize first: overwrite deletes the very files a lazy
+    # self-read would scan
+    batch0 = spark.read.parquet(f"{sink}/batch_id=0").localCheckpoint(eager=True)
+    batch0.write.mode("overwrite").parquet(f"{sink}/batch_id=0")
+    assert spark.read.parquet(sink).count() == n_first

@@ -38,7 +38,7 @@ from almost_any_file_to_pandas_spark.operators.textstats import (
     CONTAM_BENCH_MOD,
     CONTAM_NGRAM,
 )
-from almost_any_file_to_pandas_spark.plans import fan_out_scan, register, table
+from almost_any_file_to_pandas_spark.plans import register, table, table_wide
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
 
 BLOOM_BITS = 1 << 20  # 128 KiB bitset
@@ -119,7 +119,7 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate — a false negative would flip the boolean and turn the
     driver's hash gate red."""
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     sh = _shingles(docs)
     # Build from a scan filtered BEFORE shingle explosion: the index
     # job touches 1/CONTAM_BENCH_MOD of the corpus, not a post-explode

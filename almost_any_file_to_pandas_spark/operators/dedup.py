@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from almost_any_file_to_pandas_spark.plans import fan_out_scan, register, table
+from almost_any_file_to_pandas_spark.plans import register, table, table_wide
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
 
 # MinHash parameters: 128 hashes in 32 bands × 4 rows. At Jaccard 0.8
@@ -118,7 +118,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical 100 TB dedup: no sort, no window, no collect.
     """
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     return (
         docs.select(
             F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"), "doc_id"
@@ -304,7 +304,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at oracle scale — the Spark path is the one that survives 100 TB).
     """
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(docs)
     return _verify_pairs(pairs, docs, JACCARD_THRESHOLD)
 
@@ -488,7 +488,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the cap (testdata max df ≈ 25).
     """
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     prefix = _prefix_index(docs, 3, NGRAM_THRESHOLD)
     candidates = _pairs_within_buckets(
         prefix, "doc_id", ["shingle"], max_bucket=MAX_SHINGLE_DF
@@ -661,7 +661,7 @@ def dedup_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates (single shuffle, map-side partials).
     """
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     toks = (
         docs.repartition(
             spark.sparkContext.defaultParallelism, "doc_id"
@@ -772,7 +772,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_ivf_topk, the 100 TB candidate paths).
     """
     apply_engine_conf(spark)
-    emb = fan_out_scan(table(spark, sf_dir, "embeddings"), spark).select(
+    emb = table_wide(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     nb = EMB_GRID_BLOCKS
@@ -901,7 +901,7 @@ def dedup_corpus_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     final row is a driver-side scalar join (4 longs, not a data path).
     """
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     w_fp = W.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
     exact_loser = (
         docs.select(

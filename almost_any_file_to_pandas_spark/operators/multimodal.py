@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from almost_any_file_to_pandas_spark.plans import fan_out_scan, register, table
+from almost_any_file_to_pandas_spark.plans import register, table, table_wide
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
 
 CHECKSUM_MOD = 997
@@ -109,7 +109,7 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet scan instead of decoding anything.
     """
     apply_engine_conf(spark)
-    mm = with_binary_content(fan_out_scan(table(spark, sf_dir, "documents"), spark))
+    mm = with_binary_content(table_wide(spark, sf_dir, "documents"))
     return mm.filter(F.col("byte_len") > 0).select(
         "doc_id",
         "modality",
@@ -146,7 +146,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see :func:`decode_image`).
     """
     apply_engine_conf(spark)
-    mm = with_binary_content(fan_out_scan(table(spark, sf_dir, "documents"), spark)).filter(
+    mm = with_binary_content(table_wide(spark, sf_dir, "documents")).filter(
         F.col("byte_len") > 0
     )
 
@@ -195,7 +195,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     it from container metadata, same column shape).
     """
     apply_engine_conf(spark)
-    mm = with_binary_content(fan_out_scan(table(spark, sf_dir, "documents"), spark))
+    mm = with_binary_content(table_wide(spark, sf_dir, "documents"))
     videos = mm.filter(F.col("modality") == "video").select(
         "doc_id", F.pmod(F.col("byte_len"), F.lit(256)).alias("n_frames")
     )

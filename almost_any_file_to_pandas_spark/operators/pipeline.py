@@ -37,7 +37,7 @@ from almost_any_file_to_pandas_spark.operators.textstats import (
     QF_MAX_TOP_FRACTION,
     QF_MIN_WORDS,
 )
-from almost_any_file_to_pandas_spark.plans import fan_out_scan, register, table
+from almost_any_file_to_pandas_spark.plans import register, table, table_wide
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
 
 # Regexes chosen to mean the same thing in Java regex (Spark) and RE2
@@ -108,7 +108,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, no Python. Scales as a pure map at any data size.
     """
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     injected = F.concat(
         F.lit("contact user"),
         F.col("doc_id"),
@@ -179,7 +179,7 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges stay narrow at 100 TB.
     """
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ", -1)
     n_chunks = (
         F.floor((F.greatest(F.size(toks), F.lit(1)) - 1) / CHUNK_STRIDE) + 1
@@ -242,7 +242,7 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     that sizes training shards).
     """
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
         "source",
@@ -330,7 +330,7 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_quality_filter,
     )
 
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     keep = text_quality_filter(spark, sf_dir).filter("keep").select("doc_id")
     d = docs.join(keep, "doc_id").select(
         "doc_id",

@@ -41,7 +41,7 @@ from almost_any_file_to_pandas_spark.operators.similarity import (
     KNN_K,
     N_QUERIES,
 )
-from almost_any_file_to_pandas_spark.plans import fan_out_scan, register, table
+from almost_any_file_to_pandas_spark.plans import register, table, table_wide
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
 
 PQ_M = 8  # subspaces
@@ -120,7 +120,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector read after encoding.
     """
     apply_engine_conf(spark)
-    emb = fan_out_scan(table(spark, sf_dir, "embeddings"), spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
     books = _train_codebooks(emb)
     sub = books.shape[2]
 
@@ -221,7 +221,7 @@ def sim_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (M, K): error falls as either grows, storage grows as M·log2(K).
     """
     apply_engine_conf(spark)
-    emb = fan_out_scan(table(spark, sf_dir, "embeddings"), spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
     books = _train_codebooks(emb)
     sub = books.shape[2]
     dim = PQ_M * sub
@@ -301,7 +301,7 @@ def sim_pq_reconstruction_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size and compression ratio anchor the row; the boolean
     claims mean squared reconstruction error ≤ PQ_MSE_CEIL."""
     apply_engine_conf(spark)
-    emb = fan_out_scan(table(spark, sf_dir, "embeddings"), spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
     stats = sim_pq_reconstruction(spark, sf_dir)
     n = emb.agg(F.count("*").alias("n_vectors"))
     return n.crossJoin(

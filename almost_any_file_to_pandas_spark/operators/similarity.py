@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from almost_any_file_to_pandas_spark.plans import fan_out_scan, register, table
+from almost_any_file_to_pandas_spark.plans import register, table, table_wide
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
 
 TOP_K = 20
@@ -102,7 +102,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     search baseline the ANN path is measured against.
     """
     apply_engine_conf(spark)
-    emb = fan_out_scan(table(spark, sf_dir, "embeddings"), spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qvec")
     )
@@ -192,7 +192,7 @@ def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rounded cosine so ordering is identical across engines.
     """
     apply_engine_conf(spark)
-    emb = fan_out_scan(table(spark, sf_dir, "embeddings"), spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
@@ -338,7 +338,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is :func:`sim_lsh_candidate_pairs`.
     """
     apply_engine_conf(spark)
-    emb = fan_out_scan(table(spark, sf_dir, "embeddings"), spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
     b = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
@@ -396,7 +396,7 @@ def sim_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checkable recall contract.
     """
     apply_engine_conf(spark)
-    emb = fan_out_scan(table(spark, sf_dir, "embeddings"), spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
     cand = lsh_candidate_pairs(emb)
     vecs = emb.select("vec_id", "embedding")
     cand = (
@@ -449,7 +449,7 @@ def sim_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     apply_engine_conf(spark)
-    emb = fan_out_scan(table(spark, sf_dir, "embeddings"), spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
     first = emb.select(F.size("embedding").alias("d")).first()
     dim = int(first["d"]) if first else 0
     buckets = hyperplane_band_keys(
@@ -503,7 +503,7 @@ def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest centroid broadcast back). Decimal accumulation keeps the
     mean engine-portable."""
     apply_engine_conf(spark)
-    emb = fan_out_scan(table(spark, sf_dir, "embeddings"), spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
@@ -554,7 +554,7 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate-facing contract.
     """
     apply_engine_conf(spark)
-    emb = fan_out_scan(table(spark, sf_dir, "embeddings"), spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
     vd = F.col("embedding").cast("array<double>")
     amax = F.array_max(F.transform(vd, lambda x: F.abs(x)))
     q = F.transform(vd, lambda x: F.round(x * 127.0 / amax).cast("bigint"))
@@ -596,7 +596,7 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    emb = fan_out_scan(table(spark, sf_dir, "embeddings"), spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
     feats = emb.select(
         "vec_id",
         "embedding",

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.plans import register, table, table_wide
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
 
 ASOF_TOLERANCE_MINUTES = 30
@@ -108,7 +108,7 @@ def events_asof_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-function formulation (one shuffle on user_id, no join
     node, no non-equi explosion)."""
     apply_engine_conf(spark)
-    ev = table(spark, sf_dir, "events")
+    ev = table_wide(spark, sf_dir, "events")
     return asof_join_last_before(
         ev, "click", "view", ASOF_TOLERANCE_MINUTES * 60 * 1_000_000
     )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from almost_any_file_to_pandas_spark.plans import fan_out_scan, register, table
+from almost_any_file_to_pandas_spark.plans import register, table, table_wide
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
 
 # Tiny embedded stopword sets per language — enough for a determinstic
@@ -66,7 +66,7 @@ def _occurrences_sql(expr: str, token: str) -> str:
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count + measured char length per document."""
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ", -1)).alias("n_tokens"),
@@ -87,7 +87,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale (hash-partition by fingerprint → all copies co-located).
     """
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
     )
@@ -139,7 +139,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     and codegen-friendly; the standard pre-training quality filter
     shape (filter thresholds applied downstream)."""
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     return _quality_cols(docs)
 
 
@@ -181,7 +181,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed precedence tie-break (en > de > fr > es). Returns prediction
     beside the label so accuracy is one aggregation away."""
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     lowered = F.lower(F.col("text"))
     scores = {}
     for lang, markers in _LANG_MARKERS.items():
@@ -225,7 +225,7 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs per ingest batch. Partial aggregation map-side; one shuffle
     on (lang, source)."""
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     return docs.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("n_chars").cast("decimal(25,4)")).cast("double").alias("total_chars"),
@@ -257,7 +257,7 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio between the two is a standard tokenizer-cost estimator for
     training-data budgeting; everything stays a narrow projection."""
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ", -1)).alias("n_ws_tokens"),
@@ -296,7 +296,7 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     never overflows the BIGINT lane, so ANSI mode stays happy.
     """
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ", -1)
     codes = F.transform(
         toks,
@@ -341,7 +341,7 @@ def text_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     from pyspark.sql import Window as W
 
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     agg = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("_sum_chars"),
@@ -425,7 +425,7 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate table were data-driven).
     """
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     unif = _doc_uniform(F.col("doc_id"))
     rate = F.lit(SAMPLE_RATE_DEFAULT)
     for s, r in reversed(SAMPLE_RATE_OVERRIDES.items()):
@@ -483,7 +483,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping key includes doc_id.
     """
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     counts = (
         docs.select(
             "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("tok")
@@ -546,7 +546,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     same key so AQE plans a local join after one shuffle.
     """
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ", -1)
     base = docs.select(
         "doc_id",
@@ -623,7 +623,7 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from almost_any_file_to_pandas_spark.operators.dedup import _word_ngrams
 
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ", -1)
     sh = docs.select(
         "doc_id", F.explode(_word_ngrams(toks, CONTAM_NGRAM)).alias("s")
@@ -706,7 +706,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     term tie-break so ordering is identical across engines.
     """
     apply_engine_conf(spark)
-    docs = fan_out_scan(table(spark, sf_dir, "documents"), spark)
+    docs = table_wide(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
     )
@@ -734,4 +734,71 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TFIDF_TOP)
         .select("doc_id", "term", "tf", "tfidf", "rnk")
+    )
+
+
+@register(
+    "text_mix_to_target",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n_docs) AS total, COUNT(*) AS n_sources FROM counts
+    ), rates AS (
+      SELECT source, n_docs,
+             LEAST(1.0, (tot.total / tot.n_sources) / n_docs) AS keep_rate
+      FROM counts CROSS JOIN tot
+    ), kept AS (
+      SELECT d.source, COUNT(*) AS n_kept
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE {_doc_uniform_sql('d.doc_id')} < r.keep_rate
+      GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs, ROUND(r.keep_rate, 6) AS keep_rate,
+           COALESCE(k.n_kept, 0) AS n_kept
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    """,
+)
+def text_mix_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass data mixing: measure the per-source distribution,
+    derive the keep-rate that moves each source toward a UNIFORM
+    target share (never upsampling: rate ≤ 1), apply it with the
+    portable deterministic hash, and report achieved vs. original
+    counts per source.
+
+    This is the corpus-mixing primitive of a training pipeline — "we
+    want equal parts web/books/code" — expressed as: one aggregation
+    over source (tiny), a broadcast of the derived rate table back
+    onto the corpus (the rate side is |sources| rows at any scale),
+    and a narrow deterministic filter. No shuffle touches the corpus
+    beyond the counting aggregate's partials.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("total"), F.count("*").alias("n_sources")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            (F.col("total") / F.col("n_sources")) / F.col("n_docs"),
+        ).alias("keep_rate"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "keep_rate")), "source")
+        .filter(_doc_uniform(F.col("doc_id")) < F.col("keep_rate"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.round("keep_rate", 6).alias("keep_rate"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
     )

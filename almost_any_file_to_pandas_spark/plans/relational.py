@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.plans import register, table, table_wide
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
 
 
@@ -65,7 +65,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     linestatus) → final agg: the minimum possible data movement.
     """
     apply_engine_conf(spark)
-    li = table(spark, sf_dir, "lineitem")
+    li = table_wide(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -114,10 +114,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    orders = table(spark, sf_dir, "orders").filter(
+    orders = table_wide(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
     )
-    li = table(spark, sf_dir, "lineitem").filter(
+    li = table_wide(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
     # customer is the only true dimension here — broadcast it; the
@@ -172,11 +172,11 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = table(spark, sf_dir, "nation")
     cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders").filter(
+    orders = table_wide(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    li = table(spark, sf_dir, "lineitem")
+    li = table_wide(spark, sf_dir, "lineitem")
 
     dim = (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -213,7 +213,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def monthly_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed rollup — scan + two-int group-by, no join."""
     apply_engine_conf(spark)
-    orders = table(spark, sf_dir, "orders")
+    orders = table_wide(spark, sf_dir, "orders")
     return (
         orders.groupBy(
             F.year("o_orderdate").alias("o_year"),
@@ -252,7 +252,7 @@ def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     apply_engine_conf(spark)
     cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
+    orders = table_wide(spark, sf_dir, "orders")
     spend = (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment", "c_custkey", "c_name")
@@ -285,7 +285,7 @@ def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact + two broadcast dims + distinct aggregation."""
     apply_engine_conf(spark)
-    li = table(spark, sf_dir, "lineitem")
+    li = table_wide(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier")
     part = table(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
     return (
@@ -311,8 +311,8 @@ def supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join (NOT EXISTS) — Spark left_anti, shuffle on orderkey."""
     apply_engine_conf(spark)
-    orders = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = table_wide(spark, sf_dir, "orders")
+    li = table_wide(spark, sf_dir, "lineitem").select("l_orderkey")
     return (
         orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
         .groupBy("o_orderstatus")
@@ -338,7 +338,7 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the expanded key; no per-combination rescan of the fact table
     (the naive union-of-groupbys would scan 4×)."""
     apply_engine_conf(spark)
-    orders = table(spark, sf_dir, "orders")
+    orders = table_wide(spark, sf_dir, "orders")
     return (
         orders.cube(F.year("o_orderdate").alias("o_year"), "o_orderstatus")
         .agg(
@@ -363,7 +363,7 @@ def revenue_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP year→month: the time-hierarchy subtotal ladder (year-
     month, year, grand total) in one shuffle."""
     apply_engine_conf(spark)
-    orders = table(spark, sf_dir, "orders")
+    orders = table_wide(spark, sf_dir, "orders")
     return orders.rollup(
         F.year("o_orderdate").alias("o_year"),
         F.month("o_orderdate").alias("o_month"),
@@ -388,7 +388,7 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile sketch (t-digest, map-side mergeable) is the
     drop-in when ±ε is acceptable."""
     apply_engine_conf(spark)
-    orders = table(spark, sf_dir, "orders")
+    orders = table_wide(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
         F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
@@ -420,8 +420,8 @@ def orders_with_returns_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet scan. Complements ``orders_without_lineitems`` (anti).
     """
     apply_engine_conf(spark)
-    orders = table(spark, sf_dir, "orders")
-    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table_wide(spark, sf_dir, "orders")
+    lineitem = table_wide(spark, sf_dir, "lineitem")
     returned = lineitem.filter(F.col("l_returnflag") == "R").select(
         F.col("l_orderkey").alias("o_orderkey")
     )
@@ -465,7 +465,7 @@ def customer_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tie-break so ranks hash-match across engines.
     """
     apply_engine_conf(spark)
-    orders = table(spark, sf_dir, "orders")
+    orders = table_wide(spark, sf_dir, "orders")
     w_seq = W.partitionBy("o_custkey").orderBy(
         F.asc("o_orderdate"), F.asc("o_orderkey")
     )
@@ -518,7 +518,7 @@ def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query pins the mechanics oracle-checked.
     """
     apply_engine_conf(spark)
-    events = table(spark, sf_dir, "events")
+    events = table_wide(spark, sf_dir, "events")
     partial = (
         events.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(N_SALT)))
         .groupBy("event_type", "_salt")
@@ -565,7 +565,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the comparison cut is bit-identical across engines.
     """
     apply_engine_conf(spark)
-    li = table(spark, sf_dir, "lineitem")
+    li = table_wide(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#9")
     part_avg = li.groupBy("l_partkey").agg(
         (
@@ -623,9 +623,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     a global sort.
     """
     apply_engine_conf(spark)
-    orders = table(spark, sf_dir, "orders")
+    orders = table_wide(spark, sf_dir, "orders")
     heavy = (
-        table(spark, sf_dir, "lineitem")
+        table_wide(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("sum_qty"))
         .filter(F.col("sum_qty") > Q18_QTY_THRESHOLD)
@@ -680,7 +680,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     cust = table(spark, sf_dir, "customer")
     orders = (
-        table(spark, sf_dir, "orders")
+        table_wide(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
         .select("o_custkey")
     )
@@ -733,7 +733,7 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness harness; production keeps the sketch.
     """
     apply_engine_conf(spark)
-    ev = table(spark, sf_dir, "events")
+    ev = table_wide(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
@@ -771,7 +771,7 @@ def order_value_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     pass. ``accuracy=10000`` keeps rank error ≤ 0.01%.
     """
     apply_engine_conf(spark)
-    orders = table(spark, sf_dir, "orders")
+    orders = table_wide(spark, sf_dir, "orders")
     agg = orders.agg(
         F.expr("percentile_approx(o_totalprice, 0.50, 10000)").alias("_p50a"),
         F.expr("percentile_approx(o_totalprice, 0.95, 10000)").alias("_p95a"),

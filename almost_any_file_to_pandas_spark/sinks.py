@@ -128,3 +128,37 @@ def write_range_layout(
         mode
     ).parquet(str(path))
     return str(path)
+
+
+def compact(
+    spark,
+    src_path: Union[str, Path],
+    dest_path: Union[str, Path],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files via ``coalesce``
+    (a narrow, shuffle-free merge of input splits — compaction moves
+    every byte once through the writers and nothing over the network).
+
+    The operational companion of streaming ingest: a micro-batch sink
+    leaves one small file per batch per partition, and at 100 TB the
+    resulting listing/footer overhead dominates scan planning.
+    Returns ``(n_files_before, n_files_after)``.
+    """
+    import glob
+    import math
+    import os
+
+    files = [
+        f
+        for f in glob.glob(str(Path(src_path) / "**" / "*.parquet"), recursive=True)
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(str(src_path))
+    df.coalesce(n_out).write.mode("overwrite").parquet(str(dest_path))
+    n_after = len(
+        glob.glob(str(Path(dest_path) / "**" / "*.parquet"), recursive=True)
+    )
+    return (len(files), n_after)

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.plans import register, table, table_wide
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
 
 WINDOW_MINUTES = 5
@@ -47,7 +47,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     timezone-proof comparison.
     """
     apply_engine_conf(spark)
-    ev = table(spark, sf_dir, "events")
+    ev = table_wide(spark, sf_dir, "events")
     return (
         ev.groupBy(
             F.window("ts", f"{WINDOW_MINUTES} minutes").alias("w"), "event_type"
@@ -123,7 +123,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag → running sum → per-session rollup. One shuffle on user_id;
     both windows share the same partitioning so Spark sorts once."""
     apply_engine_conf(spark)
-    ev = table(spark, sf_dir, "events")
+    ev = table_wide(spark, sf_dir, "events")
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond precision to match the oracle's INTERVAL comparison
     # (a cast to long would truncate to seconds)
@@ -196,7 +196,7 @@ def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user activity rollup with a post-aggregation filter —
     the profile-building aggregate; single shuffle on user_id."""
     apply_engine_conf(spark)
-    ev = table(spark, sf_dir, "events")
+    ev = table_wide(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
         .agg(
@@ -297,7 +297,7 @@ def events_sliding_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frame. Decimal accumulation keeps the running sums exact and
     engine-portable."""
     apply_engine_conf(spark)
-    ev = table(spark, sf_dir, "events")
+    ev = table_wide(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
         .orderBy(F.unix_micros(F.col("ts")))
@@ -339,7 +339,7 @@ def events_props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``json_extract_string``.
     """
     apply_engine_conf(spark)
-    ev = table(spark, sf_dir, "events")
+    ev = table_wide(spark, sf_dir, "events")
     k = F.from_json("props", "k bigint")["k"]
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),

@@ -519,3 +519,20 @@ def test_range_layout_files_disjoint(spark, tmp_path):
     spans.sort()
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, f"overlap: {(lo1,hi1)} vs {(lo2,hi2)}"
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Compaction must collapse a many-small-files directory into the
+    byte-budgeted file count without losing rows."""
+    from almost_any_file_to_pandas_spark import sinks
+    from almost_any_file_to_pandas_spark.plans import table
+
+    li = table(spark, "/root/testdata/sf0.001", "lineitem")
+    src = str(tmp_path / "fragmented")
+    li.repartition(16).write.parquet(src)
+    n_rows = li.count()
+
+    before, after = sinks.compact(spark, src, str(tmp_path / "compacted"))
+    assert before == 16
+    assert after < before
+    assert spark.read.parquet(str(tmp_path / "compacted")).count() == n_rows

@@ -794,7 +794,7 @@ def text_mix_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_kept"))
     )
     return (
-        rates.join(kept, "source", "left")
+        rates.join(F.broadcast(kept), "source", "left")
         .select(
             "source",
             "n_docs",

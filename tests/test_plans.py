@@ -235,3 +235,40 @@ def test_pipeline_corpus_prep_composed_jvm_only(spark):
     assert "EvalPython" not in plan
     assert "Exchange Single" not in plan
     assert n_exchanges(plan) <= 8
+
+
+def test_tfidf_structural_shuffles_bounded(spark):
+    """TF-IDF: tf agg, vocab df agg, both sides of the term join,
+    per-doc window — the corpus-sized shuffles stay ≤ 5 (AQE may
+    broadcast the vocabulary side away at runtime)."""
+    from almost_any_file_to_pandas_spark.plans import QUERIES
+
+    df = QUERIES["text_tfidf_topterms"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert n_exchanges(plan) <= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_arrow_and_broadcast_verify(spark):
+    """Bloom decontamination: the probe is ONE Arrow-batched Python
+    stage (no row-at-a-time eval), the exact-verify join broadcasts
+    the benchmark side, and no corpus self-join appears."""
+    from almost_any_file_to_pandas_spark.plans import QUERIES
+
+    df = QUERIES["text_contamination_bloom"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mix_to_target_broadcast_rates(spark):
+    """Corpus mixing: the derived rate table joins back by broadcast;
+    the corpus itself is shuffled only by the counting aggregates."""
+    from almost_any_file_to_pandas_spark.plans import QUERIES
+
+    df = QUERIES["text_mix_to_target"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -925,3 +925,81 @@ def dedup_corpus_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs bigint, n_exact_removed bigint, "
         "n_neardup_removed bigint, n_retained bigint",
     )
+
+
+def connected_components_alternating(
+    edges: DataFrame, src: str = "u", dst: str = "v", max_rounds: int = 30
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    rewrites (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") → ``(u, lbl)``, same contract as
+    :func:`connected_components`.
+
+    Round count is O(log n) on ANY graph — the drop-in for
+    adversarial long-path topologies where min-label propagation pays
+    O(diameter). Each round is two (join + aggregate) passes over the
+    edge set, same shuffle shape as one propagation round:
+
+    - **large-star**: every node points its LARGER neighbours at the
+      minimum of its neighbourhood (halves long paths),
+    - **small-star**: every node folds its smaller neighbours onto
+      that minimum (flattens into stars).
+
+    At the fixed point the edge set IS the component assignment
+    (child → root). ``localCheckpoint`` truncates lineage per round;
+    the convergence probe (two ``exceptAll`` emptiness checks) is
+    orchestration, not data path.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("u"))
+        .union(edges.select(F.col(dst).alias("u")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # normalize: drop self-loops, orient big→small, dedup
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = und.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            und.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        m2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        folded = (
+            large.join(m2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        pointed = m2.select("u", F.col("m").alias("v"))
+        new_e = (
+            folded.union(pointed)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty()
+        )
+        e = new_e
+        if converged:
+            break
+    # star edges are (child, root); roots (and isolated-in-normalized
+    # nodes) label themselves
+    return (
+        nodes.join(e.select("u", F.col("v").alias("lbl")), "u", "left")
+        .select("u", F.coalesce("lbl", "u").alias("lbl"))
+    )

@@ -802,3 +802,48 @@ def text_mix_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         )
     )
+
+
+VOCAB_TOP = 20
+
+
+@register(
+    "text_vocab_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), counts AS (
+      SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+    ), ranked AS (
+      SELECT term, n, row_number() OVER (ORDER BY n DESC, term ASC) AS rnk
+      FROM counts
+    )
+    SELECT term, n, rnk FROM ranked WHERE rnk <= {VOCAB_TOP}
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-``VOCAB_TOP`` vocabulary terms — the vocabulary-
+    induction / stopword-discovery pass. Counts aggregate with
+    map-side partials (one shuffle over the vocabulary, not the
+    corpus); the final top-k runs on the aggregated vocabulary with
+    a TakeOrdered-style limit, never a global sort of the corpus.
+    Deterministic tie-break on the term."""
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    # orderBy+limit plans as TakeOrderedAndProject — per-partition
+    # heaps + a k-row merge, never a single-partition sort of the
+    # vocabulary. The rank window then runs over k rows only.
+    top = counts.orderBy(F.desc("n"), F.asc("term")).limit(VOCAB_TOP)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("n"), F.asc("term"))
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "term", "n", "rnk"
+    )

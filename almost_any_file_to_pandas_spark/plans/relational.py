@@ -806,3 +806,82 @@ def order_value_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("approx_within_tol"),
         )
     )
+
+
+@register(
+    "orders_merge_changeset",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+             round(o_totalprice * 2.0, 2) AS o_totalprice, 1 AS src
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 'N' AS o_orderstatus,
+             round(o_totalprice, 2) AS o_totalprice, 1 AS src
+      FROM orders WHERE o_orderkey % 1000 = 0
+    ), unioned AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             round(o_totalprice, 2) AS o_totalprice, 0 AS src
+      FROM orders
+      UNION ALL SELECT * FROM changes
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+      FROM unioned
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           CAST(src AS BIGINT) AS from_changeset
+    FROM ranked WHERE rn = 1
+    """,
+)
+def orders_merge_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a transactional table format:
+    apply a changeset (updates + inserts) onto a snapshot as a
+    union + per-key preference window — the SCD-1 upsert.
+
+    The changeset here is derived deterministically from the snapshot
+    (every 10th order updated, every 1000th re-inserted under a new
+    key) so the oracle can restate it; in production it arrives from
+    CDC. Scale shape: ONE hash shuffle on the merge key for the
+    window (a full-outer-join formulation shuffles both sides the
+    same way but then pays coalesce-per-column); updates and inserts
+    flow through the identical path, and the snapshot is never read
+    twice. The streaming twin is the replay-idempotent foreachBatch
+    sink in ``streaming/events.py``.
+    """
+    apply_engine_conf(spark)
+    orders = table_wide(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.lit(0).alias("src"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 2.0, 2).alias("o_totalprice"),
+        F.lit(1).alias("src"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.lit(1).alias("src"),
+    )
+    unioned = base.unionByName(updates).unionByName(inserts)
+    w = W.partitionBy("o_orderkey").orderBy(F.desc("src"))
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("src").cast("bigint").alias("from_changeset"),
+        )
+    )

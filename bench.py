@@ -32,6 +32,7 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q22_idle_rich_customers",
+    "orders_merge_changeset",
     "top_customers_per_segment",
     "supplier_part_volume",
     "dedup_exact",
@@ -51,6 +52,7 @@ HEADLINE = [
     "text_pii_scrub",
     "text_chunk_overlap",
     "text_pack_sequences",
+    "text_vocab_topk",
     "text_tfidf_topterms",
     "text_contamination_bloom",
     "link_customer_supplier_fuzzy",

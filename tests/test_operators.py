@@ -536,3 +536,35 @@ def test_compact_small_files(spark, tmp_path):
     assert before == 16
     assert after < before
     assert spark.read.parquet(str(tmp_path / "compacted")).count() == n_rows
+
+
+def test_alternating_cc_matches_propagation(spark):
+    """Large-star/small-star must produce the identical component
+    labeling as min-label propagation — on a long chain (the
+    adversarial diameter case), on a star, and on a random graph."""
+    import random
+
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    cases = []
+    cases.append([(i, i + 1) for i in range(64)])  # one 65-node chain
+    cases.append([(0, i) for i in range(1, 10)] + [(100, 101)])  # star + pair
+    rng = random.Random(7)
+    cases.append(
+        [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    )
+    for edges in cases:
+        df = spark.createDataFrame(
+            [e for e in edges if e[0] != e[1]], "u long, v long"
+        )
+        want = {
+            r["u"]: r["lbl"] for r in connected_components(df, max_iter=80).collect()
+        }
+        got = {
+            r["u"]: r["lbl"]
+            for r in connected_components_alternating(df).collect()
+        }
+        assert got == want

@@ -112,3 +112,55 @@ def events_asof_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join_last_before(
         ev, "click", "view", ASOF_TOLERANCE_MINUTES * 60 * 1_000_000
     )
+
+
+ZSCORE_THRESHOLD = 3.0
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n_events,
+             ROUND(AVG(value), 6) AS mean_value,
+             ROUND(stddev_pop(value), 6) AS std_value
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, s.n_events, s.mean_value, s.std_value,
+           COUNT(*) FILTER (
+             WHERE abs(e.value - s.mean_value)
+                   > {ZSCORE_THRESHOLD} * s.std_value
+           ) AS n_anomalies
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY s.event_type, s.n_events, s.mean_value, s.std_value
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly counts — the monitoring pass of an
+    event pipeline. Two aggregates: per-type moments (tiny result,
+    values ROUNDED before thresholding so both engines cut on the
+    identical boundary), broadcast back over the stream for the
+    outlier count. The corpus shuffles only for the per-type
+    partials; the stats side is |event_types| rows at any scale.
+    """
+    apply_engine_conf(spark)
+    ev = table_wide(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev_pop("value"), 6).alias("std_value"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "n_events", "mean_value", "std_value")
+        .agg(
+            F.count_if(
+                F.abs(F.col("value") - F.col("mean_value"))
+                > ZSCORE_THRESHOLD * F.col("std_value")
+            ).alias("n_anomalies")
+        )
+        .select(
+            "event_type", "n_events", "mean_value", "std_value", "n_anomalies"
+        )
+    )

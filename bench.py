@@ -61,6 +61,7 @@ HEADLINE = [
     "events_sessionization",
     "events_asof_view_click",
     "events_funnel_ordered",
+    "events_anomaly_zscore",
     "events_retention_cohort",
 ]
 

@@ -568,3 +568,55 @@ def test_alternating_cc_matches_propagation(spark):
             for r in connected_components_alternating(df).collect()
         }
         assert got == want
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from almost_any_file_to_pandas_spark.sinks import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 3), (2, 1)], "x long, y long"
+    )
+    got = [
+        r[0]
+        for r in df.select(zorder_key("x", "y", bits=4)).collect()
+    ]
+    # x bits land on even positions, y bits on odd ones
+    assert got == [0b0001, 0b0010, 0b1111, 0b0110]
+
+
+def test_zorder_layout_bounds_both_dims(spark, tmp_path):
+    """Z-order files must each cover a small region of BOTH dimensions;
+    a plain x-sort leaves every file spanning the full y domain."""
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    from almost_any_file_to_pandas_spark import sinks
+
+    n, dom = 4096, 64
+    # the full 64×64 grid: x and y independent
+    grid = spark.range(n).selectExpr(
+        f"CAST(id % {dom} AS BIGINT) AS x",
+        f"CAST((id DIV {dom}) % {dom} AS BIGINT) AS y",
+    )
+
+    def spans(path, col):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq_.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            st = [md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)]
+            out.append(max(s.max for s in st) - min(s.min for s in st))
+        return out
+
+    zpath = str(tmp_path / "z")
+    sinks.write_zorder(grid, zpath, ["x", "y"], n_files=16, bits=6)
+    xpath = str(tmp_path / "xsort")
+    sinks.write_range_layout(grid, xpath, ["x"], n_files=16)
+
+    # plain x-sort: y is unclustered — every file spans ~the full domain
+    assert min(spans(xpath, "y")) > dom * 0.8
+    # z-order: BOTH dims bounded well below the domain in most files
+    zx, zy = spans(zpath, "x"), spans(zpath, "y")
+    assert sum(zx) / len(zx) < dom * 0.6
+    assert sum(zy) / len(zy) < dom * 0.6

@@ -305,7 +305,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     apply_engine_conf(spark)
     docs = table_wide(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(docs)
+    # Materialize the candidate set ONCE (it's tiny — LSH output) so
+    # the verify stage's broadcast build starts from the checkpointed
+    # rows instead of re-running the Arrow signature pipeline + bucket
+    # shuffle inside the broadcast-exchange thread (r02 bench showed
+    # the signature stage paying twice under the noop sink).
+    pairs = minhash_candidate_pairs(docs).localCheckpoint(eager=True)
     return _verify_pairs(pairs, docs, JACCARD_THRESHOLD)
 
 
@@ -325,9 +330,16 @@ def _verify_pairs(
     """
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    # BOTH joins broadcast the candidate-sized side: the first hangs
+    # texts on doc_a (corpus stays in place), and the second
+    # broadcasts that still-candidate-sized result against the corpus
+    # again — without the second hint the (pairs ⋈ text_a) side and
+    # the full corpus would BOTH shuffle at plan time, leaving AQE to
+    # rescue it at 100× (VERDICT r02 "what's wrong" #3).
     joined = (
-        a.join(F.broadcast(pairs), "doc_a")
-        .join(b, "doc_b")
+        b.join(
+            F.broadcast(a.join(F.broadcast(pairs), "doc_a")), "doc_b"
+        )
         .select("doc_a", "doc_b", "text_a", "text_b")
     )
 
@@ -417,18 +429,36 @@ _NGRAM_ORACLE = """
 """
 
 
-def _prefix_index(docs: DataFrame, n: int, threshold: float) -> DataFrame:
-    """(doc_id, shingle) inverted index over each document's *prefix*
+def _prefix_index(
+    docs: DataFrame, n: int, threshold: float, k_prefix: int = 2
+) -> DataFrame:
+    """(enc_id, shingle) inverted index over each document's *prefix*
     shingles only — the AllPairs/PPJoin prefix filter (Bayardo et al.,
-    "Scaling Up All Pairs Similarity Search"; Xiao et al., PPJoin).
+    "Scaling Up All Pairs Similarity Search"; Xiao et al., PPJoin),
+    generalized to the k-prefix scheme.
 
     Order all shingles by a global total order (crc32, ties by value)
-    and index just the first ``|S| − ⌈t·|S|⌉ + 1`` per document: any
-    pair with Jaccard ≥ t must share at least one *prefix* shingle, so
-    candidate generation over this index is EXACT (no false negatives)
-    while indexing only ~(1−t) of the shingle volume — the in-bucket
-    pair expansion, which is quadratic per bucket, sees ~(1−t)² of the
-    pairs the full index would generate.
+    and index the first ``|S| − ⌈t·|S|⌉ + k`` per document. **k-prefix
+    lemma** (the exactness proof for requiring ≥ k shared prefix
+    shingles downstream): if ``|A∩B| ≥ o`` then the ``k`` smallest
+    (in the global order) elements of ``A∩B`` all lie in both
+    prefixes of length ``|·| − o + k``. Proof: suppose one of them,
+    ``s``, fell outside A's prefix — then ``s`` is among A's largest
+    ``o − k`` elements, so at most ``o − k − 1`` elements of A (hence
+    of A∩B) exceed ``s``; but ``s`` is among the k smallest of an
+    intersection of size ≥ o, so ≥ ``o − k`` intersection elements
+    exceed it — contradiction. Applied per-side with its own valid
+    bound ``o_S = ⌈t·|S|⌉ ≤ |A∩B|`` (J ≥ t forces that), every true
+    pair with ``|A∩B| ≥ k`` shares ≥ k prefix shingles — candidate
+    generation stays EXACT while the quadratic in-bucket expansion
+    sees only prefix-bucket co-members.
+
+    The one case with ``|A∩B| < k`` at J ≥ 0.6 and k = 2 is
+    ``A = B = {single shingle}`` (J ≥ 0.6 with one shared shingle
+    forces |A∪B| = 1). Those docs are flagged in the LOW BIT of the
+    emitted id (``enc_id = doc_id·2 + is_singleton``) so the count
+    filter can exempt singleton-singleton pairs instead of losing
+    them; the encoding is monotone, so pair ordering is preserved.
     """
     spark = docs.sparkSession
 
@@ -447,18 +477,19 @@ def _prefix_index(docs: DataFrame, n: int, threshold: float) -> DataFrame:
                     for i in range(len(words) - n + 1)
                 }
                 k = len(shingles)
-                p = k - math.ceil(threshold * k) + 1
+                p = k - math.ceil(threshold * k) + k_prefix
                 prefix = sorted(
                     shingles, key=lambda s: (zlib.crc32(s.encode()), s)
                 )[:p]
-                out_doc.extend([doc_id] * len(prefix))
+                enc = doc_id * 2 + (1 if k == 1 else 0)
+                out_doc.extend([enc] * len(prefix))
                 out_sh.extend(prefix)
-            yield pd.DataFrame({"doc_id": out_doc, "shingle": out_sh})
+            yield pd.DataFrame({"enc_id": out_doc, "shingle": out_sh})
 
     return (
         docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", "text")
-        .mapInPandas(_batches, schema="doc_id bigint, shingle string")
+        .mapInPandas(_batches, schema="enc_id bigint, shingle string")
     )
 
 
@@ -471,15 +502,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation + exact verification — the AllPairs shape.
 
     Plan: one linear Python stage emits each doc's *prefix* shingles
-    (global crc32 order, length |S| − ⌈t·|S|⌉ + 1 — sharing a prefix
-    shingle is a necessary condition for J ≥ t, so candidates are
-    exact) → one capped bucket shuffle expands in-bucket pairs →
-    broadcast the candidate set against the corpus and verify true
-    Jaccard in an Arrow-batched set kernel. Versus the full inverted
-    index with count aggregation, the prefix index cuts indexed
-    volume to ~(1−t) and in-bucket pair volume to ~(1−t)² — at t=0.6
-    that's ~6× fewer candidate rows before any aggregation, and the
-    pair-count shuffle disappears entirely.
+    (global crc32 order, k-prefix length |S| − ⌈t·|S|⌉ + 2) → one
+    capped bucket shuffle expands in-bucket co-memberships WITH
+    multiplicity → a count filter keeps only pairs sharing ≥ 2 prefix
+    shingles (exact by the k-prefix lemma in :func:`_prefix_index`;
+    singleton-shingle docs are bit-flagged and exempted) → broadcast
+    the surviving candidates against the corpus and verify true
+    Jaccard in an Arrow-batched set kernel. Versus the 1-prefix
+    variant, the ≥2 co-occurrence requirement cuts the verify-stage
+    pair volume at the cost of one extra aggregation over compact
+    (id, id) rows — at t=0.6 most spurious single-shingle collisions
+    die before touching text.
 
     The df cap (MAX_SHINGLE_DF) is the stop-shingle skew guard;
     dropping a capped bucket can only lose candidates whose every
@@ -489,9 +522,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     apply_engine_conf(spark)
     docs = table_wide(spark, sf_dir, "documents")
-    prefix = _prefix_index(docs, 3, NGRAM_THRESHOLD)
-    candidates = _pairs_within_buckets(
-        prefix, "doc_id", ["shingle"], max_bucket=MAX_SHINGLE_DF
+    prefix = _prefix_index(docs, 3, NGRAM_THRESHOLD, k_prefix=2)
+    co = _pairs_within_buckets(
+        prefix,
+        "enc_id",
+        ["shingle"],
+        max_bucket=MAX_SHINGLE_DF,
+        distinct=False,
+    )
+    counted = co.groupBy("doc_a", "doc_b").agg(F.count("*").alias("_n"))
+    candidates = (
+        counted.filter(
+            (F.col("_n") >= 2)
+            | (
+                ((F.col("doc_a") % 2) == 1)
+                & ((F.col("doc_b") % 2) == 1)
+            )
+        )
+        .select(
+            F.shiftright("doc_a", 1).alias("doc_a"),
+            F.shiftright("doc_b", 1).alias("doc_b"),
+        )
     )
     return _verify_pairs(candidates, docs, NGRAM_THRESHOLD)
 
@@ -1002,4 +1053,64 @@ def connected_components_alternating(
     return (
         nodes.join(e.select("u", F.col("v").alias("lbl")), "u", "left")
         .select("u", F.coalesce("lbl", "u").alias("lbl"))
+    )
+
+
+@register(
+    "connected_components_alternating",
+    oracle="""
+    WITH RECURSIVE chained AS (
+      SELECT doc_id AS u,
+             LEAD(doc_id) OVER (
+               PARTITION BY source, lang ORDER BY doc_id) AS v
+      FROM documents
+    ), e0 AS (
+      SELECT u, v FROM chained WHERE v IS NOT NULL
+    ), edges AS (
+      SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0
+    ), reach AS (
+      SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY u
+    """,
+)
+def connected_components_alternating_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gate query for :func:`connected_components_alternating` — the
+    O(log n) large-star/small-star CC (Kiveris et al.) — run over a
+    deterministic PATH graph: chain edges linking consecutive doc_ids
+    within each (source, lang) corpus slice. Paths are the
+    adversarial topology this algorithm exists for — diameter grows
+    linearly with slice size (25 docs/slice at sf0.01, 10× per SF
+    step), where min-label propagation pays O(diameter) shuffle
+    rounds and the alternating rewrite stays O(log n).
+
+    The oracle closes the same edge set with a recursive-CTE
+    transitive closure and takes the min reachable label — the
+    algorithm-independent definition of a component — so the row is a
+    hash-checked equivalence proof for the alternating implementation
+    (the propagation variant is pinned equal in pytest on chain /
+    star / random graphs).
+
+    Plan shape: chaining is one hash-partitioned window (partitioned
+    by (source, lang) — never global); each CC round is two
+    join+aggregate passes over the edge set with localCheckpoint
+    lineage truncation.
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    w_slice = W.partitionBy("source", "lang").orderBy("doc_id")
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("u"),
+            F.lead("doc_id").over(w_slice).alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+    )
+    comp = connected_components_alternating(edges, "u", "v")
+    return comp.select(
+        F.col("u").alias("doc_id"), F.col("lbl").alias("component_id")
     )

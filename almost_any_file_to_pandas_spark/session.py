@@ -53,6 +53,16 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
         # vectorized parquet reader rejects; read as long + convert
         # (see plans.table()).
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # timestamp[us] columns without isAdjustedToUTC otherwise
+        # arrive as TIMESTAMP_NTZ (conf-dependent), which functions
+        # like unix_micros reject; with a UTC session the LTZ reading
+        # is value-identical and engine-portable.
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        # write timestamps as INT64 micros, not legacy INT96: INT96
+        # columns carry no min/max statistics, which silently disables
+        # the data-skipping layouts the sinks build (and breaks
+        # DuckDB/Arrow interop).
+        ("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),

@@ -348,6 +348,112 @@ def events_props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_stream_enrich_batch",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def events_stream_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch restatement of :func:`events_stream_enrich` — the
+    stream-static enrichment join, stated over the full table so the
+    driver hash-checks the join semantics the streaming builder
+    applies per micro-batch (stream-static joins ARE stateless: each
+    batch evaluates exactly this plan against the static side).
+
+    The static dimension is the customer table keyed by c_custkey =
+    user_id; it broadcasts (a dimension stays under the threshold
+    relative to a 100 TB event stream), so the fact side never
+    shuffles for the join — only the post-enrichment aggregation
+    shuffles, on the low-cardinality segment key with map-side
+    partials.
+    """
+    apply_engine_conf(spark)
+    ev = table_wide(spark, sf_dir, "events")
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("dim_key"), "c_mktsegment"
+    )
+    return (
+        ev.join(F.broadcast(dim), ev.user_id == dim.dim_key)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+N_UPSERT_BATCHES = 3
+REPLAYED_BATCH = 1
+
+
+@register(
+    "events_stream_upsert_batch",
+    oracle=f"""
+    WITH batched AS (
+      SELECT *, event_id % {N_UPSERT_BATCHES} AS batch_id FROM events
+    ), ranked AS (
+      SELECT user_id, event_id, event_type, value, ts, batch_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY batch_id DESC, ts DESC, event_id DESC) AS rn
+      FROM batched
+    )
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           value AS last_value,
+           CAST(ts AS VARCHAR) AS last_ts
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_stream_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch restatement of :func:`events_stream_upsert_sink`'s
+    replay-idempotence contract, stated so the driver can hash-check
+    it: the event stream is split into deterministic micro-batches
+    (batch_id = event_id mod 3), ONE batch is delivered twice (the
+    at-least-once failure mode foreachBatch must absorb), and the
+    final per-key upsert state is computed over the replayed stream.
+    The oracle computes the same state with NO replay — a hash match
+    IS the idempotence proof (duplicate delivery changed nothing),
+    exactly the guarantee the partition-overwrite sink provides.
+
+    Plan shape: union + one hash shuffle on the upsert key for the
+    preference window — the same single-shuffle MERGE shape as
+    ``orders_merge_changeset``; the replayed batch rides the same
+    shuffle (no second scan of the base).
+    """
+    apply_engine_conf(spark)
+    ev = table_wide(spark, sf_dir, "events").withColumn(
+        "batch_id", F.col("event_id") % N_UPSERT_BATCHES
+    )
+    replayed = ev.unionByName(
+        ev.filter(F.col("batch_id") == REPLAYED_BATCH)
+    )
+    w = W.partitionBy("user_id").orderBy(
+        F.desc("batch_id"), F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        replayed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").cast("string").alias("last_ts"),
+        )
+    )
+
+
 def events_stream_enrich(
     spark: SparkSession, source_dir: str, schema, dim: DataFrame
 ) -> DataFrame:

@@ -74,28 +74,45 @@ def main() -> int:
     spark = get_spark("bench")
     queries = entrymod.queries()
 
-    # Warm the JVM + parquet footers + Python workers once so per-query
-    # numbers measure execution, not first-touch JIT or interpreter
-    # spin-up (the first Pandas-UDF stage otherwise absorbs ~32 worker
-    # forks; the warmup query is itself part of the timed set later).
-    queries["q1_pricing_summary"](spark, sf_dir).collect()
+    # Warm the JVM + parquet footers + Python workers + the NOOP SINK
+    # code path itself, so the first timed query isn't taxed with
+    # first-write JIT (r02 recorded q1 at 11.7s cold vs ~2s warm —
+    # the warmup now exercises the exact write path the timings use).
+    queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
     spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
         spark.sparkContext.defaultParallelism
-    ).mapInPandas(lambda it: it, schema="id long").count()
+    ).mapInPandas(lambda it: it, schema="id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
+    # Median of N runs per query (N≥3 default): per-query numbers are
+    # reproducible within ~20% across rounds instead of riding one
+    # JIT/GC draw. Keep the noop sink EXACTLY as r02's — same harness,
+    # so rounds stay apples-to-apples.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink: consumes all rows AND all columns, so projection
-        # expressions can't be pruned away the way count() allows
-        df.write.format("noop").mode("overwrite").save()
-        elapsed = time.perf_counter() - start
+        samples = []
+        for _ in range(n_runs):
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink: consumes all rows AND all columns, so
+            # projection expressions can't be pruned the way count()
+            # allows
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - start)
+        elapsed = sorted(samples)[len(samples) // 2]
         timings[name] = round(elapsed, 3)
         total += elapsed
-        print(f"# {name}: {elapsed:.3f}s", file=sys.stderr)
+        print(
+            f"# {name}: median {elapsed:.3f}s of "
+            f"{[round(s, 3) for s in samples]}",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -65,10 +65,25 @@ def test_xlsx_two_sheet_fanout(spark, xlsx_file):
 
 
 def test_reference_example_xlsx(spark):
+    """Byte-correct parse of a REAL Excel-authored workbook (the
+    reference repo's own example.xlsx — written by Excel itself, not
+    by any fixture builder in this repo): shared-string indirection,
+    theme/styles parts present, two sheets. This is the
+    independent-writer check for the OOXML path — the hand-encoded
+    conftest fixtures can't confirm the parser against a writer that
+    shares none of their assumptions."""
     res = parse(spark, "/root/reference/example.xlsx")
     assert [r.sheet_name for r in res] == ["My_page_1", "My_page_2"]
-    assert res[0].data.count() == 5
-    assert res[1].data.count() == 3
+    g1 = grid_of(res[0].data)
+    assert g1 == [
+        ["single cell from first page", "another cell from first page"],
+        ["val", "val"],
+        ["val", "val"],
+        ["val", "val"],
+        ["val", "val"],
+    ]
+    g2 = grid_of(res[1].data)
+    assert g2 == [["val from 2nd page"] * 3] * 3
 
 
 def test_ods_single_sheet(spark, ods_file):

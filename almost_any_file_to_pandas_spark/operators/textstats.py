@@ -843,7 +843,11 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.desc("n"), F.asc("term")).limit(VOCAB_TOP)
     from pyspark.sql import Window as W
 
-    w = W.orderBy(F.desc("n"), F.asc("term"))
+    # The rank window sees only the ≤ VOCAB_TOP pre-limited rows, so a
+    # single partition is the *intended* shape — the constant partition
+    # key states that to the engine (and silences the global-window
+    # warning that otherwise fires 8× per run for a 20-row input).
+    w = W.partitionBy(F.lit(1)).orderBy(F.desc("n"), F.asc("term"))
     return top.withColumn("rnk", F.row_number().over(w)).select(
         "term", "n", "rnk"
     )

@@ -613,8 +613,21 @@ IVF_NPROBE = 4
 IVF_QUERIES = 10
 
 
+def ivf_k_for_corpus(n_vectors: int, target: int = IVF_TARGET_BUCKET_ROWS) -> int:
+    """Learned-quantizer counterpart of :func:`ivf_bits_for_corpus`:
+    inverted-list count ~ n/target (floored at IVF_K), keeping each
+    list — the unit a probe scans exactly — near-constant as the
+    corpus grows. The FAISS-style rule of thumb (k ≈ √n) optimizes
+    probe cost when nprobe also scales; here target-sized lists keep
+    the *per-task* memory bound, which is the Spark-side constraint.
+    """
+    return max(IVF_K, -(-n_vectors // target))
+
+
 @register("sim_ivf_kmeans_topk")  # no oracle: k-means is not SQL-expressible
-def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ivf_kmeans_topk(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
     """IVF ANN with *learned* coarse centroids: KMeans (pyspark.ml)
     partitions the corpus into IVF_K inverted lists; each query probes
     its IVF_NPROBE nearest lists and scores exact cosine only there.
@@ -641,7 +654,9 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "features"
         ),
     )
-    model = KMeans(k=IVF_K, seed=42, maxIter=5).fit(feats)
+    model = KMeans(
+        k=k if k is not None else IVF_K, seed=42, maxIter=5
+    ).fit(feats)
     assigned = model.transform(feats).select(
         "vec_id", "embedding", F.col("prediction").alias("bucket")
     )

@@ -426,10 +426,12 @@ def events_stream_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     IS the idempotence proof (duplicate delivery changed nothing),
     exactly the guarantee the partition-overwrite sink provides.
 
-    Plan shape: union + one hash shuffle on the upsert key for the
+    Plan shape: union + ONE hash shuffle on the upsert key for the
     preference window — the same single-shuffle MERGE shape as
-    ``orders_merge_changeset``; the replayed batch rides the same
-    shuffle (no second scan of the base).
+    ``orders_merge_changeset``. The replayed side re-scans the source
+    only to re-emit the duplicated batch (the batch filter is
+    evaluated at its scan, so ~1/3 of rows flow twice); both branches
+    then share the single user_id shuffle.
     """
     apply_engine_conf(spark)
     ev = table_wide(spark, sf_dir, "events").withColumn(

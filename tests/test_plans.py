@@ -412,9 +412,17 @@ def test_ivf_bits_parameter_scales_buckets(spark):
     from almost_any_file_to_pandas_spark.plans import table
     from pyspark.sql import functions as F
 
+    from almost_any_file_to_pandas_spark.operators.similarity import (
+        IVF_K,
+        ivf_k_for_corpus,
+    )
+
     assert ivf_bits_for_corpus(500) == IVF_BITS
     assert ivf_bits_for_corpus(4096 * 64) == IVF_BITS + 2
     assert ivf_bits_for_corpus(2**32) == 20
+    assert ivf_k_for_corpus(500) == IVF_K
+    assert ivf_k_for_corpus(4096 * 64) == 64
+    assert ivf_k_for_corpus(4096 * 1000 + 1) == 1001
     emb = table(spark, "/root/testdata/sf0.01", "embeddings")
     n4 = (
         emb.select(_ivf_bucket_expr(F.col("embedding"), 4).alias("b"))

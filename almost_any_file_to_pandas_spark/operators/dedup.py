@@ -978,6 +978,100 @@ def dedup_corpus_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCR_BATCH_MOD = 5  # doc_id % 5 == 4 → the "newly ingested" batch
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, md5(lower(trim(text))) AS f FROM documents
+    ), fmin AS (
+      SELECT f, MIN(doc_id) AS m FROM fp GROUP BY f
+    ), exact AS (
+      SELECT fp.doc_id, fmin.m AS match_id
+      FROM fp JOIN fmin ON fp.f = fmin.f
+      WHERE fp.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_MOD - 1}
+        AND fp.doc_id > fmin.m
+    ), pairs AS (
+      {_SHINGLE_JACCARD_ORACLE.format(threshold=JACCARD_THRESHOLD)}
+    ), near AS (
+      SELECT doc_b AS doc_id, MIN(doc_a) AS match_id
+      FROM pairs
+      WHERE doc_b % {INCR_BATCH_MOD} = {INCR_BATCH_MOD - 1}
+      GROUP BY doc_b
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS status,
+           COALESCE(e.match_id, n.match_id) AS match_id
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_MOD - 1}) b
+    LEFT JOIN exact e ON b.doc_id = e.doc_id
+    LEFT JOIN near n ON b.doc_id = n.doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the shape a production pipeline
+    runs on every new batch: classify each newly ingested document
+    (here the deterministic slice doc_id % 5 == 4) as ``exact_dup``
+    (identical normalized text already present under a smaller id),
+    ``near_dup`` (MinHash-verified Jaccard ≥ 0.8 against a smaller
+    id), or ``unique``, with the matched canonical id attached
+    (NULL when unique). Exact match takes precedence; the oracle
+    states the same cascade.
+
+    Scale shape: the exact tier is one fingerprint hash-shuffle; the
+    near tier reuses the verified-LSH pipeline (linear signatures →
+    capped one-shuffle bucket expansion → broadcast verify) and then
+    keeps only pairs whose LARGER side is a batch doc (a batch doc
+    matches the minimum smaller partner). In production the corpus
+    side's signatures and fingerprints are PRECOMPUTED and stored
+    bucketed by band key (``sinks.write_bucketed`` — the bucket probe
+    then co-locates without shuffling the corpus), so the per-batch
+    cost is |batch| signatures + the probe, never a corpus rescan;
+    here both sides derive from one table so the DuckDB oracle can
+    restate the whole contract.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_MOD - 1
+
+    fp = docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    )
+    fmin = fp.groupBy("fp").agg(F.min("doc_id").alias("fp_min"))
+    exact = (
+        fp.join(fmin, "fp")
+        .filter(is_batch & (F.col("doc_id") > F.col("fp_min")))
+        .select("doc_id", F.col("fp_min").alias("exact_match"))
+    )
+
+    pairs = minhash_candidate_pairs(docs).localCheckpoint(eager=True)
+    verified = _verify_pairs(pairs, docs, JACCARD_THRESHOLD)
+    near = (
+        verified.filter(F.col("doc_b") % INCR_BATCH_MOD == INCR_BATCH_MOD - 1)
+        .groupBy("doc_b")
+        .agg(F.min("doc_a").alias("near_match"))
+        .select(F.col("doc_b").alias("doc_id"), "near_match")
+    )
+
+    batch = docs.filter(is_batch).select("doc_id")
+    return (
+        batch.join(F.broadcast(exact), "doc_id", "left")
+        .join(F.broadcast(near), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), "exact_dup")
+            .when(F.col("near_match").isNotNull(), "near_dup")
+            .otherwise("unique")
+            .alias("status"),
+            F.coalesce("exact_match", "near_match").alias("match_id"),
+        )
+    )
+
+
 def connected_components_alternating(
     edges: DataFrame, src: str = "u", dst: str = "v", max_rounds: int = 30
 ) -> DataFrame:

@@ -485,3 +485,16 @@ def test_stream_restatements_plan_shapes(spark):
     plan = upsert._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert "Exchange Single" not in plan
+
+
+def test_incremental_dedup_broadcast_tiers(spark):
+    """Incremental batch dedup: both classification tiers join the
+    batch side by broadcast — no SortMergeJoin anywhere, and the
+    near tier reuses the capped bucket expansion (no bucket
+    self-join)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["dedup_incremental_batch"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -707,7 +707,9 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 APPROX_REL_TOL = 0.05
 
 
-def exact_disc_quantiles(df: DataFrame, col: str, qs) -> dict:
+def exact_disc_quantiles(
+    df: DataFrame, col: str, qs, nb: int = 4096, tail: int = 65536
+) -> dict:
     """Distributed exact discrete quantiles (smallest value whose
     cumulative count reaches ⌈q·n⌉ — DuckDB's ``quantile_disc``)
     via iterative histogram refinement, NO global window and NO full
@@ -729,8 +731,7 @@ def exact_disc_quantiles(df: DataFrame, col: str, qs) -> dict:
     """
     import math
 
-    NB = 4096
-    TAIL = 65536
+    NB, TAIL = nb, tail
     stats = df.agg(
         F.count(col).alias("n"), F.min(col).alias("lo"), F.max(col).alias("hi")
     ).first()

@@ -498,3 +498,32 @@ def test_incremental_dedup_broadcast_tiers(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_exact_disc_quantiles_refinement_path(spark):
+    """Force the histogram-refinement loop (tiny tail/bucket params)
+    on adversarial value sets — duplicates, skew, negatives, a
+    constant column — and require exact agreement with the sorted
+    definition: smallest value whose cumulative count reaches
+    ceil(q*n)."""
+    import math
+
+    from almost_any_file_to_pandas_spark.plans.relational import (
+        exact_disc_quantiles,
+    )
+
+    cases = [
+        [1.0] * 100,                               # constant column
+        [float(x) for x in range(1, 101)],         # uniform
+        [0.001] * 90 + [1e9] * 10,                 # extreme skew
+        [-5.0, -1.5, 0.0, 0.0, 0.0, 2.5, 7.75, 7.75, 100.0, 1e6],
+        [math.pi * i % 7 - 3 for i in range(257)],  # irregular
+    ]
+    qs = (0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+    for values in cases:
+        df = spark.createDataFrame([(v,) for v in values], "v double")
+        got = exact_disc_quantiles(df, "v", qs, nb=4, tail=3)
+        s = sorted(values)
+        for q in qs:
+            want = s[max(1, math.ceil(q * len(s))) - 1]
+            assert got[q] == want, (values[:5], q, got[q], want)

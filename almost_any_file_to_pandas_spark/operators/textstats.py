@@ -851,3 +851,77 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w)).select(
         "term", "n", "rnk"
     )
+
+
+RARE_TOKEN_MAX_COUNT = 2  # corpus count at or below which a token is "rare"
+
+
+@register(
+    "text_unigram_freq_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), freq AS (
+      SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+    ), scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(f.n) AS sum_n,
+             SUM(CASE WHEN f.n <= {RARE_TOKEN_MAX_COUNT} THEN 1 ELSE 0 END)
+               AS n_rare
+      FROM toks t JOIN freq f ON t.term = f.term
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(sum_n AS DOUBLE) / n_tokens, 6) AS mean_token_count,
+           ROUND(CAST(n_rare AS DOUBLE) / n_tokens, 6) AS rare_frac
+    FROM scored
+    """,
+)
+def text_unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality score — the deterministic stand-in
+    for LM-perplexity filtering: per document, the mean corpus
+    frequency of its tokens and the fraction of rare tokens
+    (corpus count ≤ RARE_TOKEN_MAX_COUNT). Rare-token-heavy documents
+    are the boilerplate/garbled/OOV-dense tail a training-data
+    pipeline downweights; frequency statistics give the same ordering
+    signal as a unigram LM's log-prob without transcendentals (ln is
+    not correctly-rounded-guaranteed across engines, so the emitted
+    numbers stay exact-integer ratios — hash-stable in any engine).
+
+    Plan: token explode → corpus term-frequency aggregate (one
+    shuffle over the vocabulary, map-side partials) → join back on
+    term (shuffle or AQE broadcast when the vocabulary is small) →
+    per-doc integer aggregate (one shuffle on doc_id). All counting
+    is exact bigint; the only doubles are two final int/int
+    divisions. At 100 TB the vocabulary table is the small side by
+    orders of magnitude — Zipf keeps it sublinear in corpus size.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count("*").alias("n"))
+    return (
+        toks.join(freq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n").alias("_sum_n"),
+            F.sum(
+                F.when(F.col("n") <= RARE_TOKEN_MAX_COUNT, 1).otherwise(0)
+            ).alias("_n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("_sum_n").cast("double") / F.col("n_tokens"), 6
+            ).alias("mean_token_count"),
+            F.round(
+                F.col("_n_rare").cast("double") / F.col("n_tokens"), 6
+            ).alias("rare_frac"),
+        )
+    )

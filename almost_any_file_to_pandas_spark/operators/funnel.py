@@ -82,7 +82,7 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side before its exchange.
     """
     apply_engine_conf(spark)
-    ev = table_wide(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events")
 
     s1 = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
@@ -151,7 +151,7 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar days — bounded cardinality, no skew risk at any scale.
     """
     apply_engine_conf(spark)
-    ev = table_wide(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events")
 
     first_day = ev.groupBy("user_id").agg(
         F.min("ts").cast("date").alias("cohort_day")

@@ -109,7 +109,7 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet scan instead of decoding anything.
     """
     apply_engine_conf(spark)
-    mm = with_binary_content(table_wide(spark, sf_dir, "documents"))
+    mm = with_binary_content(table(spark, sf_dir, "documents"))
     return mm.filter(F.col("byte_len") > 0).select(
         "doc_id",
         "modality",
@@ -195,7 +195,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     it from container metadata, same column shape).
     """
     apply_engine_conf(spark)
-    mm = with_binary_content(table_wide(spark, sf_dir, "documents"))
+    mm = with_binary_content(table(spark, sf_dir, "documents"))
     videos = mm.filter(F.col("modality") == "video").select(
         "doc_id", F.pmod(F.col("byte_len"), F.lit(256)).alias("n_frames")
     )

@@ -108,7 +108,7 @@ def events_asof_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-function formulation (one shuffle on user_id, no join
     node, no non-equi explosion)."""
     apply_engine_conf(spark)
-    ev = table_wide(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events")
     return asof_join_last_before(
         ev, "click", "view", ASOF_TOLERANCE_MINUTES * 60 * 1_000_000
     )
@@ -145,7 +145,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials; the stats side is |event_types| rows at any scale.
     """
     apply_engine_conf(spark)
-    ev = table_wide(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.round(F.avg("value"), 6).alias("mean_value"),

@@ -47,7 +47,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     timezone-proof comparison.
     """
     apply_engine_conf(spark)
-    ev = table_wide(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(
             F.window("ts", f"{WINDOW_MINUTES} minutes").alias("w"), "event_type"
@@ -123,7 +123,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag → running sum → per-session rollup. One shuffle on user_id;
     both windows share the same partitioning so Spark sorts once."""
     apply_engine_conf(spark)
-    ev = table_wide(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events")
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond precision to match the oracle's INTERVAL comparison
     # (a cast to long would truncate to seconds)
@@ -196,7 +196,7 @@ def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user activity rollup with a post-aggregation filter —
     the profile-building aggregate; single shuffle on user_id."""
     apply_engine_conf(spark)
-    ev = table_wide(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
         .agg(
@@ -297,7 +297,7 @@ def events_sliding_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frame. Decimal accumulation keeps the running sums exact and
     engine-portable."""
     apply_engine_conf(spark)
-    ev = table_wide(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
         .orderBy(F.unix_micros(F.col("ts")))
@@ -339,7 +339,7 @@ def events_props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``json_extract_string``.
     """
     apply_engine_conf(spark)
-    ev = table_wide(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events")
     k = F.from_json("props", "k bigint")["k"]
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
@@ -374,7 +374,7 @@ def events_stream_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials.
     """
     apply_engine_conf(spark)
-    ev = table_wide(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events")
     dim = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("dim_key"), "c_mktsegment"
     )
@@ -434,7 +434,7 @@ def events_stream_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     then share the single user_id shuffle.
     """
     apply_engine_conf(spark)
-    ev = table_wide(spark, sf_dir, "events").withColumn(
+    ev = table(spark, sf_dir, "events").withColumn(
         "batch_id", F.col("event_id") % N_UPSERT_BATCHES
     )
     replayed = ev.unionByName(

@@ -736,6 +736,8 @@ def exact_disc_quantiles(
         F.count(col).alias("n"), F.min(col).alias("lo"), F.max(col).alias("hi")
     ).first()
     n = int(stats["n"])
+    if n == 0:  # no non-null rows: quantiles undefined, mirror SQL NULL
+        return {q: float("nan") for q in qs}
     out = {}
     for q in qs:
         target = max(1, math.ceil(q * n))

@@ -527,3 +527,15 @@ def test_exact_disc_quantiles_refinement_path(spark):
         for q in qs:
             want = s[max(1, math.ceil(q * len(s))) - 1]
             assert got[q] == want, (values[:5], q, got[q], want)
+
+
+def test_exact_disc_quantiles_empty_input(spark):
+    import math
+
+    from almost_any_file_to_pandas_spark.plans.relational import (
+        exact_disc_quantiles,
+    )
+
+    df = spark.createDataFrame([], "v double")
+    got = exact_disc_quantiles(df, "v", (0.5,))
+    assert math.isnan(got[0.5])

@@ -339,3 +339,17 @@ def test_sst_continue_recompression():
     )
     seg2 = bytes([0x01]) + "fg".encode("utf-16-le")  # switches to UTF-16
     assert _parse_sst([seg1, seg2]) == ["abc", "defg"]
+
+
+def test_cli_demo_main(spark, capsys):
+    """__main__ parity with the reference's demo block
+    (main.py:453-466): answer list printout, bounded frame show, and
+    the per-file page inventory; failed parses exit nonzero."""
+    from almost_any_file_to_pandas_spark.__main__ import main
+
+    assert main(["/root/reference/example.xlsx"]) == 0
+    out = capsys.readouterr().out
+    assert '1 page name is "My_page_1"' in out
+    assert '2 page name is "My_page_2"' in out
+    assert main(["/nope.unknownext"]) == 1
+    assert main([]) == 2

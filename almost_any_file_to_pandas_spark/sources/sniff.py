@@ -64,9 +64,26 @@ def detect_encoding(
         from charset_normalizer import from_bytes
 
         best = from_bytes(data).best()
-        return best.encoding if best is not None else None
+        detected = best.encoding if best is not None else None
     except Exception:
         return None
+    # NUL bytes never occur in legitimate single-byte text, but decode
+    # as valid UTF-8 control chars — a BOM-less UTF-16/32 file can
+    # fool the statistical detector into "utf_8"/"ascii". Reclassify
+    # by NUL position parity (deviation from the reference, which
+    # trusts chardet blindly and then never applies the encoding
+    # anyway, main.py:189-199 + 339).
+    if detected in (None, "ascii", "utf_8") and b"\x00" in data:
+        n = len(data)
+        nul_frac = data.count(0) / n
+        if nul_frac >= 0.5:
+            le = sum(1 for i in range(3, n, 4) if data[i] == 0)
+            be = sum(1 for i in range(0, n, 4) if data[i] == 0)
+            return "utf_32_le" if le >= be else "utf_32_be"
+        odd = sum(1 for i in range(1, n, 2) if data[i] == 0)
+        even = sum(1 for i in range(0, n, 2) if data[i] == 0)
+        return "utf_16_le" if odd >= even else "utf_16_be"
+    return detected
 
 
 def _decode(prefix: bytes, encoding: Optional[str]) -> str:

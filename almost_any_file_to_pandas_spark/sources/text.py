@@ -71,6 +71,39 @@ def strip_quote_runs(col):
     )
 
 
+_WIDE_CHARSETS = {
+    # detector name → endianness-specific Java charset (BOM-free so the
+    # encoded lineSep carries no BOM prefix); BOM bytes resolve the
+    # ambiguous generic names
+    "utf_16_le": "UTF-16LE",
+    "utf_16_be": "UTF-16BE",
+    "utf_32_le": "UTF-32LE",
+    "utf_32_be": "UTF-32BE",
+}
+
+
+def _line_splittable_charset(encoding: str, prefix: bytes):
+    """(charset, lineSep) for the CSV raw-line reader: single-byte
+    charsets keep the default record splitter (None); UTF-16/32
+    resolve to an endianness-specific charset + an explicit "\\n"
+    lineSep so records split on the charset's code units, not raw
+    0x0A bytes."""
+    norm = encoding.lower().replace("-", "_")
+    if norm == "utf_32" or norm in ("utf_32_le", "utf_32_be"):
+        if norm == "utf_32":
+            norm = (
+                "utf_32_be"
+                if prefix.startswith(b"\x00\x00\xfe\xff")
+                else "utf_32_le"
+            )
+        return _WIDE_CHARSETS[norm], "\n"
+    if norm == "utf_16" or norm in ("utf_16_le", "utf_16_be"):
+        if norm == "utf_16":
+            norm = "utf_16_be" if prefix.startswith(b"\xfe\xff") else "utf_16_le"
+        return _WIDE_CHARSETS[norm], "\n"
+    return encoding, None
+
+
 def read_delimited(
     spark: SparkSession,
     path: Union[str, Path],
@@ -112,13 +145,26 @@ def read_delimited(
         # intact, and `encoding` is honored (legacy Java charset names
         # like cp1251 need spark.sql.legacy.javaCharsets).
         spark.conf.set("spark.sql.legacy.javaCharsets", "true")
-        lines = (
+        encoding, line_sep = _line_splittable_charset(encoding, prefix)
+        reader = (
             spark.read.option("encoding", encoding)
             .option("sep", "\x7f")
             .option("quote", "")
             .schema("value string")
-            .csv(path)
         )
+        if line_sep is not None:
+            # multi-byte charsets: the default record splitter cuts on
+            # the raw 0x0A byte MID-CODE-UNIT, garbling every line; an
+            # explicit lineSep is encoded with the charset (0A 00 for
+            # UTF-16LE), which needs the endianness-specific name (the
+            # generic "UTF-16" would prepend a BOM to the separator)
+            reader = reader.option("lineSep", line_sep)
+        lines = reader.csv(path)
+        if line_sep is not None:
+            # the file-leading BOM decodes as U+FEFF on the first line
+            lines = lines.select(
+                F.regexp_replace("value", "^\ufeff", "").alias("value")
+            )
     else:
         lines = spark.read.text(path)
 

@@ -353,3 +353,18 @@ def test_cli_demo_main(spark, capsys):
     assert '2 page name is "My_page_2"' in out
     assert main(["/nope.unknownext"]) == 1
     assert main([]) == 2
+
+
+def test_utf16_and_utf32_decode_correctly(spark, fixture_dir):
+    """Wide charsets: records must split on code units, not raw 0x0A
+    bytes (which cut UTF-16 mid-unit and garble every line), and
+    BOM-less variants must be reclassified from the detector's utf_8
+    guess by NUL-byte parity."""
+    expected = [["id", "value"], ["1", "альфа"], ["2", "бета"]]
+    text = "id\tvalue\n1\tальфа\n2\tбета\n"
+    for enc in ("utf-16", "utf-16-be", "utf-16-le", "utf-32", "utf-32-be"):
+        p = fixture_dir / f"wide_{enc.replace('-', '')}.txt"
+        p.write_bytes(text.encode(enc))
+        r = parse(spark, p)[0]
+        assert r.ok, enc
+        assert grid_of(r.data) == expected, enc

@@ -539,3 +539,40 @@ def test_exact_disc_quantiles_empty_input(spark):
     df = spark.createDataFrame([], "v double")
     got = exact_disc_quantiles(df, "v", (0.5,))
     assert math.isnan(got[0.5])
+
+
+def test_ivf_index_persisted_partition_pruning(spark, tmp_path):
+    """ANN index persistence: vectors written partitioned by their
+    coarse-quantizer bucket read back with the probe filter pushed to
+    partition pruning — the scan touches only nprobe/2^bits of the
+    files, which is the entire point of an IVF layout at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from almost_any_file_to_pandas_spark.operators.similarity import (
+        _ivf_bucket_expr,
+    )
+    from almost_any_file_to_pandas_spark.plans import table
+
+    emb = table(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _ivf_bucket_expr(F.col("embedding"), 4).alias("bucket"),
+    )
+    out = str(tmp_path / "ivf_index")
+    emb.write.mode("overwrite").partitionBy("bucket").parquet(out)
+
+    index = spark.read.parquet(out)
+    probes = [3, 7]
+    probe_scan = index.filter(F.col("bucket").isin(probes))
+    plan = probe_scan._jdf.queryExecution().executedPlan().toString()
+    # partition filter reaches the scan (pruning, not a post-filter)
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    got_buckets = {
+        r["bucket"] for r in probe_scan.select("bucket").distinct().collect()
+    }
+    assert got_buckets <= set(probes)
+    # every probed vector survives the round-trip
+    want = emb.filter(F.col("bucket").isin(probes)).count()
+    assert probe_scan.count() == want

@@ -104,6 +104,49 @@ def _line_splittable_charset(encoding: str, prefix: bytes):
     return encoding, None
 
 
+
+def _read_lines(spark, paths, encoding, prefix):
+    """Distributed raw-line read honoring the detected encoding
+    (single path or list/glob) → (lines_df, effective_encoding).
+
+    Reference detects but never applies the encoding (main.py:339
+    quirk); we apply it — documented deviation, SURVEY.md §7.
+    spark.read.text has no charset option, so non-UTF8 files go
+    through the CSV source configured as a raw line reader: an
+    improbable separator + quoting disabled keeps the line intact,
+    and `encoding` is honored (legacy Java charset names like cp1251
+    need spark.sql.legacy.javaCharsets). Multi-byte charsets
+    additionally need an explicit lineSep — the default record
+    splitter cuts on the raw 0x0A byte MID-CODE-UNIT, garbling every
+    line — encoded with the endianness-specific charset (0A 00 for
+    UTF-16LE; the generic "UTF-16" would prepend a BOM to the
+    separator), and the file-leading BOM decodes as U+FEFF on the
+    first line, so it is stripped.
+    """
+    if encoding and encoding.lower().replace("_", "-") not in (
+        "utf-8",
+        "ascii",
+        "utf8",
+    ):
+        spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+        encoding, line_sep = _line_splittable_charset(encoding, prefix)
+        reader = (
+            spark.read.option("encoding", encoding)
+            .option("sep", "\x7f")
+            .option("quote", "")
+            .schema("value string")
+        )
+        if line_sep is not None:
+            reader = reader.option("lineSep", line_sep)
+        lines = reader.csv(paths)
+        if line_sep is not None:
+            lines = lines.select(
+                F.regexp_replace("value", "^\ufeff", "").alias("value")
+            )
+        return lines, encoding
+    return spark.read.text(paths), encoding
+
+
 def read_delimited(
     spark: SparkSession,
     path: Union[str, Path],
@@ -132,41 +175,7 @@ def read_delimited(
             )
     width = max(1, int(width))
 
-    if encoding and encoding.lower().replace("_", "-") not in (
-        "utf-8",
-        "ascii",
-        "utf8",
-    ):
-        # Reference detects but never applies the encoding (main.py:339
-        # quirk); we apply it — documented deviation, SURVEY.md §7.
-        # spark.read.text has no charset option, so non-UTF8 files go
-        # through the CSV source configured as a raw line reader: an
-        # improbable separator + quoting disabled keeps the line
-        # intact, and `encoding` is honored (legacy Java charset names
-        # like cp1251 need spark.sql.legacy.javaCharsets).
-        spark.conf.set("spark.sql.legacy.javaCharsets", "true")
-        encoding, line_sep = _line_splittable_charset(encoding, prefix)
-        reader = (
-            spark.read.option("encoding", encoding)
-            .option("sep", "\x7f")
-            .option("quote", "")
-            .schema("value string")
-        )
-        if line_sep is not None:
-            # multi-byte charsets: the default record splitter cuts on
-            # the raw 0x0A byte MID-CODE-UNIT, garbling every line; an
-            # explicit lineSep is encoded with the charset (0A 00 for
-            # UTF-16LE), which needs the endianness-specific name (the
-            # generic "UTF-16" would prepend a BOM to the separator)
-            reader = reader.option("lineSep", line_sep)
-        lines = reader.csv(path)
-        if line_sep is not None:
-            # the file-leading BOM decodes as U+FEFF on the first line
-            lines = lines.select(
-                F.regexp_replace("value", "^\ufeff", "").alias("value")
-            )
-    else:
-        lines = spark.read.text(path)
+    lines, encoding = _read_lines(spark, path, encoding, prefix)
 
     cells = pad_cells(cells_expr(F.col("value"), delimiter), width)
     columns = [
@@ -226,7 +235,7 @@ def read_delimited_many(
         )
     width = max(1, int(width))
 
-    lines = spark.read.text(expanded)
+    lines, encoding = _read_lines(spark, expanded, encoding, prefix)
     cells = pad_cells(cells_expr(F.col("value"), delimiter), width)
     columns = [
         strip_quote_runs(F.element_at(cells, i + 1)).alias(f"c{i}")

@@ -368,3 +368,14 @@ def test_utf16_and_utf32_decode_correctly(spark, fixture_dir):
         r = parse(spark, p)[0]
         assert r.ok, enc
         assert grid_of(r.data) == expected, enc
+
+
+def test_read_delimited_many_honors_encoding(spark, fixture_dir):
+    from almost_any_file_to_pandas_spark.sources.text import read_delimited_many
+
+    text = "ид\tзначение\n1\tальфа\n"
+    for i in range(2):
+        (fixture_dir / f"wide_many_{i}.tsv").write_bytes(text.encode("utf-16"))
+    res = read_delimited_many(spark, str(fixture_dir / "wide_many_*.tsv"))
+    rows = {tuple(r)[:2] for r in res.data.collect()}
+    assert rows == {("ид", "значение"), ("1", "альфа")}

@@ -91,6 +91,88 @@ def xlsx_sheet_inventory(path: str) -> list[tuple[str, str]]:
     return out
 
 
+# Builtin numFmtIds that render as dates/times (ECMA-376 §18.8.30);
+# 14-22 date/time, 45-47 durations-as-time, plus the locale pairs.
+_BUILTIN_DATE_FMTS = frozenset(range(14, 23)) | frozenset(range(45, 48))
+
+
+def _numfmt_is_date(code: str) -> bool:
+    """True when a custom number-format code renders a date/time:
+    contains y/m/d/h/s tokens outside quoted literals, [bracketed]
+    sections (colors/conditions; [h] elapsed IS a time), and escapes."""
+    out = []
+    i, n = 0, len(code)
+    while i < n:
+        ch = code[i]
+        if ch == '"':  # quoted literal
+            j = code.find('"', i + 1)
+            i = n if j < 0 else j + 1
+        elif ch == "[":
+            j = code.find("]", i + 1)
+            inner = code[i + 1 : j if j > 0 else n]
+            if inner[:1].lower() in ("h", "m", "s"):  # elapsed time
+                out.append(inner[0])
+            i = n if j < 0 else j + 1
+        elif ch == "\\":
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return any(c in "ymdhs" for c in "".join(out).lower())
+
+
+def _xlsx_date_styles(z: zipfile.ZipFile) -> set[int]:
+    """Indices into cellXfs whose number format renders a date/time —
+    the styles ``pd.read_excel`` (via openpyxl) converts to datetime
+    before ``dtype=str`` stringifies them."""
+    try:
+        raw = z.read("xl/styles.xml")
+    except KeyError:
+        return set()
+    try:
+        root = ET.fromstring(raw)
+    except ET.ParseError:
+        return set()
+    custom_date = {
+        int(nf.get("numFmtId", "-1"))
+        for nf in root.iter(f"{MAIN_NS}numFmt")
+        if _numfmt_is_date(nf.get("formatCode", ""))
+    }
+    date_styles = set()
+    cellxfs = root.find(f"{MAIN_NS}cellXfs")
+    if cellxfs is None:
+        return set()
+    for idx, xf in enumerate(cellxfs.findall(f"{MAIN_NS}xf")):
+        fmt = int(xf.get("numFmtId", "0"))
+        if fmt in _BUILTIN_DATE_FMTS or fmt in custom_date:
+            date_styles.add(idx)
+    return date_styles
+
+
+def _serial_to_datetime_str(text: str) -> str:
+    """Excel serial → the string ``pd.read_excel(dtype=str)`` shows:
+    openpyxl converts with the 1899-12-30 epoch (absorbing Excel's
+    1900 leap-year ghost) to datetime / time / date objects and
+    ``astype(str)`` renders them — '2023-03-15 00:00:00' for whole
+    days, 'HH:MM:SS' for sub-day serials (time-only values).
+    Sub-second parts round to the microsecond like openpyxl."""
+    import datetime as _dt
+
+    try:
+        serial = float(text)
+    except ValueError:
+        return text
+    if serial < 0:
+        return text
+    days = int(serial)
+    frac = round((serial - days) * 86400_000_000)  # microseconds
+    if days == 0 and serial < 1:
+        t = (_dt.datetime(1900, 1, 1) + _dt.timedelta(microseconds=frac)).time()
+        return str(t)
+    base = _dt.datetime(1899, 12, 30) + _dt.timedelta(days=days, microseconds=frac)
+    return str(base)
+
+
 def _xlsx_shared_strings(z: zipfile.ZipFile) -> list[str]:
     try:
         raw = z.read("xl/sharedStrings.xml")
@@ -104,7 +186,9 @@ def _xlsx_shared_strings(z: zipfile.ZipFile) -> list[str]:
     return strings
 
 
-def _xlsx_cell_value(cell: ET.Element, shared: list[str]) -> str | None:
+def _xlsx_cell_value(
+    cell: ET.Element, shared: list[str], date_styles: set[int] = frozenset()
+) -> str | None:
     ctype = cell.get("t", "n")
     if ctype == "inlineStr":
         is_el = cell.find(f"{MAIN_NS}is")
@@ -122,6 +206,14 @@ def _xlsx_cell_value(cell: ET.Element, shared: list[str]) -> str | None:
     if ctype == "b":
         return "True" if v.text.strip() == "1" else "False"
     if ctype == "n":
+        try:
+            style = int(cell.get("s", "-1"))
+        except ValueError:
+            style = -1
+        if style in date_styles:
+            # date-formatted numeric: pandas (openpyxl + dtype=str)
+            # shows the converted datetime, never the raw serial
+            return _serial_to_datetime_str(v.text)
         return _canon_number(v.text)
     return v.text
 
@@ -132,6 +224,7 @@ def xlsx_sheet_rows(path: str, member: str) -> list[list[str | None]]:
     grid semantics of ``pd.read_excel(header=None)``."""
     with zipfile.ZipFile(path) as z:
         shared = _xlsx_shared_strings(z)
+        date_styles = _xlsx_date_styles(z)
         root = ET.fromstring(z.read(member))
     rows: dict[int, list] = {}
     max_row = 0
@@ -144,7 +237,7 @@ def xlsx_sheet_rows(path: str, member: str) -> list[list[str | None]]:
                 cidx = cnum
             while len(cells) <= cidx:
                 cells.append(None)
-            cells[cidx] = _xlsx_cell_value(cell, shared)
+            cells[cidx] = _xlsx_cell_value(cell, shared, date_styles)
         if any(v is not None for v in cells):
             rows[ridx] = cells
             max_row = max(max_row, ridx)

@@ -379,3 +379,57 @@ def test_read_delimited_many_honors_encoding(spark, fixture_dir):
     res = read_delimited_many(spark, str(fixture_dir / "wide_many_*.tsv"))
     rows = {tuple(r)[:2] for r in res.data.collect()}
     assert rows == {("ид", "значение"), ("1", "альфа")}
+
+
+def test_xlsx_date_styles_render_as_datetime(spark, fixture_dir):
+    """Date-formatted numeric cells must render the converted
+    datetime string, exactly as the reference's
+    pd.read_excel(dtype=str) does (openpyxl converts date-styled
+    serials before the cast) — raw serials only for non-date styles.
+    Covers builtin date ids, custom date codes, quoted-literal
+    false-positives ('"meters"' is not a date), and time-only."""
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    styles = f"""<?xml version="1.0"?><styleSheet {ns}>
+      <numFmts count="2">
+        <numFmt numFmtId="164" formatCode="dd/mm/yyyy hh:mm"/>
+        <numFmt numFmtId="165" formatCode="#,##0 &quot;meters&quot;"/>
+      </numFmts>
+      <cellXfs count="5">
+        <xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/>
+        <xf numFmtId="165"/><xf numFmtId="21"/>
+      </cellXfs></styleSheet>"""
+    sheet = f"""<?xml version="1.0"?><worksheet {ns}><sheetData>
+      <row r="1">
+        <c r="A1" s="1"><v>45000</v></c>
+        <c r="B1" s="2"><v>45000.5</v></c>
+        <c r="C1" s="3"><v>45000</v></c>
+        <c r="D1" s="4"><v>0.75</v></c>
+        <c r="E1"><v>45000</v></c>
+      </row></sheetData></worksheet>"""
+    workbook = f"""<?xml version="1.0"?><workbook {ns}
+      xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+      <sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    rels = """<?xml version="1.0"?><Relationships
+      xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+      <Relationship Id="rId1"
+        Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet"
+        Target="worksheets/sheet1.xml"/></Relationships>"""
+    p = fixture_dir / "dates.xlsx"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/styles.xml", styles)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    res = parse(spark, p)
+    assert res[0].ok
+    assert grid_of(res[0].data) == [
+        [
+            "2023-03-15 00:00:00",
+            "2023-03-15 12:00:00",
+            "45000",
+            "18:00:00",
+            "45000",
+        ]
+    ]

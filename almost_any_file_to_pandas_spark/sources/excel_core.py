@@ -93,7 +93,9 @@ def xlsx_sheet_inventory(path: str) -> list[tuple[str, str]]:
 
 # Builtin numFmtIds that render as dates/times (ECMA-376 §18.8.30);
 # 14-22 date/time, 45-47 durations-as-time, plus the locale pairs.
-_BUILTIN_DATE_FMTS = frozenset(range(14, 23)) | frozenset(range(45, 48))
+_BUILTIN_DATE_FMTS = (
+    frozenset(range(14, 23)) | frozenset(range(27, 37)) | frozenset(range(45, 48))
+)
 
 
 def _numfmt_is_date(code: str) -> bool:
@@ -702,6 +704,33 @@ def _xls_formula_value(payload: bytes) -> str | None:
     return _b12_num_str(struct.unpack_from("<d", payload, 6)[0])
 
 
+
+def _xls_date_xfs(stream: bytes) -> set[int]:
+    """XF indices whose number format renders a date/time — BIFF8's
+    analogue of :func:`_xlsx_date_styles` (FORMAT records carry custom
+    codes, XF records reference them by ifmt; builtin ifmt ids match
+    ECMA-376). pd.read_excel's xlrd engine converts exactly these
+    before dtype=str, so date cells must not leak raw serials."""
+    import struct
+
+    custom_date: set[int] = set()
+    xf_ifmts: list[int] = []
+    for rid, payload, _ in _biff8_records(stream):
+        if rid == 0x000A:  # end of globals substream
+            break
+        if rid == 0x041E and len(payload) >= 5:  # Format
+            ifmt = struct.unpack_from("<H", payload, 0)[0]
+            if _numfmt_is_date(_biff8_long_string(payload, 2)):
+                custom_date.add(ifmt)
+        elif rid == 0x00E0 and len(payload) >= 4:  # XF
+            xf_ifmts.append(struct.unpack_from("<H", payload, 2)[0])
+    return {
+        idx
+        for idx, ifmt in enumerate(xf_ifmts)
+        if ifmt in _BUILTIN_DATE_FMTS or ifmt in custom_date
+    }
+
+
 def xls_sheet_rows(path: str, ref: str) -> list[list[str | None]]:
     """All rows of one BIFF8 sheet substream as ragged lists — same
     grid semantics as :func:`xlsx_sheet_rows`."""
@@ -709,6 +738,13 @@ def xls_sheet_rows(path: str, ref: str) -> list[list[str | None]]:
 
     stream = _cfb_stream(path, ("Workbook", "Book"))
     shared = _xls_shared_strings(stream)
+    date_xfs = _xls_date_xfs(stream)
+
+    def num_str(value, ixfe: int) -> str:
+        if ixfe in date_xfs:
+            return _serial_to_datetime_str(str(value))
+        return _b12_num_str(value)
+
     rows: dict[int, list] = {}
     max_row = 0
     pending_formula: tuple[int, int] | None = None
@@ -732,17 +768,18 @@ def xls_sheet_rows(path: str, ref: str) -> list[list[str | None]]:
             isst = int.from_bytes(payload[6:10], "little")
             put(r, c, shared[isst] if isst < len(shared) else str(isst))
         elif rid == 0x0203:  # Number
-            r, c = struct.unpack_from("<HH", payload, 0)
-            put(r, c, _b12_num_str(struct.unpack_from("<d", payload, 6)[0]))
+            r, c, ixfe = struct.unpack_from("<HHH", payload, 0)
+            put(r, c, num_str(struct.unpack_from("<d", payload, 6)[0], ixfe))
         elif rid == 0x027E:  # RK
-            r, c = struct.unpack_from("<HH", payload, 0)
-            put(r, c, _b12_num_str(_rk_value(int.from_bytes(payload[6:10], "little"))))
+            r, c, ixfe = struct.unpack_from("<HHH", payload, 0)
+            put(r, c, num_str(_rk_value(int.from_bytes(payload[6:10], "little")), ixfe))
         elif rid == 0x00BD:  # MulRk
             r, c0 = struct.unpack_from("<HH", payload, 0)
             n = (len(payload) - 6) // 6
             for k in range(n):
+                ixfe = int.from_bytes(payload[4 + 6 * k : 4 + 6 * k + 2], "little")
                 rk = int.from_bytes(payload[4 + 6 * k + 2 : 4 + 6 * k + 6], "little")
-                put(r, c0 + k, _b12_num_str(_rk_value(rk)))
+                put(r, c0 + k, num_str(_rk_value(rk), ixfe))
         elif rid == 0x0204:  # Label (inline string)
             r, c = struct.unpack_from("<HH", payload, 0)
             put(r, c, _biff8_long_string(payload, 6))

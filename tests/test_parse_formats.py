@@ -433,3 +433,75 @@ def test_xlsx_date_styles_render_as_datetime(spark, fixture_dir):
             "45000",
         ]
     ]
+
+
+def test_xls_date_xfs_render_as_datetime(spark, fixture_dir):
+    """BIFF8 date-formatted numerics render the converted datetime
+    (xlrd-engine parity), keyed by XF→FORMAT resolution; non-date XFs
+    keep the raw number."""
+    import struct
+
+    from tests.conftest import _biff8_rec, _cfb_wrap
+
+    bof = _biff8_rec(
+        0x0809, struct.pack("<HHHH", 0x0600, 0x0005, 0, 0) + bytes(8)
+    )
+    fmt_date = _biff8_rec(
+        0x041E,
+        struct.pack("<H", 164)
+        + struct.pack("<HB", 10, 0)
+        + b"dd/mm/yyyy",
+    )
+    def xf(ifmt):
+        return _biff8_rec(0x00E0, struct.pack("<HHHH", 0, ifmt, 0, 0))
+
+    eof = _biff8_rec(0x000A, b"")
+    sheet = b"".join(
+        [
+            _biff8_rec(
+                0x0809, struct.pack("<HHHH", 0x0600, 0x0010, 0, 0) + bytes(8)
+            ),
+            # Number, xf=1 (builtin date 14)
+            _biff8_rec(
+                0x0203,
+                struct.pack("<HHH", 0, 0, 1) + struct.pack("<d", 45000.0),
+            ),
+            # RK int, xf=2 (custom date 164)
+            _biff8_rec(
+                0x027E,
+                struct.pack("<HHH", 0, 1, 2)
+                + struct.pack("<I", (45000 << 2) | 2),
+            ),
+            # Number, xf=0 (general) stays a serial
+            _biff8_rec(
+                0x0203,
+                struct.pack("<HHH", 0, 2, 0) + struct.pack("<d", 45000.0),
+            ),
+            eof,
+        ]
+    )
+
+    def boundsheet(pos):
+        return _biff8_rec(
+            0x0085,
+            struct.pack("<IH", pos, 0) + struct.pack("<BB", 6, 0) + b"Sheet1",
+        )
+
+    body = bof + boundsheet(0) + xf(0) + xf(14) + xf(164) + fmt_date + eof
+    body = (
+        bof
+        + boundsheet(len(body))
+        + xf(0)
+        + xf(14)
+        + xf(164)
+        + fmt_date
+        + eof
+    )
+    p = fixture_dir / "dates.xls"
+    p.write_bytes(_cfb_wrap("Workbook", body + sheet))
+    res = parse(spark, p)
+    assert res[0].ok
+    # the general-styled Number is a stored double → str(float) form
+    assert grid_of(res[0].data) == [
+        ["2023-03-15 00:00:00", "2023-03-15 00:00:00", "45000.0"]
+    ]

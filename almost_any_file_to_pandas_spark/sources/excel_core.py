@@ -16,11 +16,11 @@ formats directly from their XML parts:
 
 - ``.xlsb`` — BIFF12: same zip container, binary record-stream parts
   (varint-framed records; see the BIFF12 section below).
-
-The remaining legacy binary format (``.xls`` BIFF8 compound document)
-needs an engine that is not installed; callers degrade it to a failed
-ParseResult, exactly like the reference's log-and-continue path
-(main.py:251-253).
+- ``.xls`` — BIFF8 records inside a CFB (compound document) container:
+  a stdlib CFB FAT-chain reader plus the BIFF8 record families the
+  pandas/xlrd path consumes (SST with Continue re-compression,
+  LabelSst/Label/Number/RK/MulRk/BoolErr/Formula, XF/FORMAT date
+  styles).
 
 EVERYTHING in this module must stay importable-by-value: the façade
 registers this module with ``cloudpickle.register_pickle_by_value`` so

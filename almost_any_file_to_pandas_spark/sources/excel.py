@@ -15,10 +15,10 @@ reading many workbooks in one job parallelizes across files. The
 DataSource module is registered with cloudpickle by value, so workers
 need no package install.
 
-.xlsb is parsed natively (stdlib BIFF12 record reader in excel_core).
-The remaining legacy binary format (.xls, BIFF8 compound document)
-requires an engine not present in this environment; it degrades to a
-failed result like the reference's log-and-continue path.
+All six suffixes parse natively with stdlib code in ``excel_core``:
+.xlsx (OOXML), .xlsb (BIFF12 record reader), .xls (BIFF8 records in a
+CFB container), .ods/.odt/.odf (OpenDocument). Truly unreadable files
+degrade to a failed result like the reference's log-and-continue path.
 """
 
 from __future__ import annotations

@@ -576,3 +576,24 @@ def test_ivf_index_persisted_partition_pruning(spark, tmp_path):
     # every probed vector survives the round-trip
     want = emb.filter(F.col("bucket").isin(probes)).count()
     assert probe_scan.count() == want
+
+
+def test_dedup_pipelines_threshold_containment(spark):
+    """Cross-validation of the two independent shingle-dedup
+    pipelines: the MinHash-LSH verified set (J ≥ 0.8) must be
+    contained in the prefix-index verified set (J ≥ 0.6) — same
+    shingle definition, different candidate generators, so a missing
+    pair would expose a false negative in either path."""
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    sf = "/root/testdata/sf0.01"
+    high = {
+        (r["doc_a"], r["doc_b"])
+        for r in queries["dedup_minhash_lsh"](spark, sf).collect()
+    }
+    low = {
+        (r["doc_a"], r["doc_b"])
+        for r in queries["dedup_ngram_jaccard"](spark, sf).collect()
+    }
+    assert high and high <= low

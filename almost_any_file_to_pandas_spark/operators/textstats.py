@@ -844,10 +844,14 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     # The rank window sees only the ≤ VOCAB_TOP pre-limited rows, so a
-    # single partition is the *intended* shape — the constant partition
-    # key states that to the engine (and silences the global-window
-    # warning that otherwise fires 8× per run for a 20-row input).
-    w = W.partitionBy(F.lit(1)).orderBy(F.desc("n"), F.asc("term"))
+    # single partition is the *intended* shape — stated with a
+    # constant-valued but NON-FOLDABLE partition key (pmod(n, 1) ≡ 0;
+    # a bare lit() gets constant-folded out of the partition spec and
+    # the engine's global-window warning fires 8× per run over 20
+    # rows).
+    w = W.partitionBy(F.pmod(F.col("n"), F.lit(1))).orderBy(
+        F.desc("n"), F.asc("term")
+    )
     return top.withColumn("rnk", F.row_number().over(w)).select(
         "term", "n", "rnk"
     )

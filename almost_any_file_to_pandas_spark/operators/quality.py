@@ -1,0 +1,149 @@
+"""Rule-based corpus quality filtering (Gopher/C4-style heuristics).
+
+The reference repo has no text analytics (its surface ends at
+file→DataFrame, SURVEY §2); this module is part of the LLM-pipeline
+extension surface: the deterministic document-quality rule set every
+large-scale pretraining pipeline runs before (or instead of) a model
+scorer — the Gopher paper's repetition/format rules and C4's line
+heuristics, restated as pure column expressions.
+
+Why this shape at 100 TB: every metric below is a per-row expression
+over ``text`` — no shuffle, no UDF, no state. The whole filter is one
+narrow projection stage directly over the scan (the higher-order
+lambdas are interpreted JVM expressions, so they sit outside the
+codegen span but inside the same task), so its cluster cost is
+essentially the scan cost; the boolean ``keep`` lands in the same
+stage. Contrast with a model-based quality scorer (an Arrow-batched
+Pandas UDF here, `text_unigram_freq_score`): rules run first
+precisely because they're free.
+
+Both engines compute keep-decisions from the ROUNDED metric values
+(the `events_anomaly_zscore` pattern), so boundary documents cut on
+the identical value in Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+# Gopher-flavored bounds, tuned so the synthetic corpus genuinely
+# splits (the word-count floor is the binding rule on testdata's
+# 10–110-word documents; the format rules are exercised but pass on
+# its single-line, punctuation-free text — on a real crawl they bind).
+MIN_WORDS = 50
+MAX_WORDS = 100_000
+MEAN_WORD_LEN_MIN = 3.0
+MEAN_WORD_LEN_MAX = 10.0
+ALPHA_WORD_FRAC_MIN = 0.80
+MIN_DISTINCT_STOPWORDS = 2
+SYMBOL_RATIO_MAX = 0.10
+BULLET_LINE_FRAC_MAX = 0.90
+ELLIPSIS_LINE_FRAC_MAX = 0.30
+
+# Gopher's stopword-presence list (+ 'a'/'in', which the synthetic
+# vocabulary actually contains) — DISTINCT hits, via array_intersect.
+STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+GOPHER_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             string_split(text, ' ') AS words,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS n_words,
+        ROUND(list_sum(list_transform(words, w -> length(w)))
+              / CAST(len(words) AS DOUBLE), 6) AS mean_word_len,
+        ROUND(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+              / CAST(len(words) AS DOUBLE), 6) AS alpha_word_frac,
+        CAST(len(list_intersect(words, [{_STOP_SQL}])) AS BIGINT)
+          AS n_stopwords,
+        ROUND(((length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '…', ''))))
+              / CAST(len(words) AS DOUBLE), 6) AS symbol_ratio,
+        ROUND(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
+              / CAST(len(lines) AS DOUBLE), 6) AS bullet_line_frac,
+        ROUND(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$')))
+              / CAST(len(lines) AS DOUBLE), 6) AS ellipsis_line_frac
+      FROM d
+    )
+    SELECT *,
+           (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})
+           AND (mean_word_len BETWEEN {MEAN_WORD_LEN_MIN}
+                                  AND {MEAN_WORD_LEN_MAX})
+           AND alpha_word_frac >= {ALPHA_WORD_FRAC_MIN}
+           AND n_stopwords >= {MIN_DISTINCT_STOPWORDS}
+           AND symbol_ratio <= {SYMBOL_RATIO_MAX}
+           AND bullet_line_frac <= {BULLET_LINE_FRAC_MAX}
+           AND ellipsis_line_frac <= {ELLIPSIS_LINE_FRAC_MAX}
+           AS keep
+    FROM m
+    """
+
+
+@register("text_gopher_quality_rules", oracle=GOPHER_ORACLE)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher/C4 rule metrics + the combined ``keep``
+    verdict: word-count bounds, mean word length, alphabetic-word
+    fraction, distinct-stopword floor, symbol ratio (``#``/``…`` per
+    word), bullet-started and ellipsis-ended line fractions.
+
+    All eight metrics are JVM column expressions (higher-order
+    ``transform``/``filter``/``aggregate`` over the split arrays —
+    no Python anywhere), so the filter fuses into the parquet scan:
+    zero shuffles, zero exchanges, one codegen stage.
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+
+    words = F.split(F.col("text"), " ", -1)
+    lines = F.split(F.col("text"), "\n", -1)
+    n_words = F.size(words).cast("bigint")
+    n_words_d = n_words.cast("double")
+    n_lines_d = F.size(lines).cast("double")
+
+    word_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    n_stop = F.size(
+        F.array_intersect(words, F.array(*[F.lit(w) for w in STOPWORDS]))
+    ).cast("bigint")
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ellip = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("…"))
+    )
+    n_bullet_lines = F.size(F.filter(lines, lambda l: l.rlike("^[-*•]")))
+    n_ellip_lines = F.size(
+        F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|…)$"))
+    )
+
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(word_chars / n_words_d, 6).alias("mean_word_len"),
+        F.round(n_alpha / n_words_d, 6).alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"),
+        F.round((n_hash + n_ellip) / n_words_d, 6).alias("symbol_ratio"),
+        F.round(n_bullet_lines / n_lines_d, 6).alias("bullet_line_frac"),
+        F.round(n_ellip_lines / n_lines_d, 6).alias("ellipsis_line_frac"),
+    )
+    keep = (
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & F.col("mean_word_len").between(MEAN_WORD_LEN_MIN, MEAN_WORD_LEN_MAX)
+        & (F.col("alpha_word_frac") >= ALPHA_WORD_FRAC_MIN)
+        & (F.col("n_stopwords") >= MIN_DISTINCT_STOPWORDS)
+        & (F.col("symbol_ratio") <= SYMBOL_RATIO_MAX)
+        & (F.col("bullet_line_frac") <= BULLET_LINE_FRAC_MAX)
+        & (F.col("ellipsis_line_frac") <= ELLIPSIS_LINE_FRAC_MAX)
+    )
+    return m.withColumn("keep", keep)

@@ -1208,3 +1208,156 @@ def connected_components_alternating_query(
     return comp.select(
         F.col("u").alias("doc_id"), F.col("lbl").alias("component_id")
     )
+
+
+SEMANTIC_CLUSTER_K = 16  # coarse partition for in-cluster pair search
+SEMANTIC_RECALL_FLOOR = 0.5  # vs the exact grid block-NL pair set
+
+
+@register("dedup_semantic_clusters")  # rows-only: k-means partition
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: cluster the embedding space
+    (KMeans — the trained quantizer, like the kmeans-IVF index), then
+    search duplicate pairs ONLY inside each cluster with the exact
+    cosine check at :data:`EMBEDDING_DUP_THRESHOLD`.
+
+    This is how embedding dedup actually ships at 100 TB: the exact
+    grid block-NL (:func:`dedup_embedding_cosine`) is O(n²) spread
+    over the cluster; the semantic variant makes the quadratic unit
+    the CLUSTER (n/k rows), an n²/k total — with k scaled to hold
+    cluster size constant, effectively linear. The price is recall:
+    a near-dup pair split across cluster boundaries is missed.
+    Single-assignment recall measured 0.5 at sf0.01 (the 0.45
+    threshold admits genuinely distant pairs), so each vector is
+    assigned to its TOP-2 nearest centroids (multi-probe assignment —
+    the standard boundary fix): a pair is caught if the centroid sets
+    intersect, doubling candidate volume: measured recall rises
+    from 0.5 to 0.93 at sf0.01 (0.86 at sf0.001) — the remaining
+    misses are threshold-marginal pairs distant enough to straddle
+    even two probes. Precision stays exact regardless because
+    every candidate is re-scored with the true cosine before it is
+    emitted (false positives are impossible, the LSH-verify
+    contract). Rows-only here (Lloyd's iterations are not
+    SQL-expressible); the hash-pinned acceptance row is
+    :func:`dedup_semantic_floor`.
+
+    Plan: one ml.KMeans fit (bounded sample-scale work, an index
+    build), one broadcast-centers scoring pass + per-vector top-2
+    window (partitioned by vec_id — n·k compact rows, never global)
+    → in-cluster candidate expansion through the shared capped
+    ``_pairs_within_buckets`` (``distinct=True`` collapses pairs
+    meeting in both shared clusters) → broadcast pair verify — the
+    same capped one-shuffle candidate shape as every other dedup
+    variant here.
+    """
+    apply_engine_conf(spark)
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from almost_any_file_to_pandas_spark.operators.similarity import (
+        cosine_expr,
+    )
+
+    emb = table_wide(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    model = KMeans(k=SEMANTIC_CLUSTER_K, seed=42, maxIter=5).fit(feats)
+    centers = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cluster int, center array<double>",
+    )
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("center"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = feats.crossJoin(F.broadcast(centers)).select(
+        "vec_id", "cluster", sqdist.alias("_d2")
+    )
+    w2 = W.partitionBy("vec_id").orderBy(F.asc("_d2"), F.asc("cluster"))
+    assigned = (
+        scored.withColumn("_r", F.row_number().over(w2))
+        .filter(F.col("_r") <= 2)
+        .select("vec_id", "cluster")
+    )
+    cand = _pairs_within_buckets(assigned, "vec_id", ["cluster"]).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    verified = (
+        a.join(F.broadcast(cand), "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                cosine_expr(F.col("emb_a"), F.col("emb_b")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMBEDDING_DUP_THRESHOLD)
+    )
+    return verified.select("vec_a", "vec_b", "cosine")
+
+
+@register(
+    "dedup_semantic_floor",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS precision_exact,
+           TRUE AS recall_floor_met
+    FROM embeddings
+    """,
+)
+def dedup_semantic_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-pinned acceptance gate for the semantic dedup: its pairs
+    must be (a) exactly precise — every emitted pair truly meets the
+    cosine threshold, which also makes them a subset of the exact
+    grid block-NL pair set — and (b) cover ≥ SEMANTIC_RECALL_FLOOR of
+    that exact set (the price of in-cluster-only search; top-2
+    assignment measures 0.86 at sf0.001 and 0.93 at sf0.01, and the
+    0.5 floor leaves headroom for unlucky clusterings at other
+    scales).
+    Anchored to the corpus count the oracle derives independently
+    (the recall-floor pattern)."""
+    sem = dedup_semantic_clusters(spark, sf_dir).select(
+        "vec_a", "vec_b", F.lit(1).alias("_sem")
+    )
+    exact = dedup_embedding_cosine(spark, sf_dir).select(
+        "vec_a", "vec_b", F.lit(1).alias("_ex")
+    )
+    joined = exact.join(sem, ["vec_a", "vec_b"], "full").agg(
+        F.count_if(F.col("_ex").isNotNull()).alias("n_exact"),
+        F.count_if(F.col("_sem").isNotNull()).alias("n_sem"),
+        F.count_if(
+            F.col("_ex").isNotNull() & F.col("_sem").isNotNull()
+        ).alias("n_both"),
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.agg(
+        F.count("*").cast("bigint").alias("n_vectors")
+    ).crossJoin(
+        joined.select(
+            (F.col("n_sem") == F.col("n_both")).alias("precision_exact"),
+            (
+                F.col("n_both")
+                >= F.col("n_exact") * F.lit(SEMANTIC_RECALL_FLOOR)
+            ).alias("recall_floor_met"),
+        )
+    )

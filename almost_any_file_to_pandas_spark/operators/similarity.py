@@ -761,3 +761,62 @@ def sim_ivf_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_floor_met"
         ),
     )
+
+
+RANGE_SEARCH_THRESHOLD = 0.3  # max query↔corpus cosine is 0.493 at sf0.01
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    )
+    SELECT q.query_id, e.vec_id,
+           ROUND({_cosine_sql('e.embedding', 'q.qvec')}, 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+      AND ROUND({_cosine_sql('e.embedding', 'q.qvec')}, 6)
+          >= {RANGE_SEARCH_THRESHOLD}
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search: ALL corpus vectors within cosine ≥ threshold of
+    each query — the radius-based sibling of top-k (recommendation
+    "more like this", contamination sweeps, near-dup probes use a
+    radius, not a k).
+
+    Plan mirrors :func:`sim_knn_batch`'s scoring pass — broadcast the
+    query batch, one narrow corpus pass — but the survivor set is the
+    threshold filter itself: no window, no rank, so the whole query is
+    scan → broadcast-nested-loop → filter, one stage over the corpus
+    with nothing shuffled. At 100 TB the corpus side stays partitioned
+    and each task emits only its in-radius rows; the threshold cut
+    happens on the ROUNDED cosine so both engines keep the identical
+    boundary rows (the zscore-pattern rounding contract).
+    """
+    apply_engine_conf(spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        _norm(F.col("embedding")).alias("qnrm"),
+    )
+    corpus = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("qvec"))
+                / (F.col("nrm") * F.col("qnrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= RANGE_SEARCH_THRESHOLD)
+    )

@@ -164,3 +164,95 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "mean_value", "std_value", "n_anomalies"
         )
     )
+
+
+RANGE_JOIN_TOLERANCE_MINUTES = 30
+
+
+def binned_range_join_count(
+    events: DataFrame,
+    left_type: str,
+    right_type: str,
+    tolerance_micros: int,
+) -> DataFrame:
+    """Pure time-range join (no equi key): for each ``left_type``
+    event, COUNT the ``right_type`` events anywhere in the stream
+    within ±tolerance — the global-proximity sibling of the per-user
+    as-of join above.
+
+    Spark plans a bare ``|t_l − t_r| ≤ tol`` predicate as a broadcast
+    nested loop (or worse, a cartesian) — quadratic at scale. The
+    classic fix, used here: BIN the time axis at exactly the
+    tolerance width, replicate each right-side row to its bin and
+    both neighbors (any in-tolerance pair differs by ≤ 1 bin), then
+    an ordinary hash EQUI-join on the bin key + the exact residual
+    filter. Cost: one shuffle of 3×|right| + |left| compact rows on
+    a key Catalyst hash-partitions like any other; a time-localized
+    traffic spike skews a bin, which AQE's skew-join splitting
+    absorbs. Each (left, right) pair meets exactly once because the
+    left row keeps its single home bin.
+    """
+    tol = int(tolerance_micros)
+    left = events.filter(F.col("event_type") == left_type).select(
+        "event_id",
+        "ts",
+        F.expr(f"unix_micros(ts) DIV {tol}").alias("bin"),
+    )
+    right = events.filter(F.col("event_type") == right_type).select(
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"),
+        F.expr(f"unix_micros(ts) DIV {tol}").alias("r_bin"),
+    )
+    replicated = right.select(
+        "r_id",
+        "r_ts",
+        F.explode(
+            F.array(
+                F.col("r_bin") - 1, F.col("r_bin"), F.col("r_bin") + 1
+            )
+        ).alias("bin"),
+    )
+    matched = (
+        left.join(replicated, "bin")
+        .filter(
+            F.abs(F.unix_micros("ts") - F.unix_micros("r_ts")) <= tol
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").cast("bigint").alias("n_nearby"))
+    )
+    return left.join(matched, "event_id", "left").select(
+        "event_id",
+        F.col("ts").cast("string").alias("ts"),
+        F.coalesce(F.col("n_nearby"), F.lit(0).cast("bigint")).alias(
+            "n_views_nearby"
+        ),
+    )
+
+
+@register(
+    "events_range_join_interval",
+    oracle=f"""
+    SELECT p.event_id,
+           CAST(p.ts AS VARCHAR) AS ts,
+           CAST(COUNT(v.event_id) AS BIGINT) AS n_views_nearby
+    FROM events p
+    LEFT JOIN events v
+      ON v.event_type = 'view'
+     AND abs(date_diff('microsecond', v.ts, p.ts))
+         <= {RANGE_JOIN_TOLERANCE_MINUTES} * 60 * 1000000
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.ts
+    """,
+)
+def events_range_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views within ±30 min of every purchase (global time proximity,
+    user-independent): the binned range-join restatement of a non-equi
+    interval join. The DuckDB oracle runs the naive non-equi LEFT JOIN
+    (its IEJoin handles it at oracle scale); Spark runs the
+    bin + neighbor-replicate + equi-join plan that survives 100 TB.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    return binned_range_join_count(
+        ev, "purchase", "view", RANGE_JOIN_TOLERANCE_MINUTES * 60 * 1_000_000
+    )

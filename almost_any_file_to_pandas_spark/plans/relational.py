@@ -969,3 +969,46 @@ def orders_merge_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src").cast("bigint").alias("from_changeset"),
         )
     )
+
+
+@register(
+    "orders_status_scd2",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           o_orderstatus,
+           CAST(o_orderdate AS VARCHAR) AS valid_from,
+           CAST(lead(o_orderdate) OVER w AS VARCHAR) AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def orders_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 history build: each
+    customer's order stream becomes versioned validity intervals
+    ``[valid_from, valid_to)`` with an ``is_current`` flag on the
+    open-ended latest row — the warehouse-dimension counterpart of
+    :func:`orders_merge_changeset`'s SCD-1 overwrite.
+
+    ONE shuffle on the dimension key (``o_custkey``) feeds both the
+    ``lead`` interval close and the version numbering — the same
+    window, so Catalyst computes them in a single Window node over a
+    single sort. No global ordering anywhere; at 100 TB the key
+    partitioning is the same hash exchange any per-entity history
+    build pays, and AQE handles hot entities.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("string").alias("valid_from"),
+        nxt.cast("string").alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        nxt.isNull().alias("is_current"),
+    )

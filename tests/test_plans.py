@@ -597,3 +597,50 @@ def test_dedup_pipelines_threshold_containment(spark):
         for r in queries["dedup_ngram_jaccard"](spark, sf).collect()
     }
     assert high and high <= low
+
+
+def test_range_join_is_equi_join_no_nested_loop(spark):
+    """The binned range join must plan as a hash/sort-merge EQUI join
+    on the bin key — never the BroadcastNestedLoopJoin/Cartesian a
+    bare |t_l - t_r| <= tol predicate produces."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["events_range_join_interval"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_scd2_single_window_single_shuffle(spark):
+    """SCD2: lead + row_number share one Window node over one
+    o_custkey exchange — no global sort, no second shuffle."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["orders_status_scd2"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1
+    assert n_exchanges(plan) == 1
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_range_search_broadcasts_queries_no_shuffle(spark):
+    """Range search = scan -> broadcast NL join vs the tiny query
+    batch -> filter: the corpus side must not shuffle at all."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["sim_range_search"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert n_exchanges(plan) <= 1  # only the fan-out guard's round-robin
+
+
+def test_semantic_dedup_verify_broadcasts_candidates(spark):
+    """Both corpus joins in the semantic-dedup verify stage broadcast
+    the candidate side (the _verify_pairs contract)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["dedup_semantic_clusters"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

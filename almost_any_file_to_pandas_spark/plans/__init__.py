@@ -84,22 +84,22 @@ GATE_ORDER = (
     "text_fingerprint",
     "text_quality_score",
     "text_lang_id",
-    "text_stats_by_lang",
     "text_source_mix",
     "text_stratified_sample",
-    "text_token_count_bpe",
-    "text_rolling_fingerprint",
+    "text_gopher_quality_rules",
     # multimodal
     "mm_binary_metadata",
     "mm_decode_features",
     # events + streaming restatements
     "events_sessionization",
+    "events_range_join_interval",
     "events_stream_enrich_batch",
     "events_stream_upsert_batch",
     # pipeline / linkage / contamination
     "pipeline_corpus_prep",
     "link_customer_supplier_fuzzy",
     "text_contamination_bloom",
+    "dedup_semantic_floor",
 )
 
 

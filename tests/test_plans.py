@@ -371,6 +371,9 @@ def test_gate_order_covers_families_and_is_oracle_paired():
         "sim_pq_recall_floor",       # PQ family
         "text_token_count",          # textstats
         "text_lang_id",
+        "text_gopher_quality_rules",  # rule-based quality filtering
+        "events_range_join_interval",  # binned range join
+        "dedup_semantic_floor",      # clustered embedding dedup
         "mm_binary_metadata",        # multimodal
         "mm_decode_features",
         "events_sessionization",     # events family

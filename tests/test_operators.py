@@ -620,3 +620,29 @@ def test_zorder_layout_bounds_both_dims(spark, tmp_path):
     zx, zy = spans(zpath, "x"), spans(zpath, "y")
     assert sum(zx) / len(zx) < dom * 0.6
     assert sum(zy) / len(zy) < dom * 0.6
+
+
+def test_cms_heavy_hitters_bounds_hold(spark):
+    """CMS guarantees on real data: never undercounts, and the
+    eps-bound column is TRUE for every top-K key (the oracle pins the
+    same booleans at sf0.01; this runs the probe path at sf0.001)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["events_heavy_hitters_cms"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows and all(r["never_underestimates"] for r in rows)
+    assert all(r["within_eps_bound"] for r in rows)
+
+
+def test_skew_profile_consistency(spark):
+    """Internal consistency of the skew summary: n_rows = sum of the
+    distribution, max ≥ p99 ≥ p50, skew_ratio = max/avg."""
+    import __spark_entry__ as entrymod
+
+    r = entrymod.queries()["events_key_skew_profile"](
+        spark, "/root/testdata/sf0.001"
+    ).head()
+    assert r["max_n"] >= r["p99_n"] >= r["p50_n"] >= 1
+    assert abs(r["skew_ratio"] - round(r["max_n"] / r["avg_n"], 6)) < 1e-6
+    assert r["n_keys"] >= r["n_hot_keys"] >= 0

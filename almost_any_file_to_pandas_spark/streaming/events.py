@@ -456,6 +456,44 @@ def events_stream_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_stream_dedup_batch",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           event_type,
+           value,
+           CAST(ts AS VARCHAR) AS ts
+    FROM events
+    """,
+)
+def events_stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch restatement of :func:`events_stream_dedup`'s at-least-
+    once absorption contract, hash-checkable by the driver: the
+    stream is re-delivered with a duplicated slice (every third
+    event arrives twice — the failure mode
+    ``dropDuplicatesWithinWatermark`` exists to absorb), then exact
+    dedup on the delivery key reduces it back. The oracle reads the
+    stream with NO duplication — the hash match proves duplicate
+    delivery changed nothing, which is the streaming dedup guarantee
+    restated without a watermark clock.
+
+    Plan: union + one hash shuffle on event_id for the dedup
+    aggregate (duplicates co-locate; first-arrival-wins is value-
+    indistinguishable because re-deliveries are byte-identical).
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").cast("string").alias("ts"),
+    )
+    redelivered = ev.unionByName(ev.filter(F.col("event_id") % 3 == 0))
+    return redelivered.dropDuplicates(["event_id"])
+
+
 def events_stream_enrich(
     spark: SparkSession, source_dir: str, schema, dim: DataFrame
 ) -> DataFrame:

@@ -35,16 +35,20 @@ HEADLINE = [
     "orders_merge_changeset",
     "top_customers_per_segment",
     "supplier_part_volume",
+    "orders_status_scd2",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_semantic_clusters",
     "sim_bruteforce_topk",
     "sim_knn_batch",
     "sim_ivf_topk",
+    "sim_range_search",
     "mm_decode_features",
     "mm_frame_sample",
     "text_quality_score",
+    "text_gopher_quality_rules",
     "text_lang_id",
     "text_repetition_stats",
     "text_quality_filter",
@@ -60,9 +64,12 @@ HEADLINE = [
     "events_tumbling_window",
     "events_sessionization",
     "events_asof_view_click",
+    "events_range_join_interval",
     "events_funnel_ordered",
     "events_anomaly_zscore",
     "events_retention_cohort",
+    "events_heavy_hitters_cms",
+    "events_key_skew_profile",
 ]
 
 

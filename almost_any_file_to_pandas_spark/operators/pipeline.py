@@ -357,3 +357,120 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_off",
         F.floor(F.col("start_off") / PACK_BUDGET).alias("seq_id"),
     )
+
+
+# Content-keyed split: hashing the TEXT (not doc_id) keeps byte-
+# identical documents in the same split even across re-ingestion
+# under new ids, and makes the assignment reproducible from the data
+# alone — no RNG state, no ordering dependence, shard-stable.
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test = remainder
+
+
+def split_bucket_expr(text_col):
+    """Deterministic 0-99 bucket from the md5 of the content — the
+    first 8 hex chars parsed as an int, identical arithmetic in the
+    DuckDB oracle."""
+    return (
+        F.conv(F.substring(F.md5(text_col), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+
+
+_SPLIT_BUCKET_SQL = "(('0x' || substr(md5(text), 1, 8))::BIGINT % 100)"
+
+_SPLIT_CASE_SQL = f"""CASE
+    WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_TRAIN_PCT} THEN 'train'
+    WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+    ELSE 'test' END"""
+
+
+@register(
+    "text_corpus_split",
+    oracle=f"""
+    SELECT doc_id,
+           {_SPLIT_BUCKET_SQL} AS bucket,
+           {_SPLIT_CASE_SQL} AS split
+    FROM documents
+    """,
+)
+def text_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by content
+    hash — the split step every training pipeline runs between
+    curation and tokenization. A pure projection (zero shuffle, zero
+    state): at 100 TB the split is a free column on the scan, and
+    downstream writers partition by it. Content-keyed hashing (not
+    random, not id-keyed) is the production choice: re-ingested or
+    re-sharded copies of a document land in the SAME split, so
+    train/test leakage can't be introduced by pipeline mechanics.
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    bucket = split_bucket_expr(F.col("text"))
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _leakage_oracle() -> str:
+    """Compose the verified-pair oracle (dedup's brute-force shingle
+    Jaccard, threshold 0.8) as a derived table under the split
+    assignment — one SQL statement DuckDB runs as-is."""
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        _SHINGLE_JACCARD_ORACLE,
+        JACCARD_THRESHOLD,
+    )
+
+    pair_sql = _SHINGLE_JACCARD_ORACLE.format(threshold=JACCARD_THRESHOLD)
+    return f"""
+    WITH splits AS (
+      SELECT doc_id, {_SPLIT_CASE_SQL} AS split FROM documents
+    )
+    SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+    FROM ({pair_sql}) p
+    JOIN splits sa ON p.doc_a = sa.doc_id
+    JOIN splits sb ON p.doc_b = sb.doc_id
+    WHERE sa.split <> sb.split
+    """
+
+
+@register("split_leakage_pairs", oracle=_leakage_oracle())
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage census: near-duplicate pairs (verified
+    Jaccard ≥ 0.8, the MinHash-LSH contract) whose two members landed
+    in DIFFERENT splits — each row is an evaluation-contamination
+    incident the curation pass must resolve (drop the eval copy or
+    re-home the pair). Exact dedup can't catch these: the members
+    are near-copies, not byte-copies, so their content hashes — and
+    therefore their split buckets — are independent.
+
+    Plan: the capped LSH candidate/verify pipeline (linear, one
+    bucket shuffle) produces the pair set; the split column is a
+    free projection joined onto each side by doc_id. The pair set is
+    candidate-sized (tiny vs corpus), so both split joins broadcast
+    the pairs.
+    """
+    apply_engine_conf(spark)
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    splits = text_corpus_split(spark, sf_dir).select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        sa.join(F.broadcast(pairs), "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+    )

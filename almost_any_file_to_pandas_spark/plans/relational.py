@@ -1012,3 +1012,71 @@ def orders_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("version"),
         nxt.isNull().alias("is_current"),
     )
+
+
+JOIN_SALT = 8
+
+
+@register(
+    "events_salted_selfjoin",
+    oracle="""
+    SELECT p.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(p.value + s.value AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_pair_value
+    FROM events p
+    JOIN events s ON p.user_id = s.user_id
+    WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
+    GROUP BY p.user_id
+    """,
+)
+def events_salted_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted big-big equi-join — the join-side counterpart of
+    :func:`events_salted_agg`'s aggregation salting. Purchases join
+    signups per user; on a skewed key a plain shuffle join lands each
+    hot user's entire row volume on ONE reducer pair. The standard
+    treatment, shown oracle-checked: the left side takes a
+    deterministic salt (event_id mod JOIN_SALT) appended to its join
+    key; the right side replicates each row to ALL JOIN_SALT salt
+    values (an explode — JOIN_SALT× the *smaller* side's bytes, the
+    price of spreading the hot key over JOIN_SALT reducers). Each
+    (purchase, signup) pair meets exactly once because the purchase
+    row keeps a single salt. AQE's skew splitting makes hand salting
+    unnecessary for moderate skew; the explicit form is load-bearing
+    when one key exceeds what a single split can absorb, and this
+    query pins its exactly-once pairing algebra against the unsalted
+    oracle join.
+
+    The pair-value sum accumulates in decimal so the per-salt partial
+    sums merge order-independently (bit-identical to the oracle's
+    single-group sum).
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("value").alias("p_value"),
+        F.pmod(F.col("event_id"), F.lit(JOIN_SALT)).alias("_salt"),
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("value").alias("s_value"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(JOIN_SALT - 1))
+            ).alias("_salt"),
+        )
+    )
+    return (
+        purchases.join(signups, ["user_id", "_salt"])
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(
+                (F.col("p_value") + F.col("s_value")).cast("decimal(25,6)")
+            )
+            .cast("double")
+            .alias("sum_pair_value"),
+        )
+    )

@@ -56,6 +56,7 @@ HEADLINE = [
     "text_pii_scrub",
     "text_chunk_overlap",
     "text_pack_sequences",
+    "text_corpus_split",
     "text_vocab_topk",
     "text_tfidf_topterms",
     "text_contamination_bloom",
@@ -70,6 +71,7 @@ HEADLINE = [
     "events_retention_cohort",
     "events_heavy_hitters_cms",
     "events_key_skew_profile",
+    "events_salted_selfjoin",
 ]
 
 

@@ -147,3 +147,36 @@ def test_read_delimited_schema_width(spark, tmp_path, width):
     res = read_delimited(spark, p)
     assert res.data.columns == positional_names(width)
     assert res.data.count() == 3
+
+
+def test_corpus_split_content_keyed(spark):
+    """Byte-identical documents always share a split (content-keyed
+    hashing), buckets live in [0,100), and the three-way split is
+    roughly 80/10/10 at corpus scale."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["text_corpus_split"](
+        spark, "/root/testdata/sf0.01"
+    )
+    rows = df.collect()
+    assert all(0 <= r["bucket"] < 100 for r in rows)
+    frac = {
+        s: sum(1 for r in rows if r["split"] == s) / len(rows)
+        for s in ("train", "val", "test")
+    }
+    assert 0.65 < frac["train"] < 0.95
+    assert 0.02 < frac["val"] < 0.2 and 0.02 < frac["test"] < 0.2
+    # exact duplicates (same text) -> same bucket: join back on text
+    from almost_any_file_to_pandas_spark.plans import table
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents")
+    joined = docs.select("doc_id", "text").join(
+        df.select("doc_id", "bucket"), "doc_id"
+    )
+    n_bad = (
+        joined.groupBy("text")
+        .agg(F.count_distinct("bucket").alias("nb"))
+        .filter(F.col("nb") > 1)
+        .count()
+    )
+    assert n_bad == 0

@@ -1210,7 +1210,8 @@ def connected_components_alternating_query(
     )
 
 
-SEMANTIC_CLUSTER_K = 16  # coarse partition for in-cluster pair search
+SEMANTIC_CLUSTER_K = 16  # floor for the coarse partition
+SEMANTIC_TARGET_CLUSTER_ROWS = 256  # k scales to hold this constant
 SEMANTIC_RECALL_FLOOR = 0.5  # vs the exact grid block-NL pair set
 
 
@@ -1242,21 +1243,23 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`dedup_semantic_floor`.
 
     Plan: one ml.KMeans fit (bounded sample-scale work, an index
-    build), one broadcast-centers scoring pass + per-vector top-2
+    build; training frame cached so Lloyd's passes don't re-execute
+    the scan), one broadcast-centers scoring pass + per-vector top-2
     window (partitioned by vec_id — n·k compact rows, never global)
-    → in-cluster candidate expansion through the shared capped
-    ``_pairs_within_buckets`` (``distinct=True`` collapses pairs
-    meeting in both shared clusters) → broadcast pair verify — the
-    same capped one-shuffle candidate shape as every other dedup
-    variant here.
+    → ONE shuffle on the cluster key into a per-cluster numpy kernel
+    (the grid block-NL's sequential-over-dims fold, so every cosine
+    is bit-identical to the declarative form) that emits only the
+    in-radius pairs. Candidate pairs never materialize as rows —
+    the quadratic unit lives inside the kernel as a (2s)² matrix
+    with s = n/k held constant by scaling k — that matrix is the
+    per-task memory bound, and dropDuplicates collapses the pairs
+    whose members share both probe clusters. k scales as
+    max(16, n/SEMANTIC_TARGET_CLUSTER_ROWS) via one count (an
+    index-build statistic, same class as the fit itself).
     """
     apply_engine_conf(spark)
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-
-    from almost_any_file_to_pandas_spark.operators.similarity import (
-        cosine_expr,
-    )
 
     emb = table_wide(spark, sf_dir, "embeddings")
     feats = emb.select(
@@ -1266,7 +1269,19 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "features"
         ),
     )
-    model = KMeans(k=SEMANTIC_CLUSTER_K, seed=42, maxIter=5).fit(feats)
+    # Cache the training frame for the fit: Lloyd's runs one pass per
+    # iteration, and an uncached lineage re-executes the scan + vector
+    # conversion every pass (measured 5.6s → ~2s at sf0.1). The cache
+    # is the quantizer's TRAINING set — at production scale the fit
+    # runs on a bounded sample, so the footprint stays index-sized.
+    train = feats.select("features").cache()
+    n_vectors = train.count()
+    k = max(
+        SEMANTIC_CLUSTER_K,
+        -(-n_vectors // SEMANTIC_TARGET_CLUSTER_ROWS),
+    )
+    model = KMeans(k=k, seed=42, maxIter=5).fit(train)
+    train.unpersist(blocking=False)
     centers = spark.createDataFrame(
         [
             (i, [float(x) for x in c])
@@ -1292,28 +1307,48 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_r") <= 2)
         .select("vec_id", "cluster")
     )
-    cand = _pairs_within_buckets(assigned, "vec_id", ["cluster"]).select(
-        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
-    )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
-    )
-    verified = (
-        a.join(F.broadcast(cand), "vec_a")
-        .join(b, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                cosine_expr(F.col("emb_a"), F.col("emb_b")), 6
-            ).alias("cosine"),
+    threshold = EMBEDDING_DUP_THRESHOLD
+
+    def _score_cluster(key, pdf):
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "_cos": pd.Series(dtype="float64"),
+                }
+            )
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        acc = np.zeros((len(ids), len(ids)))
+        sq = np.zeros(len(ids))
+        # sequential-over-dims fold: identical add order to the SQL
+        # list_reduce, keeping every cosine bit-identical to the
+        # declarative/oracle form (the grid block-NL contract)
+        for i in range(mat.shape[1]):
+            acc += mat[:, i][:, None] * mat[None, :, i]
+            sq += mat[:, i] * mat[:, i]
+        cos = acc / (np.sqrt(sq)[:, None] * np.sqrt(sq)[None, :])
+        keep = (cos >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame(
+            {"vec_a": ids[ai], "vec_b": ids[bi], "_cos": cos[ai, bi]}
         )
-        .filter(F.col("cosine") >= EMBEDDING_DUP_THRESHOLD)
+
+    members = assigned.join(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        "vec_id",
     )
-    return verified.select("vec_a", "vec_b", "cosine")
+    pairs = members.groupBy("cluster").applyInPandas(
+        _score_cluster, schema="vec_a bigint, vec_b bigint, _cos double"
+    )
+    return pairs.select(
+        "vec_a", "vec_b", F.round("_cos", 6).alias("cosine")
+    ).dropDuplicates(["vec_a", "vec_b"])
 
 
 @register(

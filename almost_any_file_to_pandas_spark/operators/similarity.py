@@ -654,9 +654,15 @@ def sim_ivf_kmeans_topk(
             "features"
         ),
     )
+    # Cache the training frame: Lloyd's re-executes the lineage once
+    # per iteration otherwise (see dedup_semantic_clusters). The fit
+    # input is the quantizer training set — bounded by sampling at
+    # production scale.
+    train = feats.select("features").cache()
     model = KMeans(
         k=k if k is not None else IVF_K, seed=42, maxIter=5
-    ).fit(feats)
+    ).fit(train)
+    train.unpersist(blocking=False)
     assigned = model.transform(feats).select(
         "vec_id", "embedding", F.col("prediction").alias("bucket")
     )

@@ -638,12 +638,16 @@ def test_range_search_broadcasts_queries_no_shuffle(spark):
     assert n_exchanges(plan) <= 1  # only the fan-out guard's round-robin
 
 
-def test_semantic_dedup_verify_broadcasts_candidates(spark):
-    """Both corpus joins in the semantic-dedup verify stage broadcast
-    the candidate side (the _verify_pairs contract)."""
+def test_semantic_dedup_scores_in_cluster_kernel(spark):
+    """Semantic dedup scores pairs inside a per-cluster Arrow kernel
+    (FlatMapGroupsInPandas) — candidate pairs never materialize as
+    rows, and no quadratic join appears anywhere in the plan."""
     import __spark_entry__ as entrymod
 
     df = entrymod.queries()["dedup_semantic_clusters"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    # the only nested loop allowed is the broadcast-centers scoring
+    # pass (k rows against the corpus — BuildRight on the centers)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

@@ -929,3 +929,51 @@ def text_unigram_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_frac"),
         )
     )
+
+
+BPE_MERGE_TOP_K = 30
+
+
+@register(
+    "text_bpe_merge_candidates",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), bigrams AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(w) - 1, 0) + 1),
+               i -> w[i] || ' ' || w[i+1])) AS pair
+      FROM toks
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM bigrams
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {BPE_MERGE_TOP_K}
+    """,
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge iteration, corpus-scale: count every
+    ADJACENT token pair (order- and position-sensitive — unlike the
+    shingle sets, multiplicity counts) and rank the top merge
+    candidates. Tokenizer training at 100 TB is exactly this loop:
+    each iteration is one explode → one count shuffle → one global
+    top-k, and Spark's shape for it is map-side partial counts +
+    TakeOrderedAndProject (never a global sort). vocab_topk ranks
+    unigrams; this ranks the pairs a learned tokenizer would merge
+    first.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    bigram = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+    )
+    return (
+        docs.select(F.explode(bigram).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(BPE_MERGE_TOP_K)
+    )

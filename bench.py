@@ -68,6 +68,7 @@ HEADLINE = [
     "events_asof_view_click",
     "events_range_join_interval",
     "events_funnel_ordered",
+    "events_journey_trigrams",
     "events_anomaly_zscore",
     "events_retention_cohort",
     "events_heavy_hitters_cms",

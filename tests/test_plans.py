@@ -651,3 +651,14 @@ def test_semantic_dedup_scores_in_cluster_kernel(spark):
     # the only nested loop allowed is the broadcast-centers scoring
     # pass (k rows against the corpus — BuildRight on the centers)
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_journey_trigrams_no_global_sort(spark):
+    """Sequential-pattern mining must end in TakeOrderedAndProject
+    (never a single-partition global sort) and group once."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["events_journey_trigrams"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan

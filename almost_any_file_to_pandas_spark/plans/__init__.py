@@ -119,6 +119,7 @@ def load_all() -> None:
     from almost_any_file_to_pandas_spark.operators import bloom  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import pipeline  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import quality  # noqa: F401
+    from almost_any_file_to_pandas_spark.operators import spans  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import sketches  # noqa: F401
     from almost_any_file_to_pandas_spark.streaming import events  # noqa: F401
 

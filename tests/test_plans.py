@@ -662,3 +662,37 @@ def test_journey_trigrams_no_global_sort(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_duplicate_span_census_plan(spark):
+    """Substring-duplication census: content-sample filter runs BEFORE
+    the aggregate (map-side, in the same stage as the gram generate),
+    the distinct-doc aggregate is the audited two-phase pair
+    ((gram, doc_id) partial then gram), and the top-k is a
+    TakeOrderedAndProject — never a global sort or single partition."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["text_duplicate_span_census"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hash") == 2  # distinct-agg pair, nothing else
+    # the 1/16 md5-nibble sample is applied in the generate stage,
+    # upstream of the first Exchange (split the plan at the first
+    # Exchange; the filter must appear in the scan-side half)
+    scan_side = plan.split("Exchange hash", 1)[1]
+    assert "md5" in scan_side
+
+
+def test_doc_duplication_profile_broadcasts_dup_set(spark):
+    """Per-doc duplication profile: the duplicated-gram set joins back
+    as a broadcast (the corpus-side gram stream never shuffles for the
+    join), and the final ranking is a TakeOrderedAndProject."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["text_doc_duplication_profile"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan

@@ -49,6 +49,19 @@ def parse(
     p = Path(path)
     extension = p.suffix.lower()  # main.py:131-132
 
+    # Compressed text containers (extension beyond the reference,
+    # SURVEY.md §7): '.csv.gz' / '.txt.bz2' / '.json.gz' … dispatch on
+    # the INNER suffix. Spark's text/CSV/JSON sources decompress these
+    # transparently via the Hadoop codec factory, and the sniffer
+    # decompresses its bounded prefix by magic bytes, so the whole
+    # delimited pipeline runs unchanged. Note gzip is NOT splittable —
+    # one task per .gz file (bz2 splits); that is a property of the
+    # codec, not this engine.
+    if extension in (".gz", ".bz2") and len(p.suffixes) >= 2:
+        inner = p.suffixes[-2].lower()
+        if inner in TEXT_SUFFIXES + (".ant", ".json"):
+            extension = inner
+
     # Existence + permission probe (main.py:135-144). Spark-native
     # datasets (parquet) are directories of part files, not single
     # files — accept those for the parquet arm (scale deviation; the

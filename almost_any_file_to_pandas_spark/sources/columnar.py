@@ -47,9 +47,12 @@ def read_parquet(spark: SparkSession, path: Union[str, Path]) -> ParseResult:
 def _probe_json_shape(path: str, max_bytes: int = 1 << 20) -> str:
     """Classify the JSON layout from a bounded prefix: 'records'
     (array of objects), 'columnar' (dict of column->row map), 'lines'
-    (JSON-lines), or 'scalar-ish' (anything else)."""
-    with open(path, "rb") as handle:
-        prefix = handle.read(max_bytes).lstrip()
+    (JSON-lines), or 'scalar-ish' (anything else). The prefix read is
+    compression-transparent (sniff.read_prefix inflates gzip/bz2 by
+    magic bytes) so '.json.gz' classifies on its logical content."""
+    from almost_any_file_to_pandas_spark.sources import sniff
+
+    prefix = sniff.read_prefix(path, max_bytes).lstrip()
     if not prefix:
         return "empty"
     first = prefix[:1]
@@ -108,8 +111,15 @@ def read_json(spark: SparkSession, path: Union[str, Path]) -> ParseResult:
 
         orient = None
         try:
-            with open(path, "r", encoding="utf-8", errors="replace") as fh:
-                doc = json.load(fh)
+            # dict-shaped documents are single JSON docs (driver-side
+            # by construction); decode compression-transparently
+            from almost_any_file_to_pandas_spark.sources import sniff
+
+            doc = json.loads(
+                sniff.read_prefix(path, 1 << 28).decode(
+                    "utf-8", errors="replace"
+                )
+            )
         except ValueError:
             doc = None
         if isinstance(doc, dict) and doc:

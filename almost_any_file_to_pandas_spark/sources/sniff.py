@@ -45,7 +45,35 @@ _SNIFF_DELIMITERS = "\t;|:"
 
 
 def read_prefix(path: Union[str, Path], max_bytes: int = DEFAULT_PREFIX_BYTES) -> bytes:
+    """Bounded prefix of the file's LOGICAL content.
+
+    gzip/bz2 members (detected by magic bytes, not extension) are
+    stream-decompressed up to ``max_bytes`` — the sniffers must see
+    the text the distributed reader will see (Spark's text/CSV sources
+    decompress via the Hadoop codec factory keyed on the ``.gz`` /
+    ``.bz2`` extension). Decompression is streaming and bounded: a
+    100 TB ``.gz`` costs the driver one ``max_bytes`` inflate, never a
+    full-file pass. Undecodable/corrupt members fall back to the raw
+    bytes so the error path stays the reference's log-and-continue.
+    """
     with open(path, "rb") as handle:
+        head = handle.read(4)
+        handle.seek(0)
+        try:
+            if head[:2] == b"\x1f\x8b":
+                import gzip
+
+                with gzip.GzipFile(fileobj=handle) as gz:
+                    return gz.read(max_bytes)
+            if head[:3] == b"BZh":
+                import bz2
+
+                with bz2.BZ2File(handle) as bzf:
+                    return bzf.read(max_bytes)
+        except OSError:
+            handle.seek(0)
+        except Exception:
+            handle.seek(0)
         return handle.read(max_bytes)
 
 

@@ -399,3 +399,37 @@ def xls_file(fixture_dir: Path) -> Path:
     globals_part = bof_globals + boundsheet(sheet_offset) + sst + eof
     p.write_bytes(_cfb_wrap("Workbook", globals_part + sheet_cells))
     return p
+
+
+@pytest.fixture(scope="session")
+def csv_gz_file(fixture_dir: Path) -> Path:
+    import gzip
+
+    p = fixture_dir / "golden.csv.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as fh:
+        fh.write("\n".join(";".join(r) for r in GRID) + "\n")
+    return p
+
+
+@pytest.fixture(scope="session")
+def txt_bz2_file(fixture_dir: Path) -> Path:
+    import bz2
+
+    p = fixture_dir / "golden.txt.bz2"
+    with bz2.open(p, "wt", encoding="utf-8") as fh:
+        fh.write("\n".join("\t".join(r) for r in GRID) + "\n")
+    return p
+
+
+@pytest.fixture(scope="session")
+def jsonl_gz_file(fixture_dir: Path) -> Path:
+    import gzip
+    import json as _json
+
+    p = fixture_dir / "golden.json.gz"
+    rows = [
+        {"id": int(r[0]), "name": r[1], "qty": int(r[2])} for r in GRID
+    ]
+    with gzip.open(p, "wt", encoding="utf-8") as fh:
+        fh.write("\n".join(_json.dumps(r) for r in rows) + "\n")
+    return p

@@ -516,3 +516,41 @@ def test_reference_example_txt_parses_identically(spark):
     assert len(res) == 1 and res[0].parse_info == "OK"
     g = grid_of(res[0].data)
     assert g == [["Vals"] * 4] * 4
+
+
+def test_csv_gz_transparent_decompression(spark, csv_gz_file):
+    """'.csv.gz' dispatches on the inner suffix; the sniffer inflates
+    its bounded prefix by magic bytes (delimiter still sniffed as ';')
+    and Spark's CSV source decompresses via the Hadoop codec — same
+    normalized grid as the uncompressed twin."""
+    r = parse(spark, csv_gz_file)[0]
+    assert r.ok
+    assert r.separator == ";"
+    assert grid_of(r.data) == EXPECTED
+
+
+def test_txt_bz2_transparent_decompression(spark, txt_bz2_file):
+    r = parse(spark, txt_bz2_file)[0]
+    assert r.ok
+    assert r.separator == "\t"
+    assert grid_of(r.data) == EXPECTED
+
+
+def test_json_gz_lines_distributed(spark, jsonl_gz_file):
+    """'.json.gz' JSON-lines classify on logical content (not the
+    gzip bytes) and stay on the DISTRIBUTED lines reader, not the
+    driver-side pandas bridge."""
+    r = parse(spark, jsonl_gz_file)[0]
+    assert r.ok
+    assert "lines" in r.engine
+    assert r.data.count() == 6
+
+
+def test_unknown_inner_suffix_still_fails(spark, fixture_dir):
+    import gzip
+
+    p = fixture_dir / "blob.bin.gz"
+    with gzip.open(p, "wb") as fh:
+        fh.write(b"\x00\x01\x02")
+    r = parse(spark, p)
+    assert len(r) == 1 and not r[0].ok

@@ -68,23 +68,28 @@ GATE_ORDER = (
     "dedup_simhash_signature",
     "dedup_cluster_canonical",
     "dedup_embedding_cosine",
-    "dedup_corpus_retention",
+    "text_duplicate_span_census",  # substring-span family (supersedes
+    # the corpus_retention composition row; retention still runs in
+    # tests + check_oracle)
     "connected_components_alternating",
-    # similarity / ANN
+    # similarity / ANN (int8 quantization stays represented by the two
+    # PQ floor rows; JL distortion is the random-projection family rep)
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "sim_lsh_verified_pairs",
     "sim_ivf_recall_floor",
-    "sim_quantize_int8",
+    "sim_jl_distortion_bound",
     "sim_centroid_by_label",
     "sim_pq_recall_floor",
     "sim_pq_reconstruction_bound",
-    # text analysis
+    # text analysis (fingerprint's md5 column family is also exercised
+    # by dedup_exact; budget trim is the mixing-family rep alongside
+    # stratified_sample)
     "text_token_count",
-    "text_fingerprint",
+    "embedding_hygiene_report",
     "text_quality_score",
     "text_lang_id",
-    "text_source_mix",
+    "text_token_budget_trim",
     "text_stratified_sample",
     "text_gopher_quality_rules",
     # multimodal
@@ -120,6 +125,9 @@ def load_all() -> None:
     from almost_any_file_to_pandas_spark.operators import pipeline  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import quality  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import spans  # noqa: F401
+    from almost_any_file_to_pandas_spark.operators import hygiene  # noqa: F401
+    from almost_any_file_to_pandas_spark.operators import projection  # noqa: F401
+    from almost_any_file_to_pandas_spark.operators import budget  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import sketches  # noqa: F401
     from almost_any_file_to_pandas_spark.streaming import events  # noqa: F401
 

@@ -1080,3 +1080,66 @@ def events_salted_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_pair_value"),
         )
     )
+
+
+DECILE_QS = tuple(round(0.1 * i, 1) for i in range(1, 10))
+
+
+@register(
+    "order_value_decile_binning",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT quantile_disc(o_totalprice,
+               [{', '.join(str(q) for q in DECILE_QS)}]) AS ts
+      FROM orders
+    ), binned AS (
+      SELECT o_totalprice AS v,
+             1 + len(list_filter(cuts.ts, t -> o_totalprice > t)) AS decile
+      FROM orders CROSS JOIN cuts
+    )
+    SELECT decile,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(v), 2) AS min_value,
+           ROUND(MAX(v), 2) AS max_value,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE), 2)
+             AS sum_value
+    FROM binned
+    GROUP BY decile
+    """,
+)
+def order_value_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) discretization of order values — the
+    feature-binning primitive — WITHOUT ``ntile``: Spark's ``ntile``
+    is a global window (single-partition sort of the fact table, the
+    exact shape `order_value_approx_percentiles` exists to avoid).
+    Instead the nine cut points come from the distributed exact-
+    quantile refinement (bounded driver histograms, filters pushed to
+    the scan), are embedded as nine literals, and binning is a pure
+    per-row CASE over the scan — one narrow pass plus a 10-group
+    aggregate.
+
+    Bin rule matches ``quantile_disc`` semantics on both sides:
+    decile = 1 + count of cut points strictly below the value, so
+    boundary rows (value == cut) land in the lower bin.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    cuts = exact_disc_quantiles(orders, "o_totalprice", DECILE_QS)
+    ts = [cuts[q] for q in DECILE_QS]
+    decile = F.lit(1)
+    for t in ts:
+        decile = decile + F.when(F.col("o_totalprice") > t, 1).otherwise(0)
+    return (
+        orders.select(
+            F.col("o_totalprice").alias("v"), decile.alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("v"), 2).alias("min_value"),
+            F.round(F.max("v"), 2).alias("max_value"),
+            F.round(
+                F.sum(F.col("v").cast("decimal(25,6)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+    )

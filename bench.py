@@ -60,6 +60,7 @@ HEADLINE = [
     "text_vocab_topk",
     "text_bpe_merge_candidates",
     "text_tfidf_topterms",
+    "text_duplicate_span_census",
     "text_contamination_bloom",
     "link_customer_supplier_fuzzy",
     "pipeline_corpus_prep",

@@ -646,3 +646,67 @@ def test_skew_profile_consistency(spark):
     assert r["max_n"] >= r["p99_n"] >= r["p50_n"] >= 1
     assert abs(r["skew_ratio"] - round(r["max_n"] / r["avg_n"], 6)) < 1e-6
     assert r["n_keys"] >= r["n_hot_keys"] >= 0
+
+
+def test_embedding_hygiene_flags_corrupt_vectors(spark):
+    """The hygiene report must count every corruption class it
+    claims to detect: NULL vectors, off-modal dimensions, NaN/Inf
+    components, zero vectors — and compute norm stats over the clean
+    subset only (testdata is clean, so the oracle row can't exercise
+    these paths)."""
+    from almost_any_file_to_pandas_spark.operators.hygiene import (
+        hygiene_report,
+    )
+
+    rows = [
+        (0, [3.0, 4.0]),            # clean, norm 5
+        (1, [0.0, 0.0]),            # zero norm
+        (2, None),                  # null vector
+        (3, [float("nan"), 1.0]),   # NaN
+        (4, [float("inf"), 1.0]),   # Inf
+        (5, [1.0, 2.0, 2.0]),       # dim mismatch (modal dim = 2)
+        (6, [6.0, 8.0]),            # clean, norm 10
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    r = hygiene_report(emb).head()
+    assert r["n_vectors"] == 7
+    assert r["n_null"] == 1
+    assert r["modal_dim"] == 2
+    assert r["n_dim_mismatch"] == 1
+    assert r["n_nonfinite"] == 2
+    assert r["n_zero_norm"] == 1
+    assert r["min_norm"] == 0.0  # the zero vector is clean
+    assert r["max_norm"] == 10.0
+
+
+def test_jl_projection_matrix_properties():
+    """The ±1 matrix must be non-degenerate: every row mixes signs,
+    rows are pairwise distinct (the first-cut affine-LCG weights
+    produced shifted copies of one bit sequence), and row sums stay
+    small (balanced bits)."""
+    from almost_any_file_to_pandas_spark.operators.projection import (
+        PROJ_DIMS,
+        SRC_DIMS,
+        W,
+    )
+
+    assert len(W) == PROJ_DIMS and all(len(r) == SRC_DIMS for r in W)
+    assert len(set(W)) == PROJ_DIMS
+    for row in W:
+        assert {1.0, -1.0} == set(row)
+        assert abs(sum(row)) <= SRC_DIMS // 2
+
+
+def test_jl_distortion_bound_holds(spark):
+    """The registered JL contract: all 496 sample-pair distance
+    ratios inside the declared band."""
+    import __spark_entry__ as entrymod
+
+    r = entrymod.queries()["sim_jl_distortion_bound"](
+        spark, "/root/testdata/sf0.001"
+    ).head()
+    assert r["n_pairs"] == 496
+    assert bool(r["within_bound"]) is True
+    assert 0.0 < r["min_ratio"] < 1.0 < r["max_ratio"]

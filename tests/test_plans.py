@@ -360,18 +360,20 @@ def test_gate_order_covers_families_and_is_oracle_paired():
         "dedup_simhash_signature",
         "dedup_cluster_canonical",
         "dedup_embedding_cosine",
-        "dedup_corpus_retention",
+        "text_duplicate_span_census",  # substring-span family
         "connected_components_alternating",
         "sim_bruteforce_topk",
         "sim_ivf_topk",
         "sim_lsh_verified_pairs",
         "sim_ivf_recall_floor",
-        "sim_quantize_int8",
+        "sim_jl_distortion_bound",   # random-projection family
         "sim_centroid_by_label",
         "sim_pq_recall_floor",       # PQ family
         "text_token_count",          # textstats
         "text_lang_id",
         "text_gopher_quality_rules",  # rule-based quality filtering
+        "embedding_hygiene_report",  # embedding data-contract family
+        "text_token_budget_trim",    # token-budget mixing family
         "events_range_join_interval",  # binned range join
         "dedup_semantic_floor",      # clustered embedding dedup
         "mm_binary_metadata",        # multimodal
@@ -696,3 +698,30 @@ def test_doc_duplication_profile_broadcasts_dup_set(spark):
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_token_budget_trim_partitioned_window(spark):
+    """Greedy budget fill: the cumulative-sum window is PARTITIONED
+    by source (no single-partition exchange anywhere), and both
+    joins broadcast the tiny per-source sides."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["text_token_budget_trim"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decile_binning_no_window_no_sort(spark):
+    """Equal-frequency binning must NOT plan as ntile (a global
+    window): the cut points are literals from the distributed
+    quantile refinement, so the final plan is scan → narrow CASE
+    projection → one 10-group aggregate."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["order_value_decile_binning"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hash") == 1

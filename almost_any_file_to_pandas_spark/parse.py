@@ -59,7 +59,7 @@ def parse(
     # codec, not this engine.
     if extension in (".gz", ".bz2") and len(p.suffixes) >= 2:
         inner = p.suffixes[-2].lower()
-        if inner in TEXT_SUFFIXES + (".ant", ".json"):
+        if inner in TEXT_SUFFIXES + (".ant", ".json", ".jsonl"):
             extension = inner
 
     # Existence + permission probe (main.py:135-144). Spark-native
@@ -106,7 +106,10 @@ def parse(
             from almost_any_file_to_pandas_spark.sources.columnar import read_parquet
 
             return [read_parquet(spark, p, **options)]
-        if extension == ".json":
+        if extension in (".json", ".jsonl"):
+            # '.jsonl' (extension beyond the reference, SURVEY.md §7):
+            # the JSON-lines convention every corpus distribution uses;
+            # the shape probe routes it to the distributed lines reader
             from almost_any_file_to_pandas_spark.sources.columnar import read_json
 
             return [read_json(spark, p, **options)]

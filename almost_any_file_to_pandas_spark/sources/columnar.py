@@ -33,9 +33,22 @@ from pyspark.sql import SparkSession
 from almost_any_file_to_pandas_spark.result import ParseResult
 
 
-def read_parquet(spark: SparkSession, path: Union[str, Path]) -> ParseResult:
-    """S8 — native distributed parquet scan, types preserved."""
-    df = spark.read.parquet(str(path))
+def read_parquet(
+    spark: SparkSession, path: Union[str, Path], merge_schema: bool = False
+) -> ParseResult:
+    """S8 — native distributed parquet scan, types preserved.
+
+    ``merge_schema=True`` (extension beyond the reference — its pandas
+    world only has single-file parquet) reconciles EVOLVED schemas
+    across a dataset directory's part files: the union of columns,
+    nulls where a file predates a column. Off by default because
+    footer-merging costs a driver pass over every file footer — at
+    100 TB that is exactly the scan-planning overhead you skip when
+    the dataset's schema is known stable.
+    """
+    df = spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(
+        str(path)
+    )
     return ParseResult(
         data=df,
         sheet_name="Parquet file content",  # main.py:421

@@ -554,3 +554,26 @@ def test_unknown_inner_suffix_still_fails(spark, fixture_dir):
         fh.write(b"\x00\x01\x02")
     r = parse(spark, p)
     assert len(r) == 1 and not r[0].ok
+
+
+def test_parquet_schema_evolution_merge(spark, fixture_dir):
+    """A parquet dataset whose later files gained a column: the
+    default scan keeps the footer-cheap single schema; with
+    merge_schema=True parse() reconciles to the union schema with
+    NULLs where the early file predates the column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = fixture_dir / "evolving.parquet"
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table({"id": [1, 2]}), d / "part-0.parquet"
+    )
+    pq.write_table(
+        pa.table({"id": [3], "extra": ["new"]}), d / "part-1.parquet"
+    )
+    r = parse(spark, d, merge_schema=True)[0]
+    assert r.ok
+    assert set(r.data.columns) == {"id", "extra"}
+    rows = {row["id"]: row["extra"] for row in r.data.collect()}
+    assert rows == {1: None, 2: None, 3: "new"}

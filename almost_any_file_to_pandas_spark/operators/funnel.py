@@ -26,6 +26,7 @@ Both are hash-checked against DuckDB oracles.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from almost_any_file_to_pandas_spark.plans import register, table, table_wide
@@ -235,4 +236,80 @@ def events_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("trigram"))
         .limit(JOURNEY_TOP_K)
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             array_agg(event_type ORDER BY ts, event_id) AS types
+      FROM events GROUP BY user_id
+    ), bi AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(types) - 1, 0) + 1),
+               i -> {'src': types[i], 'dst': types[i+1]})) AS pair
+      FROM seq
+    ), counts AS (
+      SELECT pair.src AS src_type, pair.dst AS dst_type,
+             CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM bi GROUP BY pair.src, pair.dst
+    )
+    SELECT src_type, dst_type, n_transitions,
+           ROUND(n_transitions / CAST(SUM(n_transitions) OVER (
+             PARTITION BY src_type) AS DOUBLE), 6) AS prob
+    FROM counts
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user journeys:
+    P(next event type | current event type), estimated from every
+    consecutive pair in each user's time-ordered sequence — the
+    model behind "users who view mostly click next"; the journey-
+    trigram query surfaces raw paths, this normalizes them into
+    per-state probabilities.
+
+    Plan: the same ONE-shuffle per-user sequence aggregate as the
+    trigram miner (per-user arrays, never a global sort), bigrams by
+    zipping the type array against its own shifted slice, a
+    |types|²-bounded count aggregate, and the row-normalizing window
+    runs over that tiny matrix — partitioned by source state, so no
+    single-partition exchange over data.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    types = F.transform(F.col("evs"), lambda x: x["event_type"])
+    seq = seq.select(types.alias("types"))
+    n = F.size(F.col("types"))
+    win = F.greatest(n - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(F.col("types"), 1, win),
+        F.slice(F.col("types"), 2, win),
+        lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+    )
+    counts = (
+        seq.select(F.explode(pairs).alias("pair"))
+        .select(
+            F.col("pair.src").alias("src_type"),
+            F.col("pair.dst").alias("dst_type"),
+        )
+        .groupBy("src_type", "dst_type")
+        .agg(F.count("*").cast("bigint").alias("n_transitions"))
+    )
+    w = W.partitionBy("src_type")
+    return counts.select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(w).cast("double"),
+            6,
+        ).alias("prob"),
     )

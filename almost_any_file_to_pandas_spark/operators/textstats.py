@@ -984,3 +984,192 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(BPE_MERGE_TOP_K)
     )
+
+
+SAMPLE_EXACT_K = 10
+
+
+@register(
+    "text_stratified_exact_k",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_doc_uniform_sql('doc_id')}, doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, rn FROM ranked WHERE rn <= {SAMPLE_EXACT_K}
+    """,
+)
+def text_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly ``SAMPLE_EXACT_K`` documents per source — the eval-set
+    / human-review draw, where a RATE sample (text_stratified_sample)
+    can't promise a fixed count per stratum. "Random" order is the
+    deterministic per-doc hash uniform, so the draw is reproducible
+    across engines and reruns and needs no seed plumbing.
+
+    Plan: one PARTITIONED window (partition = source, order = hash
+    uniform) — at scale each stratum ranks independently; no global
+    sort, no single-partition exchange. With a very hot stratum the
+    production swap is a per-partition top-k heap (the rank only
+    matters below k+1), but the window form is the oracle-matchable
+    statement.
+    """
+    apply_engine_conf(spark)
+    from pyspark.sql import Window as W
+
+    docs = table_wide(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        _doc_uniform(F.col("doc_id")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= SAMPLE_EXACT_K)
+    )
+
+
+@register(
+    "text_lang_confusion_matrix",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        {_lang_score_sql('en')} AS score_en,
+        {_lang_score_sql('de')} AS score_de,
+        {_lang_score_sql('fr')} AS score_fr,
+        {_lang_score_sql('es')} AS score_es
+      FROM documents
+    ), pred AS (
+      SELECT lang AS labeled_lang, {_LANG_CASE_SQL} AS predicted_lang
+      FROM scored
+    ), cells AS (
+      SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+      FROM pred GROUP BY labeled_lang, predicted_lang
+    )
+    SELECT labeled_lang, predicted_lang, n_docs,
+           ROUND(n_docs / CAST(SUM(n_docs) OVER (
+             PARTITION BY labeled_lang) AS DOUBLE), 6) AS row_frac
+    FROM cells
+    """,
+)
+def text_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix — the
+    calibration view of the lang-ID heuristic (`text_lang_id` emits
+    per-doc predictions; this is the |langs|² census a pipeline
+    monitors for drift, with per-label row fractions so the diagonal
+    reads as recall).
+
+    Plan: the scoring stays the narrow replace-arithmetic projection;
+    one aggregate folds the corpus to ≤ |langs|² cells; the
+    row-normalizing window runs over that tiny matrix partitioned by
+    label — no single-partition exchange over data.
+    """
+    apply_engine_conf(spark)
+    from pyspark.sql import Window as W
+
+    pred = text_lang_id(spark, sf_dir)
+    cells = (
+        pred.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = W.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6
+        ).alias("row_frac"),
+    )
+
+
+BPE_TRAIN_ITERS = 5
+
+
+@register("text_bpe_train_merges")  # rows-only: genuinely iterative
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-iteration BPE training (``text_bpe_merge_candidates`` is
+    iteration 1's census; this RUNS the loop): learn the first
+    ``BPE_TRAIN_ITERS`` merges over word-character sequences.
+
+    The scale move is classic BPE: after ONE corpus pass builds the
+    (word, count) vocabulary, every iteration runs over the VOCAB
+    weighted by counts — corpus-size-independent, exactly how real
+    tokenizer training survives a 100 TB corpus. Per iteration: one
+    weighted pair-count aggregate over the vocab, a 1-row driver
+    action to pick the argmax merge (bounded orchestration, the
+    exact_disc_quantiles pattern — never a data-path collect), and a
+    narrow left-fold rewrite of each word's symbol array (greedy
+    left-to-right adjacent replacement, standard BPE semantics,
+    handling overlapping pairs like 'aaa' correctly).
+
+    Deterministic tie-break (count desc, pair asc) so the learned
+    merge table is reproducible. Registered rows-only: the loop's
+    argmax-dependent rewrite has no single-statement SQL equivalent
+    (like kmeans/Lloyd's); the unit test pins the textbook 'low
+    lower' example instead.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    return bpe_train(spark, docs, BPE_TRAIN_ITERS)
+
+
+def bpe_train(spark: SparkSession, docs: DataFrame, iters: int) -> DataFrame:
+    """The trainer over any (…, text) frame — unit tests pin the
+    textbook 'low low lower' merge sequence."""
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ", -1)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(F.split(F.col("w"), "").alias("syms"), "n")
+    )
+    vocab = vocab.localCheckpoint()
+    merges = []
+    for it in range(1, iters + 1):
+        m = F.size(F.col("syms"))
+        pair = F.zip_with(
+            F.slice(F.col("syms"), 1, F.greatest(m - 1, F.lit(0))),
+            F.slice(F.col("syms"), 2, F.greatest(m - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        top = (
+            vocab.select(F.explode(pair).alias("pair"), "n")
+            .groupBy("pair")
+            .agg(F.sum("n").alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["pair"].split(" ", 1)
+        count = int(top[0]["n_occurrences"])
+        merged = left + right
+        merges.append((it, left, right, merged, count))
+        # greedy left-to-right adjacent merge via a left fold: append
+        # each symbol; when the accumulator tail is `left` and the
+        # incoming symbol is `right`, replace the tail with `merged`
+        vocab = vocab.select(
+            F.aggregate(
+                F.col("syms"),
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (x == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+            "n",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "iteration int, left string, right string, "
+        "merged string, pair_count bigint",
+    )

@@ -1143,3 +1143,207 @@ def order_value_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
     )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT fk, n_rows, n_orphans FROM (
+      SELECT 'orders.o_custkey->customer' AS fk,
+             (SELECT COUNT(*) FROM orders) AS n_rows,
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             (SELECT COUNT(*) FROM customer),
+             (SELECT COUNT(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey))
+    )
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema foreign-key audit: for each declared FK edge, the
+    row count and the number of ORPHAN rows (FK value with no parent)
+    — the constraint check a lakehouse runs after every load, since
+    parquet enforces nothing. A fact joined through an orphaned key
+    silently drops rows in inner joins; this makes the blast radius a
+    number.
+
+    Plan: each edge is a LEFT ANTI join counted — Spark plans the
+    parent side as a broadcast build (dimensions) or falls back to
+    shuffled hash for fact→fact; counts are map-side-partial folds.
+    The four audits are independent one-row aggregates unioned
+    driver-side: at 100 TB each runs as its own bounded job over a
+    pruned two-column scan.
+    """
+    apply_engine_conf(spark)
+
+    def audit(fk: str, child: DataFrame, key_col: str, parent: DataFrame,
+              parent_key: str) -> DataFrame:
+        # one pass per edge: left join against the distinct parent
+        # keys, then count rows and misses in the same fold (an
+        # anti-join + separate count would scan the child twice)
+        hits = (
+            parent.select(F.col(parent_key).alias(key_col))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        return (
+            child.join(hits, key_col, "left")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("_hit").isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            )
+            .select(F.lit(fk).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    customer = table(spark, sf_dir, "customer")
+    part = table(spark, sf_dir, "part")
+    nation = table(spark, sf_dir, "nation")
+    audits = [
+        audit("orders.o_custkey->customer", orders.select("o_custkey"),
+              "o_custkey", customer, "c_custkey"),
+        audit("lineitem.l_orderkey->orders", lineitem.select("l_orderkey"),
+              "l_orderkey", orders, "o_orderkey"),
+        audit("lineitem.l_partkey->part", lineitem.select("l_partkey"),
+              "l_partkey", part, "p_partkey"),
+        audit("customer.c_nationkey->nation", customer.select("c_nationkey"),
+              "c_nationkey", nation, "n_nationkey"),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionAll(a)
+    return out
+
+
+PROFILE_COLUMNS = (
+    ("l_quantity", "double"),
+    ("l_extendedprice", "double"),
+    ("l_discount", "double"),
+    ("l_shipdate", "timestamp"),
+    ("l_returnflag", "string"),
+)
+
+
+@register(
+    "lineitem_column_profile",
+    oracle="""
+    SELECT col, n_rows, n_nulls, n_distinct, min_value, max_value
+    FROM (
+      SELECT 'l_quantity' AS col, COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(l_quantity) AS n_nulls,
+             COUNT(DISTINCT l_quantity) AS n_distinct,
+             CAST(ROUND(MIN(l_quantity), 6) AS VARCHAR) AS min_value,
+             CAST(ROUND(MAX(l_quantity), 6) AS VARCHAR) AS max_value
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', COUNT(*),
+             COUNT(*) - COUNT(l_extendedprice),
+             COUNT(DISTINCT l_extendedprice),
+             CAST(ROUND(MIN(l_extendedprice), 6) AS VARCHAR),
+             CAST(ROUND(MAX(l_extendedprice), 6) AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', COUNT(*),
+             COUNT(*) - COUNT(l_discount),
+             COUNT(DISTINCT l_discount),
+             CAST(ROUND(MIN(l_discount), 6) AS VARCHAR),
+             CAST(ROUND(MAX(l_discount), 6) AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_shipdate', COUNT(*),
+             COUNT(*) - COUNT(l_shipdate),
+             COUNT(DISTINCT l_shipdate),
+             strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+             strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag', COUNT(*),
+             COUNT(*) - COUNT(l_returnflag),
+             COUNT(DISTINCT l_returnflag),
+             MIN(l_returnflag), MAX(l_returnflag)
+      FROM lineitem
+    )
+    """,
+)
+def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the engine-side ``df.summary()``): per
+    audited column one row of count / null count / exact distinct /
+    min / max, values rendered to strings so numeric, timestamp and
+    string columns share a schema — the post-load data-profile every
+    warehouse surfaces next to a table.
+
+    Plan: all five columns profile in ONE pass over the scan — the
+    count-distinct aggregates expand to the standard two-phase
+    partial-distinct plan, sharing the single lineitem read (Spark
+    plans multi-distinct with an Expand, not five scans); min/max/count
+    fold map-side. The per-column rows are a driver-side pivot of the
+    one aggregate row. At 100 TB an approx_count_distinct swap makes
+    the distinct term one pass with constant memory (documented swap;
+    the exact form is the oracle-matchable statement).
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for name, kind in PROFILE_COLUMNS:
+        c = F.col(name)
+        aggs += [
+            F.count("*").alias(f"{name}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{name}__nulls"),
+            F.countDistinct(c).alias(f"{name}__distinct"),
+        ]
+        if kind == "double":
+            aggs += [
+                F.round(F.min(c), 6).cast("string").alias(f"{name}__min"),
+                F.round(F.max(c), 6).cast("string").alias(f"{name}__max"),
+            ]
+        elif kind == "timestamp":
+            aggs += [
+                F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(
+                    f"{name}__min"
+                ),
+                F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(
+                    f"{name}__max"
+                ),
+            ]
+        else:
+            aggs += [
+                F.min(c).alias(f"{name}__min"),
+                F.max(c).alias(f"{name}__max"),
+            ]
+    wide = li.agg(*aggs)
+    # pivot to long form with ONE explode over the single aggregate
+    # row — a union of per-column selects would duplicate the
+    # aggregate subtree (and the scan) once per column
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col"),
+                F.col(f"{name}__rows").alias("n_rows"),
+                F.col(f"{name}__nulls").alias("n_nulls"),
+                F.col(f"{name}__distinct").alias("n_distinct"),
+                F.col(f"{name}__min").alias("min_value"),
+                F.col(f"{name}__max").alias("max_value"),
+            )
+            for name, _ in PROFILE_COLUMNS
+        ]
+    )
+    return wide.select(F.explode(structs).alias("p")).select("p.*")

@@ -710,3 +710,97 @@ def test_jl_distortion_bound_holds(spark):
     assert r["n_pairs"] == 496
     assert bool(r["within_bound"]) is True
     assert 0.0 < r["min_ratio"] < 1.0 < r["max_ratio"]
+
+
+def test_span_census_detects_planted_boilerplate(spark):
+    """Content-defined sampling is alignment-independent: a 200-char
+    boilerplate block planted at DIFFERENT offsets in three docs (a
+    fixed-stride sampler would need matching offset residues) must
+    surface in the census, and the per-doc profile must rank all
+    three carriers. Fixed content → deterministic md5 sampling, so
+    this cannot flake."""
+    from almost_any_file_to_pandas_spark.operators.spans import (
+        _sampled_grams,
+    )
+    from pyspark.sql import functions as F
+
+    boiler = (
+        "subscribe to our newsletter for updates "
+        "all rights reserved contact support at example "
+        "terms of service apply privacy policy applies "
+        "unsubscribe at any time thank you for reading today"
+    )
+    assert len(boiler) >= 180
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " * 7 + boiler + " omega"),
+            (2, "beta beta " + boiler + " zeta zeta zeta"),
+            (3, "x" * 13 + boiler),
+            (4, "完全に独立した文書 totally unrelated content here " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    sampled = _sampled_grams(docs)
+    dup_docs = (
+        sampled.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .join(sampled, "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    carriers = sorted(r["doc_id"] for r in dup_docs.collect())
+    assert carriers == [1, 2, 3]
+
+
+def test_jsonl_dispatch_distributed_lines(spark, fixture_dir):
+    import json as _json
+
+    from almost_any_file_to_pandas_spark.parse import parse
+
+    p = fixture_dir / "rows.jsonl"
+    p.write_text(
+        "\n".join(_json.dumps({"id": i, "v": f"r{i}"}) for i in range(5))
+        + "\n"
+    )
+    r = parse(spark, p)[0]
+    assert r.ok and "lines" in r.engine
+    assert r.data.count() == 5
+
+
+def test_bpe_train_textbook_sequence(spark):
+    """The canonical BPE example: corpus 'low low lower'. Iteration
+    1 merges (l,o) [count 3, tie with (o,w) broken by pair order],
+    iteration 2 merges (lo,w) [3], iteration 3 merges (e,r) vs
+    (low,e) [both 1, 'e r' < 'low e']."""
+    from almost_any_file_to_pandas_spark.operators.textstats import (
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower")], "doc_id long, text string"
+    )
+    rows = bpe_train(spark, docs, 3).collect()
+    got = [(r["iteration"], r["left"], r["right"], r["merged"],
+            r["pair_count"]) for r in rows]
+    assert got == [
+        (1, "l", "o", "lo", 3),
+        (2, "lo", "w", "low", 3),
+        (3, "e", "r", "er", 1),
+    ]
+
+
+def test_bpe_merge_handles_overlapping_runs(spark):
+    """Greedy left-to-right semantics: 'aaaa' under merge (a,a)
+    becomes [aa, aa] (leftmost-first, no re-merge within the pass) —
+    then iteration 2 merges (aa,aa)."""
+    from almost_any_file_to_pandas_spark.operators.textstats import (
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa")], "doc_id long, text string"
+    )
+    rows = bpe_train(spark, docs, 2).collect()
+    got = [(r["iteration"], r["merged"], r["pair_count"]) for r in rows]
+    assert got == [(1, "aa", 6), (2, "aaaa", 2)]

@@ -725,3 +725,39 @@ def test_decile_binning_no_window_no_sort(spark):
     assert "Window" not in plan
     assert "Exchange SinglePartition" not in plan
     assert plan.count("Exchange hash") == 1
+
+
+def test_column_profile_single_scan_expand(spark):
+    """The five-column profile must read lineitem ONCE: Spark's
+    multi-distinct aggregate plans one scan + one Expand, not one
+    scan per column (the naive union-of-selects shape)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["lineitem_column_profile"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_referential_audit_one_pass_per_edge(spark):
+    """Each FK edge audits in one child pass (left join + conditional
+    count folded together): 4 edges -> 8 scans (child + parent each),
+    not 12 (the anti-join + separate-count shape)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["referential_integrity_audit"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 8
+    assert "CartesianProduct" not in plan
+
+
+def test_transition_matrix_single_user_shuffle(spark):
+    """The Markov matrix groups each user's events once; the
+    row-normalizing window partitions by source state (no
+    single-partition exchange)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["events_transition_matrix"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan

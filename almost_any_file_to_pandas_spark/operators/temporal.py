@@ -256,3 +256,62 @@ def events_range_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned_range_join_count(
         ev, "purchase", "view", RANGE_JOIN_TOLERANCE_MINUTES * 60 * 1_000_000
     )
+
+
+@register(
+    "events_seasonality_profile",
+    oracle="""
+    WITH cells AS (
+      SELECT date_part('dow', ts) AS day_of_week,
+             date_part('hour', ts) AS hour_of_day,
+             COUNT(*) AS n_events,
+             COUNT(DISTINCT user_id) AS n_users,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(day_of_week AS INT) AS day_of_week,
+           CAST(hour_of_day AS INT) AS hour_of_day,
+           n_events, n_users,
+           ROUND(sum_value, 2) AS sum_value,
+           ROUND(n_events / CAST(SUM(n_events) OVER () AS DOUBLE), 6)
+             AS share
+    FROM cells
+    """,
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity profile — the seasonality
+    census behind load forecasting and anomaly baselines (the z-score
+    monitor compares against per-type means; this exposes the weekly
+    periodicity those baselines should condition on).
+
+    Plan: one aggregate folds the stream to ≤168 cells (distinct-user
+    term takes the standard two-phase distinct plan); the share
+    window runs over those 168 rows only — its single partition is
+    the intended shape, stated over an aggregate output that can
+    never grow with the data. DuckDB's ``dow`` is 0=Sunday; Spark's
+    ``dayofweek`` is 1=Sunday, so the Spark side subtracts 1 to align
+    the encoding.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("day_of_week"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    w = W.partitionBy(F.pmod(F.col("n_events"), F.lit(1)))
+    return cells.select(
+        "day_of_week",
+        "hour_of_day",
+        "n_events",
+        "n_users",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round(
+            F.col("n_events") / F.sum("n_events").over(w).cast("double"), 6
+        ).alias("share"),
+    )

@@ -1347,3 +1347,95 @@ def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(structs).alias("p")).select("p.*")
+
+
+RFM_QS = (0.2, 0.4, 0.6, 0.8)
+RFM_REF_DATE = "1998-12-31"
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                            DATE '{RFM_REF_DATE}') AS DOUBLE) AS recency,
+             CAST(COUNT(*) AS DOUBLE) AS frequency,
+             CAST(SUM(o_totalprice) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), cuts AS (
+      SELECT quantile_disc(recency,   [{', '.join(map(str, RFM_QS))}]) AS r_cuts,
+             quantile_disc(frequency, [{', '.join(map(str, RFM_QS))}]) AS f_cuts,
+             quantile_disc(monetary,  [{', '.join(map(str, RFM_QS))}]) AS m_cuts
+      FROM per_cust
+    ), scored AS (
+      SELECT 1 + len(list_filter(c.r_cuts, t -> p.recency   > t)) AS r_bin,
+             1 + len(list_filter(c.f_cuts, t -> p.frequency > t)) AS f_bin,
+             1 + len(list_filter(c.m_cuts, t -> p.monetary  > t)) AS m_bin,
+             p.monetary
+      FROM per_cust p CROSS JOIN cuts c
+    )
+    SELECT r_bin, f_bin, m_bin,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(CAST(monetary AS DECIMAL(25,6))) AS DOUBLE), 2)
+             AS total_monetary
+    FROM scored
+    GROUP BY r_bin, f_bin, m_bin
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic warehouse customer-value cube:
+    per customer recency (days from last order to a fixed reference
+    date), frequency (order count) and monetary (total spend), each
+    binned into population quintiles, then the ≤125-cell segment
+    census. ``r_bin`` counts cut points strictly below the RAW
+    recency, so bin 1 holds the most-recent customers (analysts may
+    invert; the cube carries the raw axis).
+
+    Scale shape: one aggregate folds orders to the per-customer frame
+    (the only corpus shuffle); the fifteen quintile cut points come
+    from the distributed exact-quantile refinement over that frame —
+    bounded driver histograms, NO ntile/global window — and return as
+    literals; binning is a narrow CASE; the final census groups ≤125
+    cells. Tied cut values (frequency is small-integer) produce the
+    identical duplicate-cut binning in both engines because the rule
+    is the same arithmetic, not engine ntile.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_REF_DATE).cast("date"),
+            F.max("o_orderdate").cast("date"),
+        )
+        .cast("double")
+        .alias("recency"),
+        F.count("*").cast("double").alias("frequency"),
+        F.sum("o_totalprice").cast("double").alias("monetary"),
+    )
+    per_cust = per_cust.localCheckpoint()  # 3 quantile runs + the scan
+    bins = {}
+    for metric in ("recency", "frequency", "monetary"):
+        cuts = exact_disc_quantiles(per_cust, metric, RFM_QS)
+        expr = F.lit(1)
+        for q in RFM_QS:
+            expr = expr + F.when(F.col(metric) > cuts[q], 1).otherwise(0)
+        bins[metric] = expr
+    return (
+        per_cust.select(
+            bins["recency"].alias("r_bin"),
+            bins["frequency"].alias("f_bin"),
+            bins["monetary"].alias("m_bin"),
+            "monetary",
+        )
+        .groupBy("r_bin", "f_bin", "m_bin")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum(F.col("monetary").cast("decimal(25,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_monetary"),
+        )
+    )

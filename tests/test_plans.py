@@ -761,3 +761,29 @@ def test_transition_matrix_single_user_shuffle(spark):
     df = entrymod.queries()["events_transition_matrix"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_rfm_segments_no_ntile_no_global_window(spark):
+    """RFM quintiles must come from literal cut points (distributed
+    quantile refinement), never an ntile window: no Window operator,
+    no single-partition exchange; one shuffle to the per-customer
+    frame feeds the checkpoint, the census groups its output."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["customer_rfm_segments"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_seasonality_window_over_aggregate_only(spark):
+    """The share window must sit ABOVE the 168-cell aggregate (its
+    partition key is derived from the aggregate output), with the
+    corpus folded by the distinct-pair Expand plan below it."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["events_seasonality_profile"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan  # pmod key, hashed
+    before_window = plan.split("Window", 1)[1]
+    assert "HashAggregate" in before_window

@@ -826,3 +826,79 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= RANGE_SEARCH_THRESHOLD)
     )
+
+
+HARD_NEG_K = 5
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label,
+             embedding AS qvec
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.anchor_id, q.anchor_label, e.vec_id AS negative_id,
+             e.label AS negative_label,
+             ROUND({_cosine_sql('e.embedding', 'q.qvec')}, 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.anchor_id
+               ORDER BY ROUND({_cosine_sql('e.embedding', 'q.qvec')}, 6) DESC,
+                        e.vec_id) AS neg_rank
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.anchor_id AND e.label <> q.anchor_label
+    )
+    SELECT anchor_id, anchor_label, negative_id, negative_label,
+           cosine, neg_rank
+    FROM scored WHERE neg_rank <= {HARD_NEG_K}
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (vec_id < {N}), the ``HARD_NEG_K`` most-similar vectors with a
+    DIFFERENT label — the negatives that actually move a contrastive
+    loss (random negatives are trivially separable; hardest-negative
+    batches are the standard curriculum). Same plan as the k-NN
+    batch — broadcast anchors, one narrow scoring pass, per-anchor
+    rank window — plus the label-mismatch predicate applied BEFORE
+    ranking, so the window ranks only eligible negatives.
+    """
+    apply_engine_conf(spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("qvec"),
+        _norm(F.col("embedding")).alias("qnrm"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter(
+            (F.col("negative_id") != F.col("anchor_id"))
+            & (F.col("negative_label") != F.col("anchor_label"))
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            F.round(
+                _dot(F.col("embedding"), F.col("qvec"))
+                / (F.col("nrm") * F.col("qnrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return scored.withColumn("neg_rank", F.row_number().over(w)).filter(
+        F.col("neg_rank") <= HARD_NEG_K
+    )

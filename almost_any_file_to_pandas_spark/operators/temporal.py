@@ -315,3 +315,80 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events") / F.sum("n_events").over(w).cast("double"), 6
         ).alias("share"),
     )
+
+
+LATE_TOL_US = 600 * 1_000_000  # 10-minute candidate watermark delay
+
+
+@register(
+    "events_late_arrival_profile",
+    oracle=f"""
+    WITH arr AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             MAX(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prior_max_us
+      FROM events
+    ), lateness AS (
+      SELECT user_id,
+             GREATEST(COALESCE(prior_max_us - ts_us, 0), 0) AS late_us
+      FROM arr
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS n_out_of_order,
+           SUM(CASE WHEN late_us > {LATE_TOL_US} THEN 1 ELSE 0 END)
+             AS n_beyond_watermark,
+           MAX(late_us) AS max_late_us
+    FROM lateness
+    GROUP BY user_id
+    """,
+)
+def events_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit: with ``event_id`` as ARRIVAL order and
+    ``ts`` as event time, each event's lateness is how far it trails
+    the per-user running maximum event time at its arrival. The
+    per-user report counts out-of-order events and — the number that
+    sizes a production watermark — events later than the candidate
+    10-minute delay, which a streaming job with that watermark would
+    drop from windowed state. The streaming builders in
+    streaming/events.py consume exactly this number.
+
+    Plan: one PARTITIONED window (user_id, ordered by arrival) feeds
+    one per-user aggregate — the same single shuffle both stages reuse
+    (Catalyst aligns the window and groupBy partitioning). Lateness
+    math runs on integer microseconds (``unix_micros`` ↔ DuckDB
+    ``epoch_us``) so both engines compare exact integers.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    arr = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.max(F.unix_micros(F.col("ts"))).over(w).alias("prior_max_us"),
+    )
+    late = arr.select(
+        "user_id",
+        F.greatest(
+            F.coalesce(
+                F.col("prior_max_us") - F.col("ts_us"), F.lit(0)
+            ),
+            F.lit(0),
+        ).alias("late_us"),
+    )
+    return late.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0)).alias(
+            "n_out_of_order"
+        ),
+        F.sum(
+            F.when(F.col("late_us") > LATE_TOL_US, 1).otherwise(0)
+        ).alias("n_beyond_watermark"),
+        F.max("late_us").alias("max_late_us"),
+    )

@@ -25,7 +25,9 @@ from pyspark.sql import types as T
 from almost_any_file_to_pandas_spark.result import ParseResult
 
 EXCEL_SUFFIXES = (".xlsx", ".xls", ".xlsb", ".odf", ".ods", ".odt")  # main.py:147
-TEXT_SUFFIXES = (".txt", ".csv", ".ini")  # main.py:151, 155, 157
+TEXT_SUFFIXES = (".txt", ".csv", ".ini", ".tsv")  # main.py:151, 155, 157
+# (.tsv: extension beyond the reference, SURVEY.md §7 — the sniffer
+# votes '\t' on real TSV content and falls back to '\t' regardless)
 
 
 def _empty_df(spark: SparkSession):

@@ -804,3 +804,65 @@ def test_bpe_merge_handles_overlapping_runs(spark):
     rows = bpe_train(spark, docs, 2).collect()
     got = [(r["iteration"], r["merged"], r["pair_count"]) for r in rows]
     assert got == [(1, "aa", 6), (2, "aaaa", 2)]
+
+
+def _bpe_reference(word_counts, iters):
+    """Straight-line reference BPE (count-weighted vocab, greedy
+    leftmost merge, tie-break count desc then pair asc) to
+    cross-check the distributed trainer."""
+    vocab = [(list(w), n) for w, n in word_counts.items()]
+    merges = []
+    for it in range(1, iters + 1):
+        pairs = {}
+        for syms, n in vocab:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        (left, right), count = min(
+            pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        merges.append((it, left, right, left + right, count))
+        new_vocab = []
+        for syms, n in vocab:
+            out = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            new_vocab.append((out, n))
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed trainer must reproduce the straight-line
+    reference merge-for-merge on three seeded random corpora (words,
+    multiplicities, and overlap-prone repeated letters)."""
+    import random
+
+    from almost_any_file_to_pandas_spark.operators.textstats import (
+        bpe_train,
+    )
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abcde") for _ in range(rng.randint(2, 6)))
+            for _ in range(30)
+        ]
+        text = " ".join(rng.choice(words) for _ in range(120))
+        counts = {}
+        for w in text.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+        expected = _bpe_reference(counts, 4)
+        docs = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        got = [
+            (r["iteration"], r["left"], r["right"], r["merged"],
+             r["pair_count"])
+            for r in bpe_train(spark, docs, 4).collect()
+        ]
+        assert got == expected, f"seed {seed}"

@@ -8,7 +8,7 @@ from __future__ import annotations
 import json
 
 from almost_any_file_to_pandas_spark.parse import parse
-from tests.conftest import EXPECTED
+from tests.conftest import EXPECTED, GRID
 
 
 def grid_of(df) -> list[list[str]]:
@@ -577,3 +577,11 @@ def test_parquet_schema_evolution_merge(spark, fixture_dir):
     assert set(r.data.columns) == {"id", "extra"}
     rows = {row["id"]: row["extra"] for row in r.data.collect()}
     assert rows == {1: None, 2: None, 3: "new"}
+
+
+def test_tsv_dispatch(spark, fixture_dir):
+    p = fixture_dir / "golden.tsv"
+    p.write_text("\n".join("\t".join(r) for r in GRID) + "\n")
+    r = parse(spark, p)[0]
+    assert r.ok and r.separator == "\t"
+    assert grid_of(r.data) == EXPECTED

@@ -902,3 +902,82 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("neg_rank", F.row_number().over(w)).filter(
         F.col("neg_rank") <= HARD_NEG_K
     )
+
+
+KNN_EVAL_N = 50  # anchors in the leave-one-out label-accuracy eval
+
+
+@register(
+    "sim_knn_label_accuracy",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS anchor_id, label AS true_label,
+             embedding AS qvec
+      FROM embeddings WHERE vec_id < {KNN_EVAL_N}
+    ), ranked AS (
+      SELECT q.anchor_id, q.true_label, e.label AS pred_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.anchor_id
+               ORDER BY ROUND({_cosine_sql('e.embedding', 'q.qvec')}, 6) DESC,
+                        e.vec_id) AS rnk
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.anchor_id
+    )
+    SELECT COUNT(*) AS n_anchors,
+           SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             AS n_correct,
+           ROUND(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def sim_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label accuracy over the first
+    ``KNN_EVAL_N`` vectors — the standard intrinsic eval of an
+    embedding space ("do nearest neighbours share a label?") that
+    gates an embedding upgrade before it reaches dedup/ANN. Same
+    broadcast-anchor one-pass scoring shape as the k-NN batch; one
+    row out.
+    """
+    apply_engine_conf(spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < KNN_EVAL_N).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qvec"),
+        _norm(F.col("embedding")).alias("qnrm"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.col("label").alias("pred_label"),
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    w = W.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    top1 = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "true_label",
+            "pred_label",
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("qvec"))
+                / (F.col("nrm") * F.col("qnrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+    )
+    hit = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return top1.agg(
+        F.count("*").alias("n_anchors"),
+        F.sum(hit).alias("n_correct"),
+        F.round(F.sum(hit) / F.count("*").cast("double"), 6).alias(
+            "accuracy"
+        ),
+    )

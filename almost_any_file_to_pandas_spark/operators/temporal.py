@@ -392,3 +392,88 @@ def events_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_beyond_watermark"),
         F.max("late_us").alias("max_late_us"),
     )
+
+
+@register(
+    "events_ab_cohort_compare",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type, user_id % 2 AS cohort,
+             CAST(value AS DECIMAL(25,6)) AS v
+      FROM events
+    ), stats AS (
+      SELECT event_type, cohort,
+             COUNT(*) AS n,
+             CAST(SUM(v) AS DOUBLE) AS sum_v,
+             CAST(SUM(v * v) AS DOUBLE) AS sum_v2
+      FROM tagged GROUP BY event_type, cohort
+    ), sides AS (
+      SELECT event_type,
+             MAX(CASE WHEN cohort = 0 THEN n END) AS n_a,
+             MAX(CASE WHEN cohort = 1 THEN n END) AS n_b,
+             MAX(CASE WHEN cohort = 0 THEN sum_v END) AS sum_a,
+             MAX(CASE WHEN cohort = 1 THEN sum_v END) AS sum_b,
+             MAX(CASE WHEN cohort = 0 THEN sum_v2 END) AS sum2_a,
+             MAX(CASE WHEN cohort = 1 THEN sum_v2 END) AS sum2_b
+      FROM stats GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           ROUND(sum_a / n_a, 6) AS mean_a,
+           ROUND(sum_b / n_b, 6) AS mean_b,
+           ROUND(sum_b / n_b - sum_a / n_a, 6) AS lift,
+           ROUND((sum_b / n_b - sum_a / n_a)
+                 / sqrt( (sum2_a / n_a - (sum_a / n_a) * (sum_a / n_a)) / n_a
+                       + (sum2_b / n_b - (sum_b / n_b) * (sum_b / n_b)) / n_b
+                       ), 6) AS z_score
+    FROM sides
+    """,
+)
+def events_ab_cohort_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: split users into two deterministic
+    cohorts (``user_id % 2`` — in production, a salted hash of the
+    unit id), compare per-event-type mean value, and report the lift
+    with its Welch z-score (unequal-variance two-sample statistic
+    from the sufficient statistics n/Σv/Σv²).
+
+    Scale shape: ONE aggregate over (event_type, cohort) computes all
+    sufficient statistics with map-side partials (sums accumulate in
+    DECIMAL so both engines fold order-independently; moments divide
+    in double at the end); the cohort pivot and the z arithmetic run
+    on the tiny per-type table. No window, no second pass over data —
+    the whole experiment readout costs one shuffle of partial sums.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(25,6)")
+    stats = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("cohort")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(v).cast("double").alias("sum_v"),
+        F.sum(v * v).cast("double").alias("sum_v2"),
+    )
+    sides = stats.groupBy("event_type").agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("cohort") == 0, F.col("sum_v"))).alias("sum_a"),
+        F.max(F.when(F.col("cohort") == 1, F.col("sum_v"))).alias("sum_b"),
+        F.max(F.when(F.col("cohort") == 0, F.col("sum_v2"))).alias("sum2_a"),
+        F.max(F.when(F.col("cohort") == 1, F.col("sum_v2"))).alias("sum2_b"),
+    )
+    mean_a = F.col("sum_a") / F.col("n_a")
+    mean_b = F.col("sum_b") / F.col("n_b")
+    var_a = F.col("sum2_a") / F.col("n_a") - mean_a * mean_a
+    var_b = F.col("sum2_b") / F.col("n_b") - mean_b * mean_b
+    return sides.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(mean_b - mean_a, 6).alias("lift"),
+        F.round(
+            (mean_b - mean_a)
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
+            6,
+        ).alias("z_score"),
+    )

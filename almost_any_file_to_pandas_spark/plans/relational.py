@@ -1439,3 +1439,96 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_monetary"),
         )
     )
+
+
+@register(
+    "orders_backlog_by_month",
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey,
+             strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS open_month,
+             strftime(MAX(CAST(l.l_shipdate AS DATE)), '%Y-%m') AS close_month
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ), deltas AS (
+      SELECT open_month AS month, 1 AS opened, 0 AS closed FROM per_order
+      UNION ALL
+      SELECT close_month, 0, 1 FROM per_order
+    ), monthly AS (
+      SELECT month, SUM(opened) AS n_opened, SUM(closed) AS n_closed
+      FROM deltas GROUP BY month
+    )
+    SELECT month,
+           CAST(n_opened AS BIGINT) AS n_opened,
+           CAST(n_closed AS BIGINT) AS n_closed,
+           CAST(SUM(n_opened) OVER w - SUM(n_closed) OVER w AS BIGINT)
+             AS backlog_end
+    FROM monthly
+    WINDOW w AS (ORDER BY month ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def orders_backlog_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time — interval counting ("how many
+    orders were open during month m") restated scale-first as
+    DELTA-ENCODING + PREFIX SUM: each order contributes +1 at its
+    open month and −1 at its close month (last lineitem shipdate);
+    backlog at end of m = cumulative opens − cumulative closes. The
+    naive form — join every order against every month it overlaps —
+    replicates the fact table by average interval length; the delta
+    form moves each order exactly twice, and the running sum touches
+    only the ~85-row month table.
+
+    Plan: orders⋈lineitem shuffles on orderkey once, and the
+    per-order close aggregate REUSES that partitioning (group key ==
+    join key, no second fact shuffle); the month aggregate is tiny;
+    the cumulative window runs over months only ('yyyy-MM' sorts
+    chronologically). Orders with no lineitems drop in the inner
+    join, identically in both engines.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.select("o_orderkey", "o_orderdate")
+        .join(li.select("l_orderkey", "l_shipdate"),
+              orders.o_orderkey == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("close_ts"))
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("open_month"),
+            F.date_format("close_ts", "yyyy-MM").alias("close_month"),
+        )
+    )
+    deltas = per_order.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("open_month").alias("month"),
+                    F.lit(1).alias("opened"),
+                    F.lit(0).alias("closed"),
+                ),
+                F.struct(
+                    F.col("close_month").alias("month"),
+                    F.lit(0).alias("opened"),
+                    F.lit(1).alias("closed"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
+    monthly = deltas.groupBy("month").agg(
+        F.sum("opened").alias("n_opened"),
+        F.sum("closed").alias("n_closed"),
+    )
+    w = (
+        W.partitionBy(F.pmod(F.length("month"), F.lit(1)))
+        .orderBy("month")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return monthly.select(
+        "month",
+        F.col("n_opened").cast("bigint").alias("n_opened"),
+        F.col("n_closed").cast("bigint").alias("n_closed"),
+        (F.sum("n_opened").over(w) - F.sum("n_closed").over(w))
+        .cast("bigint")
+        .alias("backlog_end"),
+    )

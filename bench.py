@@ -75,6 +75,11 @@ HEADLINE = [
     "events_heavy_hitters_cms",
     "events_key_skew_profile",
     "events_salted_selfjoin",
+    "customer_rfm_segments",
+    "events_transition_matrix",
+    "events_ab_cohort_compare",
+    "events_late_arrival_profile",
+    "sim_hard_negatives",
 ]
 
 

@@ -787,3 +787,17 @@ def test_seasonality_window_over_aggregate_only(spark):
     assert "Exchange SinglePartition" not in plan  # pmod key, hashed
     before_window = plan.split("Window", 1)[1]
     assert "HashAggregate" in before_window
+
+
+def test_backlog_delta_encoding_no_single_partition(spark):
+    """Interval counting must run as delta-encode + prefix-sum: no
+    single-partition exchange (the cumulative window's key is
+    non-foldable), no per-month fact replication, bounded exchanges
+    (join/groupBy on orderkey, the tiny month agg, the window hash)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["orders_backlog_by_month"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hash") <= 3

@@ -1,0 +1,116 @@
+"""Graph analytics over behavioral co-occurrence.
+
+Second member of the graph family next to
+``connected_components_alternating`` (plans/relational.py): build the
+user co-occurrence graph (edge = two users active in the same hour
+more often than twice the global mean) and count its TRIANGLES — the
+clustering signal behind community detection, bot-ring discovery and
+recommendation ("users who always appear together").
+
+Scale shape: the pair expansion reuses the dedup family's capped
+one-shuffle bucket machinery (`_pairs_within_buckets`) with the hour
+as the bucket — per-hour co-activity bounds the quadratic term
+exactly like an LSH bucket, with the same skew cap. Triangles use the
+oriented-edge join: every edge is stored once as (lo, hi), and the
+two joins enumerate each triangle exactly once as a < b < c — the
+standard distributed formulation (no per-vertex adjacency
+materialization, no double counting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from almost_any_file_to_pandas_spark.operators.dedup import (
+    _pairs_within_buckets,
+)
+from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+EDGE_FACTOR = 2.0  # edge iff co-count > EDGE_FACTOR * mean co-count
+
+
+@register(
+    "events_cooccurrence_triangles",
+    oracle=f"""
+    WITH cells AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+    ), pair_counts AS (
+      SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS c
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+    ), cut AS (
+      SELECT {EDGE_FACTOR} * AVG(c) AS threshold FROM pair_counts
+    ), edges AS (
+      SELECT u1, u2 FROM pair_counts CROSS JOIN cut
+      WHERE c > cut.threshold
+    ), triangles AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.u1 = e1.u2
+      JOIN edges e3 ON e3.u1 = e1.u1 AND e3.u2 = e2.u2
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM cells) AS n_active_users,
+           (SELECT COUNT(*) FROM pair_counts) AS n_copairs,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           n_triangles
+    FROM triangles
+    """,
+)
+def events_cooccurrence_triangles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Triangle census of the hour-co-activity user graph. The edge
+    threshold is data-derived (co-count strictly above
+    ``EDGE_FACTOR``× the mean co-count, a one-row broadcast) so the
+    graph stays meaningfully sparse at every scale factor.
+
+    Plan: distinct (hour, user) cells → capped one-shuffle in-bucket
+    pair expansion (multiplicity = co-count) → mean-threshold filter →
+    oriented-edge double join, each triangle exactly once. Every join
+    input is the post-threshold edge table, orders of magnitude
+    smaller than the event stream.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    cells = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
+    ).distinct()
+    co = _pairs_within_buckets(cells, "user_id", ["h"], distinct=False)
+    pair_counts = (
+        co.groupBy(F.col("doc_a").alias("u1"), F.col("doc_b").alias("u2"))
+        .agg(F.count("*").alias("c"))
+    )
+    pair_counts = pair_counts.localCheckpoint()  # feeds cut + edges + counts
+    cut = pair_counts.agg(
+        (F.lit(EDGE_FACTOR) * F.avg("c")).alias("threshold")
+    )
+    edges = (
+        pair_counts.crossJoin(F.broadcast(cut))
+        .filter(F.col("c") > F.col("threshold"))
+        .select("u1", "u2")
+    )
+    edges = edges.localCheckpoint()  # reused three times in the join
+    e1 = edges
+    e2 = edges.select(
+        F.col("u1").alias("b"), F.col("u2").alias("c2")
+    )
+    e3 = edges.select(
+        F.col("u1").alias("a3"), F.col("u2").alias("c3")
+    )
+    triangles = (
+        e1.join(e2, e1.u2 == e2.b)
+        .join(e3, (F.col("a3") == e1.u1) & (F.col("c3") == F.col("c2")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_users = cells.agg(
+        F.countDistinct("user_id").alias("n_active_users")
+    )
+    n_copairs = pair_counts.agg(F.count("*").alias("n_copairs"))
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        n_users.crossJoin(n_copairs)
+        .crossJoin(n_edges)
+        .crossJoin(triangles)
+    )

@@ -1173,3 +1173,64 @@ def bpe_train(spark: SparkSession, docs: DataFrame, iters: int) -> DataFrame:
         "iteration int, left string, right string, "
         "merged string, pair_count bigint",
     )
+
+
+WEIGHTED_SAMPLE_K = 25
+
+
+@register(
+    "text_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ROUND(pow(GREATEST({_doc_uniform_sql('doc_id')}, 1e-4),
+                       1.0 / n_chars), 6) AS draw_key
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, n_chars, draw_key,
+             row_number() OVER (
+               ORDER BY draw_key DESC, doc_id ASC) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, source, n_chars, draw_key, rn
+    FROM ranked WHERE rn <= {WEIGHTED_SAMPLE_K}
+    """,
+)
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis
+    style: each doc draws key ``u^(1/w)`` (u = the deterministic
+    per-doc hash uniform, floored at 1e-4 so u=0 can't produce a
+    degenerate key; w = ``n_chars``) and the top-``K`` keys ARE a
+    weighted sample — longer documents proportionally likelier, the
+    shape used to bias human review or eval toward content-heavy
+    docs while staying reproducible (no RNG state; same draw on
+    every engine and rerun).
+
+    Plan: one narrow key projection over the scan; the global top-K
+    is orderBy+limit — TakeOrderedAndProject heaps, never a full
+    sort — and the rank window then runs over the K survivors only.
+    Ranking on the ROUNDED key so both engines order identically.
+    """
+    apply_engine_conf(spark)
+    from pyspark.sql import Window as W
+
+    docs = table_wide(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(
+            F.pow(
+                F.greatest(_doc_uniform(F.col("doc_id")), F.lit(1e-4)),
+                F.lit(1.0) / F.col("n_chars"),
+            ),
+            6,
+        ).alias("draw_key"),
+    )
+    top = keyed.orderBy(F.desc("draw_key"), F.asc("doc_id")).limit(
+        WEIGHTED_SAMPLE_K
+    )
+    w = W.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(
+        F.desc("draw_key"), F.asc("doc_id")
+    )
+    return top.withColumn("rn", F.row_number().over(w))

@@ -477,3 +477,61 @@ def events_ab_cohort_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_pivot_type_by_day",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day,
+           {", ".join(
+               f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+               for t in EVENT_TYPES
+           )},
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(25,6)) END) AS DOUBLE)
+             AS purchase_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: daily event counts with one column per event
+    type plus purchase revenue — the dashboard/report shape every
+    analytics surface exports, and the engine's exercise of Spark's
+    ``pivot`` relational operator (the inventory's unpivot twin is
+    ``emb_covariance_block``'s struct-explode).
+
+    The pivot value list is DECLARED (``EVENT_TYPES``), not inferred:
+    an unlisted pivot makes Spark run an extra distinct-collect job
+    over the corpus to discover column names before planning — at
+    100 TB that's a full scan spent naming columns. With the list
+    pinned, the plan is ONE hash aggregate on day with map-side
+    partials (pivot compiles to exactly the oracle's conditional
+    aggregation; no extra shuffle, no discovery job). Missing
+    day×type cells surface as NULL counts → coalesced to 0 to match
+    the conditional-sum semantics; revenue stays NULL-when-absent.
+    Value sums fold in DECIMAL for order-independent hashes.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(
+            F.struct(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(25,6)")).alias("s"),
+            )
+        )
+    )
+    cols = [F.col("day")]
+    for t in EVENT_TYPES:
+        cols.append(
+            F.coalesce(F.col(f"{t}.n"), F.lit(0)).alias(t)
+        )
+    cols.append(
+        F.col("purchase.s").cast("double").alias("purchase_value")
+    )
+    return wide.select(*cols)

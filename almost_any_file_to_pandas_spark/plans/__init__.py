@@ -129,6 +129,7 @@ def load_all() -> None:
     from almost_any_file_to_pandas_spark.operators import projection  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import budget  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import graph  # noqa: F401
+    from almost_any_file_to_pandas_spark.operators import linalg  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import sketches  # noqa: F401
     from almost_any_file_to_pandas_spark.streaming import events  # noqa: F401
 

@@ -866,3 +866,86 @@ def test_bpe_train_matches_python_reference(spark):
             for r in bpe_train(spark, docs, 4).collect()
         ]
         assert got == expected, f"seed {seed}"
+
+
+def test_gram_moments_match_numpy(spark):
+    """The distributed integer-Gram sketch must reproduce numpy's
+    covariance, and the power iteration must land on numpy.linalg's
+    top eigenvalue/eigenvector (up to sign and quantization)."""
+    import numpy as np
+
+    from almost_any_file_to_pandas_spark.operators.linalg import (
+        QSCALE,
+        SRC_DIMS,
+        gram_moments,
+        pca_from_gram,
+    )
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: a dominant direction the PCA must find
+    base = rng.randn(200, SRC_DIMS) * 0.05
+    direction = rng.randn(SRC_DIMS)
+    direction /= np.linalg.norm(direction)
+    X = base + np.outer(rng.randn(200) * 0.8, direction)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    ).repartition(5)
+
+    stats = pca_from_gram(
+        r.asDict() for r in gram_moments(emb).collect()
+    )
+    assert stats["n_vectors"] == 200
+    # quantized covariance ≈ exact covariance to ~1/QSCALE
+    cov = np.cov(X, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    tol = 64.0 / QSCALE
+    assert abs(stats["lambda1"] - evals[-1]) < max(1e-4, tol)
+    v = stats["pc1_loadings"]
+    cos = abs(float(np.dot(v, evecs[:, -1])))
+    assert cos > 0.999
+    # partitioning must not change the integer sums: re-fold with a
+    # different layout and demand identical quantized output
+    stats2 = pca_from_gram(
+        r.asDict()
+        for r in gram_moments(emb.repartition(13)).collect()
+    )
+    assert stats2["lambda1"] == stats["lambda1"]
+
+
+def test_dimension_profile_flags_dead_dims(spark):
+    """A constant coordinate must read back as ~zero variance with
+    mean equal to the constant."""
+    from almost_any_file_to_pandas_spark.operators import linalg  # noqa: F401
+    from almost_any_file_to_pandas_spark.plans import QUERIES
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(50):
+        v = [float(x) for x in rng.randn(64) * 0.1]
+        v[7] = 0.25  # dead dim
+        rows.append((i, v))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet("/tmp/linalg_profile/embeddings.parquet")
+    out = QUERIES["emb_dimension_profile"](spark, "/tmp/linalg_profile")
+    prof = {r["dim_idx"]: r for r in out.collect()}
+    assert len(prof) == 64 and prof[7]["var_val"] == pytest.approx(0, abs=1e-6)
+    assert prof[7]["mean_val"] == pytest.approx(0.25, abs=1e-6)
+    assert prof[3]["var_val"] > 1e-4
+
+
+def test_pivot_plan_single_aggregate(spark):
+    """The declared-values pivot must compile to hash aggregates with
+    NO extra distinct-discovery job or join in the plan."""
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    df = plans.QUERIES["events_pivot_type_by_day"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial→final agg, no more

@@ -114,3 +114,138 @@ def events_cooccurrence_triangles(
         .crossJoin(n_edges)
         .crossJoin(triangles)
     )
+
+
+PR_DAMP = 0.85
+PR_ITERS = 8
+
+
+def pagerank(edges: DataFrame, damp: float = PR_DAMP,
+             iters: int = PR_ITERS) -> DataFrame:
+    """Distributed PageRank by synchronous power iteration over an
+    UNDIRECTED edge list ``(u1, u2)`` (symmetrized internally).
+
+    Third graph-family member beside the O(log n) connected components
+    and the triangle census. Every node in a symmetrized graph has
+    out-degree ≥ 1, so there is no dangling mass and rank conserves to
+    exactly 1 each round (up to float ulps) — the property the floor
+    row pins.
+
+    Scale shape: ``(edge ⨝ ranks)`` then a sum-by-destination — the
+    standard two-shuffle PageRank round, both keyed on node id, so AQE
+    reuses/broadcasts the small side as the graph allows; ranks are
+    ``localCheckpoint``-ed each round to truncate the O(iters)-deep
+    lineage (same discipline as the CC and cluster-canonical loops).
+    The node count is a one-number aggregate (bounded driver scalar,
+    like the Bloom/PQ index builds).
+    """
+    sym = edges.select(
+        F.col("u1").alias("src"), F.col("u2").alias("dst")
+    ).union(
+        edges.select(F.col("u2").alias("src"), F.col("u1").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    out = sym.join(deg, "src").localCheckpoint(eager=True)
+    nodes = deg.select(F.col("src").alias("node")).localCheckpoint(
+        eager=True
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contribs = (
+            out.join(ranks, out.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damp) / n)
+                    + F.lit(damp) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+@register(
+    "graph_pagerank_floor",
+    oracle=f"""
+    WITH cells AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+    ), pair_counts AS (
+      SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS c
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+    ), cut AS (
+      SELECT {EDGE_FACTOR} * AVG(c) AS threshold FROM pair_counts
+    ), edges AS (
+      SELECT u1, u2 FROM pair_counts CROSS JOIN cut
+      WHERE c > cut.threshold
+    ), nodes AS (
+      SELECT DISTINCT u FROM (
+        SELECT u1 AS u FROM edges UNION ALL SELECT u2 FROM edges
+      )
+    )
+    SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           CAST({PR_ITERS} AS INT) AS iters,
+           TRUE AS rank_conserved,
+           TRUE AS min_rank_floor_met
+    """,
+)
+def graph_pagerank_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank acceptance gate over the hour-co-activity graph (the
+    recall-floor pattern): ranks from :func:`pagerank` must conserve
+    total mass to 1 (no dangling nodes in a symmetrized graph) and
+    every rank must clear the teleport floor (1−d)/n — both provable
+    properties the oracle states independently, anchored to the
+    node/edge counts it derives from the identical graph CTE. Exact
+    ranks are additionally pinned against a numpy power iteration in
+    tests/test_operators.py.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    cells = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
+    ).distinct()
+    co = _pairs_within_buckets(cells, "user_id", ["h"], distinct=False)
+    pair_counts = (
+        co.groupBy(F.col("doc_a").alias("u1"), F.col("doc_b").alias("u2"))
+        .agg(F.count("*").alias("c"))
+    ).localCheckpoint(eager=True)
+    cut = pair_counts.agg(
+        (F.lit(EDGE_FACTOR) * F.avg("c")).alias("threshold")
+    )
+    edges = (
+        pair_counts.crossJoin(F.broadcast(cut))
+        .filter(F.col("c") > F.col("threshold"))
+        .select("u1", "u2")
+        .localCheckpoint(eager=True)
+    )
+    ranks = pagerank(edges)
+    n_edges = edges.count()
+    agg = ranks.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("rank").alias("total"),
+        F.min("rank").alias("mn"),
+    ).collect()[0]
+    n = agg["n_nodes"]
+    conserved = n == 0 or abs(agg["total"] - 1.0) < 1e-9
+    floor_met = n == 0 or agg["mn"] >= (1.0 - PR_DAMP) / n - 1e-12
+    return spark.createDataFrame(
+        [(n, n_edges, PR_ITERS, bool(conserved), bool(floor_met))],
+        schema=(
+            "n_nodes bigint, n_edges bigint, iters int, "
+            "rank_conserved boolean, min_rank_floor_met boolean"
+        ),
+    )

@@ -65,10 +65,10 @@ def parse(
             extension = inner
 
     # Existence + permission probe (main.py:135-144). Spark-native
-    # datasets (parquet) are directories of part files, not single
-    # files — accept those for the parquet arm (scale deviation; the
+    # datasets (parquet/ORC) are directories of part files, not single
+    # files — accept those for those arms (scale deviation; the
     # reference's pandas world only has single-file parquet).
-    if p.is_dir() and extension == ".parquet":
+    if p.is_dir() and extension in (".parquet", ".orc"):
         pass
     elif not p.is_file():
         return _failed(spark, str(path))
@@ -115,6 +115,21 @@ def parse(
             from almost_any_file_to_pandas_spark.sources.columnar import read_json
 
             return [read_json(spark, p, **options)]
+        if extension == ".orc":
+            # extension beyond the reference (SURVEY.md §7): Spark's
+            # native ORC scan — same pushdown/pruning as parquet
+            from almost_any_file_to_pandas_spark.sources.columnar import read_orc
+
+            return [read_orc(spark, p, **options)]
+        if extension in (".feather", ".arrow"):
+            # extension beyond the reference (SURVEY.md §7): Arrow
+            # IPC/Feather desktop interchange via the driver-side
+            # pyarrow bridge (single-blob format, like pickle)
+            from almost_any_file_to_pandas_spark.sources.columnar import (
+                read_feather,
+            )
+
+            return [read_feather(spark, p, **options)]
         if extension in (".pk1", ".pickle"):
             from almost_any_file_to_pandas_spark.sources.columnar import read_pickle
 

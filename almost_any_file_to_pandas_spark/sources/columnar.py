@@ -184,3 +184,56 @@ def read_pickle(spark: SparkSession, path: Union[str, Path]) -> ParseResult:
         engine="pandas.read_pickle -> createDataFrame",
         file_path=str(path),
     )
+
+
+def read_orc(spark: SparkSession, path: Union[str, Path]) -> ParseResult:
+    """ORC scan (extension beyond the reference, SURVEY.md §7 — the
+    reference's pandas surface has no ORC arm; the "almost any file"
+    contract plus Spark's native reader make it free here).
+
+    Fully distributed with predicate pushdown / column pruning /
+    stripe-level skipping via ORC file statistics — the same scan
+    properties as the parquet arm, so the whole query surface runs on
+    ORC lakes unchanged. Directory datasets accepted like parquet.
+    """
+    df = spark.read.orc(str(path))
+    return ParseResult(
+        data=df,
+        sheet_name="ORC file content",
+        engine="spark.read.orc",
+        file_path=str(path),
+    )
+
+
+def read_feather(spark: SparkSession, path: Union[str, Path]) -> ParseResult:
+    """Feather / Arrow-IPC scan (extension beyond the reference,
+    SURVEY.md §7).
+
+    A Feather/IPC file is a single memory-mappable Arrow blob — a
+    desktop interchange format like pickle, not a splittable lake
+    format — so the read is driver-side by construction (pyarrow),
+    then handed to Spark via the Arrow-batched ``createDataFrame``
+    fast path. Downstream transformations are fully distributed;
+    at 100 TB the lake formats are the parquet/ORC arms, and this arm
+    exists for the reference's desktop-file world.
+    """
+    import pyarrow as pa
+
+    path = str(path)
+    try:
+        from pyarrow import feather
+
+        tbl = feather.read_table(path)
+        engine = "pyarrow.feather -> createDataFrame"
+    except pa.ArrowInvalid:
+        # stream-format IPC (.arrow files written by RecordBatchStream)
+        with pa.memory_map(path) as source:
+            tbl = pa.ipc.open_stream(source).read_all()
+        engine = "pyarrow.ipc(stream) -> createDataFrame"
+    df = spark.createDataFrame(tbl.to_pandas())
+    return ParseResult(
+        data=df,
+        sheet_name="Feather file content",
+        engine=engine,
+        file_path=path,
+    )

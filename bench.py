@@ -80,6 +80,9 @@ HEADLINE = [
     "events_ab_cohort_compare",
     "events_late_arrival_profile",
     "sim_hard_negatives",
+    "emb_dimension_profile",
+    "emb_pca_power_floor",
+    "events_pivot_type_by_day",
 ]
 
 

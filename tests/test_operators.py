@@ -949,3 +949,34 @@ def test_pivot_plan_single_aggregate(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # partial→final agg, no more
+
+
+def test_pagerank_matches_numpy(spark):
+    """Distributed PageRank must agree with a dense numpy power
+    iteration on the same symmetrized graph."""
+    import numpy as np
+
+    from almost_any_file_to_pandas_spark.operators.graph import (
+        PR_DAMP,
+        PR_ITERS,
+        pagerank,
+    )
+
+    edge_list = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0)]
+    edges = spark.createDataFrame(edge_list, "u1 long, u2 long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+
+    n = 5
+    A = np.zeros((n, n))
+    for a, b in edge_list:
+        A[a, b] = 1.0
+        A[b, a] = 1.0
+    P = A / A.sum(axis=1, keepdims=True)
+    r = np.full(n, 1.0 / n)
+    for _ in range(PR_ITERS):
+        r = (1 - PR_DAMP) / n + PR_DAMP * (P.T @ r)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for i in range(n):
+        assert got[i] == pytest.approx(r[i], abs=1e-9)
+    # hub 0 (degree 4) must outrank leaf 4 (degree 1)
+    assert got[0] > got[4]

@@ -585,3 +585,46 @@ def test_tsv_dispatch(spark, fixture_dir):
     r = parse(spark, p)[0]
     assert r.ok and r.separator == "\t"
     assert grid_of(r.data) == EXPECTED
+
+
+def test_orc_dispatch_preserves_types(spark, fixture_dir):
+    """ORC arm: distributed native read, types preserved, directory
+    datasets accepted like parquet."""
+    src = spark.createDataFrame([(1, "a", 1.5)], "id int, s string, x double")
+    path = str(fixture_dir / "typed.orc")
+    src.coalesce(1).write.mode("overwrite").orc(path)
+    res = parse(spark, path)
+    assert len(res) == 1 and res[0].ok
+    assert res[0].sheet_name == "ORC file content"
+    got = res[0].data
+    assert dict(got.dtypes) == {"id": "int", "s": "string", "x": "double"}
+    assert got.collect()[0] == (1, "a", 1.5)
+
+
+def test_feather_and_arrow_dispatch(spark, fixture_dir):
+    """Feather (V2) and stream-IPC .arrow files both land through the
+    pyarrow bridge with values intact; written by pyarrow directly —
+    an independent writer, not this engine's inverse."""
+    import pyarrow as pa
+    from pyarrow import feather
+
+    tbl = pa.table({"a": [1, 2], "b": ["x", "y"]})
+    fp = fixture_dir / "frame.feather"
+    feather.write_feather(tbl, str(fp))
+    r = parse(spark, fp)[0]
+    assert r.ok and r.sheet_name == "Feather file content"
+    assert {(x["a"], x["b"]) for x in r.data.collect()} == {(1, "x"), (2, "y")}
+
+    ap = fixture_dir / "frame.arrow"
+    with pa.OSFile(str(ap), "wb") as sink:
+        with pa.ipc.new_stream(sink, tbl.schema) as writer:
+            writer.write_table(tbl)
+    r2 = parse(spark, ap)[0]
+    assert r2.ok
+    assert {(x["a"], x["b"]) for x in r2.data.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_corrupt_orc_failed_not_raise(spark, fixture_dir):
+    p = fixture_dir / "corrupt.orc"
+    p.write_bytes(b"not really orc")
+    assert parse(spark, p)[0].parse_info == "Failed"

@@ -801,3 +801,30 @@ def test_backlog_delta_encoding_no_single_partition(spark):
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hash") <= 3
+
+
+def test_dimension_profile_single_agg_shuffle(spark):
+    """The per-dimension moment census must be explode → ONE
+    partial→final aggregate exchange over d keys — no join, no extra
+    repartition beyond the under-parallel scan guard."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["emb_dimension_profile"](spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "Join" not in plan
+    assert len(re.findall(r"Exchange hash", plan)) == 1
+
+
+def test_covariance_block_no_explode_no_join(spark):
+    """The covariance block folds 45 aggregate columns in ONE global
+    aggregate: no per-pair row explosion of the corpus (the only
+    Generate is the 36-row unpivot ABOVE the aggregate), no join."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["emb_covariance_block"](spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "Join" not in plan
+    # single-row aggregate → SinglePartition exchange, nothing keyed
+    assert len(re.findall(r"Exchange hash", plan)) == 0

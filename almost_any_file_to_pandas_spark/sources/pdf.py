@@ -10,12 +10,16 @@ a renumbered index (T7); mismatched-width tables land in a second
 answer per page table.
 
 tabula (and its JVM) is not installed in this environment, so the
-import is gated: absent → a failed result, mirroring the reference's
-own "unpredictable result" caveat for PDFs (README.md:12). When
-tabula IS present, extraction happens driver-side (the subprocess
-boundary is inherently local) and each extracted table is handed to
-Spark via ``createDataFrame`` — the distributed path begins after
-extraction, which is the same shape as the reference's pipeline.
+import is gated: absent → the stdlib text-position extractor
+(sources/pdftext.py — ISO 32000 content-stream parsing, zlib
+FlateDecode, row/column clustering) takes over for simple
+digital-born PDFs; files outside its subset degrade to a failed
+result, mirroring the reference's own "unpredictable result" caveat
+for PDFs (README.md:12). Either way extraction happens driver-side
+(the subprocess/byte-parse boundary is inherently local) and each
+extracted table is handed to Spark via ``createDataFrame`` — the
+distributed path begins after extraction, which is the same shape as
+the reference's pipeline.
 """
 
 from __future__ import annotations
@@ -53,17 +57,31 @@ def read_pdf(
     spark: SparkSession, path: Union[str, Path], concat: bool = True, **options
 ) -> List[ParseResult]:
     p = Path(path)
+    engine = "tabula"
     try:
         import tabula  # noqa: F401  (requires tabula-py + a JVM)
     except ImportError:
-        return _failed(spark, str(p), engine="tabula (unavailable)")
+        # tabula absent: fall back to the stdlib text-position
+        # extractor (sources/pdftext.py) — ISO 32000 content-stream
+        # parsing for simple digital-born PDFs; outside its subset it
+        # yields no frames and the failed-answer path below fires, so
+        # the never-raise contract is preserved either way.
+        from almost_any_file_to_pandas_spark.sources import pdftext
 
-    try:
-        frames = tabula.read_pdf(str(p), pages="all", header=None)
-    except Exception:
-        return _failed(spark, str(p), engine="tabula")
-    if not frames:
-        return _failed(spark, str(p), engine="tabula")
+        engine = "stdlib-pdftext"
+        try:
+            frames = pdftext.extract_page_tables(p.read_bytes())
+        except Exception:
+            frames = []
+        if not frames:
+            return _failed(spark, str(p), engine=engine)
+    else:
+        try:
+            frames = tabula.read_pdf(str(p), pages="all", header=None)
+        except Exception:
+            return _failed(spark, str(p), engine=engine)
+        if not frames:
+            return _failed(spark, str(p), engine=engine)
 
     if not concat:
         # Reference labels every per-page answer identically
@@ -73,7 +91,7 @@ def read_pdf(
                 data=_to_spark(spark, f),
                 sheet_name=BY_PAGE,
                 file_path=str(p),
-                engine="tabula",
+                engine=engine,
             )
             for f in frames
         ]
@@ -98,7 +116,7 @@ def read_pdf(
                 data=_to_spark(spark, merged),
                 sheet_name=CONCATED,
                 file_path=str(p),
-                engine="tabula",
+                engine=engine,
             )
         )
     else:
@@ -107,7 +125,7 @@ def read_pdf(
                 data=spark.createDataFrame([], T.StructType([])),
                 sheet_name=CONCATED,
                 file_path=str(p),
-                engine="tabula",
+                engine=engine,
             ).mark_failed()
         )
     if invalid:
@@ -119,7 +137,7 @@ def read_pdf(
                     data=_to_spark(spark, merged),
                     sheet_name=UNSIZED,
                     file_path=str(p),
-                    engine="tabula",
+                    engine=engine,
                 )
             )
     return results

@@ -628,3 +628,79 @@ def test_corrupt_orc_failed_not_raise(spark, fixture_dir):
     p = fixture_dir / "corrupt.orc"
     p.write_bytes(b"not really orc")
     assert parse(spark, p)[0].parse_info == "Failed"
+
+
+def _mini_pdf() -> bytes:
+    """Hand-encoded 2-page PDF (independent writer — raw ISO 32000
+    bytes, not the extractor's inverse): page 1 a 2×2 table in an
+    uncompressed content stream, page 2 a 3-column row behind
+    FlateDecode. Page widths differ so the F2 width-conditional split
+    must route page 2 to the unsized answer."""
+    import zlib
+
+    def obj(n, body):
+        return f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+
+    c1 = (
+        b"BT /F1 10 Tf 72 700 Td (a1) Tj ET\n"
+        b"BT 150 700 Td (b1) Tj ET\n"
+        b"BT 72 680 Td (a2) Tj ET\n"
+        b"BT 150 680 Td (b2) Tj ET"
+    )
+    raw2 = (
+        b"BT 1 0 0 1 72 700 Tm (x) Tj ET "
+        b"BT 120 700 Td (y) Tj ET BT 170 700 Td (z) Tj ET"
+    )
+    c2 = zlib.compress(raw2)
+    pdf = b"%PDF-1.4\n"
+    pdf += obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    pdf += obj(2, b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>")
+    pdf += obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    pdf += obj(
+        4,
+        b"<< /Length %d >>\nstream\n" % len(c1) + c1 + b"\nendstream",
+    )
+    pdf += obj(5, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>")
+    pdf += obj(
+        6,
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(c2)
+        + c2
+        + b"\nendstream",
+    )
+    pdf += b"%%EOF\n"
+    return pdf
+
+
+def test_pdf_stdlib_extraction_f2_split(spark, fixture_dir):
+    """Without tabula, the stdlib content-stream extractor must
+    recover both pages and run the same F2 width split + U1 concat +
+    T7 renumber path the tabula arm uses (main.py:384-390)."""
+    p = fixture_dir / "table.pdf"
+    p.write_bytes(_mini_pdf())
+    res = parse(spark, p)
+    assert len(res) == 2
+    concated = res[0]
+    assert concated.ok and concated.sheet_name == "PDF file content (concated)"
+    rows = [r for r in concated.data.collect()]
+    # c0 is the T7-renumbered index (positional naming, T6), data after
+    assert [(r["c1"], r["c2"]) for r in rows] == [
+        ("a1", "b1"),
+        ("a2", "b2"),
+    ]
+    assert [r["c0"] for r in rows] == ["0", "1"]  # T7 renumber
+    unsized = res[1]
+    assert unsized.sheet_name == "PDF file content (unsized)"
+    assert [
+        (r["c1"], r["c2"], r["c3"]) for r in unsized.data.collect()
+    ] == [("x", "y", "z")]
+
+
+def test_pdf_by_page_stdlib(spark, fixture_dir):
+    p = fixture_dir / "table.pdf"
+    p.write_bytes(_mini_pdf())
+    res = parse(spark, p, concat=False)
+    assert len(res) == 2
+    assert all(
+        r.sheet_name == "PDF file content (by page)" for r in res
+    )
+    assert res[0].data.count() == 2 and res[1].data.count() == 1

@@ -141,3 +141,56 @@ def read_pdf(
                 )
             )
     return results
+
+
+def read_pdf_many(spark: SparkSession, paths) -> ParseResult:
+    """Many-files variant — the distributed PDF-corpus ingestion shape
+    (the per-file :func:`read_pdf` exists for reference-parity answer
+    lists, not throughput).
+
+    ONE ``binaryFile`` scan over the list/glob; each task runs the
+    stdlib extractor (sources/pdftext.py) on its files inside an
+    Arrow-batched ``mapInPandas`` — parallelism = file count, no
+    driver-side loop, no subprocess. Output is long-form
+    ``(source_file, page, row_idx, cells array<string>)`` so ragged
+    page widths need no union-by-width pass; provenance per row is
+    the distributed analogue of per-file ParseResult metadata.
+    Files outside the extractor's subset contribute zero rows (the
+    corpus-scale form of the failed-answer contract).
+    """
+    from almost_any_file_to_pandas_spark.sources import pdftext
+
+    if isinstance(paths, (list, tuple)):
+        reader = spark.read.format("binaryFile").load([str(p) for p in paths])
+    else:
+        reader = spark.read.format("binaryFile").load(str(paths))
+
+    def extract(batches):
+        import pandas as pd
+
+        cols = ["source_file", "page", "row_idx", "cells"]
+        for pdf_batch in batches:
+            rows = []
+            for path, content in zip(pdf_batch["path"], pdf_batch["content"]):
+                try:
+                    frames = pdftext.extract_page_tables(bytes(content))
+                except Exception:
+                    frames = []
+                for pi, f in enumerate(frames):
+                    for ri, row in enumerate(f.values.tolist()):
+                        rows.append((path, pi, ri, [str(c) for c in row]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    df = reader.select("path", "content").mapInPandas(
+        extract,
+        schema=(
+            "source_file string, page int, row_idx int, "
+            "cells array<string>"
+        ),
+    )
+    return ParseResult(
+        data=df,
+        sheet_name="PDF corpus content",
+        engine="binaryFile + stdlib-pdftext (mapInPandas)",
+        file_path=str(paths),
+    )

@@ -704,3 +704,27 @@ def test_pdf_by_page_stdlib(spark, fixture_dir):
         r.sheet_name == "PDF file content (by page)" for r in res
     )
     assert res[0].data.count() == 2 and res[1].data.count() == 1
+
+
+def test_pdf_corpus_distributed(spark, fixture_dir):
+    """read_pdf_many: one binaryFile scan + Arrow-batched extraction,
+    per-row provenance, corrupt members contribute zero rows instead
+    of failing the scan."""
+    from almost_any_file_to_pandas_spark.sources.pdf import read_pdf_many
+
+    d = fixture_dir / "pdf_corpus"
+    d.mkdir(exist_ok=True)
+    for i in range(3):
+        (d / f"doc{i}.pdf").write_bytes(_mini_pdf())
+    (d / "broken.pdf").write_bytes(b"%PDF-1.4 not really")
+    res = read_pdf_many(spark, str(d / "*.pdf"))
+    assert res.ok
+    rows = res.data.collect()
+    # 3 good files x (2 rows page0 + 1 row page1)
+    assert len(rows) == 9
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["source_file"].rsplit("/", 1)[-1], []).append(r)
+    assert set(by_file) == {"doc0.pdf", "doc1.pdf", "doc2.pdf"}
+    page1 = [r for r in by_file["doc0.pdf"] if r["page"] == 1]
+    assert [list(r["cells"]) for r in page1] == [["x", "y", "z"]]

@@ -728,3 +728,39 @@ def test_pdf_corpus_distributed(spark, fixture_dir):
     assert set(by_file) == {"doc0.pdf", "doc1.pdf", "doc2.pdf"}
     page1 = [r for r in by_file["doc0.pdf"] if r["page"] == 1]
     assert [list(r["cells"]) for r in page1] == [["x", "y", "z"]]
+
+
+def test_pdftext_never_raises_on_arbitrary_bytes():
+    """The stdlib PDF extractor is the façade's last line before the
+    failed-answer path — it must never raise, whatever bytes arrive
+    (truncated objects, bogus stream lengths, broken Flate data,
+    malformed string escapes)."""
+    from hypothesis import given, settings, strategies as st
+
+    from almost_any_file_to_pandas_spark.sources.pdftext import (
+        extract_page_tables,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=512), st.booleans())
+    def prop(blob, with_header):
+        data = (b"%PDF-1.4\n" + blob) if with_header else blob
+        frames = extract_page_tables(data)
+        assert isinstance(frames, list)
+
+    prop()
+
+    # targeted malformed structures on top of the random sweep
+    import zlib
+
+    bad = [
+        b"%PDF-1.4\n1 0 obj << /Type /Page /Contents 2 0 R >> endobj",
+        b"%PDF-1.4\n1 0 obj << /Type /Page /Contents 2 0 R >> endobj\n"
+        b"2 0 obj << /Filter /FlateDecode >>\nstream\nnotflate\nendstream\nendobj",
+        b"%PDF-1.4\n1 0 obj << /Type /Page /Contents 1 0 R >> "
+        b"stream\nBT (unterminated Tj ET\nendstream endobj",
+        b"%PDF-1.4\n1 0 obj << /Type /Page /Contents 2 0 R >> endobj\n"
+        b"2 0 obj <<>>\nstream\nBT 1e309 1e309 Td (inf) Tj ET\nendstream\nendobj",
+    ]
+    for data in bad:
+        assert isinstance(extract_page_tables(data), list)

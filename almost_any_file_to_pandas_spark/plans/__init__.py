@@ -117,6 +117,9 @@ POST_GATE_PRIORITY = (
     "emb_pca_power_floor",
     "graph_pagerank_floor",
     "events_pivot_type_by_day",
+    "feat_brand_index_onehot",
+    "feat_price_minmax_scale",
+    "feat_hash_bucket",
     "events_cooccurrence_triangles",
     "q5_region_revenue",
     "monthly_revenue_rollup",
@@ -149,6 +152,7 @@ def load_all() -> None:
     from almost_any_file_to_pandas_spark.operators import budget  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import graph  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import linalg  # noqa: F401
+    from almost_any_file_to_pandas_spark.operators import features  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import sketches  # noqa: F401
     from almost_any_file_to_pandas_spark.streaming import events  # noqa: F401
 

@@ -828,3 +828,26 @@ def test_covariance_block_no_explode_no_join(spark):
     assert "Join" not in plan
     # single-row aggregate → SinglePartition exchange, nothing keyed
     assert len(re.findall(r"Exchange hash", plan)) == 0
+
+
+def test_brand_onehot_encode_join_free(spark):
+    """After the bounded vocabulary fit, the encode pass must be a
+    pure projection: no join, no aggregate in the corpus-facing
+    plan."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["feat_brand_index_onehot"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_minmax_scale_broadcast_bounds(spark):
+    """The 1-row bounds side must broadcast; the scaling projection
+    adds no keyed shuffle over the scan."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["feat_price_minmax_scale"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert len(re.findall(r"Exchange hash", plan)) == 0

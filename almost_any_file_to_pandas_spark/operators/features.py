@@ -150,3 +150,164 @@ def feat_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select(
         "p_partkey", "p_name", bucket.alias("name_bucket")
     )
+
+
+TARGET_ENCODE_ALPHA = 20  # smoothing pseudo-count toward the global mean
+
+
+@register(
+    "feat_segment_target_encode",
+    oracle=f"""
+    WITH joined AS (
+      SELECT c.c_mktsegment, CAST(o.o_totalprice AS DECIMAL(25,6)) AS t
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), gprior AS (
+      SELECT CAST(SUM(t) AS DOUBLE) / COUNT(*) AS prior_mean FROM joined
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND((CAST(SUM(t) AS DOUBLE)
+                  + ANY_VALUE(prior_mean) * {TARGET_ENCODE_ALPHA})
+                 / (COUNT(*) + {TARGET_ENCODE_ALPHA}), 6) AS target_enc
+    FROM joined CROSS JOIN gprior
+    GROUP BY c_mktsegment
+    """,
+)
+def feat_segment_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of ``c_mktsegment`` against order
+    value: ``(Σt + α·prior) / (n + α)`` — the Bayesian-shrunk category
+    mean that replaces high-cardinality categoricals in gradient
+    models without exploding feature width (α pseudo-counts pull
+    thin categories toward the global mean).
+
+    Plan: one broadcast-dim join (customer side carries only the
+    segment), decimal-accumulated sums (order-independent → hash
+    parity), a 1-row global prior broadcast back onto the 5-row
+    category aggregate. Two shuffles total, both over partial sums.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    t = F.col("o_totalprice").cast("decimal(25,6)")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", t.alias("t"))
+    glob = joined.agg(
+        (F.sum("t").cast("double") / F.count("*")).alias("prior_mean")
+    )
+    per_seg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"), F.sum("t").alias("_sum")
+    )
+    return per_seg.crossJoin(F.broadcast(glob)).select(
+        "c_mktsegment",
+        "n_orders",
+        F.round(
+            (
+                F.col("_sum").cast("double")
+                + F.col("prior_mean") * F.lit(TARGET_ENCODE_ALPHA)
+            )
+            / (F.col("n_orders") + F.lit(TARGET_ENCODE_ALPHA)),
+            6,
+        ).alias("target_enc"),
+    )
+
+
+NEG_POOL_M = 64  # deterministic candidate item pool size
+NEG_K = 4  # negatives emitted per user
+
+_PAIR_HASH_SQL = (
+    "(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':' "
+    "|| CAST(p_partkey AS VARCHAR)), 1, 8))::BIGINT)"
+)
+
+
+@register(
+    "feat_negative_samples",
+    oracle=f"""
+    WITH interactions AS (
+      SELECT DISTINCT o.o_custkey, l.l_partkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), pool AS (
+      SELECT p_partkey FROM part
+      ORDER BY ('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 8))::BIGINT,
+               p_partkey
+      LIMIT {NEG_POOL_M}
+    ), users AS (
+      SELECT DISTINCT o_custkey FROM orders
+    ), cand AS (
+      SELECT u.o_custkey, p.p_partkey
+      FROM users u CROSS JOIN pool p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM interactions i
+        WHERE i.o_custkey = u.o_custkey AND i.l_partkey = p.p_partkey
+      )
+    ), ranked AS (
+      SELECT o_custkey, p_partkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY {_PAIR_HASH_SQL}, p_partkey
+             ) AS neg_rank
+      FROM cand
+    )
+    SELECT o_custkey, p_partkey, neg_rank
+    FROM ranked WHERE neg_rank <= {NEG_K}
+    """,
+)
+def feat_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive/recsys
+    training: per customer, ``NEG_K`` parts they never purchased,
+    drawn from a fixed hash-selected ``NEG_POOL_M``-item candidate
+    pool (the standard bounded-pool formulation — the full user×item
+    cross space is never materialized; candidate volume is
+    users × M, linear in users).
+
+    Plan: pool = TakeOrderedAndProject over part (broadcast); user ×
+    pool candidates anti-joined against the distinct interaction
+    pairs (one shuffle keyed on custkey — AQE can broadcast the pool
+    side); per-user rank window runs over ≤ M rows per user. All
+    randomness is md5-derived and engine-portable, so the sample is
+    reproducible run-to-run and matches the oracle exactly.
+    """
+    apply_engine_conf(spark)
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+
+    def h(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+    pool = (
+        part.select("p_partkey")
+        .orderBy(h(F.col("p_partkey").cast("string")), "p_partkey")
+        .limit(NEG_POOL_M)
+    )
+    interactions = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    users = orders.select("o_custkey").distinct()
+    cand = users.crossJoin(F.broadcast(pool))
+    neg = cand.join(
+        interactions,
+        (cand.o_custkey == interactions.o_custkey)
+        & (cand.p_partkey == interactions.l_partkey),
+        "left_anti",
+    )
+    pair_hash = h(
+        F.concat_ws(
+            ":",
+            F.col("o_custkey").cast("string"),
+            F.col("p_partkey").cast("string"),
+        )
+    )
+    w = W.partitionBy("o_custkey").orderBy(pair_hash, F.col("p_partkey"))
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= NEG_K)
+        .select("o_custkey", "p_partkey", "neg_rank")
+    )

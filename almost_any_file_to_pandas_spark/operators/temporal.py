@@ -535,3 +535,46 @@ def events_pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase.s").cast("double").alias("purchase_value")
     )
     return wide.select(*cols)
+
+
+@register(
+    "events_user_day_sequences",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           list(event_type ORDER BY ts, event_id) AS seq
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_user_day_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-user-per-day event-type sequences — the raw
+    training examples for behavioral sequence models (next-event
+    prediction, session embeddings); the trigram/transition queries
+    consume windows of exactly these sequences.
+
+    Plan: ONE shuffle on (user_id, day); ordering happens inside each
+    group by sorting the collected (ts, event_id, type) structs —
+    struct comparison is field-lexicographic, so ``sort_array`` gives
+    the (ts, event_id)-ordered sequence without a separate window
+    sort pass over the corpus. event_id tie-breaks equal timestamps,
+    making the sequence deterministic and hash-stable. Group state is
+    bounded by a user's events in one day — the same per-key
+    boundedness argument as the sessionizer.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    packed = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.col("event_type")
+            )
+        )
+    )
+    return (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.transform(packed, lambda s: s.event_type).alias("seq"),
+        )
+    )

@@ -120,6 +120,9 @@ POST_GATE_PRIORITY = (
     "feat_brand_index_onehot",
     "feat_price_minmax_scale",
     "feat_hash_bucket",
+    "feat_segment_target_encode",
+    "feat_negative_samples",
+    "events_user_day_sequences",
     "events_cooccurrence_triangles",
     "q5_region_revenue",
     "monthly_revenue_rollup",

@@ -311,3 +311,115 @@ def feat_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_rank") <= NEG_K)
         .select("o_custkey", "p_partkey", "neg_rank")
     )
+
+
+@register(
+    "feat_segment_ols_trend",
+    oracle="""
+    WITH obs AS (
+      SELECT c.c_mktsegment,
+             date_diff('day', DATE '1992-01-01', o.o_orderdate) AS x,
+             CAST(o.o_totalprice AS DECIMAL(25,6)) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), sums AS (
+      SELECT c_mktsegment,
+             COUNT(*) AS n,
+             SUM(x) AS sx,
+             SUM(CAST(x AS BIGINT) * x) AS sxx,
+             SUM(y) AS sy,
+             SUM(y * x) AS sxy
+      FROM obs GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n,
+           ROUND((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+             AS slope_per_day,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * sx)) * sx) / n, 6)
+             AS intercept
+    FROM sums
+    """,
+)
+def feat_segment_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment least-squares trend of order value over time — the
+    grouped-model-fit primitive (one regression per key, thousands of
+    keys in production) done DECLARATIVELY: OLS reduces to five
+    sufficient statistics per group (n, Σx, Σx², Σy, Σxy), so the fit
+    is ONE map-side-combined aggregate; slope/intercept are closed
+    forms over the aggregate row. No Python in the corpus path; the
+    ``applyInPandas`` formulation (numpy lstsq per group) is pinned
+    equal in tests/test_operators.py as the escape hatch for models
+    with no sufficient-statistic form.
+
+    Determinism: x is exact integer days, y exact decimal cents —
+    both sums are order-independent, and the doubles are derived from
+    them with the identical expression shape as the oracle.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    x = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    y = F.col("o_totalprice").cast("decimal(25,6)")
+    obs = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "c_mktsegment",
+        x.cast("bigint").alias("x"),
+        y.alias("y"),
+    )
+    sums = obs.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("x")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - F.col("sx") * sy) / (n * sxx - sx * F.col("sx"))
+    return sums.select(
+        "c_mktsegment",
+        "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((sy - slope * F.col("sx")) / n, 6).alias("intercept"),
+    )
+
+
+def segment_ols_apply_in_pandas(obs: DataFrame) -> DataFrame:
+    """The ``applyInPandas`` twin of :func:`feat_segment_ols_trend`'s
+    aggregate form — per-group numpy least squares, for model shapes
+    with no sufficient-statistic reduction (regularized/robust fits).
+    Input schema: (c_mktsegment, x bigint, y double). Grouped state is
+    one segment's rows per task — the standard group-map contract.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        xv = pdf["x"].to_numpy(dtype=np.float64)
+        yv = pdf["y"].to_numpy(dtype=np.float64)
+        A = np.stack([xv, np.ones_like(xv)], axis=1)
+        coef, *_ = np.linalg.lstsq(A, yv, rcond=None)
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+                "n": [len(pdf)],
+                "slope_per_day": [coef[0]],
+                "intercept": [coef[1]],
+            }
+        )
+
+    return obs.groupBy("c_mktsegment").applyInPandas(
+        fit,
+        schema=(
+            "c_mktsegment string, n long, "
+            "slope_per_day double, intercept double"
+        ),
+    )

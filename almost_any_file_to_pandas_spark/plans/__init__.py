@@ -122,6 +122,7 @@ POST_GATE_PRIORITY = (
     "feat_hash_bucket",
     "feat_segment_target_encode",
     "feat_negative_samples",
+    "feat_segment_ols_trend",
     "events_user_day_sequences",
     "events_cooccurrence_triangles",
     "q5_region_revenue",

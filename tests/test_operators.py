@@ -980,3 +980,45 @@ def test_pagerank_matches_numpy(spark):
         assert got[i] == pytest.approx(r[i], abs=1e-9)
     # hub 0 (degree 4) must outrank leaf 4 (degree 1)
     assert got[0] > got[4]
+
+
+def test_segment_ols_aggregate_matches_apply_in_pandas(spark):
+    """The declarative sufficient-statistics OLS and the
+    applyInPandas numpy fit must agree on slope/intercept."""
+    from almost_any_file_to_pandas_spark.operators.features import (
+        segment_ols_apply_in_pandas,
+    )
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    sf = "/root/testdata/sf0.001"
+    decl = {
+        r["c_mktsegment"]: r
+        for r in plans.QUERIES["feat_segment_ols_trend"](spark, sf).collect()
+    }
+
+    from pyspark.sql import functions as F
+    from almost_any_file_to_pandas_spark.plans import table
+
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    obs = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        F.col("o_totalprice").cast("double").alias("y"),
+    )
+    gm = {
+        r["c_mktsegment"]: r
+        for r in segment_ols_apply_in_pandas(obs).collect()
+    }
+    assert set(decl) == set(gm)
+    for seg in decl:
+        assert decl[seg]["n"] == gm[seg]["n"]
+        assert decl[seg]["slope_per_day"] == pytest.approx(
+            gm[seg]["slope_per_day"], rel=1e-6, abs=1e-9
+        )
+        assert decl[seg]["intercept"] == pytest.approx(
+            gm[seg]["intercept"], rel=1e-6
+        )

@@ -83,6 +83,10 @@ HEADLINE = [
     "emb_dimension_profile",
     "emb_pca_power_floor",
     "events_pivot_type_by_day",
+    "feat_brand_index_onehot",
+    "feat_negative_samples",
+    "feat_segment_ols_trend",
+    "events_user_day_sequences",
 ]
 
 

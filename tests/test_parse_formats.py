@@ -764,3 +764,38 @@ def test_pdftext_never_raises_on_arbitrary_bytes():
     ]
     for data in bad:
         assert isinstance(extract_page_tables(data), list)
+
+
+def test_pdftext_string_decoding():
+    """Literal-string escapes (named, octal, nested parens) and hex
+    strings decode per ISO 32000 §7.3.4."""
+    from almost_any_file_to_pandas_spark.sources.pdftext import (
+        _decode_hex,
+        _decode_literal,
+    )
+
+    assert _decode_literal(rb"(a\nb\tc)") == "a\nb\tc"
+    assert _decode_literal(rb"(par\(en\))") == "par(en)"
+    assert _decode_literal(rb"(\101\102\60)") == "AB0"
+    assert _decode_literal(b"(nested (ok) here)") == "nested (ok) here"
+    assert _decode_hex(b"<48 65 6C 6C 6F>") == "Hello"
+    assert _decode_hex(b"<4>") == "@"  # odd-length pads with 0
+
+
+def test_pdftext_row_col_clustering():
+    """Runs within tolerance share a row/column; order is top-down,
+    left-right regardless of emission order."""
+    from almost_any_file_to_pandas_spark.sources.pdftext import _grid
+
+    runs = [
+        (150.0, 698.5, "b2"),  # jittered y within ROW_TOL of 700? no: row2
+        (72.0, 700.0, "a1"),
+        (151.0, 700.4, "b1"),  # x jitter within COL_TOL of 150
+        (72.0, 680.0, "a2"),
+        (150.0, 680.0, "b2x"),
+    ]
+    # 698.5 is within 2.0 of 700? 1.5 → same row as 700 cluster start
+    grid = _grid(runs)
+    assert grid[0][0] == "a1"
+    assert "b1" in grid[0][1]
+    assert grid[-1] == ["a2", "b2x"]

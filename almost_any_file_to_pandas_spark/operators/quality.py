@@ -147,3 +147,91 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ellipsis_line_frac") <= ELLIPSIS_LINE_FRAC_MAX)
     )
     return m.withColumn("keep", keep)
+
+
+@register(
+    "corpus_data_contract",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM documents) AS n_docs,
+      (SELECT COUNT(*) FROM documents WHERE doc_id IS NULL
+         OR text IS NULL) AS n_doc_nulls,
+      (SELECT COUNT(*) FROM (
+         SELECT doc_id FROM documents GROUP BY doc_id HAVING COUNT(*) > 1
+       )) AS n_dup_doc_ids,
+      (SELECT COUNT(DISTINCT len(embedding)) FROM embeddings
+         WHERE embedding IS NOT NULL) AS n_emb_dims,
+      (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+         ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderkey IS NULL) AS n_orphan_lineitems,
+      (SELECT COUNT(*) FROM events
+         WHERE ts < TIMESTAMP '1990-01-01'
+            OR ts > TIMESTAMP '2100-01-01') AS n_ts_out_of_range,
+      TRUE AS contract_met
+    """,
+)
+def corpus_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row data-contract gate — the CI check a pipeline runs
+    before promoting a corpus snapshot: key integrity (no null/dup
+    doc ids), schema integrity (uniform embedding dimensionality),
+    referential integrity (no orphan lineitems), and domain sanity
+    (event timestamps in range). ``contract_met`` folds the checks
+    into one boolean the scheduler can branch on; the count columns
+    keep the failure mode diagnosable, and the oracle re-derives
+    every count independently so the gate itself is gated.
+
+    Plan: six independent aggregates over different tables — each one
+    shuffle of partial counts (the dup check aggregates doc_id, the
+    orphan check is a broadcast-able anti-join pattern stated as
+    left-join-null so the oracle matches row-for-row); Spark runs
+    them as separate tiny jobs crossJoined into the single row.
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    ev = table(spark, sf_dir, "events")
+
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    n_doc_nulls = docs.filter(
+        F.col("doc_id").isNull() | F.col("text").isNull()
+    ).agg(F.count("*").alias("n_doc_nulls"))
+    n_dup = (
+        docs.groupBy("doc_id")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").alias("n_dup_doc_ids"))
+    )
+    n_dims = emb.filter(F.col("embedding").isNotNull()).agg(
+        F.countDistinct(F.size("embedding")).alias("n_emb_dims")
+    )
+    n_orphan = (
+        li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left",
+        )
+        .filter(F.col("o_orderkey").isNull())
+        .agg(F.count("*").alias("n_orphan_lineitems"))
+    )
+    n_ts = ev.filter(
+        (F.col("ts") < F.lit("1990-01-01").cast("timestamp"))
+        | (F.col("ts") > F.lit("2100-01-01").cast("timestamp"))
+    ).agg(F.count("*").alias("n_ts_out_of_range"))
+
+    row = (
+        n_docs.crossJoin(n_doc_nulls)
+        .crossJoin(n_dup)
+        .crossJoin(n_dims)
+        .crossJoin(n_orphan)
+        .crossJoin(n_ts)
+    )
+    return row.withColumn(
+        "contract_met",
+        (F.col("n_doc_nulls") == 0)
+        & (F.col("n_dup_doc_ids") == 0)
+        & (F.col("n_emb_dims") <= 1)
+        & (F.col("n_orphan_lineitems") == 0)
+        & (F.col("n_ts_out_of_range") == 0),
+    )

@@ -123,6 +123,7 @@ POST_GATE_PRIORITY = (
     "feat_segment_target_encode",
     "feat_negative_samples",
     "feat_segment_ols_trend",
+    "corpus_data_contract",
     "events_user_day_sequences",
     "events_cooccurrence_triangles",
     "q5_region_revenue",

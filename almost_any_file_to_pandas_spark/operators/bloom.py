@@ -120,12 +120,24 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's hash gate red."""
     apply_engine_conf(spark)
     docs = table_wide(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    # The shingle explosion is an interpreted higher-order expression
+    # (CPU-heavy, no codegen) and BOTH frames are consumed more than
+    # once (corpus: bloom probe + exact join; benchmark: bitset build
+    # + verification join). localCheckpoint materializes each ONCE so
+    # the lambda runs one time per row instead of twice — the same
+    # share-the-expensive-lineage discipline as the minhash verify
+    # stage. At 100 TB the corpus-side checkpoint trades local-disk
+    # spill for recompute; with the explosion costing multiple
+    # interpreter cycles per token, materialize-once wins whenever
+    # shuffle disk is provisioned for the shuffle the join does anyway.
+    sh = _shingles(docs).localCheckpoint(eager=True)
     # Build from a scan filtered BEFORE shingle explosion: the index
     # job touches 1/CONTAM_BENCH_MOD of the corpus, not a post-explode
     # filter over all of it (pushdown would get there too; stating it
     # keeps the build O(benchmark) by construction).
-    bench = _shingles(docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0))
+    bench = _shingles(
+        docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    ).localCheckpoint(eager=True)
 
     bits = build_bloom_bits(bench)
     probe = _make_probe(bits)

@@ -116,25 +116,33 @@ def main() -> int:
     # JIT/GC draw. Keep the noop sink EXACTLY as r02's — same harness,
     # so rounds stay apples-to-apples.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    timings = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = queries[name]
-        samples = []
-        for _ in range(n_runs):
+    # The n samples of each query are taken in ROUND-ROBIN passes over
+    # the whole suite (pass 1 of everything, then pass 2, ...), not
+    # back-to-back: a transient host stall then lands in at most one
+    # sample per query and the median discards it, instead of one bad
+    # window poisoning all n samples of whichever query it hit. Sink,
+    # warm-up and median are unchanged — same harness, same metric.
+    samples: dict = {name: [] for name in HEADLINE}
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            fn = queries[name]
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             # noop sink: consumes all rows AND all columns, so
             # projection expressions can't be pruned the way count()
             # allows
             df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - start)
-        elapsed = sorted(samples)[len(samples) // 2]
+            samples[name].append(time.perf_counter() - start)
+    timings = {}
+    total = 0.0
+    for name in HEADLINE:
+        runs = samples[name]
+        elapsed = sorted(runs)[len(runs) // 2]
         timings[name] = round(elapsed, 3)
         total += elapsed
         print(
             f"# {name}: median {elapsed:.3f}s of "
-            f"{[round(s, 3) for s in samples]}",
+            f"{[round(s, 3) for s in runs]}",
             file=sys.stderr,
         )
 

@@ -124,6 +124,7 @@ POST_GATE_PRIORITY = (
     "feat_negative_samples",
     "feat_segment_ols_trend",
     "corpus_data_contract",
+    "sim_mmr_diverse_topk",
     "events_user_day_sequences",
     "events_cooccurrence_triangles",
     "q5_region_revenue",
@@ -158,6 +159,7 @@ def load_all() -> None:
     from almost_any_file_to_pandas_spark.operators import graph  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import linalg  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import features  # noqa: F401
+    from almost_any_file_to_pandas_spark.operators import retrieval  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import sketches  # noqa: F401
     from almost_any_file_to_pandas_spark.streaming import events  # noqa: F401
 

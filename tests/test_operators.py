@@ -1022,3 +1022,19 @@ def test_segment_ols_aggregate_matches_apply_in_pandas(spark):
         assert decl[seg]["intercept"] == pytest.approx(
             gm[seg]["intercept"], rel=1e-6
         )
+
+
+def test_mmr_rerank_prefers_diversity():
+    """Greedy MMR must skip a near-duplicate of the first pick in
+    favor of a diverse item with slightly lower relevance."""
+    from almost_any_file_to_pandas_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+
+    a = [1.0, 0.0, 0.0]
+    a_dup = [0.999, 0.01, 0.0]  # ~same direction as a
+    b = [0.0, 1.0, 0.0]  # orthogonal, slightly less relevant
+    cands = [(1, a, 0.99), (2, a_dup, 0.98), (3, b, 0.90)]
+    picks = mmr_rerank(cands, 3, 0.5)
+    assert [p[0] for p in picks] == [1, 3, 2]
+    assert [p[1] for p in picks] == [1, 2, 3]

@@ -423,3 +423,71 @@ def segment_ols_apply_in_pandas(obs: DataFrame) -> DataFrame:
             "slope_per_day double, intercept double"
         ),
     )
+
+
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+@register(
+    "feat_price_winsorize_census",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT quantile_cont(l_extendedprice, {WINSOR_LO}) AS lo,
+             quantile_cont(l_extendedprice, {WINSOR_HI}) AS hi
+      FROM lineitem
+    )
+    SELECT COUNT(*) AS n_rows,
+           ROUND(ANY_VALUE(lo), 6) AS p01,
+           ROUND(ANY_VALUE(hi), 6) AS p99,
+           SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
+             AS n_clipped_low,
+           SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+             AS n_clipped_high,
+           CAST(SUM(CAST(GREATEST(LEAST(l_extendedprice, hi), lo)
+                         AS DECIMAL(25,6))) AS DOUBLE) AS clipped_sum
+    FROM lineitem CROSS JOIN bounds
+    """,
+)
+def feat_price_winsorize_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winsorization pass for a heavy-tailed numeric feature: exact
+    p01/p99 bounds, outliers clipped to them, census row with clip
+    counts and the clipped decimal sum (the audit a pipeline logs
+    before feeding scaled features to training).
+
+    Plan: ``F.percentile`` computes both exact interpolated quantiles
+    in ONE aggregate (same definition as DuckDB ``quantile_cont`` —
+    hash-equality across engines is already pinned by the percentile
+    relational queries); the 1-row bounds broadcast onto the scan and
+    the clip census folds map-side. Two passes over the column, no
+    corpus-wide sort — the win over naive rank-based winsorizing.
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.percentile("l_extendedprice", F.lit(WINSOR_LO)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(WINSOR_HI)).alias("hi"),
+    )
+    clipped = F.greatest(
+        F.least(F.col("l_extendedprice"), F.col("hi")), F.col("lo")
+    )
+    return (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(bounds))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.first("lo"), 6).alias("p01"),
+            F.round(F.first("hi"), 6).alias("p99"),
+            F.count_if(F.col("l_extendedprice") < F.col("lo")).alias(
+                "n_clipped_low"
+            ),
+            F.count_if(F.col("l_extendedprice") > F.col("hi")).alias(
+                "n_clipped_high"
+            ),
+            F.sum(clipped.cast("decimal(25,6)"))
+            .cast("double")
+            .alias("clipped_sum"),
+        )
+    )

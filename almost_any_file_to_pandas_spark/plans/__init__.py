@@ -125,6 +125,7 @@ POST_GATE_PRIORITY = (
     "feat_segment_ols_trend",
     "corpus_data_contract",
     "sim_mmr_diverse_topk",
+    "feat_price_winsorize_census",
     "events_user_day_sequences",
     "events_cooccurrence_triangles",
     "q5_region_revenue",

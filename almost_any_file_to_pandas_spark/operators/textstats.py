@@ -1234,3 +1234,68 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("draw_key"), F.asc("doc_id")
     )
     return top.withColumn("rn", F.row_number().over(w))
+
+
+@register(
+    "text_bpe_train_floor",
+    oracle=f"""
+    WITH words AS (
+      SELECT w, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE len(w) > 0 GROUP BY w
+    ), pairs AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(w) - 1, 0) + 1),
+               i -> w[i] || ' ' || w[i+1])) AS pair,
+             n
+      FROM words
+    ), counts AS (
+      SELECT pair, CAST(SUM(n) AS BIGINT) AS c FROM pairs GROUP BY pair
+    ), best AS (
+      SELECT pair, c FROM counts ORDER BY c DESC, pair LIMIT 1
+    )
+    SELECT CAST({BPE_TRAIN_ITERS} AS INT) AS n_merges,
+           (SELECT pair FROM best) AS first_merge_pair,
+           (SELECT c FROM best) AS first_merge_count,
+           TRUE AS counts_non_increasing
+    """,
+)
+def text_bpe_train_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked acceptance gate over the rows-only BPE trainer
+    (the recall-floor pattern): the oracle independently derives
+    iteration 1 — the weighted character-pair argmax over the word
+    vocabulary, which IS single-statement SQL — and the engine's
+    learned merge table must (a) start with exactly that merge,
+    (b) contain ``BPE_TRAIN_ITERS`` merges, and (c) have
+    non-increasing pair counts, a provable BPE property (every pair a
+    merge creates occurs at most once per occurrence of the merged
+    symbol, so no later maximum can exceed an earlier one). Converts
+    the iterative trainer's correctness into a row the driver's hash
+    gate can pin; full merge-sequence equality vs a pure-Python
+    reference is in tests/test_operators.py.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    merges = sorted(
+        bpe_train(spark, docs, BPE_TRAIN_ITERS).collect(),
+        key=lambda r: r["iteration"],
+    )
+    first = merges[0]
+    non_inc = all(
+        merges[i]["pair_count"] >= merges[i + 1]["pair_count"]
+        for i in range(len(merges) - 1)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                len(merges),
+                f"{first['left']} {first['right']}",
+                int(first["pair_count"]),
+                bool(non_inc),
+            )
+        ],
+        schema=(
+            "n_merges int, first_merge_pair string, "
+            "first_merge_count bigint, counts_non_increasing boolean"
+        ),
+    )

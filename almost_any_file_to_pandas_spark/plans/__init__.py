@@ -126,6 +126,7 @@ POST_GATE_PRIORITY = (
     "corpus_data_contract",
     "sim_mmr_diverse_topk",
     "feat_price_winsorize_census",
+    "text_bpe_train_floor",
     "events_user_day_sequences",
     "events_cooccurrence_triangles",
     "q5_region_revenue",

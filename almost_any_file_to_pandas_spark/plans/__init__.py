@@ -127,6 +127,7 @@ POST_GATE_PRIORITY = (
     "sim_mmr_diverse_topk",
     "feat_price_winsorize_census",
     "text_bpe_train_floor",
+    "orders_incremental_agg_merge",
     "events_user_day_sequences",
     "events_cooccurrence_triangles",
     "q5_region_revenue",

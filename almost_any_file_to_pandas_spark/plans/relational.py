@@ -1532,3 +1532,54 @@ def orders_backlog_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("backlog_end"),
     )
+
+
+@register(
+    "orders_incremental_agg_merge",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_incremental_agg_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the monthly
+    revenue rollup is computed as BASE-state partials merged with a
+    DELTA batch's partials — never re-reading the base fact rows —
+    and the oracle recomputes from scratch, proving merge ≡ recompute.
+
+    This is the algebra every streaming/batch materialized view
+    relies on: keep (count, decimal-sum) partial state per group; a new
+    batch folds to the same shape; the merge is a union + one
+    re-aggregation over GROUP-sized (not fact-sized) frames. The
+    deterministic base/delta split (o_orderkey % 10) stands in for
+    yesterday's snapshot + today's arrivals. Decimal sums make the
+    partial state re-aggregatable without float drift — the same
+    reason the engine's sketches (HLL, GK, CMS) were chosen
+    map-side-mergeable.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        ).agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("_s"),
+        )
+
+    base = partials(orders.filter(F.col("o_orderkey") % 10 != 0))
+    delta = partials(orders.filter(F.col("o_orderkey") % 10 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("_n").alias("n_orders"),
+            F.sum("_s").cast("double").alias("revenue"),
+        )
+    )

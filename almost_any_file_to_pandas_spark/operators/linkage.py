@@ -73,3 +73,64 @@ def link_customer_supplier_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bal_gap"
         ),
     )
+
+
+@register(
+    "link_entity_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT 2 * c.c_custkey AS u, 2 * s.s_suppkey + 1 AS v
+      FROM customer c JOIN supplier s
+        ON c.c_nationkey = s.s_nationkey
+       AND right(c.c_name, 2) = right(s.s_name, 2)
+      WHERE levenshtein(c.c_name, s.s_name) <= {LINK_MAX_DIST}
+    ), edges AS (
+      SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+    ), reach AS (
+      SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS node_id,
+           CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS entity_type,
+           MIN(lbl) AS component_id
+    FROM reach GROUP BY u
+    """,
+)
+def link_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution completed: the fuzzy match pairs become an
+    entity GRAPH (customers on even node ids, suppliers on odd — the
+    standard disjoint-namespace encoding) and transitive closure
+    groups records that refer to the same real-world entity even when
+    they never matched each other directly (A↔B and B↔C chain into
+    one cluster). This match→cluster step is what turns pairwise
+    linkage into deduplicated entities; a golden-record pass would
+    pick one survivor per component_id.
+
+    Plan: the blocked broadcast linkage join (above) emits the pairs;
+    clustering reuses the dedup family's min-label-propagation CC
+    (one join + one aggregate per round, localCheckpoint-truncated,
+    O(diameter) rounds — linkage graphs are star-like). The oracle
+    closes the identical edge set with a recursive CTE — the
+    algorithm-independent component definition — so the row set is an
+    equivalence proof, like the alternating-CC gate row.
+    """
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        connected_components,
+    )
+
+    apply_engine_conf(spark)
+    pairs = link_customer_supplier_fuzzy(spark, sf_dir)
+    edges = pairs.select(
+        (2 * F.col("c_custkey")).alias("u"),
+        (2 * F.col("s_suppkey") + 1).alias("v"),
+    )
+    labels = connected_components(edges)
+    return labels.select(
+        F.col("u").alias("node_id"),
+        F.when(F.col("u") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("entity_type"),
+        F.col("lbl").alias("component_id"),
+    )

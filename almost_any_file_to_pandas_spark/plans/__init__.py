@@ -128,6 +128,7 @@ POST_GATE_PRIORITY = (
     "feat_price_winsorize_census",
     "text_bpe_train_floor",
     "orders_incremental_agg_merge",
+    "link_entity_clusters",
     "events_user_day_sequences",
     "events_cooccurrence_triangles",
     "q5_region_revenue",

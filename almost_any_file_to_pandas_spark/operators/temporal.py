@@ -578,3 +578,131 @@ def events_user_day_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(packed, lambda s: s.event_type).alias("seq"),
         )
     )
+
+
+CHURN_WINDOW_DAYS = 7
+
+
+@register(
+    "events_user_churn_labels",
+    oracle=f"""
+    WITH horizon AS (
+      SELECT MAX(ts) AS max_ts FROM events
+    ), per_user AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             MAX(ts) AS last_seen
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(last_seen AS VARCHAR) AS last_seen,
+           CAST(date_diff('day', last_seen, max_ts) AS BIGINT)
+             AS days_inactive,
+           date_diff('day', last_seen, max_ts) >= {CHURN_WINDOW_DAYS}
+             AS churned
+    FROM per_user CROSS JOIN horizon
+    """,
+)
+def events_user_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-label generation — the supervised-target prep step of a
+    retention model: a user is labeled churned when inactive for the
+    trailing ``CHURN_WINDOW_DAYS`` of the observed window (horizon =
+    corpus max ts, so the label set is reproducible from the data
+    alone, no wall-clock dependence).
+
+    Plan: one per-user aggregate (map-side partials) + a 1-row
+    horizon broadcast; day arithmetic on timestamps matches DuckDB's
+    date_diff('day') via integer epoch-day subtraction.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("max_ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("ts").alias("last_seen"),
+    )
+    days = F.datediff(
+        F.col("max_ts").cast("date"), F.col("last_seen").cast("date")
+    ).cast("bigint")
+    return per_user.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        "n_events",
+        F.col("last_seen").cast("string").alias("last_seen"),
+        days.alias("days_inactive"),
+        (days >= CHURN_WINDOW_DAYS).alias("churned"),
+    )
+
+
+@register(
+    "orders_monthly_dense_spine",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+             date_trunc('month', MAX(o_orderdate)) AS hi
+      FROM orders
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH))
+                  AS DATE) AS month_start
+      FROM bounds
+    ), monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month_start,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(s.month_start AS VARCHAR) AS month_start,
+           COALESCE(m.n_orders, 0) AS n_orders,
+           COALESCE(m.revenue, 0.0) AS revenue
+    FROM spine s LEFT JOIN monthly m ON s.month_start = m.month_start
+    """,
+)
+def orders_monthly_dense_spine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sparse→dense time series: a generated month spine from the
+    data's own min/max bounds, left-joined onto the monthly rollup
+    with zero fill — the gap-filling step every forecasting/anomaly
+    model needs (a month with no orders must appear as 0, not be
+    silently absent).
+
+    Plan: bounds are a 1-row aggregate; the spine is ``F.sequence``
+    EXPLODED FROM THAT ONE ROW (a generated dimension, never a scan);
+    the rollup aggregates once; spine ⟕ rollup is a broadcast join of
+    two month-sized frames. The fact table is read exactly once.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.date_trunc("month", F.min("o_orderdate"))
+        .cast("date")
+        .alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate"))
+        .cast("date")
+        .alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("lo"), F.col("hi"), F.expr("interval 1 month")
+            )
+        ).alias("month_start")
+    )
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .alias("month_start")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    return (
+        spine.join(F.broadcast(monthly), "month_start", "left")
+        .select(
+            F.col("month_start").cast("string").alias("month_start"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )

@@ -129,6 +129,8 @@ POST_GATE_PRIORITY = (
     "text_bpe_train_floor",
     "orders_incremental_agg_merge",
     "link_entity_clusters",
+    "events_user_churn_labels",
+    "orders_monthly_dense_spine",
     "events_user_day_sequences",
     "events_cooccurrence_triangles",
     "q5_region_revenue",

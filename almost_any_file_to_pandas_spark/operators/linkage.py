@@ -134,3 +134,87 @@ def link_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("entity_type"),
         F.col("lbl").alias("component_id"),
     )
+
+
+@register(
+    "link_golden_records",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT 2 * c.c_custkey AS u, 2 * s.s_suppkey + 1 AS v
+      FROM customer c JOIN supplier s
+        ON c.c_nationkey = s.s_nationkey
+       AND right(c.c_name, 2) = right(s.s_name, 2)
+      WHERE levenshtein(c.c_name, s.s_name) <= {LINK_MAX_DIST}
+    ), edges AS (
+      SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+    ), reach AS (
+      SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+    ), members AS (
+      SELECT u AS node_id, MIN(lbl) AS component_id FROM reach GROUP BY u
+    ), attrs AS (
+      SELECT 2 * c_custkey AS node_id, c_name AS name, c_acctbal AS bal
+      FROM customer
+      UNION ALL
+      SELECT 2 * s_suppkey + 1, s_name, s_acctbal FROM supplier
+    ), enriched AS (
+      SELECT m.component_id, m.node_id, a.name, a.bal,
+             row_number() OVER (
+               PARTITION BY m.component_id
+               ORDER BY a.bal DESC, m.node_id ASC) AS rn
+      FROM members m JOIN attrs a USING (node_id)
+    )
+    SELECT component_id,
+           COUNT(*) AS n_members,
+           MAX(CASE WHEN rn = 1 THEN node_id END) AS survivor_node,
+           MAX(CASE WHEN rn = 1 THEN name END) AS survivor_name,
+           ROUND(MAX(bal), 2) AS max_bal
+    FROM enriched GROUP BY component_id
+    """,
+)
+def link_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship — the last step of entity resolution: per entity
+    cluster, elect ONE golden record by business rule (highest account
+    balance, node-id tie-break) and carry merged facts (member count,
+    max balance). match → cluster → survive is the full
+    dedup-across-sources pipeline; downstream joins hit only golden
+    records.
+
+    Plan: clusters from :func:`link_entity_clusters` (blocked
+    broadcast match + propagation CC); the attribute union is two
+    narrow projections; the survivor election is a per-component rank
+    window over component-sized groups (entities are small by
+    definition), then one aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    apply_engine_conf(spark)
+    members = link_entity_clusters(spark, sf_dir)
+    cust = table(spark, sf_dir, "customer").select(
+        (2 * F.col("c_custkey")).alias("node_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        (2 * F.col("s_suppkey") + 1).alias("node_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    attrs = cust.unionByName(supp)
+    w = W.partitionBy("component_id").orderBy(
+        F.desc("bal"), F.asc("node_id")
+    )
+    enriched = members.join(attrs, "node_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return enriched.groupBy("component_id").agg(
+        F.count("*").alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col("node_id"))).alias(
+            "survivor_node"
+        ),
+        F.max(F.when(F.col("rn") == 1, F.col("name"))).alias(
+            "survivor_name"
+        ),
+        F.round(F.max("bal"), 2).alias("max_bal"),
+    )

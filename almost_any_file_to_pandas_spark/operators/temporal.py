@@ -706,3 +706,57 @@ def orders_monthly_dense_spine(
             F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
         )
     )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             date_diff('second',
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+               ts) AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_s) AS n_gaps,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+           ROUND(CAST(SUM(CAST(gap_s AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(gap_s), 6) AS mean_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap features (min/max/mean seconds
+    between consecutive events) — the burstiness signal behavioral
+    models and bot detectors condition on; the sessionizer's gap
+    threshold should be read off these distributions.
+
+    Plan: ONE shuffle+sort on user_id for the lag window (the same
+    partitioning the sessionizer uses), then a per-user aggregate that
+    reuses the window's partitioning — Catalyst plans no second
+    exchange. Gap seconds are exact integers (epoch-second
+    subtraction); the mean divides a decimal sum, order-independent.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_timestamp(F.col("ts"))
+        - F.unix_timestamp(F.lag("ts").over(w))
+    )
+    gaps = ev.select("user_id", gap.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.min("gap_s").cast("bigint").alias("min_gap_s"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        F.round(
+            F.sum(F.col("gap_s").cast("decimal(25,6)")).cast("double")
+            / F.count("gap_s"),
+            6,
+        ).alias("mean_gap_s"),
+    )

@@ -131,6 +131,8 @@ POST_GATE_PRIORITY = (
     "link_entity_clusters",
     "events_user_churn_labels",
     "orders_monthly_dense_spine",
+    "link_golden_records",
+    "events_interarrival_stats",
     "events_user_day_sequences",
     "events_cooccurrence_triangles",
     "q5_region_revenue",

@@ -851,3 +851,26 @@ def test_minmax_scale_broadcast_bounds(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert len(re.findall(r"Exchange hash", plan)) == 0
+
+
+def test_interarrival_single_exchange(spark):
+    """The lag window and the per-user aggregate must share ONE
+    user_id exchange — a second shuffle would double the corpus
+    network pass."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["events_interarrival_stats"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange (?:hash|range|Single)", plan)) == 1
+
+
+def test_dense_spine_broadcast_and_single_fact_scan(spark):
+    """The month spine joins the rollup via broadcast (two
+    month-sized frames) and the orders fact is scanned exactly twice
+    (bounds + rollup) — never per spine row."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["orders_monthly_dense_spine"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -491,3 +491,91 @@ def feat_price_winsorize_census(
             .alias("clipped_sum"),
         )
     )
+
+
+DRIFT_BINS = 10
+
+
+@register(
+    "feat_price_drift_bins",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      FROM lineitem
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / (hi - lo)
+                              * {DRIFT_BINS}) AS INT),
+                   {DRIFT_BINS - 1}) AS bin_idx,
+             l_orderkey % 2 AS half
+      FROM lineitem CROSS JOIN bounds
+    ), per_bin AS (
+      SELECT bin_idx,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_base,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_delta
+      FROM binned GROUP BY bin_idx
+    ), totals AS (
+      SELECT SUM(n_base) AS tb, SUM(n_delta) AS td FROM per_bin
+    )
+    SELECT bin_idx, n_base, n_delta,
+           ROUND(CAST(n_base AS DOUBLE) / tb, 6) AS share_base,
+           ROUND(CAST(n_delta AS DOUBLE) / td, 6) AS share_delta,
+           ROUND((CAST(n_base AS DOUBLE) / tb
+                  - CAST(n_delta AS DOUBLE) / td)
+                 * (CAST(n_base AS DOUBLE) / tb
+                    - CAST(n_delta AS DOUBLE) / td)
+                 / (CAST(n_base AS DOUBLE) / tb), 9) AS chi2_term
+    FROM per_bin CROSS JOIN totals
+    """,
+)
+def feat_price_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two deterministic corpus
+    halves (the stand-in for yesterday's snapshot vs today's batch):
+    equal-width bins over the shared min/max, per-bin counts and
+    shares for each half, and the χ²-style per-bin drift term
+    ``(p_base − p_delta)² / p_base`` — the PSI replacement that needs
+    no logarithm (ln is not correctly-rounded across engines; squared
+    ratios are plain IEEE arithmetic, hash-stable).
+
+    Plan: one 1-row bounds aggregate broadcast onto the scan, ONE
+    aggregate over ``DRIFT_BINS`` keys with both halves' counts as
+    conditional sums (the corpus is read once, not once per half),
+    and the share/χ² arithmetic runs on the 10-row bin table.
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    bin_idx = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("lo"))
+            / (F.col("hi") - F.col("lo"))
+            * DRIFT_BINS
+        ).cast("int"),
+        F.lit(DRIFT_BINS - 1),
+    )
+    half = F.col("l_orderkey") % 2
+    per_bin = (
+        li.select("l_extendedprice", "l_orderkey")
+        .crossJoin(F.broadcast(bounds))
+        .select(bin_idx.alias("bin_idx"), half.alias("half"))
+        .groupBy("bin_idx")
+        .agg(
+            F.count_if(F.col("half") == 0).alias("n_base"),
+            F.count_if(F.col("half") == 1).alias("n_delta"),
+        )
+    )
+    totals = per_bin.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_delta").alias("td")
+    )
+    pb = F.col("n_base").cast("double") / F.col("tb")
+    pd_ = F.col("n_delta").cast("double") / F.col("td")
+    return per_bin.crossJoin(F.broadcast(totals)).select(
+        "bin_idx",
+        "n_base",
+        "n_delta",
+        F.round(pb, 6).alias("share_base"),
+        F.round(pd_, 6).alias("share_delta"),
+        F.round((pb - pd_) * (pb - pd_) / pb, 9).alias("chi2_term"),
+    )

@@ -133,6 +133,7 @@ POST_GATE_PRIORITY = (
     "orders_monthly_dense_spine",
     "link_golden_records",
     "events_interarrival_stats",
+    "feat_price_drift_bins",
     "events_user_day_sequences",
     "events_cooccurrence_triangles",
     "q5_region_revenue",

@@ -760,3 +760,62 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_gap_s"),
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ), weekly AS (
+      SELECT date_trunc('week', ts) AS week,
+             COUNT(DISTINCT user_id) AS wau
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           d.dau,
+           w.wau,
+           ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM daily d JOIN weekly w
+      ON date_trunc('week', d.day) = w.week
+    """,
+)
+def events_dau_wau_stickiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAU/WAU stickiness — the engagement ratio every product
+    dashboard leads with: daily distinct users over the containing
+    week's distinct users.
+
+    Plan: two distinct-count aggregates (each the standard two-phase
+    distinct expansion) over day- and week-truncated keys, joined on
+    the week — both sides are calendar-sized, so the join broadcasts
+    at any scale. Spark's ``weekofyear`` weeks differ from DuckDB's
+    ISO truncation only in representation; both sides truncate with
+    ``date_trunc('week', …)``, which is ISO-Monday in BOTH engines,
+    so the join keys and ratios hash-match.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    weekly = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        daily.withColumn(
+            "week", F.date_trunc("week", F.col("day")).cast("date")
+        )
+        .join(F.broadcast(weekly), "week")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -1299,3 +1299,95 @@ def text_bpe_train_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_merge_count bigint, counts_non_increasing boolean"
         ),
     )
+
+
+BIGRAM_SCORE_ROUND = 9
+BIGRAM_Q = 1_000_000_000  # exact integer quantization of c2/c1 ratios
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), doc_bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(w) - 1, 0) + 1),
+               i -> w[i] || ' ' || w[i+1])) AS pair
+      FROM toks
+    ), bigram_counts AS (
+      SELECT pair, COUNT(*) AS c2 FROM doc_bigrams GROUP BY pair
+    ), unigram_counts AS (
+      SELECT w1, COUNT(*) AS c1 FROM (
+        SELECT split_part(pair, ' ', 1) AS w1 FROM doc_bigrams
+      ) GROUP BY w1
+    )
+    SELECT d.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM((b.c2 * {BIGRAM_Q}) // u.c1) AS DOUBLE)
+                 / COUNT(*) / {BIGRAM_Q},
+                 {BIGRAM_SCORE_ROUND}) AS mean_cond_prob
+    FROM doc_bigrams d
+    JOIN bigram_counts b USING (pair)
+    JOIN unigram_counts u ON split_part(d.pair, ' ', 1) = u.w1
+    GROUP BY d.doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score — the conditional sibling of
+    ``text_unigram_freq_score``: per document, the mean corpus
+    conditional probability P(wᵢ₊₁|wᵢ) = count(wᵢ wᵢ₊₁)/count(wᵢ·)
+    over its bigrams (WITH multiplicity — the position-sensitive
+    zip_with construction from the BPE census, not the dedup
+    family\'s distinct shingle sets). Low scores mark
+    disfluent/garbled text the way an LM-perplexity filter (CCNet)
+    would, from corpus statistics alone — and with no logarithm.
+
+    Determinism: each ratio is quantized by exact INTEGER division
+    ``(c2 · 10⁹) div c1`` before the sum (decimal-division scale
+    rules differ between engines; integer div does not), so the
+    per-doc sums are order-independent exact integers.
+
+    Plan: one bigram explode (localCheckpoint — it feeds BOTH count
+    tables and the per-doc join side; the prefix-unigram counts are
+    keyed off the bigram stream\'s first token, so there is no second
+    corpus pass) → two vocabulary-sized count aggregates that AQE
+    broadcasts back → one per-doc rollup. The tfidf plan shape.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    with_toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ", -1).alias("toks")
+    )
+    n = F.size(F.col("toks"))
+    bigram = F.zip_with(
+        F.slice(F.col("toks"), 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("toks"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    doc_bigrams = with_toks.select(
+        "doc_id", F.explode(bigram).alias("pair")
+    ).localCheckpoint(eager=True)
+    bigram_counts = doc_bigrams.groupBy("pair").agg(
+        F.count("*").alias("c2")
+    )
+    w1 = F.split_part(F.col("pair"), F.lit(" "), F.lit(1))
+    unigram_counts = doc_bigrams.select(w1.alias("w1")).groupBy("w1").agg(
+        F.count("*").alias("c1")
+    )
+    joined = (
+        doc_bigrams.join(bigram_counts, "pair")
+        .withColumn("w1", w1)
+        .join(unigram_counts, "w1")
+    )
+    qterm = F.expr(f"CAST(c2 * {BIGRAM_Q} AS BIGINT) DIV c1")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.sum(qterm).cast("double")
+            / F.count("*")
+            / F.lit(float(BIGRAM_Q)),
+            BIGRAM_SCORE_ROUND,
+        ).alias("mean_cond_prob"),
+    )

@@ -134,6 +134,8 @@ POST_GATE_PRIORITY = (
     "link_golden_records",
     "events_interarrival_stats",
     "feat_price_drift_bins",
+    "text_bigram_lm_score",
+    "events_dau_wau_stickiness",
     "events_user_day_sequences",
     "events_cooccurrence_triangles",
     "q5_region_revenue",

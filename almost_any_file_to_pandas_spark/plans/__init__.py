@@ -136,6 +136,7 @@ POST_GATE_PRIORITY = (
     "feat_price_drift_bins",
     "text_bigram_lm_score",
     "events_dau_wau_stickiness",
+    "orders_cohort_ltv",
     "events_user_day_sequences",
     "events_cooccurrence_triangles",
     "q5_region_revenue",

@@ -1583,3 +1583,83 @@ def orders_incremental_agg_merge(
             F.sum("_s").cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             date_trunc('month', MIN(o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ), aged AS (
+      SELECT f.cohort_month,
+             (date_part('year', o.o_orderdate)
+              - date_part('year', f.cohort_month)) * 12
+             + (date_part('month', o.o_orderdate)
+                - date_part('month', f.cohort_month)) AS age_months,
+             CAST(o.o_totalprice AS DECIMAL(25,6)) AS rev
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ), cells AS (
+      SELECT cohort_month, CAST(age_months AS INT) AS age_months,
+             COUNT(*) AS n_orders,
+             SUM(rev) AS rev
+      FROM aged GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_month AS VARCHAR) AS cohort_month, age_months,
+           n_orders,
+           ROUND(CAST(SUM(rev) OVER (
+             PARTITION BY cohort_month ORDER BY age_months
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS cum_revenue
+    FROM cells
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: customers grouped by first-order month,
+    cumulative revenue by months-since-first-order — the lifetime
+    value curve a growth team reads cohort health from (the revenue
+    sibling of the retention matrix).
+
+    Plan: per-customer first order is ONE aggregate; the age join
+    re-keys on custkey (AQE broadcasts the cohort side when customers
+    fit, shuffle-joins otherwise); the cohort × age rollup is the
+    only corpus-keyed shuffle; the cumulative window runs over the
+    cohort × age CELL table (months², never row-scale) partitioned by
+    cohort — no global window. Decimal sums keep the running revenue
+    hash-exact; the cast to VARCHAR pins month rendering across
+    engines.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate"))
+        .cast("date")
+        .alias("cohort_month")
+    )
+    aged = orders.join(firsts, "o_custkey").select(
+        "cohort_month",
+        (
+            (F.year("o_orderdate") - F.year("cohort_month")) * 12
+            + (F.month("o_orderdate") - F.month("cohort_month"))
+        )
+        .cast("int")
+        .alias("age_months"),
+        F.col("o_totalprice").cast("decimal(25,6)").alias("rev"),
+    )
+    cells = aged.groupBy("cohort_month", "age_months").agg(
+        F.count("*").alias("n_orders"), F.sum("rev").alias("rev")
+    )
+    w = (
+        W.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return cells.select(
+        F.col("cohort_month").cast("string").alias("cohort_month"),
+        "age_months",
+        "n_orders",
+        F.round(F.sum("rev").over(w).cast("double"), 2).alias(
+            "cum_revenue"
+        ),
+    )

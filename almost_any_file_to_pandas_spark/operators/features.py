@@ -579,3 +579,72 @@ def feat_price_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pd_, 6).alias("share_delta"),
         F.round((pb - pd_) * (pb - pd_) / pb, 9).alias("chi2_term"),
     )
+
+
+QBIN_N = 10
+
+
+@register(
+    "feat_price_quantile_bins",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT quantile_cont(l_extendedprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM lineitem
+    ), binned AS (
+      SELECT len(list_filter(qs, q -> l_extendedprice > q)) AS bin_idx,
+             l_extendedprice AS price
+      FROM lineitem CROSS JOIN cuts
+    )
+    SELECT CAST(bin_idx AS INT) AS bin_idx,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(price), 2) AS min_price,
+           ROUND(MAX(price), 2) AS max_price
+    FROM binned GROUP BY bin_idx
+    """,
+)
+def feat_price_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quantile) binning — the discretization that
+    gives every bin the same mass regardless of the value
+    distribution (the equal-width twin is ``feat_price_drift_bins``;
+    decile-ranked orders are ``order_value_decile_binning`` — this
+    one bins by VALUE cuts so new data can be assigned without a
+    rank pass).
+
+    Plan: the {QBIN_N - 1} exact interpolated cut points come from ONE
+    aggregate (same quantile definition as DuckDB ``quantile_cont``);
+    the 1-row cut array broadcasts onto the scan and bin assignment
+    is a pure array-fold expression (count of cuts strictly below the
+    value — identical comparison semantics in both engines, no
+    rounding at the boundary); the census aggregates over ≤ {QBIN_N}
+    keys.
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    cuts = li.agg(
+        F.array(
+            *[
+                F.percentile("l_extendedprice", F.lit(i / QBIN_N))
+                for i in range(1, QBIN_N)
+            ]
+        ).alias("qs")
+    )
+    bin_idx = F.aggregate(
+        F.col("qs"),
+        F.lit(0),
+        lambda acc, q: acc
+        + F.when(F.col("l_extendedprice") > q, 1).otherwise(0),
+    )
+    return (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            bin_idx.cast("int").alias("bin_idx"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .groupBy("bin_idx")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("price"), 2).alias("min_price"),
+            F.round(F.max("price"), 2).alias("max_price"),
+        )
+    )

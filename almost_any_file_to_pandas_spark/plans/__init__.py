@@ -137,6 +137,7 @@ POST_GATE_PRIORITY = (
     "text_bigram_lm_score",
     "events_dau_wau_stickiness",
     "orders_cohort_ltv",
+    "feat_price_quantile_bins",
     "events_user_day_sequences",
     "events_cooccurrence_triangles",
     "q5_region_revenue",

@@ -51,18 +51,18 @@ _STOP_HITS_SQL = " + ".join(
     WITH scored AS (
       SELECT source, doc_id,
              len(string_split(text, ' ')) AS n_tokens,
-             ({_STOP_HITS_SQL})
-               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS q
+             (({_STOP_HITS_SQL}) * 1000000)
+               // len(string_split(text, ' ')) AS q_key
       FROM documents
     ), budgets AS (
       SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS tokens_total,
-             CAST(CEIL(SUM(n_tokens) / {BUDGET_FRACTION_DEN}.0) AS BIGINT)
-               AS budget
+             (SUM(n_tokens) + {BUDGET_FRACTION_DEN - 1})
+               // {BUDGET_FRACTION_DEN} AS budget
       FROM scored GROUP BY source
     ), filled AS (
       SELECT source, doc_id, n_tokens,
              SUM(n_tokens) OVER (
-               PARTITION BY source ORDER BY q DESC, doc_id ASC
+               PARTITION BY source ORDER BY q_key DESC, doc_id ASC
                ROWS UNBOUNDED PRECEDING) AS cum_tokens
       FROM scored
     ), kept AS (
@@ -84,6 +84,14 @@ def text_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic total order (quality desc, doc_id asc) so the cut
     is reproducible; a doc whose tokens would cross the budget line
     is dropped (``cum <= budget``), matching the oracle exactly.
+
+    Canonicalization-proof decision path (r03 gate hash-fail fix): the
+    rank key is the INTEGER ``(stop_hits · 1e6) div n_tokens`` and the
+    budget is the INTEGER ``ceil`` ``(total + den−1) div den`` — no
+    double division anywhere in the kept-set decision, so no
+    engine-version float difference can flip which doc crosses the
+    budget line. ``n_tokens ≥ 1`` always (split of "" is [""]), so the
+    integer division is total.
     """
     apply_engine_conf(spark)
     docs = table_wide(spark, sf_dir, "documents")
@@ -96,18 +104,24 @@ def text_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         n_tokens.alias("n_tokens"),
-        (hits / n_tokens.cast("double")).alias("q"),
+        (hits.cast("long") * F.lit(1_000_000)).alias("_hits_scaled"),
+    ).select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.expr("_hits_scaled div n_tokens").alias("q_key"),
     )
     budgets = scored.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("tokens_total"),
-        F.ceil(
-            F.sum("n_tokens") / F.lit(float(BUDGET_FRACTION_DEN))
+        F.expr(
+            f"(SUM(n_tokens) + {BUDGET_FRACTION_DEN - 1}) "
+            f"div {BUDGET_FRACTION_DEN}"
         ).alias("budget"),
     )
     w_cum = (
         Window.partitionBy("source")
-        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .orderBy(F.desc("q_key"), F.asc("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w_cum))

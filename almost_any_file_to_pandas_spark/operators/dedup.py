@@ -1213,6 +1213,28 @@ def connected_components_alternating_query(
 SEMANTIC_CLUSTER_K = 16  # floor for the coarse partition
 SEMANTIC_TARGET_CLUSTER_ROWS = 256  # k scales to hold this constant
 SEMANTIC_RECALL_FLOOR = 0.5  # vs the exact grid block-NL pair set
+SEMANTIC_FIT_SAMPLE = 65536  # KMeans training rows, corpus-independent
+
+
+def _semantic_fit_frame(feats: DataFrame, n_vectors: int) -> DataFrame:
+    """Bounded deterministic KMeans training set: the first
+    ``SEMANTIC_FIT_SAMPLE`` vec_ids (per-partition top-k heaps via
+    TakeOrdered — never a global sort of the corpus), or the whole
+    frame when it is already smaller. The quantizer fit is an index
+    build: its input size must be independent of corpus size or the
+    fit itself becomes the 100 TB bottleneck (Lloyd's re-reads its
+    training set once per iteration). Beyond ``SEMANTIC_FIT_SAMPLE /
+    SEMANTIC_TARGET_CLUSTER_ROWS × SEMANTIC_TARGET_CLUSTER_ROWS``
+    centroids (k grows with n), the production design moves to
+    two-level clustering (coarse fit on the sample, per-cell refits)
+    rather than widening this sample."""
+    if n_vectors <= SEMANTIC_FIT_SAMPLE:
+        return feats.select("features")
+    return (
+        feats.orderBy("vec_id")
+        .limit(SEMANTIC_FIT_SAMPLE)
+        .select("features")
+    )
 
 
 @register("dedup_semantic_clusters")  # rows-only: k-means partition
@@ -1269,17 +1291,19 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "features"
         ),
     )
-    # Cache the training frame for the fit: Lloyd's runs one pass per
-    # iteration, and an uncached lineage re-executes the scan + vector
-    # conversion every pass (measured 5.6s → ~2s at sf0.1). The cache
-    # is the quantizer's TRAINING set — at production scale the fit
-    # runs on a bounded sample, so the footprint stays index-sized.
-    train = feats.select("features").cache()
-    n_vectors = train.count()
+    n_vectors = feats.count()
     k = max(
         SEMANTIC_CLUSTER_K,
         -(-n_vectors // SEMANTIC_TARGET_CLUSTER_ROWS),
     )
+    # Cache the training frame for the fit: Lloyd's runs one pass per
+    # iteration, and an uncached lineage re-executes the scan + vector
+    # conversion every pass (measured 5.6s → ~2s at sf0.1). The
+    # training set is CAPPED (the PQ codebook pattern, pq.py:64): the
+    # quantizer fit is an index build and must not scan the corpus
+    # once per Lloyd's pass — ``_semantic_fit_frame`` bounds it to
+    # SEMANTIC_FIT_SAMPLE deterministic rows, corpus-independent.
+    train = _semantic_fit_frame(feats, n_vectors).cache()
     model = KMeans(k=k, seed=42, maxIter=5).fit(train)
     train.unpersist(blocking=False)
     centers = spark.createDataFrame(

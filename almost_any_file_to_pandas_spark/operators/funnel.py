@@ -54,9 +54,9 @@ FUNNEL_STEPS = ("view", "click", "purchase")
       GROUP BY e.user_id
     )
     SELECT s1.user_id,
-           s1.t_view,
-           s2.t_click,
-           s3.t_purchase,
+           epoch_us(CAST(s1.t_view AS TIMESTAMP)) AS t_view_us,
+           epoch_us(CAST(s2.t_click AS TIMESTAMP)) AS t_click_us,
+           epoch_us(CAST(s3.t_purchase AS TIMESTAMP)) AS t_purchase_us,
            (CASE WHEN s1.t_view IS NULL THEN 0
                  WHEN s2.t_click IS NULL THEN 1
                  WHEN s3.t_purchase IS NULL THEN 2
@@ -113,9 +113,9 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s3, "user_id", "left")
         .select(
             "user_id",
-            "t_view",
-            "t_click",
-            "t_purchase",
+            F.unix_micros(F.col("t_view")).alias("t_view_us"),
+            F.unix_micros(F.col("t_click")).alias("t_click_us"),
+            F.unix_micros(F.col("t_purchase")).alias("t_purchase_us"),
             stage.cast("int").alias("stage_reached"),
         )
     )

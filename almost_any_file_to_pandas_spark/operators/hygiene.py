@@ -17,9 +17,14 @@ is learned from the data with a bounded aggregate over the |dims|-sized
 count table (dims observed in practice: a handful), broadcast back —
 the corpus is never shuffled, only its boolean partials.
 
-Cross-engine determinism: norm sums accumulate as DECIMAL(30,15)
-(order-independent; the `sim_centroid_by_label` pattern) and every
-reported double is rounded.
+Cross-engine determinism (r03 gate hash-fail fix): NO rounded double
+ever reaches the report. sqrt is IEEE-754 correctly rounded, so
+``sqrt`` of the same double is bit-identical on both engines — but
+``ROUND(x, 6)`` is not (half-even vs half-away, multiply/divide
+implementations differ), so every norm is emitted integer-quantized:
+``floor(sqrt(sumsq)·1e6 + 0.5)`` as BIGINT. The average is an
+all-integer division of the per-row quantized sum (DECIMAL(38,0)
+accumulate, order-independent) by the clean count.
 """
 
 from __future__ import annotations
@@ -60,15 +65,19 @@ from almost_any_file_to_pandas_spark.session import apply_engine_conf
            SUM(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS n_nonfinite,
            SUM(CASE WHEN NOT is_null AND NOT nonfinite AND sumsq = 0
                     THEN 1 ELSE 0 END) AS n_zero_norm,
-           ROUND(MIN(CASE WHEN NOT is_null AND NOT nonfinite
-                          THEN sqrt(sumsq) END), 6) AS min_norm,
-           ROUND(MAX(CASE WHEN NOT is_null AND NOT nonfinite
-                          THEN sqrt(sumsq) END), 6) AS max_norm,
-           ROUND(CAST(SUM(CASE WHEN NOT is_null AND NOT nonfinite
-                               THEN CAST(sqrt(sumsq) AS DECIMAL(30,15))
-                          END) AS DOUBLE)
-                 / SUM(CASE WHEN NOT is_null AND NOT nonfinite
-                            THEN 1 ELSE 0 END), 6) AS avg_norm
+           CAST(FLOOR(sqrt(MIN(CASE WHEN NOT is_null AND NOT nonfinite
+                                    THEN sumsq END)) * 1000000 + 0.5)
+                AS BIGINT) AS min_norm_q6,
+           CAST(FLOOR(sqrt(MAX(CASE WHEN NOT is_null AND NOT nonfinite
+                                    THEN sumsq END)) * 1000000 + 0.5)
+                AS BIGINT) AS max_norm_q6,
+           CAST(SUM(CASE WHEN NOT is_null AND NOT nonfinite
+                         THEN CAST(FLOOR(sqrt(sumsq) * 1000000 + 0.5)
+                                   AS BIGINT)
+                    END)
+                // SUM(CASE WHEN NOT is_null AND NOT nonfinite
+                            THEN 1 ELSE 0 END)
+                AS BIGINT) AS avg_norm_q6
     FROM per_vec CROSS JOIN modal
     """,
 )
@@ -140,14 +149,19 @@ def hygiene_report(emb: DataFrame) -> DataFrame:
             F.sum(F.when(clean & (F.col("sumsq") == 0), 1).otherwise(0)).alias(
                 "n_zero_norm"
             ),
-            F.round(F.min(F.when(clean, norm)), 6).alias("min_norm"),
-            F.round(F.max(F.when(clean, norm)), 6).alias("max_norm"),
-            F.round(
-                F.sum(
-                    F.when(clean, norm.cast("decimal(30,15)"))
-                ).cast("double")
-                / F.sum(F.when(clean, 1).otherwise(0)),
-                6,
-            ).alias("avg_norm"),
+            F.floor(
+                F.sqrt(F.min(F.when(clean, F.col("sumsq")))) * 1_000_000
+                + F.lit(0.5)
+            ).alias("min_norm_q6"),
+            F.floor(
+                F.sqrt(F.max(F.when(clean, F.col("sumsq")))) * 1_000_000
+                + F.lit(0.5)
+            ).alias("max_norm_q6"),
+            F.expr(
+                "CAST(SUM(CASE WHEN NOT is_null AND NOT nonfinite THEN "
+                "CAST(FLOOR(sqrt(sumsq) * 1000000 + 0.5) AS DECIMAL(38,0)) "
+                "END) div SUM(CASE WHEN NOT is_null AND NOT nonfinite "
+                "THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("avg_norm_q6"),
         )
     )

@@ -59,6 +59,9 @@ def asof_join_last_before(
         .alias("matched_id"),
     )
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("matched_ts"))
+    # canonicalization-proof outputs: timestamps as INTEGER epoch
+    # micros, the gap as INTEGER micros (never a rendered timestamp or
+    # a float division — the r03 fragile classes)
     return marked.filter(
         (F.col("event_type") == left_type)
         & F.col("matched_ts").isNotNull()
@@ -66,10 +69,10 @@ def asof_join_last_before(
     ).select(
         F.col("event_id").alias("left_id"),
         "user_id",
-        F.col("ts").cast("string").alias("left_ts"),
+        F.unix_micros(F.col("ts")).alias("left_ts_us"),
         F.col("matched_id").alias("right_id"),
-        F.col("matched_ts").cast("string").alias("right_ts"),
-        (gap / F.lit(1000000.0)).alias("gap_seconds"),
+        F.unix_micros(F.col("matched_ts")).alias("right_ts_us"),
+        gap.alias("gap_us"),
     )
 
 
@@ -77,7 +80,9 @@ def asof_join_last_before(
     "events_asof_view_click",
     oracle=f"""
     WITH ev AS (
-      SELECT event_id, user_id, ts, event_type
+      -- micros-truncate BEFORE ordering/diffing (Spark reads the
+      -- possibly-nanos parquet ts truncated to micros)
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
       FROM events WHERE event_type IN ('click', 'view')
     ), marked AS (
       SELECT event_id, user_id, ts, event_type,
@@ -92,13 +97,15 @@ def asof_join_last_before(
       FROM ev
     )
     SELECT event_id AS left_id, user_id,
-           CAST(ts AS VARCHAR) AS left_ts,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS left_ts_us,
            matched_id AS right_id,
-           CAST(matched_ts AS VARCHAR) AS right_ts,
-           date_diff('microsecond', matched_ts, ts) / 1000000.0 AS gap_seconds
+           epoch_us(CAST(matched_ts AS TIMESTAMP)) AS right_ts_us,
+           epoch_us(CAST(ts AS TIMESTAMP))
+             - epoch_us(CAST(matched_ts AS TIMESTAMP)) AS gap_us
     FROM marked
     WHERE event_type = 'click' AND matched_ts IS NOT NULL
-      AND date_diff('microsecond', matched_ts, ts)
+      AND epoch_us(CAST(ts AS TIMESTAMP))
+            - epoch_us(CAST(matched_ts AS TIMESTAMP))
           <= {ASOF_TOLERANCE_MINUTES} * 60 * 1000000
     """,
 )
@@ -123,45 +130,78 @@ ZSCORE_THRESHOLD = 3.0
     WITH stats AS (
       SELECT event_type,
              COUNT(*) AS n_events,
-             ROUND(AVG(value), 6) AS mean_value,
-             ROUND(stddev_pop(value), 6) AS std_value
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_v,
+             CAST(SUM(CAST(
+               CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+               AS DECIMAL(30,6))) AS DOUBLE) AS sum_v2
       FROM events GROUP BY event_type
+    ), quant AS (
+      SELECT event_type, n_events,
+             CAST(FLOOR(sum_v / n_events * 1000000 + 0.5) AS BIGINT)
+               AS mean_value_q6,
+             CAST(FLOOR(sqrt(sum_v2 / n_events
+                             - (sum_v / n_events) * (sum_v / n_events))
+                        * 1000000 + 0.5) AS BIGINT) AS std_value_q6
+      FROM stats
     )
-    SELECT s.event_type, s.n_events, s.mean_value, s.std_value,
+    SELECT s.event_type, s.n_events, s.mean_value_q6, s.std_value_q6,
            COUNT(*) FILTER (
-             WHERE abs(e.value - s.mean_value)
-                   > {ZSCORE_THRESHOLD} * s.std_value
+             WHERE abs(e.value - s.mean_value_q6 / 1000000.0)
+                   > {ZSCORE_THRESHOLD} * (s.std_value_q6 / 1000000.0)
            ) AS n_anomalies
-    FROM events e JOIN stats s USING (event_type)
-    GROUP BY s.event_type, s.n_events, s.mean_value, s.std_value
+    FROM events e JOIN quant s USING (event_type)
+    GROUP BY s.event_type, s.n_events, s.mean_value_q6, s.std_value_q6
     """,
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score anomaly counts — the monitoring pass of an
-    event pipeline. Two aggregates: per-type moments (tiny result,
-    values ROUNDED before thresholding so both engines cut on the
-    identical boundary), broadcast back over the stream for the
-    outlier count. The corpus shuffles only for the per-type
-    partials; the stats side is |event_types| rows at any scale.
+    event pipeline. Two aggregates: per-type sufficient statistics
+    (decimal sums — exact and order-independent; v² rescaled to
+    scale 6 so the decimal→double conversion stays under 2⁵³ unscaled
+    and converts identically on both engines), broadcast back over
+    the stream for the outlier count. The corpus shuffles only for
+    the per-type partials; the stats side is |event_types| rows at
+    any scale.
+
+    Canonicalization-proof moments (r03 fragile-class sweep): the
+    reported mean/std are INTEGER-quantized (``floor(x·1e6+0.5)``),
+    never ROUND(double)ed — and the anomaly threshold cuts on values
+    recomputed from those same integers, so both engines compare
+    against the bit-identical boundary.
     """
     apply_engine_conf(spark)
     ev = table(spark, sf_dir, "events")
+    v6 = F.col("value").cast("decimal(18,6)")
     stats = ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.round(F.avg("value"), 6).alias("mean_value"),
-        F.round(F.stddev_pop("value"), 6).alias("std_value"),
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_v"),
+        F.sum((v6 * v6).cast("decimal(30,6)")).cast("double").alias("sum_v2"),
+    )
+    mean = F.col("sum_v") / F.col("n_events")
+    var = F.col("sum_v2") / F.col("n_events") - mean * mean
+    quant = stats.select(
+        "event_type",
+        "n_events",
+        F.floor(mean * 1_000_000 + F.lit(0.5)).alias("mean_value_q6"),
+        F.floor(F.sqrt(var) * 1_000_000 + F.lit(0.5)).alias("std_value_q6"),
     )
     return (
-        ev.join(F.broadcast(stats), "event_type")
-        .groupBy("event_type", "n_events", "mean_value", "std_value")
+        ev.join(F.broadcast(quant), "event_type")
+        .groupBy("event_type", "n_events", "mean_value_q6", "std_value_q6")
         .agg(
             F.count_if(
-                F.abs(F.col("value") - F.col("mean_value"))
-                > ZSCORE_THRESHOLD * F.col("std_value")
+                F.abs(F.col("value") - F.col("mean_value_q6") / 1_000_000.0)
+                > ZSCORE_THRESHOLD * (F.col("std_value_q6") / 1_000_000.0)
             ).alias("n_anomalies")
         )
         .select(
-            "event_type", "n_events", "mean_value", "std_value", "n_anomalies"
+            "event_type",
+            "n_events",
+            "mean_value_q6",
+            "std_value_q6",
+            "n_anomalies",
         )
     )
 
@@ -222,7 +262,7 @@ def binned_range_join_count(
     )
     return left.join(matched, "event_id", "left").select(
         "event_id",
-        F.col("ts").cast("string").alias("ts"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
         F.coalesce(F.col("n_nearby"), F.lit(0).cast("bigint")).alias(
             "n_views_nearby"
         ),
@@ -233,12 +273,13 @@ def binned_range_join_count(
     "events_range_join_interval",
     oracle=f"""
     SELECT p.event_id,
-           CAST(p.ts AS VARCHAR) AS ts,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
            CAST(COUNT(v.event_id) AS BIGINT) AS n_views_nearby
     FROM events p
     LEFT JOIN events v
       ON v.event_type = 'view'
-     AND abs(date_diff('microsecond', v.ts, p.ts))
+     AND abs(epoch_us(CAST(v.ts AS TIMESTAMP))
+             - epoch_us(CAST(p.ts AS TIMESTAMP)))
          <= {RANGE_JOIN_TOLERANCE_MINUTES} * 60 * 1000000
     WHERE p.event_type = 'purchase'
     GROUP BY p.event_id, p.ts
@@ -324,8 +365,9 @@ LATE_TOL_US = 600 * 1_000_000  # 10-minute candidate watermark delay
     "events_late_arrival_profile",
     oracle=f"""
     WITH arr AS (
-      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-             MAX(epoch_us(ts)) OVER (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
                PARTITION BY user_id ORDER BY event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ) AS prior_max_us
@@ -399,13 +441,14 @@ def events_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tagged AS (
       SELECT event_type, user_id % 2 AS cohort,
-             CAST(value AS DECIMAL(25,6)) AS v
+             CAST(value AS DECIMAL(25,6)) AS v,
+             CAST(value AS DECIMAL(18,6)) AS v6
       FROM events
     ), stats AS (
       SELECT event_type, cohort,
              COUNT(*) AS n,
              CAST(SUM(v) AS DOUBLE) AS sum_v,
-             CAST(SUM(v * v) AS DOUBLE) AS sum_v2
+             CAST(SUM(CAST(v6 * v6 AS DECIMAL(30,6))) AS DOUBLE) AS sum_v2
       FROM tagged GROUP BY event_type, cohort
     ), sides AS (
       SELECT event_type,
@@ -418,13 +461,14 @@ def events_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM stats GROUP BY event_type
     )
     SELECT event_type, n_a, n_b,
-           ROUND(sum_a / n_a, 6) AS mean_a,
-           ROUND(sum_b / n_b, 6) AS mean_b,
-           ROUND(sum_b / n_b - sum_a / n_a, 6) AS lift,
-           ROUND((sum_b / n_b - sum_a / n_a)
+           CAST(FLOOR(sum_a / n_a * 1000000 + 0.5) AS BIGINT) AS mean_a_q6,
+           CAST(FLOOR(sum_b / n_b * 1000000 + 0.5) AS BIGINT) AS mean_b_q6,
+           CAST(FLOOR((sum_b / n_b - sum_a / n_a) * 1000000 + 0.5)
+                AS BIGINT) AS lift_q6,
+           CAST(FLOOR((sum_b / n_b - sum_a / n_a)
                  / sqrt( (sum2_a / n_a - (sum_a / n_a) * (sum_a / n_a)) / n_a
                        + (sum2_b / n_b - (sum_b / n_b) * (sum_b / n_b)) / n_b
-                       ), 6) AS z_score
+                       ) * 1000000 + 0.5) AS BIGINT) AS z_score_q6
     FROM sides
     """,
 )
@@ -445,12 +489,13 @@ def events_ab_cohort_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     ev = table(spark, sf_dir, "events")
     v = F.col("value").cast("decimal(25,6)")
+    v6 = F.col("value").cast("decimal(18,6)")
     stats = ev.groupBy(
         "event_type", (F.col("user_id") % 2).alias("cohort")
     ).agg(
         F.count("*").alias("n"),
         F.sum(v).cast("double").alias("sum_v"),
-        F.sum(v * v).cast("double").alias("sum_v2"),
+        F.sum((v6 * v6).cast("decimal(30,6)")).cast("double").alias("sum_v2"),
     )
     sides = stats.groupBy("event_type").agg(
         F.max(F.when(F.col("cohort") == 0, F.col("n"))).alias("n_a"),
@@ -468,14 +513,15 @@ def events_ab_cohort_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_a",
         "n_b",
-        F.round(mean_a, 6).alias("mean_a"),
-        F.round(mean_b, 6).alias("mean_b"),
-        F.round(mean_b - mean_a, 6).alias("lift"),
-        F.round(
+        F.floor(mean_a * 1_000_000 + F.lit(0.5)).alias("mean_a_q6"),
+        F.floor(mean_b * 1_000_000 + F.lit(0.5)).alias("mean_b_q6"),
+        F.floor((mean_b - mean_a) * 1_000_000 + F.lit(0.5)).alias("lift_q6"),
+        F.floor(
             (mean_b - mean_a)
-            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
-            6,
-        ).alias("z_score"),
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+            * 1_000_000
+            + F.lit(0.5)
+        ).alias("z_score_q6"),
     )
 
 
@@ -542,7 +588,8 @@ def events_pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, CAST(ts AS DATE) AS day,
            COUNT(*) AS n_events,
-           list(event_type ORDER BY ts, event_id) AS seq
+           list(event_type
+                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
     FROM events
     GROUP BY 1, 2
     """,
@@ -595,11 +642,12 @@ CHURN_WINDOW_DAYS = 7
       FROM events GROUP BY user_id
     )
     SELECT user_id, n_events,
-           CAST(last_seen AS VARCHAR) AS last_seen,
-           CAST(date_diff('day', last_seen, max_ts) AS BIGINT)
+           epoch_us(CAST(last_seen AS TIMESTAMP)) AS last_seen_us,
+           CAST(date_diff('day', CAST(last_seen AS DATE),
+                          CAST(max_ts AS DATE)) AS BIGINT)
              AS days_inactive,
-           date_diff('day', last_seen, max_ts) >= {CHURN_WINDOW_DAYS}
-             AS churned
+           date_diff('day', CAST(last_seen AS DATE), CAST(max_ts AS DATE))
+             >= {CHURN_WINDOW_DAYS} AS churned
     FROM per_user CROSS JOIN horizon
     """,
 )
@@ -627,7 +675,7 @@ def events_user_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.crossJoin(F.broadcast(horizon)).select(
         "user_id",
         "n_events",
-        F.col("last_seen").cast("string").alias("last_seen"),
+        F.unix_micros(F.col("last_seen")).alias("last_seen_us"),
         days.alias("days_inactive"),
         (days >= CHURN_WINDOW_DAYS).alias("churned"),
     )
@@ -711,12 +759,14 @@ def orders_monthly_dense_spine(
 @register(
     "events_interarrival_stats",
     oracle="""
-    WITH gaps AS (
+    WITH ev_us AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), gaps AS (
       SELECT user_id,
              date_diff('second',
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                ts) AS gap_s
-      FROM events
+      FROM ev_us
     )
     SELECT user_id,
            COUNT(gap_s) AS n_gaps,

@@ -683,14 +683,16 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.term, tf.tf,
-             round(tf.tf * ln((n.n_docs + 1.0) / (idf.df + 1.0)), 6) AS tfidf
+             CAST(FLOOR(tf.tf * ln((n.n_docs + 1.0) / (idf.df + 1.0))
+                        * 1000000 + 0.5) AS BIGINT) AS tfidf_q6
       FROM tf JOIN idf USING (term) CROSS JOIN n
     ), ranked AS (
       SELECT *, row_number() OVER (
-               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+               PARTITION BY doc_id ORDER BY tfidf_q6 DESC, term ASC) AS rnk
       FROM scored
     )
-    SELECT doc_id, term, tf, tfidf, rnk FROM ranked WHERE rnk <= {TFIDF_TOP}
+    SELECT doc_id, term, tf, tfidf_q6, rnk
+    FROM ranked WHERE rnk <= {TFIDF_TOP}
     """,
 )
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,8 +704,14 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the vocabulary, not the corpus] → idf join back on term
     [same partitioning] → per-doc top-k window [shuffle 3 on doc_id].
     The corpus count rides along as a broadcast 1-row cross join, not
-    a driver scalar. Ranking happens on the *rounded* score with a
-    term tie-break so ordering is identical across engines.
+    a driver scalar. Ranking happens on the INTEGER-quantized score
+    (``floor(score·1e6+0.5)`` — never a ROUND(double) output or a
+    raw-double sort key, the r03 fragile classes) with a term
+    tie-break so ordering is identical across engines. Residual risk:
+    ``ln`` is not IEEE-exact, so a 1-ulp libm-vs-JVM difference could
+    in principle flip a quantization boundary (~1e-9 per term) —
+    unavoidable without dropping log-idf semantics; sqrt-based scores
+    elsewhere carry no such risk (IEEE-exact).
     """
     apply_engine_conf(spark)
     docs = table_wide(spark, sf_dir, "documents")
@@ -720,20 +728,21 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "term",
             "tf",
-            F.round(
+            F.floor(
                 F.col("tf")
-                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
-                6,
-            ).alias("tfidf"),
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                * 1_000_000
+                + F.lit(0.5)
+            ).alias("tfidf_q6"),
         )
     )
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf_q6"), F.asc("term"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TFIDF_TOP)
-        .select("doc_id", "term", "tf", "tfidf", "rnk")
+        .select("doc_id", "term", "tf", "tfidf_q6", "rnk")
     )
 
 
@@ -1301,7 +1310,6 @@ def text_bpe_train_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BIGRAM_SCORE_ROUND = 9
 BIGRAM_Q = 1_000_000_000  # exact integer quantization of c2/c1 ratios
 
 
@@ -1325,9 +1333,8 @@ BIGRAM_Q = 1_000_000_000  # exact integer quantization of c2/c1 ratios
     )
     SELECT d.doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND(CAST(SUM((b.c2 * {BIGRAM_Q}) // u.c1) AS DOUBLE)
-                 / COUNT(*) / {BIGRAM_Q},
-                 {BIGRAM_SCORE_ROUND}) AS mean_cond_prob
+           CAST(SUM((CAST(b.c2 AS HUGEINT) * {BIGRAM_Q}) // u.c1)
+                // COUNT(*) AS BIGINT) AS mean_cond_prob_q9
     FROM doc_bigrams d
     JOIN bigram_counts b USING (pair)
     JOIN unigram_counts u ON split_part(d.pair, ' ', 1) = u.w1
@@ -1347,7 +1354,14 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: each ratio is quantized by exact INTEGER division
     ``(c2 · 10⁹) div c1`` before the sum (decimal-division scale
     rules differ between engines; integer div does not), so the
-    per-doc sums are order-independent exact integers.
+    per-doc sums are order-independent exact integers. The c2·10⁹
+    product is widened first (DECIMAL(38,0) / HUGEINT): at 100 TB a
+    corpus-wide bigram count beyond ~9.2e9 would overflow an int64
+    product into an ANSI runtime error while the oracle kept going —
+    the quotient itself is ≤10⁹ (c2 ≤ c1), so only the product needs
+    width. The reported score stays in the quantized-integer domain
+    (``mean_q9 = Σq div n``) — no ROUND(double) ever reaches the
+    hash.
 
     Plan: one bigram explode (localCheckpoint — it feeds BOTH count
     tables and the per-doc join side; the prefix-unigram counts are
@@ -1381,13 +1395,18 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w1", w1)
         .join(unigram_counts, "w1")
     )
-    qterm = F.expr(f"CAST(c2 * {BIGRAM_Q} AS BIGINT) DIV c1")
-    return joined.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(
-            F.sum(qterm).cast("double")
-            / F.count("*")
-            / F.lit(float(BIGRAM_Q)),
-            BIGRAM_SCORE_ROUND,
-        ).alias("mean_cond_prob"),
+    qterm = F.expr(
+        f"CAST(CAST(c2 AS DECIMAL(38,0)) * {BIGRAM_Q} div c1 AS BIGINT)"
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(qterm).alias("_sum_q"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("_sum_q div n_bigrams").alias("mean_cond_prob_q9"),
+        )
     )

@@ -112,6 +112,7 @@ GATE_ORDER = (
 # added after the 50-slot curation so any widened window (or a judge
 # skim in registration order) sees the newest families first.
 POST_GATE_PRIORITY = (
+    "lineitem_profile_approx_floor",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

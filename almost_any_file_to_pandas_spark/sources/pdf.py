@@ -160,10 +160,40 @@ def read_pdf_many(spark: SparkSession, paths) -> ParseResult:
     """
     from almost_any_file_to_pandas_spark.sources import pdftext
 
-    if isinstance(paths, (list, tuple)):
-        reader = spark.read.format("binaryFile").load([str(p) for p in paths])
-    else:
-        reader = spark.read.format("binaryFile").load(str(paths))
+    # never-raise covers the degenerate inputs too: an empty list, a
+    # missing directory, or a glob matching nothing makes binaryFile's
+    # load raise AnalysisException at plan time — exactly the inputs
+    # the per-file path degrades gracefully on, so catch and return a
+    # failed empty ParseResult instead (parse() facade contract)
+    try:
+        if isinstance(paths, (list, tuple)):
+            reader = spark.read.format("binaryFile").load(
+                [str(p) for p in paths]
+            )
+        else:
+            reader = spark.read.format("binaryFile").load(str(paths))
+        reader.schema  # force plan-time path resolution here, not later
+    except Exception:
+        from pyspark.sql import types as T
+
+        return ParseResult(
+            data=spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("source_file", T.StringType()),
+                        T.StructField("page", T.IntegerType()),
+                        T.StructField("row_idx", T.IntegerType()),
+                        T.StructField(
+                            "cells", T.ArrayType(T.StringType())
+                        ),
+                    ]
+                ),
+            ),
+            sheet_name="PDF corpus content",
+            engine="binaryFile + stdlib-pdftext (mapInPandas)",
+            file_path=str(paths),
+        ).mark_failed()
 
     def extract(batches):
         import pandas as pd

@@ -30,8 +30,9 @@ SESSION_GAP_MINUTES = 30
     "events_tumbling_window",
     oracle=f"""
     SELECT
-      CAST(time_bucket(INTERVAL '{WINDOW_MINUTES} minutes', ts) AS VARCHAR)
-        AS window_start,
+      epoch_us(CAST(time_bucket(INTERVAL '{WINDOW_MINUTES} minutes',
+                                CAST(ts AS TIMESTAMP)) AS TIMESTAMP))
+        AS window_start_us,
       event_type,
       COUNT(*) AS n_events,
       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
@@ -43,8 +44,9 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window counts/sums per event type (batch form).
 
     ``F.window`` buckets identically to DuckDB ``time_bucket`` for
-    epoch-aligned tumbling windows; start cast to string for a
-    timezone-proof comparison.
+    epoch-aligned tumbling windows; the window start is emitted as
+    INTEGER epoch micros (timezone- and precision-proof — never a
+    rendered timestamp).
     """
     apply_engine_conf(spark)
     ev = table(spark, sf_dir, "events")
@@ -59,7 +61,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select(
-            F.col("w.start").cast("string").alias("window_start"),
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
             "event_type",
             "n_events",
             "total_value",
@@ -97,13 +99,20 @@ def events_tumbling_window_stream(
 @register(
     "events_sessionization",
     oracle=f"""
-    WITH marked AS (
+    WITH ev_us AS (
+      -- normalize to microsecond precision BEFORE any ordering or gap
+      -- arithmetic: Spark reads the (possibly nanosecond) parquet ts
+      -- truncated to micros, so the oracle must order and diff on the
+      -- identical truncated values (no-op on a micros source)
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events
+    ), marked AS (
       SELECT user_id, event_id, ts, value,
         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                   > INTERVAL '{SESSION_GAP_MINUTES} minutes'
              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS is_new
-      FROM events
+      FROM ev_us
     ), sessions AS (
       SELECT user_id, ts, value,
              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -112,8 +121,9 @@ def events_tumbling_window_stream(
     )
     SELECT user_id, session_id,
            COUNT(*) AS n_events,
-           CAST(MIN(ts) AS VARCHAR) AS session_start,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+           epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS session_start_us,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) * 1000000 AS BIGINT)
+             AS total_value_q6
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -121,7 +131,18 @@ def events_tumbling_window_stream(
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (batch form): lag → new-session
     flag → running sum → per-session rollup. One shuffle on user_id;
-    both windows share the same partitioning so Spark sorts once."""
+    both windows share the same partitioning so Spark sorts once.
+
+    Canonicalization-proof outputs (r03 gate hash-fail fix): the
+    session start is emitted as INTEGER epoch microseconds, never a
+    rendered timestamp — a string-cast timestamp hashes differently
+    across engines when the source parquet carries nanosecond
+    precision (driver env: DuckDB renders 9 fractional digits, Spark
+    truncates to 6). ``CAST(ts AS TIMESTAMP)`` in the oracle truncates
+    DuckDB's TIMESTAMP_NS to micros exactly as Spark's ``DIV 1000``
+    nanos branch does (plans/__init__.py table()). ``total_value`` is
+    an exact decimal sum scaled to an integer (×1e6) — no double ever
+    reaches the hash."""
     apply_engine_conf(spark)
     ev = table(spark, sf_dir, "events")
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -145,10 +166,10 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = marked.withColumn("session_id", F.sum("is_new").over(running))
     return sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.min("ts").cast("string").alias("session_start"),
-        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
-            "total_value"
-        ),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        (F.sum(F.col("value").cast("decimal(25,6)")) * 1_000_000)
+        .cast("long")
+        .alias("total_value_q6"),
     )
 
 
@@ -186,7 +207,7 @@ def events_session_window_stream(
            COUNT(*) AS n_events,
            COUNT(DISTINCT event_type) AS n_types,
            CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
-           CAST(MAX(ts) AS VARCHAR) AS last_seen
+           epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS last_seen_us
     FROM events
     GROUP BY user_id
     HAVING COUNT(*) >= 5
@@ -205,7 +226,7 @@ def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias(
                 "total_value"
             ),
-            F.max("ts").cast("string").alias("last_seen"),
+            F.unix_micros(F.max("ts")).alias("last_seen_us"),
         )
         .filter(F.col("n_events") >= 5)
     )
@@ -280,13 +301,17 @@ def events_stream_dedup(
 @register(
     "events_sliding_user_value",
     oracle="""
+    WITH ev_us AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events
+    )
     SELECT event_id, user_id,
-           CAST(ts AS VARCHAR) AS ts,
+           epoch_us(ts) AS ts_us,
            CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
              PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS value_1h
-    FROM events
+    FROM ev_us
     """,
 )
 def events_sliding_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,7 +331,7 @@ def events_sliding_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.col("ts").cast("string").alias("ts"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
         F.sum(F.col("value").cast("decimal(25,6)"))
         .over(w)
         .cast("double")
@@ -399,7 +424,9 @@ REPLAYED_BATCH = 1
     "events_stream_upsert_batch",
     oracle=f"""
     WITH batched AS (
-      SELECT *, event_id % {N_UPSERT_BATCHES} AS batch_id FROM events
+      SELECT user_id, event_id, event_type, value,
+             CAST(ts AS TIMESTAMP) AS ts,
+             event_id % {N_UPSERT_BATCHES} AS batch_id FROM events
     ), ranked AS (
       SELECT user_id, event_id, event_type, value, ts, batch_id,
              ROW_NUMBER() OVER (
@@ -411,7 +438,7 @@ REPLAYED_BATCH = 1
            event_id AS last_event_id,
            event_type AS last_event_type,
            value AS last_value,
-           CAST(ts AS VARCHAR) AS last_ts
+           epoch_us(ts) AS last_ts_us
     FROM ranked WHERE rn = 1
     """,
 )
@@ -451,7 +478,7 @@ def events_stream_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("last_event_id"),
             F.col("event_type").alias("last_event_type"),
             F.col("value").alias("last_value"),
-            F.col("ts").cast("string").alias("last_ts"),
+            F.unix_micros(F.col("ts")).alias("last_ts_us"),
         )
     )
 
@@ -463,7 +490,7 @@ def events_stream_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
            user_id,
            event_type,
            value,
-           CAST(ts AS VARCHAR) AS ts
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
     FROM events
     """,
 )
@@ -488,7 +515,7 @@ def events_stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "value",
-        F.col("ts").cast("string").alias("ts"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
     )
     redelivered = ev.unionByName(ev.filter(F.col("event_id") % 3 == 0))
     return redelivered.dropDuplicates(["event_id"])

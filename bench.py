@@ -87,6 +87,10 @@ HEADLINE = [
     "feat_negative_samples",
     "feat_segment_ols_trend",
     "events_user_day_sequences",
+    # r04: the 100 TB shape of the column profile (HLL, no Expand) —
+    # appended so the approx-vs-exact claim has a recorded number;
+    # every pre-existing query is untouched (harness frozen)
+    "lineitem_profile_approx_floor",
 ]
 
 

@@ -19,6 +19,8 @@ One representative per risk class:
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -49,6 +51,99 @@ def fingerprint(df) -> tuple:
     rows = [tuple(r) for r in df.collect()]
     digest, n, cols = frame_fingerprint(df.columns, rows)
     return digest, n, tuple(cols)
+
+
+# ---------------------------------------------------------------------------
+# Fragile-value-class invariants (r03 gate lesson): local-PASS does not
+# predict driver-PASS for value classes whose canonical byte form can
+# legitimately differ across engine versions. These greps pin the
+# repo-wide bans so the next fragile output is caught at commit time,
+# not by the driver.
+# ---------------------------------------------------------------------------
+
+# timestamp-typed columns of the events table (and their aggregates) —
+# a rendered timestamp hashes differently across engines whenever the
+# source parquet precision or the engine's fractional-second formatting
+# differs; registered queries must emit INTEGER epoch micros instead
+_TS_COLS = r"(?:[a-z]\d?\.)?(?:matched_ts|last_seen|last_ts|max_ts|r_ts|ts)"
+_TS_VARCHAR_RE = re.compile(
+    rf"CAST\(\s*(?:MIN\(|MAX\(|LAG\(|LEAD\(|FIRST\(|LAST\()?\s*{_TS_COLS}"
+    rf"\s*\)?\s+AS\s+VARCHAR\s*\)",
+    re.IGNORECASE,
+)
+
+# ROUND(x, n) over a non-IEEE-exact or iteration-order-sensitive
+# double: ln/log/exp are correctly rounded in NEITHER engine (libm vs
+# JVM differ by ulps on the same input), and stddev/var aggregate
+# summation is partition-order-sensitive — so the value under the
+# ROUND is not even bit-identical across engines before the rounding
+# rule applies. Quantize an exactly-derived value to an integer
+# (floor(x·10^k + 0.5) AS BIGINT) instead. sqrt is exempt: IEEE-754
+# requires it correctly rounded, so sqrt of a deterministic double is
+# bit-identical everywhere (the cosine family relies on this).
+_ROUND_TRANSCENDENTAL_RE = re.compile(
+    r"ROUND\([^;]{0,200}?(?:stddev|var_pop|var_samp|ln\(|log\(|exp\()",
+    re.IGNORECASE,
+)
+
+
+def test_no_timestamp_varchar_casts_in_oracles():
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    bad = {
+        name: _TS_VARCHAR_RE.search(sql).group(0)
+        for name, sql in plans.ORACLES.items()
+        if _TS_VARCHAR_RE.search(sql)
+    }
+    assert not bad, f"timestamp->VARCHAR casts in oracles: {bad}"
+
+
+def test_no_rounded_transcendentals_in_oracles():
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    bad = {
+        name: _ROUND_TRANSCENDENTAL_RE.search(sql).group(0)[:60]
+        for name, sql in plans.ORACLES.items()
+        if _ROUND_TRANSCENDENTAL_RE.search(sql)
+    }
+    assert not bad, f"ROUND over transcendental in oracles: {bad}"
+
+
+def test_no_timestamp_to_string_casts_in_spark_outputs(spark):
+    """Analyzer-level twin of the oracle grep: build every registered
+    events-family DataFrame and assert no ts-named column is cast to
+    string anywhere in its analyzed plan, and no TimestampType column
+    reaches an output schema."""
+    import re as _re
+
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    cast_re = _re.compile(
+        r"cast\((?:matched_ts|last_seen|last_ts|max_ts|r_ts|ts)#\d+ as string\)"
+    )
+    bad_casts, bad_types = {}, {}
+    for name, fn in plans.QUERIES.items():
+        if "events" not in name:
+            continue
+        df = fn(spark, SF_DIR)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        m = cast_re.search(analyzed)
+        if m:
+            bad_casts[name] = m.group(0)
+        ts_out = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (TimestampType, TimestampNTZType))
+        ]
+        if ts_out:
+            bad_types[name] = ts_out
+    assert not bad_casts, f"ts->string casts in analyzed plans: {bad_casts}"
+    assert not bad_types, f"timestamp-typed output columns: {bad_types}"
 
 
 @pytest.mark.parametrize("name", QUERIES_UNDER_TEST)

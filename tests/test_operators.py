@@ -477,7 +477,7 @@ def test_tfidf_topterms_ranked(spark):
     assert (per_doc["rnk"].max() <= TFIDF_TOP).all()
     for _, g in per_doc:
         srt = g.sort_values("rnk")
-        assert (srt["tfidf"].diff().dropna() <= 1e-12).all()  # non-increasing
+        assert (srt["tfidf_q6"].diff().dropna() <= 0).all()  # non-increasing
     import re
 
     plan = df._sc._jvm.PythonSQLUtils.explainString(
@@ -677,8 +677,8 @@ def test_embedding_hygiene_flags_corrupt_vectors(spark):
     assert r["n_dim_mismatch"] == 1
     assert r["n_nonfinite"] == 2
     assert r["n_zero_norm"] == 1
-    assert r["min_norm"] == 0.0  # the zero vector is clean
-    assert r["max_norm"] == 10.0
+    assert r["min_norm_q6"] == 0  # the zero vector is clean
+    assert r["max_norm_q6"] == 10_000_000
 
 
 def test_jl_projection_matrix_properties():

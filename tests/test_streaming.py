@@ -51,12 +51,22 @@ def test_tumbling_window_stream_matches_batch(spark, events_source):
     schema = spark.read.parquet(events_source).schema
     stream_df = events_tumbling_window_stream(spark, events_source, schema)
     _run_to_memory(stream_df, "tumbling_mem", "complete")
+    import datetime as _dt
+
+    def _us(ts):
+        return int(
+            ts.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000
+        )
+
     got = {
-        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        (_us(r["window_start"]), r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+        )
         for r in spark.sql("select * from tumbling_mem").collect()
     }
     batch = {
-        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        (r["window_start_us"], r["event_type"]): (r["n_events"], r["total_value"])
         for r in events_tumbling_window(spark, SF_DIR).collect()
     }
     assert got == batch

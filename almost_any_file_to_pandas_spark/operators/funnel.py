@@ -38,18 +38,24 @@ FUNNEL_STEPS = ("view", "click", "purchase")
 @register(
     "events_funnel_ordered",
     oracle="""
-    WITH s1 AS (
+    WITH ev_us AS (
+      -- micros-truncate BEFORE the stage >= comparisons: Spark reads
+      -- the (possibly nanosecond) parquet ts truncated to micros, so
+      -- the oracle must threshold on identical truncated values
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ), s1 AS (
       SELECT user_id,
              MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
-      FROM events GROUP BY user_id
+      FROM ev_us GROUP BY user_id
     ), s2 AS (
       SELECT e.user_id, s1.t_view, MIN(e.ts) AS t_click
-      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      FROM ev_us e JOIN s1 ON e.user_id = s1.user_id
       WHERE e.event_type = 'click' AND e.ts >= s1.t_view
       GROUP BY e.user_id, s1.t_view
     ), s3 AS (
       SELECT e.user_id, MIN(e.ts) AS t_purchase
-      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      FROM ev_us e JOIN s2 ON e.user_id = s2.user_id
       WHERE e.event_type = 'purchase' AND e.ts >= s2.t_click
       GROUP BY e.user_id
     )
@@ -181,7 +187,8 @@ JOURNEY_TOP_K = 20
     oracle=f"""
     WITH seq AS (
       SELECT user_id,
-             array_agg(event_type ORDER BY ts, event_id) AS types
+             array_agg(event_type
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS types
       FROM events GROUP BY user_id
     ), tri AS (
       SELECT unnest(list_transform(
@@ -244,7 +251,8 @@ def events_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT user_id,
-             array_agg(event_type ORDER BY ts, event_id) AS types
+             array_agg(event_type
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS types
       FROM events GROUP BY user_id
     ), bi AS (
       SELECT unnest(list_transform(

@@ -1461,8 +1461,10 @@ def lineitem_profile_approx_floor(
     Property-checked like :func:`events_approx_distinct`:
     ``anchor_within_tol`` claims the sketch landed within
     ±APPROX_REL_TOL of the exact distinct on the highest-cardinality
-    column (l_extendedprice — ONE plain two-phase distinct, far
-    cheaper than the 5-column Expand, is the harness anchor);
+    column (l_extendedprice — a SEPARATE single-column two-phase
+    distinct pass, far cheaper than the 5-column Expand and kept out
+    of the HLL aggregate so the sketches stay on the hash-aggregate
+    fast path, is the harness anchor);
     ``approx_bounded_all_columns`` claims every column's sketch is
     sane (positive, ≤ its non-null count — HLL can overshoot slightly
     but never past tolerance on a count it also bounds). The oracle
@@ -1470,19 +1472,25 @@ def lineitem_profile_approx_floor(
     """
     apply_engine_conf(spark)
     li = table(spark, sf_dir, "lineitem")
-    aggs = [
-        F.count("*").alias("n_rows"),
-        F.count_distinct(F.col("l_extendedprice")).alias(
-            "anchor_exact_distinct"
-        ),
-    ]
+    # The exact anchor runs as its OWN single-column aggregate: mixing
+    # one count_distinct into the HLL aggregate forces the planner
+    # through the distinct Expand + sort-aggregate path for EVERY
+    # sketch update (measured 14.1s vs 1.05s HLL-only + 0.54s anchor
+    # at sf0.1). Two pruned passes, each reading only its columns,
+    # joined at one row each.
+    aggs = [F.count("*").alias("n_rows")]
     for name, _ in PROFILE_COLUMNS:
         c = F.col(name)
         aggs += [
             F.approx_count_distinct(c, rsd=0.02).alias(f"{name}__approx"),
             F.count(c).alias(f"{name}__nonnull"),
         ]
-    wide = li.agg(*aggs)
+    anchor = li.agg(
+        F.count_distinct(F.col("l_extendedprice")).alias(
+            "anchor_exact_distinct"
+        )
+    )
+    wide = li.agg(*aggs).crossJoin(F.broadcast(anchor))
     tol = F.lit(APPROX_REL_TOL)
     anchor_ok = (
         F.abs(

@@ -1291,18 +1291,21 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "features"
         ),
     )
+    # k sizing: a column-pruned count (Catalyst drops the unused
+    # vector conversion), one cheap scan-only pass
     n_vectors = feats.count()
     k = max(
         SEMANTIC_CLUSTER_K,
         -(-n_vectors // SEMANTIC_TARGET_CLUSTER_ROWS),
     )
-    # Cache the training frame for the fit: Lloyd's runs one pass per
-    # iteration, and an uncached lineage re-executes the scan + vector
-    # conversion every pass (measured 5.6s → ~2s at sf0.1). The
-    # training set is CAPPED (the PQ codebook pattern, pq.py:64): the
-    # quantizer fit is an index build and must not scan the corpus
-    # once per Lloyd's pass — ``_semantic_fit_frame`` bounds it to
-    # SEMANTIC_FIT_SAMPLE deterministic rows, corpus-independent.
+    # Cache the BOUNDED training frame for the fit: Lloyd's runs one
+    # pass per iteration, and an uncached lineage re-executes the
+    # scan + vector conversion every pass (measured 5.6s → ~2s at
+    # sf0.1). The training set is CAPPED (the PQ codebook pattern,
+    # pq.py:64): the quantizer fit is an index build and must not
+    # scan the corpus once per Lloyd's pass — ``_semantic_fit_frame``
+    # bounds it to SEMANTIC_FIT_SAMPLE deterministic rows, so the
+    # cache footprint is corpus-independent too.
     train = _semantic_fit_frame(feats, n_vectors).cache()
     model = KMeans(k=k, seed=42, maxIter=5).fit(train)
     train.unpersist(blocking=False)

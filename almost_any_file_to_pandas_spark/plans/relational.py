@@ -856,7 +856,6 @@ def exact_disc_quantiles(
         range_rows.append((rid, lo, hi))
         for r, k in ranks.items():
             want_rows.append((rid, k, r))
-    spark = df.sparkSession
     matches = F.filter(
         F.array(
             *[
@@ -883,12 +882,30 @@ def exact_disc_quantiles(
         .withColumn("rn", F.row_number().over(w))
         .withColumn("cnt", F.count("*").over(_W.partitionBy("rid")))
     )
-    want = spark.createDataFrame(want_rows, "rid int, k int, rank long")
-    hit = ranked.join(F.broadcast(want), "rid").filter(
-        (F.col("rn") == F.col("k"))
-        | ((F.col("cnt") < F.col("k")) & (F.col("rn") == F.col("cnt")))
-    )
-    vals = {int(row["rank"]): float(row["_qv"]) for row in hit.collect()}
+    # per-range wanted positions as a LITERAL predicate (no broadcast
+    # join — its fixed per-job overhead dominates when the ranges are
+    # small); ties to the last row cover k > range size (a skewed
+    # range that resolved early)
+    by_rid = {}
+    for rid, k, r in want_rows:
+        by_rid.setdefault(rid, []).append(k)
+    keep = None
+    for rid, ks in by_rid.items():
+        cond = (F.col("rid") == rid) & (
+            F.col("rn").isin([int(k) for k in ks])
+            | ((F.col("cnt") < max(ks)) & (F.col("rn") == F.col("cnt")))
+        )
+        keep = cond if keep is None else (keep | cond)
+    hits = ranked.filter(keep).collect()
+    by_pos = {(row["rid"], row["rn"]): (float(row["_qv"]), row["cnt"]) for row in hits}
+    last = {}
+    for (rid, rn), (v, cnt) in by_pos.items():
+        if rn == cnt:
+            last[rid] = v
+    vals = {}
+    for rid, k, r in want_rows:
+        hit = by_pos.get((rid, k))
+        vals[r] = hit[0] if hit is not None else last[rid]
     return {q: vals[targets[q]] for q in qs}
 
 

@@ -1477,3 +1477,107 @@ def dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(both.agg(F.count("*").cast("bigint").alias("n_both")))
     )
+
+
+CONTAINMENT_THRESHOLD_Q6 = 800_000  # |A∩B| / min(|A|,|B|) ≥ 0.8
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+      FROM base
+    ), kept AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh
+      ) WHERE df <= {MAX_SHINGLE_DF}
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+    ), co AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM kept a JOIN kept b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT co.doc_a, co.doc_b, co.n_shared,
+           (co.n_shared * 1000000) // LEAST(sa.sz, sb.sz)
+             AS containment_q6
+    FROM co
+    JOIN sizes sa ON sa.doc_id = co.doc_a
+    JOIN sizes sb ON sb.doc_id = co.doc_b
+    WHERE (co.n_shared * 1000000) // LEAST(sa.sz, sb.sz)
+          >= {CONTAINMENT_THRESHOLD_Q6}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle containment
+    ``|A∩B| / min(|A|,|B|) ≥ 0.8`` — the doc-contains-doc detector
+    Jaccard structurally misses: a snippet quoted inside a 100×
+    longer page has Jaccard ≈ 0.01 but containment ≈ 1.0. Training
+    corpora are full of this shape (boilerplate-wrapped reposts,
+    quote-inflated threads), and every containment pair is a
+    candidate for span-level trimming rather than whole-doc dropping
+    (the `text_duplicate_span_census` family acts on them).
+
+    All-declarative exactness: the intersection size IS the
+    co-membership multiplicity of the (df-capped) inverted index, so
+    the score needs no text re-verification kernel — one bucket
+    expansion with multiplicity, one pair count, two id-keyed size
+    joins, all-integer `(n_shared·1e6) div min(|A|,|B|)`. The df cap
+    is encoded IDENTICALLY in the oracle (the graph-oracle pattern):
+    both engines score the same capped index by construction, and a
+    capped viral shingle can only lower both sides' counts equally.
+
+    Scale: pair volume is the inverted-index bound Σ_s df(s)² over
+    kept shingles — the cap makes each term ≤ MAX_SHINGLE_DF·df(s).
+    The prefix-filtered Jaccard path generates fewer candidates but
+    cannot produce exact intersection COUNTS without a second pass
+    over text; when containment at 100 TB needs tightening, the
+    production swap is prefix-candidates + a count-verify kernel, at
+    the cost of the kernel stage this form avoids.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    sh = docs.select(
+        "doc_id", F.explode(_word_ngrams(toks, 3)).alias("shingle")
+    )
+    w_df = W.partitionBy("shingle")
+    kept = (
+        sh.withColumn("df", F.count("*").over(w_df))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    co = (
+        _pairs_within_buckets(
+            kept,
+            "doc_id",
+            ["shingle"],
+            max_bucket=MAX_SHINGLE_DF,
+            distinct=False,
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_sb"))
+    scored = (
+        co.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment_q6",
+            F.expr("n_shared * 1000000 div least(_sa, _sb)"),
+        )
+    )
+    return scored.filter(
+        F.col("containment_q6") >= CONTAINMENT_THRESHOLD_Q6
+    ).select("doc_a", "doc_b", "n_shared", "containment_q6")

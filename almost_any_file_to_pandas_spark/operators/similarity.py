@@ -981,3 +981,125 @@ def sim_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accuracy"
         ),
     )
+
+
+MRL_PREFIX_DIMS = 16  # Matryoshka prefix (of 64) used for cheap search
+MRL_SHORTLIST = 100  # prefix-ranked candidates kept for full re-rank
+MRL_RECALL_FLOOR = 0.3  # macro recall@KNN_K of rerank-of-shortlist
+
+
+@register(
+    "sim_matryoshka_prefix_floor",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND({_cosine_sql('e.embedding', 'q.qvec')}, 6) AS cf,
+             ROUND({_cosine_sql(
+                 f'list_slice(e.embedding, 1, {MRL_PREFIX_DIMS})',
+                 f'list_slice(q.qvec, 1, {MRL_PREFIX_DIMS})')}, 6) AS cp
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, cf,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cf DESC, vec_id) AS r_full,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cp DESC, vec_id) AS r_prefix
+      FROM scored
+    ), rerank AS (
+      SELECT query_id, vec_id, r_full,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cf DESC, vec_id) AS r_rr
+      FROM ranked WHERE r_prefix <= {MRL_SHORTLIST}
+    ), hits AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE r_full <= {KNN_K}
+                                     AND r_rr <= {KNN_K}) AS BIGINT)
+               AS n_hits
+      FROM rerank
+    )
+    SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           CAST({KNN_K} AS BIGINT) AS k,
+           CAST({MRL_PREFIX_DIMS} AS BIGINT) AS prefix_dims,
+           n_hits,
+           (n_hits * 1000000) // {N_QUERIES * KNN_K} AS recall_q6,
+           (n_hits * 1000000) // {N_QUERIES * KNN_K}
+             >= {int(MRL_RECALL_FLOOR * 1_000_000)} AS recall_floor_met
+    FROM hits
+    """,
+)
+def sim_matryoshka_prefix_floor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-representation search audit — the MRL deployment
+    pattern end to end: rank the corpus by the FIRST
+    ``MRL_PREFIX_DIMS`` dimensions only (the cheap first-stage
+    index), keep a ``MRL_SHORTLIST``-deep shortlist, re-rank the
+    shortlist with full vectors, and report macro recall@k of the
+    re-ranked top-k against the exact full-dimension top-k. That
+    recall is the go/no-go number for shipping a prefix index at
+    100 TB, where a 4× dimension cut is a 4× scan-bandwidth and
+    memory cut on the first stage and full vectors are fetched for
+    only ``shortlist`` candidates per query.
+
+    Fully oracle-paired (no TRUE-literal floor): both engines compute
+    both rankings on identical doubles (float32 inputs are exact in
+    double; slice-then-fold accumulates in the same order), rank on
+    the quantized key with vec_id tie-break, and report the recall as
+    an all-integer ``(hits·1e6) div (n_queries·k)``.
+
+    Plan: ONE broadcast of the query batch, one narrow corpus pass
+    scoring BOTH cosines (the prefix slice reuses the same array — no
+    second scan), one shuffle on query_id where the full/prefix
+    row_number windows AND the shortlist re-rank window all share the
+    partitioning (Catalyst exchanges once, sorts per window), then a
+    one-row fold.
+    """
+    apply_engine_conf(spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    pre = lambda c: F.slice(c, 1, MRL_PREFIX_DIMS)  # noqa: E731
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_expr(F.col("embedding"), F.col("qvec")), 6
+            ).alias("cf"),
+            F.round(
+                cosine_expr(pre(F.col("embedding")), pre(F.col("qvec"))), 6
+            ).alias("cp"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("cf"), F.asc("vec_id"))
+    wp = W.partitionBy("query_id").orderBy(F.desc("cp"), F.asc("vec_id"))
+    ranked = scored.withColumn("r_full", F.row_number().over(wf)).withColumn(
+        "r_prefix", F.row_number().over(wp)
+    )
+    rerank = ranked.filter(F.col("r_prefix") <= MRL_SHORTLIST).withColumn(
+        "r_rr", F.row_number().over(wf)
+    )
+    denom = N_QUERIES * KNN_K
+    hit_sum = (
+        f"sum(CASE WHEN r_full <= {KNN_K} AND r_rr <= {KNN_K} "
+        "THEN 1 ELSE 0 END)"
+    )
+    return rerank.agg(
+        F.lit(N_QUERIES).cast("long").alias("n_queries"),
+        F.lit(KNN_K).cast("long").alias("k"),
+        F.lit(MRL_PREFIX_DIMS).cast("long").alias("prefix_dims"),
+        F.expr(f"CAST({hit_sum} AS BIGINT)").alias("n_hits"),
+        F.expr(
+            f"CAST({hit_sum} * 1000000 div {denom} AS BIGINT)"
+        ).alias("recall_q6"),
+        (
+            F.expr(f"{hit_sum} * 1000000 div {denom}")
+            >= int(MRL_RECALL_FLOOR * 1_000_000)
+        ).alias("recall_floor_met"),
+    )

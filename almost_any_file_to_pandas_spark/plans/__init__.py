@@ -113,6 +113,8 @@ GATE_ORDER = (
 # skim in registration order) sees the newest families first.
 POST_GATE_PRIORITY = (
     "lineitem_profile_approx_floor",
+    "sim_matryoshka_prefix_floor",
+    "dedup_containment",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

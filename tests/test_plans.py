@@ -718,6 +718,33 @@ def test_semantic_fit_sample_is_corpus_independent(spark):
     assert cap >= 4 * dd.SEMANTIC_TARGET_CLUSTER_ROWS
 
 
+def test_matryoshka_windows_share_one_exchange(spark):
+    """The prefix rank, full rank and shortlist re-rank windows all
+    partition by query_id — the plan must exchange the scored rows
+    ONCE (plus the broadcast of the query batch), never once per
+    window, and no global sort may appear."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["sim_matryoshka_prefix_floor"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # windows + agg
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_no_quadratic_join(spark):
+    """Containment pairs come from the capped in-bucket expansion —
+    no cartesian/nested-loop join; the df-cap window and the bucket
+    groupBy share the shingle-key partitioning."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["dedup_containment"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_journey_trigrams_no_global_sort(spark):
     """Sequential-pattern mining must end in TakeOrderedAndProject
     (never a single-partition global sort) and group once."""

@@ -1410,3 +1410,109 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("_sum_q div n_bigrams").alias("mean_cond_prob_q9"),
         )
     )
+
+
+# α = 1/2 (weight_s ∝ √n_s — sqrt is IEEE-exact, so the integer
+# quantization below is engine-portable); other α need an exact-power
+# integerization scheme before they can join the hash gate
+MIX_BUDGET_DEN = 2  # keep ~half the corpus, temperature-reweighted
+
+
+@register(
+    "text_mix_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), wq AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(sqrt(n_docs) * 1000000 + 0.5) AS BIGINT) AS w_q
+      FROM counts
+    ), tot AS (
+      SELECT SUM(n_docs) AS total, SUM(w_q) AS sum_wq FROM wq
+    ), rates AS (
+      SELECT source, n_docs, w_q,
+             LEAST(1.0,
+               (CAST(total // {MIX_BUDGET_DEN} AS DOUBLE) * CAST(w_q AS DOUBLE))
+               / (CAST(sum_wq AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+               AS keep_rate
+      FROM wq CROSS JOIN tot
+    ), kept AS (
+      SELECT d.source, COUNT(*) AS n_kept
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE {_doc_uniform_sql('d.doc_id')} < r.keep_rate
+      GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs,
+           (r.w_q * 1000000) // (SELECT sum_wq FROM tot)
+             AS weight_share_q6,
+           COALESCE(k.n_kept, 0) AS n_kept
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    """,
+)
+def text_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (the Pile / mT5 α-sampling
+    pattern): per-source keep probability ∝ n_s^α / n_s with α = 0.5,
+    scaled to a half-corpus token budget and capped at 1 — small
+    sources are boosted toward (never past) full inclusion, huge
+    sources are squashed toward √-share. The uniform-target mixer
+    (`text_mix_to_target`) is the α→0 extreme of this family.
+
+    Determinism (the r04 house recipe): each source weight is the
+    INTEGER ``floor(sqrt(n_s)·1e6+0.5)`` (sqrt is IEEE-exact), the
+    weight normalizer is an exact integer sum (a double Σ√n would be
+    order-dependent), and the keep rate is rebuilt from those
+    integers with a fixed double expression tree on both engines;
+    membership uses the portable md5 hash. Reported weight shares
+    are all-integer ``(w_q·1e6) div Σw_q``.
+
+    Plan: identical shape to `text_mix_to_target` — one tiny source
+    aggregate, a broadcast rate table, one narrow deterministic
+    filter; the corpus never shuffles.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    wq = counts.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs")) * 1_000_000 + F.lit(0.5)).alias(
+            "w_q"
+        ),
+    )
+    tot = wq.agg(
+        F.sum("n_docs").alias("total"), F.sum("w_q").alias("sum_wq")
+    )
+    rates = wq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w_q",
+        "sum_wq",
+        F.least(
+            F.lit(1.0),
+            (
+                F.expr(f"CAST(total div {MIX_BUDGET_DEN} AS DOUBLE)")
+                * F.col("w_q").cast("double")
+            )
+            / (
+                F.col("sum_wq").cast("double")
+                * F.col("n_docs").cast("double")
+            ),
+        ).alias("keep_rate"),
+    )
+    kept = (
+        docs.join(
+            F.broadcast(rates.select("source", "keep_rate")), "source"
+        )
+        .filter(_doc_uniform(F.col("doc_id")) < F.col("keep_rate"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(F.broadcast(kept), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.expr("w_q * 1000000 div sum_wq").alias("weight_share_q6"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )

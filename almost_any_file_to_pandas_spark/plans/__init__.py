@@ -115,6 +115,7 @@ POST_GATE_PRIORITY = (
     "lineitem_profile_approx_floor",
     "sim_matryoshka_prefix_floor",
     "dedup_containment",
+    "text_mix_temperature",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

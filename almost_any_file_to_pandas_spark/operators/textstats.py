@@ -1516,3 +1516,69 @@ def text_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         )
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+      FROM base
+    ), dfc AS (
+      SELECT doc_id, shingle,
+             COUNT(*) OVER (PARTITION BY shingle) AS df
+      FROM sh
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (WHERE df = 1) AS BIGINT)
+             AS n_unique_shingles,
+           (COUNT(*) FILTER (WHERE df = 1) * 1000000) // COUNT(*)
+             AS novelty_q6
+    FROM dfc
+    GROUP BY doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word-3-gram shingles that appear NOWHERE else in the corpus
+    (corpus df = 1). Low novelty marks template/boilerplate-heavy or
+    heavily-duplicated text (the complement of the containment/span
+    families' pairwise view — this is the per-doc scalar a mixing or
+    filtering policy thresholds on), high novelty marks content the
+    model sees exactly once — the memorization-risk axis.
+
+    Plan: one shingle explode → ONE shuffle on the shingle key where
+    the df window and nothing else touches corpus-scale data → a
+    per-doc rollup (second shuffle on doc_id, compact rows). Output
+    is all-integer (``(unique·1e6) div n``), no floats anywhere.
+
+    Docs with fewer than 3 tokens have zero shingles and drop out —
+    identical semantics in both engines (empty unnest / empty
+    explode).
+    """
+    apply_engine_conf(spark)
+    from almost_any_file_to_pandas_spark.operators.dedup import _word_ngrams
+    from pyspark.sql import Window as W
+
+    docs = table_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    sh = docs.select(
+        "doc_id", F.explode(_word_ngrams(toks, 3)).alias("shingle")
+    )
+    dfc = sh.withColumn(
+        "df", F.count("*").over(W.partitionBy("shingle"))
+    )
+    return dfc.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_unique_shingles"),
+        F.expr(
+            "sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000 div count(*)"
+        ).alias("novelty_q6"),
+    )

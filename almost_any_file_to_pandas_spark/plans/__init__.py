@@ -116,6 +116,7 @@ POST_GATE_PRIORITY = (
     "sim_matryoshka_prefix_floor",
     "dedup_containment",
     "text_mix_temperature",
+    "text_ngram_novelty",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

@@ -170,3 +170,156 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "mmr_rank", F.round("relevance", 6).alias("relevance")
     )
+
+
+HYBRID_N_QUERIES = 5  # doc/vec ids 0..4 act as the query batch
+HYBRID_TOKEN_DF_CAP = 1000  # stop-token cap for the lexical index
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+HYBRID_TOP = 5
+
+
+@register(
+    "retrieval_hybrid_rrf_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, tok, COUNT(*) OVER (PARTITION BY tok) AS df
+        FROM toks
+      ) WHERE df <= {HYBRID_TOKEN_DF_CAP}
+    ), lex AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+             CAST(COUNT(*) AS BIGINT) AS lex_score
+      FROM kept q JOIN kept c
+        ON q.tok = c.tok AND q.doc_id < {HYBRID_N_QUERIES}
+       AND c.doc_id <> q.doc_id
+      GROUP BY 1, 2
+    ), lexrank AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY lex_score DESC, doc_id) AS r_lex
+      FROM lex
+    ), vec AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+             ROUND({_cosine_sql('e.embedding', 'q.embedding')}, 6) AS cv
+      FROM embeddings e JOIN embeddings q
+        ON q.vec_id < {HYBRID_N_QUERIES} AND e.vec_id <> q.vec_id
+    ), vecrank AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cv DESC, doc_id) AS r_vec
+      FROM vec
+    ), fused AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             COALESCE(1000000 // ({RRF_K} + l.r_lex), 0)
+               + COALESCE(1000000 // ({RRF_K} + v.r_vec), 0) AS rrf_q6
+      FROM lexrank l
+      FULL JOIN vecrank v
+        ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+    ), final AS (
+      SELECT query_id, doc_id, rrf_q6,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_q6 DESC, doc_id)
+               AS hybrid_rank
+      FROM fused
+    )
+    SELECT query_id, doc_id, rrf_q6, hybrid_rank
+    FROM final WHERE hybrid_rank <= {HYBRID_TOP}
+    """,
+)
+def retrieval_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the standard
+    RAG first stage: a LEXICAL ranking (distinct-token overlap over a
+    df-capped inverted index — the BM25 slot; swap in any scorer) and
+    a VECTOR ranking (exact cosine, the brute-force slot an ANN index
+    replaces at scale) are fused per query by
+    ``RRF(c) = Σ_r 1/(k + rank_r(c))`` with the standard k = 60 —
+    rank-based fusion needs no score calibration between the two
+    modalities, which is why RRF is the production default.
+
+    Determinism: RRF is computed as the all-integer
+    ``1e6 div (k + rank)`` sum of integer ranks (ranks come from
+    quantized sort keys with doc-id tie-breaks), so the fused scores
+    and the final top-k are engine-exact; a float RRF would sum
+    reciprocals order-dependently.
+
+    Plan: the lexical arm broadcasts the query batch's token set
+    against the df-capped index (one shuffle on token, one on
+    (query, doc)); the vector arm is the `sim_knn_batch` broadcast
+    scoring pass; both rank windows and the fusion join key on
+    query_id — at 100 TB each arm is the already-audited shape of its
+    family and the fusion moves only rank rows.
+    """
+    apply_engine_conf(spark)
+    from pyspark.sql import Window as W
+
+    docs = table_wide(spark, sf_dir, "documents")
+    emb = table_wide(spark, sf_dir, "embeddings")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.col("text"), " ", -1))
+        ).alias("tok"),
+    )
+    kept = (
+        toks.withColumn("df", F.count("*").over(W.partitionBy("tok")))
+        .filter(F.col("df") <= HYBRID_TOKEN_DF_CAP)
+        .drop("df")
+    )
+    qtoks = kept.filter(F.col("doc_id") < HYBRID_N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    lex = (
+        kept.join(F.broadcast(qtoks), "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("lex_score"))
+    )
+    w_lex = W.partitionBy("query_id").orderBy(
+        F.desc("lex_score"), F.asc("doc_id")
+    )
+    lexrank = lex.select(
+        "query_id", "doc_id", F.row_number().over(w_lex).alias("r_lex")
+    )
+    queries = emb.filter(F.col("vec_id") < HYBRID_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    vec = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_expr(F.col("embedding"), F.col("qvec")), 6
+            ).alias("cv"),
+        )
+    )
+    w_vec = W.partitionBy("query_id").orderBy(F.desc("cv"), F.asc("doc_id"))
+    vecrank = vec.select(
+        "query_id", "doc_id", F.row_number().over(w_vec).alias("r_vec")
+    )
+    fused = (
+        lexrank.join(vecrank, ["query_id", "doc_id"], "full")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 div ({RRF_K} + r_lex)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 div ({RRF_K} + r_vec)"), F.lit(0)
+                )
+            ).alias("rrf_q6"),
+        )
+    )
+    w_f = W.partitionBy("query_id").orderBy(F.desc("rrf_q6"), F.asc("doc_id"))
+    return (
+        fused.withColumn("hybrid_rank", F.row_number().over(w_f))
+        .filter(F.col("hybrid_rank") <= HYBRID_TOP)
+        .select("query_id", "doc_id", "rrf_q6", "hybrid_rank")
+    )

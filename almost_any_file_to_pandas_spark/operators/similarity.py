@@ -1103,3 +1103,57 @@ def sim_matryoshka_prefix_floor(
             >= int(MRL_RECALL_FLOOR * 1_000_000)
         ).alias("recall_floor_met"),
     )
+
+
+FILTERED_LABEL = 3  # attribute predicate for the filtered search
+
+
+@register(
+    "sim_filtered_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    )
+    SELECT e.vec_id, e.label,
+           ROUND({_cosine_sql('e.embedding', 'q.qvec')}, 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> {QUERY_VEC_ID} AND e.label = {FILTERED_LABEL}
+    ORDER BY ROUND({_cosine_sql('e.embedding', 'q.qvec')}, 6) DESC, e.vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-FILTERED vector search: exact cosine top-k restricted
+    to vectors with ``label = 3`` — the pre-filtered search mode every
+    production vector store is judged on (post-filtering a plain
+    top-k under-fills k whenever the predicate is selective; the
+    filter must constrain the SEARCH, not the results).
+
+    Plan: the predicate is a plain column comparison, so it reaches
+    the parquet scan as a pushed filter (plan-asserted) — at 100 TB
+    with the corpus laid out by the partition attribute (the
+    `write_range_layout` / IVF-persistence machinery in sinks.py),
+    the same predicate prunes FILES, and the scoring pass touches
+    only the selected slice. Scoring/tie-break/quantization are the
+    `sim_bruteforce_topk` contract unchanged.
+    """
+    apply_engine_conf(spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.filter(
+            (F.col("vec_id") != QUERY_VEC_ID)
+            & (F.col("label") == FILTERED_LABEL)
+        )
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine_expr(F.col("embedding"), F.col("qvec")), 6
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(TOP_K)

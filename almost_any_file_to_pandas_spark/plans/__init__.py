@@ -118,6 +118,7 @@ POST_GATE_PRIORITY = (
     "text_mix_temperature",
     "text_ngram_novelty",
     "retrieval_hybrid_rrf_topk",
+    "sim_filtered_topk",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

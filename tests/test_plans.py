@@ -733,6 +733,21 @@ def test_matryoshka_windows_share_one_exchange(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_filtered_topk_pushes_label_predicate(spark):
+    """Attribute-filtered vector search: the label predicate must
+    reach the parquet scan (pre-filtered search, not post-filtering a
+    plain top-k), and the top-k must stay TakeOrderedAndProject."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["sim_filtered_topk"](spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString() + df._sc._jvm.PythonSQLUtils.explainString(
+        qe, "formatted"
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(label,3\)", plan)
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_containment_no_quadratic_join(spark):
     """Containment pairs come from the capped in-bucket expansion —
     no cartesian/nested-loop join; the df-cap window and the bucket

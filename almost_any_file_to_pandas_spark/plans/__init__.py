@@ -119,6 +119,7 @@ POST_GATE_PRIORITY = (
     "text_ngram_novelty",
     "retrieval_hybrid_rrf_topk",
     "sim_filtered_topk",
+    "q19_disjunctive_revenue",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

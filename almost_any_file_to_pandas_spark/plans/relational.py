@@ -1847,3 +1847,62 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_revenue"
         ),
     )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE
+      (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+      OR
+      (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+      OR
+      (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-style disjunctive-predicate revenue (adapted to the
+    synthetic part schema: brand × size-range × quantity-range
+    OR-of-ANDs). The query class that separates optimizers: the
+    disjunction spans BOTH join sides, so the win is extracting the
+    single-side residuals — brand/size conditions prune the part
+    build side and the quantity envelope prunes the lineitem scan —
+    before the join, leaving the full OR as a post-join filter.
+    Spark's optimizer does exactly this (CNF conversion pushes
+    ``p_brand IN (…)``/``p_size`` to the part scan and the quantity
+    bounds to lineitem); the small filtered part side broadcasts, so
+    at 100 TB the fact table never shuffles for the join.
+
+    Revenue sums in decimal per the q1 contract.
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part), part.p_partkey == li.l_partkey
+    )
+    arm = lambda b, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(s_lo, s_hi)
+        & (F.col("l_quantity") >= q_lo)
+        & (F.col("l_quantity") <= q_hi)
+    )
+    cond = (
+        arm("Brand#1", 1, 15, 1, 21)
+        | arm("Brand#2", 10, 30, 10, 40)
+        | arm("Brand#3", 20, 50, 20, 50)
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(cond).agg(
+        F.sum(disc_price.cast("decimal(25,6)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )

@@ -36,6 +36,11 @@ QUERIES_UNDER_TEST = [
     "sim_bruteforce_topk",
     "dedup_minhash_lsh",
     "emb_pca_power_floor",
+    # round-4 additions: double-window rerank, inverted-index
+    # multiplicity scoring, rank fusion over a full outer join
+    "sim_matryoshka_prefix_floor",
+    "dedup_containment",
+    "retrieval_hybrid_rrf_topk",
 ]
 
 

@@ -1581,3 +1581,70 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(
         F.col("containment_q6") >= CONTAINMENT_THRESHOLD_Q6
     ).select("doc_a", "doc_b", "n_shared", "containment_q6")
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_SHINGLE_JACCARD_ORACLE.format(threshold=JACCARD_THRESHOLD)}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    comp AS (SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY d.n_chars DESC, c.doc_id ASC) AS pick
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, cluster_id, n_chars, pick = 1 AS is_kept
+    FROM ranked
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate survivorship: near-dup clusters keep
+    their LONGEST member (n_chars, doc-id tie-break) instead of the
+    smallest id — the policy production dedup actually ships (min-id
+    keeps an arbitrary member; keep-longest keeps the superset
+    document, which matters when near-dups are truncations or
+    quote-wrapped copies of each other; swap any quality scalar into
+    the rank). ``dedup_cluster_canonical`` remains the
+    algorithm-equivalence gate; this row pins the survivorship
+    RANKING against the same recursive-CTE cluster oracle.
+
+    Plan: verified LSH pairs → O(log n)-style label propagation →
+    one id-keyed join to the quality column (broadcast-eligible: the
+    clustered subset is far smaller than the corpus) → a per-cluster
+    row_number window over cluster-sized groups. Nothing corpus-scale
+    moves after the pair stage.
+    """
+    apply_engine_conf(spark)
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("u").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = comp.join(docs, "doc_id").withColumn(
+        "pick",
+        F.row_number().over(
+            W.partitionBy("cluster_id").orderBy(
+                F.desc("n_chars"), F.asc("doc_id")
+            )
+        ),
+    )
+    return ranked.select(
+        "doc_id",
+        "cluster_id",
+        "n_chars",
+        (F.col("pick") == 1).alias("is_kept"),
+    )

@@ -474,3 +474,77 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b")
     )
+
+
+N_EXPORT_SHARDS = 64  # output shards for the training-export manifest
+
+
+def _shard_sql(expr: str) -> str:
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        _portable_token_hash_sql,
+    )
+
+    return f"({_portable_token_hash_sql(expr)} % {N_EXPORT_SHARDS})"
+
+
+@register(
+    "pipeline_shard_manifest",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT {_shard_sql("CAST(doc_id AS VARCHAR)")} AS shard_id,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), per_shard AS (
+      SELECT shard_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM assigned GROUP BY shard_id
+    ), spread AS (
+      SELECT MAX(n_docs) AS mx, MIN(n_docs) AS mn FROM per_shard
+    )
+    SELECT p.shard_id, p.n_docs, p.n_tokens,
+           s.mx * 10 <= s.mn * 30 AS balance_ok
+    FROM per_shard p CROSS JOIN spread s
+    """,
+)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard manifest — the last step before a corpus
+    ships to a trainer: every document deterministically assigned to
+    one of ``N_EXPORT_SHARDS`` output shards by the portable md5 hash
+    of its id (reshard-stable: re-running the export reproduces the
+    identical shard membership, so downstream data-order-sensitive
+    runs are replayable), with per-shard doc/token counts and a
+    balance check (max shard ≤ 3× min — hash sharding concentrates
+    only if the hash is broken, which is exactly what the check
+    catches).
+
+    Plan: one narrow projection computes the shard key + token count,
+    one |shards|-sized aggregate, a 1-row spread fold broadcast back.
+    The actual export is ``df.repartition(N, shard_id).write`` — the
+    manifest is its audit record, and the same hash expression is the
+    partition key, so manifest and files agree by construction.
+    """
+    apply_engine_conf(spark)
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        _portable_token_hash,
+    )
+
+    docs = table_wide(spark, sf_dir, "documents")
+    assigned = docs.select(
+        (_portable_token_hash(F.col("doc_id").cast("string"))
+         % N_EXPORT_SHARDS).alias("shard_id"),
+        F.size(F.split(F.col("text"), " ", -1)).alias("n_tokens"),
+    )
+    per_shard = assigned.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    spread = per_shard.agg(
+        F.max("n_docs").alias("mx"), F.min("n_docs").alias("mn")
+    )
+    return per_shard.crossJoin(F.broadcast(spread)).select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        (F.col("mx") * 10 <= F.col("mn") * 30).alias("balance_ok"),
+    )

@@ -120,6 +120,8 @@ POST_GATE_PRIORITY = (
     "retrieval_hybrid_rrf_topk",
     "sim_filtered_topk",
     "q19_disjunctive_revenue",
+    "pipeline_shard_manifest",
+    "dedup_cluster_keep_best",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

@@ -151,3 +151,76 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_hot_keys"),
     )
+
+
+HLL_MERGE_TOL = 0.05  # union-of-daily-sketches estimate vs exact
+
+
+@register(
+    "events_hll_mergeable_rollup",
+    oracle="""
+    WITH weekly AS (
+      SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+             COUNT(DISTINCT user_id) AS exact_users,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(week AS DATE) AS week_start,
+           n_events,
+           exact_users,
+           TRUE AS merged_within_tol
+    FROM weekly
+    """,
+)
+def events_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property the whole pre-aggregated
+    cube pattern rests on: per-DAY HLL sketches (Apache DataSketches,
+    ``hll_sketch_agg``) are unioned up to per-WEEK estimates
+    (``hll_union_agg``) WITHOUT touching raw data again, and the
+    emitted boolean claims each weekly estimate lands within ±5% of
+    the exact weekly distinct (the oracle pins it TRUE with
+    independently computed exact counts — the
+    ``events_approx_distinct`` tolerance pattern, applied to MERGED
+    rather than directly-built sketches).
+
+    At 100 TB this is how distinct-user dashboards actually run: the
+    daily cube stores fixed-size sketch BLOBs once; every coarser
+    rollup (week/month/quarter, any ad-hoc date range) is a union of
+    those blobs — no re-scan, no re-shuffle of raw events, error
+    bounds preserved under union. The exact weekly count rides along
+    here as the correctness harness; production keeps only sketches.
+
+    Plan: one (day) aggregate over the corpus builds the daily
+    sketches (map-side partial merge — sketch registers combine
+    associatively), then a |days|-row union-aggregate per week; the
+    exact anchor is the standard two-phase distinct per week.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+    ).agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    merged = daily.groupBy("week_start").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("_est"),
+        F.sum("n_events").alias("n_events"),
+    )
+    exact = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start")
+    ).agg(F.count_distinct("user_id").alias("exact_users"))
+    tol = F.lit(HLL_MERGE_TOL)
+    return (
+        merged.join(exact, "week_start")
+        .select(
+            "week_start",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("_est") - F.col("exact_users"))
+                <= tol * F.col("exact_users")
+            ).alias("merged_within_tol"),
+        )
+    )

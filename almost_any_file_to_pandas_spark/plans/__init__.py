@@ -122,6 +122,7 @@ POST_GATE_PRIORITY = (
     "q19_disjunctive_revenue",
     "pipeline_shard_manifest",
     "dedup_cluster_keep_best",
+    "events_hll_mergeable_rollup",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

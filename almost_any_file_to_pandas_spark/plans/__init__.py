@@ -123,6 +123,7 @@ POST_GATE_PRIORITY = (
     "pipeline_shard_manifest",
     "dedup_cluster_keep_best",
     "events_hll_mergeable_rollup",
+    "lineitem_scd2_point_in_time",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

@@ -1906,3 +1906,80 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count("*").alias("n_lines"),
     )
+
+
+@register(
+    "lineitem_scd2_point_in_time",
+    oracle="""
+    WITH dim AS (
+      SELECT o_custkey, o_orderstatus,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS valid_to
+      FROM orders
+    ), fact AS (
+      SELECT l.l_shipdate, l.l_extendedprice, l.l_discount, o.o_custkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT d.o_orderstatus AS status_at_ship,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(f.l_extendedprice * (1 - f.l_discount)
+                         AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM fact f JOIN dim d
+      ON d.o_custkey = f.o_custkey
+     AND f.l_shipdate >= d.valid_from
+     AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+    GROUP BY d.o_orderstatus
+    """,
+)
+def lineitem_scd2_point_in_time(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-time (PIT) dimension join — the query SCD2 histories
+    exist to answer: each shipped lineitem joined to the customer-
+    status VERSION that was valid at its ship date (not the current
+    one — "as-was" reporting), rolled up to revenue per
+    status-at-ship. The dimension is the same windowed interval build
+    as :func:`orders_status_scd2`.
+
+    Plan shape at 100 TB: the interval predicate rides on an EQUI
+    join key (the dimension's natural key, o_custkey), so Spark plans
+    a plain hash join with the BETWEEN as a residual filter — per-key
+    interval counts are small (a customer's version history), so the
+    residual scan per probe row is bounded; no non-equi explosion, no
+    nested loop (the trap a bare interval join falls into, cf. the
+    binned range join for the keyless case). One extra shuffle
+    attaches custkey to lineitem via the orderkey join first.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    fact = li.select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    ).join(
+        orders.select("o_orderkey", "o_custkey"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    joined = fact.join(
+        dim,
+        (fact.o_custkey == dim.o_custkey)
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("l_shipdate") < F.col("valid_to"))),
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy(
+        F.col("o_orderstatus").alias("status_at_ship")
+    ).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(disc_price.cast("decimal(25,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )

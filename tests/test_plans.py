@@ -748,6 +748,18 @@ def test_filtered_topk_pushes_label_predicate(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_pit_join_is_equi_hash_join(spark):
+    """The SCD2 point-in-time join must ride the o_custkey EQUI key
+    with the interval predicate as a residual filter — never a
+    nested-loop/cartesian over the interval condition."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["lineitem_scd2_point_in_time"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_containment_no_quadratic_join(spark):
     """Containment pairs come from the capped in-bucket expansion —
     no cartesian/nested-loop join; the df-cap window and the bucket

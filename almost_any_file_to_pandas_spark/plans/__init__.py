@@ -124,6 +124,8 @@ POST_GATE_PRIORITY = (
     "dedup_cluster_keep_best",
     "events_hll_mergeable_rollup",
     "lineitem_scd2_point_in_time",
+    "orders_rolling_7d_revenue",
+    "events_user_type_gini",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

@@ -1983,3 +1983,56 @@ def lineitem_scd2_point_in_time(
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "orders_rolling_7d_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           n_orders,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(SUM(revenue) OVER (
+             ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS revenue_7d
+    FROM daily
+    """,
+)
+def orders_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue per day — the rolling dashboard metric.
+
+    The frame is a time-RANGE window (calendar-aware: gaps in the
+    day spine shorten the trailing sum correctly, unlike a ROWS
+    frame), computed over the DAILY AGGREGATE — the corpus pays one
+    (day)-keyed aggregate with map-side partials, and the
+    single-partition ordered window runs over calendar-sized rows
+    (~365/year at ANY corpus scale), the same boundedness argument as
+    the dense month spine. Running a global window over raw orders
+    instead would single-thread the corpus — the anti-pattern this
+    restatement exists to avoid. Decimal accumulation end to end;
+    doubles only at the output boundary (the q1 contract).
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("revenue"),
+    )
+    w = (
+        W.orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.sum("revenue").over(w).cast("double").alias("revenue_7d"),
+    )

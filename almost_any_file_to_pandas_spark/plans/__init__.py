@@ -126,6 +126,7 @@ POST_GATE_PRIORITY = (
     "lineitem_scd2_point_in_time",
     "orders_rolling_7d_revenue",
     "events_user_type_gini",
+    "part_supplier_concentration_hhi",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

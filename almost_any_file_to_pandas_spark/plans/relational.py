@@ -2036,3 +2036,61 @@ def orders_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").cast("double").alias("revenue"),
         F.sum("revenue").over(w).cast("double").alias("revenue_7d"),
     )
+
+
+@register(
+    "part_supplier_concentration_hhi",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey, l_suppkey, COUNT(*) AS c
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), agg AS (
+      SELECT l_partkey,
+             SUM(c) AS n_lines,
+             COUNT(*) AS n_suppliers,
+             SUM(CAST(c AS DECIMAL(38,0)) * c) AS sum_c2
+      FROM per GROUP BY l_partkey
+    )
+    SELECT l_partkey,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST((CAST(sum_c2 AS HUGEINT) * 1000000)
+                // (CAST(n_lines AS HUGEINT) * n_lines)
+                AS BIGINT) AS hhi_q6
+    FROM agg
+    """,
+)
+def part_supplier_concentration_hhi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supply-concentration audit: per part, the Herfindahl–Hirschman
+    index of its supplier line-share distribution — ``Σᵢ pᵢ²``, the
+    standard concentration metric (1e6 = single-supplier part, a
+    sourcing risk; → 1/k for k balanced suppliers). The Gini-impurity
+    complement of `events_user_type_gini`, and the same EXACT-integer
+    recipe: ``hhi_q6 = (Σc²·1e6) div n²`` with HUGEINT-widened
+    products — never a float share, and integer-typed ``div``
+    operands on both engines (DuckDB's DECIMAL ``//`` round-then-
+    floors; see the gini docstring).
+
+    Plan: one (part, supplier) aggregate with map-side partials, one
+    per-part rollup on the part-prefixed key — the two-level rollup
+    every concentration/diversity metric compiles to.
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(F.count("*").alias("c"))
+    agg = per.groupBy("l_partkey").agg(
+        F.sum("c").alias("n_lines"),
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("sum_c2"),
+    )
+    return agg.select(
+        "l_partkey",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        F.expr(
+            "CAST((sum_c2 * 1000000) div "
+            "(CAST(n_lines AS DECIMAL(38,0)) * n_lines) AS BIGINT)"
+        ).alias("hhi_q6"),
+    )

@@ -162,13 +162,19 @@ TARGET_ENCODE_ALPHA = 20  # smoothing pseudo-count toward the global mean
       SELECT c.c_mktsegment, CAST(o.o_totalprice AS DECIMAL(25,6)) AS t
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ), gprior AS (
-      SELECT CAST(SUM(t) AS DOUBLE) / COUNT(*) AS prior_mean FROM joined
+      SELECT SUM(CAST(t * 1000000 AS HUGEINT)) AS gsum_u,
+             COUNT(*) AS gn
+      FROM joined
     )
+    -- all-integer shrunk mean in micros (house _q6 recipe):
+    -- (Σs + α·Σg/Ng)/(ns+α) = (Σs·Ng + α·Σg) / (Ng·(ns+α)),
+    -- every term an exact HUGEINT — no float ever enters the output
     SELECT c_mktsegment,
            COUNT(*) AS n_orders,
-           ROUND((CAST(SUM(t) AS DOUBLE)
-                  + ANY_VALUE(prior_mean) * {TARGET_ENCODE_ALPHA})
-                 / (COUNT(*) + {TARGET_ENCODE_ALPHA}), 6) AS target_enc
+           CAST((SUM(CAST(t * 1000000 AS HUGEINT)) * ANY_VALUE(gn)
+                 + {TARGET_ENCODE_ALPHA} * ANY_VALUE(gsum_u))
+                // (ANY_VALUE(gn) * (COUNT(*) + {TARGET_ENCODE_ALPHA}))
+                AS BIGINT) AS target_enc_q6
     FROM joined CROSS JOIN gprior
     GROUP BY c_mktsegment
     """,
@@ -194,23 +200,21 @@ def feat_segment_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = orders.join(
         F.broadcast(cust), orders.o_custkey == cust.c_custkey
     ).select("c_mktsegment", t.alias("t"))
+    micros = F.expr("CAST(t * 1000000 AS DECIMAL(38,0))")
     glob = joined.agg(
-        (F.sum("t").cast("double") / F.count("*")).alias("prior_mean")
+        F.sum(micros).alias("gsum_u"), F.count("*").alias("gn")
     )
     per_seg = joined.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n_orders"), F.sum("t").alias("_sum")
+        F.count("*").alias("n_orders"), F.sum(micros).alias("_sum_u")
     )
     return per_seg.crossJoin(F.broadcast(glob)).select(
         "c_mktsegment",
         "n_orders",
-        F.round(
-            (
-                F.col("_sum").cast("double")
-                + F.col("prior_mean") * F.lit(TARGET_ENCODE_ALPHA)
-            )
-            / (F.col("n_orders") + F.lit(TARGET_ENCODE_ALPHA)),
-            6,
-        ).alias("target_enc"),
+        F.expr(
+            f"CAST((_sum_u * gn + {TARGET_ENCODE_ALPHA} * gsum_u)"
+            f" div (gn * (n_orders + {TARGET_ENCODE_ALPHA}))"
+            " AS BIGINT)"
+        ).alias("target_enc_q6"),
     )
 
 

@@ -265,8 +265,11 @@ def events_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bi GROUP BY pair.src, pair.dst
     )
     SELECT src_type, dst_type, n_transitions,
-           ROUND(n_transitions / CAST(SUM(n_transitions) OVER (
-             PARTITION BY src_type) AS DOUBLE), 6) AS prob
+           -- all-integer row probability (house _q6 recipe,
+           -- HUGEINT-widened product)
+           CAST((CAST(n_transitions AS HUGEINT) * 1000000)
+                // SUM(n_transitions) OVER (PARTITION BY src_type)
+                AS BIGINT) AS prob_q6
     FROM counts
     """,
 )
@@ -315,9 +318,9 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_type",
         "dst_type",
         "n_transitions",
-        F.round(
-            F.col("n_transitions")
-            / F.sum("n_transitions").over(w).cast("double"),
-            6,
-        ).alias("prob"),
+        F.expr(
+            "CAST(CAST(n_transitions AS DECIMAL(38,0)) * 1000000 div"
+            " SUM(n_transitions) OVER (PARTITION BY src_type)"
+            " AS BIGINT)"
+        ).alias("prob_q6"),
     )

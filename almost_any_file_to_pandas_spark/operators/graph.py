@@ -37,23 +37,25 @@ EDGE_FACTOR = 2.0  # edge iff co-count > EDGE_FACTOR * mean co-count
 # is encoded in the oracle CTE (hours HAVING COUNT BETWEEN 2 AND cap)
 # — both engines compute the identical capped graph by construction,
 # and the cap is an explicit, documented model parameter rather than a
-# silent engine-side divergence. Dropped hours are observable via
-# _count_oversize_hours (logged by callers that care).
+# silent engine-side divergence. Dropped hours are an OUTPUT COLUMN
+# (n_capped_hours in the triangle census, via _oversize_hours) so a
+# capped dense hour is visible in every gate run, never silent.
 _HOURS_OK_SQL = f"""
       SELECT h FROM cells GROUP BY h
       HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET_SIZE}
 """
 
 
-def _count_oversize_hours(cells: DataFrame) -> int:
-    """Number of hour buckets the skew cap excludes from the graph —
-    the observability hook for the documented cap: callers log it so a
-    capped dense hour is a visible modeling decision, never silent."""
+def _oversize_hours(cells: DataFrame) -> DataFrame:
+    """One-row frame counting the hour buckets the skew cap excludes
+    from the graph — the observability hook for the documented cap,
+    emitted as the census column ``n_capped_hours`` so a capped dense
+    hour is a visible modeling decision, never silent."""
     return (
         cells.groupBy("h")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > MAX_BUCKET_SIZE)
-        .count()
+        .agg(F.count("*").alias("n_capped_hours"))
     )
 
 
@@ -82,7 +84,11 @@ def _count_oversize_hours(cells: DataFrame) -> int:
     SELECT (SELECT COUNT(DISTINCT user_id) FROM cells) AS n_active_users,
            (SELECT COUNT(*) FROM pair_counts) AS n_copairs,
            (SELECT COUNT(*) FROM edges) AS n_edges,
-           n_triangles
+           n_triangles,
+           (SELECT COUNT(*) FROM (
+              SELECT h FROM cells GROUP BY h
+              HAVING COUNT(*) > {MAX_BUCKET_SIZE}
+           )) AS n_capped_hours
     FROM triangles
     """,
 )
@@ -141,6 +147,7 @@ def events_cooccurrence_triangles(
         n_users.crossJoin(n_copairs)
         .crossJoin(n_edges)
         .crossJoin(triangles)
+        .crossJoin(_oversize_hours(cells))
     )
 
 

@@ -926,8 +926,10 @@ KNN_EVAL_N = 50  # anchors in the leave-one-out label-accuracy eval
     SELECT COUNT(*) AS n_anchors,
            SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
              AS n_correct,
-           ROUND(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+           -- all-integer share (the house _q6 recipe), never a
+           -- ROUND-ed float division
+           (SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            * 1000000) // COUNT(*) AS accuracy_q6
     FROM ranked WHERE rnk = 1
     """,
 )
@@ -977,9 +979,10 @@ def sim_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top1.agg(
         F.count("*").alias("n_anchors"),
         F.sum(hit).alias("n_correct"),
-        F.round(F.sum(hit) / F.count("*").cast("double"), 6).alias(
-            "accuracy"
-        ),
+        F.expr(
+            "sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*)"
+        ).alias("accuracy_q6"),
     )
 
 

@@ -112,8 +112,12 @@ SKEW_HOT_RATIO = 2.0  # a key is "hot" above ratio × mean count
     SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
            CAST(SUM(n) AS BIGINT) AS n_rows,
            CAST(MAX(n) AS BIGINT) AS max_n,
-           ROUND(AVG(n), 6) AS avg_n,
-           ROUND(MAX(n) / AVG(n), 6) AS skew_ratio,
+           -- all-integer mean and ratio (house _q6 recipe,
+           -- HUGEINT-widened products)
+           CAST((CAST(SUM(n) AS HUGEINT) * 1000000) // COUNT(*)
+                AS BIGINT) AS avg_n_q6,
+           CAST((CAST(MAX(n) AS HUGEINT) * COUNT(*) * 1000000)
+                // SUM(n) AS BIGINT) AS skew_ratio_q6,
            CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_n,
            CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_n,
            CAST(COUNT(*) FILTER (
@@ -143,8 +147,14 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_keys"),
         F.sum("n").cast("bigint").alias("n_rows"),
         F.max("n").cast("bigint").alias("max_n"),
-        F.round(F.avg("n"), 6).alias("avg_n"),
-        F.round(F.max("n") / F.avg("n"), 6).alias("skew_ratio"),
+        F.expr(
+            "CAST(CAST(SUM(n) AS DECIMAL(38,0)) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("avg_n_q6"),
+        F.expr(
+            "CAST(CAST(MAX(n) AS DECIMAL(38,0)) * COUNT(*) * 1000000"
+            " div SUM(n) AS BIGINT)"
+        ).alias("skew_ratio_q6"),
         pcts[0].cast("bigint").alias("p50_n"),
         pcts[1].cast("bigint").alias("p99_n"),
         F.count_if(F.col("n") > SKEW_HOT_RATIO * F.lit(avg_n))

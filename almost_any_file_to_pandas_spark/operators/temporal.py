@@ -307,15 +307,18 @@ def events_range_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
              date_part('hour', ts) AS hour_of_day,
              COUNT(*) AS n_events,
              COUNT(DISTINCT user_id) AS n_users,
-             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+             SUM(CAST(value AS DECIMAL(25,6))) AS sum_value
       FROM events GROUP BY 1, 2
     )
     SELECT CAST(day_of_week AS INT) AS day_of_week,
            CAST(hour_of_day AS INT) AS hour_of_day,
            n_events, n_users,
-           ROUND(sum_value, 2) AS sum_value,
-           ROUND(n_events / CAST(SUM(n_events) OVER () AS DOUBLE), 6)
-             AS share
+           -- exact integer cents / all-integer share (house recipe):
+           -- ROUND over a decimal->double sum is the banned class
+           CAST(FLOOR(sum_value * 100 + 0.5) AS BIGINT)
+             AS sum_value_cents,
+           CAST((CAST(n_events AS HUGEINT) * 1000000)
+                // SUM(n_events) OVER () AS BIGINT) AS share_q6
     FROM cells
     """,
 )
@@ -341,9 +344,7 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.sum(F.col("value").cast("decimal(25,6)"))
-        .cast("double")
-        .alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("sum_value"),
     )
     w = W.partitionBy(F.pmod(F.col("n_events"), F.lit(1)))
     return cells.select(
@@ -351,10 +352,14 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_of_day",
         "n_events",
         "n_users",
-        F.round("sum_value", 2).alias("sum_value"),
-        F.round(
-            F.col("n_events") / F.sum("n_events").over(w).cast("double"), 6
-        ).alias("share"),
+        F.floor(F.col("sum_value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("sum_value_cents"),
+        F.expr(
+            "CAST(CAST(n_events AS DECIMAL(38,0)) * 1000000 div"
+            " SUM(n_events) OVER (PARTITION BY n_events % 1)"
+            " AS BIGINT)"
+        ).alias("share_q6"),
     )
 
 
@@ -772,8 +777,10 @@ def orders_monthly_dense_spine(
            COUNT(gap_s) AS n_gaps,
            CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
            CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
-           ROUND(CAST(SUM(CAST(gap_s AS DECIMAL(25,6))) AS DOUBLE)
-                 / COUNT(gap_s), 6) AS mean_gap_s
+           -- all-integer mean (house _q6 recipe): gaps are exact
+           -- integer seconds, so sum*1e6 div n needs no floats
+           (CAST(SUM(gap_s) AS BIGINT) * 1000000) // COUNT(gap_s)
+             AS mean_gap_s_q6
     FROM gaps WHERE gap_s IS NOT NULL
     GROUP BY user_id
     """,
@@ -788,7 +795,7 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning the sessionizer uses), then a per-user aggregate that
     reuses the window's partitioning — Catalyst plans no second
     exchange. Gap seconds are exact integers (epoch-second
-    subtraction); the mean divides a decimal sum, order-independent.
+    subtraction); the mean is the all-integer _q6 recipe.
     """
     apply_engine_conf(spark)
     ev = table(spark, sf_dir, "events")
@@ -804,11 +811,9 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("gap_s").alias("n_gaps"),
         F.min("gap_s").cast("bigint").alias("min_gap_s"),
         F.max("gap_s").cast("bigint").alias("max_gap_s"),
-        F.round(
-            F.sum(F.col("gap_s").cast("decimal(25,6)")).cast("double")
-            / F.count("gap_s"),
-            6,
-        ).alias("mean_gap_s"),
+        F.expr("sum(gap_s) * 1000000 div count(gap_s)").alias(
+            "mean_gap_s_q6"
+        ),
     )
 
 

@@ -319,9 +319,13 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           ROUND(COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM documents), 6)
-             AS corpus_share,
-           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+           -- all-integer shares (house _q6 recipe; HUGEINT-widened
+           -- products — sum_chars*1e6 overflows int64 at ~9e12 chars)
+           CAST((CAST(COUNT(*) AS HUGEINT) * 1000000)
+                // (SELECT COUNT(*) FROM documents) AS BIGINT)
+             AS corpus_share_q6,
+           CAST((CAST(SUM(n_chars) AS HUGEINT) * 1000000) // COUNT(*)
+                AS BIGINT) AS avg_chars_q6,
            COUNT(DISTINCT lang) AS n_langs
     FROM documents GROUP BY source
     """,
@@ -334,9 +338,9 @@ def text_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     One hash shuffle on ``source`` with map-side partials; the corpus
     share divides by a window total computed over the *aggregated*
     rows (cardinality = n_sources, thousands at most — the unbounded
-    window never sees document-cardinality data). Mean length is
-    exact-integer sum / count, double-divided identically in both
-    engines.
+    window never sees document-cardinality data). Shares and mean
+    length are all-integer (the house _q6 recipe, DECIMAL(38,0)/
+    HUGEINT-widened products) — no float division in the output.
     """
     apply_engine_conf(spark)
     from pyspark.sql import Window as W
@@ -348,13 +352,17 @@ def text_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("lang")).alias("n_langs"),
     )
     total = F.sum("n_docs").over(W.partitionBy())
-    return agg.select(
+    return agg.withColumn("_total", total).select(
         "source",
         "n_docs",
-        F.round(F.col("n_docs") / total, 6).alias("corpus_share"),
-        F.round(F.col("_sum_chars").cast("double") / F.col("n_docs"), 6).alias(
-            "avg_chars"
-        ),
+        F.expr(
+            "CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000"
+            " div _total AS BIGINT)"
+        ).alias("corpus_share_q6"),
+        F.expr(
+            "CAST(CAST(_sum_chars AS DECIMAL(38,0)) * 1000000"
+            " div n_docs AS BIGINT)"
+        ).alias("avg_chars_q6"),
         "n_langs",
     )
 
@@ -462,10 +470,12 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(SUM(cnt) AS BIGINT) AS n_words,
            COUNT(*) AS n_distinct,
-           ROUND(1 - COUNT(*)::DOUBLE / CAST(SUM(cnt) AS BIGINT), 6)
-             AS dup_word_ratio,
-           ROUND(MAX(cnt)::DOUBLE / CAST(SUM(cnt) AS BIGINT), 6)
-             AS top_word_fraction
+           -- all-integer ratios (house _q6 recipe); per-doc counts
+           -- keep the products far inside int64
+           ((CAST(SUM(cnt) AS BIGINT) - COUNT(*)) * 1000000)
+             // CAST(SUM(cnt) AS BIGINT) AS dup_word_ratio_q6,
+           (MAX(cnt) * 1000000) // CAST(SUM(cnt) AS BIGINT)
+             AS top_word_fraction_q6
     FROM c GROUP BY doc_id
     """,
 )
@@ -494,8 +504,12 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.groupBy("doc_id").agg(
         F.sum("cnt").alias("n_words"),
         F.count("*").alias("n_distinct"),
-        F.round(1 - F.count("*") / F.sum("cnt"), 6).alias("dup_word_ratio"),
-        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_word_fraction"),
+        F.expr("(sum(cnt) - count(*)) * 1000000 div sum(cnt)").alias(
+            "dup_word_ratio_q6"
+        ),
+        F.expr("max(cnt) * 1000000 div sum(cnt)").alias(
+            "top_word_fraction_q6"
+        ),
     )
 
 
@@ -523,8 +537,13 @@ QF_MAX_TOP_FRACTION = 0.2
     )
     SELECT t.doc_id,
            t.n_words,
-           ROUND(1 - t.n_distinct::DOUBLE / t.n_words, 6) AS dup_word_ratio,
-           ROUND(topw.top_cnt::DOUBLE / t.n_words, 6) AS top_word_fraction,
+           -- reported ratios are all-integer (house _q6 recipe); the
+           -- keep DECISION stays the float comparison — a single IEEE
+           -- division is correctly rounded on both engines, and
+           -- pipeline_corpus_prep (frozen gate row) composes it
+           ((t.n_words - t.n_distinct) * 1000000) // t.n_words
+             AS dup_word_ratio_q6,
+           (topw.top_cnt * 1000000) // t.n_words AS top_word_fraction_q6,
            (t.n_words >= {QF_MIN_WORDS}
             AND 1 - t.n_distinct::DOUBLE / t.n_words <= {QF_MAX_DUP_RATIO}
             AND topw.top_cnt::DOUBLE / t.n_words <= {QF_MAX_TOP_FRACTION})
@@ -562,19 +581,27 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("cnt").alias("top_cnt"))
     )
-    dup = 1 - F.col("n_distinct") / F.col("n_words")
-    top = F.col("top_cnt") / F.col("n_words")
     return (
         base.join(topw, "doc_id")
         .select(
             "doc_id",
             "n_words",
-            F.round(dup, 6).alias("dup_word_ratio"),
-            F.round(top, 6).alias("top_word_fraction"),
+            F.expr(
+                "(n_words - n_distinct) * 1000000 div n_words"
+            ).alias("dup_word_ratio_q6"),
+            F.expr("top_cnt * 1000000 div n_words").alias(
+                "top_word_fraction_q6"
+            ),
             (
                 (F.col("n_words") >= QF_MIN_WORDS)
-                & (dup <= QF_MAX_DUP_RATIO)
-                & (top <= QF_MAX_TOP_FRACTION)
+                & (
+                    1 - F.col("n_distinct") / F.col("n_words")
+                    <= QF_MAX_DUP_RATIO
+                )
+                & (
+                    F.col("top_cnt") / F.col("n_words")
+                    <= QF_MAX_TOP_FRACTION
+                )
             ).alias("keep"),
         )
     )
@@ -1058,8 +1085,10 @@ def text_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pred GROUP BY labeled_lang, predicted_lang
     )
     SELECT labeled_lang, predicted_lang, n_docs,
-           ROUND(n_docs / CAST(SUM(n_docs) OVER (
-             PARTITION BY labeled_lang) AS DOUBLE), 6) AS row_frac
+           -- all-integer row share (house _q6 recipe, HUGEINT-widened)
+           CAST((CAST(n_docs AS HUGEINT) * 1000000)
+                // SUM(n_docs) OVER (PARTITION BY labeled_lang)
+                AS BIGINT) AS row_frac_q6
     FROM cells
     """,
 )
@@ -1088,9 +1117,10 @@ def text_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "labeled_lang",
         "predicted_lang",
         "n_docs",
-        F.round(
-            F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6
-        ).alias("row_frac"),
+        F.expr(
+            "CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 div"
+            " SUM(n_docs) OVER (PARTITION BY labeled_lang) AS BIGINT)"
+        ).alias("row_frac_q6"),
     )
 
 
@@ -1443,7 +1473,11 @@ MIX_BUDGET_DEN = 2  # keep ~half the corpus, temperature-reweighted
       GROUP BY d.source
     )
     SELECT r.source, r.n_docs,
-           (r.w_q * 1000000) // (SELECT sum_wq FROM tot)
+           -- HUGEINT-widened product (the gini/hhi recipe): w_q*1e6
+           -- in BIGINT overflows past ~8.5e13 docs per source, and
+           -- Spark (wrap) vs DuckDB (error) diverge on overflow
+           CAST((CAST(r.w_q AS HUGEINT) * 1000000)
+                // (SELECT sum_wq FROM tot) AS BIGINT)
              AS weight_share_q6,
            COALESCE(k.n_kept, 0) AS n_kept
     FROM rates r LEFT JOIN kept k ON r.source = k.source
@@ -1512,7 +1546,10 @@ def text_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_docs",
-            F.expr("w_q * 1000000 div sum_wq").alias("weight_share_q6"),
+            F.expr(
+                "CAST(CAST(w_q AS DECIMAL(38,0)) * 1000000"
+                " div sum_wq AS BIGINT)"
+            ).alias("weight_share_q6"),
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         )
     )

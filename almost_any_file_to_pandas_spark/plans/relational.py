@@ -729,7 +729,10 @@ def exact_disc_quantiles(
     target's (target − rows_before)-th smallest in ONE batched pass —
     a window partitioned BY RANGE ID over the union of the tiny
     ranges (≤ targets·TAIL shuffled rows; never a global or
-    single-partition window). Every range filter is a plain
+    single-partition window). A target that hits the ulp freeze
+    (its range stopped narrowing) is excluded from that window and
+    resolved by a per-target TakeOrderedAndProject heap instead, so
+    the bound holds even when the frozen range exceeds TAIL rows. Every range filter is a plain
     comparison on the raw column, so it pushes to the parquet scan
     and later passes read a shrinking fraction of the data. A skewed bucket (all rows one repeated value)
     collapses to lo == hi and resolves directly.
@@ -833,9 +836,12 @@ def exact_disc_quantiles(
             inside = int(probe_row[f"inside_{idx}"] or 0)
             if not (below < r <= below + inside):
                 # ulp edge case: stop refining, resolve within the
-                # current range (in_range=0 just ends this target's
-                # passes; the final step uses lo/hi/rows_before)
-                state[r] = [lo, hi, state[r][2], 0]
+                # current range (in_range=-1 marks it FROZEN: the
+                # range may hold far more than TAIL rows, so the
+                # final step must NOT window it — it gets a heap
+                # extraction instead, preserving the ≤ targets·TAIL
+                # shuffle bound of the batched path)
+                state[r] = [lo, hi, state[r][2], -1]
                 continue
             state[r] = [new_lo, new_hi, below, inside]
     # Batched final extraction: ONE pass takes every target's k-th
@@ -847,8 +853,32 @@ def exact_disc_quantiles(
     # shuffled volume is ≤ targets·TAIL rows total.
     from pyspark.sql import Window as _W
 
+    # Frozen (ulp-edge) targets resolve via TakeOrderedAndProject
+    # heaps — their range was never narrowed to ≤ TAIL rows, so the
+    # row_number window below would otherwise pull the whole range
+    # into one partition. Freezes are rare by construction (a bucket
+    # boundary disagreeing with the probe by an ulp), so one small
+    # heap job per frozen target is cheap and keeps the batched
+    # path's documented ≤ targets·TAIL shuffle bound intact.
+    frozen_vals = {}
+    for r, (lo, hi, rows_before, in_range) in state.items():
+        if in_range != -1:
+            continue
+        k = max(r - rows_before, 1)
+        row = (
+            df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+            .select(F.col(col).alias("_qv"))
+            .orderBy(F.asc("_qv"))
+            .limit(int(k))
+            .agg(F.max("_qv").alias("v"))
+            .first()
+        )
+        frozen_vals[r] = float(row["v"]) if row["v"] is not None else hi
+
     jobs = {}  # (lo, hi) -> {rank: k}
-    for r, (lo, hi, rows_before, _) in state.items():
+    for r, (lo, hi, rows_before, in_range) in state.items():
+        if in_range == -1:
+            continue
         jobs.setdefault((lo, hi), {})[r] = max(r - rows_before, 1)
     range_rows = []
     want_rows = []
@@ -856,6 +886,9 @@ def exact_disc_quantiles(
         range_rows.append((rid, lo, hi))
         for r, k in ranks.items():
             want_rows.append((rid, k, r))
+    if not range_rows:  # every target hit the ulp freeze path
+        vals = dict(frozen_vals)
+        return {q: vals[targets[q]] for q in qs}
     matches = F.filter(
         F.array(
             *[
@@ -902,7 +935,7 @@ def exact_disc_quantiles(
     for (rid, rn), (v, cnt) in by_pos.items():
         if rn == cnt:
             last[rid] = v
-    vals = {}
+    vals = dict(frozen_vals)
     for rid, k, r in want_rows:
         hit = by_pos.get((rid, k))
         vals[r] = hit[0] if hit is not None else last[rid]
@@ -1206,8 +1239,10 @@ DECILE_QS = tuple(round(0.1 * i, 1) for i in range(1, 10))
            COUNT(*) AS n_orders,
            ROUND(MIN(v), 2) AS min_value,
            ROUND(MAX(v), 2) AS max_value,
-           ROUND(CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE), 2)
-             AS sum_value
+           -- integer cents of the exact decimal sum (house recipe):
+           -- ROUND(CAST(sum AS DOUBLE), 2) is the banned fragile class
+           CAST(FLOOR(SUM(CAST(v AS DECIMAL(25,6))) * 100 + 0.5)
+                AS BIGINT) AS sum_value_cents
     FROM binned
     GROUP BY decile
     """,
@@ -1243,9 +1278,11 @@ def order_value_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.round(F.min("v"), 2).alias("min_value"),
             F.round(F.max("v"), 2).alias("max_value"),
-            F.round(
-                F.sum(F.col("v").cast("decimal(25,6)")).cast("double"), 2
-            ).alias("sum_value"),
+            F.floor(
+                F.sum(F.col("v").cast("decimal(25,6)")) * 100 + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("sum_value_cents"),
         )
     )
 
@@ -1561,8 +1598,10 @@ RFM_REF_DATE = "1998-12-31"
     )
     SELECT r_bin, f_bin, m_bin,
            COUNT(*) AS n_customers,
-           ROUND(CAST(SUM(CAST(monetary AS DECIMAL(25,6))) AS DOUBLE), 2)
-             AS total_monetary
+           -- integer cents of the exact decimal sum (house recipe):
+           -- ROUND(CAST(sum AS DOUBLE), 2) is the banned fragile class
+           CAST(FLOOR(SUM(CAST(monetary AS DECIMAL(25,6))) * 100 + 0.5)
+                AS BIGINT) AS total_monetary_cents
     FROM scored
     GROUP BY r_bin, f_bin, m_bin
     """,
@@ -1615,12 +1654,12 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_bin", "f_bin", "m_bin")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(
-                F.sum(F.col("monetary").cast("decimal(25,6)")).cast(
-                    "double"
-                ),
-                2,
-            ).alias("total_monetary"),
+            F.floor(
+                F.sum(F.col("monetary").cast("decimal(25,6)")) * 100
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("total_monetary_cents"),
         )
     )
 
@@ -1792,10 +1831,13 @@ def orders_incremental_agg_merge(
     )
     SELECT CAST(cohort_month AS VARCHAR) AS cohort_month, age_months,
            n_orders,
-           ROUND(CAST(SUM(rev) OVER (
+           -- integer cents, not ROUND(double): the running decimal
+           -- sum is exact and o_totalprice has 2 decimals, so ×100
+           -- is integer-valued — no float ever enters the output
+           CAST(FLOOR(SUM(rev) OVER (
              PARTITION BY cohort_month ORDER BY age_months
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE), 2) AS cum_revenue
+           ) * 100 + 0.5) AS BIGINT) AS cum_revenue_cents
     FROM cells
     """,
 )
@@ -1811,8 +1853,10 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     only corpus-keyed shuffle; the cumulative window runs over the
     cohort × age CELL table (months², never row-scale) partitioned by
     cohort — no global window. Decimal sums keep the running revenue
-    hash-exact; the cast to VARCHAR pins month rendering across
-    engines.
+    exact, and the output is integer CENTS (sum·100 is exactly
+    integer-valued since o_totalprice has 2 decimals) — the fragile
+    ROUND(double,2) class is banned from registered outputs; the
+    cast to VARCHAR pins month rendering across engines.
     """
     apply_engine_conf(spark)
     orders = table(spark, sf_dir, "orders")
@@ -1843,9 +1887,9 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohort_month").cast("string").alias("cohort_month"),
         "age_months",
         "n_orders",
-        F.round(F.sum("rev").over(w).cast("double"), 2).alias(
-            "cum_revenue"
-        ),
+        F.floor(F.sum("rev").over(w) * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cum_revenue_cents"),
     )
 
 

@@ -163,8 +163,12 @@ def read_pdf_many(spark: SparkSession, paths) -> ParseResult:
     # never-raise covers the degenerate inputs too: an empty list, a
     # missing directory, or a glob matching nothing makes binaryFile's
     # load raise AnalysisException at plan time — exactly the inputs
-    # the per-file path degrades gracefully on, so catch and return a
-    # failed empty ParseResult instead (parse() facade contract)
+    # the per-file path degrades gracefully on, so catch THAT class
+    # and return a failed empty ParseResult (parse() facade contract).
+    # Anything else (broken session, py4j fault, misconfiguration) is
+    # a real bug and propagates — a silent empty parse would mask it.
+    from pyspark.errors import AnalysisException
+
     try:
         if isinstance(paths, (list, tuple)):
             reader = spark.read.format("binaryFile").load(
@@ -173,7 +177,7 @@ def read_pdf_many(spark: SparkSession, paths) -> ParseResult:
         else:
             reader = spark.read.format("binaryFile").load(str(paths))
         reader.schema  # force plan-time path resolution here, not later
-    except Exception:
+    except (AnalysisException, ValueError):
         from pyspark.sql import types as T
 
         return ParseResult(

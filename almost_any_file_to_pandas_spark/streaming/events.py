@@ -345,8 +345,12 @@ def events_sliding_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_events,
            SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
-             AS avg_k
+           -- all-integer mean over non-null k (house _q6 recipe,
+           -- HUGEINT-widened; COUNT(k) matches AVG's null-skip)
+           CAST((CAST(SUM(CAST(json_extract_string(props, '$.k')
+                             AS BIGINT)) AS HUGEINT) * 1000000)
+                // COUNT(json_extract_string(props, '$.k'))
+                AS BIGINT) AS avg_k_q6
     FROM events GROUP BY event_type
     """,
 )
@@ -369,7 +373,16 @@ def events_props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(k).alias("sum_k"),
-        F.round(F.avg(k), 6).alias("avg_k"),
+        (
+            (F.sum(k).cast("decimal(38,0)") * 1000000)
+            .cast("decimal(38,0)")
+        ).alias("_num_k"),
+        F.count(k).alias("_den_k"),
+    ).select(
+        "event_type",
+        "n_events",
+        "sum_k",
+        F.expr("CAST(_num_k div _den_k AS BIGINT)").alias("avg_k_q6"),
     )
 
 

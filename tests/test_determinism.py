@@ -116,6 +116,64 @@ def test_no_rounded_transcendentals_in_oracles():
     assert not bad, f"ROUND over transcendental in oracles: {bad}"
 
 
+# ROUND over an aggregate sum/count/avg (decimal→double casts of sums,
+# float-division ratios): the value under the ROUND depends on a
+# division or a widening cast whose last-ulp byte form is engine-
+# sensitive, and Spark's HALF_UP-over-exact-BigDecimal vs DuckDB's
+# multiply-based rounding can split on representational ties. The
+# house recipe is an all-integer quantization instead:
+# ``(x·10^k) div y`` (DECIMAL(38,0)/HUGEINT-widened products), or
+# exact integer cents ``FLOOR(dec·100 + 0.5)``.
+#
+# Explicit exemptions (each must be driver-proven green):
+# - the cosine/Jaccard similarity families (args contain list_reduce/
+#   list_zip/list_intersect): ROUND(…,6) over IEEE-exact dot/sqrt
+#   arithmetic, green in every driver gate run since r01
+# - sim_centroid_by_label: frozen driver-proven gate row (r4 verdict
+#   #9 bans churn in gate rows without a driver signal); convert to
+#   _q12 integers only if a driver run ever reddens it
+_ROUND_AGG_EXEMPT = {"sim_centroid_by_label"}
+
+
+def _round_call_args(sql: str):
+    """Balanced-paren extraction of every ROUND(...) argument list."""
+    for m in re.finditer(r"ROUND\s*\(", sql, re.IGNORECASE):
+        i, depth, start = m.end(), 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        yield sql[start : i - 1]
+
+
+def test_no_rounded_aggregate_ratios_in_oracles():
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    bad = {}
+    for name, sql in plans.ORACLES.items():
+        if name in _ROUND_AGG_EXEMPT:
+            continue
+        for arg in _round_call_args(sql):
+            low = arg.lower()
+            if (
+                "list_reduce" in low
+                or "list_zip" in low
+                or "list_intersect" in low
+            ):
+                continue  # cosine/Jaccard families (IEEE-exact)
+            if re.search(r"\b(sum|count|avg)\s*\(", low):
+                bad.setdefault(name, []).append(
+                    " ".join(arg.split())[:70]
+                )
+    assert not bad, (
+        "ROUND over aggregate division/sum in oracles (use the"
+        f" all-integer _q6 / cents recipes instead): {bad}"
+    )
+
+
 def test_no_timestamp_to_string_casts_in_spark_outputs(spark):
     """Analyzer-level twin of the oracle grep: build every registered
     events-family DataFrame and assert no ts-named column is cast to

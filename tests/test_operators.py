@@ -644,7 +644,12 @@ def test_skew_profile_consistency(spark):
         spark, "/root/testdata/sf0.001"
     ).head()
     assert r["max_n"] >= r["p99_n"] >= r["p50_n"] >= 1
-    assert abs(r["skew_ratio"] - round(r["max_n"] / r["avg_n"], 6)) < 1e-6
+    # integer-quantized ratios: skew_ratio_q6 = (max·n_keys·1e6) div n_rows
+    assert r["avg_n_q6"] == r["n_rows"] * 1_000_000 // r["n_keys"]
+    assert (
+        r["skew_ratio_q6"]
+        == r["max_n"] * r["n_keys"] * 1_000_000 // r["n_rows"]
+    )
     assert r["n_keys"] >= r["n_hot_keys"] >= 0
 
 

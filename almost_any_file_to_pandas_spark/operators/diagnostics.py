@@ -1,0 +1,243 @@
+"""Per-column diagnostic twins for the three gate rows that went red
+in the round-3 driver run (`events_sessionization`,
+`embedding_hygiene_report`, `text_token_budget_trim`).
+
+All three were rebuilt in round 4 to emit only canonicalization-proof
+values (integer epoch micros, integer-quantized norms, all-integer
+rank/budget keys) and pass the local oracle sweep on both microsecond
+and nanosecond parquet — but the round-4 driver file was a byte-copy
+of round 3's, so the fixes have no fresh driver evidence yet. If any
+of the three comes back red on THIS code, the full-row hash gives no
+hint of which column diverged. These registered, oracle-paired twins
+decompose each row column-by-column: a red parent with (say) only
+`diag_session_values` red localizes the divergence to the decimal
+value path in one driver run, with no re-guessing.
+
+Deliberately registered AFTER the 50-slot gate window (plans
+POST_GATE_PRIORITY) so they never displace a family's hard-signal
+slot; the judge's local `check_oracle` sweep still runs them.
+
+Zero-churn construction: each twin calls the FROZEN parent query and
+selects a column subset — the parent's plan is reused bit-identically
+(r4 verdict #9: no churn in the three fixed queries) — and its oracle
+is the parent's oracle with the same columns projected. The only new
+computation is `diag_budget_qkeys`, which exposes the per-doc rank
+key (the `_occurrences` stopword scan) that the parent only consumes
+internally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from almost_any_file_to_pandas_spark.operators.budget import (
+    text_token_budget_trim,
+)
+from almost_any_file_to_pandas_spark.operators.hygiene import (
+    embedding_hygiene_report,
+)
+from almost_any_file_to_pandas_spark.operators.textstats import (
+    _STOPWORDS,
+    _occurrences,
+    _occurrences_sql,
+)
+from almost_any_file_to_pandas_spark.plans import ORACLES, register, table_wide
+from almost_any_file_to_pandas_spark.session import apply_engine_conf
+from almost_any_file_to_pandas_spark.streaming.events import (
+    events_sessionization,
+)
+
+
+def _projected_oracle(parent: str, cols: list[str]) -> str:
+    """Wrap the parent's oracle SQL and project a column subset — the
+    twin's oracle is BY CONSTRUCTION the same computation."""
+    return (
+        f"SELECT {', '.join(cols)} FROM (\n{ORACLES[parent]}\n) parent_q"
+    )
+
+
+# --------------------------------------------------------------------------
+# events_sessionization → keys / starts / values
+# --------------------------------------------------------------------------
+
+
+@register(
+    "diag_session_keys",
+    oracle=_projected_oracle(
+        "events_sessionization", ["user_id", "session_id", "n_events"]
+    ),
+)
+def diag_session_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-key assignment + per-session counts only: red here
+    means the gap/ordering logic itself diverges (ts comparisons,
+    lag tie-breaks); green here with a red parent exonerates it."""
+    return events_sessionization(spark, sf_dir).select(
+        "user_id", "session_id", "n_events"
+    )
+
+
+@register(
+    "diag_session_starts",
+    oracle=_projected_oracle(
+        "events_sessionization",
+        ["user_id", "session_id", "session_start_us"],
+    ),
+)
+def diag_session_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolates the timestamp column: red here (keys green) means the
+    epoch-micros extraction path diverges (nanos truncation)."""
+    return events_sessionization(spark, sf_dir).select(
+        "user_id", "session_id", "session_start_us"
+    )
+
+
+@register(
+    "diag_session_values",
+    oracle=_projected_oracle(
+        "events_sessionization",
+        ["user_id", "session_id", "total_value_q6"],
+    ),
+)
+def diag_session_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolates the decimal value column: red here (keys green) means
+    the double→decimal(25,6) cast or the ×1e6 integer scaling
+    diverges (e.g. a rounding tie in the driver's data)."""
+    return events_sessionization(spark, sf_dir).select(
+        "user_id", "session_id", "total_value_q6"
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding_hygiene_report → counts / min+max norms / avg norm
+# --------------------------------------------------------------------------
+
+
+@register(
+    "diag_hygiene_counts",
+    oracle=_projected_oracle(
+        "embedding_hygiene_report",
+        [
+            "n_vectors",
+            "n_null",
+            "modal_dim",
+            "n_dim_mismatch",
+            "n_nonfinite",
+            "n_zero_norm",
+        ],
+    ),
+)
+def diag_hygiene_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure integer counts — no norm arithmetic at all. Red here means
+    the corruption predicates themselves diverge."""
+    return embedding_hygiene_report(spark, sf_dir).select(
+        "n_vectors",
+        "n_null",
+        "modal_dim",
+        "n_dim_mismatch",
+        "n_nonfinite",
+        "n_zero_norm",
+    )
+
+
+@register(
+    "diag_hygiene_minmax_norms",
+    oracle=_projected_oracle(
+        "embedding_hygiene_report", ["min_norm_q6", "max_norm_q6"]
+    ),
+)
+def diag_hygiene_minmax_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max quantized norms: MIN/MAX over sumsq is order-free, so a
+    red here (counts green) implicates the sumsq fold or the
+    floor(sqrt·1e6+0.5) quantization on a single extreme vector."""
+    return embedding_hygiene_report(spark, sf_dir).select(
+        "min_norm_q6", "max_norm_q6"
+    )
+
+
+@register(
+    "diag_hygiene_avg_norm",
+    oracle=_projected_oracle(
+        "embedding_hygiene_report", ["avg_norm_q6"]
+    ),
+)
+def diag_hygiene_avg_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one column with a corpus-wide sum: red here alone means the
+    per-row quantized-norm SUM (DECIMAL(38,0)) or the integer
+    division by the clean count diverges."""
+    return embedding_hygiene_report(spark, sf_dir).select("avg_norm_q6")
+
+
+# --------------------------------------------------------------------------
+# text_token_budget_trim → budgets CTE / per-doc rank keys / kept set
+# --------------------------------------------------------------------------
+
+
+@register(
+    "diag_budget_budgets",
+    oracle=_projected_oracle(
+        "text_token_budget_trim",
+        ["source", "n_docs", "tokens_total", "budget"],
+    ),
+)
+def diag_budget_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The budgets CTE only (token totals + integer-ceil budgets, no
+    window, no quality key): red here means tokenization counts
+    diverge before any ranking happens."""
+    return text_token_budget_trim(spark, sf_dir).select(
+        "source", "n_docs", "tokens_total", "budget"
+    )
+
+
+_STOP_HITS_SQL = " + ".join(
+    _occurrences_sql("lower(text)", w) for w in _STOPWORDS
+)
+
+
+@register(
+    "diag_budget_qkeys",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           (({_STOP_HITS_SQL}) * 1000000)
+             // len(string_split(text, ' ')) AS q_key
+    FROM documents
+    """,
+)
+def diag_budget_qkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document rank key the parent only consumes internally:
+    the `_occurrences` replace-arithmetic stopword scan (textstats)
+    and the integer (hits·1e6) div n_tokens. Red here pinpoints
+    string-function divergence (length/replace semantics on the
+    driver's text) per document — the finest-grained localization."""
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ", -1))
+    hits = None
+    for w in _STOPWORDS:
+        occ = _occurrences(F.lower(F.col("text")), w)
+        hits = occ if hits is None else hits + occ
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (hits.cast("long") * F.lit(1_000_000)).alias("_hits_scaled"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("_hits_scaled div n_tokens").alias("q_key"),
+    )
+
+
+@register(
+    "diag_budget_kept",
+    oracle=_projected_oracle(
+        "text_token_budget_trim", ["source", "n_kept", "tokens_kept"]
+    ),
+)
+def diag_budget_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept-set census only: red here with budgets AND q_keys
+    green means the cumulative-window cut itself (ordering tie-break
+    or the cum<=budget comparison) diverges."""
+    return text_token_budget_trim(spark, sf_dir).select(
+        "source", "n_kept", "tokens_kept"
+    )

@@ -127,6 +127,18 @@ POST_GATE_PRIORITY = (
     "orders_rolling_7d_revenue",
     "events_user_type_gini",
     "part_supplier_concentration_hhi",
+    # per-column diagnostic twins for the three r03-red gate rows
+    # (see operators/diagnostics.py): if a parent reds in a driver
+    # run, these localize WHICH column diverged in the same run
+    "diag_session_keys",
+    "diag_session_starts",
+    "diag_session_values",
+    "diag_hygiene_counts",
+    "diag_hygiene_minmax_norms",
+    "diag_hygiene_avg_norm",
+    "diag_budget_budgets",
+    "diag_budget_qkeys",
+    "diag_budget_kept",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",
@@ -190,6 +202,9 @@ def load_all() -> None:
     from almost_any_file_to_pandas_spark.operators import retrieval  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import sketches  # noqa: F401
     from almost_any_file_to_pandas_spark.streaming import events  # noqa: F401
+    # diagnostics must import AFTER its parent modules: its oracles
+    # are projections of the parents' registered oracle SQL
+    from almost_any_file_to_pandas_spark.operators import diagnostics  # noqa: F401
 
     missing = [n for n in GATE_ORDER if n not in QUERIES]
     assert not missing, f"GATE_ORDER names not registered: {missing}"

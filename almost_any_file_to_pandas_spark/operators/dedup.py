@@ -1224,9 +1224,9 @@ def _semantic_fit_frame(feats: DataFrame, n_vectors: int) -> DataFrame:
     build: its input size must be independent of corpus size or the
     fit itself becomes the 100 TB bottleneck (Lloyd's re-reads its
     training set once per iteration). Beyond ``SEMANTIC_FIT_SAMPLE /
-    SEMANTIC_TARGET_CLUSTER_ROWS × SEMANTIC_TARGET_CLUSTER_ROWS``
-    centroids (k grows with n), the production design moves to
-    two-level clustering (coarse fit on the sample, per-cell refits)
+    SEMANTIC_TARGET_CLUSTER_ROWS`` centroids (k grows with n), the
+    engine SWITCHES to two-level clustering — coarse fit on this
+    sample, per-cell bounded refits — in :func:`_semantic_centers`,
     rather than widening this sample."""
     if n_vectors <= SEMANTIC_FIT_SAMPLE:
         return feats.select("features")
@@ -1234,6 +1234,143 @@ def _semantic_fit_frame(feats: DataFrame, n_vectors: int) -> DataFrame:
         feats.orderBy("vec_id")
         .limit(SEMANTIC_FIT_SAMPLE)
         .select("features")
+    )
+
+
+# Max centroids a SEMANTIC_FIT_SAMPLE-row fit supports at
+# SEMANTIC_TARGET_CLUSTER_ROWS training rows per centroid. Beyond it
+# (i.e. corpora past SEMANTIC_FIT_SAMPLE rows), widening the sample
+# would put the corpus back inside Lloyd's per-iteration scan — the
+# two-level path below scales centroid count instead.
+SEMANTIC_COARSE_MAX = SEMANTIC_FIT_SAMPLE // SEMANTIC_TARGET_CLUSTER_ROWS
+
+
+def _fit_cell_kmeans(k_fine: int, dim_hint: int):
+    """Per-coarse-cell deterministic numpy Lloyd's for the two-level
+    path. Runs INSIDE applyInPandas on a bounded per-cell training
+    sample, so the fine fits for all cells are one distributed pass
+    with per-task memory ≤ per-cell cap × dim — no driver fit, no
+    repeated corpus scans (iterations run on the in-memory matrix).
+
+    Determinism: rows arrive pre-sorted by vec_id (the window that
+    sampled them), init picks evenly-spaced rows of that order,
+    assignment ties break to the lowest center index (np.argmin), and
+    an emptied center keeps its previous position — no RNG anywhere.
+    """
+
+    def fit(key, pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id")
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        n = len(mat)
+        k_eff = max(1, min(k_fine, n))
+        idx = np.linspace(0, n - 1, num=k_eff).astype(np.int64)
+        centers = mat[idx].copy()
+        for _ in range(5):
+            d2 = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(
+                axis=2
+            )
+            lbl = np.argmin(d2, axis=1)
+            for c in range(k_eff):
+                sel = mat[lbl == c]
+                if len(sel):
+                    centers[c] = sel.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "coarse": [int(key[0])] * k_eff,
+                "fine": list(range(k_eff)),
+                "center": [list(map(float, c)) for c in centers],
+            }
+        )
+
+    return fit
+
+
+def _semantic_centers(
+    spark: SparkSession, feats: DataFrame, n_vectors: int, k: int
+) -> DataFrame:
+    """Cluster centers ``(cluster int, center array<double>)`` for the
+    semantic dedup quantizer.
+
+    Single-level (k ≤ SEMANTIC_COARSE_MAX): one ml.KMeans fit on the
+    bounded sample — the r4 shape, unchanged, and the only path any
+    gate-scale corpus takes.
+
+    Two-level (k > SEMANTIC_COARSE_MAX, i.e. the corpus outgrew what
+    one SEMANTIC_FIT_SAMPLE-row fit supports): fit SEMANTIC_COARSE_MAX
+    coarse centroids on the sample, partition the corpus by nearest
+    coarse centroid (one broadcast-scoring pass), then fit
+    ``ceil(k / coarse)`` fine centroids per cell on a per-cell
+    deterministic sample of ≤ k_fine·SEMANTIC_TARGET_CLUSTER_ROWS
+    rows — every fine centroid stays supported by ~TARGET rows while
+    total centroid count keeps scaling as n/TARGET past the cap.
+    The union of cell fits is ONE applyInPandas pass; Lloyd's
+    iterations run on each cell's in-memory matrix, so the corpus is
+    still never re-scanned per iteration. Global cluster key =
+    coarse·k_fine + fine.
+    """
+    from pyspark.ml.clustering import KMeans
+
+    train = _semantic_fit_frame(feats, n_vectors).cache()
+    if k <= SEMANTIC_COARSE_MAX:
+        model = KMeans(k=k, seed=42, maxIter=5).fit(train)
+        train.unpersist(blocking=False)
+        return spark.createDataFrame(
+            [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(model.clusterCenters())
+            ],
+            "cluster int, center array<double>",
+        )
+    k_coarse = SEMANTIC_COARSE_MAX
+    k_fine = -(-k // k_coarse)
+    coarse_model = KMeans(k=k_coarse, seed=42, maxIter=5).fit(train)
+    train.unpersist(blocking=False)
+    coarse = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(coarse_model.clusterCenters())
+        ],
+        "coarse int, center array<double>",
+    )
+    arr = feats.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    d2 = _sq_dist(F.col("v"), F.col("center"))
+    w1 = W.partitionBy("vec_id").orderBy(F.asc("_d2"), F.asc("coarse"))
+    cell_of = (
+        arr.crossJoin(F.broadcast(coarse))
+        .select("vec_id", "v", "coarse", d2.alias("_d2"))
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "v", "coarse")
+    )
+    per_cell_cap = k_fine * SEMANTIC_TARGET_CLUSTER_ROWS
+    w2 = W.partitionBy("coarse").orderBy("vec_id")
+    cell_train = (
+        cell_of.withColumn("_r", F.row_number().over(w2))
+        .filter(F.col("_r") <= per_cell_cap)
+        .select("coarse", "vec_id", "v")
+    )
+    dim = len(feats.select("embedding").first()["embedding"])
+    fine = cell_train.groupBy("coarse").applyInPandas(
+        _fit_cell_kmeans(k_fine, dim),
+        schema="coarse int, fine int, center array<double>",
+    )
+    return fine.select(
+        (F.col("coarse") * k_fine + F.col("fine"))
+        .cast("int")
+        .alias("cluster"),
+        "center",
+    )
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
 
 
@@ -1280,7 +1417,6 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     index-build statistic, same class as the fit itself).
     """
     apply_engine_conf(spark)
-    from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     emb = table_wide(spark, sf_dir, "embeddings")
@@ -1298,32 +1434,14 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SEMANTIC_CLUSTER_K,
         -(-n_vectors // SEMANTIC_TARGET_CLUSTER_ROWS),
     )
-    # Cache the BOUNDED training frame for the fit: Lloyd's runs one
-    # pass per iteration, and an uncached lineage re-executes the
-    # scan + vector conversion every pass (measured 5.6s → ~2s at
-    # sf0.1). The training set is CAPPED (the PQ codebook pattern,
-    # pq.py:64): the quantizer fit is an index build and must not
-    # scan the corpus once per Lloyd's pass — ``_semantic_fit_frame``
-    # bounds it to SEMANTIC_FIT_SAMPLE deterministic rows, so the
-    # cache footprint is corpus-independent too.
-    train = _semantic_fit_frame(feats, n_vectors).cache()
-    model = KMeans(k=k, seed=42, maxIter=5).fit(train)
-    train.unpersist(blocking=False)
-    centers = spark.createDataFrame(
-        [
-            (i, [float(x) for x in c])
-            for i, c in enumerate(model.clusterCenters())
-        ],
-        "cluster int, center array<double>",
-    )
-    sqdist = F.aggregate(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"),
-            F.col("center"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # Fit is BOUNDED (the PQ codebook pattern, pq.py:64): the
+    # quantizer fit is an index build and must not scan the corpus
+    # once per Lloyd's pass — single-level on the capped cached
+    # sample up to SEMANTIC_COARSE_MAX centroids, the two-level
+    # coarse/fine path past it (see _semantic_centers).
+    centers = _semantic_centers(spark, feats, n_vectors, k)
+    sqdist = _sq_dist(
+        F.col("embedding").cast("array<double>"), F.col("center")
     )
     scored = feats.crossJoin(F.broadcast(centers)).select(
         "vec_id", "cluster", sqdist.alias("_d2")

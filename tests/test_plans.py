@@ -991,3 +991,65 @@ def test_dense_spine_broadcast_and_single_fact_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semantic_two_level_scales_centroids_past_fit_cap(spark):
+    """r4 verdict #4: beyond what one bounded fit supports
+    (k > SEMANTIC_COARSE_MAX), the two-level path must KEEP scaling
+    centroid count (coarse fit on the sample, bounded per-cell fine
+    fits) instead of silently capping k. Constants are patched down
+    so the boundary is reachable at test scale; the pin is that the
+    centers table crosses the single-fit cap and stays deterministic."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from almost_any_file_to_pandas_spark.operators import dedup as dd
+
+    n = 600
+    feats = (
+        spark.range(0, n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 7).cast("double"),
+                (F.col("id") % 13).cast("double"),
+                (F.col("id") % 3).cast("double"),
+                F.lit(1.0),
+            ).alias("embedding"),
+        )
+        .withColumn("features", array_to_vector("embedding"))
+    )
+    saved = (
+        dd.SEMANTIC_FIT_SAMPLE,
+        dd.SEMANTIC_COARSE_MAX,
+        dd.SEMANTIC_TARGET_CLUSTER_ROWS,
+    )
+    try:
+        dd.SEMANTIC_FIT_SAMPLE = 64
+        dd.SEMANTIC_COARSE_MAX = 4
+        dd.SEMANTIC_TARGET_CLUSTER_ROWS = 16
+        k_target = 38  # > COARSE_MAX → two-level path
+        centers = dd._semantic_centers(spark, feats, n, k_target)
+        rows = centers.collect()
+        ids = [r["cluster"] for r in rows]
+        # crosses the single-fit cap and reaches the requested scale
+        assert len(rows) >= k_target
+        assert len(set(ids)) == len(ids)  # global key is collision-free
+        assert all(len(r["center"]) == 4 for r in rows)
+        # deterministic: a second run yields byte-identical centers
+        again = {
+            r["cluster"]: r["center"]
+            for r in dd._semantic_centers(
+                spark, feats, n, k_target
+            ).collect()
+        }
+        assert {r["cluster"]: r["center"] for r in rows} == again
+        # single-level path unchanged below the cap
+        small = dd._semantic_centers(spark, feats, n, 4)
+        assert small.count() == 4
+    finally:
+        (
+            dd.SEMANTIC_FIT_SAMPLE,
+            dd.SEMANTIC_COARSE_MAX,
+            dd.SEMANTIC_TARGET_CLUSTER_ROWS,
+        ) = saved

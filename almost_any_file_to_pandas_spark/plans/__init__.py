@@ -139,6 +139,9 @@ POST_GATE_PRIORITY = (
     "diag_budget_budgets",
     "diag_budget_qkeys",
     "diag_budget_kept",
+    # 100 TB physical-strategy twin (r4 verdict #5): same output as
+    # text_token_budget_trim via the exact level-quantile cut
+    "text_token_budget_trim_twopass",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

@@ -297,3 +297,22 @@ def test_hygiene_diag_twins_on_corrupt_corpus(spark, tmp_path):
         "diag_hygiene_avg_norm",
     ):
         _gate_compare(spark, str(tmp_path), q)
+
+
+def test_budget_trim_twopass_equals_parent(spark, budget_tie_docs_dir):
+    """The two-pass (level-quantile cut + boundary-only window) form
+    must equal the parent's full-window form row-for-row — including
+    on the engineered exact-budget-line fixture, where the boundary
+    level logic is maximally stressed — and on real testdata."""
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    for sf in (budget_tie_docs_dir, SF_DIR):
+        a = plans.QUERIES["text_token_budget_trim"](spark, sf)
+        b = plans.QUERIES["text_token_budget_trim_twopass"](spark, sf)
+        fa = _fingerprint(a.columns, [tuple(r) for r in a.collect()])
+        fb = _fingerprint(b.columns, [tuple(r) for r in b.collect()])
+        assert fa == fb, f"two-pass diverges from parent on {sf}"
+    _gate_compare(
+        spark, budget_tie_docs_dir, "text_token_budget_trim_twopass"
+    )

@@ -324,3 +324,121 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("prob_q6"),
     )
+
+
+ATTRIB_WINDOW_DAYS = 7  # last-touch lookback
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             value
+      FROM events
+    ), purch AS (
+      SELECT user_id, event_id, ts, value FROM ev
+      WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id, event_id, event_type, ts FROM ev
+      WHERE event_type IN ('view', 'click')
+    ), ranked AS (
+      SELECT p.event_id AS purchase_id, p.ts AS p_ts, p.value,
+             t.event_type AS touch_type, t.ts AS t_ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY t.ts DESC, t.event_id DESC) AS rnk
+      FROM purch p JOIN touch t
+        ON t.user_id = p.user_id
+       AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+    ), attributed AS (
+      SELECT purchase_id, value,
+             CASE WHEN t_ts >= p_ts - INTERVAL {ATTRIB_WINDOW_DAYS} DAY
+                  THEN touch_type ELSE 'none' END AS touch_type
+      FROM ranked WHERE rnk = 1
+      UNION ALL
+      SELECT p.event_id, p.value, 'none'
+      FROM purch p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM touch t
+        WHERE t.user_id = p.user_id
+          AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+      )
+    )
+    SELECT touch_type,
+           COUNT(*) AS n_purchases,
+           CAST(FLOOR(SUM(CAST(value AS DECIMAL(25,6))) * 100 + 0.5)
+                AS BIGINT) AS value_cents
+    FROM attributed
+    GROUP BY touch_type
+    """,
+)
+def events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent preceding view/click (strict
+    (ts, event_id) precedence) if it happened within the lookback
+    window, else to 'none' — the census a growth team reads channel
+    credit from (the asof view→click join is the pairwise primitive;
+    this is the revenue-attribution rollup over it).
+
+    Plan: NOT the oracle's purchase×touch join (quadratic in events
+    per user) — ONE user-keyed window pass: events sorted once per
+    user by (ts, event_id); ``last(touch, ignoreNulls)`` carries the
+    latest preceding touch type/time onto every row; purchases then
+    filter + window-check narrowly. One shuffle total, the same
+    partitioning every per-user operator shares. The oracle's
+    row_number form is value-identical because attribution only
+    compares events WITHIN a user.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("view", "click")
+    # carry the latest STRICTLY-preceding touch: shift the window one
+    # row back so the current row never attributes to itself
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carried = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.last(
+            F.when(is_touch, F.col("event_type")), ignorenulls=True
+        )
+        .over(w_prev)
+        .alias("touch_type_raw"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w_prev)
+        .alias("touch_ts"),
+    )
+    purchases = carried.filter(F.col("event_type") == "purchase")
+    in_window = F.col("touch_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {ATTRIB_WINDOW_DAYS} DAYS"
+    )
+    return (
+        purchases.select(
+            F.when(
+                F.col("touch_type_raw").isNotNull() & in_window,
+                F.col("touch_type_raw"),
+            )
+            .otherwise(F.lit("none"))
+            .alias("touch_type"),
+            "value",
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.floor(
+                F.sum(F.col("value").cast("decimal(25,6)")) * 100
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+    )

@@ -142,6 +142,14 @@ POST_GATE_PRIORITY = (
     # 100 TB physical-strategy twin (r4 verdict #5): same output as
     # text_token_budget_trim via the exact level-quantile cut
     "text_token_budget_trim_twopass",
+    # round-5 widening: semi-join census, returned-items top-k,
+    # anti-join + grouped count-distinct, last-touch attribution,
+    # watermarked-dedup restatement
+    "q4_order_priority_exists",
+    "q10_returned_items_topk",
+    "q16_part_supplier_variety",
+    "events_attribution_last_touch",
+    "events_stream_dedup_batch",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

@@ -2138,3 +2138,150 @@ def part_supplier_concentration_hhi(
             "(CAST(n_lines AS DECIMAL(38,0)) * n_lines) AS BIGINT)"
         ).alias("hhi_q6"),
     )
+
+
+@register(
+    "q4_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shape: priority census of orders with at least one
+    LATE line (shipped >60 days after order), over one order-date
+    half-year — the EXISTS/semi-join pattern (main.py has no joins;
+    extension surface).
+
+    Plan: the date window pushes to the orders scan; the EXISTS
+    compiles to a LEFT SEMI join on orderkey with the late-line
+    inequality as a residual — lineitem is never aggregated and each
+    order emits at most once from the semi probe regardless of how
+    many late lines it has (the semantics COUNT(*) over a join would
+    get wrong). Aggregation is a ≤5-group map-side-partial fold.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (
+                li.l_shipdate
+                > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "q10_returned_items_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(FLOOR(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(25,6))) * 100 + 0.5) AS BIGINT)
+             AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue_cents DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shape: top-20 customers by revenue lost to returned
+    items — join fact to two broadcastable dimensions, aggregate per
+    customer, deterministic top-k.
+
+    Plan: the returnflag filter pushes to the lineitem scan (reads
+    the 'R' third of the fact); customer and nation broadcast;
+    lineitem⋈orders shuffles on orderkey, then ONE customer-keyed
+    aggregate; top-20 via TakeOrderedAndProject (per-partition heaps,
+    never a global sort). Revenue is the exact-integer cents recipe.
+    """
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.floor(
+                F.sum(rev.cast("decimal(25,6)")) * 100 + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("revenue_cents")
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q16_part_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND NOT EXISTS (
+        SELECT 1 FROM supplier s
+        WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shape: how many distinct (non-blacklisted) suppliers
+    stock each part profile — grouped COUNT DISTINCT after an
+    anti-join exclusion (negative-balance suppliers stand in for
+    Q16's complaint list; the testdata has no comment column).
+
+    Plan: the brand filter pushes to the broadcast part dimension;
+    the blacklist is an anti join against a broadcast supplier
+    subset; COUNT(DISTINCT suppkey) takes the standard two-phase
+    plan (partial distinct on (group, suppkey), then the count) —
+    no Expand, no row explosion beyond the distinct pairs.
+    """
+    apply_engine_conf(spark)
+    part = table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != "Brand#1"
+    )
+    bad = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -572,3 +572,58 @@ def events_stream_upsert_sink(df: DataFrame, path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+DEDUP_WINDOW_MINUTES = 10  # idempotent-ingest dedup horizon
+
+
+@register(
+    "events_stream_dedup_batch",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT event_type, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               // ({DEDUP_WINDOW_MINUTES} * 60 * 1000000) AS win
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT (user_id, win)) AS n_kept,
+           COUNT(*) - COUNT(DISTINCT (user_id, win)) AS n_dropped
+    FROM keyed
+    GROUP BY event_type
+    """,
+)
+def events_stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch restatement of watermarked streaming deduplication
+    (``dropDuplicatesWithinWatermark`` semantics): an at-least-once
+    ingest collapses repeated (user, event_type) deliveries within a
+    10-minute horizon to one kept event; the census reports kept vs
+    dropped per type — the idempotency monitor a streaming ingest
+    publishes. The streaming form keys state by (user, type, window)
+    exactly like this batch twin keys its aggregate, so the batch
+    counts are the ground truth the stream must converge to.
+
+    Plan: ONE hash aggregate on (type, user, window) — the dedup
+    keys — folded to the per-type census; epoch-micros integer
+    division gives the window id (no timestamp rendering, the r04
+    canonicalization rule). Map-side partials absorb most duplicates
+    before the shuffle at 100 TB.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    win = F.expr(
+        f"unix_micros(ts) div ({DEDUP_WINDOW_MINUTES} * 60 * 1000000)"
+    )
+    kept = (
+        ev.select("event_type", "user_id", win.alias("win"))
+        .groupBy("event_type", "user_id", "win")
+        .agg(F.count("*").alias("n_in_cell"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_in_cell").alias("n_events"),
+            F.count("*").alias("n_kept"),
+            (F.sum("n_in_cell") - F.count("*")).alias("n_dropped"),
+        )
+    )
+    return kept

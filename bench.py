@@ -91,6 +91,17 @@ HEADLINE = [
     # appended so the approx-vs-exact claim has a recorded number;
     # every pre-existing query is untouched (harness frozen)
     "lineitem_profile_approx_floor",
+    # r05 (r4 verdict #7): the remaining round-4 families, appended
+    # AFTER every frozen slot so prior rows stay apples-to-apples
+    "dedup_containment",
+    "sim_matryoshka_prefix_floor",
+    "retrieval_hybrid_rrf_topk",
+    "events_hll_mergeable_rollup",
+    "q19_disjunctive_revenue",
+    "lineitem_scd2_point_in_time",
+    "orders_rolling_7d_revenue",
+    "events_user_type_gini",
+    "part_supplier_concentration_hhi",
 ]
 
 

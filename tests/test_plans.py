@@ -1053,3 +1053,51 @@ def test_semantic_two_level_scales_centroids_past_fit_cap(spark):
             dd.SEMANTIC_COARSE_MAX,
             dd.SEMANTIC_TARGET_CLUSTER_ROWS,
         ) = saved
+
+
+def test_round5_relational_plan_shapes(spark):
+    """Pin the intended physical strategies of the round-5 shapes:
+    Q4's EXISTS compiles to a broadcast LEFT SEMI (one exchange);
+    Q10's top-20 is TakeOrderedAndProject over broadcast-dim joins
+    (the fact never sort-merges); Q16's blacklist is a broadcast
+    LEFT ANTI feeding the two-phase grouped count-distinct."""
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    sf = "/root/testdata/sf0.001"
+
+    p4 = (
+        plans.QUERIES["q4_order_priority_exists"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in p4 and "BroadcastHashJoin" in p4
+    assert "SortMergeJoin" not in p4
+
+    p10 = (
+        plans.QUERIES["q10_returned_items_topk"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in p10
+    assert "SortMergeJoin" not in p10
+
+    p16 = (
+        plans.QUERIES["q16_part_supplier_variety"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in p16 and "BroadcastHashJoin" in p16
+
+
+def test_attribution_single_user_shuffle(spark):
+    """The attribution rollup must run on ONE user-keyed window pass
+    — never the oracle's purchase×touch pair join (quadratic per
+    user): no join operator at all in the plan."""
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    p = (
+        plans.QUERIES["events_attribution_last_touch"](
+            spark, "/root/testdata/sf0.001"
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in p

@@ -150,6 +150,11 @@ POST_GATE_PRIORITY = (
     "q16_part_supplier_variety",
     "events_attribution_last_touch",
     "events_stream_dedup_batch",
+    "sim_ivfpq_recall_floor",
+    "sim_ivfpq_topk",
+    "q6_forecast_revenue",
+    "q14_promo_revenue_share",
+    "supplier_balance_rank_in_nation",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

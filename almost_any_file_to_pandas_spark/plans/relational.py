@@ -2285,3 +2285,170 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT
+      CAST(FLOOR(SUM(CAST(l_extendedprice * l_discount
+                         AS DECIMAL(25,6))) * 100 + 0.5) AS BIGINT)
+        AS revenue_cents,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 10
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shape: the pure scan-filter-aggregate — no join, no
+    shuffle beyond the one-row fold. The benchmark's pushdown
+    showcase: ALL four predicates (date window, discount band,
+    quantity cap) must reach the parquet scan, and the read schema
+    must prune to the three referenced columns — at 100 TB this query
+    IS its scan, so plan hygiene is the whole game.
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    f = (
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 10)
+    )
+    return li.filter(f).agg(
+        F.floor(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(25,6)"
+                )
+            )
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(25,6)) AS rev,
+             p.p_type LIKE 'PROMO%' AS is_promo
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+        AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    )
+    SELECT
+      CAST(FLOOR(SUM(CASE WHEN is_promo THEN rev ELSE 0 END) * 100 + 0.5)
+           AS BIGINT) AS promo_revenue_cents,
+      CAST(FLOOR(SUM(rev) * 100 + 0.5) AS BIGINT) AS total_revenue_cents,
+      -- all-integer share: cents already exact, so the ratio is a
+      -- HUGEINT division of two exact integers
+      CAST((CAST(FLOOR(SUM(CASE WHEN is_promo THEN rev ELSE 0 END)
+                       * 100 + 0.5) AS HUGEINT) * 1000000)
+           // CAST(FLOOR(SUM(rev) * 100 + 0.5) AS HUGEINT)
+           AS BIGINT) AS promo_share_q6
+    FROM j
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shape: share of one month's revenue from PROMO
+    parts — the conditional-aggregate-over-join pattern (a CASE
+    inside SUM, not two passes).
+
+    Plan: the one-month window pushes to the lineitem scan; part is
+    a broadcast dimension carrying only (partkey, is_promo); ONE
+    aggregate computes both sums map-side-partial. Share is the
+    exact-integer cents ratio (house recipe).
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("is_promo")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,6)"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        rev.alias("rev"), "is_promo"
+    )
+    promo_cents = F.floor(
+        F.sum(F.when(F.col("is_promo"), F.col("rev")).otherwise(0)) * 100
+        + F.lit(0.5)
+    ).cast("bigint")
+    total_cents = F.floor(F.sum("rev") * 100 + F.lit(0.5)).cast("bigint")
+    return j.agg(
+        promo_cents.alias("promo_revenue_cents"),
+        total_cents.alias("total_revenue_cents"),
+    ).select(
+        "promo_revenue_cents",
+        "total_revenue_cents",
+        F.expr(
+            "CAST(CAST(promo_revenue_cents AS DECIMAL(38,0)) * 1000000"
+            " div total_revenue_cents AS BIGINT)"
+        ).alias("promo_share_q6"),
+    )
+
+
+@register(
+    "supplier_balance_rank_in_nation",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           RANK() OVER (PARTITION BY s_nationkey
+                        ORDER BY s_acctbal DESC, s_suppkey) AS bal_rank,
+           COUNT(*) OVER (PARTITION BY s_nationkey) AS n_in_nation,
+           -- integer percent-rank (house recipe): (rank-1)*1e6 div
+           -- (n-1); single-supplier nations pin to 0
+           CASE WHEN COUNT(*) OVER (PARTITION BY s_nationkey) = 1 THEN 0
+                ELSE ((RANK() OVER (PARTITION BY s_nationkey
+                                    ORDER BY s_acctbal DESC, s_suppkey)
+                       - 1) * 1000000)
+                     // (COUNT(*) OVER (PARTITION BY s_nationkey) - 1)
+           END AS pct_rank_q6
+    FROM supplier
+    """,
+)
+def supplier_balance_rank_in_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-nation supplier balance ranking with an integer
+    percent-rank — the grouped ranking feature (who are the top
+    suppliers WITHIN each market) plus the normalized position a
+    model consumes, without the float percent_rank() output class.
+
+    Plan: ONE hash-partitioned window on the (bounded-cardinality)
+    nation key over the supplier dimension; both window functions
+    share the same sort, so Spark plans a single exchange + sort.
+    """
+    apply_engine_conf(spark)
+    sup = table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    wn = W.partitionBy("s_nationkey")
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.count("*").over(wn).alias("n_in_nation"),
+        F.expr(
+            "CASE WHEN COUNT(*) OVER (PARTITION BY s_nationkey) = 1"
+            " THEN 0 ELSE"
+            " (RANK() OVER (PARTITION BY s_nationkey"
+            "               ORDER BY s_acctbal DESC, s_suppkey) - 1)"
+            " * 1000000"
+            " div (COUNT(*) OVER (PARTITION BY s_nationkey) - 1)"
+            " END"
+        ).alias("pct_rank_q6"),
+    )

@@ -349,7 +349,6 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     from almost_any_file_to_pandas_spark.operators.similarity import (
         IVF_BITS,
-        _ivf_bucket_expr,
         cosine_expr,
     )
 
@@ -380,28 +379,38 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in {b0} | {b0 ^ (1 << j) for j in range(IVF_BITS)}:
             probes.setdefault(b, []).append(qi)
 
-    coded = pq_encode(emb, books).join(
-        emb.select(
-            "vec_id", _ivf_bucket_expr(F.col("embedding")).alias("bucket")
-        ),
-        "vec_id",
-    )
-
-    def _score(batches):
+    # ONE fused narrow Arrow pass: encode → bucket → ADC-score — no
+    # join and no shuffle before the shortlist window (an earlier
+    # encode→join(bucket)→score chain paid a corpus shuffle just to
+    # reunite columns computed from the same row)
+    def _encode_bucket_score(batches):
         col = np.arange(PQ_M)
         for batch in batches:
             if len(batch) == 0:
                 continue
+            X = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            vec_ids_all = batch["vec_id"].to_numpy()
+            codes = np.empty((len(X), PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                S = X[:, m * sub : (m + 1) * sub]
+                d2 = ((S[:, None, :] - books[m][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, m] = d2.argmin(axis=1)
+            buckets = (
+                (X[:, :IVF_BITS] > 0.0) * (1 << np.arange(IVF_BITS))
+            ).sum(axis=1)
             out = []
-            for bucket, grp in batch.groupby("bucket"):
+            for bucket in np.unique(buckets):
                 qis = probes.get(int(bucket))
                 if not qis:
                     continue
-                vec_ids = grp["vec_id"].to_numpy()
-                codes = np.stack(grp["codes"].to_numpy())
-                norms = np.sqrt(cn2[col, codes[:, col]].sum(axis=1))
+                sel = buckets == bucket
+                vec_ids = vec_ids_all[sel]
+                c = codes[sel]
+                norms = np.sqrt(cn2[col, c[:, col]].sum(axis=1))
                 for qi in qis:
-                    dots = lut[qi, col, codes[:, col]].sum(axis=1)
+                    dots = lut[qi, col, c[:, col]].sum(axis=1)
                     cos = dots / (q_norms[qi] * norms)
                     k = min(IVFPQ_SHORTLIST, len(cos))
                     top = np.argpartition(-cos, k - 1)[:k]
@@ -417,9 +426,14 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    scored = coded.mapInPandas(
-        _score, schema="query_id bigint, vec_id bigint, pq_cosine double"
-    ).filter(F.col("query_id") != F.col("vec_id"))
+    scored = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(
+            _encode_bucket_score,
+            schema="query_id bigint, vec_id bigint, pq_cosine double",
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
     w = W.partitionBy("query_id").orderBy(
         F.desc("pq_cosine"), F.asc("vec_id")
     )

@@ -1160,3 +1160,76 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(TOP_K)
+
+
+ARRIVAL_MOD = 10  # vec_id % 10 == 7 plays the newly-arrived batch
+
+
+@register(
+    "sim_ivf_incremental_assign",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, {_ivf_bucket_sql('embedding')} AS bucket
+      FROM embeddings WHERE vec_id % {ARRIVAL_MOD} <> 7
+    ), arrivals AS (
+      SELECT vec_id, {_ivf_bucket_sql('embedding')} AS bucket
+      FROM embeddings WHERE vec_id % {ARRIVAL_MOD} = 7
+    ), b AS (
+      SELECT bucket, COUNT(*) AS n_base FROM base GROUP BY bucket
+    ), a AS (
+      SELECT bucket, COUNT(*) AS n_new FROM arrivals GROUP BY bucket
+    )
+    SELECT COALESCE(b.bucket, a.bucket) AS bucket,
+           COALESCE(b.n_base, 0) AS n_base,
+           COALESCE(a.n_new, 0) AS n_new,
+           -- integer growth per mille of the bucket (house recipe);
+           -- empty base buckets pin to 1e6 (pure growth)
+           CASE WHEN COALESCE(b.n_base, 0) = 0 THEN 1000000
+                ELSE (COALESCE(a.n_new, 0) * 1000000)
+                     // b.n_base END AS growth_q6
+    FROM b FULL OUTER JOIN a ON b.bucket = a.bucket
+    """,
+)
+def sim_ivf_incremental_assign(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ANN index maintenance: a batch of newly-arrived
+    vectors is assigned to the EXISTING coarse buckets without any
+    refit (the quantizer is frozen between rebuilds — the standard
+    serving pattern), and the census reports per-bucket growth so an
+    operator can see when drift warrants a re-train (a bucket growing
+    much faster than the corpus means the quantizer no longer fits
+    the data distribution).
+
+    Plan: the arrival split is a pushed-down predicate; both sides
+    take the same narrow bucket projection + one small aggregate
+    each; the census join is over ≤ 2^IVF_BITS rows. At 100 TB the
+    arrivals batch is the only data scanned if base censuses are
+    cached from the prior build — the full-scan form here is the
+    cold-start statement of the same plan.
+    """
+    apply_engine_conf(spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
+    bucket = _ivf_bucket_expr(F.col("embedding"))
+    base = (
+        emb.filter(F.col("vec_id") % ARRIVAL_MOD != 7)
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_base"))
+    )
+    arrivals = (
+        emb.filter(F.col("vec_id") % ARRIVAL_MOD == 7)
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_new"))
+    )
+    j = base.join(arrivals, "bucket", "full")
+    return j.select(
+        "bucket",
+        F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base"),
+        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        F.expr(
+            "CASE WHEN COALESCE(n_base, 0) = 0 THEN 1000000"
+            " ELSE COALESCE(n_new, 0) * 1000000 div n_base END"
+        ).alias("growth_q6"),
+    )

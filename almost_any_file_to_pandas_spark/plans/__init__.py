@@ -155,6 +155,8 @@ POST_GATE_PRIORITY = (
     "q6_forecast_revenue",
     "q14_promo_revenue_share",
     "supplier_balance_rank_in_nation",
+    "q13_customer_order_distribution",
+    "sim_ivf_incremental_assign",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

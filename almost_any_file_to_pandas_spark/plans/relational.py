@@ -2452,3 +2452,49 @@ def supplier_balance_rank_in_nation(
             " END"
         ).alias("pct_rank_q6"),
     )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H-Q13-shape: the customer order-count histogram — a LEFT
+    OUTER join with a join-side residual predicate (excluded order
+    class stays a JOIN condition, not a WHERE, so zero-order
+    customers survive with count 0) folded twice: per-customer count,
+    then the distribution over counts.
+
+    Plan: orders⋈customer shuffles on custkey (AQE broadcasts the
+    dimension side when it fits); COUNT(o_orderkey) over the outer
+    join counts only matched rows (NULL-skipping, the Q13 trick);
+    the second aggregate runs over |distinct counts| rows. No window
+    anywhere — both folds are hash aggregates with map-side partials.
+    """
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )

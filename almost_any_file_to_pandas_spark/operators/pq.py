@@ -20,7 +20,10 @@ Spark shape:
 - **Encode** with one narrow Arrow-batched ``mapInPandas`` stage
   (vectorized argmin over the broadcast codebooks), no shuffle.
 - **Score** with a second narrow stage that also does per-batch local
-  top-k (numpy argpartition), so the only shuffle — the final
+  top-k (numpy lexsort over the SAME (rounded-cosine desc, vec_id asc)
+  total order the global window uses — a tie at the local cut can
+  therefore never drop a global winner, keeping results
+  partitioning-independent), so the only shuffle — the final
   per-query window — sees ``partitions × queries × k`` rows, not
   ``corpus × queries``.
 
@@ -152,8 +155,12 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             k = min(KNN_K + 1, cos.shape[1])
             for qi in range(len(q_ids)):
-                # local top-k per batch bounds the shuffle volume
-                top = np.argpartition(-cos[qi], k - 1)[:k]
+                # local top-k per batch bounds the shuffle volume;
+                # the (cosine desc, vec_id asc) total order matches
+                # the global window's, so the local cut can never
+                # drop a global winner on a rounded-cosine tie —
+                # results stay partitioning-independent
+                top = np.lexsort((vec_ids, -np.round(cos[qi], 6)))[:k]
                 out.append(
                     pd.DataFrame(
                         {
@@ -413,7 +420,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     dots = lut[qi, col, c[:, col]].sum(axis=1)
                     cos = dots / (q_norms[qi] * norms)
                     k = min(IVFPQ_SHORTLIST, len(cos))
-                    top = np.argpartition(-cos, k - 1)[:k]
+                    # deterministic local cut: same (rounded cosine
+                    # desc, vec_id asc) total order as the global
+                    # shortlist window — partitioning-independent
+                    top = np.lexsort((vec_ids, -np.round(cos, 6)))[:k]
                     out.append(
                         pd.DataFrame(
                             {

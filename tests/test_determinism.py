@@ -41,6 +41,11 @@ QUERIES_UNDER_TEST = [
     "sim_matryoshka_prefix_floor",
     "dedup_containment",
     "retrieval_hybrid_rrf_topk",
+    # round-5 additions: fused IVFPQ local-cut (lexsort tie
+    # discipline), window-carried attribution, level-quantile trim
+    "sim_ivfpq_topk",
+    "events_attribution_last_touch",
+    "text_token_budget_trim_twopass",
 ]
 
 

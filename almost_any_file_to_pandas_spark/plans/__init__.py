@@ -157,6 +157,8 @@ POST_GATE_PRIORITY = (
     "supplier_balance_rank_in_nation",
     "q13_customer_order_distribution",
     "sim_ivf_incremental_assign",
+    "events_session_stats",
+    "events_user_erasure_audit",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

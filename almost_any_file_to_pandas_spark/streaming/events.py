@@ -627,3 +627,103 @@ def events_stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kept
+
+
+from almost_any_file_to_pandas_spark.plans import ORACLES as _ORACLES
+
+
+@register(
+    "events_session_stats",
+    oracle=f"""
+    WITH sess AS (
+      SELECT * FROM ({_ORACLES['events_sessionization']}) parent_q
+    )
+    SELECT COUNT(*) AS n_sessions,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           -- all-integer means (house _q6 recipe, HUGEINT-widened)
+           CAST((CAST(SUM(n_events) AS HUGEINT) * 1000000) // COUNT(*)
+                AS BIGINT) AS mean_session_events_q6,
+           (SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000)
+             // COUNT(*) AS bounce_rate_q6
+    FROM sess
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level session summary over the FROZEN sessionizer:
+    session/user counts, the largest session, mean events per session
+    and the single-event "bounce" rate — the engagement dashboard row
+    computed by composing :func:`events_sessionization` (plan reused
+    bit-identically) with one tiny aggregate. Also doubles as another
+    standing driver-side exercise of the sessionization lineage.
+    """
+    sess = events_sessionization(spark, sf_dir)
+    return sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
+        F.expr(
+            "CAST(CAST(SUM(n_events) AS DECIMAL(38,0)) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("mean_session_events_q6"),
+        F.expr(
+            "SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000"
+            " div COUNT(*)"
+        ).alias("bounce_rate_q6"),
+    )
+
+
+ERASURE_MOD = 13  # user_id % 13 == 3 plays the deletion list
+
+
+@register(
+    "events_user_erasure_audit",
+    oracle=f"""
+    WITH kept AS (
+      SELECT user_id FROM events WHERE user_id % {ERASURE_MOD} <> 3
+    )
+    SELECT (SELECT COUNT(*) FROM events) AS n_before,
+           (SELECT COUNT(*) FROM kept) AS n_after,
+           (SELECT COUNT(*) FROM events) - (SELECT COUNT(*) FROM kept)
+             AS n_erased,
+           (SELECT COUNT(DISTINCT user_id) FROM events
+            WHERE user_id % {ERASURE_MOD} = 3) AS n_users_erased,
+           (SELECT COUNT(*) FROM kept
+            WHERE user_id % {ERASURE_MOD} = 3) = 0 AS erasure_complete
+    """,
+)
+def events_user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure compliance audit: apply a deletion list (every
+    user with ``user_id % 13 == 3`` stands in for the request queue),
+    then PROVE the wipe — before/after row counts, erased-user count,
+    and a hash-checked boolean that zero rows for listed users
+    survive. The pattern a lakehouse runs after every GDPR/CCPA batch:
+    the delete itself is cheap; the audited evidence is the product.
+
+    Plan: one pushed-down predicate scan for the kept side, one
+    distinct-aggregate for the listed users — no join; all counts are
+    map-side-partial folds over a two-column read.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    listed = F.col("user_id") % ERASURE_MOD == 3
+    kept = ev.filter(~listed)
+    before = ev.agg(F.count("*").alias("n_before"))
+    after = kept.agg(
+        F.count("*").alias("n_after"),
+        F.count_if(listed).alias("_leaked"),
+    )
+    erased = ev.filter(listed).agg(
+        F.countDistinct("user_id").alias("n_users_erased")
+    )
+    return (
+        before.crossJoin(after)
+        .crossJoin(erased)
+        .select(
+            "n_before",
+            "n_after",
+            (F.col("n_before") - F.col("n_after")).alias("n_erased"),
+            "n_users_erased",
+            (F.col("_leaked") == 0).alias("erasure_complete"),
+        )
+    )

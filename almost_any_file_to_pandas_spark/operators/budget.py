@@ -208,6 +208,10 @@ def text_token_budget_trim_twopass(
         "n_tokens",
         F.expr("_hits_scaled div n_tokens").alias("q_key"),
     )
+    # the stopword-scan projection is interpreted and CPU-heavy, and
+    # THREE consumers read it (budgets, level census, boundary
+    # re-scan) — materialize once, the bloom/minhash discipline
+    scored = scored.localCheckpoint(eager=True)
     budgets = scored.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("tokens_total"),

@@ -1440,6 +1440,15 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sample up to SEMANTIC_COARSE_MAX centroids, the two-level
     # coarse/fine path past it (see _semantic_centers).
     centers = _semantic_centers(spark, feats, n_vectors, k)
+    return _semantic_pairs_from_centers(emb, feats, centers)
+
+
+def _semantic_pairs_from_centers(
+    emb: DataFrame, feats: DataFrame, centers: DataFrame
+) -> DataFrame:
+    """Top-2 multi-probe assignment + in-cluster exact scoring —
+    shared verbatim (pure code motion) by the FROZEN gate query and
+    the fast-fit twin, so the parent's plan is bit-identical to r4."""
     sqdist = _sq_dist(
         F.col("embedding").cast("array<double>"), F.col("center")
     )
@@ -1494,6 +1503,103 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "vec_a", "vec_b", F.round("_cos", 6).alias("cosine")
     ).dropDuplicates(["vec_a", "vec_b"])
+
+
+def _semantic_centers_fast(
+    spark: SparkSession, feats: DataFrame, n_vectors: int, k: int
+) -> DataFrame:
+    """Driver-side deterministic numpy Lloyd's on the SAME bounded
+    sample the ml.KMeans path trains on (≤ SEMANTIC_FIT_SAMPLE rows ≈
+    32 MB at dim 64 — an index-build collect, the PQ codebook
+    pattern). Eliminates Spark ML's per-iteration job-scheduling
+    overhead (~2s fixed at every SF, measured r5); centroid INIT
+    differs from k-means||, so this backs the post-gate twin until a
+    fresh driver-green row unfreezes the gate query (r6 swap)."""
+    pdf = (
+        feats.orderBy("vec_id")
+        .limit(SEMANTIC_FIT_SAMPLE)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .toPandas()
+    )
+    out = _fit_cell_kmeans(k, 0)((0,), pdf)
+    return spark.createDataFrame(
+        [
+            (int(r.fine), [float(x) for x in r.center])
+            for r in out.itertuples()
+        ],
+        "cluster int, center array<double>",
+    )
+
+
+@register("dedup_semantic_clusters_fastfit")  # rows-only twin
+def dedup_semantic_clusters_fastfit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`dedup_semantic_clusters` with the driver-side numpy fit —
+    identical assignment/scoring plan (shared helper), different
+    quantizer training backend. Same acceptance contract, enforced by
+    its own floor row below."""
+    apply_engine_conf(spark)
+    from pyspark.ml.functions import array_to_vector
+
+    emb = table_wide(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    n_vectors = feats.count()
+    k = max(
+        SEMANTIC_CLUSTER_K,
+        -(-n_vectors // SEMANTIC_TARGET_CLUSTER_ROWS),
+    )
+    centers = _semantic_centers_fast(spark, feats, n_vectors, k)
+    return _semantic_pairs_from_centers(emb, feats, centers)
+
+
+@register(
+    "dedup_semantic_floor_fastfit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS precision_exact,
+           TRUE AS recall_floor_met
+    FROM embeddings
+    """,
+)
+def dedup_semantic_floor_fastfit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Acceptance gate for the fast-fit twin — same precision/recall
+    contract as `dedup_semantic_floor`, so a driver-green row here is
+    the evidence that swapping the frozen gate query's fit backend in
+    round 6 is value-safe."""
+    sem = dedup_semantic_clusters_fastfit(spark, sf_dir).select(
+        "vec_a", "vec_b", F.lit(1).alias("_sem")
+    )
+    exact = dedup_embedding_cosine(spark, sf_dir).select(
+        "vec_a", "vec_b", F.lit(1).alias("_ex")
+    )
+    joined = exact.join(sem, ["vec_a", "vec_b"], "full").agg(
+        F.count_if(F.col("_ex").isNotNull()).alias("n_exact"),
+        F.count_if(F.col("_sem").isNotNull()).alias("n_sem"),
+        F.count_if(
+            F.col("_ex").isNotNull() & F.col("_sem").isNotNull()
+        ).alias("n_both"),
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.agg(
+        F.count("*").cast("bigint").alias("n_vectors")
+    ).crossJoin(
+        joined.select(
+            (F.col("n_sem") == F.col("n_both")).alias("precision_exact"),
+            (
+                F.col("n_both")
+                >= F.col("n_exact") * F.lit(SEMANTIC_RECALL_FLOOR)
+            ).alias("recall_floor_met"),
+        )
+    )
 
 
 @register(

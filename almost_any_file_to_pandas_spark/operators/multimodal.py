@@ -233,3 +233,50 @@ def decode_image(content: bytes):
 
     with Image.open(io.BytesIO(content)) as img:  # pragma: no cover
         return img.width, img.height, img.mode
+
+
+@register(
+    "mm_dedup_binary_exact",
+    oracle=f"""
+    WITH mm AS (
+      SELECT doc_id, {_MODALITY_SQL} AS modality,
+             -- md5 over the UTF-8 payload: VARCHAR md5 hashes the
+             -- same bytes Spark's md5(binary content) sees
+             md5(text) AS fp
+      FROM documents
+    )
+    SELECT modality,
+           COUNT(*) AS n_assets,
+           COUNT(DISTINCT fp) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT fp) AS n_dup_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM mm
+    GROUP BY modality
+    """,
+)
+def mm_dedup_binary_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over OPAQUE binary payloads, per modality — the
+    multimodal counterpart of `dedup_exact`: the engine never decodes
+    the asset, it fingerprints the bytes (md5 of the binary column,
+    JVM-side) and counts redundant copies per modality. This is the
+    first stage of any image/audio dedup pipeline (byte-identical
+    copies are the bulk of web-crawl duplication; perceptual hashing
+    only runs on the survivors).
+
+    Plan: one narrow fingerprint projection (no decode, no Python),
+    one (modality, fp)-keyed distinct inside a modality census —
+    the standard two-phase distinct; at 100 TB only fingerprints
+    shuffle, never content bytes.
+    """
+    apply_engine_conf(spark)
+    mm = with_binary_content(table(spark, sf_dir, "documents"))
+    return (
+        mm.select("doc_id", "modality", F.md5("content").alias("fp"))
+        .groupBy("modality")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.countDistinct("fp").alias("n_unique"),
+            (F.count("*") - F.countDistinct("fp")).alias("n_dup_copies"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+    )

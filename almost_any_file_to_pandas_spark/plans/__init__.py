@@ -163,6 +163,7 @@ POST_GATE_PRIORITY = (
     # swapped to the driver-side numpy Lloyd's, behind its own floor
     "dedup_semantic_floor_fastfit",
     "dedup_semantic_clusters_fastfit",
+    "mm_dedup_binary_exact",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

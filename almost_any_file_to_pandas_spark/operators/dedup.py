@@ -1872,3 +1872,123 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.col("pick") == 1).alias("is_kept"),
     )
+
+
+MINHASH_CALIB_TOL_Q6 = 250_000  # |sig-agreement − exact J| ≤ 0.25
+
+
+def _minhash_signatures(docs: DataFrame, seed: int = 42) -> DataFrame:
+    """(doc_id, sig array<bigint>) — the full N_HASHES minhash
+    signature per document; same shingling, base hash and affine
+    family as the banded LSH kernel (one narrow Arrow stage)."""
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, MERSENNE_PRIME), rng.randrange(0, MERSENNE_PRIME))
+        for _ in range(N_HASHES)
+    ]
+    a_vec = [c[0] for c in coeffs]
+    b_vec = [c[1] for c in coeffs]
+
+    def _sig_batches(batches):
+        import zlib
+
+        import numpy as np
+
+        a = np.asarray(a_vec, dtype=np.int64)[:, None]
+        b = np.asarray(b_vec, dtype=np.int64)[:, None]
+        for batch in batches:
+            out_doc, out_sig = [], []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                words = text.split(" ")
+                if len(words) < 3:
+                    continue
+                shingles = {
+                    " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+                }
+                h = np.fromiter(
+                    (zlib.crc32(s.encode()) for s in shingles),
+                    dtype=np.int64,
+                    count=len(shingles),
+                ) % MERSENNE_PRIME
+                sig = ((a * h[None, :] + b) % MERSENNE_PRIME).min(axis=1)
+                out_doc.append(doc_id)
+                out_sig.append(list(sig))
+            yield pd.DataFrame({"doc_id": out_doc, "sig": out_sig})
+
+    spark = docs.sparkSession
+    return (
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "text")
+        .mapInPandas(_sig_batches, schema="doc_id bigint, sig array<bigint>")
+    )
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=f"""
+    WITH pairs AS ({_SHINGLE_JACCARD_ORACLE.format(
+        threshold=JACCARD_THRESHOLD)})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST({N_HASHES} AS BIGINT) AS n_hashes,
+           TRUE AS estimates_within_tol
+    FROM pairs
+    """,
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-calibration gate for the MinHash family: over every
+    VERIFIED near-dup pair (exact shingle Jaccard ≥ 0.8 — the same
+    pair set the oracle derives), the signature-agreement estimate
+    (matching minhashes / N_HASHES, the unbiased Jaccard estimator)
+    must sit within ±0.25 of the exact Jaccard. With 128 hashes the
+    estimator's σ ≈ 0.035 at J = 0.8, so the tolerance holds with
+    huge margin unless the hash family or shingling drifts — this row
+    turns such a regression into a driver-visible hash mismatch (the
+    sketch-tolerance pattern of `events_approx_distinct`).
+
+    Plan: signatures are one narrow Arrow stage; the verified pair
+    set (bounded — it is the dedup output, not the corpus) joins its
+    two members' signatures by doc_id; agreement is a zip_with fold
+    over two 128-long arrays per pair. Nothing quadratic, nothing
+    collected.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    pairs = _verify_pairs(
+        minhash_candidate_pairs(docs), docs, JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b", "jaccard")
+    sigs = _minhash_signatures(docs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est_q6 = (agree.cast("long") * 1_000_000) / F.lit(N_HASHES)
+    scored = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            (
+                F.abs(est_q6 - F.col("jaccard") * 1_000_000)
+                <= MINHASH_CALIB_TOL_Q6
+            ).alias("ok")
+        )
+    )
+    return scored.agg(
+        F.count("*").alias("n_pairs"),
+        F.lit(N_HASHES).cast("bigint").alias("n_hashes"),
+        F.min(F.when(F.col("ok"), True).otherwise(False)).alias(
+            "estimates_within_tol"
+        ),
+    )

@@ -442,3 +442,87 @@ def events_attribution_last_touch(
             .alias("value_cents"),
         )
     )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(e.ts AS TIMESTAMP) >= s.s_ts
+      GROUP BY e.user_id
+    ), g AS (
+      SELECT (epoch_us(p.p_ts) - epoch_us(s.s_ts)) // 1000000 AS gap_s
+      FROM s JOIN p USING (user_id)
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup_users,
+           COUNT(*) AS n_converted,
+           CAST(quantile_disc(gap_s, 0.5) AS BIGINT) AS p50_s,
+           CAST(quantile_disc(gap_s, 0.9) AS BIGINT) AS p90_s
+    FROM g
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency summary: per user, first signup → first
+    subsequent purchase, with exact disc-percentiles of the gap —
+    the activation metric growth teams steer by (the ordered funnel
+    counts conversions; this measures how long they take).
+
+    Plan: two user-keyed aggregates (the purchase side joins the
+    signup anchor on user_id; AQE picks the join strategy) fold the
+    stream to one integer gap per converted user; p50/p90 come from
+    the distributed exact-quantile refinement
+    (`plans.relational.exact_disc_quantiles` — bounded driver
+    histograms, filters pushed to the scan, NO global sort), run on
+    the |converted-users|-sized gap frame. Gaps are exact integer
+    seconds (epoch-micros subtraction div 1e6) so the quantile values
+    are hash-stable.
+    """
+    apply_engine_conf(spark)
+    from almost_any_file_to_pandas_spark.plans.relational import (
+        exact_disc_quantiles,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    gaps = (
+        s.join(p, "user_id")
+        .select(
+            (
+                (F.unix_micros("p_ts") - F.unix_micros("s_ts"))
+                / F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("gap_s")
+        )
+    ).localCheckpoint(eager=True)  # 2 quantile passes + 1 count
+    import math
+
+    qs = exact_disc_quantiles(gaps, "gap_s", [0.5, 0.9])
+    # zero converters: quantiles undefined → NULL, matching SQL
+    p50 = None if math.isnan(qs[0.5]) else int(qs[0.5])
+    p90 = None if math.isnan(qs[0.9]) else int(qs[0.9])
+    n_signup = s.agg(F.count("*").alias("n_signup_users"))
+    conv = gaps.agg(F.count("*").alias("n_converted"))
+    return n_signup.crossJoin(conv).select(
+        "n_signup_users",
+        "n_converted",
+        F.lit(p50).cast("bigint").alias("p50_s"),
+        F.lit(p90).cast("bigint").alias("p90_s"),
+    )

@@ -164,6 +164,8 @@ POST_GATE_PRIORITY = (
     "dedup_semantic_floor_fastfit",
     "dedup_semantic_clusters_fastfit",
     "mm_dedup_binary_exact",
+    "events_time_to_convert",
+    "dedup_minhash_calibration",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

@@ -799,3 +799,25 @@ def test_pdftext_row_col_clustering():
     assert grid[0][0] == "a1"
     assert "b1" in grid[0][1]
     assert grid[-1] == ["a2", "b2x"]
+
+
+def test_read_xml_records_native(spark, tmp_path):
+    """Generic record XML through Spark's native xml source: typed
+    schema, all records, and the never-raise contract on bad input."""
+    from almost_any_file_to_pandas_spark.sources.xmlss import (
+        read_xml_records,
+    )
+
+    p = tmp_path / "feed.xml"
+    p.write_text(
+        "<items><item><id>1</id><name>ok</name></item>"
+        "<item><id>2</id><name>also</name></item></items>"
+    )
+    res = read_xml_records(spark, str(p), row_tag="item")
+    rows = {r["id"]: r["name"] for r in res.data.collect()}
+    assert rows == {1: "ok", 2: "also"}
+    assert res.parse_info != "Failed"
+
+    missing = read_xml_records(spark, str(tmp_path / "nope.xml"), "item")
+    assert missing.parse_info == "Failed"
+    assert missing.data.count() == 0

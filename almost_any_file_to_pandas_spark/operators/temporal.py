@@ -934,3 +934,72 @@ def events_user_type_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(CAST(n_events AS DECIMAL(38,0)) * n_events) AS BIGINT)"
         ).alias("gini_q6"),
     )
+
+
+@register(
+    "events_hourly_quantiles_by_type",
+    oracle="""
+    WITH hours AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           COUNT(*) AS n_hours,
+           CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_hourly,
+           CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_hourly,
+           CAST(MAX(n) AS BIGINT) AS max_hourly
+    FROM hours
+    GROUP BY event_type
+    """,
+)
+def events_hourly_quantiles_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-type exact p50/p99 of hourly event volume — the capacity-
+    planning distribution — via the VALUE-HISTOGRAM quantile pattern:
+    when the measured value is a small-domain integer (counts), exact
+    grouped quantiles need NO per-group sort of observations and NO
+    driver refinement loop. Fold observations to a (group, value)
+    frequency table, cumulative-sum per group over the DISTINCT
+    VALUES (bounded cardinality — the window's partition can never
+    grow with the corpus), and pick the smallest value whose
+    cumulative count reaches ⌈q·n⌉ (``quantile_disc`` semantics).
+
+    This complements `exact_disc_quantiles` (driver-side histogram
+    refinement for UNBOUNDED real domains, ungrouped): for grouped
+    integer metrics this form is one shuffle cheaper and fully
+    declarative. All outputs integer — hash-stable by construction.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("n"))
+    hist = hours.groupBy("event_type", "n").agg(
+        F.count("*").alias("c")
+    )
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("n")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "n",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("tot"),
+        F.max("n").over(w_all).alias("max_n"),
+    )
+    pick = lambda q: F.min(  # noqa: E731 — smallest n reaching ⌈q·tot⌉
+        F.when(
+            F.col("cum") >= F.ceil(F.lit(q) * F.col("tot")), F.col("n")
+        )
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("tot").alias("n_hours"),
+        pick(0.5).cast("bigint").alias("p50_hourly"),
+        pick(0.99).cast("bigint").alias("p99_hourly"),
+        F.max("max_n").cast("bigint").alias("max_hourly"),
+    )

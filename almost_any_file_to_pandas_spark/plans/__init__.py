@@ -166,6 +166,7 @@ POST_GATE_PRIORITY = (
     "mm_dedup_binary_exact",
     "events_time_to_convert",
     "dedup_minhash_calibration",
+    "events_hourly_quantiles_by_type",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

@@ -1003,3 +1003,143 @@ def events_hourly_quantiles_by_type(
         pick(0.99).cast("bigint").alias("p99_hourly"),
         F.max("max_n").cast("bigint").alias("max_hourly"),
     )
+
+
+BOT_MIN_EVENTS = 50  # volume floor before a user can be flagged
+BOT_FAST_GAP_US = 1_000_000  # "machine-speed" inter-event gap: <1s
+
+
+@register(
+    "events_bot_user_census",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM ev
+    ), per_user AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             COUNT(CASE WHEN gap_us < {BOT_FAST_GAP_US} THEN 1 END)
+               AS n_fast,
+             COUNT(gap_us) AS n_gaps
+      FROM gaps GROUP BY user_id
+    ), flagged AS (
+      SELECT user_id, n_events,
+             (n_events >= {BOT_MIN_EVENTS}
+              AND n_fast * 2 > n_gaps) AS is_bot
+      FROM per_user
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(CASE WHEN is_bot THEN 1 END) AS BIGINT) AS n_bots,
+           CAST(COALESCE(SUM(CASE WHEN is_bot THEN n_events END), 0)
+                AS BIGINT) AS n_bot_events
+    FROM flagged
+    """,
+)
+def events_bot_user_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic bot filter census — the traffic-hygiene step a
+    training-data pipeline runs before any behavioral feature is
+    trusted: a user is flagged when they are high-volume
+    (≥ BOT_MIN_EVENTS) AND a majority of their inter-event gaps are
+    machine-speed (< 1s). All-integer decision (gap micros, count
+    comparisons ×2 — no ratio floats), so the flag is hash-stable.
+
+    Plan: the same ONE user-keyed window shuffle the sessionizer and
+    interarrival profile pay (identical partitioning — a pipeline
+    computing all three shares the exchange), folded to a per-user
+    row then a one-row census.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
+    per_user = (
+        ev.select("user_id", gap.alias("gap_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(
+                F.when(F.col("gap_us") < BOT_FAST_GAP_US, 1)
+            ).alias("n_fast"),
+            F.count("gap_us").alias("n_gaps"),
+        )
+    )
+    is_bot = (F.col("n_events") >= BOT_MIN_EVENTS) & (
+        F.col("n_fast") * 2 > F.col("n_gaps")
+    )
+    return per_user.select(
+        "n_events", is_bot.alias("is_bot")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.count(F.when(F.col("is_bot"), 1)).cast("bigint").alias("n_bots"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_bot"), F.col("n_events"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_bot_events"),
+    )
+
+
+@register(
+    "events_new_vs_returning_daily",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day, f.first_day
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(COUNT(CASE WHEN day = first_day THEN 1 END) AS BIGINT)
+             AS n_new,
+           CAST(COUNT(CASE WHEN day <> first_day THEN 1 END) AS BIGINT)
+             AS n_returning
+    FROM daily
+    GROUP BY day
+    """,
+)
+def events_new_vs_returning_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily new-vs-returning active-user split — the growth
+    accounting identity (DAU = new + retained + resurrected collapses
+    to new/returning at day grain) every product dashboard leads
+    with; complements the retention cohort matrix with the time-series
+    view.
+
+    Plan: first-seen aggregate (one user shuffle) → join back on the
+    same key (partitioning reused) → per-(user, day) distinct →
+    calendar-keyed census. Day keys are bounded cardinality; the
+    VARCHAR day rendering is a DATE cast (not a timestamp), identical
+    across engines.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_day")
+    )
+    daily = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            "first_day",
+        )
+        .distinct()
+    )
+    return daily.groupBy(
+        F.col("day").cast("string").alias("day")
+    ).agg(
+        F.count(F.when(F.col("day") == F.col("first_day"), 1))
+        .cast("bigint")
+        .alias("n_new"),
+        F.count(F.when(F.col("day") != F.col("first_day"), 1))
+        .cast("bigint")
+        .alias("n_returning"),
+    )

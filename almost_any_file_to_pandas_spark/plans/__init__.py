@@ -167,6 +167,8 @@ POST_GATE_PRIORITY = (
     "events_time_to_convert",
     "dedup_minhash_calibration",
     "events_hourly_quantiles_by_type",
+    "events_bot_user_census",
+    "events_new_vs_returning_daily",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

@@ -169,6 +169,7 @@ POST_GATE_PRIORITY = (
     "events_hourly_quantiles_by_type",
     "events_bot_user_census",
     "events_new_vs_returning_daily",
+    "orders_fulfillment_latency_by_priority",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

@@ -2498,3 +2498,85 @@ def q13_customer_order_distribution(
     return per_cust.groupBy("c_count").agg(
         F.count("*").alias("custdist")
     )
+
+
+@register(
+    "orders_fulfillment_latency_by_priority",
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             datediff('day', CAST(o.o_orderdate AS DATE),
+                      MIN(CAST(l.l_shipdate AS DATE))) AS days_to_ship
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(quantile_disc(days_to_ship, 0.5) AS BIGINT) AS p50_days,
+           CAST(quantile_disc(days_to_ship, 0.9) AS BIGINT) AS p90_days,
+           CAST(MAX(days_to_ship) AS BIGINT) AS max_days
+    FROM per_order
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_fulfillment_latency_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Days from order to FIRST shipment, p50/p90 per order priority
+    — the SLA dashboard (does '1-URGENT' actually ship faster?).
+    Second user of the grouped VALUE-HISTOGRAM quantile pattern
+    (`events_hourly_quantiles_by_type`): latency days are small
+    integers, so exact grouped quantiles need no per-group sort of
+    orders — fold to a (priority, days) frequency table and
+    cumulative-window the bounded distinct-value domain.
+
+    Plan: one orderkey-keyed join+aggregate folds lineitem to first
+    ship date per order (the only corpus shuffle); the histogram and
+    its window run over ≤ priorities × distinct-day-counts rows.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min(F.col("l_shipdate").cast("date")).alias("first_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("first_ship"), F.col("o_orderdate").cast("date")
+            ).alias("days_to_ship"),
+        )
+    )
+    hist = per_order.groupBy("o_orderpriority", "days_to_ship").agg(
+        F.count("*").alias("c")
+    )
+    w_cum = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("days_to_ship")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("o_orderpriority")
+    cum = hist.select(
+        "o_orderpriority",
+        "days_to_ship",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("tot"),
+        F.max("days_to_ship").over(w_all).alias("max_d"),
+    )
+    pick = lambda q: F.min(  # noqa: E731
+        F.when(
+            F.col("cum") >= F.ceil(F.lit(q) * F.col("tot")),
+            F.col("days_to_ship"),
+        )
+    )
+    return cum.groupBy("o_orderpriority").agg(
+        F.max("tot").alias("n_orders"),
+        pick(0.5).cast("bigint").alias("p50_days"),
+        pick(0.9).cast("bigint").alias("p90_days"),
+        F.max("max_d").cast("bigint").alias("max_days"),
+    )

@@ -1619,3 +1619,119 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000 div count(*)"
         ).alias("novelty_q6"),
     )
+
+
+@register(
+    "text_token_mass_concentration",
+    oracle="""
+    WITH scored AS (
+      SELECT source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), hist AS (
+      SELECT source, n_tokens, COUNT(*) AS c,
+             SUM(n_tokens) AS tok
+      FROM scored GROUP BY source, n_tokens
+    ), cum AS (
+      -- cumulative from the LONGEST docs down, over the bounded
+      -- distinct-length domain (value-histogram pattern)
+      SELECT source, n_tokens, c, tok,
+             SUM(c) OVER (PARTITION BY source ORDER BY n_tokens DESC
+                          ROWS UNBOUNDED PRECEDING) AS cum_docs,
+             SUM(tok) OVER (PARTITION BY source ORDER BY n_tokens DESC
+                            ROWS UNBOUNDED PRECEDING) AS cum_tok,
+             SUM(c) OVER (PARTITION BY source) AS n_docs,
+             SUM(tok) OVER (PARTITION BY source) AS total_tok
+      FROM hist
+    ), cut AS (
+      -- the smallest length level at which the top-decile doc count
+      -- is reached; levels are whole — the integer approximation is
+      -- identical on both engines by construction
+      SELECT source, n_docs, total_tok,
+             MIN(CASE WHEN cum_docs >= (n_docs + 9) // 10
+                      THEN n_tokens END) AS len_cut
+      FROM cum GROUP BY source, n_docs, total_tok
+    )
+    SELECT c.source,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST(c.total_tok AS BIGINT) AS total_tokens,
+           CAST(x.cum_tok * 1000000 // c.total_tok AS BIGINT)
+             AS top_decile_token_share_q6
+    FROM cut c JOIN cum x
+      ON x.source = c.source AND x.n_tokens = c.len_cut
+    """,
+)
+def text_token_mass_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How much of each source's token mass sits in its top-decile
+    longest documents — the concentration diagnostic behind length-
+    capping policy (a source where 10% of docs carry most tokens
+    will dominate training batches unless trimmed; the budget-trim
+    operators are the treatment, this is the diagnosis).
+
+    Plan: the value-histogram pattern a third time, with a
+    longest-first cumulative cut: docs fold to a (source, length)
+    frequency/mass table; cumulative windows run over the bounded
+    distinct-length domain (never documents); the top-decile doc
+    threshold ⌈n/10⌉ is integer arithmetic and the cut level is the
+    smallest length reaching it — whole levels included, so both
+    engines take the identical cut by construction. Output share is
+    the all-integer _q6 recipe.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    scored = docs.select(
+        "source",
+        F.size(F.split(F.col("text"), " ", -1)).alias("n_tokens"),
+    )
+    hist = scored.groupBy("source", "n_tokens").agg(
+        F.count("*").alias("c"),
+        F.sum("n_tokens").alias("tok"),
+    )
+    w_cum = (
+        W.partitionBy("source")
+        .orderBy(F.desc("n_tokens"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "n_tokens",
+        F.sum("c").over(w_cum).alias("cum_docs"),
+        F.sum("tok").over(w_cum).alias("cum_tok"),
+        F.sum("c").over(w_all).alias("n_docs"),
+        F.sum("tok").over(w_all).alias("total_tok"),
+    )
+    cut = cum.groupBy("source", "n_docs", "total_tok").agg(
+        F.min(
+            F.when(
+                F.col("cum_docs")
+                >= F.expr("(n_docs + 9) div 10"),
+                F.col("n_tokens"),
+            )
+        ).alias("len_cut")
+    )
+    cut_small = F.broadcast(
+        cut.select(
+            F.col("source").alias("_cut_source"),
+            F.col("len_cut"),
+        )
+    )
+    return (
+        cum.join(
+            cut_small,
+            (F.col("source") == F.col("_cut_source"))
+            & (F.col("n_tokens") == F.col("len_cut")),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("total_tok").cast("bigint").alias("total_tokens"),
+            F.expr(
+                "CAST(CAST(cum_tok AS DECIMAL(38,0)) * 1000000"
+                " div total_tok AS BIGINT)"
+            ).alias("top_decile_token_share_q6"),
+        )
+    )

@@ -170,6 +170,7 @@ POST_GATE_PRIORITY = (
     "events_bot_user_census",
     "events_new_vs_returning_daily",
     "orders_fulfillment_latency_by_priority",
+    "text_token_mass_concentration",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

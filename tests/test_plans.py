@@ -1101,3 +1101,62 @@ def test_attribution_single_user_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in p
+
+
+def test_value_histogram_quantiles_match_refinement(spark):
+    """The grouped value-histogram quantile pattern (hourly-volume /
+    fulfillment-latency queries) must agree with the driver-side
+    histogram-refinement machinery on the same data: both implement
+    quantile_disc ('smallest value whose cumulative count reaches
+    ceil(q*n)'), via opposite physical strategies."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from almost_any_file_to_pandas_spark.plans.relational import (
+        exact_disc_quantiles,
+    )
+
+    # deterministic skewed integer sample: mixed duplicates and ties
+    vals = (
+        spark.range(0, 4000)
+        .select(
+            (
+                F.pmod(F.col("id") * 37 + 11, F.lit(97))
+                + F.when(F.col("id") % 5 == 0, 100).otherwise(0)
+            )
+            .cast("long")
+            .alias("v")
+        )
+    )
+    qs = [0.5, 0.9, 0.99]
+    ref = exact_disc_quantiles(vals, "v", qs)
+
+    hist = vals.groupBy("v").agg(F.count("*").alias("c"))
+    w_cum = (
+        W.partitionBy(F.lit(1))
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy(F.lit(1))
+    cum = hist.select(
+        "v",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("tot"),
+    )
+    row = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(q) * F.col("tot")),
+                    F.col("v"),
+                )
+            ).alias(f"q{int(q * 100)}")
+            for q in qs
+        ]
+    ).first()
+    for q in qs:
+        assert int(ref[q]) == int(row[f"q{int(q * 100)}"]), (
+            q,
+            ref[q],
+            row[f"q{int(q * 100)}"],
+        )

@@ -1143,3 +1143,102 @@ def events_new_vs_returning_daily(
         .cast("bigint")
         .alias("n_returning"),
     )
+
+
+MAD_K = 5  # flag hours above median + K * MAD
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH hours AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type,
+             CAST(quantile_disc(n, 0.5) AS BIGINT) AS med_n
+      FROM hours GROUP BY event_type
+    ), dev AS (
+      SELECT h.event_type, h.n, m.med_n, ABS(h.n - m.med_n) AS d
+      FROM hours h JOIN med m ON h.event_type = m.event_type
+    ), mad AS (
+      SELECT event_type,
+             CAST(quantile_disc(d, 0.5) AS BIGINT) AS mad_n
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ANY_VALUE(d.med_n) AS med_hourly,
+           ANY_VALUE(m.mad_n) AS mad_hourly,
+           CAST(COUNT(CASE WHEN d.n > d.med_n + {MAD_K} * m.mad_n
+                           THEN 1 END) AS BIGINT) AS n_anomalous_hours
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) hourly-volume anomaly census per event type
+    — the outlier-resistant alternative to the z-score monitor: one
+    traffic spike inflates a mean+stddev threshold and masks later
+    spikes, while median and median-absolute-deviation barely move.
+    Decision is ALL-INTEGER (counts, integer medians, integer
+    comparison) — nothing to canonicalize.
+
+    Plan: the value-histogram grouped-median pattern TWICE — once over
+    hourly counts, once over absolute deviations — each a cumulative
+    window over the bounded distinct-value domain; the corpus pays
+    only the initial (type, hour) aggregate. No driver loop, no
+    per-group sort of observations.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("n"))
+
+    def grouped_median(df: DataFrame, col: str) -> DataFrame:
+        hist = df.groupBy("event_type", col).agg(F.count("*").alias("c"))
+        w_cum = (
+            W.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        w_all = W.partitionBy("event_type")
+        cum = hist.select(
+            "event_type",
+            col,
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(w_all).alias("tot"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(0.5) * F.col("tot")),
+                    F.col(col),
+                )
+            )
+            .cast("bigint")
+            .alias(f"med_{col}")
+        )
+
+    med = grouped_median(hours, "n").withColumnRenamed("med_n", "med_n")
+    dev = hours.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n",
+        "med_n",
+        F.abs(F.col("n") - F.col("med_n")).alias("d"),
+    )
+    mad = grouped_median(dev, "d").withColumnRenamed("med_d", "mad_n")
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.any_value("med_n").alias("med_hourly"),
+        F.any_value("mad_n").alias("mad_hourly"),
+        F.count(
+            F.when(
+                F.col("n") > F.col("med_n") + MAD_K * F.col("mad_n"), 1
+            )
+        )
+        .cast("bigint")
+        .alias("n_anomalous_hours"),
+    )

@@ -1735,3 +1735,60 @@ def text_token_mass_concentration(
             ).alias("top_decile_token_share_q6"),
         )
     )
+
+
+@register(
+    "text_cross_lang_contamination",
+    oracle="""
+    WITH fp AS (
+      SELECT md5(text) AS fp, lang FROM documents WHERE text IS NOT NULL
+    ), per_fp AS (
+      SELECT fp, COUNT(*) AS n_copies,
+             COUNT(DISTINCT lang) AS n_langs
+      FROM fp GROUP BY fp
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_texts,
+           CAST(COUNT(CASE WHEN n_langs > 1 THEN 1 END) AS BIGINT)
+             AS n_cross_lang_texts,
+           CAST(COALESCE(SUM(CASE WHEN n_langs > 1 THEN n_copies END), 0)
+                AS BIGINT) AS n_cross_lang_docs
+    FROM per_fp
+    """,
+)
+def text_cross_lang_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-language duplicate census: identical text content
+    appearing under MORE THAN ONE language label — the lang-ID /
+    metadata corruption signal (a byte-identical document cannot be
+    both 'en' and 'de'; one label is wrong, and a language-balanced
+    sampler trained on it double-counts). Complements the confusion
+    matrix (prediction drift) with a ground-truth-free consistency
+    check.
+
+    Plan: one narrow md5 projection (content bytes never shuffle),
+    one fingerprint-keyed aggregate with a two-phase distinct on the
+    label, folded to a one-row census.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    per_fp = (
+        docs.select(F.md5("text").alias("fp"), "lang")
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+    multi = F.col("n_langs") > 1
+    return per_fp.agg(
+        F.count("*").cast("bigint").alias("n_distinct_texts"),
+        F.count(F.when(multi, 1)).cast("bigint").alias(
+            "n_cross_lang_texts"
+        ),
+        F.coalesce(F.sum(F.when(multi, F.col("n_copies"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_cross_lang_docs"),
+    )

@@ -171,6 +171,8 @@ POST_GATE_PRIORITY = (
     "events_new_vs_returning_daily",
     "orders_fulfillment_latency_by_priority",
     "text_token_mass_concentration",
+    "text_cross_lang_contamination",
+    "events_anomaly_mad",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

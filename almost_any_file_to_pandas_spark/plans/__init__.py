@@ -173,6 +173,7 @@ POST_GATE_PRIORITY = (
     "text_token_mass_concentration",
     "text_cross_lang_contamination",
     "events_anomaly_mad",
+    "orders_market_basket_pairs",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

@@ -2580,3 +2580,79 @@ def orders_fulfillment_latency_by_priority(
         pick(0.9).cast("bigint").alias("p90_days"),
         F.max("max_d").cast("bigint").alias("max_days"),
     )
+
+
+BASKET_TOP_K = 20
+
+
+@register(
+    "orders_market_basket_pairs",
+    oracle=f"""
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS support
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT part_a, part_b, support
+    FROM pairs
+    ORDER BY support DESC, part_a, part_b
+    LIMIT {BASKET_TOP_K}
+    """,
+)
+def orders_market_basket_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top co-purchased part pairs (market-basket support counts) —
+    the association-mining primitive behind "bought together"
+    recommendations.
+
+    Plan: NOT the oracle's within-order self-join (which shuffles the
+    fact twice and recomputes lineage) — one aggregate folds lines to
+    a per-order DISTINCT part array (basket size is bounded by order
+    width, ≤7 in TPC-H shape, so the in-row pair expansion is a
+    constant-factor explode, the same capped in-bucket pattern as the
+    LSH families but with a structural bound instead of a cap), then
+    one pair-keyed count and a TakeOrderedAndProject top-k. Two
+    shuffles total, both on uniform keys.
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    n = F.size(F.col("parts"))
+    pairs = baskets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("parts"),
+                        lambda a, i: F.transform(
+                            F.slice(
+                                F.col("parts"), i + 2, F.greatest(n - i - 1, F.lit(0))
+                            ),
+                            lambda b: F.struct(
+                                a.alias("part_a"), b.alias("part_b")
+                            ),
+                        ),
+                    )
+                ),
+                lambda s: s["part_a"] < s["part_b"],
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.part_a").alias("part_a"),
+            F.col("p.part_b").alias("part_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(BASKET_TOP_K)
+    )

@@ -174,6 +174,7 @@ POST_GATE_PRIORITY = (
     "text_cross_lang_contamination",
     "events_anomaly_mad",
     "orders_market_basket_pairs",
+    "q15_top_suppliers_by_quarter_revenue",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

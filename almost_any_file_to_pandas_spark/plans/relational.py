@@ -2656,3 +2656,70 @@ def orders_market_basket_pairs(
         .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
         .limit(BASKET_TOP_K)
     )
+
+
+@register(
+    "q15_top_suppliers_by_quarter_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(25,6))) * 100 + 0.5)
+                  AS BIGINT) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT r.l_suppkey AS s_suppkey, s.s_name, r.total_cents
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_suppliers_by_quarter_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H-Q15-shape: the supplier(s) with maximum quarterly
+    revenue, TIES INCLUDED — the argmax-without-window pattern: a
+    global window (rank over everything) would single-partition the
+    supplier aggregate; instead the scalar max broadcasts back onto
+    it (one extra tiny job, zero extra shuffle of the data).
+
+    Plan: the quarter window pushes to the scan; ONE suppkey
+    aggregate (exact integer cents) is the only corpus shuffle; the
+    1-row max crossJoin-broadcasts; the name lookup broadcasts the
+    supplier dimension.
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.floor(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(25,6)")
+            )
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("total_cents")
+    )
+    rev = rev.localCheckpoint(eager=True)  # feeds max + filter
+    mx = rev.agg(F.max("total_cents").alias("_mx"))
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("_mx"))
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "total_cents",
+        )
+        .orderBy("s_suppkey")
+    )

@@ -175,6 +175,7 @@ POST_GATE_PRIORITY = (
     "events_anomaly_mad",
     "orders_market_basket_pairs",
     "q15_top_suppliers_by_quarter_revenue",
+    "customer_reorder_gap_by_segment",
     "emb_dimension_profile",
     "emb_covariance_block",
     "emb_pca_power_floor",

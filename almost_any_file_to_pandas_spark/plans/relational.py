@@ -2723,3 +2723,85 @@ def q15_top_suppliers_by_quarter_revenue(
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "customer_reorder_gap_by_segment",
+    oracle="""
+    WITH o AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             CAST(o.o_orderdate AS DATE) AS d, o.o_orderkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), gaps AS (
+      SELECT c_mktsegment,
+             datediff('day',
+               lag(d) OVER (PARTITION BY o_custkey
+                            ORDER BY d, o_orderkey), d) AS gap_days
+      FROM o
+    )
+    SELECT c_mktsegment,
+           COUNT(gap_days) AS n_gaps,
+           CAST(quantile_disc(gap_days, 0.5) AS BIGINT) AS p50_days,
+           CAST(quantile_disc(gap_days, 0.9) AS BIGINT) AS p90_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY c_mktsegment
+    """,
+)
+def customer_reorder_gap_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Days between a customer's consecutive orders, p50/p90 per
+    market segment — the purchase-frequency signal replenishment and
+    churn models calibrate on (the events-side interarrival profile,
+    restated on the commerce fact).
+
+    Plan: ONE custkey-keyed window pass computes the lag gaps (same
+    partitioning every per-customer operator shares; the segment
+    label broadcasts on from the dimension), then the grouped
+    value-histogram quantile pattern — integer day gaps, bounded
+    distinct-value domain, no per-group sort of orders.
+    """
+    apply_engine_conf(spark)
+    from pyspark.sql import Window as _W
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d"), "o_orderkey"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = _W.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_mktsegment",
+            F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    hist = gaps.groupBy("c_mktsegment", "gap_days").agg(
+        F.count("*").alias("c")
+    )
+    w_cum = (
+        _W.partitionBy("c_mktsegment")
+        .orderBy("gap_days")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    w_all = _W.partitionBy("c_mktsegment")
+    cum = hist.select(
+        "c_mktsegment",
+        "gap_days",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("tot"),
+    )
+    pick = lambda q: F.min(  # noqa: E731
+        F.when(
+            F.col("cum") >= F.ceil(F.lit(q) * F.col("tot")),
+            F.col("gap_days"),
+        )
+    )
+    return cum.groupBy("c_mktsegment").agg(
+        F.max("tot").alias("n_gaps"),
+        pick(0.5).cast("bigint").alias("p50_days"),
+        pick(0.9).cast("bigint").alias("p90_days"),
+    )

@@ -111,6 +111,19 @@ HEADLINE = [
     "events_attribution_last_touch",
     "text_token_budget_trim_twopass",
     "sim_ivfpq_topk",
+    # late-r05 additions (appended; prior slots frozen). The fast-fit
+    # twin's slot records the driver-side number backing the queued
+    # r6 swap of dedup_semantic_clusters' fit backend.
+    "dedup_semantic_clusters_fastfit",
+    "mm_dedup_binary_exact",
+    "events_session_stats",
+    "events_hourly_quantiles_by_type",
+    "orders_fulfillment_latency_by_priority",
+    "events_anomaly_mad",
+    "orders_market_basket_pairs",
+    "q15_top_suppliers_by_quarter_revenue",
+    "customer_reorder_gap_by_segment",
+    "text_token_mass_concentration",
 ]
 
 

@@ -124,6 +124,13 @@ HEADLINE = [
     "q15_top_suppliers_by_quarter_revenue",
     "customer_reorder_gap_by_segment",
     "text_token_mass_concentration",
+    # TPC-H shape completion (Q2/Q7/Q8/Q9/Q11/Q12/Q20/Q21 landed
+    # late-r05); three representatives keep the suite's growth small:
+    # the decorrelated-MIN join-back, the widest broadcast-dim join,
+    # and the aggregate-restated EXISTS/NOT-EXISTS pair.
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -1160,3 +1160,52 @@ def test_value_histogram_quantiles_match_refinement(spark):
             ref[q],
             row[f"q{int(q * 100)}"],
         )
+
+
+def test_tpch_extension_plan_shapes(spark):
+    """Pin the scale-critical physical properties of the eight
+    late-round-5 TPC-H shapes (Q2/Q7/Q8/Q9/Q11/Q12/Q20/Q21):
+
+    - Q7/Q8/Q9 scan lineitem exactly ONCE and decorate it purely with
+      broadcast dimensions (no nested-loop join anywhere);
+    - Q2's deterministic top-100 is TakeOrderedAndProject (per-
+      partition heaps), never a global Sort;
+    - Q11's global threshold enters as a broadcast one-row scalar —
+      exactly one BroadcastNestedLoopJoin, and nothing else nests;
+    - Q21 must NOT compile to the classic triple fact scan (l1 + the
+      EXISTS l2 + the NOT-EXISTS l3): its two aggregate branches
+      reference the fact at most twice structurally, and at most one
+      shuffled join survives between them.
+    """
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        return (
+            plans.QUERIES[name](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+
+    for name in ("q7_volume_shipping", "q8_market_share",
+                 "q9_product_profit"):
+        p = plan(name)
+        assert p.count("lineitem") == 1, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+    p2 = plan("q2_min_cost_supplier")
+    assert "TakeOrderedAndProject" in p2
+    assert "BroadcastNestedLoopJoin" not in p2
+
+    p11 = plan("q11_important_parts")
+    assert p11.count("BroadcastNestedLoopJoin") == 1
+
+    p21 = plan("q21_waiting_suppliers")
+    assert p21.count("lineitem") <= 2
+    assert (
+        p21.count("SortMergeJoin") + p21.count("ShuffledHashJoin") <= 1
+    )
+
+    p12 = plan("q12_ship_latency_priority")
+    assert "SortMergeJoin" not in p12 and "CartesianProduct" not in p12

@@ -46,6 +46,13 @@ QUERIES_UNDER_TEST = [
     "sim_ivfpq_topk",
     "events_attribution_last_touch",
     "text_token_budget_trim_twopass",
+    # TPC-H shape completion: the three whose output passes through a
+    # LIMIT cut or a broadcast scalar threshold (the value classes a
+    # partitioning change could disturb); the plain group-bys
+    # (q7/q8/q9/q12/q20) are covered by the oracle sweep
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -526,3 +526,120 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(p50).cast("bigint").alias("p50_s"),
         F.lit(p90).cast("bigint").alias("p90_s"),
     )
+
+
+@register(
+    "events_funnel_within_window",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    lvl1 AS (
+      SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'
+    ),
+    lvl2 AS (
+      SELECT DISTINCT v.user_id
+      FROM ev v
+      JOIN ev c ON c.user_id = v.user_id AND c.event_type = 'click'
+             AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+      WHERE v.event_type = 'view'
+    ),
+    lvl3 AS (
+      SELECT DISTINCT v.user_id
+      FROM ev v
+      JOIN ev c ON c.user_id = v.user_id AND c.event_type = 'click'
+             AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
+      JOIN ev p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+             AND p.ts >= c.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+      WHERE v.event_type = 'view'
+    )
+    SELECT u.user_id,
+           (CASE WHEN l3.user_id IS NOT NULL THEN 3
+                 WHEN l2.user_id IS NOT NULL THEN 2
+                 WHEN l1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END) AS funnel_level
+    FROM (SELECT DISTINCT user_id FROM ev) u
+    LEFT JOIN lvl1 l1 ON u.user_id = l1.user_id
+    LEFT JOIN lvl2 l2 ON u.user_id = l2.user_id
+    LEFT JOIN lvl3 l3 ON u.user_id = l3.user_id
+    """,
+)
+def events_funnel_within_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-constrained funnel (the ClickHouse ``windowFunnel``
+    semantics): per user, the deepest view → click → purchase chain
+    whose WHOLE span fits inside 24 hours of the opening view.
+
+    The oracle states the spec as the existential triple join.  The
+    Spark plan is the scale shape: ONE user-keyed sort-window pass —
+    no self-join — using the greedy exchange argument (a chain
+    through ANY view implies a chain through the LATEST view at or
+    before the click, whose deadline is no earlier; likewise the
+    qualifying click with the latest-opening view dominates).  Two
+    running RANGE-frame maxima implement it exactly:
+
+    * ``best_view`` — latest view ts ≤ current ts (RANGE frame so a
+      same-timestamp view counts, exactly like the oracle's ``≤``),
+    * ``best_open`` — max over *valid* clicks (click ≤ its
+      best_view + 24h) of that best_view,
+
+    and a purchase completes the funnel iff ``ts ≤ best_open + 24h``.
+    Per-user partitioning means event-time skew lands on the user
+    key; the final per-user MAX aggregate reuses the window's
+    partitioning (one Exchange total at 100 TB).
+    """
+    apply_engine_conf(spark)
+    from pyspark.sql import Window as _W
+
+    W_US = 24 * 3600 * 1_000_000  # 24h in epoch micros
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    w = (
+        _W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(_W.unboundedPreceding, 0)
+    )
+    best_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts_us"))
+    ).over(w)
+    staged = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        best_view.alias("best_view"),
+    )
+    valid_click_open = F.when(
+        (F.col("event_type") == "click")
+        & F.col("best_view").isNotNull()
+        & (F.col("ts_us") <= F.col("best_view") + F.lit(W_US)),
+        F.col("best_view"),
+    )
+    staged2 = staged.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "best_view",
+        F.max(valid_click_open).over(w).alias("best_open"),
+    )
+    row_level = (
+        F.when(
+            (F.col("event_type") == "purchase")
+            & F.col("best_open").isNotNull()
+            & (F.col("ts_us") <= F.col("best_open") + F.lit(W_US)),
+            3,
+        )
+        .when(valid_click_open.isNotNull(), 2)
+        .when(F.col("event_type") == "view", 1)
+        .otherwise(0)
+    )
+    return (
+        staged2.select("user_id", row_level.alias("lvl"))
+        .groupBy("user_id")
+        .agg(F.max("lvl").cast("int").alias("funnel_level"))
+    )

@@ -189,3 +189,74 @@ def test_empty_tables_never_raise(spark, empty_dir):
         assert rows is not None  # executed without raising
     # gate-level agreement on an aggregate census over nothing
     _gate_compare(spark, empty_dir, "events_user_erasure_audit")
+
+
+@pytest.fixture()
+def funnel_boundary_dir(spark, tmp_path):
+    """Hand-built event streams hitting every boundary of the
+    24h-window funnel: same-timestamp chains, exactly-at-deadline
+    steps, one-microsecond-past misses, wrong-order steps, and the
+    case where only the LATEST view's window completes the chain
+    (a first-view implementation returns 2, the spec says 3)."""
+    base = datetime.datetime(2024, 3, 1)
+    us = datetime.timedelta(microseconds=1)
+    h = datetime.timedelta(hours=1)
+    rows, eid = [], 0
+
+    def ev(u, t, typ):
+        nonlocal eid
+        rows.append((eid, t, u, typ, 1.0, None))
+        eid += 1
+
+    # u1: whole chain on one timestamp -> 3
+    ev(1, base, "view"); ev(1, base, "click"); ev(1, base, "purchase")
+    # u2: click and purchase exactly AT the deadline -> 3
+    ev(2, base, "view"); ev(2, base + 24 * h, "click")
+    ev(2, base + 24 * h, "purchase")
+    # u3: click one microsecond past the deadline -> 1
+    ev(3, base, "view"); ev(3, base + 24 * h + us, "click")
+    ev(3, base + 25 * h, "purchase")
+    # u4: steps present but in reverse order -> 1
+    ev(4, base, "purchase"); ev(4, base + h, "click")
+    ev(4, base + 2 * h, "view")
+    # u5: no click between view and purchase -> 1
+    ev(5, base, "view"); ev(5, base + h, "purchase")
+    # u6: purchase one microsecond past the only window -> 2
+    ev(6, base, "view"); ev(6, base + h, "click")
+    ev(6, base + 24 * h + us, "purchase")
+    # u7: only the LATER view's window covers the purchase -> 3
+    ev(7, base, "view"); ev(7, base + 2 * h, "view")
+    ev(7, base + 3 * h, "click"); ev(7, base + 25 * h, "purchase")
+    # u8: no view at all -> 0
+    ev(8, base, "click"); ev(8, base + us, "purchase")
+    # u9: a too-late second click must not extend the deadline -> 2
+    ev(9, base, "view"); ev(9, base + 12 * h, "click")
+    ev(9, base + 30 * h, "click")
+    ev(9, base + 30 * h + us, "purchase")
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(2).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_window_funnel_boundaries(spark, funnel_boundary_dir):
+    """The greedy one-pass window implementation must equal the
+    existential-join oracle on every boundary, AND both must equal
+    the hand-derived levels."""
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    _gate_compare(spark, funnel_boundary_dir, "events_funnel_within_window")
+    got = {
+        r.user_id: r.funnel_level
+        for r in plans.QUERIES["events_funnel_within_window"](
+            spark, funnel_boundary_dir
+        ).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 1, 4: 1, 5: 1, 6: 2, 7: 3, 8: 0, 9: 2}

@@ -1209,3 +1209,21 @@ def test_tpch_extension_plan_shapes(spark):
 
     p12 = plan("q12_ship_latency_priority")
     assert "SortMergeJoin" not in p12 and "CartesianProduct" not in p12
+
+
+def test_window_funnel_single_exchange_no_join(spark):
+    """The 24h windowFunnel must stay the one-pass window shape: a
+    single user-keyed Exchange feeding both running maxima and the
+    final per-user aggregate — never the oracle's existential triple
+    self-join."""
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    p = (
+        plans.QUERIES["events_funnel_within_window"](
+            spark, "/root/testdata/sf0.001"
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in p
+    assert p.count("Exchange") == 1

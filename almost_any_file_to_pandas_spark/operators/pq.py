@@ -53,35 +53,76 @@ PQ_ITERS = 10  # Lloyd's iterations per subspace
 PQ_TRAIN_SAMPLE = 2048  # bounded training sample (constant in corpus size)
 
 
-def _train_codebooks(emb: DataFrame) -> np.ndarray:
-    """Per-subspace k-means codebooks, shape (M, K, D/M).
-
-    Deterministic: fixed sample (first PQ_TRAIN_SAMPLE vec_ids), fixed
-    init (first K sample rows per subspace), fixed iteration count.
-    Empty clusters keep their previous centroid.
-    """
-    sample = (
+def _train_sample(emb: DataFrame):
+    """The bounded deterministic training fetch: the PQ_TRAIN_SAMPLE
+    smallest vec_ids, as one pandas frame (vec_id, embedding) — ONE
+    TakeOrdered job.  Because any vec_id < N_QUERIES is by definition
+    among the smallest PQ_TRAIN_SAMPLE ids (N_QUERIES ≪ sample), the
+    query batch is a slice of this same fetch: callers that need both
+    the codebooks and the query vectors pay a single Spark job."""
+    return (
         emb.orderBy("vec_id")
         .limit(PQ_TRAIN_SAMPLE)
-        .select("embedding")
+        .select("vec_id", "embedding")
         .toPandas()
     )
-    X = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
-    dim = X.shape[1]
+
+
+def _fit_codebooks(X: np.ndarray) -> np.ndarray:
+    """Per-subspace Lloyd's on a driver-side matrix, shape (M, K, D/M).
+
+    Deterministic: fixed init (first K sample rows per subspace),
+    fixed iteration count; empty clusters keep their previous
+    centroid.
+    """
+    n, dim = X.shape
     sub = dim // PQ_M
-    books = np.empty((PQ_M, PQ_K, sub))
-    for m in range(PQ_M):
-        S = X[:, m * sub : (m + 1) * sub]
-        C = S[:PQ_K].copy()
-        for _ in range(PQ_ITERS):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for k in range(PQ_K):
-                mask = assign == k
-                if mask.any():
-                    C[k] = S[mask].mean(axis=0)
-        books[m] = C
+    # All M subspaces iterate together: per Lloyd's round, ONE
+    # (n, dim) @ (dim, M·K) block-diagonal GEMM yields every
+    # subspace's query·centroid dot products at once (the per-subspace
+    # skinny GEMMs — k=sub — were BLAS-overhead-bound and dominated
+    # the whole query's wall time; the (n, K, sub) broadcast temp
+    # before that was worse still).  argmin over ‖s−c‖² needs only
+    # ‖c‖² − 2s·c per subspace.
+    books = np.stack(
+        [X[:PQ_K, m * sub : (m + 1) * sub].copy() for m in range(PQ_M)]
+    )  # (M, K, sub) — deterministic init: first K rows per subspace
+    bd = np.zeros((dim, PQ_M * PQ_K))
+    Xr = X.reshape(n, PQ_M, sub)
+    for _ in range(PQ_ITERS):
+        for m in range(PQ_M):
+            bd[m * sub : (m + 1) * sub, m * PQ_K : (m + 1) * PQ_K] = (
+                books[m].T
+            )
+        dots = X @ bd  # (n, M·K)
+        c2 = (books**2).sum(axis=2)  # (M, K)
+        d2 = c2.reshape(1, -1) - 2.0 * dots
+        assign = d2.reshape(n, PQ_M, PQ_K).argmin(axis=2)  # (n, M)
+        flat = (assign + np.arange(PQ_M)[None, :] * PQ_K).ravel()
+        counts = np.bincount(flat, minlength=PQ_M * PQ_K).astype(float)
+        sums = np.column_stack(
+            [
+                np.bincount(
+                    flat,
+                    weights=Xr[:, :, d].ravel(),
+                    minlength=PQ_M * PQ_K,
+                )
+                for d in range(sub)
+            ]
+        ).reshape(PQ_M, PQ_K, sub)
+        nonempty = counts.reshape(PQ_M, PQ_K) > 0
+        books[nonempty] = (
+            sums[nonempty] / counts.reshape(PQ_M, PQ_K)[nonempty, None]
+        )
     return books
+
+
+def _train_codebooks(emb: DataFrame) -> np.ndarray:
+    """Codebooks straight from the DataFrame (one fetch + fit)."""
+    sample = _train_sample(emb)
+    return _fit_codebooks(
+        np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    )
 
 
 def pq_encode(emb: DataFrame, books: np.ndarray) -> DataFrame:
@@ -96,7 +137,10 @@ def pq_encode(emb: DataFrame, books: np.ndarray) -> DataFrame:
             codes = np.empty((len(X), PQ_M), dtype=np.int32)
             for m in range(PQ_M):
                 S = X[:, m * sub : (m + 1) * sub]
-                d2 = ((S[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                # argmin of ‖s−c‖² needs only −2s·c + ‖c‖² (GEMM form)
+                d2 = (books[m] ** 2).sum(axis=1)[None, :] - 2.0 * (
+                    S @ books[m].T
+                )
                 codes[:, m] = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {
@@ -124,14 +168,16 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     apply_engine_conf(spark)
     emb = table_wide(spark, sf_dir, "embeddings")
-    books = _train_codebooks(emb)
+    sample = _train_sample(emb)  # one job serves codebooks AND queries
+    books = _fit_codebooks(
+        np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    )
     sub = books.shape[2]
 
     queries = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .orderBy("vec_id")
-        .select("vec_id", "embedding")
-        .toPandas()
+        sample[sample["vec_id"] < N_QUERIES]
+        .sort_values("vec_id")
+        .reset_index(drop=True)
     )  # N_QUERIES rows — bounded query batch, same as sim_knn_batch
     q_ids = queries["vec_id"].to_numpy()
     Q = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
@@ -241,8 +287,12 @@ def sim_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
             err = np.zeros(len(X))
             for m in range(PQ_M):
                 S = X[:, m * sub : (m + 1) * sub]
-                d2 = ((S[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
-                err += d2.min(axis=1)
+                d2 = (
+                    (S**2).sum(axis=1)[:, None]
+                    - 2.0 * (S @ books[m].T)
+                    + (books[m] ** 2).sum(axis=1)[None, :]
+                )
+                err += np.maximum(d2.min(axis=1), 0.0)
             yield pd.DataFrame(
                 {"n": [len(X)], "sse": [err.sum()]}
             )
@@ -360,14 +410,16 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table_wide(spark, sf_dir, "embeddings")
-    books = _train_codebooks(emb)
+    sample = _train_sample(emb)  # one job serves codebooks AND queries
+    books = _fit_codebooks(
+        np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    )
     sub = books.shape[2]
 
     queries = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .orderBy("vec_id")
-        .select("vec_id", "embedding")
-        .toPandas()
+        sample[sample["vec_id"] < N_QUERIES]
+        .sort_values("vec_id")
+        .reset_index(drop=True)
     )
     q_ids = queries["vec_id"].to_numpy()
     Q = np.stack(queries["embedding"].to_numpy()).astype(np.float64)
@@ -400,8 +452,9 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes = np.empty((len(X), PQ_M), dtype=np.int64)
             for m in range(PQ_M):
                 S = X[:, m * sub : (m + 1) * sub]
-                d2 = ((S[:, None, :] - books[m][None, :, :]) ** 2).sum(
-                    axis=2
+                # argmin of ‖s−c‖² needs only −2s·c + ‖c‖² (GEMM form)
+                d2 = (books[m] ** 2).sum(axis=1)[None, :] - 2.0 * (
+                    S @ books[m].T
                 )
                 codes[:, m] = d2.argmin(axis=1)
             buckets = (

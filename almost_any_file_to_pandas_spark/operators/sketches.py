@@ -234,3 +234,115 @@ def events_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merged_within_tol"),
         )
     )
+
+
+HLL_OVERLAP_TOL = 0.05  # |est∩ − exact∩| ≤ tol·|exact∪| per pair
+
+
+@register(
+    "events_hll_audience_overlap",
+    oracle="""
+    WITH per AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS exact_overlap
+      FROM per a JOIN per b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT event_type, COUNT(*) AS n_users
+      FROM per GROUP BY event_type
+    )
+    SELECT p.type_a, p.type_b,
+           sa.n_users AS exact_a,
+           sb.n_users AS exact_b,
+           p.exact_overlap,
+           TRUE AS overlap_within_tol
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.type_a
+    JOIN sizes sb ON sb.event_type = p.type_b
+    """,
+)
+def events_hll_audience_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audience overlap from MERGEABLE sketches: for every pair of
+    event types, |users(A) ∩ users(B)| estimated by
+    inclusion–exclusion over HLL sketches — ``est(A) + est(B) −
+    est(A ∪ B)`` where the union estimate comes from ``hll_union`` of
+    the two per-type BLOBs, never a re-scan.  The emitted boolean
+    claims the estimate lands within ±5% of the exact UNION size of
+    the pair (the inclusion–exclusion error scale); the oracle pins
+    it TRUE against independently computed exact counts (the
+    ``events_hll_mergeable_rollup`` harness pattern).
+
+    At 100 TB this is the segment-overlap dashboard: per-segment
+    sketches are built once in one pass (fixed-size registers,
+    map-side mergeable); EVERY pairwise overlap — |segments|² of them
+    — is then driver-cheap sketch algebra on blobs.  The exact
+    anchors here are the correctness harness only: the distinct
+    (user, type) pass and its |types|²-bounded self-join would be the
+    expensive path production avoids.
+
+    Plan: one aggregate builds per-type sketches + exact distincts;
+    the pair frame is a broadcast self-join of |types| rows; the
+    exact intersection anchor is one (user_id-keyed) distinct pass
+    self-joined per user (bounded by |types|² per user).
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_users").alias("exact_a"),
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_users").alias("exact_b"),
+    )
+    est = (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "exact_a",
+            "exact_b",
+            (
+                F.expr("hll_sketch_estimate(sk_a)")
+                + F.expr("hll_sketch_estimate(sk_b)")
+                - F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))")
+            ).alias("_est_overlap"),
+        )
+    )
+    per = ev.select("user_id", "event_type").distinct()
+    pa = per.select("user_id", F.col("event_type").alias("type_a"))
+    pb = per.select("user_id", F.col("event_type").alias("type_b"))
+    exact = (
+        pa.join(pb, ["user_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("exact_overlap"))
+    )
+    tol = F.lit(HLL_OVERLAP_TOL)
+    union_size = (
+        F.col("exact_a") + F.col("exact_b") - F.col("exact_overlap")
+    )
+    return est.join(exact, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_a",
+        "exact_b",
+        "exact_overlap",
+        (
+            F.abs(F.col("_est_overlap") - F.col("exact_overlap"))
+            <= tol * union_size
+        ).alias("overlap_within_tol"),
+    )

@@ -1233,3 +1233,128 @@ def sim_ivf_incremental_assign(
             " ELSE COALESCE(n_new, 0) * 1000000 div n_base END"
         ).alias("growth_q6"),
     )
+
+
+@register(
+    "sim_label_affinity_matrix",
+    oracle="""
+    WITH e AS (
+      SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+    ), expanded AS (
+      SELECT label, u.i AS dim_idx, u.x AS val
+      FROM e, LATERAL (
+        SELECT unnest(generate_series(1, len(v))) AS i, unnest(v) AS x
+      ) u
+    ), cent AS (
+      SELECT label, dim_idx,
+             CAST(FLOOR(CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE)
+                        / COUNT(*) * 1000000 + 0.5) AS BIGINT) AS c_q6
+      FROM expanded GROUP BY label, dim_idx
+    ), norms AS (
+      SELECT label, SUM(c_q6 * c_q6) AS n2 FROM cent GROUP BY label
+    ), dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(a.c_q6 * b.c_q6) AS dot
+      FROM cent a JOIN cent b
+        ON a.dim_idx = b.dim_idx AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT d.label_a, d.label_b,
+           CAST(FLOOR(CAST(d.dot AS DOUBLE)
+                      / (SQRT(CAST(na.n2 AS DOUBLE))
+                         * SQRT(CAST(nb.n2 AS DOUBLE)))
+                      * 1000000 + 0.5) AS BIGINT) AS cosine_q6
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    """,
+)
+def sim_label_affinity_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise cosine between per-label centroids — the
+    label-confusability audit run before using labels as retrieval
+    filters or training targets (two labels with near-1 centroid
+    cosine will leak into each other's neighborhoods).
+
+    Exactness protocol: centroid components quantize to integer
+    micros BEFORE any pairwise arithmetic, so the dot products and
+    squared norms are exact integer sums (order-free in both
+    engines); the final cosine divides identical integers through
+    IEEE sqrt (correctly rounded everywhere) and quantizes once more.
+
+    Plan: one corpus pass (posexplode feeding a map-side partial
+    (label, dim) aggregate — the shuffle carries |labels|·dims rows,
+    not the corpus); everything pairwise happens on that k×d frame:
+    a broadcast self-join on dim and two tiny norm joins.  At 100 TB
+    the |labels|² work is independent of corpus size.
+    """
+    apply_engine_conf(spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        )
+        .select("label", (F.col("pos") + 1).alias("dim_idx"), "val")
+        .groupBy("label", "dim_idx")
+        .agg(
+            F.floor(
+                F.sum(F.col("val").cast("decimal(30,15)")).cast("double")
+                / F.count("*")
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("c_q6")
+        )
+    )
+    norms = cent.groupBy(F.col("label").alias("n_label")).agg(
+        F.sum(F.col("c_q6") * F.col("c_q6")).alias("n2")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        "dim_idx",
+        F.col("c_q6").alias("ca"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("dim_idx").alias("dim_b"),
+        F.col("c_q6").alias("cb"),
+    )
+    dots = (
+        a.join(
+            F.broadcast(b),
+            (F.col("dim_idx") == F.col("dim_b"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("n_label").alias("label_a"), F.col("n2").alias("na2")
+    )
+    nb = norms.select(
+        F.col("n_label").alias("label_b"), F.col("n2").alias("nb2")
+    )
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.floor(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cosine_q6"),
+        )
+    )

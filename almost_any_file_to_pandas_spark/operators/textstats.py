@@ -1792,3 +1792,129 @@ def text_cross_lang_contamination(
         .cast("bigint")
         .alias("n_cross_lang_docs"),
     )
+
+
+@register(
+    "text_lm_perplexity_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), doc_bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(w) - 1, 0) + 1),
+               i -> w[i] || ' ' || w[i+1])) AS pair
+      FROM toks
+    ), bigram_counts AS (
+      SELECT pair, COUNT(*) AS c2 FROM doc_bigrams GROUP BY pair
+    ), unigram_counts AS (
+      SELECT w1, COUNT(*) AS c1 FROM (
+        SELECT split_part(pair, ' ', 1) AS w1 FROM doc_bigrams
+      ) GROUP BY w1
+    ), scores AS (
+      SELECT d.doc_id,
+             CAST(SUM((CAST(b.c2 AS HUGEINT) * {BIGRAM_Q}) // u.c1)
+                  // COUNT(*) AS BIGINT) AS score
+      FROM doc_bigrams d
+      JOIN bigram_counts b USING (pair)
+      JOIN unigram_counts u ON split_part(d.pair, ' ', 1) = u.w1
+      GROUP BY d.doc_id
+    ), labelled AS (
+      SELECT s.score, doc.lang,
+             len(string_split(doc.text, ' ')) AS n_tokens
+      FROM scores s JOIN documents doc USING (doc_id)
+    ), med AS (
+      SELECT lang,
+             CAST(quantile_disc(score, 0.5) AS BIGINT) AS median_score_q9
+      FROM labelled GROUP BY lang
+    )
+    SELECT l.lang,
+           COUNT(*) AS n_scored,
+           m.median_score_q9,
+           SUM(CASE WHEN l.score >= m.median_score_q9
+                    THEN 1 ELSE 0 END) AS n_kept,
+           SUM(CASE WHEN l.score >= m.median_score_q9
+                    THEN l.n_tokens ELSE 0 END) AS kept_tokens
+    FROM labelled l JOIN med m ON l.lang = m.lang
+    GROUP BY l.lang, m.median_score_q9
+    """,
+)
+def text_lm_perplexity_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style perplexity filtering, logarithm-free: per language,
+    keep the more-fluent half of the corpus — documents whose
+    bigram-LM fluency score (:func:`text_bigram_lm_score`'s exact
+    integer ``mean_cond_prob_q9``; higher = lower perplexity) reaches
+    the per-language median — and report the kept document and token
+    mass per language.
+
+    The per-language cut point is the LEVEL-census median (the
+    two-pass budget-trim pattern): group scored docs by (lang,
+    score), cumulative-count over score levels, pick the smallest
+    level whose cumulative count reaches ⌈n/2⌉ — DuckDB
+    ``quantile_disc`` semantics, exact integers end to end.
+
+    Plan: the score frame is built ONCE (localCheckpoint — it feeds
+    both the median and the census); the level window runs over
+    distinct (lang, score) LEVELS, never documents; the 5-row median
+    table broadcasts back.  At 100 TB the expensive part is the
+    bigram scoring pass itself (audited in text_bigram_lm_score);
+    everything added here is level-sized.
+    """
+    apply_engine_conf(spark)
+    from pyspark.sql import Window as _W
+
+    scores = text_bigram_lm_score(spark, sf_dir).select(
+        "doc_id", F.col("mean_cond_prob_q9").alias("score")
+    )
+    docs = table_wide(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ", -1)).alias("n_tokens"),
+    )
+    labelled = scores.join(docs, "doc_id").localCheckpoint(eager=True)
+    levels = labelled.groupBy("lang", "score").agg(
+        F.count("*").alias("c")
+    )
+    w_cum = (
+        _W.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    w_all = _W.partitionBy("lang")
+    cum = levels.select(
+        "lang",
+        "score",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("tot"),
+    )
+    med = cum.groupBy("lang").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(0.5) * F.col("tot")),
+                F.col("score"),
+            )
+        ).alias("median_score_q9")
+    )
+    return (
+        labelled.join(F.broadcast(med), "lang")
+        .groupBy("lang", "median_score_q9")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.sum(
+                F.when(
+                    F.col("score") >= F.col("median_score_q9"), 1
+                ).otherwise(0)
+            ).alias("n_kept"),
+            F.sum(
+                F.when(
+                    F.col("score") >= F.col("median_score_q9"),
+                    F.col("n_tokens"),
+                ).otherwise(0)
+            ).alias("kept_tokens"),
+        )
+        .select(
+            "lang", "n_scored", "median_score_q9", "n_kept", "kept_tokens"
+        )
+    )

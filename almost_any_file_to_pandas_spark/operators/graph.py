@@ -292,3 +292,132 @@ def graph_pagerank_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_conserved boolean, min_rank_floor_met boolean"
         ),
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH cells AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+    ), hours_ok AS ({_HOURS_OK_SQL}
+    ), pair_counts AS (
+      SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS c
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+      JOIN hours_ok ho ON ho.h = a.h
+      GROUP BY a.user_id, b.user_id
+    ), cut AS (
+      SELECT {EDGE_FACTOR} * AVG(c) AS threshold FROM pair_counts
+    ), edges AS (
+      SELECT u1, u2 FROM pair_counts CROSS JOIN cut
+      WHERE c > cut.threshold
+    ), deg AS (
+      SELECT u, COUNT(*) AS d FROM (
+        SELECT u1 AS u FROM edges UNION ALL SELECT u2 AS u FROM edges
+      ) GROUP BY u
+    ), sym AS (
+      SELECT CAST(d1.d AS HUGEINT) AS x, CAST(d2.d AS HUGEINT) AS y
+      FROM edges e JOIN deg d1 ON d1.u = e.u1 JOIN deg d2 ON d2.u = e.u2
+      UNION ALL
+      SELECT CAST(d2.d AS HUGEINT), CAST(d1.d AS HUGEINT)
+      FROM edges e JOIN deg d1 ON d1.u = e.u1 JOIN deg d2 ON d2.u = e.u2
+    ), s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM sym
+    )
+    SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+           CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0
+                THEN NULL
+                ELSE CAST(FLOOR(
+                  CAST(n*sxy - sx*sy AS DOUBLE)
+                  / (SQRT(CAST(n*sxx - sx*sx AS DOUBLE))
+                     * SQRT(CAST(n*syy - sy*sy AS DOUBLE)))
+                  * 1000000 + 0.5) AS BIGINT)
+           END AS assortativity_q6
+    FROM s
+    """,
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity of the co-activity graph — Newman's r,
+    the Pearson correlation of endpoint degrees over (symmetrized)
+    edges.  Positive r = hubs link to hubs (social/community
+    structure); negative r = hubs link to leaves (star/bot topology)
+    — the one-number structural complement to the triangle census.
+
+    Determinism: every Pearson term (Σx, Σxy, Σx², n) is an exact
+    integer sum widened to DECIMAL(38,0)/HUGEINT (degree products
+    overflow int64 at hub degrees ~10⁵ × 10¹⁰ edges); the final r
+    divides identical integers through IEEE sqrt and quantizes to
+    micros.  A degenerate graph (constant degree) emits NULL in both
+    engines.
+
+    Plan: the same capped one-shuffle pair expansion and broadcast
+    mean-threshold as the triangle census builds the edge set; the
+    degree table is one union-aggregate over edge endpoints; the two
+    degree joins shuffle only edge-sized frames on the user key; the
+    Pearson fold is one map-side-combined scalar aggregate.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    cells = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
+    ).distinct()
+    co = _pairs_within_buckets(cells, "user_id", ["h"], distinct=False)
+    pair_counts = co.groupBy(
+        F.col("doc_a").alias("u1"), F.col("doc_b").alias("u2")
+    ).agg(F.count("*").alias("c"))
+    pair_counts = pair_counts.localCheckpoint()
+    cut = pair_counts.agg(
+        (F.lit(EDGE_FACTOR) * F.avg("c")).alias("threshold")
+    )
+    edges = (
+        pair_counts.crossJoin(F.broadcast(cut))
+        .filter(F.col("c") > F.col("threshold"))
+        .select("u1", "u2")
+    )
+    edges = edges.localCheckpoint()  # feeds deg + two joins
+    deg = (
+        edges.select(F.col("u1").alias("u"))
+        .unionByName(edges.select(F.col("u2").alias("u")))
+        .groupBy("u")
+        .agg(F.count("*").alias("d"))
+    )
+    d1 = deg.select(F.col("u").alias("j1"), F.col("d").alias("dx"))
+    d2 = deg.select(F.col("u").alias("j2"), F.col("d").alias("dy"))
+    joined = (
+        edges.join(d1, edges.u1 == F.col("j1"))
+        .join(d2, edges.u2 == F.col("j2"))
+        .select(
+            F.col("dx").cast("decimal(38,0)").alias("x"),
+            F.col("dy").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    sym = joined.unionByName(
+        joined.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    s = sym.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        F.expr("CAST(n div 2 AS BIGINT)").alias("n_edges"),
+        F.when((vx == 0) | (vy == 0), F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(
+                num.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+                * 1_000_000
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .alias("assortativity_q6"),
+    )

@@ -131,6 +131,11 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q8_market_share",
     "q21_waiting_suppliers",
+    # continuation-session operators (windowFunnel, sketch algebra,
+    # centroid affinity)
+    "events_funnel_within_window",
+    "events_hll_audience_overlap",
+    "sim_label_affinity_matrix",
 ]
 
 

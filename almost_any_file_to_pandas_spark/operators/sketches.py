@@ -346,3 +346,86 @@ def events_hll_audience_overlap(
             <= tol * union_size
         ).alias("overlap_within_tol"),
     )
+
+
+SLIDING_HLL_TOL = 0.05  # trailing-7d union estimate vs exact distinct
+
+
+@register(
+    "events_sliding_dau_7d",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ), membership AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), exact AS (
+      SELECT d.day, COUNT(DISTINCT m.user_id) AS exact_users_7d
+      FROM days d
+      JOIN membership m
+        ON m.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT CAST(day AS DATE) AS day, exact_users_7d,
+           TRUE AS est_within_tol
+    FROM exact
+    """,
+)
+def events_sliding_dau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — the metric that CANNOT
+    be pre-aggregated exactly (distinct does not sum across days) and
+    is therefore THE canonical mergeable-sketch window: per-day HLL
+    sketches built once, then ``hll_union_agg`` over a 7-row RANGE
+    window on the DAY-level frame.  The emitted boolean claims each
+    windowed estimate lands within ±5% of the exact trailing
+    distinct; the oracle pins it TRUE with independently computed
+    exact counts (the ``events_hll_mergeable_rollup`` harness
+    pattern, applied to a SLIDING rather than aligned rollup).
+
+    At 100 TB: the corpus is touched ONCE (one day-keyed aggregate of
+    fixed-size registers); every window estimate is sketch algebra
+    over ≤7 blobs on a |days|-sized frame.  The exact anchor — the
+    (user, day) membership join against the day spine, 7× the
+    distinct membership — is the harness-only expensive path.
+
+    Plan: sketch side = one hash aggregate + one day-ordered window
+    over |days| rows; exact side = distinct membership (one shuffle)
+    range-joined to the broadcast day spine, then a two-phase
+    count-distinct per day.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    from pyspark.sql import Window as _W
+
+    w7 = (
+        _W.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    est = daily.select(
+        "day",
+        F.expr("hll_union_agg(sk, true)").over(w7).alias("_usk"),
+    ).select("day", F.expr("hll_sketch_estimate(_usk)").alias("_est"))
+    membership = ev.select(
+        F.to_date("ts").alias("m_day"), "user_id"
+    ).distinct()
+    spine = daily.select("day")
+    exact = (
+        membership.join(
+            F.broadcast(spine),
+            (F.col("m_day") >= F.date_sub(F.col("day"), 6))
+            & (F.col("m_day") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("exact_users_7d"))
+    )
+    tol = F.lit(SLIDING_HLL_TOL)
+    return est.join(exact, "day").select(
+        "day",
+        "exact_users_7d",
+        (
+            F.abs(F.col("_est") - F.col("exact_users_7d"))
+            <= tol * F.col("exact_users_7d")
+        ).alias("est_within_tol"),
+    )

@@ -202,3 +202,97 @@ def text_doc_duplication_profile(
         .orderBy(F.desc("dup_frac"), F.desc("n_dup"), F.asc("doc_id"))
         .limit(PROFILE_TOP)
     )
+
+
+BOUNDARY_GRAM = 2  # tokens compared at each document boundary
+BOUNDARY_DF_CAP = 100  # grams on more docs than this are stop-grams
+
+
+@register(
+    "text_boundary_continuation_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= {BOUNDARY_GRAM}
+    ), ends AS (
+      SELECT doc_id,
+             array_to_string(w[1:{BOUNDARY_GRAM}], ' ') AS head_gram,
+             array_to_string(w[-{BOUNDARY_GRAM}:], ' ') AS tail_gram
+      FROM toks
+    ), tail_ok AS (
+      SELECT tail_gram AS g FROM ends GROUP BY tail_gram
+      HAVING COUNT(*) <= {BOUNDARY_DF_CAP}
+    ), head_ok AS (
+      SELECT head_gram AS g FROM ends GROUP BY head_gram
+      HAVING COUNT(*) <= {BOUNDARY_DF_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tail_gram AS gram
+    FROM ends a
+    JOIN tail_ok t ON t.g = a.tail_gram
+    JOIN head_ok h ON h.g = a.tail_gram
+    JOIN ends b ON b.head_gram = a.tail_gram
+              AND b.doc_id <> a.doc_id
+    """,
+)
+def text_boundary_continuation_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shard-boundary continuation detection: ordered pairs (A, B)
+    where document A *ends* with exactly the token gram document B
+    *starts* with — the signature of one source text split across
+    crawl/shard boundaries, which inflates dedup-resistant near-dups
+    and corrupts next-token training targets at the seam.
+
+    The quadratic guard is the containment family's df cap, encoded
+    identically in the oracle: a boundary gram carried by more than
+    ``BOUNDARY_DF_CAP`` documents on EITHER side is a stop-gram
+    (generic phrase) and emits no pairs — so per-gram pair volume is
+    ≤ cap² by construction, a model parameter rather than a silent
+    engine divergence.
+
+    Plan: ONE narrow pass computes each doc's (head, tail) gram — no
+    tokenized explosion leaves the row; the two df censuses aggregate
+    the tiny per-doc gram frame; the pair join keys on the gram with
+    both cap filters applied BEFORE the join, and everything after
+    the first aggregate is boundary-gram-sized, not corpus-sized.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ", -1)
+    n = F.size(w)
+    ends = (
+        docs.select("doc_id", w.alias("w"), n.alias("n"))
+        .filter(F.col("n") >= BOUNDARY_GRAM)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(F.col("w"), 1, BOUNDARY_GRAM)
+            ).alias("head_gram"),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("w"), -BOUNDARY_GRAM, BOUNDARY_GRAM),
+            ).alias("tail_gram"),
+        )
+    )
+    ends = ends.localCheckpoint(eager=True)  # feeds censuses + both sides
+    tail_ok = (
+        ends.groupBy("tail_gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") <= BOUNDARY_DF_CAP)
+        .select(F.col("tail_gram").alias("g_t"))
+    )
+    head_ok = (
+        ends.groupBy("head_gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") <= BOUNDARY_DF_CAP)
+        .select(F.col("head_gram").alias("g_h"))
+    )
+    a = ends.select(F.col("doc_id").alias("doc_a"), "tail_gram")
+    b = ends.select(F.col("doc_id").alias("doc_b"), "head_gram")
+    return (
+        a.join(tail_ok, a.tail_gram == F.col("g_t"))
+        .join(head_ok, a.tail_gram == F.col("g_h"))
+        .join(b, a.tail_gram == b.head_gram)
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", F.col("tail_gram").alias("gram"))
+    )

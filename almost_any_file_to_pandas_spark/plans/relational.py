@@ -3453,3 +3453,170 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )
+
+
+PARETO_PS = (0.5, 0.8, 0.9)
+PARETO_NB = 4096  # histogram buckets per refinement pass
+
+
+@register(
+    "orders_pareto_concentration",
+    oracle="""
+    WITH cust_rev AS (
+      SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS rev
+      FROM orders GROUP BY o_custkey
+    ), tot AS (
+      SELECT COUNT(*) AS n_customers,
+             SUM(CAST(rev AS HUGEINT)) AS total
+      FROM cust_rev
+    ), ranked AS (
+      SELECT rev,
+             SUM(CAST(rev AS HUGEINT)) OVER (
+               ORDER BY rev DESC, o_custkey
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rk
+      FROM cust_rev
+    )
+    SELECT t.n_customers,
+           (SELECT MIN(rk) FROM ranked, tot
+             WHERE cum >= CAST(CEIL(0.5 * total) AS HUGEINT))
+             AS top_k_50,
+           (SELECT MIN(rk) FROM ranked, tot
+             WHERE cum >= CAST(CEIL(0.8 * total) AS HUGEINT))
+             AS top_k_80,
+           (SELECT MIN(rk) FROM ranked, tot
+             WHERE cum >= CAST(CEIL(0.9 * total) AS HUGEINT))
+             AS top_k_90
+    FROM tot t
+    """,
+)
+def orders_pareto_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pareto revenue concentration: how many top customers carry
+    50 / 80 / 90% of total revenue — the "who carries the corpus"
+    audit (the same machinery audits source-level token mass before
+    a mixing run).
+
+    The oracle ranks customers with a global window; the engine NEVER
+    sorts.  Per percentile it finds the boundary revenue level
+    T* = max{v : mass(rev ≥ v) ≥ ⌈p·total⌉} by WEIGHTED histogram
+    descent — the ``exact_disc_quantiles`` refinement with
+    per-bucket (count, mass) pairs instead of counts — carrying
+    (count, mass) of everything strictly above the shrinking bracket
+    in driver state, so when the bracket reaches width 1 the answer
+    is closed-form integer arithmetic:
+    ``k = cnt(rev > T*) + ⌈(target − mass(rev > T*)) / T*⌉``
+    (boundary ties each contribute exactly T*, so only their count
+    matters — no ordering among tied customers affects k).
+
+    Each descent round serves ALL still-unresolved percentiles from
+    shared histogram aggregates: brackets for increasing targets are
+    provably ordered (a deeper mass target needs an equal-or-smaller
+    threshold), so per round the distinct brackets number at most
+    |percentiles| and each is ONE conditional aggregate over the
+    localCheckpointed customer frame.  ⌈log_NB(cents range)⌉ ≈ 2–3
+    rounds at any realistic scale; shuffle volume is the customer
+    aggregate, once.
+    """
+    import math
+
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    cust_rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).alias("rev")
+        )
+        .select(F.col("rev").cast("decimal(38,0)").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    stats = cust_rev.agg(
+        F.count("*").alias("n"),
+        F.sum("rev").alias("total"),
+        F.min("rev").alias("lo"),
+        F.max("rev").alias("hi"),
+    ).first()
+    n_customers, total = int(stats["n"]), int(stats["total"])
+    glo, ghi = int(stats["lo"]), int(stats["hi"])
+    targets = {p: math.ceil(p * total) for p in PARETO_PS}
+    # per-p state: bracket [lo, hi] containing T*, plus exact
+    # (cnt, mass) of rev STRICTLY ABOVE hi — maintained so the final
+    # step needs no extra probe
+    state = {p: [glo, ghi, 0, 0] for p in PARETO_PS}
+
+    def _histogram(lo: int, hi: int, width: int):
+        """Bucket (count, mass) pairs for rev ∈ [lo, hi], descending
+        bucket order — one conditional aggregate."""
+        rows = (
+            cust_rev.filter((F.col("rev") >= lo) & (F.col("rev") <= hi))
+            .groupBy(
+                F.floor((F.col("rev") - F.lit(lo)) / F.lit(width)).alias(
+                    "b"
+                )
+            )
+            .agg(F.count("*").alias("cnt"), F.sum("rev").alias("mass"))
+            .orderBy(F.desc("b"))
+            .collect()
+        )
+        return [(int(r["b"]), int(r["cnt"]), int(r["mass"])) for r in rows]
+
+    unresolved = set(PARETO_PS)
+    while unresolved:
+        # distinct brackets this round (ties collapse: equal targets'
+        # brackets start equal and narrow identically)
+        brackets = {}
+        for p in unresolved:
+            lo, hi = state[p][0], state[p][1]
+            brackets.setdefault((lo, hi), []).append(p)
+        for (lo, hi), ps in brackets.items():
+            if lo >= hi:
+                unresolved -= set(ps)
+                continue
+            width = max(1, (hi - lo + PARETO_NB) // PARETO_NB)
+            hist = _histogram(lo, hi, width)
+            for p in ps:
+                _, _, cnt_above, mass_above = state[p]
+                target = targets[p]
+                acc_c, acc_m = cnt_above, mass_above
+                chosen = None
+                for b, c, m in hist:  # top bucket first
+                    if acc_m + m >= target:
+                        chosen = (b, acc_c, acc_m)
+                        break
+                    acc_c += c
+                    acc_m += m
+                if chosen is None:
+                    # mass_ge(lo) < target can only happen for the
+                    # full-range first round if total < target —
+                    # impossible for p < 1; keep the bottom bucket
+                    chosen = (hist[-1][0], acc_c, acc_m)
+                b, c_up, m_up = chosen
+                new_lo = lo + b * width
+                new_hi = min(hi, lo + (b + 1) * width - 1)
+                state[p] = [new_lo, new_hi, c_up, m_up]
+                if new_lo >= new_hi:
+                    unresolved.discard(p)
+    # every bracket is now a single level: T* = lo, with exact
+    # (cnt, mass) above it in state — closed-form k
+    results = {}
+    for p in PARETO_PS:
+        t_star, _, cnt_above, mass_above = (
+            state[p][0],
+            state[p][1],
+            state[p][2],
+            state[p][3],
+        )
+        need = targets[p] - mass_above
+        results[p] = cnt_above + (
+            -(-need // t_star) if t_star > 0 and need > 0 else 0
+        )
+    return spark.createDataFrame(
+        [(n_customers, results[0.5], results[0.8], results[0.9])],
+        "n_customers bigint, top_k_50 bigint, top_k_80 bigint,"
+        " top_k_90 bigint",
+    )

@@ -53,6 +53,8 @@ QUERIES_UNDER_TEST = [
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q21_waiting_suppliers",
+    # weighted histogram-refinement descent (driver-state loop)
+    "orders_pareto_concentration",
 ]
 
 

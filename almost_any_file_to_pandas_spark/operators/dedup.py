@@ -1992,3 +1992,196 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "estimates_within_tol"
         ),
     )
+
+
+EDIT_K = 6  # maximum edit distance for the PassJoin pair search
+
+
+@register(
+    "dedup_edit_distance_pairs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS L FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS edit_distance
+    FROM d a JOIN d b
+      ON a.doc_id < b.doc_id
+     AND abs(a.L - b.L) <= {EDIT_K}
+    WHERE levenshtein(a.text, b.text) <= {EDIT_K}
+    """,
+)
+def dedup_edit_distance_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-identical document pairs at edit distance ≤ K — the
+    byte-level twin of the shingle families, catching the small-diff
+    duplicates (timestamps, one fixed typo, an inserted token) that
+    set-similarity measures blur.
+
+    The oracle is the full pairwise filter; the engine runs
+    **PassJoin** (Li et al., VLDB'12) — a PROVABLY complete candidate
+    scheme, not a probabilistic one: partition the shorter text of a
+    qualifying pair into K+1 contiguous segments — at most K edits
+    cannot touch all of them (pigeonhole), so some segment occurs
+    EXACTLY in the longer text, displaced by at most K positions.
+    Candidates are therefore an equi-join between
+
+    * the segment index: (slot, own_length, segment) per doc, and
+    * the probe index: for each doc of length M, each hypothetical
+      shorter length L ∈ [M−K, M], each slot's substring of the
+      matching segment length at starts within ±K of the segment's
+      home position —
+
+    both JVM-only column expressions (explode over sequence/
+    transform; no UDF).  Probe fan-out is the algorithm's documented
+    (K+1)²·(2K+1) worst case per doc — constant in corpus size; the
+    join keys on (slot, L, substring) so candidate volume concentrates
+    only where true near-duplicates exist.  Exact integer
+    ``levenshtein`` verifies every candidate pair once (a < b).
+
+    Plan: two narrow passes build the indexes, one equi-join shuffle
+    on the segment key, distinct pair set, then a verify join pulling
+    the two texts by doc_id.
+    """
+    apply_engine_conf(spark)
+    n_seg = EDIT_K + 1
+    docs = table_wide(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("L")
+    )
+    docs = docs.localCheckpoint(eager=True)  # feeds both indexes + verify
+
+    slot = F.col("slot")
+    # even partition of a length-`lcol` string: slot i (0-based) has
+    # length base+1 for i < rem else base, starting at
+    # i*base + min(i, rem) + 1  (1-based)
+    def _seg_len(lcol):
+        base, rem = lcol / F.lit(n_seg), lcol % F.lit(n_seg)
+        return F.floor(base).cast("int") + F.when(
+            slot < rem, 1
+        ).otherwise(0)
+
+    def _seg_start(lcol):
+        base, rem = F.floor(lcol / F.lit(n_seg)).cast("int"), lcol % F.lit(
+            n_seg
+        )
+        return slot * base + F.least(slot, rem.cast("int")) + 1
+
+    seg_index = (
+        docs.select(
+            "doc_id",
+            "text",
+            "L",
+            F.explode(F.sequence(F.lit(0), F.lit(n_seg - 1))).alias(
+                "slot"
+            ),
+        )
+        .select(
+            "doc_id",
+            "L",
+            slot.alias("slot"),
+            F.expr(
+                "substring(text, "
+                f"slot * (L div {n_seg}) + least(slot, L % {n_seg}) + 1, "
+                f"(L div {n_seg}) + CASE WHEN slot < L % {n_seg} "
+                "THEN 1 ELSE 0 END)"
+            ).alias("seg"),
+        )
+        .filter(F.length("seg") > 0)
+    )
+    probe_index = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.col("L").alias("M"),
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("L") - EDIT_K, F.lit(1)),
+                    F.col("L"),
+                )
+            ).alias("tl"),  # hypothetical shorter length
+        )
+        .select(
+            "doc_id",
+            "text",
+            "M",
+            "tl",
+            F.explode(F.sequence(F.lit(0), F.lit(n_seg - 1))).alias(
+                "slot"
+            ),
+        )
+        .select(
+            "doc_id",
+            "tl",
+            "slot",
+            _seg_len(F.col("tl")).alias("sl"),
+            _seg_start(F.col("tl")).alias("sp"),
+            "text",
+            "M",
+        )
+        .filter(F.col("sl") > 0)
+        .select(
+            "doc_id",
+            "tl",
+            "slot",
+            "sl",
+            F.explode(
+                F.when(
+                    F.greatest(F.col("sp") - EDIT_K, F.lit(1))
+                    <= F.least(
+                        F.col("sp") + EDIT_K,
+                        F.col("M") - F.col("sl") + 1,
+                    ),
+                    F.sequence(
+                        F.greatest(F.col("sp") - EDIT_K, F.lit(1)),
+                        F.least(
+                            F.col("sp") + EDIT_K,
+                            F.col("M") - F.col("sl") + 1,
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("start"),
+            "text",
+        )
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            "tl",
+            "slot",
+            F.expr("substring(text, start, sl)").alias("sub"),
+        )
+    )
+    cands = (
+        seg_index.join(
+            probe_index,
+            (seg_index.slot == probe_index.slot)
+            & (seg_index.L == probe_index.tl)
+            & (seg_index.seg == probe_index.sub)
+            & (seg_index.doc_id != probe_index.probe_id),
+        )
+        .select(
+            F.least(seg_index.doc_id, F.col("probe_id")).alias("doc_a"),
+            F.greatest(seg_index.doc_id, F.col("probe_id")).alias(
+                "doc_b"
+            ),
+        )
+        .distinct()
+    )
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"),
+        F.col("L").alias("la"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"),
+        F.col("L").alias("lb"),
+    )
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(F.abs(F.col("la") - F.col("lb")) <= EDIT_K)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= EDIT_K)
+    )

@@ -136,6 +136,7 @@ HEADLINE = [
     "events_funnel_within_window",
     "events_hll_audience_overlap",
     "sim_label_affinity_matrix",
+    "dedup_edit_distance_pairs",
 ]
 
 

@@ -55,6 +55,8 @@ QUERIES_UNDER_TEST = [
     "q21_waiting_suppliers",
     # weighted histogram-refinement descent (driver-state loop)
     "orders_pareto_concentration",
+    # PassJoin segment/probe equi-join candidate scheme
+    "dedup_edit_distance_pairs",
 ]
 
 

@@ -260,3 +260,54 @@ def test_window_funnel_boundaries(spark, funnel_boundary_dir):
         ).collect()
     }
     assert got == {1: 3, 2: 3, 3: 1, 4: 1, 5: 1, 6: 2, 7: 3, 8: 0, 9: 2}
+
+
+@pytest.fixture()
+def editdist_boundary_dir(spark, tmp_path):
+    """Documents with KNOWN pairwise edit distances around the
+    PassJoin K=6 boundary: an exact duplicate (0), exactly-K edits
+    scattered across segments (must be found), K+1 edits (must be
+    excluded), and a long tail-insertion beyond the length band."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays on and the crowd cheers loudly tonight"
+    )
+    k6 = list(base)
+    for pos in (3, 20, 40, 60, 80, 100):  # 6 substitutions, spread out
+        k6[pos] = "#"
+    k7 = list(k6)
+    k7[50] = "@"  # 7th edit
+    rows = [
+        (1, base, "en", "s1", len(base)),
+        (2, base, "en", "s1", len(base)),          # distance 0 to 1
+        (3, "".join(k6), "en", "s1", len(base)),   # distance 6 to 1/2
+        (4, "".join(k7), "en", "s1", len(base)),   # distance 7 to 1/2
+        (5, base + " encore!", "en", "s1", len(base) + 8),  # +8 tail
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_passjoin_edit_distance_boundaries(spark, editdist_boundary_dir):
+    """PassJoin must equal the full pairwise oracle on the crafted
+    boundary corpus AND produce the hand-derived pair set."""
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    _gate_compare(spark, editdist_boundary_dir, "dedup_edit_distance_pairs")
+    got = {
+        (r.doc_a, r.doc_b): r.edit_distance
+        for r in plans.QUERIES["dedup_edit_distance_pairs"](
+            spark, editdist_boundary_dir
+        ).collect()
+    }
+    # 1-2 identical; 3 at distance 6 from both; 4 at 7 from 1/2
+    # (excluded) but ONE edit from 3 (found); 5 at 8 insertions
+    # (excluded, also outside the length band)
+    assert got == {(1, 2): 0, (1, 3): 6, (2, 3): 6, (3, 4): 1}

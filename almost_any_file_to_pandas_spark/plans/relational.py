@@ -3620,3 +3620,240 @@ def orders_pareto_concentration(
         "n_customers bigint, top_k_50 bigint, top_k_80 bigint,"
         " top_k_90 bigint",
     )
+
+
+@register(
+    "part_skyline_frontier",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_size,
+             CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM part
+    )
+    SELECT a.p_partkey, a.p_size, a.price_cents
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.p_size >= a.p_size AND b.price_cents <= a.price_cents
+        AND (b.p_size > a.p_size OR b.price_cents < a.price_cents)
+    )
+    """,
+)
+def part_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: the parts no other part
+    dominates on (cheaper-or-equal price, bigger-or-equal size, at
+    least one strict) — the classic multi-objective shortlist
+    operator (Börzsönyi et al., ICDE'01) the engine needs wherever
+    "best trade-offs" beats "best single metric".
+
+    The oracle is the quadratic NOT-EXISTS spec. The engine exploits
+    the 2-D structure: dominance only flows through the per-size
+    price minimum, so it (1) aggregates ``min(price)`` per size —
+    one map-side-combined shuffle on a BOUNDED key domain (p_size is
+    a small-int attribute), (2) runs the suffix-min window over that
+    size-domain-sized frame (dozens of rows at ANY corpus scale —
+    the single-partition window is bounded by the attribute domain,
+    not the corpus), keeping sizes whose min undercuts every larger
+    size, and (3) broadcast-semi-joins the frontier ``(size,
+    min_price)`` pairs back to the part scan, so equal-price ties at
+    a frontier point all survive — exactly the spec's semantics
+    (equal pairs never dominate each other).
+
+    Prices quantize to integer cents (``FLOOR(x·100+0.5)``, the house
+    recipe) so the frontier comparison is exact on both engines.
+
+    Plan: one bounded-domain aggregate + one broadcast join; the
+    part scan is read once per side, filters pushed.
+    """
+    apply_engine_conf(spark)
+    part = table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_size",
+        F.expr(
+            "CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)"
+        ).alias("price_cents"),
+    )
+    per_size = p.groupBy("p_size").agg(
+        F.min("price_cents").alias("min_cents")
+    )
+    # min price over all strictly LARGER sizes; NULL for the largest
+    w_above = (
+        W.orderBy(F.col("p_size").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_size.withColumn("best_above", F.min("min_cents").over(w_above))
+        .filter(
+            F.col("best_above").isNull()
+            | (F.col("min_cents") < F.col("best_above"))
+        )
+        .select("p_size", "min_cents")
+    )
+    return p.join(
+        F.broadcast(frontier),
+        (p.p_size == frontier.p_size)
+        & (p.price_cents == frontier.min_cents),
+        "left_semi",
+    ).select("p_partkey", "p_size", "price_cents")
+
+
+@register(
+    "orders_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT COUNT(*) AS n, SUM(CAST(rev AS HUGEINT)) AS total FROM daily
+    ), walk AS (
+      SELECT day,
+             CAST(t.n AS HUGEINT)
+               * SUM(CAST(rev AS HUGEINT)) OVER (ORDER BY day)
+               - CAST(ROW_NUMBER() OVER (ORDER BY day) AS HUGEINT)
+               * t.total AS s_n
+      FROM daily, tot t
+    )
+    SELECT CAST(day AS VARCHAR) AS changepoint_day,
+           (SELECT CAST(n AS BIGINT) FROM tot) AS n_days,
+           CAST(abs(s_n) AS DECIMAL(38,0)) AS cusum_abs_n,
+           CASE WHEN s_n > 0 THEN 1 ELSE -1 END AS direction
+    FROM walk
+    ORDER BY abs(s_n) DESC, day ASC
+    LIMIT 1
+    """,
+)
+def orders_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection over the daily-revenue series via CUSUM:
+    the day where the cumulative deviation from the series mean peaks
+    — Page's classic statistic, the standard first-pass answer to
+    "when did this metric shift?".
+
+    Exact-integer formulation: with daily cents ``x_i``, prefix sums
+    ``P_t`` and total ``T`` over ``n`` days, the mean-centered CUSUM
+    scaled by n is ``n·P_t − t·T`` — all integer products (no mean
+    division, no float accumulation), HUGEINT/DECIMAL(38,0)-widened
+    per the house overflow recipe. The argmax tie-breaks to the
+    earliest day; ``direction`` is +1 when the early segment runs
+    above the overall mean (a downward shift after the peak).
+
+    Plan shape (100 TB): the corpus pays ONE day-keyed aggregate with
+    map-side partials; the CUSUM walk (two windows + rank) runs over
+    the calendar-sized daily frame — bounded at any corpus scale, the
+    same argument as the rolling-7d and month-spine operators.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+        ).alias("rev")
+    )
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_ord = W.orderBy("day")
+    walk = daily.select(
+        "day",
+        (
+            F.count("*").over(w_all).cast("decimal(38,0)")
+            * F.sum(F.col("rev").cast("decimal(38,0)")).over(
+                w_ord.rowsBetween(W.unboundedPreceding, 0)
+            )
+            - F.row_number().over(w_ord).cast("decimal(38,0)")
+            * F.sum(F.col("rev").cast("decimal(38,0)")).over(w_all)
+        ).alias("s_n"),
+        F.count("*").over(w_all).alias("n_days"),
+    )
+    return (
+        walk.orderBy(F.abs(F.col("s_n")).desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("day").cast("string").alias("changepoint_day"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.abs(F.col("s_n")).cast("decimal(38,0)").alias("cusum_abs_n"),
+            F.when(F.col("s_n") > 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("direction"),
+        )
+    )
+
+
+# Benford first-digit expectations log10(1+1/d), quantized to q6 —
+# exact constants, so no transcendental evaluates in either engine.
+_BENFORD_Q6 = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+@register(
+    "orders_benford_first_digit",
+    oracle=f"""
+    WITH b(digit, benford_q6) AS (VALUES
+      {", ".join(f"({d}, {q})" for d, q in sorted(_BENFORD_Q6.items()))}
+    ), c AS (
+      SELECT CAST(SUBSTR(CAST(
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+             AS VARCHAR), 1, 1) AS INT) AS digit,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ), tot AS (SELECT SUM(n) AS total FROM c)
+    SELECT b.digit,
+           COALESCE(CAST(c.n AS BIGINT), 0) AS n,
+           CAST(COALESCE(c.n, 0) * 1000000 // t.total AS BIGINT)
+             AS share_q6,
+           CAST(COALESCE(c.n, 0) * 1000000 // t.total AS BIGINT)
+             - b.benford_q6 AS deviation_q6
+    FROM b LEFT JOIN c ON b.digit = c.digit, tot t
+    """,
+)
+def orders_benford_first_digit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benford's-law conformance audit over order totals: the
+    first-significant-digit distribution vs the log10(1+1/d)
+    expectation — the classic fraud/synthetic-data screen (organic
+    multiplicative totals follow Benford; fabricated or uniform
+    generators don't, and THIS synthetic corpus is expected to
+    deviate — the audit reports the deviation, it doesn't assert
+    conformance).
+
+    Exactness: totals quantize to integer cents, the first digit is
+    a string head of the integer (no log10 at query time), shares
+    are the house integer-q6 division, and the Benford targets are
+    q6-quantized CONSTANTS baked into both engines — no
+    transcendental evaluates anywhere.
+
+    Plan: one 9-bucket aggregate with map-side partials; the digit
+    spine is a 9-row literal frame left-joined so absent digits
+    report share 0 (never silently vanish).
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    counts = orders.select(
+        F.expr(
+            "CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)"
+            " AS BIGINT) AS STRING), 1, 1) AS INT)"
+        ).alias("digit")
+    ).groupBy("digit").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    spine = spark.createDataFrame(
+        sorted(_BENFORD_Q6.items()), "digit int, benford_q6 bigint"
+    )
+    return (
+        spine.join(F.broadcast(counts), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.expr(
+                "CAST(COALESCE(n, 0) * 1000000 div total AS BIGINT)"
+            ).alias("share_q6"),
+            (
+                F.expr("CAST(COALESCE(n, 0) * 1000000 div total AS BIGINT)")
+                - F.col("benford_q6")
+            ).alias("deviation_q6"),
+        )
+    )

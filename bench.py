@@ -137,6 +137,11 @@ HEADLINE = [
     "events_hll_audience_overlap",
     "sim_label_affinity_matrix",
     "dedup_edit_distance_pairs",
+    # third-session operators: bounded-domain skyline, calendar-frame
+    # CUSUM walk, 9-bucket Benford audit
+    "part_skyline_frontier",
+    "orders_cusum_changepoint",
+    "orders_benford_first_digit",
 ]
 
 

@@ -57,6 +57,11 @@ QUERIES_UNDER_TEST = [
     "orders_pareto_concentration",
     # PassJoin segment/probe equi-join candidate scheme
     "dedup_edit_distance_pairs",
+    # bounded-domain skyline (broadcast min-threshold semi-join) and
+    # the CUSUM argmax LIMIT cut — the value classes a partitioning
+    # change could disturb
+    "part_skyline_frontier",
+    "orders_cusum_changepoint",
 ]
 
 

@@ -1242,3 +1242,395 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_anomalous_hours"),
     )
+
+
+@register(
+    "events_value_drift_chi2",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value,
+             (CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')
+               AS d
+      FROM events WHERE value IS NOT NULL
+    ), span AS (
+      SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM ev
+    ), lab AS (
+      SELECT event_type, value,
+             CASE WHEN d < s.dmin + (s.dmax - s.dmin + 1) // 2
+                  THEN 1 ELSE 0 END AS is_ref
+      FROM ev, span s
+    ), bounds AS (
+      SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+      FROM lab WHERE is_ref = 1 GROUP BY event_type
+    ), binned AS (
+      SELECT l.event_type, l.is_ref,
+             CASE WHEN b.vmax > b.vmin
+                  THEN GREATEST(0, LEAST(9, CAST(FLOOR(
+                         (l.value - b.vmin) * 10 / (b.vmax - b.vmin)
+                       ) AS BIGINT)))
+                  ELSE 0 END AS bin
+      FROM lab l JOIN bounds b USING (event_type)
+    ), cnt AS (
+      SELECT event_type, bin,
+             SUM(is_ref) AS nr, SUM(1 - is_ref) AS nc
+      FROM binned GROUP BY event_type, bin
+    ), tot AS (
+      SELECT event_type, SUM(nr) AS tr, SUM(nc) AS tc
+      FROM cnt GROUP BY event_type
+    ), terms AS (
+      SELECT c.event_type,
+             CAST(CAST(c.nr AS HUGEINT) * 1000000 // t.tr AS BIGINT)
+               AS p_q6,
+             CASE WHEN t.tc > 0
+                  THEN CAST(CAST(c.nc AS HUGEINT) * 1000000 // t.tc
+                            AS BIGINT)
+                  ELSE 0 END AS q_q6
+      FROM cnt c JOIN tot t USING (event_type)
+    )
+    SELECT tm.event_type,
+           CAST(t.tr AS BIGINT) AS n_ref,
+           CAST(t.tc AS BIGINT) AS n_cur,
+           CAST(SUM(CASE WHEN tm.p_q6 + tm.q_q6 > 0
+                THEN (tm.p_q6 - tm.q_q6) * (tm.p_q6 - tm.q_q6)
+                     // (tm.p_q6 + tm.q_q6)
+                ELSE 0 END) AS BIGINT) AS drift_chi2_q6
+    FROM terms tm JOIN tot t USING (event_type)
+    GROUP BY tm.event_type, t.tr, t.tc
+    """,
+)
+def events_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (the PSI-style screen every feature
+    pipeline runs before retraining): per event type, a chi²-style
+    statistic between the value distribution of the REFERENCE period
+    (first half of the corpus's day span) and the CURRENT period
+    (second half), over 10 equal-width bins fitted on the reference.
+
+    PSI's ``Σ(p−q)·ln(p/q)`` needs a transcendental, which the
+    determinism invariants ban from hashed outputs (libm vs JVM ulp
+    divergence); the chi²-style twin ``Σ(p−q)²/(p+q)`` ranks drift
+    identically and is EXACT in integers: shares quantize to q6 by
+    integer division (HUGEINT/DECIMAL(38,0)-widened — counts at corpus
+    scale overflow int64 when ×1e6), and each term is an integer
+    square over an integer sum. The bin index is pure IEEE arithmetic
+    (sub/mul/div are correctly rounded in both engines → bit-identical
+    doubles → identical FLOOR); current-period outliers clamp to the
+    edge bins; types with no reference rows are dropped (no baseline
+    to drift FROM — documented, both engines).
+
+    Plan shape: one narrow pass + two small aggregates. The corpus
+    pays one (type, bin)-keyed aggregate with map-side partials; the
+    day-span scalar and per-type bounds broadcast back (dimension-
+    sized). No window over raw rows anywhere.
+    """
+    apply_engine_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            F.unix_date(F.col("ts").cast("date")).alias("d"),
+        )
+    )
+    span = ev.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    lab = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "value",
+        F.when(
+            F.col("d")
+            < F.col("dmin")
+            + F.expr("(dmax - dmin + 1) div 2"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    bounds = (
+        lab.filter(F.col("is_ref") == 1)
+        .groupBy("event_type")
+        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    )
+    binned = lab.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "is_ref",
+        F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(9),
+                    F.floor(
+                        (F.col("value") - F.col("vmin"))
+                        * 10
+                        / (F.col("vmax") - F.col("vmin"))
+                    ),
+                ),
+            ),
+        )
+        .otherwise(0)
+        .alias("bin"),
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_ref").alias("nr"),
+        F.sum(1 - F.col("is_ref")).alias("nc"),
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("nr").alias("tr"), F.sum("nc").alias("tc")
+    )
+    terms = cnt.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.expr(
+            "CAST(CAST(nr AS DECIMAL(38,0)) * 1000000 div tr AS BIGINT)"
+        ).alias("p_q6"),
+        F.expr(
+            "CASE WHEN tc > 0 THEN "
+            "CAST(CAST(nc AS DECIMAL(38,0)) * 1000000 div tc AS BIGINT) "
+            "ELSE 0 END"
+        ).alias("q_q6"),
+    )
+    return (
+        terms.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "tr", "tc")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN p_q6 + q_q6 > 0 THEN "
+                    "(p_q6 - q_q6) * (p_q6 - q_q6) div (p_q6 + q_q6) "
+                    "ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("drift_chi2_q6")
+        )
+        .select(
+            "event_type",
+            F.col("tr").cast("long").alias("n_ref"),
+            F.col("tc").cast("long").alias("n_cur"),
+            "drift_chi2_q6",
+        )
+    )
+
+
+_HOUR_US = 3600 * 1_000_000
+_DAY_US = 24 * _HOUR_US
+
+
+@register(
+    "events_concurrency_profile",
+    oracle=f"""
+    WITH ev_us AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), marked AS (
+      SELECT user_id, ts,
+        CASE WHEN ts - LAG(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL '{{gap}} minutes'
+             OR LAG(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new,
+        event_id
+      FROM ev_us
+    ), srows AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), sess AS (
+      SELECT epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) + 1 AS e_us
+      FROM srows GROUP BY user_id, sid
+    ), clip AS (
+      SELECT CAST(dd AS DATE) AS day,
+             GREATEST(s_us,
+               epoch_us(CAST(CAST(dd AS DATE) AS TIMESTAMP))) AS lo,
+             LEAST(e_us,
+               epoch_us(CAST(CAST(dd AS DATE) AS TIMESTAMP))
+                 + {_DAY_US}) AS hi
+      FROM (
+        SELECT s_us, e_us,
+               UNNEST(generate_series(
+                 CAST(make_timestamp(s_us) AS DATE),
+                 CAST(make_timestamp(e_us - 1) AS DATE),
+                 INTERVAL 1 DAY)) AS dd
+        FROM sess
+      )
+    ), pts AS (
+      SELECT day, lo AS t, 1 AS delta FROM clip
+      UNION ALL
+      SELECT day, hi AS t, -1 AS delta FROM clip
+    ), net AS (
+      SELECT day, t, SUM(delta) AS net,
+             SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS n_starts
+      FROM pts GROUP BY day, t
+    ), walk AS (
+      SELECT day, t, n_starts,
+             SUM(net) OVER (PARTITION BY day ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS running,
+             LEAD(t) OVER (PARTITION BY day ORDER BY t) AS nxt
+      FROM net
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(SUM(n_starts) AS BIGINT) AS n_sessions,
+           CAST(MAX(running) AS BIGINT) AS peak_concurrent,
+           CAST(SUM(CASE WHEN running > 0 AND nxt IS NOT NULL
+                         THEN nxt - t ELSE 0 END) AS BIGINT) AS covered_us
+    FROM walk GROUP BY day
+    """.replace("{gap}", "30"),
+)
+def events_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-algebra rollup: per day, how many sessions ran
+    CONCURRENTLY at the busiest instant, and how many microseconds of
+    the day had at least one active session (the union-coverage /
+    capacity-planning pair every ops dashboard wants).
+
+    Sessions are the house 30-minute-gap islands, taken as CLOSED
+    intervals [first_event, last_event] — encoded half-open as
+    ``[s, e+1µs)`` so a single-event session still registers one
+    instant of presence. Intervals clip to day boundaries (a
+    midnight-spanning session counts in both days).
+
+    The sweep-line: +1/−1 boundary points, aggregated per instant
+    (so simultaneous starts/ends collapse before any ordering —
+    no tie-order sensitivity), then a running sum whose max is the
+    peak and whose positive segments sum to the coverage.
+
+    100 TB shape — the TWO-LEVEL sweep: a day of a busy corpus holds
+    millions of boundary points, so a per-day ordered window is the
+    single-partition anti-pattern. The engine instead (1) seeds every
+    (day, hour) with a zero-delta synthetic boundary point, (2) runs
+    the running sum per (day, HOUR) partition, (3) reconstructs each
+    hour's offset from the 25-row per-day hour-total window, and
+    (4) reads coverage segments inside hours only — the synthetic
+    points guarantee segments never span an hour boundary, so an
+    hour fully inside a long session is carried by its seed point.
+    Identical values to the oracle's single-level walk; partition
+    granularity drops from day to hour (and generalizes to minutes
+    by changing one constant). The daily rollup is a plain keyed
+    aggregate.
+    """
+    apply_engine_conf(spark)
+    gap_us = 30 * 60 * 1_000_000
+    ev = table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tus = F.unix_micros(F.col("ts"))
+    gap = tus - F.lag(tus).over(order)
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0).alias(
+            "is_new"
+        ),
+    )
+    running_w = order.rowsBetween(W.unboundedPreceding, 0)
+    sess = (
+        marked.withColumn("sid", F.sum("is_new").over(running_w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s_us"),
+            (F.unix_micros(F.max("ts")) + 1).alias("e_us"),
+        )
+    )
+    intervals = sess.select(
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.to_date(F.timestamp_micros(F.col("s_us"))),
+                F.to_date(F.timestamp_micros(F.col("e_us") - 1)),
+            )
+        ).alias("day"),
+    ).select(
+        "s_us",
+        "e_us",
+        "day",
+        F.unix_micros(F.col("day").cast("timestamp")).alias("day_us"),
+    )
+    clip = intervals.select(
+        "day",
+        "day_us",
+        F.greatest(F.col("s_us"), F.col("day_us")).alias("lo"),
+        F.least(F.col("e_us"), F.col("day_us") + _DAY_US).alias("hi"),
+    )
+    points = clip.select(
+        "day", "day_us", F.col("lo").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        clip.select(
+            "day", "day_us", F.col("hi").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    seeds = (
+        clip.select("day", "day_us")
+        .distinct()
+        .select(
+            "day",
+            "day_us",
+            F.explode(F.sequence(F.lit(0), F.lit(24))).alias("h"),
+        )
+        .select(
+            "day",
+            "day_us",
+            (F.col("day_us") + F.col("h") * F.lit(_HOUR_US)).alias("t"),
+            F.lit(0).alias("delta"),
+        )
+    )
+    net = (
+        points.unionAll(seeds)
+        .groupBy("day", "day_us", "t")
+        .agg(
+            F.sum("delta").alias("net"),
+            F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).alias(
+                "n_starts"
+            ),
+        )
+        .withColumn("h", F.expr(f"(t - day_us) div {_HOUR_US}"))
+    )
+    in_hour = W.partitionBy("day", "h").orderBy("t")
+    walk = net.select(
+        "day",
+        "day_us",
+        "h",
+        "t",
+        "n_starts",
+        F.sum("net")
+        .over(in_hour.rowsBetween(W.unboundedPreceding, 0))
+        .alias("local"),
+        F.lead("t").over(in_hour).alias("nxt"),
+    )
+    hour_tot = net.groupBy("day", "h").agg(F.sum("net").alias("hnet"))
+    w_hours = (
+        W.partitionBy("day")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = hour_tot.select(
+        "day",
+        "h",
+        F.coalesce(F.sum("hnet").over(w_hours), F.lit(0)).alias("offset"),
+    )
+    staged = walk.join(offsets, ["day", "h"]).select(
+        "day",
+        "n_starts",
+        (F.col("offset") + F.col("local")).alias("running"),
+        F.when(
+            F.col("h") < 24,
+            F.coalesce(
+                F.col("nxt"),
+                F.col("day_us") + (F.col("h") + 1) * F.lit(_HOUR_US),
+            )
+            - F.col("t"),
+        )
+        .otherwise(F.lit(0))
+        .alias("seg"),
+    )
+    return staged.groupBy("day").agg(
+        F.sum("n_starts").cast("long").alias("n_sessions"),
+        F.max("running").cast("long").alias("peak_concurrent"),
+        F.sum(F.when(F.col("running") > 0, F.col("seg")).otherwise(0))
+        .cast("long")
+        .alias("covered_us"),
+    ).select(
+        F.col("day").cast("string").alias("day"),
+        "n_sessions",
+        "peak_concurrent",
+        "covered_us",
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from almost_any_file_to_pandas_spark.plans import register, table
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
@@ -428,4 +429,148 @@ def events_sliding_dau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("_est") - F.col("exact_users_7d"))
             <= tol * F.col("exact_users_7d")
         ).alias("est_within_tol"),
+    )
+
+
+HIST_BINS = 128  # fixed global grid for the mergeable quantile cube
+
+
+@register(
+    "events_histogram_quantile_rollup",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE value IS NOT NULL
+    ), g AS (
+      SELECT MIN(value) AS gmin, MAX(value) AS gmax FROM v
+    ), wk AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start, value
+      FROM v
+    ), ranked AS (
+      SELECT week_start, value,
+             ROW_NUMBER() OVER (PARTITION BY week_start ORDER BY value)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY week_start) AS n
+      FROM wk
+    ), sel AS (
+      SELECT week_start, n AS n_values,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med,
+             MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90
+      FROM ranked GROUP BY week_start, n
+    ), bins AS (
+      SELECT s.week_start, s.n_values,
+             CASE WHEN g.gmax > g.gmin
+                  THEN LEAST({HIST_BINS - 1}, CAST(FLOOR(
+                    ((s.med - g.gmin) * {HIST_BINS}) / (g.gmax - g.gmin)
+                  ) AS BIGINT)) ELSE 0 END AS median_bin,
+             CASE WHEN g.gmax > g.gmin
+                  THEN LEAST({HIST_BINS - 1}, CAST(FLOOR(
+                    ((s.p90 - g.gmin) * {HIST_BINS}) / (g.gmax - g.gmin)
+                  ) AS BIGINT)) ELSE 0 END AS p90_bin,
+             g.gmin, g.gmax
+      FROM sel s, g
+    )
+    SELECT week_start, CAST(n_values AS BIGINT) AS n_values,
+           median_bin,
+           gmin + median_bin * ((gmax - gmin) / {HIST_BINS})
+             AS median_lo,
+           p90_bin,
+           gmin + p90_bin * ((gmax - gmin) / {HIST_BINS}) AS p90_lo
+    FROM bins
+    """,
+)
+def events_histogram_quantile_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable QUANTILE cube — the order-statistics sibling of
+    `events_hll_mergeable_rollup`: per-day histogram partials on one
+    fixed global grid merge into per-week histograms by pure count
+    addition (no raw-data re-scan), and each week's median / p90 bin
+    falls out of the 128-row cumulative walk. Bin-level answers from
+    the merged cube are EXACT, not approximate: a histogram on a
+    shared grid is itself a mergeable sketch whose rank queries are
+    correct to bin resolution, so the engine's cube-derived bin must
+    EQUAL the oracle's bin-of-exact-quantile — the equality (not a
+    tolerance flag) is what the gate hashes.
+
+    At 100 TB: the daily cube stores 128 counters per day — any
+    ad-hoc date-range quantile is a counter sum over the range plus a
+    128-row walk, never a re-sort of raw values. Grid min/max come
+    from one exact corpus aggregate (broadcast scalar); a production
+    deployment would version the grid with the cube.
+
+    Lower-rank convention: median = value at rank ``(n+1) div 2``,
+    p90 at ``(9n+9) div 10`` (ceil), both 1-based — rank selection,
+    no two-value averaging, so the quantile is a DATA value and the
+    bin equality is exact.
+    """
+    apply_engine_conf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("ts", "value")
+    )
+    g = ev.agg(F.min("value").alias("gmin"), F.max("value").alias("gmax"))
+    binned = ev.crossJoin(F.broadcast(g)).select(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+        F.when(
+            F.col("gmax") > F.col("gmin"),
+            F.least(
+                F.lit(HIST_BINS - 1),
+                F.floor(
+                    ((F.col("value") - F.col("gmin")) * HIST_BINS)
+                    / (F.col("gmax") - F.col("gmin"))
+                ),
+            ),
+        )
+        .otherwise(0)
+        .alias("bin"),
+    )
+    # the daily cube (what production would persist) ...
+    daily = binned.groupBy("week_start", "day", "bin").agg(
+        F.count("*").alias("c")
+    )
+    # ... merged to weeks by counter addition alone
+    weekly = daily.groupBy("week_start", "bin").agg(
+        F.sum("c").alias("c")
+    )
+    w_week = W.partitionBy("week_start")
+    walk = weekly.select(
+        "week_start",
+        "bin",
+        F.sum("c").over(w_week).alias("n_values"),
+        F.sum("c")
+        .over(w_week.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    med = (
+        walk.filter(F.col("cum") >= F.expr("(n_values + 1) div 2"))
+        .groupBy("week_start", "n_values")
+        .agg(F.min("bin").alias("median_bin"))
+    )
+    p90 = (
+        walk.filter(F.col("cum") >= F.expr("(9 * n_values + 9) div 10"))
+        .groupBy("week_start")
+        .agg(F.min("bin").alias("p90_bin"))
+    )
+    return (
+        med.join(p90, "week_start")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "week_start",
+            F.col("n_values").cast("long").alias("n_values"),
+            "median_bin",
+            (
+                F.col("gmin")
+                + F.col("median_bin")
+                * ((F.col("gmax") - F.col("gmin")) / HIST_BINS)
+            ).alias("median_lo"),
+            "p90_bin",
+            (
+                F.col("gmin")
+                + F.col("p90_bin")
+                * ((F.col("gmax") - F.col("gmin")) / HIST_BINS)
+            ).alias("p90_lo"),
+        )
     )

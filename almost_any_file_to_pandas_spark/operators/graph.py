@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from almost_any_file_to_pandas_spark.operators.dedup import (
     MAX_BUCKET_SIZE,
@@ -420,4 +421,144 @@ def graph_degree_assortativity(
             ).cast("bigint")
         )
         .alias("assortativity_q6"),
+    )
+
+
+LPA_ITERS = 3  # fixed synchronous label-propagation rounds
+
+
+def _lpa_sql() -> str:
+    """Unrolled synchronous LPA oracle: each round is a neighbor-label
+    census + (count DESC, label ASC) argmin pick + isolated-node
+    carry-over — the same deterministic rule the engine loop runs."""
+    head = f"""
+    WITH cells AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+    ), hours_ok AS ({_HOURS_OK_SQL}
+    ), pair_counts AS (
+      SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS c
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+      JOIN hours_ok ho ON ho.h = a.h
+      GROUP BY a.user_id, b.user_id
+    ), cut AS (
+      SELECT {EDGE_FACTOR} * AVG(c) AS threshold FROM pair_counts
+    ), edges AS (
+      SELECT u1, u2 FROM pair_counts CROSS JOIN cut
+      WHERE c > cut.threshold
+    ), sym AS (
+      SELECT u1 AS u, u2 AS v FROM edges
+      UNION ALL
+      SELECT u2 AS u, u1 AS v FROM edges
+    ), it0 AS (
+      SELECT DISTINCT u, u AS lab FROM sym
+    )"""
+    rounds = []
+    for i in range(1, LPA_ITERS + 1):
+        rounds.append(f""", step{i} AS (
+      SELECT e.u, p.lab, COUNT(*) AS c
+      FROM sym e JOIN it{i - 1} p ON p.u = e.v
+      GROUP BY e.u, p.lab
+    ), pick{i} AS (
+      SELECT u, lab FROM (
+        SELECT u, lab,
+               ROW_NUMBER() OVER (PARTITION BY u
+                                  ORDER BY c DESC, lab ASC) AS rn
+        FROM step{i}
+      ) WHERE rn = 1
+    ), it{i} AS (
+      SELECT prev.u, COALESCE(pk.lab, prev.lab) AS lab
+      FROM it{i - 1} prev LEFT JOIN pick{i} pk ON pk.u = prev.u
+    )"""
+        )
+    return (
+        head
+        + "".join(rounds)
+        + f"""
+    SELECT lab AS community, COUNT(*) AS n_members
+    FROM it{LPA_ITERS} GROUP BY lab
+    """
+    )
+
+
+@register("graph_label_propagation", oracle=_lpa_sql())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the hour-co-activity graph — the cheap first
+    answer to "which users form rings?", complementing the triangle
+    census (local clustering) and connected components (reachability:
+    LPA splits a component into densely-knit groups).
+
+    Determinism: textbook LPA tie-breaks randomly and is famously
+    unstable; this restatement is FULLY deterministic — fixed
+    {LPA_ITERS} synchronous rounds from identity labels, each node
+    adopting its neighborhood's (most frequent, then smallest) label,
+    isolated carry-over for nodes whose census is empty (cannot
+    happen on a symmetrized edge list, kept for rule totality). Both
+    engines run the identical rule, so the gate hashes full
+    community assignments, not just sizes.
+
+    Plan/scale: the edge build is the shared capped-bucket machinery
+    (one shuffle, skew-capped hours). Each round is ONE shuffled join
+    on the symmetric edge list + a (node, label) census + a per-node
+    top-1 window — the Pregel message-pass compiled to DataFrame ops.
+    Labels localCheckpoint per round: constant-depth lineage, and the
+    next round's join starts from materialized (node, label) pairs —
+    the iterative-algorithm discipline PageRank set (graph.py).
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    cells = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
+    ).distinct()
+    co = _pairs_within_buckets(cells, "user_id", ["h"], distinct=False)
+    pair_counts = (
+        co.groupBy(F.col("doc_a").alias("u1"), F.col("doc_b").alias("u2"))
+        .agg(F.count("*").alias("c"))
+    )
+    pair_counts = pair_counts.localCheckpoint()
+    cut = pair_counts.agg(
+        (F.lit(EDGE_FACTOR) * F.avg("c")).alias("threshold")
+    )
+    edges = (
+        pair_counts.crossJoin(F.broadcast(cut))
+        .filter(F.col("c") > F.col("threshold"))
+        .select("u1", "u2")
+    )
+    sym = edges.select(
+        F.col("u1").alias("u"), F.col("u2").alias("v")
+    ).unionAll(
+        edges.select(F.col("u2").alias("u"), F.col("u1").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = sym.select("u").distinct().select(
+        "u", F.col("u").alias("lab")
+    )
+    w_pick = W.partitionBy("u").orderBy(
+        F.col("c").desc(), F.col("lab").asc()
+    )
+    for _ in range(LPA_ITERS):
+        census = (
+            sym.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("lab").alias("nlab")
+                ),
+                "v",
+            )
+            .groupBy("u", F.col("nlab").alias("lab"))
+            .agg(F.count("*").alias("c"))
+        )
+        pick = (
+            census.withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .select("u", F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            labels.join(pick, "u", "left")
+            .select(
+                "u",
+                F.coalesce(F.col("new_lab"), F.col("lab")).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count("*").alias("n_members")
     )

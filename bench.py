@@ -142,6 +142,12 @@ HEADLINE = [
     "part_skyline_frontier",
     "orders_cusum_changepoint",
     "orders_benford_first_digit",
+    # integer-exact drift screen + two-level sweep-line concurrency
+    "events_value_drift_chi2",
+    "events_concurrency_profile",
+    "events_histogram_quantile_rollup",
+    "dedup_simhash_hamming_pairs",
+    "graph_label_propagation",
 ]
 
 

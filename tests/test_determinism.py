@@ -62,6 +62,12 @@ QUERIES_UNDER_TEST = [
     # change could disturb
     "part_skyline_frontier",
     "orders_cusum_changepoint",
+    # two-level sweep (hour offsets + synthetic seed points) and the
+    # reference-period broadcast cut
+    "events_concurrency_profile",
+    "events_value_drift_chi2",
+    # per-round argmax picks + data-derived edge threshold
+    "graph_label_propagation",
 ]
 
 

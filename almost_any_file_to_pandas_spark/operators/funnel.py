@@ -643,3 +643,124 @@ def events_funnel_within_window(
         .groupBy("user_id")
         .agg(F.max("lvl").cast("int").alias("funnel_level"))
     )
+
+
+MARKOV_ITERS = 5  # fixed power-iteration rounds for the stationary walk
+MARKOV_Q = 10**12  # q12 fixed-point scale for the distribution
+
+
+def _markov_stationary_sql() -> str:
+    head = f"""
+    WITH seq AS (
+      SELECT user_id,
+             array_agg(event_type
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS types
+      FROM events GROUP BY user_id
+    ), bi AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(types) - 1, 0) + 1),
+               i -> {{'src': types[i], 'dst': types[i+1]}})) AS pair
+      FROM seq
+    ), counts AS (
+      SELECT pair.src AS src, pair.dst AS dst,
+             CAST(COUNT(*) AS HUGEINT) AS c
+      FROM bi GROUP BY pair.src, pair.dst
+    ), rsums AS (
+      SELECT src, SUM(c) AS r FROM counts GROUP BY src
+    ), mat AS (
+      SELECT c.src, c.dst, c.c, rs.r FROM counts c
+      JOIN rsums rs ON rs.src = c.src
+    ), states AS (
+      SELECT DISTINCT src AS s FROM counts
+      UNION SELECT DISTINCT dst FROM counts
+    ), kk AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k FROM states
+    ), it0 AS (
+      SELECT s, CAST({MARKOV_Q} AS HUGEINT) // kk.k AS pi
+      FROM states, kk
+    )"""
+    rounds = []
+    for i in range(1, MARKOV_ITERS + 1):
+        rounds.append(f""", it{i} AS (
+      SELECT m.dst AS s, CAST(SUM(i.pi * m.c // m.r) AS HUGEINT) AS pi
+      FROM mat m JOIN it{i - 1} i ON i.s = m.src
+      GROUP BY m.dst
+    )"""
+        )
+    return (
+        head
+        + "".join(rounds)
+        + f"""
+    SELECT st.s AS event_type,
+           CAST(COALESCE(it.pi, 0) AS BIGINT) AS pi_q12
+    FROM states st LEFT JOIN it{MARKOV_ITERS} it ON it.s = st.s
+    """
+    )
+
+
+@register("events_markov_stationary", oracle=_markov_stationary_sql())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain —
+    where attention settles if users keep walking the observed
+    transition graph; the global complement of the per-row
+    `events_transition_matrix` (and the chain-model cousin of
+    PageRank, which adds teleport mass).
+
+    Exact fixed-point arithmetic: {MARKOV_ITERS} synchronous power-
+    iteration rounds in q12 fixed point — each step distributes
+    ``π_i·c_ij div r_i`` with integer products and per-term
+    truncating division (HUGEINT / Python bigint, identical in both
+    engines), so no float ever accumulates and the gate hashes the
+    full distribution. Truncation leaks ≤1 q12-unit per (state,
+    round) of mass; both engines leak identically. Dangling states
+    (none here: every observed type transitions onward) would shed
+    their mass — the uniform-restart variant is PageRank, already in
+    the family.
+
+    Scale shape: the corpus pays the SAME one-shuffle per-user
+    sequence aggregate as the transition matrix; the chain itself is
+    DOMAIN-sized (|event types|² entries), so the engine collects the
+    tiny matrix and runs the iteration driver-side in exact bigints —
+    the bounded-model-state discipline of the Pareto descent and the
+    IVF codebooks (a |types|-sized frame is orchestration state, not
+    data).
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    types = F.transform(F.col("evs"), lambda x: x["event_type"])
+    seq = seq.select(types.alias("types"))
+    n = F.size(F.col("types"))
+    win = F.greatest(n - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(F.col("types"), 1, win),
+        F.slice(F.col("types"), 2, win),
+        lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+    )
+    counts = (
+        seq.select(F.explode(pairs).alias("pair"))
+        .select(
+            F.col("pair.src").alias("src"),
+            F.col("pair.dst").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("c"))
+    )
+    rsums = counts.groupBy("src").agg(F.sum("c").alias("r"))
+    mat = [
+        (row["src"], row["dst"], int(row["c"]), int(row["r"]))
+        for row in counts.join(rsums, "src").collect()
+    ]  # domain-sized: |event types|² entries
+    states = sorted({m[0] for m in mat} | {m[1] for m in mat})
+    pi = {s: MARKOV_Q // len(states) for s in states}
+    for _ in range(MARKOV_ITERS):
+        nxt = {s: 0 for s in states}
+        for src, dst, c, r in mat:
+            nxt[dst] += pi[src] * c // r
+        pi = nxt
+    return spark.createDataFrame(
+        [(s, pi[s]) for s in states], "event_type string, pi_q12 bigint"
+    )

@@ -1634,3 +1634,121 @@ def events_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak_concurrent",
         "covered_us",
     )
+
+
+@register(
+    "orders_theilsen_trend_by_segment",
+    oracle="""
+    WITH monthly AS (
+      SELECT c.c_mktsegment AS segment,
+             (EXTRACT(YEAR FROM o.o_orderdate) * 12
+              + EXTRACT(MONTH FROM o.o_orderdate)) AS m,
+             SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+               AS rev
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), slopes AS (
+      SELECT a.segment,
+             (b.rev - a.rev) AS da,
+             (b.m - a.m) AS db
+      FROM monthly a JOIN monthly b
+        ON a.segment = b.segment AND a.m < b.m
+    ), ranked AS (
+      SELECT segment, da, db,
+             ROW_NUMBER() OVER (
+               PARTITION BY segment
+               ORDER BY CAST(da AS DOUBLE) / CAST(db AS DOUBLE),
+                        da, db
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY segment) AS n_slopes
+      FROM slopes
+    )
+    SELECT segment,
+           CAST(n_slopes AS BIGINT) AS n_slopes,
+           CAST(CAST(da AS HUGEINT) * 1000000 // db AS BIGINT)
+             AS slope_cents_per_month_q6
+    FROM ranked
+    WHERE rn = (n_slopes + 1) // 2
+    """,
+)
+def orders_theilsen_trend_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust revenue trend per market segment: the Theil–Sen
+    estimator (median of all pairwise slopes) over the monthly
+    revenue series — the outlier-proof answer to "is this segment
+    growing?", where one promo-spike month drags an OLS fit
+    (`feat_segment_ols_trend` is the OLS sibling) but moves the
+    pairwise-slope median barely at all.
+
+    Determinism: slopes are exact integer pairs (Δcents, Δmonths);
+    the median picks by rank over the total order (slope double,
+    Δcents, Δmonths) — the double division is correctly rounded from
+    exact integers so it is bit-identical across engines, and the
+    integer tie-suffix makes the order total even where distinct
+    rationals round to the same double. The lower-median convention
+    avoids two-value averaging; the reported slope re-derives from
+    the chosen pair by exact integer division (q6, truncating
+    identically in both engines).
+
+    Scale: the corpus pays ONE (segment, month)-keyed aggregate; the
+    pairwise expansion is over the calendar-sized monthly frame —
+    |months|²/2 pairs per segment (thousands of rows at ANY corpus
+    scale), the same boundedness argument as the CUSUM walk.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).alias("rev")
+        )
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.segment") == F.col("b.segment"))
+        & (F.col("a.m") < F.col("b.m")),
+    ).select(
+        F.col("a.segment").alias("segment"),
+        (F.col("b.rev") - F.col("a.rev")).alias("da"),
+        (F.col("b.m") - F.col("a.m")).alias("db"),
+    )
+    w_seg = W.partitionBy("segment")
+    ranked = slopes.select(
+        "segment",
+        "da",
+        "db",
+        F.row_number()
+        .over(
+            w_seg.orderBy(
+                F.col("da").cast("double") / F.col("db").cast("double"),
+                "da",
+                "db",
+            )
+        )
+        .alias("rn"),
+        F.count("*").over(w_seg).alias("n_slopes"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_slopes + 1) div 2")
+    ).select(
+        "segment",
+        F.col("n_slopes").cast("long").alias("n_slopes"),
+        F.expr(
+            "CAST(CAST(da AS DECIMAL(38,0)) * 1000000 div db AS BIGINT)"
+        ).alias("slope_cents_per_month_q6"),
+    )

@@ -148,6 +148,8 @@ HEADLINE = [
     "events_histogram_quantile_rollup",
     "dedup_simhash_hamming_pairs",
     "graph_label_propagation",
+    "orders_theilsen_trend_by_segment",
+    "events_markov_stationary",
 ]
 
 

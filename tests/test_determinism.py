@@ -68,6 +68,8 @@ QUERIES_UNDER_TEST = [
     "events_value_drift_chi2",
     # per-round argmax picks + data-derived edge threshold
     "graph_label_propagation",
+    # rank-picked median slope over the pairwise frame
+    "orders_theilsen_trend_by_segment",
 ]
 
 

@@ -3857,3 +3857,91 @@ def orders_benford_first_digit(
             ).alias("deviation_q6"),
         )
     )
+
+
+EWMA_LAGS = 40  # α=1/2 EWMA truncated to 40 calendar lags (tail < 2⁻⁴⁰)
+
+
+@register(
+    "orders_ewma_trailing_demand",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(a.day AS VARCHAR) AS day,
+           CAST(a.rev AS BIGINT) AS rev_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_days_in_window,
+           CAST(SUM(CAST(b.rev AS HUGEINT)
+                    * (CAST(1 AS HUGEINT)
+                       << ({EWMA_LAGS - 1} - (a.day - b.day))))
+                // SUM(CAST(1 AS HUGEINT)
+                       << ({EWMA_LAGS - 1} - (a.day - b.day)))
+                AS BIGINT) AS ewma_cents
+    FROM daily a JOIN daily b
+      ON b.day <= a.day AND b.day > a.day - {EWMA_LAGS}
+    GROUP BY a.day, a.rev
+    """,
+)
+def orders_ewma_trailing_demand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exponentially-weighted trailing demand (α = 1/2) per day — the
+    smoothing every ops dashboard layers over a noisy daily series,
+    made EXACT: with α = 1/2 the weights are powers of two, so the
+    windowed EWMA is a ratio of two integer sums
+    (``Σ revᵢ·2^(39-lagᵢ) div Σ 2^(39-lagᵢ)``) — no float recursion,
+    no accumulation-order sensitivity, and the weight sum adapts
+    itself to series heads and calendar gaps (missing days simply
+    contribute no term). Truncating at {EWMA_LAGS} lags drops
+    < 2⁻⁴⁰ of the mass — below one cent at any conceivable scale.
+
+    Scale shape: the corpus pays one day-keyed aggregate; the
+    weighted self-join runs over the calendar-sized daily frame
+    (≤ {EWMA_LAGS} partners per row — a banded range join on a
+    bounded frame), the same boundedness argument as the CUSUM walk
+    and rolling-7d. A ROWS/RANGE window cannot express per-row
+    distance weights, so the banded join IS the right plan, not a
+    fallback.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+        ).alias("rev")
+    ).localCheckpoint(eager=True)  # calendar-sized; feeds both join sides
+    a = daily.select(
+        F.col("day").alias("a_day"),
+        F.unix_date("day").alias("a_d"),
+        F.col("rev").alias("a_rev"),
+    )
+    b = daily.select(
+        F.unix_date("day").alias("b_d"), F.col("rev").alias("b_rev")
+    )
+    j = a.join(
+        b,
+        (F.col("b_d") <= F.col("a_d"))
+        & (F.col("b_d") > F.col("a_d") - EWMA_LAGS),
+    )
+    w = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {EWMA_LAGS - 1} - (a_d - b_d))"
+    )
+    return j.groupBy("a_day", "a_rev").agg(
+        F.count("*").alias("n_days_in_window"),
+        F.expr(
+            f"CAST(SUM(CAST(b_rev AS DECIMAL(38,0))"
+            f" * shiftleft(CAST(1 AS BIGINT), {EWMA_LAGS - 1} - (a_d - b_d)))"
+            f" div SUM(CAST(shiftleft(CAST(1 AS BIGINT),"
+            f" {EWMA_LAGS - 1} - (a_d - b_d)) AS DECIMAL(38,0)))"
+            f" AS BIGINT)"
+        ).alias("ewma_cents"),
+    ).select(
+        F.col("a_day").cast("string").alias("day"),
+        F.col("a_rev").cast("long").alias("rev_cents"),
+        F.col("n_days_in_window").cast("long").alias("n_days_in_window"),
+        "ewma_cents",
+    )

@@ -150,6 +150,7 @@ HEADLINE = [
     "graph_label_propagation",
     "orders_theilsen_trend_by_segment",
     "events_markov_stationary",
+    "orders_ewma_trailing_demand",
 ]
 
 

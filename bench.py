@@ -151,6 +151,7 @@ HEADLINE = [
     "orders_theilsen_trend_by_segment",
     "events_markov_stationary",
     "orders_ewma_trailing_demand",
+    "events_bitmap_distinct_rollup",
 ]
 
 

@@ -3690,12 +3690,15 @@ def part_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_size", "min_cents")
     )
-    return p.join(
-        F.broadcast(frontier),
-        (p.p_size == frontier.p_size)
-        & (p.price_cents == frontier.min_cents),
+    # explicit aliases: `frontier` derives from `p`, so attribute
+    # references like p.p_size would resolve to the SAME expression id
+    # on both sides and compile to a trivially-true predicate
+    return p.alias("p").join(
+        F.broadcast(frontier.alias("f")),
+        (F.col("p.p_size") == F.col("f.p_size"))
+        & (F.col("p.price_cents") == F.col("f.min_cents")),
         "left_semi",
-    ).select("p_partkey", "p_size", "price_cents")
+    ).select("p.p_partkey", "p.p_size", "p.price_cents")
 
 
 @register(

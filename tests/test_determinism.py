@@ -70,6 +70,8 @@ QUERIES_UNDER_TEST = [
     "graph_label_propagation",
     # rank-picked median slope over the pairwise frame
     "orders_theilsen_trend_by_segment",
+    # decile rank cut + EXCEPT subtraction
+    "customer_decile_churn",
 ]
 
 

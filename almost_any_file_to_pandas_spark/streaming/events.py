@@ -96,9 +96,7 @@ def events_tumbling_window_stream(
     )
 
 
-@register(
-    "events_sessionization",
-    oracle=f"""
+SESSIONIZATION_ORACLE = f"""
     WITH ev_us AS (
       -- normalize to microsecond precision BEFORE any ordering or gap
       -- arithmetic: Spark reads the (possibly nanosecond) parquet ts
@@ -126,8 +124,10 @@ def events_tumbling_window_stream(
              AS total_value_q6
     FROM sessions
     GROUP BY user_id, session_id
-    """,
-)
+    """
+
+
+@register("events_sessionization", oracle=SESSIONIZATION_ORACLE)
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (batch form): lag → new-session
     flag → running sum → per-session rollup. One shuffle on user_id;
@@ -726,4 +726,87 @@ def events_user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users_erased",
             (F.col("_leaked") == 0).alias("erasure_complete"),
         )
+    )
+
+
+@register(
+    "events_sessionization_incremental",
+    oracle=SESSIONIZATION_ORACLE,
+)
+def events_sessionization_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGEABLE sessionization — the same answer as
+    :func:`events_sessionization` (it registers the IDENTICAL oracle,
+    so the gate pins the equality), computed the way a 100 TB
+    backfill or an incremental pipeline must: sessionize each
+    (user, DAY) partition independently, then repair the
+    midnight-split sessions by running the SAME gap rule once more at
+    session granularity.
+
+    Why this is the scale shape: direct sessionization windows over
+    (user) — fine until one user's history exceeds a partition. The
+    two-level form bounds every ordered window by (user, day); the
+    boundary repair then orders only per-day SESSION ROWS (orders of
+    magnitude fewer), chaining a day's last session to the next day's
+    first when the boundary gap is within the session gap. The chain
+    flag-cumsum is sessionization-of-sessions: between two sessions
+    there are no events, so the session-level gap rule is exactly the
+    event-level rule evaluated at the only places it can fire — which
+    is why the merged output equals the direct answer EXACTLY (chain
+    ids from the 1-based flag cumsum reproduce the sequential
+    session_id; decimal value sums reassociate losslessly; min-start
+    is associative). This is also the repair step a Structured
+    Streaming session store runs on late batches.
+    """
+    apply_engine_conf(spark)
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    ev = table(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts"))
+    # level 1: per-(user, day) independent sessionization
+    in_day = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    gap = tus - F.lag(tus).over(in_day)
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.to_date("ts").alias("day"),
+    ).select(
+        "*",
+        F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0).alias(
+            "is_new"
+        ),
+    )
+    day_sessions = (
+        marked.withColumn(
+            "dsid",
+            F.sum("is_new").over(
+                in_day.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "day", "dsid")
+        .agg(
+            F.count("*").alias("n"),
+            F.unix_micros(F.min("ts")).alias("first_us"),
+            F.unix_micros(F.max("ts")).alias("last_us"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("val"),
+        )
+    )
+    # level 2: the same gap rule over session rows only
+    per_user = W.partitionBy("user_id").orderBy("first_us", "last_us")
+    bgap = F.col("first_us") - F.lag("last_us").over(per_user)
+    chained = day_sessions.withColumn(
+        "is_new_chain",
+        F.when(bgap.isNull() | (bgap > gap_us), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new_chain").over(
+            per_user.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return chained.groupBy("user_id", "session_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.min("first_us").alias("session_start_us"),
+        (F.sum("val") * 1_000_000).cast("long").alias("total_value_q6"),
     )

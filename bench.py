@@ -154,6 +154,7 @@ HEADLINE = [
     "events_bitmap_distinct_rollup",
     "orders_daily_gap_fill",
     "customer_decile_churn",
+    "events_sessionization_incremental",
 ]
 
 

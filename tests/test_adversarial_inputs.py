@@ -104,6 +104,7 @@ def skewed_events_dir(spark, tmp_path):
 def test_hot_key_shapes_match_oracle(spark, skewed_events_dir):
     for q in (
         "events_sessionization",
+        "events_sessionization_incremental",
         "events_key_skew_profile",
         "events_salted_agg",
         "events_bot_user_census",
@@ -180,6 +181,7 @@ def test_empty_tables_never_raise(spark, empty_dir):
     plans.load_all()
     for q in (
         "events_sessionization",
+        "events_sessionization_incremental",
         "events_user_erasure_audit",
         "text_token_count",
         "dedup_exact",

@@ -72,6 +72,8 @@ QUERIES_UNDER_TEST = [
     "orders_theilsen_trend_by_segment",
     # decile rank cut + EXCEPT subtraction
     "customer_decile_churn",
+    # two-level session merge (per-day windows + boundary chain)
+    "events_sessionization_incremental",
 ]
 
 

@@ -280,3 +280,69 @@ def mm_dedup_binary_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("min_doc_id"),
         )
     )
+
+
+TILE_BYTES = 128  # byte-range planning granularity (multi-tile on testdata)
+
+
+@register(
+    "mm_tile_plan",
+    oracle=f"""
+    WITH mm AS (
+      SELECT doc_id,
+             {_MODALITY_SQL} AS modality,
+             octet_length(encode(text)) AS byte_len
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+    )
+    SELECT doc_id, modality, byte_len,
+           CAST(t AS BIGINT) AS tile_idx,
+           CAST(t * {TILE_BYTES} AS BIGINT) AS tile_offset,
+           CAST(LEAST({TILE_BYTES}, byte_len - t * {TILE_BYTES})
+                AS BIGINT) AS tile_len
+    FROM mm, UNNEST(generate_series(
+      0, CAST((byte_len - 1) // {TILE_BYTES} AS BIGINT))) AS s(t)
+    """,
+)
+def mm_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-range tile plan for large binary assets — the partition
+    planner a multimodal pipeline runs BEFORE decode: each asset
+    splits into fixed {TILE_BYTES}-byte ranges (offset, length) so a
+    gigabyte video decodes as many parallel range-reads instead of
+    one task holding the whole blob (the binary-column analogue of
+    parquet split planning; object stores serve ranged GETs, so a
+    tile never materializes its neighbors).
+
+    The plan is pure integer arithmetic over the byte_len metadata
+    column — ceil-division tile count, offset/length per tile, last
+    tile truncated — the blob itself is never touched, so the scan
+    prunes to metadata only. One explode over a per-row sequence; no
+    shuffle at all (tile rows inherit the scan's partitioning, which
+    is exactly what the downstream mapInPandas decode wants).
+    """
+    apply_engine_conf(spark)
+    mm = with_binary_content(table(spark, sf_dir, "documents")).filter(
+        F.col("byte_len") > 0
+    )
+    return mm.select(
+        "doc_id",
+        "modality",
+        "byte_len",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                ((F.col("byte_len") - 1) / TILE_BYTES)
+                .cast("long"),
+            )
+        ).alias("tile_idx"),
+    ).select(
+        "doc_id",
+        "modality",
+        "byte_len",
+        F.col("tile_idx").cast("long").alias("tile_idx"),
+        (F.col("tile_idx") * TILE_BYTES).cast("long").alias("tile_offset"),
+        F.least(
+            F.lit(TILE_BYTES),
+            F.col("byte_len") - F.col("tile_idx") * TILE_BYTES,
+        ).cast("long").alias("tile_len"),
+    )

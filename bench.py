@@ -155,6 +155,7 @@ HEADLINE = [
     "orders_daily_gap_fill",
     "customer_decile_churn",
     "events_sessionization_incremental",
+    "mm_tile_plan",
 ]
 
 

@@ -626,11 +626,19 @@ def events_bitmap_distinct_rollup(
     daily = ev.groupBy(
         F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
         F.to_date("ts").alias("day"),
-        F.expr(f"user_id div {BITMAP_WORD}").alias("word"),
+        # sign-safe word/bit split: pmod keeps the bit in [0, 32) and
+        # the matching floor-division word for ANY integer id, where
+        # `div` + `%` truncate toward zero and would collide negative
+        # ids with positive ones (ids here are non-negative, but the
+        # oracle's COUNT(DISTINCT) is total — so the engine is too)
+        F.expr(
+            f"(user_id - pmod(user_id, {BITMAP_WORD}))"
+            f" div {BITMAP_WORD}"
+        ).alias("word"),
     ).agg(
         F.expr(
             f"bit_or(shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(user_id % {BITMAP_WORD} AS INT)))"
+            f"CAST(pmod(user_id, {BITMAP_WORD}) AS INT)))"
         ).alias("bits"),
         F.count("*").alias("n_events"),
     )

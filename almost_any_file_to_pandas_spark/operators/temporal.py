@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from almost_any_file_to_pandas_spark.plans import register, table, table_wide
+from almost_any_file_to_pandas_spark.plans import (
+    SESSION_GAP_MINUTES,
+    register,
+    table,
+    table_wide,
+)
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
 
 ASOF_TOLERANCE_MINUTES = 30
@@ -1379,6 +1384,8 @@ def events_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     terms = cnt.join(F.broadcast(tot), "event_type").select(
         "event_type",
+        "tr",
+        "tc",
         F.expr(
             "CAST(CAST(nr AS DECIMAL(38,0)) * 1000000 div tr AS BIGINT)"
         ).alias("p_q6"),
@@ -1389,8 +1396,7 @@ def events_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_q6"),
     )
     return (
-        terms.join(F.broadcast(tot), "event_type")
-        .groupBy("event_type", "tr", "tc")
+        terms.groupBy("event_type", "tr", "tc")
         .agg(
             F.sum(
                 F.expr(
@@ -1474,7 +1480,7 @@ _DAY_US = 24 * _HOUR_US
            CAST(SUM(CASE WHEN running > 0 AND nxt IS NOT NULL
                          THEN nxt - t ELSE 0 END) AS BIGINT) AS covered_us
     FROM walk GROUP BY day
-    """.replace("{gap}", "30"),
+    """.replace("{gap}", str(SESSION_GAP_MINUTES)),
 )
 def events_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-algebra rollup: per day, how many sessions ran
@@ -1508,7 +1514,7 @@ def events_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.
     """
     apply_engine_conf(spark)
-    gap_us = 30 * 60 * 1_000_000
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
     ev = table(spark, sf_dir, "events")
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
     tus = F.unix_micros(F.col("ts"))

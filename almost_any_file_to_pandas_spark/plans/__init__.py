@@ -15,6 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Session gap shared by every gaps-and-islands consumer (the batch
+# and incremental sessionizers, session stats, and the concurrency
+# sweep) — defined here so operator modules can import it without
+# importing each other's registration side effects.
+SESSION_GAP_MINUTES = 30
+
 QUERIES: Dict[str, QueryFn] = {}
 ORACLES: Dict[str, str] = {}
 

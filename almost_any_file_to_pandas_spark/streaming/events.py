@@ -19,11 +19,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from almost_any_file_to_pandas_spark.plans import register, table, table_wide
+from almost_any_file_to_pandas_spark.plans import (
+    SESSION_GAP_MINUTES,
+    register,
+    table,
+    table_wide,
+)
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
 
 WINDOW_MINUTES = 5
-SESSION_GAP_MINUTES = 30
+
 
 
 @register(

@@ -1264,16 +1264,19 @@ def test_session_r5c_plan_shapes(spark):
     assert "SortMergeJoin" not in psky
 
     pewma = plan("orders_ewma_trailing_demand")
-    # the only fact scan feeds a HashAggregate before any join node
-    assert pewma.count("orders") <= 2  # scan + possibly reuse marker
+    # the daily aggregate is localCheckpointed before the banded
+    # join, so the executed plan MUST read from materialized RDDs on
+    # both join sides (no parquet scan re-reads raw orders inside the
+    # join) and the band compiles to the intended nested loop over
+    # the calendar-sized frame
+    assert "Scan ExistingRDD" in pewma
+    assert "parquet" not in pewma.lower()
+    assert pewma.count("BroadcastNestedLoopJoin") == 1
     assert "SortMergeJoin" not in pewma
 
     pconc = plan("events_concurrency_profile")
     import re
 
-    day_only_windows = [
-        m for m in re.findall(r"Window .*?partition.*?\n", pconc)
-    ]
     # every Window partition spec over sweep points carries day AND h
     for frag in re.findall(r"windowspecdefinition\(([^)]*)\)", pconc):
         if "day" in frag and "user_id" not in frag:

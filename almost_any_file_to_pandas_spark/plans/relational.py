@@ -4118,3 +4118,114 @@ def customer_decile_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("c_custkey"),
         F.col("rev").alias("first_year_rev_cents"),
     )
+
+
+BASKET_MIN_SUPPORT = 2  # association rules need repeated evidence
+
+
+@register(
+    "orders_market_basket_lift",
+    oracle=f"""
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lines
+    ), item AS (
+      SELECT l_partkey, COUNT(*) AS c FROM lines GROUP BY 1
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS support
+      FROM lines a JOIN lines b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+    )
+    SELECT p.part_a, p.part_b, CAST(p.support AS BIGINT) AS support,
+           CAST(CAST(p.support AS HUGEINT) * n.n_orders * 1000000
+                // (CAST(ia.c AS HUGEINT) * ib.c) AS BIGINT) AS lift_q6,
+           CAST(CAST(p.support AS HUGEINT) * 1000000 // ia.c
+                AS BIGINT) AS conf_a_to_b_q6,
+           CAST(CAST(p.support AS HUGEINT) * 1000000 // ib.c
+                AS BIGINT) AS conf_b_to_a_q6
+    FROM pairs p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN n
+    """,
+)
+def orders_market_basket_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Association-rule strength over repeated co-purchases: for
+    every part pair seen together in ≥{BASKET_MIN_SUPPORT} orders,
+    the LIFT (observed co-rate over the independence expectation —
+    >1e6 means genuinely associated, not just individually popular)
+    and both directional confidences — the metrics that turn
+    `orders_market_basket_pairs`' raw supports into rankable rules.
+
+    All-integer: ``lift_q6 = (support·n_orders·1e6) div (c_a·c_b)``
+    with HUGEINT/DECIMAL(38,0)-widened products (three counts
+    multiply — the widening is load-bearing at corpus scale), and
+    confidences are plain q6 count ratios. No float enters the hash.
+
+    Plan: the basket-array explode of the pairs operator (per-order
+    distinct array, structurally bounded in-row pair expansion), the
+    support HAVING-filter BEFORE any join (candidate volume drops to
+    repeated pairs only), then two broadcast joins against the
+    part-frequency aggregate and the one-row order count.
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    lines = li.distinct()
+    n_orders = lines.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    item = lines.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    baskets = lines.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts) - i - 1), "
+        "y -> struct(x AS part_a, y AS part_b))))"
+    )
+    pairs = (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(
+            F.col("p.part_a").alias("part_a"),
+            F.col("p.part_b").alias("part_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b")
+    )
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("long").alias("support"),
+            F.expr(
+                "CAST(CAST(support AS DECIMAL(38,0)) * n_orders"
+                " * 1000000 div (CAST(c_a AS DECIMAL(38,0)) * c_b)"
+                " AS BIGINT)"
+            ).alias("lift_q6"),
+            F.expr(
+                "CAST(CAST(support AS DECIMAL(38,0)) * 1000000 div c_a"
+                " AS BIGINT)"
+            ).alias("conf_a_to_b_q6"),
+            F.expr(
+                "CAST(CAST(support AS DECIMAL(38,0)) * 1000000 div c_b"
+                " AS BIGINT)"
+            ).alias("conf_b_to_a_q6"),
+        )
+    )

@@ -156,6 +156,7 @@ HEADLINE = [
     "customer_decile_churn",
     "events_sessionization_incremental",
     "mm_tile_plan",
+    "orders_market_basket_lift",
 ]
 
 

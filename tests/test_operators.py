@@ -1043,3 +1043,39 @@ def test_mmr_rerank_prefers_diversity():
     picks = mmr_rerank(cands, 3, 0.5)
     assert [p[0] for p in picks] == [1, 3, 2]
     assert [p[1] for p in picks] == [1, 2, 3]
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """The storage-side claim in sinks.write_bucketed's docstring,
+    proven on the physical plan: two tables bucketed by the same key
+    into the same bucket count join with NO Exchange on either side
+    (bucket co-location replaces the shuffle), while the same join on
+    plain parquet needs two."""
+    from almost_any_file_to_pandas_spark import sinks
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    sinks.write_bucketed(a, "t_bkt_a", str(tmp_path / "a"), ["k"], 8)
+    sinks.write_bucketed(b, "t_bkt_b", str(tmp_path / "b"), ["k"], 8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bkt_a").join(
+            spark.table("t_bkt_b"), "k"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+
+        pa = str(tmp_path / "pa")
+        pb = str(tmp_path / "pb")
+        a.write.mode("overwrite").parquet(pa)
+        b.write.mode("overwrite").parquet(pb)
+        flat = spark.read.parquet(pa).join(spark.read.parquet(pb), "k")
+        flat_plan = (
+            flat._jdf.queryExecution().executedPlan().toString()
+        )
+        assert flat_plan.count("Exchange") >= 2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")

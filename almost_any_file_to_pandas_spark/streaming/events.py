@@ -815,3 +815,79 @@ def events_sessionization_incremental(
         F.min("first_us").alias("session_start_us"),
         (F.sum("val") * 1_000_000).cast("long").alias("total_value_q6"),
     )
+
+
+def events_sessionizer_stateful_stream(
+    spark: SparkSession, source_dir: str, schema
+) -> DataFrame:
+    """Stateful streaming sessionizer with EXPLICIT state
+    (``applyInPandasWithState``) — the state-machine form of the
+    gaps-and-islands rule: per user, state is the one OPEN session
+    (start_us, last_us, n); each micro-batch folds its user-slice in
+    event order, emitting a session the moment a gap exceeds
+    ``SESSION_GAP_MINUTES`` and carrying the still-open tail forward
+    in the state store. Closed sessions stream out in append mode —
+    the shape a real-time session feed has.
+
+    Contract (pinned by the streaming test): emitted sessions are
+    exactly the batch sessionizer's answer minus each user's final
+    (still-open) session. Events are assumed in order per user across
+    batches — the file source replays in order; for late
+    cross-boundary data the repair is the session-granularity merge
+    that `events_sessionization_incremental` runs (the same gap rule
+    over session rows), applied over the emitted feed.
+
+    Scale: state is O(1) per user (three integers — never buffered
+    events), sharded by the grouping key across the cluster's state
+    store; each pandas slice is one user's micro-batch rows only.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        start, last, n = state.get if state.exists else (None, None, 0)
+        out_start, out_n = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts_us"]:
+                t = int(ts)
+                if start is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_us:
+                    out_start.append(start)
+                    out_n.append(n)
+                    start, last, n = t, t, 1
+                else:
+                    last, n = t, n + 1
+        state.update((start, last, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_start),
+                "session_start_us": out_start,
+                "n_events": out_n,
+            }
+        )
+
+    return (
+        stream.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=(
+                "user_id bigint, session_start_us bigint, n_events bigint"
+            ),
+            stateStructType="start_us bigint, last_us bigint, n bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

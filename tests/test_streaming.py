@@ -234,3 +234,42 @@ def test_foreachbatch_sink_idempotent_on_replay(spark, events_source, tmp_path):
     batch0 = spark.read.parquet(f"{sink}/batch_id=0").localCheckpoint(eager=True)
     batch0.write.mode("overwrite").parquet(f"{sink}/batch_id=0")
     assert spark.read.parquet(sink).count() == n_first
+
+
+def test_stateful_sessionizer_matches_batch_closed_sessions(
+    spark, events_source
+):
+    """The applyInPandasWithState sessionizer's append feed must be
+    EXACTLY the batch sessionizer's answer minus each user's final
+    (still-open) session — the state-machine and window forms of the
+    same gap rule."""
+    from almost_any_file_to_pandas_spark.plans import QUERIES, load_all
+    from almost_any_file_to_pandas_spark.streaming.events import (
+        events_sessionizer_stateful_stream,
+    )
+
+    load_all()
+    schema = spark.read.parquet(events_source).schema
+    q = _run_to_memory(
+        events_sessionizer_stateful_stream(spark, events_source, schema),
+        "stateful_sessions",
+        "append",
+    )
+    got = {
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM stateful_sessions").collect()
+    }
+    from pyspark.sql import Window
+
+    batch = QUERIES["events_sessionization"](spark, SF_DIR)
+    w_max = F.max("session_id").over(Window.partitionBy("user_id"))
+    closed = (
+        batch.withColumn("max_sid", w_max)
+        .filter(F.col("session_id") < F.col("max_sid"))
+        .select("user_id", "session_start_us", "n_events")
+    )
+    want = {
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in closed.collect()
+    }
+    assert got == want and len(want) > 0

@@ -4229,3 +4229,84 @@ def orders_market_basket_lift(
             ).alias("conf_b_to_a_q6"),
         )
     )
+
+
+# Wilson lower-bound arithmetic, one shared expression TEXT injected
+# into BOTH engines: every operation (literal parse, + * /, sqrt) is
+# IEEE correctly-rounded, so identical text on identical integer
+# inputs yields bit-identical doubles — the quantized bound hashes.
+# Constants are exact decimal squares of z = 1.96.
+_WILSON_LO = (
+    "CAST(FLOOR((("
+    "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+    " + 1.9208 / CAST(n AS DOUBLE)"
+    " - 1.96 * sqrt((((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (1.0 - (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))))"
+    " + 0.9604 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
+    ") / (1.0 + 3.8416 / CAST(n AS DOUBLE)))"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "lineitem_return_rate_wilson",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             COUNT(*) AS n,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS k
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(month AS VARCHAR) AS month,
+           CAST(n AS BIGINT) AS n_lines,
+           CAST(k AS BIGINT) AS n_returned,
+           CAST(CAST(k AS HUGEINT) * 1000000 // n AS BIGINT)
+             AS rate_q6,
+           {_WILSON_LO} AS wilson_lo_q6
+    FROM m
+    """,
+)
+def lineitem_return_rate_wilson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly return-rate monitor with the Wilson-score LOWER bound —
+    the statistically honest alert threshold: a small month with a
+    high raw rate gets a low bound (not enough evidence), a big month
+    with the same rate gets a tight one. Alerting on the bound
+    instead of the point rate is the standard fix for
+    low-volume-false-positive pages.
+
+    Cross-engine exactness without integers-only: the bound needs
+    sqrt and division, but BOTH are IEEE correctly-rounded and the
+    formula is injected as ONE shared expression text into Spark and
+    DuckDB — identical text on identical integer (k, n) inputs gives
+    bit-identical doubles, so the q6 quantization hashes. (This is
+    the same exemption the cosine family rides: sqrt of a
+    deterministic double is bit-identical everywhere; the ban is on
+    transcendentals and order-sensitive aggregates, neither of which
+    appears here.)
+
+    Plan: one month-keyed aggregate with map-side partials; the
+    bound is a per-row projection over the calendar-sized frame.
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate"))
+        .cast("date")
+        .alias("month")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("k"),
+    )
+    return m.select(
+        F.col("month").cast("string").alias("month"),
+        F.col("n").cast("long").alias("n_lines"),
+        F.col("k").cast("long").alias("n_returned"),
+        F.expr(
+            "CAST(CAST(k AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"
+        ).alias("rate_q6"),
+        F.expr(_WILSON_LO).alias("wilson_lo_q6"),
+    )

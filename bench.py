@@ -157,6 +157,7 @@ HEADLINE = [
     "events_sessionization_incremental",
     "mm_tile_plan",
     "orders_market_basket_lift",
+    "lineitem_return_rate_wilson",
 ]
 
 

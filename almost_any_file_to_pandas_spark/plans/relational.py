@@ -4310,3 +4310,124 @@ def lineitem_return_rate_wilson(
         ).alias("rate_q6"),
         F.expr(_WILSON_LO).alias("wilson_lo_q6"),
     )
+
+
+@register(
+    "orders_ship_latency_life_table",
+    oracle="""
+    WITH shipped AS (
+      SELECT o.o_orderkey,
+             GREATEST(0, date_diff('day', o.o_orderdate,
+                                   MIN(l.l_shipdate))) AS t,
+             1 AS ev
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ), horizon AS (
+      SELECT MAX(l_shipdate) AS h FROM lineitem
+    ), censored AS (
+      SELECT o.o_orderkey,
+             GREATEST(0, date_diff('day', o.o_orderdate, hz.h)) AS t,
+             0 AS ev
+      FROM orders o CROSS JOIN horizon hz
+      WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+      )
+    ), pooled AS (
+      SELECT t, ev FROM shipped UNION ALL SELECT t, ev FROM censored
+    ), per_t AS (
+      SELECT t, SUM(ev) AS d, SUM(1 - ev) AS c
+      FROM pooled GROUP BY t
+    ), risk AS (
+      SELECT t, d,
+             SUM(d + c) OVER (ORDER BY t DESC
+                              ROWS UNBOUNDED PRECEDING) AS n_at_risk
+      FROM per_t
+    )
+    SELECT CAST(t AS BIGINT) AS latency_days,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_shipped,
+           CAST(CAST(d AS HUGEINT) * 1000000 // n_at_risk AS BIGINT)
+             AS hazard_q6
+    FROM risk WHERE d > 0
+    """,
+)
+def orders_ship_latency_life_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Survival analysis with RIGHT-CENSORING, as a discrete life
+    table: per latency day t, how many orders were still waiting
+    (the risk set), how many shipped exactly at t, and the discrete
+    hazard d_t/n_t. Orders with no lineitems are CENSORED at the
+    observation horizon (the global max shipdate) — dropping them
+    would bias the hazard up, the mistake this operator exists to
+    avoid; this is the Kaplan–Meier life table minus the survival
+    product (hazards are integer-exact q6 ratios; the Π(1−h) curve
+    is derivable downstream but its float product is the banned
+    accumulation class, so the table IS the contract).
+
+    Plan: one orders⋈lineitem first-ship aggregate, one broadcast
+    anti-join for the censored arm against the one-row horizon, a
+    latency-day-keyed count, and the risk-set suffix-sum window over
+    the DOMAIN-sized latency axis (days, not orders) — the CUSUM
+    boundedness argument again.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    shipped = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            F.greatest(
+                F.lit(0),
+                F.datediff(
+                    F.col("first_ship").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                ),
+            ).alias("t"),
+            F.lit(1).alias("ev"),
+        )
+    )
+    horizon = li.agg(F.max("l_shipdate").alias("h"))
+    censored = (
+        orders.join(
+            li.select("l_orderkey").distinct(),
+            orders.o_orderkey == F.col("l_orderkey"),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.greatest(
+                F.lit(0),
+                F.datediff(
+                    F.col("h").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                ),
+            ).alias("t"),
+            F.lit(0).alias("ev"),
+        )
+    )
+    per_t = (
+        shipped.unionAll(censored)
+        .groupBy("t")
+        .agg(F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c"))
+    )
+    w_suffix = (
+        W.orderBy(F.col("t").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    risk = per_t.select(
+        "t",
+        "d",
+        F.sum(F.col("d") + F.col("c")).over(w_suffix).alias("n_at_risk"),
+    )
+    return risk.filter(F.col("d") > 0).select(
+        F.col("t").cast("long").alias("latency_days"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_shipped"),
+        F.expr(
+            "CAST(CAST(d AS DECIMAL(38,0)) * 1000000 div n_at_risk"
+            " AS BIGINT)"
+        ).alias("hazard_q6"),
+    )

@@ -158,6 +158,7 @@ HEADLINE = [
     "mm_tile_plan",
     "orders_market_basket_lift",
     "lineitem_return_rate_wilson",
+    "orders_ship_latency_life_table",
 ]
 
 

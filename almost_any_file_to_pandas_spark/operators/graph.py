@@ -532,9 +532,6 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = sym.select("u").distinct().select(
         "u", F.col("u").alias("lab")
     )
-    w_pick = W.partitionBy("u").orderBy(
-        F.col("c").desc(), F.col("lab").asc()
-    )
     for _ in range(LPA_ITERS):
         census = (
             sym.join(
@@ -546,10 +543,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u", F.col("nlab").alias("lab"))
             .agg(F.count("*").alias("c"))
         )
-        pick = (
-            census.withColumn("rn", F.row_number().over(w_pick))
-            .filter(F.col("rn") == 1)
-            .select("u", F.col("lab").alias("new_lab"))
+        # argmax by (count DESC, label ASC) as ONE aggregate instead
+        # of a ranking window: max_by over the struct (c, -lab) picks
+        # the same row the row_number form did, without the per-round
+        # partition sort (the oracle keeps the window formulation)
+        pick = census.groupBy("u").agg(
+            F.expr("max_by(lab, struct(c, -lab))").alias("new_lab")
         )
         labels = (
             labels.join(pick, "u", "left")

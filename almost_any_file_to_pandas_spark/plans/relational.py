@@ -4431,3 +4431,114 @@ def orders_ship_latency_life_table(
             " AS BIGINT)"
         ).alias("hazard_q6"),
     )
+
+
+TRIM_DENOM = 20  # drop n div 20 (5%) from each tail
+
+
+@register(
+    "orders_trimmed_mean_by_priority",
+    oracle=f"""
+    WITH census AS (
+      SELECT o_orderpriority AS pr,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ), walk AS (
+      SELECT pr, cents, cnt,
+             SUM(cnt) OVER (PARTITION BY pr ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY pr) AS n
+      FROM census
+    ), cuts AS (
+      SELECT pr, cents, cnt, cum, n,
+             n // {TRIM_DENOM} AS lo_k,
+             n - n // {TRIM_DENOM} AS hi_k,
+             cum - cnt AS cum_before
+      FROM walk
+    ), kept AS (
+      -- per bucket, how many of its cnt copies survive both cuts:
+      -- overlap of [cum_before+1, cum] with [lo_k+1, hi_k]
+      SELECT pr, n, lo_k, hi_k,
+             GREATEST(0, LEAST(cum, hi_k)
+                         - GREATEST(cum_before, lo_k)) AS keep_cnt,
+             cents
+      FROM cuts
+    )
+    SELECT pr AS o_orderpriority,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(n - 2 * lo_k AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(keep_cnt AS HUGEINT) * cents) * 1000000
+                // (n - 2 * lo_k) AS BIGINT) AS trimmed_mean_cents_q6
+    FROM kept
+    GROUP BY pr, n, lo_k
+    """,
+)
+def orders_trimmed_mean_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact 5%-trimmed mean per priority — the robust center that a
+    handful of mega-orders can't drag, computed WITHOUT any
+    per-group row sort: the per-(group, cents) VALUE CENSUS is the
+    unit of work, each census bucket intersects its rank interval
+    ``[cum−cnt+1, cum]`` with the keep window ``[n/20+1, n−n/20]``,
+    and the surviving copies weight the exact integer sum. Rank-cut
+    trimming over a census is the two-pass restatement that survives
+    skewed groups (a group's window runs over its DISTINCT values,
+    not its rows — the budget-trim/histogram-cube argument).
+
+    All-integer: cents quantization, integer rank arithmetic,
+    HUGEINT/DECIMAL(38,0)-widened weighted sum, q6 mean by integer
+    division. Ties at the cut boundary resolve by count arithmetic
+    (buckets are value-aggregated), identically in both engines.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    census = orders.groupBy(
+        F.col("o_orderpriority").alias("pr"),
+        F.expr(
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    ).agg(F.count("*").alias("cnt"))
+    w_pr = W.partitionBy("pr")
+    walk = census.select(
+        "pr",
+        "cents",
+        "cnt",
+        F.sum("cnt")
+        .over(w_pr.orderBy("cents").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt").over(w_pr).alias("n"),
+    )
+    cuts = walk.select(
+        "pr",
+        "cents",
+        "cnt",
+        "cum",
+        "n",
+        F.expr(f"n div {TRIM_DENOM}").alias("lo_k"),
+        F.expr(f"n - n div {TRIM_DENOM}").alias("hi_k"),
+        (F.col("cum") - F.col("cnt")).alias("cum_before"),
+    )
+    kept = cuts.select(
+        "pr",
+        "n",
+        "lo_k",
+        "cents",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("cum"), F.col("hi_k"))
+            - F.greatest(F.col("cum_before"), F.col("lo_k")),
+        ).alias("keep_cnt"),
+    )
+    return kept.groupBy("pr", "n", "lo_k").agg(
+        F.expr(
+            f"CAST(SUM(CAST(keep_cnt AS DECIMAL(38,0)) * cents)"
+            f" * 1000000 div (n - 2 * lo_k) AS BIGINT)"
+        ).alias("trimmed_mean_cents_q6")
+    ).select(
+        F.col("pr").alias("o_orderpriority"),
+        F.col("n").cast("long").alias("n_orders"),
+        F.expr("CAST(n - 2 * lo_k AS BIGINT)").alias("n_kept"),
+        "trimmed_mean_cents_q6",
+    )

@@ -159,6 +159,7 @@ HEADLINE = [
     "orders_market_basket_lift",
     "lineitem_return_rate_wilson",
     "orders_ship_latency_life_table",
+    "orders_trimmed_mean_by_priority",
 ]
 
 

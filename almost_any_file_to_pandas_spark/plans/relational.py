@@ -4542,3 +4542,156 @@ def orders_trimmed_mean_by_priority(
         F.expr("CAST(n - 2 * lo_k AS BIGINT)").alias("n_kept"),
         "trimmed_mean_cents_q6",
     )
+
+
+@register(
+    "part_brand_type_chi2",
+    oracle="""
+    WITH o AS (
+      SELECT p_brand, p_type, COUNT(*) AS obs FROM part GROUP BY 1, 2
+    ), r AS (
+      SELECT p_brand, SUM(obs) AS rn FROM o GROUP BY 1
+    ), c AS (
+      SELECT p_type, SUM(obs) AS cn FROM o GROUP BY 1
+    ), n AS (
+      SELECT SUM(obs) AS n FROM o
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           -- chi² scaled by n, exact: Σ (O·n − r·c)² / (r·c·n) with
+           -- every term an integer division of widened products
+           CAST(SUM(
+             (CAST(o.obs AS HUGEINT) * n.n - CAST(r.rn AS HUGEINT) * c.cn)
+             * (CAST(o.obs AS HUGEINT) * n.n - CAST(r.rn AS HUGEINT) * c.cn)
+             // (CAST(r.rn AS HUGEINT) * c.cn * n.n)
+           ) AS BIGINT) AS chi2_scaled
+    FROM o JOIN r USING (p_brand) JOIN c USING (p_type) CROSS JOIN n
+    GROUP BY n.n
+    """,
+)
+def part_brand_type_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-independence screen: Pearson's chi² between brand
+    and type over the part dimension — the EDA question "does brand
+    determine product type?" answered exactly. Only OBSERVED cells
+    enter the sum (absent combinations contribute E, not (O−E)²/E —
+    the standard sparse-contingency shortcut is NOT taken; instead
+    the scaled identity ``Σ(O·n − r·c)²/(r·c·n)`` over observed
+    cells EQUALS n·χ² minus the absent-cell expectations, a
+    deterministic statistic both engines compute identically —
+    what matters for the gate is exactness, and for the analyst the
+    ranking, which this preserves).
+
+    All-integer: counts only, widened HUGEINT/DECIMAL(38,0)
+    products, per-term truncating division. Plan: one (brand, type)
+    aggregate, two marginal rollups broadcast back, a one-row total.
+    """
+    apply_engine_conf(spark)
+    part = table(spark, sf_dir, "part")
+    o = part.groupBy("p_brand", "p_type").agg(F.count("*").alias("obs"))
+    r = o.groupBy("p_brand").agg(F.sum("obs").alias("rn"))
+    c = o.groupBy("p_type").agg(F.sum("obs").alias("cn"))
+    n = o.agg(F.sum("obs").alias("n"))
+    return (
+        o.join(F.broadcast(r), "p_brand")
+        .join(F.broadcast(c), "p_type")
+        .crossJoin(F.broadcast(n))
+        .groupBy("n")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum(
+                F.expr(
+                    "(CAST(obs AS DECIMAL(38,0)) * n"
+                    " - CAST(rn AS DECIMAL(38,0)) * cn)"
+                    " * (CAST(obs AS DECIMAL(38,0)) * n"
+                    " - CAST(rn AS DECIMAL(38,0)) * cn)"
+                    " div (CAST(rn AS DECIMAL(38,0)) * cn * n)"
+                )
+            )
+            .cast("long")
+            .alias("chi2_scaled"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_parts"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            "chi2_scaled",
+        )
+    )
+
+
+AUTOCORR_LAG = 7  # weekly periodicity probe over the daily series
+
+
+@register(
+    "events_weekly_autocorr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             COUNT(*) AS x
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS t FROM daily
+    ), dev AS (
+      SELECT day,
+             CAST(tot.n AS HUGEINT) * x - tot.t AS d,
+             LEAD(CAST(tot.n AS HUGEINT) * x - tot.t, {AUTOCORR_LAG})
+               OVER (ORDER BY day) AS d_lead
+      FROM daily, tot
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_days,
+           CAST(SUM(d * d_lead) FILTER (WHERE d_lead IS NOT NULL)
+                * 1000000 // SUM(d * d) AS BIGINT) AS autocorr_lag7_q6
+    FROM dev
+    """,
+)
+def events_weekly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-periodicity probe: the lag-{AUTOCORR_LAG}
+    autocorrelation of the daily event-count series — near 1e6 means
+    strong day-of-week structure (schedule batch jobs and staffing by
+    it), near 0 means the series is aperiodic.
+
+    Exact-integer trick: the mean-centered deviation ``x_t − μ``
+    scaled by n is ``n·x_t − T`` — an integer — so both the lag
+    product sum and the variance sum are exact widened-integer
+    aggregates and the q6 ratio is one integer division (the n²
+    scaling cancels). No float ever accumulates; the CUSUM recipe
+    applied to autocorrelation.
+
+    Plan: one day-keyed aggregate; the lag window and both sums run
+    over the calendar-sized daily frame.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("t"),
+    )
+    w_day = W.orderBy("day")
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("x") - F.col("t")
+        ).alias("d"),
+    )
+    dev = dev.select(
+        "day",
+        "d",
+        F.lead("d", AUTOCORR_LAG).over(w_day).alias("d_lead"),
+    )
+    return (
+        dev.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN d_lead IS NOT NULL"
+                " THEN d * d_lead END) * 1000000"
+                " div SUM(d * d) AS BIGINT)"
+            ).alias("autocorr_lag7_q6")
+        )
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            "autocorr_lag7_q6",
+        )
+    )

@@ -160,6 +160,8 @@ HEADLINE = [
     "lineitem_return_rate_wilson",
     "orders_ship_latency_life_table",
     "orders_trimmed_mean_by_priority",
+    "part_brand_type_chi2",
+    "events_weekly_autocorr",
 ]
 
 

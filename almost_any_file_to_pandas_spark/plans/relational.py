@@ -4695,3 +4695,89 @@ def events_weekly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "autocorr_lag7_q6",
         )
     )
+
+
+@register(
+    "customer_revenue_gini",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+      FROM orders GROUP BY 1
+    ), census AS (
+      SELECT x, COUNT(*) AS cnt FROM per GROUP BY x
+    ), walk AS (
+      SELECT x, cnt,
+             SUM(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS n,
+             SUM(CAST(x AS HUGEINT) * cnt) OVER () AS t
+      FROM census
+    ), s AS (
+      -- Σ 2·rank·x over a tie bucket: ranks are cum−cnt+1 … cum, so
+      -- 2·Σrank = cnt·(cum + cum−cnt+1); ×x stays integral
+      SELECT n, t,
+             SUM(CAST(x AS HUGEINT) * cnt * (2 * cum - cnt + 1))
+               AS two_rank_x
+      FROM walk GROUP BY n, t
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(t AS DECIMAL(38,0)) AS total_cents,
+           CAST((two_rank_x * 1000000 // (CAST(n AS HUGEINT) * t))
+                - (CAST(n AS HUGEINT) + 1) * 1000000 // n
+                AS BIGINT) AS gini_q6
+    FROM s
+    """,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient over customers — the
+    single number behind the Lorenz curve (0 = perfectly even, →1e6 =
+    one whale), complementing `orders_pareto_concentration`'s top-k
+    cuts with the standard inequality index.
+
+    Sort-free census formulation: Gini needs ranks of sorted
+    revenues, but ranks of a TIE BUCKET are a contiguous integer run,
+    so ``Σ 2·rank·x`` folds out of the (value, count) census as
+    ``Σ x·cnt·(2·cum − cnt + 1)`` — exact integers end to end
+    (the trimmed-mean census argument applied to Lorenz ranks), and
+    ``G = Σ2·rank·x/(n·T) − (n+1)/n`` becomes two integer divisions.
+    The window runs over DISTINCT revenue values, not customers.
+
+    Plan: one custkey aggregate, one value census, one ordered walk
+    over the value domain, a one-row fold.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+        ).alias("x")
+    )
+    census = per.groupBy("x").agg(F.count("*").alias("cnt"))
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_ord = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    walk = census.select(
+        "x",
+        "cnt",
+        F.sum("cnt").over(w_ord).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("cnt"))
+        .over(w_all)
+        .alias("t"),
+    )
+    s = walk.groupBy("n", "t").agg(
+        F.sum(
+            F.col("x").cast("decimal(38,0)")
+            * F.col("cnt")
+            * (2 * F.col("cum") - F.col("cnt") + 1)
+        ).alias("two_rank_x")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("t").cast("decimal(38,0)").alias("total_cents"),
+        F.expr(
+            "CAST((two_rank_x * 1000000"
+            " div (CAST(n AS DECIMAL(38,0)) * t))"
+            " - (CAST(n AS DECIMAL(38,0)) + 1) * 1000000 div n"
+            " AS BIGINT)"
+        ).alias("gini_q6"),
+    )

@@ -162,6 +162,7 @@ HEADLINE = [
     "orders_trimmed_mean_by_priority",
     "part_brand_type_chi2",
     "events_weekly_autocorr",
+    "customer_revenue_gini",
 ]
 
 

@@ -224,6 +224,7 @@ def load_all() -> None:
     reorder the registry so GATE_ORDER occupies slots 0–49."""
     from almost_any_file_to_pandas_spark.plans import relational  # noqa: F401
     from almost_any_file_to_pandas_spark.plans import parity  # noqa: F401
+    from almost_any_file_to_pandas_spark.plans import rankstats  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import dedup  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import similarity  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import textstats  # noqa: F401

@@ -1,0 +1,746 @@
+"""Nonparametric / robust rank statistics over the TPC-H-ish tables.
+
+The reference (a pandas file ingester) has no statistics surface;
+these operators extend the engine with the distribution-free tests a
+data-quality or experimentation pipeline runs at scale: Spearman and
+Kendall rank correlation, the Mann-Whitney U shift test, the
+Wald-Wolfowitz runs test, the Fano burstiness factor, the
+Hodges-Lehmann shift estimator, and isotonic regression via its
+minimax closed form.
+
+Engine-portability discipline (SURVEY.md invariants): every statistic
+is computed in EXACT integer arithmetic — cents quantization via
+``FLOOR(x*100+0.5)``, doubled ranks so tie-averaged ranks stay
+integral, q6/q12 fixed-point ratios via widened integer division
+(``DECIMAL(38,0)`` on Spark, ``HUGEINT`` on DuckDB — integer
+operands only, because DuckDB ``//`` on DECIMAL rounds first), no
+transcendentals, no ORDER-sensitive double sums.
+
+Scale notes (100 TB mindset): every operator here reduces the fact
+table to a BOUNDED intermediate before any global-order window runs —
+the calendar-day frame (≤ a few thousand rows regardless of corpus
+size), the value census (distinct cents values), or the 11-level
+discount domain. Windows without ``partitionBy`` appear ONLY over
+those bounded frames; the corpus-sized work is always a single
+map-side-combinable hash aggregate. That is the same
+bounded-model-state discipline as the Markov/EWMA/histogram-cube
+operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+CENTS = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+# Shared daily-orders frame: one corpus-sized hash aggregate reduces
+# orders to (day, order count, revenue cents) — calendar-bounded
+# (~2.4k rows at any SF), so downstream unpartitioned windows and
+# pair joins are constant-size in corpus terms.
+DAILY_SQL = f"""
+      SELECT o_orderdate AS d,
+             COUNT(*) AS x,
+             CAST(SUM({CENTS}) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count("*").alias("x"),
+        F.expr(f"CAST(SUM({CENTS}) AS BIGINT)").alias("y"),
+    )
+
+
+@register(
+    "orders_spearman_daily",
+    oracle=f"""
+    WITH daily AS ({DAILY_SQL}),
+    ranked AS (
+      SELECT 2 * RANK() OVER (ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY x) - 1 AS rx2,
+             2 * RANK() OVER (ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY y) - 1 AS ry2
+      FROM daily
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM((rx2 - ry2) * (rx2 - ry2)) AS BIGINT) AS s4,
+           CAST(1000000
+                - CAST(3 * SUM(CAST((rx2 - ry2) AS HUGEINT)
+                               * (rx2 - ry2)) * 1000000 AS HUGEINT)
+                  // (2 * COUNT(*)
+                      * (CAST(COUNT(*) AS HUGEINT) * COUNT(*) - 1))
+                AS BIGINT) AS rho_q6
+    FROM ranked
+    """,
+)
+def orders_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily order COUNT and daily
+    revenue — the distribution-free monotone-association monitor.
+
+    Ties use average ranks kept integral by DOUBLING: a value in a
+    tie group of size t with min-rank r has 2·avg_rank = 2r + t − 1,
+    so d² sums stay exact integers (s4 = Σ(2dᵢ)² = 4Σdᵢ²) and
+    ρ = 1 − 6Σd²/(n(n²−1)) becomes the all-integer
+    ``1e6 − (3·s4·1e6) div (2n(n²−1))``.
+
+    Scale: one hash aggregate reduces orders to the calendar frame;
+    both rank windows and the final fold run over ≤ a few thousand
+    rows. No corpus-sized sort anywhere.
+    """
+    apply_engine_conf(spark)
+    daily = _daily(spark, sf_dir)
+    ranked = daily.select(
+        (
+            2 * F.rank().over(W.orderBy("x"))
+            + F.count("*").over(W.partitionBy("x"))
+            - 1
+        ).alias("rx2"),
+        (
+            2 * F.rank().over(W.orderBy("y"))
+            + F.count("*").over(W.partitionBy("y"))
+            - 1
+        ).alias("ry2"),
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr(
+            "CAST(SUM((rx2 - ry2) * (rx2 - ry2)) AS BIGINT)"
+        ).alias("s4"),
+        F.expr(
+            "CAST(1000000"
+            " - CAST(3 * SUM(CAST(rx2 - ry2 AS DECIMAL(38,0))"
+            "              * (rx2 - ry2)) * 1000000 AS DECIMAL(38,0))"
+            "   div (2 * COUNT(*)"
+            "        * (CAST(COUNT(*) AS DECIMAL(38,0)) * COUNT(*) - 1))"
+            " AS BIGINT)"
+        ).alias("rho_q6"),
+    )
+
+
+MW_GROUP_A = "1-URGENT"
+MW_GROUP_B = "5-LOW"
+
+
+@register(
+    "orders_mannwhitney_priority_shift",
+    oracle=f"""
+    WITH census AS (
+      SELECT {CENTS} AS cents,
+             SUM(CASE WHEN o_orderpriority = '{MW_GROUP_A}'
+                 THEN 1 ELSE 0 END) AS a_v,
+             SUM(CASE WHEN o_orderpriority = '{MW_GROUP_B}'
+                 THEN 1 ELSE 0 END) AS b_v
+      FROM orders
+      WHERE o_orderpriority IN ('{MW_GROUP_A}', '{MW_GROUP_B}')
+      GROUP BY 1
+    ), walk AS (
+      SELECT a_v, b_v,
+             SUM(b_v) OVER (ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) - b_v AS b_lt
+      FROM census
+    ), folded AS (
+      SELECT CAST(SUM(a_v) AS BIGINT) AS n_a,
+             CAST(SUM(b_v) AS BIGINT) AS n_b,
+             CAST(SUM(CAST(a_v AS HUGEINT) * (2 * b_lt + b_v))
+                  AS HUGEINT) AS u2_a
+      FROM walk
+    )
+    SELECT n_a, n_b, CAST(u2_a AS BIGINT) AS u2_a,
+           CAST(u2_a * 1000000
+                // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+             AS cles_q6
+    FROM folded
+    """,
+)
+def orders_mannwhitney_priority_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Whitney U between URGENT and LOW order values — the
+    rank-sum shift test, computed over the VALUE CENSUS instead of
+    per-row ranks (the trimmed-mean argument: the walk window runs
+    over distinct cents values, never corpus rows).
+
+    Doubled U stays integral under midrank ties: for each distinct
+    value, its a_v copies each score 2·(#B strictly below) + (#B
+    tied), so ``u2_a = Σ a_v·(2·b_lt + b_v) = 2·U_A`` exactly.
+    ``cles_q6`` is the common-language effect size U_A/(n_a·n_b)
+    (probability a random URGENT order outprices a random LOW one,
+    counting ties half) in exact q6.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    census = (
+        orders.filter(
+            F.col("o_orderpriority").isin(MW_GROUP_A, MW_GROUP_B)
+        )
+        .groupBy(F.expr(CENTS).alias("cents"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority") == MW_GROUP_A, 1
+                ).otherwise(0)
+            ).alias("a_v"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority") == MW_GROUP_B, 1
+                ).otherwise(0)
+            ).alias("b_v"),
+        )
+    )
+    walk = census.select(
+        "a_v",
+        "b_v",
+        (
+            F.sum("b_v").over(
+                W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+            )
+            - F.col("b_v")
+        ).alias("b_lt"),
+    )
+    folded = walk.agg(
+        F.expr("CAST(SUM(a_v) AS BIGINT)").alias("n_a"),
+        F.expr("CAST(SUM(b_v) AS BIGINT)").alias("n_b"),
+        F.expr(
+            "CAST(SUM(CAST(a_v AS DECIMAL(38,0)) * (2 * b_lt + b_v))"
+            " AS DECIMAL(38,0))"
+        ).alias("u2_wide"),
+    )
+    return folded.select(
+        "n_a",
+        "n_b",
+        F.expr("CAST(u2_wide AS BIGINT)").alias("u2_a"),
+        F.expr(
+            "CAST(u2_wide * 1000000"
+            " div (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+        ).alias("cles_q6"),
+    )
+
+
+@register(
+    "orders_kendall_tau_daily",
+    oracle=f"""
+    WITH daily AS ({DAILY_SQL}),
+    pairs AS (
+      SELECT CASE WHEN (a.x < b.x AND a.y < b.y)
+                    OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0
+             END AS conc,
+             CASE WHEN (a.x < b.x AND a.y > b.y)
+                    OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0
+             END AS disc
+      FROM daily a JOIN daily b ON a.d < b.d
+    ), n AS (SELECT COUNT(*) AS n_days FROM daily)
+    SELECT CAST(n.n_days AS BIGINT) AS n_days,
+           CAST(SUM(conc) AS BIGINT) AS concordant,
+           CAST(SUM(disc) AS BIGINT) AS discordant,
+           CAST(CAST(2 * (SUM(conc) - SUM(disc)) * 1000000 AS HUGEINT)
+                // (CAST(n.n_days AS HUGEINT) * (n.n_days - 1))
+                AS BIGINT) AS tau_a_q6
+    FROM pairs, n
+    GROUP BY n.n_days
+    """,
+)
+def orders_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a between daily order count and daily revenue —
+    concordant/discordant pair counting over the calendar frame.
+
+    The pair self-join is calendar² (≤ ~6M pairs regardless of corpus
+    size — the Hodges-Lehmann/Theil-Sen argument), with the smaller
+    side broadcast so no shuffle touches it. tau-a's denominator
+    n(n−1)/2 keeps the statistic rational: ``tau_a_q6 =
+    (2(C−D)·1e6) div (n(n−1))`` — exact integer, truncation toward
+    zero identical in both engines (integer operands only).
+    """
+    apply_engine_conf(spark)
+    daily = _daily(spark, sf_dir)
+    a = daily.select(
+        F.col("d").alias("ad"), F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+    )
+    b = daily.select(
+        F.col("d").alias("bd"), F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("ad") < F.col("bd")).select(
+        F.when(
+            ((F.col("ax") < F.col("bx")) & (F.col("ay") < F.col("by")))
+            | ((F.col("ax") > F.col("bx")) & (F.col("ay") > F.col("by"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("conc"),
+        F.when(
+            ((F.col("ax") < F.col("bx")) & (F.col("ay") > F.col("by")))
+            | ((F.col("ax") > F.col("bx")) & (F.col("ay") < F.col("by"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("disc"),
+    )
+    n = daily.agg(F.count("*").alias("n_days"))
+    return (
+        pairs.agg(
+            F.sum("conc").alias("c"), F.sum("disc").alias("dd")
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("c").cast("long").alias("concordant"),
+            F.col("dd").cast("long").alias("discordant"),
+            F.expr(
+                "CAST(CAST(2 * (c - dd) * 1000000 AS DECIMAL(38,0))"
+                " div (CAST(n_days AS DECIMAL(38,0)) * (n_days - 1))"
+                " AS BIGINT)"
+            ).alias("tau_a_q6"),
+        )
+    )
+
+
+@register(
+    "orders_runs_test_daily",
+    oracle=f"""
+    WITH daily AS ({DAILY_SQL}),
+    census AS (
+      SELECT y, COUNT(*) AS cnt FROM daily GROUP BY 1
+    ), walk AS (
+      SELECT y, SUM(cnt) OVER (ORDER BY y
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM census
+    ), med AS (
+      SELECT MIN(y) AS med FROM walk WHERE cum >= (n + 1) // 2
+    ), signs AS (
+      SELECT d, CASE WHEN y > med THEN 1 ELSE 0 END AS s
+      FROM daily, med WHERE y <> med
+    ), flips AS (
+      SELECT s, CASE WHEN s <> LAG(s) OVER (ORDER BY d)
+                THEN 1 ELSE 0 END AS flip
+      FROM signs
+    )
+    SELECT CAST(SUM(s) AS BIGINT) AS n_plus,
+           CAST(SUM(1 - s) AS BIGINT) AS n_minus,
+           CAST(1 + SUM(flip) AS BIGINT) AS n_runs,
+           CAST(1000000
+                + CAST(2 * SUM(s) * SUM(1 - s) AS HUGEINT) * 1000000
+                  // (SUM(s) + SUM(1 - s)) AS BIGINT)
+             AS expected_runs_q6
+    FROM flips
+    """,
+)
+def orders_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue vs its median — the
+    distribution-free randomness screen (too FEW runs ⇒ trend /
+    regime persistence; too MANY ⇒ oscillation).
+
+    Median is the LOWER median picked off the daily-revenue census
+    walk (rank ``(n+1) div 2`` — all-integer, no percentile
+    interpolation); days equal to the median drop (the standard
+    dichotomization), signs flip-count via one lag window over the
+    calendar frame. ``expected_runs_q6 = 1 + 2·n₊·n₋/(n₊+n₋)`` in
+    exact q6 for the z-free comparison.
+    """
+    apply_engine_conf(spark)
+    daily = _daily(spark, sf_dir).cache()
+    census = daily.groupBy("y").agg(F.count("*").alias("cnt"))
+    walk = census.select(
+        "y",
+        F.sum("cnt")
+        .over(W.orderBy("y").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt").over(
+            W.orderBy("y").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    med = walk.filter(F.expr("cum >= (n + 1) div 2")).agg(
+        F.min("y").alias("med")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("y") != F.col("med"))
+        .select(
+            "d", F.when(F.col("y") > F.col("med"), 1).otherwise(0).alias("s")
+        )
+    )
+    flips = signs.select(
+        "s",
+        F.when(
+            F.col("s") != F.lag("s").over(W.orderBy("d")), 1
+        )
+        .otherwise(0)
+        .alias("flip"),
+    )
+    return flips.agg(
+        F.expr("CAST(SUM(s) AS BIGINT)").alias("n_plus"),
+        F.expr("CAST(SUM(1 - s) AS BIGINT)").alias("n_minus"),
+        F.expr("CAST(1 + SUM(flip) AS BIGINT)").alias("n_runs"),
+        F.expr(
+            "CAST(1000000"
+            " + CAST(2 * SUM(s) * SUM(1 - s) AS DECIMAL(38,0)) * 1000000"
+            "   div (SUM(s) + SUM(1 - s)) AS BIGINT)"
+        ).alias("expected_runs_q6"),
+    )
+
+
+US_PER_HOUR = 3_600_000_000
+
+
+@register(
+    "events_burstiness_fano",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {US_PER_HOUR} AS h,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT MAX(h) - MIN(h) + 1 AS n_hours FROM hourly
+    ), per_type AS (
+      SELECT event_type,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS nonzero_hours,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+      FROM hourly GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(span.n_hours AS BIGINT) AS n_hours,
+           n_events, nonzero_hours,
+           CAST((CAST(span.n_hours AS HUGEINT) * q
+                 - CAST(n_events AS HUGEINT) * n_events) * 1000000
+                // (CAST(span.n_hours AS HUGEINT) * n_events)
+                AS BIGINT) AS fano_q6
+    FROM per_type, span
+    """,
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of hourly event counts
+    per type over the dense global hour spine — the burstiness
+    monitor (≈1e6 ⇒ Poisson-like, ≫1e6 ⇒ bursty, ≪1e6 ⇒ regular).
+
+    The dense spine is never materialized: zero hours contribute 0 to
+    both Σc and Σc², so with n = global hour span (max−min+1 in
+    integer epoch-hours), ``var·n² = n·Σc² − S²`` and
+    ``fano_q6 = (n·Σc² − S²)·1e6 div (n·S)`` — all exact integers
+    off ONE (type, hour) hash aggregate plus a per-type fold. The
+    scalar span broadcasts; no window, no join on the fact table.
+    """
+    apply_engine_conf(spark)
+    events = table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {US_PER_HOUR}").alias("h"),
+    ).agg(F.count("*").alias("c"))
+    hourly = hourly.cache()
+    span = hourly.agg(
+        (F.max("h") - F.min("h") + 1).alias("n_hours")
+    )
+    per_type = hourly.groupBy("event_type").agg(
+        F.expr("CAST(SUM(c) AS BIGINT)").alias("n_events"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("nonzero_hours"),
+        F.expr(
+            "CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))"
+        ).alias("q"),
+    )
+    return per_type.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        "n_events",
+        "nonzero_hours",
+        F.expr(
+            "CAST((CAST(n_hours AS DECIMAL(38,0)) * q"
+            "      - CAST(n_events AS DECIMAL(38,0)) * n_events)"
+            "     * 1000000"
+            " div (CAST(n_hours AS DECIMAL(38,0)) * n_events)"
+            " AS BIGINT)"
+        ).alias("fano_q6"),
+    )
+
+
+HL_DAILY_SQL = f"""
+      SELECT o_orderdate AS d, o_orderpriority AS pr,
+             CAST(SUM({CENTS}) AS BIGINT) AS y
+      FROM orders
+      WHERE o_orderpriority IN ('{MW_GROUP_A}', '{MW_GROUP_B}')
+      GROUP BY 1, 2
+"""
+
+
+@register(
+    "orders_hodges_lehmann_shift",
+    oracle=f"""
+    WITH daily AS ({HL_DAILY_SQL}),
+    a AS (SELECT y FROM daily WHERE pr = '{MW_GROUP_A}'),
+    b AS (SELECT y FROM daily WHERE pr = '{MW_GROUP_B}'),
+    diffs AS (
+      SELECT a.y - b.y AS diff, COUNT(*) AS cnt
+      FROM a, b GROUP BY 1
+    ), walk AS (
+      SELECT diff, cnt,
+             SUM(cnt) OVER (ORDER BY diff
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS m
+      FROM diffs
+    ), lo AS (
+      SELECT diff AS v1, m FROM walk
+      WHERE cum >= (m + 1) // 2 AND cum - cnt < (m + 1) // 2
+    ), hi AS (
+      SELECT diff AS v2 FROM walk
+      WHERE cum >= (m + 2) // 2 AND cum - cnt < (m + 2) // 2
+    )
+    SELECT CAST(lo.m AS BIGINT) AS m_pairs,
+           CAST(lo.v1 + hi.v2 AS BIGINT) AS hl_shift_cents_x2
+    FROM lo, hi
+    """,
+)
+def orders_hodges_lehmann_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hodges-Lehmann estimator of the URGENT−LOW shift in DAILY
+    revenue: the median of all pairwise differences — the robust
+    companion to the Mann-Whitney test (30% breakdown, no Gaussian
+    assumption).
+
+    Pairs are calendar × calendar (≤ ~6M regardless of corpus SF —
+    the Kendall/Theil-Sen bound), built by broadcasting one daily
+    side; the median is ``v@((M+1) div 2) + v@((M+2) div 2)``
+    doubled to stay integral for even M. The rank walk over the
+    pairwise-difference census is TWO-LEVEL (the histogram-cube
+    refinement pattern): an arithmetic-shift bucket key
+    (``diff >> 22`` — floor division, so negative diffs keep their
+    order) gives a small bucket frame whose cumulative walk locates
+    the 1–2 covering buckets; only rows of those buckets then rank
+    within-bucket (window PARTITIONED by bucket), so no
+    single-partition sort ever sees the multi-million-row census.
+    The only fact-table pass is the (day, priority) hash aggregate.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            F.col("o_orderpriority").isin(MW_GROUP_A, MW_GROUP_B)
+        )
+        .groupBy(
+            F.col("o_orderdate").alias("d"),
+            F.col("o_orderpriority").alias("pr"),
+        )
+        .agg(F.expr(f"CAST(SUM({CENTS}) AS BIGINT)").alias("y"))
+        .cache()
+    )
+    a = daily.filter(F.col("pr") == MW_GROUP_A).select(
+        F.col("y").alias("ya")
+    )
+    b = daily.filter(F.col("pr") == MW_GROUP_B).select(
+        F.col("y").alias("yb")
+    )
+    # Pair generation stays inside whole-stage codegen: the LOW side
+    # folds to ONE array row (calendar-bounded, ~2.4k longs) that
+    # broadcasts and EXPLODES against each URGENT day — a generator,
+    # not a BroadcastNestedLoopJoin (BNLJ emits row-at-a-time outside
+    # codegen and costs ~5s per pass at this pair count).
+    b_arr = b.agg(F.collect_list("yb").alias("ys"))
+    pairs = (
+        a.crossJoin(F.broadcast(b_arr))
+        .select("ya", F.explode("ys").alias("yb"))
+        .select((F.col("ya") - F.col("yb")).alias("diff"))
+    )
+    # Level 1: coarse bucket counts straight off the streamed pair
+    # generator (diff range div 2^22) — the full diff census (one
+    # row per DISTINCT diff, ~pair-count groups) is never built, so
+    # no multi-million-group hash aggregate or shuffle exists in the
+    # plan. The bucket frame is small; its window is over buckets.
+    bcounts = pairs.groupBy(
+        F.expr("shiftright(diff, 22)").alias("bucket")
+    ).agg(F.count("*").alias("bc"))
+    bwalk = bcounts.select(
+        "bucket",
+        "bc",
+        F.sum("bc")
+        .over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0))
+        .alias("bcum"),
+        F.sum("bc")
+        .over(
+            W.orderBy("bucket").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("m"),
+    )
+    targets = bwalk.select("m").limit(1).select(
+        "m",
+        F.explode(
+            F.array(
+                F.expr("(m + 1) div 2"), F.expr("(m + 2) div 2")
+            )
+        ).alias("r"),
+    ).withColumn("tag", F.expr("row_number() over (order by r)")).drop(
+        "m"
+    )
+    cover = bwalk.join(
+        F.broadcast(targets),
+        (F.col("bcum") >= F.col("r"))
+        & (F.col("bcum") - F.col("bc") < F.col("r")),
+    ).select(
+        "tag",
+        "r",
+        "m",
+        F.col("bucket").alias("cb"),
+        (F.col("bcum") - F.col("bc")).alias("base"),
+    )
+    # Level 2: a second streamed pass over the pair generator,
+    # hash-probed against the broadcast covering bucket(s) — only
+    # ~1/n_buckets of pairs survive into the (now small) fine
+    # census, whose rank window is PARTITIONED by tag. Never a
+    # global sort, never a pair-sized shuffle.
+    fine = (
+        pairs.join(
+            F.broadcast(cover),
+            F.expr("shiftright(diff, 22)") == F.col("cb"),
+        )
+        .groupBy("tag", "r", "m", "base", "diff")
+        .agg(F.count("*").alias("cnt"))
+    )
+    picked = fine.withColumn(
+        "wcum",
+        F.sum("cnt").over(
+            W.partitionBy("tag")
+            .orderBy("diff")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    ).filter(
+        (F.col("base") + F.col("wcum") >= F.col("r"))
+        & (F.col("base") + F.col("wcum") - F.col("cnt") < F.col("r"))
+    )
+    return picked.agg(
+        F.max("m").cast("long").alias("m_pairs"),
+        F.expr("CAST(SUM(diff) AS BIGINT)").alias("hl_shift_cents_x2"),
+    )
+
+
+@register(
+    "lineitem_isotonic_return_rate",
+    oracle="""
+    WITH levels AS (
+      SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS INT) AS pct,
+             COUNT(*) AS n,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+      FROM lineitem GROUP BY 1
+    ), pre AS (
+      SELECT pct, n, r,
+             SUM(n) OVER (ORDER BY pct
+                          ROWS UNBOUNDED PRECEDING) AS cn,
+             SUM(r) OVER (ORDER BY pct
+                          ROWS UNBOUNDED PRECEDING) AS cr
+      FROM levels
+    ), intervals AS (
+      SELECT lo.pct AS i, hi.pct AS j,
+             CAST(CAST(hi.cr - lo.cr + lo.r AS HUGEINT)
+                  * 1000000000000
+                  // (hi.cn - lo.cn + lo.n) AS BIGINT) AS rate_q12
+      FROM pre lo JOIN pre hi ON lo.pct <= hi.pct
+    ), inner_min AS (
+      SELECT k.pct AS pct, iv.i,
+             MIN(iv.rate_q12) AS min_rate
+      FROM levels k JOIN intervals iv
+        ON iv.i <= k.pct AND k.pct <= iv.j
+      GROUP BY 1, 2
+    ), fit AS (
+      SELECT pct, MAX(min_rate) AS fit_q12
+      FROM inner_min GROUP BY 1
+    )
+    SELECT levels.pct AS discount_pct,
+           CAST(levels.n AS BIGINT) AS n_items,
+           CAST(levels.r AS BIGINT) AS n_returned,
+           CAST(CAST(levels.r AS HUGEINT) * 1000000 // levels.n
+                AS BIGINT) AS rate_q6,
+           CAST(fit.fit_q12 // 1000000 AS BIGINT) AS iso_rate_q6
+    FROM levels JOIN fit ON levels.pct = fit.pct
+    """,
+)
+def lineitem_isotonic_return_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic (nondecreasing) regression of return rate on discount
+    level via the MINIMAX closed form — the shape-constrained
+    calibration fit (PAVA's output without PAVA's sequential pooling):
+    ``fit(k) = max_{i≤k} min_{j≥k} rate(i..j)`` where rate(i..j) is
+    the pooled returns/items over contiguous discount levels.
+
+    The discount domain is 11 levels, so intervals (66), the
+    (k, i, j) lattice (≤286 rows), and both min/max folds are
+    constant-size — bounded-model-state over ONE corpus hash
+    aggregate. Rational interval rates compare via identical q12
+    integer quantization in both engines (deterministic even at
+    sub-ulp gaps, the same discipline as the drift chi2).
+    """
+    apply_engine_conf(spark)
+    lineitem = table(spark, sf_dir, "lineitem")
+    levels = lineitem.groupBy(
+        F.expr("CAST(FLOOR(l_discount * 100 + 0.5) AS INT)").alias("pct")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("r"),
+    ).cache()
+    w_cum = W.orderBy("pct").rowsBetween(W.unboundedPreceding, 0)
+    pre = levels.select(
+        "pct",
+        "n",
+        "r",
+        F.sum("n").over(w_cum).alias("cn"),
+        F.sum("r").over(w_cum).alias("cr"),
+    )
+    lo = pre.select(
+        F.col("pct").alias("i"),
+        F.col("n").alias("lo_n"),
+        F.col("r").alias("lo_r"),
+        F.col("cn").alias("lo_cn"),
+        F.col("cr").alias("lo_cr"),
+    )
+    hi = pre.select(
+        F.col("pct").alias("j"),
+        F.col("cn").alias("hi_cn"),
+        F.col("cr").alias("hi_cr"),
+    )
+    intervals = lo.join(
+        F.broadcast(hi), F.col("i") <= F.col("j")
+    ).select(
+        "i",
+        "j",
+        F.expr(
+            "CAST(CAST(hi_cr - lo_cr + lo_r AS DECIMAL(38,0))"
+            " * 1000000000000"
+            " div (hi_cn - lo_cn + lo_n) AS BIGINT)"
+        ).alias("rate_q12"),
+    )
+    k = levels.select(F.col("pct").alias("kpct"))
+    lattice = intervals.join(
+        F.broadcast(k),
+        (F.col("i") <= F.col("kpct")) & (F.col("kpct") <= F.col("j")),
+    )
+    inner_min = lattice.groupBy("kpct", "i").agg(
+        F.min("rate_q12").alias("min_rate")
+    )
+    fit = inner_min.groupBy("kpct").agg(
+        F.max("min_rate").alias("fit_q12")
+    )
+    return levels.join(
+        F.broadcast(fit), levels.pct == fit.kpct
+    ).select(
+        F.col("pct").alias("discount_pct"),
+        F.col("n").cast("long").alias("n_items"),
+        F.col("r").cast("long").alias("n_returned"),
+        F.expr(
+            "CAST(CAST(r AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"
+        ).alias("rate_q6"),
+        F.expr("CAST(fit_q12 div 1000000 AS BIGINT)").alias(
+            "iso_rate_q6"
+        ),
+    )

@@ -74,6 +74,10 @@ QUERIES_UNDER_TEST = [
     "customer_decile_churn",
     # two-level session merge (per-day windows + boundary chain)
     "events_sessionization_incremental",
+    # two-level bucketed rank pick over the pairwise-diff census and
+    # the census median cut + lag chain — the rank-pick value classes
+    "orders_hodges_lehmann_shift",
+    "orders_runs_test_daily",
 ]
 
 

@@ -1,0 +1,224 @@
+"""Hand-derived value checks + plan-shape pins for the nonparametric
+rank-statistics family (plans/rankstats.py).
+
+Value tests run each operator against tiny hand-built parquet
+fixtures where the statistic is derivable on paper — the adversarial
+complement to the DuckDB oracle sweep (which covers the real
+testdata): midrank ties in Mann-Whitney, a PAVA pooling violation in
+the isotonic fit, an even pair count in Hodges-Lehmann, a known runs
+sequence.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _orders_fixture(spark, tmp_path, rows):
+    """Write an orders parquet with (date, totalprice, priority)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.DateType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    data = [
+        (i, 1, "O", price, datetime.date(1995, 1, day), prio)
+        for i, (day, price, prio) in enumerate(rows)
+    ]
+    spark.createDataFrame(data, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_mannwhitney_doubled_u_with_midrank_ties(spark, tmp_path):
+    """A = {1.00, 2.00}, B = {1.00, 3.00}: U_A = 1.5 (one win, one
+    half-tie), so u2_a = 3 and cles_q6 = 3·1e6 div 8 = 375000."""
+    from almost_any_file_to_pandas_spark.plans.rankstats import (
+        orders_mannwhitney_priority_shift,
+    )
+
+    sf = _orders_fixture(
+        spark,
+        tmp_path,
+        [
+            (1, 1.00, "1-URGENT"),
+            (2, 2.00, "1-URGENT"),
+            (3, 1.00, "5-LOW"),
+            (4, 3.00, "5-LOW"),
+            (5, 99.0, "3-MEDIUM"),  # other priorities must not leak in
+        ],
+    )
+    row = orders_mannwhitney_priority_shift(spark, sf).collect()[0]
+    assert (row.n_a, row.n_b) == (2, 2)
+    assert row.u2_a == 3
+    assert row.cles_q6 == 375_000
+
+
+def test_runs_test_known_sequence(spark, tmp_path):
+    """Daily cents by day: [10,50,10,50,50,10,90] → lower median 50;
+    non-median days by date sign to −,−,−,+ → 2 runs, n+=1, n−=3,
+    expected_q6 = 1e6 + (2·1·3·1e6) div 4 = 2_500_000."""
+    from almost_any_file_to_pandas_spark.plans.rankstats import (
+        orders_runs_test_daily,
+    )
+
+    values = [0.10, 0.50, 0.10, 0.50, 0.50, 0.10, 0.90]
+    sf = _orders_fixture(
+        spark,
+        tmp_path,
+        [(d + 1, v, "1-URGENT") for d, v in enumerate(values)],
+    )
+    row = orders_runs_test_daily(spark, sf).collect()[0]
+    assert (row.n_plus, row.n_minus) == (1, 3)
+    assert row.n_runs == 2
+    assert row.expected_runs_q6 == 2_500_000
+
+
+def test_spearman_and_kendall_perfect_monotone(spark, tmp_path):
+    """Days with (count, revenue) strictly co-increasing: ρ and τ_a
+    both hit exactly 1e6, and Spearman's s4 is 0."""
+    from almost_any_file_to_pandas_spark.plans.rankstats import (
+        orders_kendall_tau_daily,
+        orders_spearman_daily,
+    )
+
+    rows = []
+    for day, n_orders in ((1, 1), (2, 2), (3, 3)):
+        rows += [(day, 1.00, "1-URGENT")] * n_orders
+    sf = _orders_fixture(spark, tmp_path, rows)
+    s = orders_spearman_daily(spark, sf).collect()[0]
+    assert (s.n_days, s.s4, s.rho_q6) == (3, 0, 1_000_000)
+    k = orders_kendall_tau_daily(spark, sf).collect()[0]
+    assert (k.n_days, k.concordant, k.discordant) == (3, 3, 0)
+    assert k.tau_a_q6 == 1_000_000
+
+
+def test_hodges_lehmann_even_pair_median(spark, tmp_path):
+    """A daily = {10, 20}, B daily = {1, 2} cents → diffs sorted
+    [8, 9, 18, 19], M = 4 → hl_x2 = v@2 + v@3 = 9 + 18 = 27."""
+    from almost_any_file_to_pandas_spark.plans.rankstats import (
+        orders_hodges_lehmann_shift,
+    )
+
+    sf = _orders_fixture(
+        spark,
+        tmp_path,
+        [
+            (1, 0.10, "1-URGENT"),
+            (2, 0.20, "1-URGENT"),
+            (1, 0.01, "5-LOW"),
+            (2, 0.02, "5-LOW"),
+        ],
+    )
+    row = orders_hodges_lehmann_shift(spark, sf).collect()[0]
+    assert row.m_pairs == 4
+    assert row.hl_shift_cents_x2 == 27
+
+
+def test_isotonic_pools_violation_exactly(spark, tmp_path):
+    """Rates by level: [1/2, 0/2, 2/2] violates monotonicity at
+    level 1 → PAVA pools levels {0,1} to 1/4; level 2 stays 1.
+    The minimax closed form must reproduce that exactly in q6."""
+    from pyspark.sql import types as T
+
+    from almost_any_file_to_pandas_spark.plans.rankstats import (
+        lineitem_isotonic_return_rate,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+        ]
+    )
+    rows = [
+        (1, 0.00, "R"),
+        (2, 0.00, "N"),
+        (3, 0.01, "N"),
+        (4, 0.01, "A"),
+        (5, 0.02, "R"),
+        (6, 0.02, "R"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        r.discount_pct: r
+        for r in lineitem_isotonic_return_rate(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[0].rate_q6 == 500_000 and out[0].iso_rate_q6 == 250_000
+    assert out[1].rate_q6 == 0 and out[1].iso_rate_q6 == 250_000
+    assert out[2].rate_q6 == 1_000_000 and out[2].iso_rate_q6 == 1_000_000
+
+
+def test_isotonic_fit_is_nondecreasing_on_testdata(spark):
+    from almost_any_file_to_pandas_spark.plans.rankstats import (
+        lineitem_isotonic_return_rate,
+    )
+
+    rows = sorted(
+        lineitem_isotonic_return_rate(spark, SF_DIR).collect(),
+        key=lambda r: r.discount_pct,
+    )
+    fits = [r.iso_rate_q6 for r in rows]
+    assert fits == sorted(fits)
+    # the fit is a genuine smoothing: bounded by the raw rate range
+    raws = [r.rate_q6 for r in rows]
+    assert min(raws) <= fits[0] and fits[-1] <= max(raws) + 1
+
+
+def test_rankstats_plan_shapes(spark):
+    """Scale pins: no sort-merge join or cartesian product anywhere;
+    Spearman touches orders exactly once with zero joins; the Fano
+    fold is window-free with a single broadcast scalar join; the
+    Hodges-Lehmann pair generator is an explode (codegen), not a
+    pair-sized BNLJ, over one cached daily frame."""
+    from almost_any_file_to_pandas_spark.plans import rankstats as R
+
+    def plan(fn):
+        return (
+            fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    for fn in (
+        R.orders_spearman_daily,
+        R.orders_mannwhitney_priority_shift,
+        R.orders_kendall_tau_daily,
+        R.orders_runs_test_daily,
+        R.events_burstiness_fano,
+        R.orders_hodges_lehmann_shift,
+        R.lineitem_isotonic_return_rate,
+    ):
+        p = plan(fn)
+        assert "SortMergeJoin" not in p, fn.__name__
+        assert "CartesianProduct" not in p, fn.__name__
+
+    p = plan(R.orders_spearman_daily)
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+
+    p = plan(R.events_burstiness_fano)
+    assert "Window" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 1  # scalar span only
+
+    p = plan(R.orders_hodges_lehmann_shift)
+    assert p.count("Generate") >= 2  # explode pair generator, both passes
+    assert p.count("InMemoryTableScan") >= 4  # daily frame reused, not rescanned

@@ -764,3 +764,137 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(s, pi[s]) for s in states], "event_type string, pi_q12 bigint"
     )
+
+
+ATTRIB_WINDOW_US = ATTRIB_WINDOW_DAYS * 86_400_000_000
+
+
+@register(
+    "events_attribution_linear",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      FROM events
+    ), purch AS (
+      SELECT user_id, event_id, us,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM ev WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id, event_type, us FROM ev
+      WHERE event_type IN ('view', 'click')
+    ), per AS (
+      SELECT p.event_id, p.cents,
+             COALESCE(SUM(CASE WHEN t.event_type = 'view'
+                           THEN 1 END), 0) AS n_view,
+             COALESCE(SUM(CASE WHEN t.event_type = 'click'
+                           THEN 1 END), 0) AS n_click
+      FROM purch p LEFT JOIN touch t
+        ON t.user_id = p.user_id
+       AND t.us BETWEEN p.us - {ATTRIB_WINDOW_US} AND p.us - 1
+      GROUP BY 1, 2
+    ), long AS (
+      SELECT 'view' AS touch_type, cents,
+             n_view AS k, n_view + n_click AS n
+      FROM per WHERE n_view > 0
+      UNION ALL
+      SELECT 'click', cents, n_click, n_view + n_click
+      FROM per WHERE n_click > 0
+      UNION ALL
+      SELECT 'none', cents, 1, 0
+      FROM per WHERE n_view + n_click = 0
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN n = 0
+                    THEN CAST(cents AS HUGEINT) * 1000000
+                    ELSE CAST(cents AS HUGEINT) * 1000000 * k // n
+                    END) AS BIGINT) AS credited_q6c
+    FROM long GROUP BY 1
+    """,
+)
+def events_attribution_linear(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear (equal-credit) attribution: each purchase's value
+    splits evenly across ALL its preceding view/click touches inside
+    the 7-day lookback; untouched purchases credit 'none' — the
+    multi-touch counterpart of :func:`events_attribution_last_touch`.
+
+    Plan: NOT the oracle's purchase×touch join — per-purchase touch
+    counts come from TWO RANGE-frame windows (micros frame
+    ``[-7d, -1µs]``) over the one user-keyed sort every per-user
+    operator shares, then each purchase EXPLODES into at most three
+    (type, share) rows and hash-aggregates. Credit is exact q6
+    cents: ``cents·1e6·n_type div n`` per purchase (widened), so
+    per-class credit sums are deterministic integers and total
+    credited value differs from total purchase value only by the
+    per-purchase truncation dust (< 2 µcents each, test-pinned).
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    w_range = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ATTRIB_WINDOW_US, -1)
+    )
+    counted = base.select(
+        "event_type",
+        "cents",
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        )
+        .over(w_range)
+        .alias("n_view"),
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        )
+        .over(w_range)
+        .alias("n_click"),
+    )
+    per = counted.filter(F.col("event_type") == "purchase").select(
+        "cents",
+        F.coalesce("n_view", F.lit(0)).alias("n_view"),
+        F.coalesce("n_click", F.lit(0)).alias("n_click"),
+    )
+    long = per.select(
+        "cents",
+        (F.col("n_view") + F.col("n_click")).alias("n"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view").alias("touch_type"),
+                    F.col("n_view").alias("k"),
+                ),
+                F.struct(
+                    F.lit("click").alias("touch_type"),
+                    F.col("n_click").alias("k"),
+                ),
+                F.struct(
+                    F.lit("none").alias("touch_type"),
+                    F.when(
+                        F.col("n_view") + F.col("n_click") == 0, 1
+                    )
+                    .otherwise(0)
+                    .alias("k"),
+                ),
+            )
+        ).alias("t"),
+    ).filter(F.col("t.k") > 0)
+    return long.groupBy(F.col("t.touch_type").alias("touch_type")).agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n = 0"
+            " THEN CAST(cents AS DECIMAL(38,0)) * 1000000"
+            " ELSE CAST(cents AS DECIMAL(38,0)) * 1000000 * t.k div n"
+            " END) AS BIGINT)"
+        ).alias("credited_q6c"),
+    )

@@ -1758,3 +1758,84 @@ def orders_theilsen_trend_by_segment(
             "CAST(CAST(da AS DECIMAL(38,0)) * 1000000 div db AS BIGINT)"
         ).alias("slope_cents_per_month_q6"),
     )
+
+
+@register(
+    "events_time_weighted_value",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v_micro
+      FROM events
+    ), stepped AS (
+      SELECT user_id, v_micro,
+             LEAD(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) - us AS dur_us
+      FROM ev
+    ), per_user AS (
+      SELECT user_id,
+             COUNT(*) + 1 AS n_events,
+             CAST(SUM(dur_us) AS BIGINT) AS span_us,
+             SUM(CAST(v_micro AS HUGEINT) * dur_us) AS wsum
+      FROM stepped WHERE dur_us IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events, span_us,
+           CAST(wsum // span_us AS BIGINT) AS twap_micro
+    FROM per_user WHERE span_us > 0
+    """,
+)
+def events_time_weighted_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user time-weighted average value (TWAP): each event's
+    value "holds" until the user's next event, and the average
+    weights each value by its holding duration — the metrics-layer
+    integral (billing meters, position marks, feature freshness), as
+    opposed to the per-row mean that over-counts rapid-fire events.
+
+    One user-keyed sort (the shared per-user shuffle): LEAD gives
+    each event its holding duration in integer micros; the weighted
+    sum Σ v_micro·dur_us is a widened exact integer and
+    ``twap_micro = wsum div span`` its exact q6 mean. Tie-safe: the
+    LEAD order is (us, event_id), so same-microsecond events assign
+    the zero-duration hold deterministically. Zero-span users (all
+    events in one microsecond) are excluded — both engines would
+    otherwise fault on the division, and a zero-width integral is
+    undefined anyway. Note ``span_us = Σ dur_us`` telescopes to
+    last−first exactly.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    stepped = ev.select(
+        "user_id",
+        F.expr("CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)").alias(
+            "v_micro"
+        ),
+        (
+            F.lead(F.unix_micros("ts")).over(
+                W.partitionBy("user_id").orderBy(
+                    F.unix_micros("ts"), "event_id"
+                )
+            )
+            - F.unix_micros("ts")
+        ).alias("dur_us"),
+    )
+    per_user = (
+        stepped.filter(F.col("dur_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (F.count("*") + 1).cast("long").alias("n_events"),
+            F.expr("CAST(SUM(dur_us) AS BIGINT)").alias("span_us"),
+            F.expr(
+                "SUM(CAST(v_micro AS DECIMAL(38,0)) * dur_us)"
+            ).alias("wsum"),
+        )
+    )
+    return per_user.filter(F.col("span_us") > 0).select(
+        "user_id",
+        "n_events",
+        "span_us",
+        F.expr("CAST(wsum div span_us AS BIGINT)").alias("twap_micro"),
+    )

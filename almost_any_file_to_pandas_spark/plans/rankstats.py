@@ -744,3 +744,228 @@ def lineitem_isotonic_return_rate(
             "iso_rate_q6"
         ),
     )
+
+
+@register(
+    "lineitem_unpivot_measures",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_quantity * 1000000 + 0.5) AS BIGINT) AS qty,
+             CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT)
+               AS price,
+             CAST(FLOOR(l_discount * 1000000 + 0.5) AS BIGINT) AS disc
+      FROM lineitem
+    ), long AS (
+      SELECT l_returnflag, 'qty' AS measure, qty AS val_micro FROM m
+      UNION ALL
+      SELECT l_returnflag, 'price', price FROM m
+      UNION ALL
+      SELECT l_returnflag, 'disc', disc FROM m
+    )
+    SELECT l_returnflag, measure,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(val_micro AS HUGEINT)) AS BIGINT) AS sum_micro,
+           CAST(MIN(val_micro) AS BIGINT) AS min_micro,
+           CAST(MAX(val_micro) AS BIGINT) AS max_micro
+    FROM long GROUP BY 1, 2
+    """,
+)
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) of the lineitem measure columns into long form,
+    profiled per return flag — the wide→long reshape every feature
+    store and metrics layer needs, via Spark's native ``unpivot``
+    (one Expand node, NOT a 3-way self-union: the fact table is
+    scanned ONCE and the 3× row expansion feeds straight into a
+    map-side-combinable hash aggregate, so the shuffle carries only
+    (flag, measure) partials — the column-profile Expand argument).
+
+    Measures quantize to integer micro-units BEFORE the expand so
+    every downstream aggregate is exact; the oracle's UNION ALL form
+    is the semantic twin (DuckDB has no UNPIVOT-to-Expand contract).
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    m = li.select(
+        "l_returnflag",
+        F.expr(
+            "CAST(FLOOR(l_quantity * 1000000 + 0.5) AS BIGINT)"
+        ).alias("qty"),
+        F.expr(
+            "CAST(FLOOR(l_extendedprice * 1000000 + 0.5) AS BIGINT)"
+        ).alias("price"),
+        F.expr(
+            "CAST(FLOOR(l_discount * 1000000 + 0.5) AS BIGINT)"
+        ).alias("disc"),
+    )
+    long = m.unpivot(
+        ["l_returnflag"], ["qty", "price", "disc"], "measure", "val_micro"
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(val_micro AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("sum_micro"),
+        F.min("val_micro").cast("long").alias("min_micro"),
+        F.max("val_micro").cast("long").alias("max_micro"),
+    )
+
+
+@register(
+    "orders_mom_revenue_growth",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS yyyymm,
+             CAST(SUM({CENTS}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT yyyymm, cents,
+           LAG(cents) OVER (ORDER BY yyyymm) AS prev_cents,
+           CAST(CAST((cents - LAG(cents) OVER (ORDER BY yyyymm))
+                     AS HUGEINT) * 1000000
+                // LAG(cents) OVER (ORDER BY yyyymm) AS BIGINT)
+             AS growth_q6
+    FROM monthly
+    """,
+)
+def orders_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the windowed lag-ratio KPI,
+    in exact q6 off the calendar-bounded monthly frame (one corpus
+    hash aggregate; the lag window sees ≤ a few hundred rows). The
+    growth numerator can be negative: both engines truncate integer
+    division toward zero (integer operands only — the documented
+    DuckDB ``//``-DECIMAL rounding trap), and the first month's NULL
+    lag propagates to a NULL growth identically.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.expr(
+            "CAST(year(o_orderdate) * 100 + month(o_orderdate)"
+            " AS BIGINT)"
+        ).alias("yyyymm")
+    ).agg(F.expr(f"CAST(SUM({CENTS}) AS BIGINT)").alias("cents"))
+    w = W.orderBy("yyyymm")
+    return monthly.select(
+        "yyyymm",
+        "cents",
+        F.lag("cents").over(w).alias("prev_cents"),
+        F.expr(
+            "CAST(CAST(cents - LAG(cents) OVER (ORDER BY yyyymm)"
+            "          AS DECIMAL(38,0)) * 1000000"
+            " div LAG(cents) OVER (ORDER BY yyyymm) AS BIGINT)"
+        ).alias("growth_q6"),
+    )
+
+
+ABC_BUCKET_SHIFT = 18  # cents >> 18 ≈ $2.6k revenue bands
+
+
+@register(
+    "customer_abc_classification",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey, CAST(SUM({CENTS}) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), walk AS (
+      SELECT rev,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(rev) OVER () AS t
+      FROM cust
+    ), classed AS (
+      SELECT rev,
+             CASE WHEN cum * 5 <= t * 4 THEN 'A'
+                  WHEN cum * 20 <= t * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             t
+      FROM walk
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev) AS BIGINT) AS class_cents,
+           CAST(CAST(SUM(rev) AS HUGEINT) * 1000000 // MAX(t)
+                AS BIGINT) AS share_q6
+    FROM classed GROUP BY 1
+    """,
+)
+def customer_abc_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ABC (Pareto-class) customer segmentation: rank customers by
+    revenue descending and cut at 80% / 95% of cumulative revenue —
+    class A funds the business, C is the long tail.
+
+    The oracle's single global-order walk would serialize every
+    customer through one partition at 100 TB; the Spark plan is the
+    DISTRIBUTED PREFIX SUM (the Hodges-Lehmann two-level walk,
+    generalized): an arithmetic-shift revenue band keys a small
+    bucket frame whose descending cumulative gives each band its
+    global base; customers then rank only WITHIN their band (window
+    partitioned by band, ordered (rev DESC, custkey)) and add the
+    broadcast base. Ties always share a band (band is a function of
+    rev), so the within-band order extends the global order exactly.
+    The classification cuts compare exact integers (cum·5 ≤ T·4,
+    cum·20 ≤ T·19); the output is the 3-row class rollup.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.expr(f"CAST(SUM({CENTS}) AS BIGINT)").alias("rev"))
+        .withColumn(
+            "band", F.expr(f"shiftright(rev, {ABC_BUCKET_SHIFT})")
+        )
+        .cache()
+    )
+    bands = cust.groupBy("band").agg(F.sum("rev").alias("brev"))
+    bwalk = bands.select(
+        "band",
+        (
+            F.sum("brev")
+            .over(
+                W.orderBy(F.col("band").desc()).rowsBetween(
+                    W.unboundedPreceding, 0
+                )
+            )
+            - F.col("brev")
+        ).alias("base"),
+        F.sum("brev")
+        .over(
+            W.orderBy(F.col("band").desc()).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("t"),
+    )
+    classed = (
+        cust.join(F.broadcast(bwalk), "band")
+        .withColumn(
+            "cum",
+            F.col("base")
+            + F.sum("rev").over(
+                W.partitionBy("band")
+                .orderBy(F.col("rev").desc(), F.col("o_custkey"))
+                .rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .select(
+            "rev",
+            "t",
+            F.when(
+                F.col("cum") * 5 <= F.col("t") * 4, "A"
+            )
+            .when(F.col("cum") * 20 <= F.col("t") * 19, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.expr("CAST(SUM(rev) AS BIGINT)").alias("class_cents"),
+        F.expr(
+            "CAST(CAST(SUM(rev) AS DECIMAL(38,0)) * 1000000"
+            " div MAX(t) AS BIGINT)"
+        ).alias("share_q6"),
+    )

@@ -78,6 +78,9 @@ QUERIES_UNDER_TEST = [
     # the census median cut + lag chain — the rank-pick value classes
     "orders_hodges_lehmann_shift",
     "orders_runs_test_daily",
+    # distributed-prefix-sum rank cut and RANGE-frame credit split
+    "customer_abc_classification",
+    "events_attribution_linear",
 ]
 
 

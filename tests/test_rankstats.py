@@ -222,3 +222,137 @@ def test_rankstats_plan_shapes(spark):
     p = plan(R.orders_hodges_lehmann_shift)
     assert p.count("Generate") >= 2  # explode pair generator, both passes
     assert p.count("InMemoryTableScan") >= 4  # daily frame reused, not rescanned
+
+
+def test_linear_attribution_conserves_value_and_matches_last_touch(
+    spark,
+):
+    """Per-class q6 credit must telescope back to total purchase
+    value within the truncation dust (< 2 µcents per purchase), and
+    the 'none' class must agree exactly with last-touch attribution
+    (a purchase has no in-window touch ⟺ its latest touch is out of
+    window ⟺ linear 'none' ⟺ last-touch 'none')."""
+    from pyspark.sql import functions as F
+
+    from almost_any_file_to_pandas_spark.operators.funnel import (
+        events_attribution_last_touch,
+        events_attribution_linear,
+    )
+    from almost_any_file_to_pandas_spark.plans import table
+
+    lin = {
+        r.touch_type: r
+        for r in events_attribution_linear(spark, SF_DIR).collect()
+    }
+    last = {
+        r.touch_type: r
+        for r in events_attribution_last_touch(spark, SF_DIR).collect()
+    }
+    assert lin["none"].n_purchases == last["none"].n_purchases
+    total_cents = (
+        table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(
+            F.expr(
+                "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))"
+            ).alias("c"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    credited = sum(r.credited_q6c for r in lin.values())
+    assert credited <= total_cents.c * 1_000_000
+    assert credited > total_cents.c * 1_000_000 - 2 * total_cents.n
+
+
+def test_twap_hand_integral(spark, tmp_path):
+    """Values 10, 20, 5 at t = 0, 10µs, 30µs → holds 10µs@10 +
+    20µs@20 over a 30µs span → twap = 500e6/30 = 16_666_666 µunits."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from almost_any_file_to_pandas_spark.operators.temporal import (
+        events_time_weighted_value,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 7, "view", 10.0),
+        (2, base + datetime.timedelta(microseconds=10), 7, "view", 20.0),
+        (3, base + datetime.timedelta(microseconds=30), 7, "view", 5.0),
+        (4, base, 8, "view", 1.0),  # single-event user: excluded
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    out = events_time_weighted_value(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.user_id, r.n_events, r.span_us) == (7, 3, 30)
+    assert r.twap_micro == 16_666_666
+
+
+def test_abc_classes_partition_and_cover(spark):
+    """The three ABC classes partition the customer base: counts sum
+    to the distinct paying customers, cents sum to total revenue,
+    shares sum to 1e6 ± truncation, and A ≥ nothing else is empty."""
+    from pyspark.sql import functions as F
+
+    from almost_any_file_to_pandas_spark.plans.rankstats import (
+        customer_abc_classification,
+    )
+    from almost_any_file_to_pandas_spark.plans import table
+
+    rows = {
+        r.abc_class: r
+        for r in customer_abc_classification(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"A", "B", "C"}
+    totals = (
+        table(spark, SF_DIR, "orders")
+        .agg(
+            F.countDistinct("o_custkey").alias("n"),
+            F.expr(
+                "SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))"
+            ).alias("c"),
+        )
+        .collect()[0]
+    )
+    assert sum(r.n_customers for r in rows.values()) == totals.n
+    assert sum(r.class_cents for r in rows.values()) == totals.c
+    share = sum(r.share_q6 for r in rows.values())
+    assert 1_000_000 - 3 <= share <= 1_000_000
+    # rank-cut invariant: every A customer outearns every B customer
+    # outearns every C customer, so class MEANS are ordered (the
+    # synthetic revenue is near-uniform, so head-count shapes like
+    # |A| < |C| are NOT guaranteed — only the ordering is)
+    means = {
+        k: r.class_cents / r.n_customers for k, r in rows.items()
+    }
+    assert means["A"] >= means["B"] >= means["C"]
+
+
+def test_unpivot_single_scan_expand(spark):
+    from almost_any_file_to_pandas_spark.plans.rankstats import (
+        lineitem_unpivot_measures,
+    )
+
+    p = (
+        lineitem_unpivot_measures(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Scan parquet") == 1  # melt ≠ 3-way self-union
+    assert "Expand" in p
+    assert "Union" not in p

@@ -1358,3 +1358,176 @@ def sim_label_affinity_matrix(
             .alias("cosine_q6"),
         )
     )
+
+
+BQ_DIMS = 64  # corpus embedding width; generalizes to ceil(d/32) words
+BQ_SHORTLIST = 50
+
+
+def _bq_q6(cell: str) -> str:
+    """Exact q6 quantization of one float cell, engine-portable: the
+    float→double widening is value-exact and FLOOR(double·1e6+0.5)
+    computes bit-identically in Spark and DuckDB."""
+    return f"CAST(FLOOR(CAST({cell} AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+
+
+def _bq_word_sql(col: str, lo: int, spark_side: bool) -> str:
+    """32 sign bits of dims [lo, lo+32) packed into one BIGINT word.
+    32-bit words on purpose: DuckDB RAISES on 1<<63 where Spark
+    wraps, so no shift ever reaches bit 63 (the bitmap-rollup rule).
+    Generated as a flat +-chain — identical integer arithmetic text
+    on both engines (Spark indexes via 1-based element_at, DuckDB
+    via 1-based [])."""
+    terms = []
+    for i in range(32):
+        cell = (
+            f"element_at({col}, {lo + i + 1})"
+            if spark_side
+            else f"{col}[{lo + i + 1}]"
+        )
+        terms.append(
+            f"(CASE WHEN CAST({cell} AS DOUBLE) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _bq_dot_sql(a: str, b: str, spark_side: bool) -> str:
+    """Exact integer q12 dot product over the 64 dims, generated as
+    one flat sum of q6×q6 products (≤ 6.4e13 — BIGINT-safe)."""
+    terms = []
+    for i in range(BQ_DIMS):
+        ca = (
+            f"element_at({a}, {i + 1})" if spark_side else f"{a}[{i + 1}]"
+        )
+        cb = (
+            f"element_at({b}, {i + 1})" if spark_side else f"{b}[{i + 1}]"
+        )
+        terms.append(f"{_bq_q6(ca)} * {_bq_q6(cb)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _bq_oracle() -> str:
+    w0 = _bq_word_sql("embedding", 0, spark_side=False)
+    w1 = _bq_word_sql("embedding", 32, spark_side=False)
+    dot = _bq_dot_sql("e.embedding", "q.qvec", spark_side=False)
+    return f"""
+    WITH p AS (
+      SELECT vec_id, embedding, {w0} AS w0, {w1} AS w1 FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qvec, w0 AS q0, w1 AS q1
+      FROM p WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, p.vec_id,
+             CAST(bit_count(xor(p.w0, q.q0))
+                  + bit_count(xor(p.w1, q.q1)) AS BIGINT) AS hamming
+      FROM p, q WHERE p.vec_id <> q.query_id
+    ), short AS (
+      SELECT query_id, vec_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY hamming, vec_id) AS srank
+      FROM scored
+    ), reranked AS (
+      SELECT s.query_id, s.vec_id, s.hamming, {dot} AS dot_q12
+      FROM short s
+      JOIN p e ON e.vec_id = s.vec_id
+      JOIN q ON q.query_id = s.query_id
+      WHERE s.srank <= {BQ_SHORTLIST}
+    ), final AS (
+      SELECT query_id, vec_id, hamming, dot_q12,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot_q12 DESC, vec_id)
+               AS knn_rank
+      FROM reranked
+    )
+    SELECT query_id, CAST(knn_rank AS BIGINT) AS knn_rank, vec_id,
+           hamming, dot_q12
+    FROM final WHERE knn_rank <= {KNN_K}
+    """
+
+
+@register("sim_binary_sign_topk", oracle=_bq_oracle())
+def sim_binary_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (the vector-DB "BQ" path): each vector
+    compresses 256× into two 32-bit SIGN WORDS; candidate generation
+    ranks by Hamming distance on the packed words (bit_count(xor) —
+    2 machine words per comparison instead of 64 float mults), and
+    only the per-query shortlist (BQ_SHORTLIST=50) is re-ranked by
+    the exact integer-q6 dot product.
+
+    Scale: the packed corpus is 16 bytes/vector — RAM-resident at
+    billions of vectors where floats are not; Hamming scoring is one
+    narrow codegen pass against the broadcast query words; the
+    shortlist window keeps k·queries rows; the float arrays are only
+    touched again for shortlist×queries rows (a broadcast join).
+    Every arithmetic step (sign test, xor popcount, q6 products) is
+    engine-exact, so the oracle is a full value twin, not a recall
+    floor — complements the IVF/PQ/JL members whose compression is
+    lossy-scored.
+    """
+    apply_engine_conf(spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
+    packed = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_bq_word_sql("embedding", 0, spark_side=True)).alias("w0"),
+        F.expr(_bq_word_sql("embedding", 32, spark_side=True)).alias(
+            "w1"
+        ),
+    )
+    queries = packed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    scored = (
+        packed.drop("embedding")
+        .crossJoin(F.broadcast(queries.drop("qvec")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(
+                "CAST(bit_count(w0 ^ q0) + bit_count(w1 ^ q1)"
+                " AS BIGINT)"
+            ).alias("hamming"),
+        )
+    )
+    w_short = W.partitionBy("query_id").orderBy("hamming", "vec_id")
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= BQ_SHORTLIST)
+        .drop("srank")
+    )
+    # shortlist (k·queries rows) + query vectors broadcast AGAINST
+    # the corpus — the big side never shuffles for the rerank
+    short_q = shortlist.join(
+        F.broadcast(queries.select("query_id", "qvec")), "query_id"
+    )
+    reranked = (
+        packed.select("vec_id", "embedding")
+        .join(F.broadcast(short_q), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "hamming",
+            F.expr(
+                _bq_dot_sql("embedding", "qvec", spark_side=True)
+            ).alias("dot_q12"),
+        )
+    )
+    w_final = W.partitionBy("query_id").orderBy(
+        F.desc("dot_q12"), F.asc("vec_id")
+    )
+    return (
+        reranked.withColumn("knn_rank", F.row_number().over(w_final))
+        .filter(F.col("knn_rank") <= KNN_K)
+        .select(
+            "query_id",
+            F.col("knn_rank").cast("long").alias("knn_rank"),
+            "vec_id",
+            "hamming",
+            "dot_q12",
+        )
+    )

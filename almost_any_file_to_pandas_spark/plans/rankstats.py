@@ -969,3 +969,211 @@ def customer_abc_classification(
             " div MAX(t) AS BIGINT)"
         ).alias("share_q6"),
     )
+
+
+# Cochran-Armitage z² as ONE shared double-expression text (the
+# Wilson exemption: ± * / on identical BIGINT inputs are IEEE
+# correctly-rounded, hence bit-identical across engines; no
+# transcendental, no order-sensitive aggregate). Inputs stay
+# BIGINT-safe at 100 TB: swn ≤ 10·N, sw2n ≤ 100·N.
+_CA_Z2 = (
+    "CASE WHEN r > 0 AND r < n AND n_levels > 1 THEN"
+    " CAST(FLOOR((("
+    "(CAST(swr AS DOUBLE) - CAST(r AS DOUBLE) * CAST(swn AS DOUBLE)"
+    " / CAST(n AS DOUBLE))"
+    " * (CAST(swr AS DOUBLE) - CAST(r AS DOUBLE) * CAST(swn AS DOUBLE)"
+    " / CAST(n AS DOUBLE)))"
+    " / ((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))"
+    "    * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))"
+    "    * (CAST(sw2n AS DOUBLE) - CAST(swn AS DOUBLE)"
+    "       * CAST(swn AS DOUBLE) / CAST(n AS DOUBLE))))"
+    " * 1000 + 0.5) AS BIGINT)"
+    " ELSE NULL END"
+)
+
+
+@register(
+    "lineitem_trend_test_ca",
+    oracle=f"""
+    WITH levels AS (
+      SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS w,
+             COUNT(*) AS nk,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS rk
+      FROM lineitem GROUP BY 1
+    ), folded AS (
+      SELECT CAST(SUM(nk) AS BIGINT) AS n,
+             CAST(SUM(rk) AS BIGINT) AS r,
+             CAST(SUM(w * nk) AS BIGINT) AS swn,
+             CAST(SUM(w * rk) AS BIGINT) AS swr,
+             CAST(SUM(w * w * nk) AS BIGINT) AS sw2n,
+             CAST(COUNT(*) AS BIGINT) AS n_levels
+      FROM levels
+    )
+    SELECT n AS n_lines, r AS n_returned, swn, swr, sw2n,
+           {_CA_Z2} AS ca_z2_q3
+    FROM folded
+    """,
+)
+def lineitem_trend_test_ca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: is return rate LINEARLY trending
+    across the ordered discount levels? — the standard dose-response
+    screen, sharper than the omnibus chi² when the alternative is
+    monotone (and the hypothesis-test companion to the isotonic
+    fit's shape estimate).
+
+    One corpus hash aggregate folds to five BIGINT moments (every
+    one ≤ 100·N — no wide decimals needed); z² assembles from ONE
+    shared double-expression text on those integers, so the q3
+    quantization hashes across engines (the Wilson sqrt-free
+    exemption). Degenerate inputs (no returns, all returns, a single
+    level) yield NULL rather than a division fault.
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    levels = li.groupBy(
+        F.expr("CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)").alias(
+            "w"
+        )
+    ).agg(
+        F.count("*").alias("nk"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("rk"),
+    )
+    folded = levels.agg(
+        F.expr("CAST(SUM(nk) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(rk) AS BIGINT)").alias("r"),
+        F.expr("CAST(SUM(w * nk) AS BIGINT)").alias("swn"),
+        F.expr("CAST(SUM(w * rk) AS BIGINT)").alias("swr"),
+        F.expr("CAST(SUM(w * w * nk) AS BIGINT)").alias("sw2n"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_levels"),
+    )
+    return folded.select(
+        F.col("n").alias("n_lines"),
+        F.col("r").alias("n_returned"),
+        "swn",
+        "swr",
+        "sw2n",
+        F.expr(_CA_Z2).alias("ca_z2_q3"),
+    )
+
+
+@register(
+    "orders_mix_shift_decomposition",
+    oracle=f"""
+    WITH span AS (
+      SELECT MIN(o_orderdate) AS lo,
+             MIN(o_orderdate)
+               + TO_DAYS(CAST(date_diff('day', MIN(o_orderdate),
+                              MAX(o_orderdate)) // 2 AS INT)) AS cutd
+      FROM orders
+    ), per AS (
+      SELECT o_orderpriority,
+             SUM(CASE WHEN o_orderdate < cutd THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN o_orderdate < cutd THEN {CENTS}
+                 ELSE 0 END) AS rev0,
+             SUM(CASE WHEN o_orderdate >= cutd THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN o_orderdate >= cutd THEN {CENTS}
+                 ELSE 0 END) AS rev1
+      FROM orders, span
+      GROUP BY 1
+    ), fx AS (
+      SELECT o_orderpriority,
+             CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+             CAST(rev0 AS BIGINT) AS rev0, CAST(rev1 AS BIGINT) AS rev1,
+             CAST(CAST((n1 - n0) AS HUGEINT) * rev0 // n0 AS BIGINT)
+               AS volume_eff_cents,
+             CAST(CAST(n0 AS HUGEINT) * rev1 // n1 - rev0 AS BIGINT)
+               AS rate_eff_cents
+      FROM per WHERE n0 > 0 AND n1 > 0
+    )
+    SELECT o_orderpriority,
+           n0, n1, rev0, rev1,
+           CAST(rev1 - rev0 AS BIGINT) AS delta_cents,
+           volume_eff_cents, rate_eff_cents,
+           CAST(rev1 - rev0 - volume_eff_cents - rate_eff_cents
+                AS BIGINT) AS interaction_cents
+    FROM fx
+    """,
+)
+def orders_mix_shift_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Period-over-period revenue decomposition per priority segment
+    (the BI mix-shift / Oaxaca-Blinder bridge): Δrevenue splits into
+    a VOLUME effect ((n₁−n₀)·r₀, "more orders at old value"), a RATE
+    effect (n₀·(r₁−r₀), "old volume at new value"), and the
+    interaction residual — the waterfall chart every revenue review
+    reads. Periods are the two calendar halves (cut = midpoint
+    date, pure integer date arithmetic).
+
+    Exactness: effects are integer-cents via widened truncating
+    division of exact cent sums ((n₁−n₀)·rev₀ div n₀ and
+    n₀·rev₁ div n₁ − rev₀); the interaction is defined as the exact
+    residual from the truncated pieces, so the three effects sum to
+    Δ EXACTLY by construction — additivity survives quantization.
+    Plan: one scalar min/max broadcast + ONE conditional-aggregate
+    pass over orders (never two scans of the fact side for the two
+    periods).
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    span = orders.agg(
+        F.min("o_orderdate").alias("lo"),
+        F.max("o_orderdate").alias("hi"),
+    ).select(
+        F.expr(
+            "date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))"
+        ).alias("cutd")
+    )
+    per = (
+        orders.crossJoin(F.broadcast(span))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN o_orderdate < cutd THEN 1"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("n0"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN o_orderdate < cutd THEN {CENTS}"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("rev0"),
+            F.expr(
+                "CAST(SUM(CASE WHEN o_orderdate >= cutd THEN 1"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("n1"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN o_orderdate >= cutd THEN {CENTS}"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("rev1"),
+        )
+    )
+    fx = per.filter((F.col("n0") > 0) & (F.col("n1") > 0)).select(
+        "o_orderpriority",
+        "n0",
+        "n1",
+        "rev0",
+        "rev1",
+        F.expr(
+            "CAST(CAST(n1 - n0 AS DECIMAL(38,0)) * rev0 div n0"
+            " AS BIGINT)"
+        ).alias("volume_eff_cents"),
+        F.expr(
+            "CAST(CAST(n0 AS DECIMAL(38,0)) * rev1 div n1 - rev0"
+            " AS BIGINT)"
+        ).alias("rate_eff_cents"),
+    )
+    return fx.select(
+        "o_orderpriority",
+        "n0",
+        "n1",
+        "rev0",
+        "rev1",
+        (F.col("rev1") - F.col("rev0")).cast("long").alias("delta_cents"),
+        "volume_eff_cents",
+        "rate_eff_cents",
+        F.expr(
+            "CAST(rev1 - rev0 - volume_eff_cents - rate_eff_cents"
+            " AS BIGINT)"
+        ).alias("interaction_cents"),
+    )

@@ -383,3 +383,61 @@ def test_binary_sign_topk_plan_and_agreement(spark):
         rs = sorted(rs, key=lambda r: r.knn_rank)
         dots = [r.dot_q12 for r in rs]
         assert dots == sorted(dots, reverse=True)
+
+
+def test_ca_trend_hand_case(spark, tmp_path):
+    """Levels (w, n, r) = (0,2,0), (1,2,1), (2,2,2): T = 2, Var = 1
+    → z² = 4.000 exactly."""
+    from pyspark.sql import types as T
+
+    from almost_any_file_to_pandas_spark.plans.rankstats import (
+        lineitem_trend_test_ca,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+        ]
+    )
+    rows = [
+        (1, 0.00, "N"), (2, 0.00, "N"),
+        (3, 0.01, "R"), (4, 0.01, "N"),
+        (5, 0.02, "R"), (6, 0.02, "R"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+    row = lineitem_trend_test_ca(spark, str(tmp_path)).collect()[0]
+    assert (row.n_lines, row.n_returned) == (6, 3)
+    assert (row.swn, row.swr, row.sw2n) == (6, 5, 10)
+    assert row.ca_z2_q3 == 4000
+
+
+def test_mix_shift_hand_decomposition(spark, tmp_path):
+    """P0: 2 orders × $1 (rev 200c); P1: 3 × $2 (rev 600c) →
+    volume = (3−2)·200/2 = 100c, rate = 2·600/3 − 200 = 200c,
+    interaction = 400 − 100 − 200 = 100c — and the three MUST sum to
+    Δ exactly (additivity by construction)."""
+    from almost_any_file_to_pandas_spark.plans.rankstats import (
+        orders_mix_shift_decomposition,
+    )
+
+    sf = _orders_fixture(
+        spark,
+        tmp_path,
+        [(1, 1.00, "1-URGENT")] * 2 + [(11, 2.00, "1-URGENT")] * 3,
+    )
+    row = orders_mix_shift_decomposition(spark, sf).collect()[0]
+    assert (row.n0, row.n1, row.rev0, row.rev1) == (2, 3, 200, 600)
+    assert row.delta_cents == 400
+    assert row.volume_eff_cents == 100
+    assert row.rate_eff_cents == 200
+    assert row.interaction_cents == 100
+    assert (
+        row.volume_eff_cents
+        + row.rate_eff_cents
+        + row.interaction_cents
+        == row.delta_cents
+    )

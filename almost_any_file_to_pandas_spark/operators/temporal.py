@@ -1839,3 +1839,222 @@ def events_time_weighted_value(
         "span_us",
         F.expr("CAST(wsum div span_us AS BIGINT)").alias("twap_micro"),
     )
+
+
+@register(
+    "events_user_balance_reflect",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  WHEN event_type = 'error'
+                  THEN -CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END AS delta
+      FROM events
+      WHERE event_type IN ('purchase', 'error')
+    ), summed AS (
+      SELECT user_id, us, event_id, delta,
+             SUM(delta) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS s,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM ev
+    ), walked AS (
+      SELECT user_id, delta, s, rn, n,
+             LEAST(MIN(s) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING), 0)
+               AS floor_adj
+      FROM summed
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_moves,
+           CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_debits,
+           CAST(MAX(s - floor_adj) AS BIGINT) AS peak_balance_cents,
+           CAST(MAX(CASE WHEN rn = n THEN s - floor_adj END)
+                AS BIGINT) AS final_balance_cents
+    FROM walked GROUP BY user_id
+    """,
+)
+def events_user_balance_reflect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user credit balance FLOORED AT ZERO (purchases credit,
+    errors debit, a debit can never push below 0 — the prepaid-wallet
+    / inventory-on-hand semantics). The floor makes the recurrence
+    ``B_t = max(0, B_{t-1} + δ_t)`` look inherently sequential, but
+    the Skorokhod reflection identity closes it:
+    ``B_t = S_t − min(0, min_{j≤t} S_j)`` over the UNFLOORED prefix
+    sums S — so the whole operator is two stacked per-user windows
+    (running sum, then running min of it), no recursion, no UDF, no
+    driver loop. The oracle runs the identical identity; an
+    adversarial fixture pins it against the literal sequential fold.
+
+    Output is the per-user wallet summary (move count, debit count,
+    peak and final balance) — user-sized, not event-sized. One
+    user-keyed shuffle, the partitioning every per-user operator
+    shares; events outside the two move types are filtered at the
+    scan (predicate pushdown).
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    moves = ev.filter(
+        F.col("event_type").isin("purchase", "error")
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"),
+        )
+        .otherwise(
+            -F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+        )
+        .alias("delta"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    summed = moves.select(
+        "user_id",
+        "us",
+        "event_id",
+        "delta",
+        F.sum("delta").over(w).alias("s"),
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("us", "event_id"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("user_id")).alias("n"),
+    )
+    walked = summed.select(
+        "user_id",
+        "delta",
+        "s",
+        "rn",
+        "n",
+        F.least(F.min("s").over(w), F.lit(0)).alias("floor_adj"),
+    )
+    return walked.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_moves"),
+        F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_debits"),
+        F.max(F.col("s") - F.col("floor_adj"))
+        .cast("long")
+        .alias("peak_balance_cents"),
+        F.max(
+            F.when(F.col("rn") == F.col("n"), F.col("s") - F.col("floor_adj"))
+        )
+        .cast("long")
+        .alias("final_balance_cents"),
+    )
+
+
+SLIDING_DISTINCT_DAYS = 7  # trailing window width shared with the HLL twin
+
+
+@register(
+    "events_sliding_distinct_exact",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ), membership AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    )
+    SELECT d.day, CAST(COUNT(DISTINCT m.user_id) AS BIGINT) AS users_7d
+    FROM days d
+    JOIN membership m
+      ON m.day BETWEEN d.day - INTERVAL {SLIDING_DISTINCT_DAYS - 1} DAY
+                   AND d.day
+    GROUP BY d.day
+    """,
+)
+def events_sliding_distinct_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT trailing-7-day distinct users per day WITHOUT the 7×
+    membership expansion — the island/interval-counting restatement
+    of the metric `events_sliding_dau_7d` estimates with HLL
+    sketches. A user contributes to day d iff they have an active day
+    in [d-6, d]; equivalently each maximal run of active days with
+    gaps ≤ 6 (an "island" [s, e]) contributes the coverage interval
+    [s, e+6]. So: per-user islands via gaps-and-islands (lag + running
+    flag sum), then classic interval counting — +1 at s, −1 at e+7,
+    prefix-summed over the day domain — gives every day's distinct
+    count with NO count-distinct and NO range join.
+
+    The oracle is the literal definition (distinct membership
+    range-joined to the day spine, COUNT(DISTINCT) per day): two
+    independent algorithms, hash-compared — the same harness pattern
+    the HLL twin uses for its exact anchor.
+
+    At 100 TB: the corpus is touched once for the (user, day)
+    dedup (one user-keyed shuffle); the lag/island windows REUSE that
+    partitioning (no second exchange); everything after is day-domain
+    sized (+1/−1 deltas, one tiny global prefix-sum window over
+    |days|+ rows — hundreds, explicitly driver-safe). The literal
+    algorithm shuffles 7× the membership and runs a two-phase
+    count-distinct per day; this one replaces both with integer
+    deltas. Window width is a compile-time constant shared with the
+    HLL twin, so the two stay comparable per round.
+    """
+    apply_engine_conf(spark)
+    k = SLIDING_DISTINCT_DAYS
+    ev = table(spark, sf_dir, "events")
+    member = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    wu = W.partitionBy("user_id").orderBy("day")
+    islands = (
+        member.withColumn("prev_day", F.lag("day").over(wu))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_day").isNull()
+                | (F.datediff("day", "prev_day") >= k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island_id",
+            F.sum("new_island").over(
+                wu.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "island_id")
+        .agg(F.min("day").alias("s"), F.max("day").alias("e"))
+    )
+    deltas = (
+        islands.select(F.col("s").alias("day"), F.lit(1).alias("delta"))
+        .unionAll(
+            islands.select(
+                F.date_add("e", k).alias("day"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .unionAll(
+            ev.select(F.to_date("ts").alias("day"))
+            .distinct()
+            .select("day", F.lit(0).alias("delta"))
+        )
+        .groupBy("day")
+        .agg(F.sum("delta").alias("d"))
+    )
+    # |days|-sized frame: the single-partition global window is over
+    # the DAY DOMAIN (+ island ends), not the corpus
+    run = deltas.withColumn(
+        "users_7d",
+        F.sum("d")
+        .over(W.orderBy("day").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    spine = ev.select(F.to_date("ts").alias("day")).distinct()
+    return run.join(spine, "day").select("day", "users_7d")

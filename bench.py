@@ -163,6 +163,23 @@ HEADLINE = [
     "part_brand_type_chi2",
     "events_weekly_autocorr",
     "customer_revenue_gini",
+    # fourth-session operators (appended; prior slots frozen): rank
+    # statistics over census/calendar frames, the distributed
+    # prefix-sum ABC cut, RANGE-frame linear attribution, the native
+    # unpivot Expand, and the sign-word BQ ANN path
+    "orders_spearman_daily",
+    "orders_mannwhitney_priority_shift",
+    "lineitem_isotonic_return_rate",
+    "customer_abc_classification",
+    "events_attribution_linear",
+    "events_time_weighted_value",
+    "lineitem_unpivot_measures",
+    "sim_binary_sign_topk",
+    "lineitem_trend_test_ca",
+    "orders_mix_shift_decomposition",
+    "events_user_balance_reflect",
+    "events_sliding_distinct_exact",
+    "pipeline_zorder_layout",
 ]
 
 

@@ -109,6 +109,8 @@ def test_hot_key_shapes_match_oracle(spark, skewed_events_dir):
         "events_salted_agg",
         "events_bot_user_census",
         "events_hourly_quantiles_by_type",
+        "events_sliding_distinct_exact",
+        "events_user_balance_reflect",
     ):
         _gate_compare(spark, skewed_events_dir, q)
 
@@ -314,6 +316,107 @@ def test_passjoin_edit_distance_boundaries(spark, editdist_boundary_dir):
     # (excluded) but ONE edit from 3 (found); 5 at 8 insertions
     # (excluded, also outside the length band)
     assert got == {(1, 2): 0, (1, 3): 6, (2, 3): 6, (3, 4): 1}
+
+
+@pytest.fixture()
+def wallet_boundary_dir(spark, tmp_path):
+    """Event streams where the zero floor of the prepaid-wallet
+    recurrence ``B_t = max(0, B_{t-1} + delta_t)`` BINDS — repeatedly,
+    at the first event, never, and under same-timestamp ties — the
+    shapes where the Skorokhod reflection identity and a buggy plain
+    running sum diverge. Expected values come from a literal
+    sequential fold executed inside the test."""
+    base = datetime.datetime(2024, 5, 1)
+    m = datetime.timedelta(minutes=1)
+    rows, eid = [], 0
+
+    def ev(u, t, typ, val):
+        nonlocal eid
+        rows.append((eid, t, u, typ, val, None))
+        eid += 1
+
+    # u1: floor binds mid-stream (1000 -> floor -> 500)
+    ev(1, base, "purchase", 10.0)
+    ev(1, base + m, "error", 25.0)
+    ev(1, base + 2 * m, "purchase", 5.0)
+    # u2: debit-first (floor binds at the very first event)
+    ev(2, base, "error", 3.0)
+    ev(2, base + m, "purchase", 7.5)
+    ev(2, base + 2 * m, "error", 2.0)
+    # u3: floor binds repeatedly, interleaved with recoveries
+    for i, (typ, val) in enumerate(
+        [("purchase", 1.0), ("error", 5.0), ("purchase", 2.0),
+         ("error", 1.0), ("purchase", 3.0), ("error", 9.0),
+         ("purchase", 0.4)]
+    ):
+        ev(3, base + i * m, typ, val)
+    # u4: all debits — balance pinned at 0 throughout
+    ev(4, base, "error", 1.0)
+    ev(4, base + m, "error", 2.0)
+    # u5: floor never binds — reflection must reduce to the plain sum
+    ev(5, base, "purchase", 8.0)
+    ev(5, base + m, "error", 3.0)
+    ev(5, base + 2 * m, "purchase", 1.0)
+    # u6: same-timestamp ties — order decided by event_id, and the
+    # outcome DEPENDS on it (debit-then-credit floors, reverse not)
+    ev(6, base, "error", 4.0)
+    ev(6, base, "purchase", 4.0)
+    # non-move event types must be invisible to the wallet
+    ev(1, base + m, "view", 999.0)
+    ev(4, base, "click", 999.0)
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(2).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    moves = [
+        (r[2], r[0], r[4], r[3])
+        for r in rows
+        if r[3] in ("purchase", "error")
+    ]
+    return str(tmp_path), moves
+
+
+def test_wallet_reflection_equals_sequential_fold(
+    spark, wallet_boundary_dir
+):
+    """The windowed reflection identity must equal the literal
+    per-user sequential fold AND the SQL oracle on every floor
+    boundary."""
+    from almost_any_file_to_pandas_spark import plans
+
+    sf_dir, moves = wallet_boundary_dir
+    expected = {}
+    for u in sorted({m[0] for m in moves}):
+        bal = peak = debits = n = 0
+        for _, _, val, typ in sorted(
+            (m for m in moves if m[0] == u), key=lambda m: m[1]
+        ):
+            delta = int(val * 100 + 0.5)
+            if typ == "error":
+                delta, debits = -delta, debits + 1
+            bal = max(0, bal + delta)
+            peak = max(peak, bal)
+            n += 1
+        expected[u] = (n, debits, peak, bal)
+    plans.load_all()
+    got = {
+        r.user_id: (
+            r.n_moves, r.n_debits, r.peak_balance_cents,
+            r.final_balance_cents,
+        )
+        for r in plans.QUERIES["events_user_balance_reflect"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+    assert expected[1] == (3, 1, 1000, 500)   # floor bound mid-stream
+    assert expected[4] == (2, 2, 0, 0)        # pinned at zero
+    _gate_compare(spark, sf_dir, "events_user_balance_reflect")
 
 
 @pytest.fixture()

@@ -502,7 +502,7 @@ def events_stream_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_stream_dedup_batch",
+    "events_stream_redelivery_absorb",
     oracle="""
     SELECT event_id,
            user_id,
@@ -512,7 +512,9 @@ def events_stream_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
 )
-def events_stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream_redelivery_absorb(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Batch restatement of :func:`events_stream_dedup`'s at-least-
     once absorption contract, hash-checkable by the driver: the
     stream is re-delivered with a duplicated slice (every third

@@ -4781,3 +4781,106 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("gini_q6"),
     )
+
+
+# ---- incremental view maintenance: JOIN delta decomposition ----------
+# Deterministic change batch carved out of the static corpus: orders
+# with orderkey % 17 == 0 and customers with custkey % 13 == 0 play
+# the deltas; the rest is the standing materialization.
+IVM_ORDER_MOD = 17
+IVM_CUST_MOD = 13
+
+
+@register(
+    "orders_join_ivm_delta",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             (o.o_orderkey % {IVM_ORDER_MOD} = 0) AS d_o,
+             (c.c_custkey % {IVM_CUST_MOD} = 0) AS d_c,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT segment,
+           CAST(SUM(CASE WHEN NOT d_o AND NOT d_c THEN 1 ELSE 0 END)
+                AS BIGINT) AS base_pairs,
+           CAST(SUM(CASE WHEN d_o OR d_c THEN 1 ELSE 0 END)
+                AS BIGINT) AS delta_pairs,
+           CAST(COUNT(*) AS BIGINT) AS total_pairs,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM j GROUP BY segment
+    """,
+)
+def orders_join_ivm_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN materialization: with
+    a change batch ΔO against orders and ΔC against customer, the
+    maintained view obeys the bilinear identity
+
+        (O∪ΔO) ⋈ (C∪ΔC) = O⋈C  ∪  O⋈ΔC  ∪  ΔO⋈C  ∪  ΔO⋈ΔC
+
+    so a refresh touches only the three delta terms — never the
+    standing O⋈C materialization. The engine COMPUTES the per-segment
+    rollup through that four-term decomposition (four joins unioned,
+    then one aggregate); the oracle computes the SAME rollup from the
+    monolithic full join. Hash equality is a numeric proof of the
+    maintenance identity — the two sides never share an algorithm.
+
+    At 100 TB the three delta joins are delta-sized on at least one
+    side: ΔC (customers touched this batch) broadcasts everywhere it
+    appears, and ΔO⋈C is the only fact-sized probe. The base term
+    exists here only to reconstitute the total for the proof; a real
+    deployment reads it from the materialization. Change membership
+    is a deterministic keyspace carve (orderkey/custkey modulo), so
+    both engines agree on the batch without a shared clock.
+
+    Plan: orders scanned once per O-side term with the delta
+    predicate pushed to parquet; customer delta side broadcast; one
+    hash aggregate over the union.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    d_o = F.col("o_orderkey") % IVM_ORDER_MOD == 0
+    d_c = F.col("c_custkey") % IVM_CUST_MOD == 0
+    o_base, o_delta = orders.filter(~d_o), orders.filter(d_o)
+    c_base, c_delta = cust.filter(~d_c), cust.filter(d_c)
+
+    def term(o_side: DataFrame, c_side: DataFrame, is_base: bool,
+             broadcast_c: bool = False):
+        # only the ΔC side gets the broadcast HINT (delta-sized by
+        # construction at any corpus scale); the full-customer sides
+        # are left to Catalyst/AQE, which broadcasts them at test SF
+        # and shuffles them when the dimension outgrows the threshold
+        c = F.broadcast(c_side) if broadcast_c else c_side
+        return o_side.join(
+            c, o_side.o_custkey == c_side.c_custkey
+        ).select(
+            F.col("c_mktsegment").alias("segment"),
+            "cents",
+            F.lit(is_base).alias("is_base"),
+        )
+
+    unioned = (
+        term(o_base, c_base, True)          # standing materialization
+        .unionByName(term(o_base, c_delta, False, True))   # O ⋈ ΔC
+        .unionByName(term(o_delta, c_base, False))         # ΔO ⋈ C
+        .unionByName(term(o_delta, c_delta, False, True))  # ΔO ⋈ ΔC
+    )
+    return unioned.groupBy("segment").agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0))
+        .cast("long")
+        .alias("base_pairs"),
+        F.sum(F.when(F.col("is_base"), 0).otherwise(1))
+        .cast("long")
+        .alias("delta_pairs"),
+        F.count("*").cast("long").alias("total_pairs"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )

@@ -211,6 +211,14 @@ def test_rankstats_plan_shapes(spark):
         assert "SortMergeJoin" not in p, fn.__name__
         assert "CartesianProduct" not in p, fn.__name__
 
+    # the single-scan pin asserts the FRESH plan: a sibling rankstats
+    # query (runs_test / Hodges-Lehmann) caching the shared _daily
+    # frame makes CacheManager substitute an InMemoryTableScan here,
+    # and the IMTS node PRINTS its stored child plan — so the string
+    # would contain the parquet scan twice despite orders still being
+    # read once. Clearing the cache restores the order-independent
+    # assertion (the loop above just re-registered those caches).
+    spark.catalog.clearCache()
     p = plan(R.orders_spearman_daily)
     assert p.count("Scan parquet") == 1
     assert "Join" not in p

@@ -180,6 +180,7 @@ HEADLINE = [
     "events_user_balance_reflect",
     "events_sliding_distinct_exact",
     "pipeline_zorder_layout",
+    "orders_join_ivm_delta",
 ]
 
 

@@ -636,47 +636,43 @@ def pipeline_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelope areas. The Morton expression is generated once and
     rendered per engine dialect (`shiftright` vs `>>`).
 
-    Plan: one scan of orders pruned to two columns, the Morton key
-    computed in whole-stage codegen, ONE hash shuffle per layout
-    aggregate (both map-side combinable), then two scalar folds
-    unioned — shard-count-sized frames after the first aggregate.
+    Plan: ONE scan of orders pruned to two columns (plan-pinned: the
+    naive two-branch union read the fact once per layout), the Morton
+    key computed in whole-stage codegen, both layouts' shard rows
+    emitted in-row by ``stack`` (2 tiny rows per order), one
+    map-side-combinable hash aggregate on (layout, shard), then a
+    layout-keyed fold over shard-count-sized frames.
     """
     apply_engine_conf(spark)
     keyed = table(spark, sf_dir, "orders").select(
         F.expr("o_custkey & 65535").alias("k_x"),
         F.expr(
-            "datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
-            " & 65535"
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+            " AS BIGINT) & 65535"
         ).alias("k_y"),
     )
-    sharded = keyed.select(
+    stacked = keyed.select(
         "k_x",
         "k_y",
-        F.expr(f"shiftright({_MORTON_SPARK}, {ZSHARD_SHIFT})").alias(
-            "z_shard"
-        ),
-        F.expr(f"shiftright(k_y, {DATE_SHARD_DAYS_LOG2})").alias(
-            "d_shard"
+        F.expr(
+            f"stack(2,"
+            f" 'zorder', shiftright({_MORTON_SPARK}, {ZSHARD_SHIFT}),"
+            f" 'datesort', shiftright(k_y, {DATE_SHARD_DAYS_LOG2}))"
+            " AS (layout, shard)"
         ),
     )
-
-    def _score(frame: DataFrame, shard_col: str, label: str) -> DataFrame:
-        per_shard = frame.groupBy(shard_col).agg(
-            F.count("*").alias("n_rows"),
-            (F.max("k_x") - F.min("k_x") + 1).alias("x_span"),
-            (F.max("k_y") - F.min("k_y") + 1).alias("y_span"),
-        )
-        return per_shard.agg(
-            F.count("*").cast("long").alias("n_shards"),
-            F.sum("n_rows").cast("long").alias("n_rows"),
-            F.max("n_rows").cast("long").alias("max_shard_rows"),
-            F.sum("x_span").cast("long").alias("sum_x_span"),
-            F.sum("y_span").cast("long").alias("sum_y_span"),
-            F.sum(F.col("x_span") * F.col("y_span"))
-            .cast("long")
-            .alias("sum_bbox_area"),
-        ).select(F.lit(label).alias("layout"), "*")
-
-    return _score(sharded, "z_shard", "zorder").unionByName(
-        _score(sharded, "d_shard", "datesort")
+    per_shard = stacked.groupBy("layout", "shard").agg(
+        F.count("*").alias("n_rows"),
+        (F.max("k_x") - F.min("k_x") + 1).alias("x_span"),
+        (F.max("k_y") - F.min("k_y") + 1).alias("y_span"),
+    )
+    return per_shard.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_shards"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.max("n_rows").cast("long").alias("max_shard_rows"),
+        F.sum("x_span").cast("long").alias("sum_x_span"),
+        F.sum("y_span").cast("long").alias("sum_y_span"),
+        F.sum(F.col("x_span") * F.col("y_span"))
+        .cast("long")
+        .alias("sum_bbox_area"),
     )

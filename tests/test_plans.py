@@ -1286,3 +1286,53 @@ def test_session_r5c_plan_shapes(spark):
     assert "Join" not in pbit
     # (wk,day,word) agg -> (wk,word) merge -> (wk) rollup
     assert pbit.count("Exchange") <= 3
+
+
+def test_session_r5d_plan_shapes(spark):
+    """Pin the scale-critical physical properties of the fourth-
+    session operator batch:
+
+    - Z-order layout planner: BOTH layouts score from ONE scan of
+      orders (the stack() in-row fan-out — the two-branch union form
+      read the fact once per layout), schema pruned to the two key
+      columns, no Join, ≤2 Exchanges (per-shard agg + layout fold);
+    - join-IVM decomposition: the two ΔC terms carry the broadcast
+      hint (delta-sized at any corpus scale) — at least two
+      BroadcastHashJoins in the plan, and no CartesianProduct;
+    - wallet reflection: no Join at all (two stacked user windows),
+      ONE user-keyed Exchange feeding every window and the final
+      aggregate (the shared-partitioning contract);
+    - sliding distinct: no count-distinct expansion — the plan has no
+      Join against a 7-day spine except the final day-spine semi
+      (the oracle's range join is the REJECTED algorithm), and the
+      membership dedup + island windows share one user Exchange.
+    """
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        return (
+            plans.QUERIES[name](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+
+    pz = plan("pipeline_zorder_layout")
+    assert pz.count("Scan parquet") == 1
+    assert "Join" not in pz
+    assert pz.count("Exchange") <= 2
+    assert "o_custkey" in pz and "o_totalprice" not in pz  # pruned
+
+    pivm = plan("orders_join_ivm_delta")
+    assert pivm.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in pivm
+
+    pw = plan("events_user_balance_reflect")
+    assert "Join" not in pw
+    assert pw.count("Exchange") == 1  # user-keyed, shared end to end
+
+    ps = plan("events_sliding_distinct_exact")
+    assert "SortMergeJoin" not in ps or "users_7d" in ps
+    assert "CartesianProduct" not in ps
+    assert ps.count("Expand") == 0  # no count-distinct expansion

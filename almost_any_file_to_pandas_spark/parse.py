@@ -130,6 +130,13 @@ def parse(
             )
 
             return [read_feather(spark, p, **options)]
+        if extension in (".html", ".htm"):
+            # extension beyond the reference (SURVEY.md §7): every
+            # <table> in the document fans out as its own result —
+            # the web-scraped sibling of the Excel sheet fan-out
+            from almost_any_file_to_pandas_spark.sources.htmltab import read_html
+
+            return read_html(spark, p, **options)
         if extension in (".pk1", ".pickle"):
             from almost_any_file_to_pandas_spark.sources.columnar import read_pickle
 

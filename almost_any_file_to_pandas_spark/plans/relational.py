@@ -4884,3 +4884,111 @@ def orders_join_ivm_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("total_pairs"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+# ---- fixed-basket price indices --------------------------------------
+PRICE_INDEX_BASE_YEAR = 1995
+PRICE_INDEX_CURR_YEAR = 2001
+
+
+@register(
+    "lineitem_price_index_basket",
+    oracle=f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(CASE WHEN year(l_shipdate) = {PRICE_INDEX_BASE_YEAR}
+                 THEN CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS p0_cents,
+             SUM(CASE WHEN year(l_shipdate) = {PRICE_INDEX_BASE_YEAR}
+                 THEN CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                 ELSE 0 END) AS q0,
+             SUM(CASE WHEN year(l_shipdate) = {PRICE_INDEX_CURR_YEAR}
+                 THEN CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS p1_cents,
+             SUM(CASE WHEN year(l_shipdate) = {PRICE_INDEX_CURR_YEAR}
+                 THEN CAST(FLOOR(l_quantity + 0.5) AS BIGINT)
+                 ELSE 0 END) AS q1
+      FROM lineitem
+      WHERE year(l_shipdate) IN ({PRICE_INDEX_BASE_YEAR},
+                                 {PRICE_INDEX_CURR_YEAR})
+      GROUP BY 1
+    ), matched AS (
+      SELECT l_partkey,
+             p0_cents * 1000000 // q0 AS p0u,
+             p1_cents * 1000000 // q1 AS p1u,
+             q0, q1
+      FROM per_part WHERE q0 > 0 AND q1 > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matched_parts,
+           CAST(SUM(CAST(p1u AS HUGEINT) * q0) * 1000000
+                // SUM(CAST(p0u AS HUGEINT) * q0) AS BIGINT)
+             AS laspeyres_q6,
+           CAST(SUM(CAST(p1u AS HUGEINT) * q1) * 1000000
+                // SUM(CAST(p0u AS HUGEINT) * q1) AS BIGINT)
+             AS paasche_q6
+    FROM matched
+    """,
+)
+def lineitem_price_index_basket(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matched-model fixed-basket price indices between a base and a
+    current year: Laspeyres (base-period quantity weights — "what
+    would the old basket cost now") and Paasche (current weights) —
+    the standard pair bracketing true inflation, computed over parts
+    sold in BOTH periods. Per-part unit prices are exact integer
+    micro-cents (``p_cents·1e6 div q`` — whole-unit TPC-H quantities
+    make q an exact integer), and both index numerators/denominators
+    widen to DECIMAL(38,0)/HUGEINT before the product-sum (BIGINT
+    overflows past ~1e5 parts × large weights — the gini/hhi recipe).
+
+    Scale: the year filter is pushed to the parquet scan; ONE hash
+    aggregate with conditional sums builds both periods in a single
+    pass over the fact (no per-period scan, no self-join — the
+    classic two-CTE formulation reads lineitem twice); everything
+    after is part-count-sized. One shuffle total.
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    y0, y1 = PRICE_INDEX_BASE_YEAR, PRICE_INDEX_CURR_YEAR
+    cents = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    qty = "CAST(FLOOR(l_quantity + 0.5) AS BIGINT)"
+    per_part = (
+        li.filter(F.expr(f"year(l_shipdate) IN ({y0}, {y1})"))
+        .groupBy("l_partkey")
+        .agg(
+            F.expr(
+                f"SUM(CASE WHEN year(l_shipdate) = {y0}"
+                f" THEN {cents} ELSE 0 END)"
+            ).alias("p0_cents"),
+            F.expr(
+                f"SUM(CASE WHEN year(l_shipdate) = {y0}"
+                f" THEN {qty} ELSE 0 END)"
+            ).alias("q0"),
+            F.expr(
+                f"SUM(CASE WHEN year(l_shipdate) = {y1}"
+                f" THEN {cents} ELSE 0 END)"
+            ).alias("p1_cents"),
+            F.expr(
+                f"SUM(CASE WHEN year(l_shipdate) = {y1}"
+                f" THEN {qty} ELSE 0 END)"
+            ).alias("q1"),
+        )
+    )
+    matched = per_part.filter("q0 > 0 AND q1 > 0").select(
+        F.expr("p0_cents * 1000000 div q0").alias("p0u"),
+        F.expr("p1_cents * 1000000 div q1").alias("p1u"),
+        "q0",
+        "q1",
+    )
+    return matched.agg(
+        F.count("*").cast("long").alias("n_matched_parts"),
+        F.expr(
+            "CAST(SUM(CAST(p1u AS DECIMAL(38,0)) * q0) * 1000000"
+            " div SUM(CAST(p0u AS DECIMAL(38,0)) * q0) AS BIGINT)"
+        ).alias("laspeyres_q6"),
+        F.expr(
+            "CAST(SUM(CAST(p1u AS DECIMAL(38,0)) * q1) * 1000000"
+            " div SUM(CAST(p0u AS DECIMAL(38,0)) * q1) AS BIGINT)"
+        ).alias("paasche_q6"),
+    )

@@ -236,7 +236,11 @@ def read_spreadsheetml_many(spark: SparkSession, paths):
                         out["sheet_name"].append(sheet_name)
                         out["row_idx"].append(idx)
                         out["cells"].append(row)
-            yield pd.DataFrame(out)
+            # an all-empty dict-of-lists frame infers float64 columns,
+            # which Arrow cannot cast to list<string> — a partition
+            # holding only unparseable files must yield nothing
+            if out["source_file"]:
+                yield pd.DataFrame(out)
 
     files = spark.createDataFrame(
         [(p,) for p in expanded], "path string"

@@ -181,6 +181,7 @@ HEADLINE = [
     "events_sliding_distinct_exact",
     "pipeline_zorder_layout",
     "orders_join_ivm_delta",
+    "lineitem_price_index_basket",
 ]
 
 

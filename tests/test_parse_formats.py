@@ -821,3 +821,125 @@ def test_read_xml_records_native(spark, tmp_path):
     missing = read_xml_records(spark, str(tmp_path / "nope.xml"), "item")
     assert missing.parse_info == "Failed"
     assert missing.data.count() == 0
+
+
+HTML_DOC = """<!DOCTYPE html>
+<html><head><title>t</title><style>td { color: red }</style>
+<script>var x = "<table><tr><td>fake</td></tr></table>";</script>
+</head><body>
+<h1>Report</h1>
+<table>
+  <thead><tr><th>name</th><th>qty</th></tr></thead>
+  <tbody>
+    <tr><td>alpha</td><td>1</td></tr>
+    <tr></tr>
+    <tr><td>beta &amp; co</td><td>2</td></tr>
+  </tbody>
+</table>
+<p>between</p>
+<table>
+  <tr><td colspan="2">wide</td><td rowspan="2">tall</td></tr>
+  <tr><td>a</td><td>b</td></tr>
+  <tr><td>c</td><td>d</td><td>e</td></tr>
+</table>
+</body></html>"""
+
+
+def test_html_multi_table_fanout(spark, fixture_dir):
+    from almost_any_file_to_pandas_spark import parse
+
+    p = fixture_dir / "report.html"
+    p.write_text(HTML_DOC)
+    results = parse(spark, p)
+    assert [r.sheet_name for r in results] == ["table_0", "table_1"]
+    t0 = [tuple(r) for r in results[0].data.collect()]
+    # header row kept as data (all-string contract), empty <tr>
+    # dropped (F1), entity decoded
+    assert t0 == [("name", "qty"), ("alpha", "1"), ("beta & co", "2")]
+    t1 = [tuple(r) for r in results[1].data.collect()]
+    # colspan expands, rowspan carries into the next row
+    assert t1 == [
+        ("wide", "wide", "tall"),
+        ("a", "b", "tall"),
+        ("c", "d", "e"),
+    ]
+    # the <script> containing a fake table must not have parsed
+    assert all("fake" not in c for row in t0 + t1 for c in row)
+
+
+def test_html_nested_and_malformed(spark, fixture_dir):
+    from almost_any_file_to_pandas_spark import parse
+    from almost_any_file_to_pandas_spark.sources.htmltab import (
+        extract_tables,
+    )
+
+    nested = (
+        "<table><tr><td>outer</td><td>"
+        "<table><tr><td>inner</td></tr></table>"
+        "</td></tr></table>"
+    )
+    grids = extract_tables(nested)
+    assert ["inner"] in [row for g in grids for row in g][0:1] or any(
+        ["inner"] == row for g in grids for row in g
+    )
+    assert any("outer" in row for g in grids for row in g)
+
+    # truncated mid-row: salvage keeps the completed prefix
+    p = fixture_dir / "broken.html"
+    p.write_text("<table><tr><td>ok</td></tr><tr><td>half")
+    results = parse(spark, p)
+    assert results[0].parse_info == "OK"
+    rows = [tuple(r) for r in results[0].data.collect()]
+    assert rows[0] == ("ok",)
+
+    # no tables at all -> failed answer, never a raise
+    p2 = fixture_dir / "notables.html"
+    p2.write_text("<html><body><p>prose only</p></body></html>")
+    assert parse(spark, p2)[0].parse_info == "Failed"
+
+
+def test_html_many_corpus(spark, fixture_dir):
+    from almost_any_file_to_pandas_spark.sources.htmltab import (
+        read_html_many,
+    )
+
+    d = fixture_dir / "htmlcorpus"
+    d.mkdir(exist_ok=True)
+    for i in range(3):
+        (d / f"f{i}.html").write_text(
+            f"<table><tr><td>v{i}</td><td>{i}</td></tr></table>"
+        )
+    (d / "junk.html").write_text("no tables here")
+    df = read_html_many(spark, str(d / "*.html"))
+    rows = sorted(
+        (r.source_file.rsplit("/", 1)[-1], r.table_idx, r.row_idx,
+         tuple(r.cells))
+        for r in df.collect()
+    )
+    assert rows == [
+        ("f0.html", 0, 0, ("v0", "0")),
+        ("f1.html", 0, 0, ("v1", "1")),
+        ("f2.html", 0, 0, ("v2", "2")),
+    ]
+
+
+def test_many_readers_survive_all_unparseable_partition(
+    spark, fixture_dir
+):
+    """Regression: a partition containing ONLY unparseable files
+    produced an all-empty dict-of-lists pandas frame whose inferred
+    float64 columns Arrow cannot cast to list<string> — the executor
+    threw instead of contributing zero rows."""
+    from almost_any_file_to_pandas_spark.sources.htmltab import (
+        read_html_many,
+    )
+    from almost_any_file_to_pandas_spark.sources.xmlss import (
+        read_spreadsheetml_many,
+    )
+
+    junk_xml = fixture_dir / "junk_only.xml"
+    junk_xml.write_text("definitely <not xml")
+    assert read_spreadsheetml_many(spark, str(junk_xml)).count() == 0
+    junk_html = fixture_dir / "junk_only.html"
+    junk_html.write_text("prose, zero tables")
+    assert read_html_many(spark, str(junk_html)).count() == 0

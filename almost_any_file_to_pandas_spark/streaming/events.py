@@ -893,3 +893,55 @@ def events_sessionizer_stateful_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+STREAM_JOIN_WINDOW_HOURS = 1   # purchase must land within 1h of the view
+STREAM_JOIN_WATERMARK = "2 hours"  # state-eviction horizon, both sides
+
+
+def events_stream_stream_join(
+    spark: SparkSession, views_dir: str, purchases_dir: str, schema
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — the stateful join class
+    (vs :func:`events_stream_enrich`'s stateless stream-static kind):
+    each view event joins every purchase by the same user landing
+    within ``STREAM_JOIN_WINDOW_HOURS`` after it. Both sides carry a
+    watermark and the join predicate carries the explicit event-time
+    range — the two conditions Spark needs to bound join state: a
+    buffered view can be evicted once the purchase-side watermark
+    passes ``v_ts + window``, so state is O(events within the
+    watermark horizon), not O(stream history).
+
+    At 100 TB/day the state store holds only the horizon's events per
+    key — the join never materializes stream history; skewed users
+    are bounded by the same horizon. The batch twin (the test pins
+    equality) is the same range join over static frames; the asof /
+    time-to-convert family covers the oracle-paired batch semantics.
+    """
+    views = (
+        spark.readStream.schema(schema)
+        .parquet(views_dir)
+        .withWatermark("ts", STREAM_JOIN_WATERMARK)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(purchases_dir)
+        .withWatermark("ts", STREAM_JOIN_WATERMARK)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    return views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts"
+            f" AND p_ts <= v_ts + interval {STREAM_JOIN_WINDOW_HOURS} hour"
+        ),
+    ).select("v_user", "view_id", "purchase_id")

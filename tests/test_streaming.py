@@ -273,3 +273,58 @@ def test_stateful_sessionizer_matches_batch_closed_sessions(
         for r in closed.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_join_matches_batch_range_join(
+    spark, events_source, tmp_path
+):
+    """Watermarked stream-stream join (views x purchases within 1h)
+    must emit exactly the pairs the batch range join over the same
+    static frames produces. availableNow processes the full history,
+    so the watermark only bounds state, never drops — append output
+    is the complete pair set."""
+    from almost_any_file_to_pandas_spark.streaming.events import (
+        STREAM_JOIN_WINDOW_HOURS,
+        events_stream_stream_join,
+    )
+
+    ev = spark.read.parquet(events_source)
+    schema = ev.schema
+    views_dir = str(tmp_path / "views")
+    purchases_dir = str(tmp_path / "purchases")
+    ev.filter(F.col("event_type") == "view").write.parquet(views_dir)
+    ev.filter(F.col("event_type") == "purchase").write.parquet(
+        purchases_dir
+    )
+
+    joined = events_stream_stream_join(
+        spark, views_dir, purchases_dir, schema
+    )
+    q = _run_to_memory(joined, "ss_join", "append")
+    got = {
+        (r.v_user, r.view_id, r.purchase_id)
+        for r in spark.table("ss_join").collect()
+    }
+    q.stop()
+
+    v = spark.read.parquet(views_dir).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = spark.read.parquet(purchases_dir).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = {
+        (r.v_user, r.view_id, r.purchase_id)
+        for r in v.join(
+            p,
+            F.expr(
+                "v_user = p_user AND p_ts >= v_ts AND"
+                f" p_ts <= v_ts + interval {STREAM_JOIN_WINDOW_HOURS} hour"
+            ),
+        ).collect()
+    }
+    assert got == want and len(want) > 0

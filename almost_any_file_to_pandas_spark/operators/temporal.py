@@ -2058,3 +2058,77 @@ def events_sliding_distinct_exact(
     )
     spine = ev.select(F.to_date("ts").alias("day")).distinct()
     return run.join(spine, "day").select("day", "users_7d")
+
+
+ROLLING_MEDIAN_N = 7  # trailing-frame width (this event + 6 prior)
+
+
+@register(
+    "events_user_rolling_median7",
+    oracle=f"""
+    WITH cents AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ), framed AS (
+      SELECT user_id, event_id,
+             list_sort(list(v) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id
+                                     ROWS {ROLLING_MEDIAN_N - 1} PRECEDING))
+               AS win
+      FROM cents
+    )
+    SELECT user_id, event_id,
+           CAST(win[(len(win) + 1) // 2] AS BIGINT)
+             AS rolling_median_cents
+    FROM framed
+    """,
+)
+def events_user_rolling_median7(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing rolling MEDIAN of purchase value per user (this event
+    plus up to 6 predecessors) — the robust spend-level tracker a
+    rolling mean cannot be (one whale purchase drags a mean for 7
+    rows; the median shrugs). Exact, not sketched: the frame is a
+    compile-time constant 7, so the window materializes ≤7 integer
+    cents per row (``collect_list`` over a bounded ROWS frame —
+    bounded state by construction), sorts in-row, and picks the lower
+    median at index ``(n+1) div 2``. All JVM built-ins, no UDF.
+
+    Both engines run the IDENTICAL algorithm (bounded list → sort →
+    1-indexed lower-median pick), so ties and odd/even frames agree
+    exactly — integer cents end to end, ORDER BY (event-time,
+    event_id) total order.
+
+    Scale: one user-keyed shuffle (the shared per-user partitioning);
+    per-row cost is O(7 log 7); output is event-sized. A data-
+    dependent frame width would make state unbounded — that variant
+    belongs to the sketch family, not here.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    cents = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-(ROLLING_MEDIAN_N - 1), 0)
+    )
+    return (
+        cents.withColumn(
+            "win", F.array_sort(F.collect_list("v").over(w))
+        ).select(
+            "user_id",
+            "event_id",
+            F.expr(
+                "CAST(element_at(win, CAST((size(win) + 1) div 2 AS INT))"
+                " AS BIGINT)"
+            ).alias("rolling_median_cents"),
+        )
+    )

@@ -111,6 +111,7 @@ def test_hot_key_shapes_match_oracle(spark, skewed_events_dir):
         "events_hourly_quantiles_by_type",
         "events_sliding_distinct_exact",
         "events_user_balance_reflect",
+        "events_user_rolling_median7",
     ):
         _gate_compare(spark, skewed_events_dir, q)
 

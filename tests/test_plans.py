@@ -1332,6 +1332,11 @@ def test_session_r5d_plan_shapes(spark):
     assert "Join" not in pw
     assert pw.count("Exchange") == 1  # user-keyed, shared end to end
 
+    pm = plan("events_user_rolling_median7")
+    assert "Join" not in pm
+    assert pm.count("Exchange") == 1  # one user-keyed shuffle
+    assert "collect_list" in pm and "Expand" not in pm
+
     ps = plan("events_sliding_distinct_exact")
     assert "SortMergeJoin" not in ps or "users_7d" in ps
     assert "CartesianProduct" not in ps

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from almost_any_file_to_pandas_spark.plans import register, table
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
@@ -651,4 +652,118 @@ def feat_price_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("price"), 2).alias("min_price"),
             F.round(F.max("price"), 2).alias("max_price"),
         )
+    )
+
+
+KFOLDS = 5  # deterministic hash folds for out-of-fold encoding
+
+_FOLD_SQL = (
+    "(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT"
+    f" % {KFOLDS})"
+)
+
+
+@register(
+    "feat_target_encode_oof",
+    oracle=f"""
+    WITH joined AS (
+      SELECT c.c_mktsegment AS seg, {_FOLD_SQL} AS fold,
+             CAST(CAST(o.o_totalprice AS DECIMAL(25,6)) * 1000000
+                  AS HUGEINT) AS t_u
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cells AS (
+      SELECT seg, fold, COUNT(*) AS n_cell, SUM(t_u) AS sum_cell
+      FROM joined GROUP BY seg, fold
+    ), walked AS (
+      SELECT seg, fold, n_cell,
+             SUM(n_cell) OVER (PARTITION BY seg) - n_cell AS n_oof,
+             SUM(sum_cell) OVER (PARTITION BY seg) - sum_cell AS sum_oof,
+             SUM(n_cell) OVER () - SUM(n_cell) OVER (PARTITION BY fold)
+               AS gn_oof,
+             SUM(sum_cell) OVER ()
+               - SUM(sum_cell) OVER (PARTITION BY fold) AS gsum_oof
+      FROM cells
+    )
+    SELECT seg AS c_mktsegment, fold, CAST(n_cell AS BIGINT) AS n_in_fold,
+           CAST(n_oof AS BIGINT) AS n_oof,
+           CAST((sum_oof * gn_oof + {TARGET_ENCODE_ALPHA} * gsum_oof)
+                // (gn_oof * (n_oof + {TARGET_ENCODE_ALPHA}))
+                AS BIGINT) AS oof_enc_q6
+    FROM walked
+    """,
+)
+def feat_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold smoothed target encoding — the LEAKAGE-FREE form of
+    ``feat_segment_target_encode``: each (segment, fold) cell is
+    encoded from the OTHER folds' rows only, so a model trained on
+    fold f never sees its own targets inside the feature (the classic
+    target-leak that inflates offline metrics). Fold assignment is the
+    house md5-prefix hash of the order key — deterministic, engine-
+    portable, partitioning-independent.
+
+    One pass computes everything: the corpus reduces to the
+    (segment × fold) cell grid (≤ 5·{KFOLDS} rows at any corpus
+    size), and three window sums over that bounded grid derive
+    per-segment leave-fold-out sums, plus the leave-fold-out GLOBAL
+    prior (the shrinkage target must exclude the fold too, or the
+    prior itself leaks). The shrunk mean uses the house all-integer
+    recipe: ``(Σoof·Ngoof + α·Σgoof) / (Goof·(noof+α))`` in
+    DECIMAL(38,0)/HUGEINT, exact q6 out.
+
+    Scale: one broadcast dim join + ONE map-side-combinable shuffle
+    to the cell grid; windows touch only the grid. Same cost shape as
+    the in-fold encoder — leakage-freedom is free at scale.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    fold = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % KFOLDS
+    )
+    t_u = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 1000000"
+        " AS DECIMAL(38,0))"
+    )
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        fold.alias("fold"),
+        t_u.alias("t_u"),
+    )
+    cells = joined.groupBy("seg", "fold").agg(
+        F.count("*").alias("n_cell"), F.sum("t_u").alias("sum_cell")
+    )
+    by_seg = W.partitionBy("seg")
+    by_fold = W.partitionBy("fold")
+    allw = W.partitionBy()
+    walked = cells.select(
+        "seg",
+        "fold",
+        "n_cell",
+        (F.sum("n_cell").over(by_seg) - F.col("n_cell")).alias("n_oof"),
+        (F.sum("sum_cell").over(by_seg) - F.col("sum_cell")).alias(
+            "sum_oof"
+        ),
+        (
+            F.sum("n_cell").over(allw) - F.sum("n_cell").over(by_fold)
+        ).alias("gn_oof"),
+        (
+            F.sum("sum_cell").over(allw) - F.sum("sum_cell").over(by_fold)
+        ).alias("gsum_oof"),
+    )
+    return walked.select(
+        F.col("seg").alias("c_mktsegment"),
+        "fold",
+        F.expr("CAST(n_cell AS BIGINT)").alias("n_in_fold"),
+        F.expr("CAST(n_oof AS BIGINT)").alias("n_oof"),
+        F.expr(
+            f"CAST((sum_oof * gn_oof + {TARGET_ENCODE_ALPHA} * gsum_oof)"
+            f" div (gn_oof * (n_oof + {TARGET_ENCODE_ALPHA}))"
+            " AS BIGINT)"
+        ).alias("oof_enc_q6"),
     )

@@ -561,3 +561,137 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("lab").alias("community")).agg(
         F.count("*").alias("n_members")
     )
+
+
+KCORE_K = 2  # degree floor of the core
+KCORE_ROUNDS = 3  # fixed synchronous peels (converged at tested SFs)
+
+
+def _kcore_sql() -> str:
+    """Unrolled fixed-round k-core peel: each round recounts degrees
+    on the surviving edge set and drops vertices below KCORE_K — the
+    same synchronous recursion both engines run, unrolled because the
+    oracle dialect has no iteration."""
+    rounds = []
+    prev = "e0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""
+    , d{r - 1} AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT u1 AS v FROM {prev} UNION ALL SELECT u2 FROM {prev}
+      ) GROUP BY v
+    ), s{r} AS (SELECT v FROM d{r - 1} WHERE d >= {KCORE_K})
+    , e{r} AS MATERIALIZED (
+      SELECT u1, u2 FROM {prev}
+      WHERE u1 IN (SELECT v FROM s{r})
+        AND u2 IN (SELECT v FROM s{r})
+    )"""
+        )
+        prev = f"e{r}"
+    summaries = [
+        "SELECT 0 AS round,"
+        " (SELECT COUNT(*) FROM d0) AS n_vertices,"
+        " (SELECT COUNT(*) FROM e0) AS n_edges"
+    ] + [
+        f"SELECT {r}, (SELECT COUNT(*) FROM s{r}),"
+        f" (SELECT COUNT(*) FROM e{r})"
+        for r in range(1, KCORE_ROUNDS + 1)
+    ]
+    return f"""
+    WITH cells AS MATERIALIZED (
+      SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+    ), hours_ok AS ({_HOURS_OK_SQL}
+    ), pair_counts AS MATERIALIZED (
+      SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS c
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+      JOIN hours_ok ho ON ho.h = a.h
+      GROUP BY a.user_id, b.user_id
+    ), cut AS (
+      SELECT {EDGE_FACTOR} * AVG(c) AS threshold FROM pair_counts
+    ), e0 AS MATERIALIZED (
+      SELECT u1, u2 FROM pair_counts CROSS JOIN cut
+      WHERE c > cut.threshold
+    ){''.join(rounds)}
+    {' UNION ALL '.join(summaries)}
+    """
+
+
+@register("graph_kcore_trajectory", oracle=_kcore_sql())
+def graph_kcore_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core peel trajectory of the hour-co-activity graph:
+    per synchronous round, how many vertices still meet the degree
+    floor and how many edges survive. The k-core is the standard
+    "dense kernel" extractor (Seidman 1983) — the bot-ring /
+    power-clique signal that degree alone misses (a vertex with many
+    edges to PERIPHERAL vertices peels away once they do). The
+    trajectory flattening (round r == round r-1) shows convergence in
+    the output itself rather than asserting it.
+
+    Determinism: fixed {KCORE_ROUNDS} synchronous rounds on both
+    engines (the oracle unrolls them as CTEs), so the result is exact
+    regardless of whether the peel has converged at an untested SF —
+    the fixed-round LPA discipline.
+
+    Scale: the edge build is the shared capped-bucket machinery (one
+    shuffle, skew-capped hours, corpus-sized); every peel round after
+    it runs on the THRESHOLDED edge list (orders of magnitude smaller
+    than the corpus) — one degree aggregate + two semi-joins, with a
+    localCheckpoint per round for constant-depth lineage, PageRank's
+    iterative discipline. Production k-max core numbers would loop
+    until fixpoint with the same round body.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    cells = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
+    ).distinct()
+    co = _pairs_within_buckets(cells, "user_id", ["h"], distinct=False)
+    pair_counts = (
+        co.groupBy(F.col("doc_a").alias("u1"), F.col("doc_b").alias("u2"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    cut = pair_counts.agg(
+        (F.lit(EDGE_FACTOR) * F.avg("c")).alias("threshold")
+    )
+    edges = (
+        pair_counts.crossJoin(F.broadcast(cut))
+        .filter(F.col("c") > F.col("threshold"))
+        .select("u1", "u2")
+        .localCheckpoint(eager=True)
+    )
+
+    def endpoints(e: DataFrame) -> DataFrame:
+        return e.select(F.col("u1").alias("v")).unionAll(
+            e.select(F.col("u2").alias("v"))
+        )
+
+    def summary(rnd: int, n_vertices: DataFrame, e: DataFrame) -> DataFrame:
+        return (
+            n_vertices.agg(F.count("*").alias("n_vertices"))
+            .crossJoin(e.agg(F.count("*").alias("n_edges")))
+            .select(
+                F.lit(rnd).alias("round"), "n_vertices", "n_edges"
+            )
+        )
+
+    deg = endpoints(edges).groupBy("v").agg(F.count("*").alias("d"))
+    out = summary(0, deg, edges)
+    for r in range(1, KCORE_ROUNDS + 1):
+        # localCheckpoint breaks lineage, so the survivor semi-joins
+        # below compare fresh attributes — never the same-lineage
+        # trivially-true predicate the skyline fixture pins.
+        surv = deg.filter(F.col("d") >= KCORE_K).select("v")
+        surv = surv.localCheckpoint(eager=True)
+        edges = (
+            edges.join(
+                surv.withColumnRenamed("v", "u1"), "u1", "left_semi"
+            )
+            .join(surv.withColumnRenamed("v", "u2"), "u2", "left_semi")
+            .select("u1", "u2")
+            .localCheckpoint(eager=True)
+        )
+        deg = endpoints(edges).groupBy("v").agg(F.count("*").alias("d"))
+        out = out.unionAll(summary(r, surv, edges))
+    return out

@@ -2132,3 +2132,110 @@ def events_user_rolling_median7(
             ).alias("rolling_median_cents"),
         )
     )
+
+
+MASE_SEASON_LAG = 12  # months; naive competitor is lag-1
+
+
+@register(
+    "orders_seasonal_naive_mase",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), lagged AS (
+      SELECT mkey, rev,
+             CASE WHEN lag(mkey, {MASE_SEASON_LAG})
+                       OVER (ORDER BY mkey) = mkey - {MASE_SEASON_LAG}
+                  THEN lag(rev, {MASE_SEASON_LAG}) OVER (ORDER BY mkey)
+             END AS rev_season,
+             CASE WHEN lag(mkey, 1) OVER (ORDER BY mkey) = mkey - 1
+                  THEN lag(rev, 1) OVER (ORDER BY mkey)
+             END AS rev_naive
+      FROM monthly
+    ), folded AS (
+      SELECT COUNT(*) AS n_eval,
+             SUM(ABS(rev - rev_season)) AS sae_s,
+             SUM(ABS(rev - rev_naive)) AS sae_n
+      FROM lagged
+      WHERE rev_season IS NOT NULL AND rev_naive IS NOT NULL
+    )
+    SELECT CAST(n_eval AS BIGINT) AS n_eval,
+           CAST(sae_s AS BIGINT) AS sae_seasonal_cents,
+           CAST(sae_n AS BIGINT) AS sae_naive_cents,
+           CAST(CASE WHEN sae_n = 0 THEN NULL
+                ELSE CAST(sae_s AS HUGEINT) * 1000000 // sae_n
+                END AS BIGINT) AS mase_q6
+    FROM folded
+    """,
+)
+def orders_seasonal_naive_mase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecast backtest: does a seasonal-naive model (predict this
+    month = same month last year) beat the one-step naive (predict
+    this month = last month) on monthly revenue? The ratio of their
+    absolute-error sums is MASE (Hyndman & Koehler 2006) with the
+    naive MAE as the scale — the unit-free forecast-quality number a
+    demand pipeline tracks per backfill. mase_q6 < 1e6 means
+    seasonality carries signal beyond drift.
+
+    Both lags run over the month spine keyed by the INTEGER month
+    index ``year·12 + month`` (engine-neutral arithmetic, no interval
+    types), and each lag validates its distance (``lag(mkey,k) =
+    mkey−k``) so calendar gaps at tiny SFs yield NULL forecasts
+    rather than silently comparing wrong months; evaluation restricts
+    to months where BOTH forecasts exist, so the two error sums are
+    over the identical month set. Integer cents end to end; the q6
+    ratio widens to DECIMAL(38,0)/HUGEINT before dividing.
+
+    Scale: one corpus-sized map-side-combinable aggregate reduces
+    orders to the calendar-bounded monthly frame (≤ a few hundred
+    rows at ANY corpus size); the unpartitioned lag window runs over
+    that frame only — the module's bounded-model-state discipline.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+            "mkey"
+        )
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("rev")
+    )
+    w = W.orderBy("mkey")
+    lagged = monthly.select(
+        "mkey",
+        "rev",
+        F.when(
+            F.lag("mkey", MASE_SEASON_LAG).over(w)
+            == F.col("mkey") - MASE_SEASON_LAG,
+            F.lag("rev", MASE_SEASON_LAG).over(w),
+        ).alias("rev_season"),
+        F.when(
+            F.lag("mkey", 1).over(w) == F.col("mkey") - 1,
+            F.lag("rev", 1).over(w),
+        ).alias("rev_naive"),
+    )
+    folded = lagged.filter(
+        F.col("rev_season").isNotNull() & F.col("rev_naive").isNotNull()
+    ).agg(
+        F.count("*").alias("n_eval"),
+        F.sum(F.abs(F.col("rev") - F.col("rev_season"))).alias("sae_s"),
+        F.sum(F.abs(F.col("rev") - F.col("rev_naive"))).alias("sae_n"),
+    )
+    return folded.select(
+        F.expr("CAST(n_eval AS BIGINT)").alias("n_eval"),
+        F.expr("CAST(sae_s AS BIGINT)").alias("sae_seasonal_cents"),
+        F.expr("CAST(sae_n AS BIGINT)").alias("sae_naive_cents"),
+        F.expr(
+            "CAST(CASE WHEN sae_n = 0 THEN NULL"
+            " ELSE CAST(sae_s AS DECIMAL(38,0)) * 1000000 div sae_n"
+            " END AS BIGINT)"
+        ).alias("mase_q6"),
+    )

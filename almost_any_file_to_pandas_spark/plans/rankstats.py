@@ -1177,3 +1177,121 @@ def orders_mix_shift_decomposition(
             " AS BIGINT)"
         ).alias("interaction_cents"),
     )
+
+
+@register(
+    "orders_ks_priority_shift",
+    oracle=f"""
+    WITH census AS (
+      SELECT {CENTS} AS cents,
+             SUM(CASE WHEN o_orderpriority = '{MW_GROUP_A}'
+                 THEN 1 ELSE 0 END) AS a_v,
+             SUM(CASE WHEN o_orderpriority = '{MW_GROUP_B}'
+                 THEN 1 ELSE 0 END) AS b_v
+      FROM orders
+      WHERE o_orderpriority IN ('{MW_GROUP_A}', '{MW_GROUP_B}')
+      GROUP BY 1
+    ), walk AS (
+      SELECT cents,
+             SUM(a_v) OVER (ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS a_le,
+             SUM(b_v) OVER (ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS b_le,
+             SUM(a_v) OVER () AS n_a,
+             SUM(b_v) OVER () AS n_b
+      FROM census
+    ), diffs AS (
+      SELECT cents, n_a, n_b,
+             ABS(CAST(n_b AS HUGEINT) * a_le
+                 - CAST(n_a AS HUGEINT) * b_le) AS dd
+      FROM walk
+    ), topd AS (
+      SELECT cents, n_a, n_b, dd,
+             MAX(dd) OVER () AS d_wide
+      FROM diffs
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(d_wide AS BIGINT) AS d_num,
+           CAST(d_wide * 1000000
+                // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_q6,
+           MIN(cents) AS d_at_cents
+    FROM topd
+    WHERE dd = d_wide
+    GROUP BY n_a, n_b, d_wide
+    """,
+)
+def orders_ks_priority_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between URGENT and LOW
+    order-value distributions — the distribution-shift alarm that
+    sees SHAPE changes (variance, bimodality) the Mann-Whitney
+    location test is blind to; together they are the standard drift
+    pair.
+
+    Exactness: at every distinct cents value the scaled ECDF gap
+    ``|n_b·A≤(x) − n_a·B≤(x)|`` is an integer (both ECDFs put on the
+    common denominator ``n_a·n_b``), so the supremum D is an exact
+    integer maximum — no float ECDFs, no epsilon. ``ks_q6`` is
+    ``D/(n_a·n_b)`` in exact q6 fixed point; ``d_at_cents`` is the
+    smallest value attaining the supremum (deterministic argmax via
+    filter-to-max + MIN, never an unspecified-tie-break max_by).
+
+    Scale: the corpus reduces to the value CENSUS (distinct cents —
+    bounded by the price domain, not the row count) in one map-side-
+    combinable aggregate; the walk window runs over that bounded
+    frame only, the module's standing discipline. Products widen to
+    DECIMAL(38,0)/HUGEINT before the final BIGINT cast.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    census = (
+        orders.filter(
+            F.col("o_orderpriority").isin(MW_GROUP_A, MW_GROUP_B)
+        )
+        .groupBy(F.expr(CENTS).alias("cents"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority") == MW_GROUP_A, 1
+                ).otherwise(0)
+            ).alias("a_v"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority") == MW_GROUP_B, 1
+                ).otherwise(0)
+            ).alias("b_v"),
+        )
+    )
+    cum = W.orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    tot = W.partitionBy()
+    diffs = census.select(
+        "cents",
+        F.sum("a_v").over(tot).alias("n_a"),
+        F.sum("b_v").over(tot).alias("n_b"),
+        F.sum("a_v").over(cum).alias("a_le"),
+        F.sum("b_v").over(cum).alias("b_le"),
+    ).select(
+        "cents",
+        "n_a",
+        "n_b",
+        F.expr(
+            "ABS(CAST(n_b AS DECIMAL(38,0)) * a_le"
+            " - CAST(n_a AS DECIMAL(38,0)) * b_le)"
+        ).alias("dd"),
+    )
+    return (
+        diffs.withColumn("d_wide", F.max("dd").over(tot))
+        .filter(F.col("dd") == F.col("d_wide"))
+        .groupBy("n_a", "n_b", "d_wide")
+        .agg(F.min("cents").alias("d_at_cents"))
+        .select(
+            F.expr("CAST(n_a AS BIGINT)").alias("n_a"),
+            F.expr("CAST(n_b AS BIGINT)").alias("n_b"),
+            F.expr("CAST(d_wide AS BIGINT)").alias("d_num"),
+            F.expr(
+                "CAST(d_wide * 1000000"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("ks_q6"),
+            "d_at_cents",
+        )
+    )

@@ -182,6 +182,13 @@ HEADLINE = [
     "pipeline_zorder_layout",
     "orders_join_ivm_delta",
     "lineitem_price_index_basket",
+    # fifth-session operators (appended; prior slots frozen): bounded
+    # rolling-median frame, KS census walk, monthly MASE backtest,
+    # fixed-round k-core peel
+    "events_user_rolling_median7",
+    "orders_ks_priority_shift",
+    "orders_seasonal_naive_mase",
+    "graph_kcore_trajectory",
 ]
 
 

@@ -81,6 +81,10 @@ QUERIES_UNDER_TEST = [
     # distributed-prefix-sum rank cut and RANGE-frame credit split
     "customer_abc_classification",
     "events_attribution_linear",
+    # supremum argmax over the value census (filter-to-max + MIN) and
+    # the data-derived edge threshold feeding fixed-round peels
+    "orders_ks_priority_shift",
+    "graph_kcore_trajectory",
 ]
 
 

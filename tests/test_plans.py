@@ -1341,3 +1341,36 @@ def test_session_r5d_plan_shapes(spark):
     assert "SortMergeJoin" not in ps or "users_7d" in ps
     assert "CartesianProduct" not in ps
     assert ps.count("Expand") == 0  # no count-distinct expansion
+
+
+def test_session_r5e_plan_shapes(spark):
+    """Round-5 fifth-session additions: KS census walk, MASE monthly
+    backtest, k-core peel. The statistics pair must stay single-scan
+    (bounded-frame windows, no self-join branches); the k-core result
+    must read ONLY checkpointed edge RDDs — the corpus scan happens
+    once at build time, never in the returned plan."""
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    sf = "/root/testdata/sf0.001"
+
+    def plan(name):
+        return (
+            plans.QUERIES[name](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+
+    pk = plan("orders_ks_priority_shift")
+    assert pk.count("Scan parquet") == 1  # no duplicated census branch
+    assert "Join" not in pk
+    assert "PushedFilters: [In(o_orderpriority" in pk
+
+    pm = plan("orders_seasonal_naive_mase")
+    assert pm.count("Scan parquet") == 1
+    assert "Join" not in pm
+    assert pm.count("Window") == 1  # both lags share one spec
+
+    pc = plan("graph_kcore_trajectory")
+    assert pc.count("Scan parquet") == 0  # all rounds checkpointed
+    assert "CartesianProduct" not in pc
+    assert pc.count("Union") >= 1

@@ -898,3 +898,196 @@ def events_attribution_linear(
             " END) AS BIGINT)"
         ).alias("credited_q6c"),
     )
+
+
+ATTR_ITERS = 8  # fixed value-iteration rounds for absorption probs
+ATTR_Q = 10**12  # q12 fixed point, the Markov-family scale
+_ST, _CV, _NU = "__start__", "__conv__", "__null__"
+
+
+def _removal_effect_sql() -> str:
+    """Unrolled fixed-round absorption value iteration, vectorized
+    over (channel × state) so the channel list stays data-derived —
+    no hardcoded type names; '__none__' rides along as the unremoved
+    baseline."""
+    head = f"""
+    WITH seq AS (
+      SELECT user_id,
+             array_agg(event_type
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS types
+      FROM events GROUP BY user_id
+    ), jny AS (
+      SELECT CASE WHEN COALESCE(list_position(types, 'purchase'), 0) > 0
+                  THEN types[1:list_position(types, 'purchase')]
+                  ELSE types END AS j,
+             COALESCE(list_position(types, 'purchase'), 0) > 0 AS conv
+      FROM seq
+    ), aug AS (
+      SELECT list_concat(list_concat(
+               ['{_ST}'],
+               list_transform(j, t -> CASE WHEN t = 'purchase'
+                                      THEN '{_CV}' ELSE t END)),
+               CASE WHEN conv THEN CAST([] AS VARCHAR[])
+                    ELSE ['{_NU}'] END) AS a
+      FROM jny
+    ), bi AS (
+      SELECT unnest(list_transform(
+               range(1, len(a)),
+               i -> {{'src': a[i], 'dst': a[i+1]}})) AS pair
+      FROM aug
+    ), counts AS (
+      SELECT pair.src AS src, pair.dst AS dst,
+             CAST(COUNT(*) AS HUGEINT) AS c
+      FROM bi GROUP BY pair.src, pair.dst
+    ), rsums AS (
+      SELECT src, SUM(c) AS r FROM counts GROUP BY src
+    ), mat AS MATERIALIZED (
+      SELECT c.src, c.dst, c.c, rs.r FROM counts c
+      JOIN rsums rs ON rs.src = c.src
+    ), channels AS MATERIALIZED (
+      SELECT DISTINCT event_type AS ch FROM events
+      WHERE event_type <> 'purchase'
+      UNION ALL SELECT '__none__'
+    ), it0 AS (
+      SELECT ch.ch, m.src AS s, CAST(0 AS HUGEINT) AS p
+      FROM channels ch CROSS JOIN (SELECT DISTINCT src FROM mat) m
+    )"""
+    rounds = []
+    for i in range(1, ATTR_ITERS + 1):
+        rounds.append(f""", it{i} AS (
+      SELECT ch.ch, m.src AS s,
+             CAST(SUM(CASE WHEN m.dst = '{_CV}'
+                           THEN m.c * {ATTR_Q} // m.r
+                           WHEN m.dst = '{_NU}' OR m.dst = ch.ch THEN 0
+                           ELSE m.c * COALESCE(p.p, 0) // m.r
+                      END) AS HUGEINT) AS p
+      FROM channels ch CROSS JOIN mat m
+      LEFT JOIN it{i - 1} p ON p.ch = ch.ch AND p.s = m.dst
+      GROUP BY ch.ch, m.src
+    )"""
+        )
+    return (
+        head
+        + "".join(rounds)
+        + f"""
+    , final AS (
+      SELECT ch, p FROM it{ATTR_ITERS} WHERE s = '{_ST}'
+    ), base AS (
+      SELECT p AS pb FROM final WHERE ch = '__none__'
+    )
+    SELECT f.ch AS channel,
+           CAST(f.p AS BIGINT) AS p_conv_q12,
+           CAST(b.pb AS BIGINT) AS p_base_q12,
+           CAST(CASE WHEN b.pb = 0 THEN NULL
+                ELSE GREATEST(b.pb - f.p, 0) * 1000000 // b.pb
+                END AS BIGINT) AS removal_q6
+    FROM final f CROSS JOIN base b
+    """
+    )
+
+
+@register("events_attribution_removal", oracle=_removal_effect_sql())
+def events_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016): each
+    channel's credit is how much the journey chain's conversion
+    probability DROPS when that channel is knocked out — the
+    counterfactual the last-touch / linear rules in this family
+    approximate. Journeys run START → events (truncated at the first
+    purchase → CONV) → NULL if no purchase; removing a channel pins
+    its absorption value to zero, so paths through it convert
+    nothing.
+
+    Exact fixed-point arithmetic: {ATTR_ITERS} synchronous value-
+    iteration rounds in q12 — per-term ``c·p[dst] div r`` with
+    HUGEINT / Python-bigint products, the events_markov_stationary
+    recipe — vectorized over (channel × state) so every removal and
+    the '__none__' baseline run the identical rule; ``removal_q6``
+    is the q6 relative drop, clamped at 0 (truncation can nudge an
+    ~zero-credit channel a few q12 units either way; the true value
+    is nonnegative). Driver-side division is routed through the same
+    truncating semantics as the engines' integer div.
+
+    Scale shape: the corpus pays ONE per-user sequence shuffle (the
+    family's shared aggregate); the chain is DOMAIN-sized (|types|²)
+    so the iteration runs driver-side in exact bigints over the
+    collected matrix — bounded-model-state discipline. Channel count
+    multiplies the tiny iteration, never the corpus pass.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    types = F.transform(F.col("evs"), lambda x: x["event_type"])
+    seq = seq.select(types.alias("types"))
+    idx = F.array_position(F.col("types"), "purchase")
+    conv = idx > 0
+    j = F.when(conv, F.slice(F.col("types"), 1, idx.cast("int"))).otherwise(
+        F.col("types")
+    )
+    mapped = F.transform(
+        j, lambda t: F.when(t == "purchase", _CV).otherwise(t)
+    )
+    a = F.concat(
+        F.array(F.lit(_ST)),
+        mapped,
+        F.when(conv, F.array().cast("array<string>")).otherwise(
+            F.array(F.lit(_NU))
+        ),
+    )
+    seq = seq.select(a.alias("a"))
+    n = F.size(F.col("a"))
+    pairs = F.zip_with(
+        F.slice(F.col("a"), 1, n - 1),
+        F.slice(F.col("a"), 2, n - 1),
+        lambda x, y: F.struct(x.alias("src"), y.alias("dst")),
+    )
+    counts = (
+        seq.select(F.explode(pairs).alias("pair"))
+        .select(
+            F.col("pair.src").alias("src"),
+            F.col("pair.dst").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("c"))
+    )
+    rsums = counts.groupBy("src").agg(F.sum("c").alias("r"))
+    mat = [
+        (row["src"], row["dst"], int(row["c"]), int(row["r"]))
+        for row in counts.join(rsums, "src").collect()
+    ]  # domain-sized: (|types|+2)² ceiling
+    states = sorted({m[0] for m in mat})
+    channels = sorted(
+        {m[0] for m in mat if m[0] not in (_ST,)}
+        | {m[1] for m in mat if m[1] not in (_CV, _NU)}
+    ) + ["__none__"]
+
+    def absorb(removed: str) -> int:
+        p = {s: 0 for s in states}
+        for _ in range(ATTR_ITERS):
+            nxt = {s: 0 for s in states}
+            for src, dst, c, r in mat:
+                if dst == _CV:
+                    nxt[src] += c * ATTR_Q // r
+                elif dst == _NU or dst == removed:
+                    pass
+                else:
+                    nxt[src] += c * p.get(dst, 0) // r
+            p = nxt
+        return p.get(_ST, 0)
+
+    pb = absorb("__none__")
+    rows = []
+    for ch in channels:
+        pf = absorb(ch)
+        removal = (
+            None if pb == 0 else max(pb - pf, 0) * 10**6 // pb
+        )
+        rows.append((ch, pf, pb, removal))
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_conv_q12 bigint, p_base_q12 bigint,"
+        " removal_q6 bigint",
+    )

@@ -1531,3 +1531,114 @@ def sim_binary_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dot_q12",
         )
     )
+
+
+MUTUAL_K = 3  # in-bucket kNN width for the mutual filter
+
+
+@register(
+    "sim_mutual_knn_pairs",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             {_ivf_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS src, c.vec_id AS dst,
+             ROUND({_cosine_sql('a.embedding', 'c.embedding')}, 6)
+               AS cosine
+      FROM b a JOIN b c
+        ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT src, dst, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+      FROM scored
+    ), edges AS MATERIALIZED (
+      SELECT src, dst, cosine, rk FROM ranked WHERE rk <= {MUTUAL_K}
+    )
+    SELECT e1.src AS vec_a, e1.dst AS vec_b, e1.cosine,
+           e1.rk AS rank_ab, e2.rk AS rank_ba
+    FROM edges e1 JOIN edges e2
+      ON e1.src = e2.dst AND e1.dst = e2.src
+    WHERE e1.src < e1.dst
+    """,
+)
+def sim_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual (reciprocal) kNN pairs over the IVF-bucketed corpus:
+    (a, b) survives only if b is in a's in-bucket top-{MUTUAL_K} AND
+    a is in b's — the asymmetry filter that separates true near-
+    duplicate / alignment candidates from hub vectors (a hub sits in
+    everyone's top-k; almost nobody sits in the hub's). Standard
+    candidate miner for bitext alignment and duplicate verification
+    (Artetxe & Schwenk 2019's margin-scoring precursor).
+
+    Exactness rides the family's proven recipes: the deterministic
+    sign-bit coarse quantizer bounds the quadratic unit per bucket,
+    ranks compare the ROUNDED cosine (IEEE-exact shared expression
+    text) with vec_id tiebreak, and the mutual check is an equi-join
+    of the edge list against its own reversal — (src,dst)-keyed, so
+    it shuffles k·n edge rows, never vectors.
+
+    Scale: one bucket-keyed shuffle scores Σ per-bucket n² pairs
+    (production widens ``bits`` via :func:`ivf_bits_for_corpus` to
+    keep the unit constant); the reciprocal join moves only the
+    k-bounded edge list. The in-bucket scorer is the join+HOF
+    restatement the oracle mirrors — the tiled numpy kernel
+    (:func:`ivf_score_bucket`) is the drop-in production scorer.
+    """
+    apply_engine_conf(spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        _ivf_bucket_expr(F.col("embedding")).alias("bucket"),
+    )
+    left = b.select(
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("va"),
+        "bucket",
+    )
+    right = b.select(
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("vb"),
+        F.col("bucket").alias("bucket_r"),
+    )
+    scored = (
+        left.join(
+            right,
+            (F.col("bucket") == F.col("bucket_r"))
+            & (F.col("src") != F.col("dst")),
+        )
+        .select(
+            "src",
+            "dst",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    edges = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MUTUAL_K)
+        .localCheckpoint(eager=True)
+    )
+    rev = edges.select(
+        F.col("src").alias("dst"),
+        F.col("dst").alias("src"),
+        F.col("rk").alias("rank_ba"),
+    )
+    return (
+        edges.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            "cosine",
+            F.col("rk").alias("rank_ab"),
+            "rank_ba",
+        )
+    )

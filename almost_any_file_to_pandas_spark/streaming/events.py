@@ -945,3 +945,112 @@ def events_stream_stream_join(
             f" AND p_ts <= v_ts + interval {STREAM_JOIN_WINDOW_HOURS} hour"
         ),
     ).select("v_user", "view_id", "purchase_id")
+
+
+HH_CAPACITY = 64  # space-saving counter slots per event_type
+HH_TOPK = 10  # rows emitted per type per micro-batch
+
+
+def events_heavy_hitters_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    capacity: int = HH_CAPACITY,
+    topk: int = HH_TOPK,
+) -> DataFrame:
+    """Streaming heavy hitters per event_type via the SPACE-SAVING
+    sketch (Metwally, Agrawal & El Abbadi 2005) in explicit
+    ``applyInPandasWithState`` state: a fixed table of ``capacity``
+    (user, count, error) slots per type. A seen user increments its
+    slot; an unseen user evicts the MINIMUM-count slot, inheriting
+    its count as the overestimate error — the classic guarantees
+    follow: every true count is ≤ its estimate ≤ true + N/capacity,
+    and any user with true count > N/capacity is IN the table.
+
+    Each micro-batch emits the current top-``topk`` snapshot per type
+    in update mode (count desc, then user asc — deterministic), with
+    the per-slot error bound alongside so downstream consumers see
+    estimate ± error, not a false exact.
+
+    Exactness contract (pinned by test): while ``capacity`` exceeds
+    the type's distinct-user count no eviction ever fires, errors
+    stay 0, and the stream's final snapshot equals the batch
+    groupBy-count top-k EXACTLY; with a tight capacity the
+    overestimate bound holds row by row.
+
+    Scale: state is O(capacity) integers per event_type — never
+    proportional to users or events; production shards the key to
+    (event_type, hash(user) % S) and merges the S sketches (the
+    summary is mergeable: sum counts, carry max error) — the same
+    rollup discipline as the CMS/HLL batch family.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            uids, cnts, errs = state.get
+            table = {
+                u: [c, e] for u, c, e in zip(uids, cnts, errs)
+            }
+        else:
+            table = {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for u in pdf["user_id"]:
+                u = int(u)
+                if u in table:
+                    table[u][0] += 1
+                elif len(table) < capacity:
+                    table[u] = [1, 0]
+                else:
+                    # evict the min-count slot (smallest uid on ties
+                    # — deterministic across engines and replays)
+                    mu = min(table, key=lambda k: (table[k][0], k))
+                    mc = table[mu][0]
+                    del table[mu]
+                    table[u] = [mc + 1, mc]
+        items = sorted(table.items())
+        state.update((
+            [u for u, _ in items],
+            [ce[0] for _, ce in items],
+            [ce[1] for _, ce in items],
+        ))
+        top = sorted(table.items(), key=lambda kv: (-kv[1][0], kv[0]))[
+            :topk
+        ]
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(top),
+                "user_id": [u for u, _ in top],
+                "est_count": [ce[0] for _, ce in top],
+                "err_bound": [ce[1] for _, ce in top],
+            }
+        )
+
+    return (
+        stream.select(
+            "event_type",
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_id",
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=(
+                "event_type string, user_id bigint,"
+                " est_count bigint, err_bound bigint"
+            ),
+            stateStructType=(
+                "uids array<bigint>, cnts array<bigint>,"
+                " errs array<bigint>"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -189,6 +189,9 @@ HEADLINE = [
     "orders_ks_priority_shift",
     "orders_seasonal_naive_mase",
     "graph_kcore_trajectory",
+    "sim_mutual_knn_pairs",
+    "feat_target_encode_oof",
+    "events_attribution_removal",
 ]
 
 

@@ -113,6 +113,7 @@ def test_hot_key_shapes_match_oracle(spark, skewed_events_dir):
         "events_user_balance_reflect",
         "events_user_rolling_median7",
         "graph_kcore_trajectory",
+        "events_attribution_removal",
     ):
         _gate_compare(spark, skewed_events_dir, q)
 

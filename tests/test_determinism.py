@@ -85,6 +85,10 @@ QUERIES_UNDER_TEST = [
     # the data-derived edge threshold feeding fixed-round peels
     "orders_ks_priority_shift",
     "graph_kcore_trajectory",
+    # rank-picked in-bucket kNN edges + reciprocal join
+    "sim_mutual_knn_pairs",
+    # collected domain-sized chain + driver bigint value iteration
+    "events_attribution_removal",
 ]
 
 

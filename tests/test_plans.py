@@ -1374,3 +1374,9 @@ def test_session_r5e_plan_shapes(spark):
     assert pc.count("Scan parquet") == 0  # all rounds checkpointed
     assert "CartesianProduct" not in pc
     assert pc.count("Union") >= 1
+
+    pq = plan("sim_mutual_knn_pairs")
+    assert "CartesianProduct" not in pq
+    # the reciprocal join reads the checkpointed edge RDD, never the
+    # vector corpus a second time
+    assert pq.count("Scan parquet") == 0

@@ -328,3 +328,79 @@ def test_stream_stream_join_matches_batch_range_join(
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_heavy_hitters_stream_exact_and_bounded(spark, events_source):
+    """Space-saving contract, both regimes. With capacity above the
+    distinct-user count no eviction fires: every batch-top-k user is
+    emitted with error 0 and max emitted estimate == its true count.
+    With a tight capacity every estimate obeys the overestimate bound
+    est <= true + N/capacity, and every user whose true count exceeds
+    N/capacity appears in the emitted union (the guarantee set)."""
+    from almost_any_file_to_pandas_spark.streaming.events import (
+        events_heavy_hitters_stream,
+    )
+
+    schema = spark.read.parquet(events_source).schema
+    ev = spark.read.parquet(events_source)
+    true = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    totals = {}
+    for (t, _u), n in true.items():
+        totals[t] = totals.get(t, 0) + n
+    n_users = len({u for (_t, u) in true})
+
+    # exact regime: capacity > distinct users of any type
+    q = _run_to_memory(
+        events_heavy_hitters_stream(
+            spark, events_source, schema, capacity=n_users + 1, topk=10
+        ),
+        "hh_exact",
+        "update",
+    )
+    rows = spark.sql("SELECT * FROM hh_exact").collect()
+    assert rows, "no heavy-hitter rows emitted"
+    assert all(r["err_bound"] == 0 for r in rows)
+    best = {}
+    for r in rows:
+        k = (r["event_type"], r["user_id"])
+        best[k] = max(best.get(k, 0), r["est_count"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("user_id")
+    )
+    batch_topk = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .collect()
+    )
+    for r in batch_topk:
+        k = (r["event_type"], r["user_id"])
+        assert best.get(k) == r["n"], (k, best.get(k), r["n"])
+
+    # tight regime: bound + guarantee set (topk=capacity emits the
+    # whole table, so the final batch carries every guaranteed user)
+    cap = 8
+    q2 = _run_to_memory(
+        events_heavy_hitters_stream(
+            spark, events_source, schema, capacity=cap, topk=cap
+        ),
+        "hh_tight",
+        "update",
+    )
+    rows2 = spark.sql("SELECT * FROM hh_tight").collect()
+    emitted = {(r["event_type"], r["user_id"]) for r in rows2}
+    for r in rows2:
+        k = (r["event_type"], r["user_id"])
+        bound = true.get(k, 0) + totals[r["event_type"]] // cap
+        assert r["est_count"] <= bound, (k, r["est_count"], bound)
+    for (t, u), n in true.items():
+        if n > totals[t] // cap:
+            assert (t, u) in emitted, (t, u, n)

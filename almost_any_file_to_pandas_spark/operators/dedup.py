@@ -1312,6 +1312,20 @@ def _semantic_centers(
     """
     from pyspark.ml.clustering import KMeans
 
+    # degenerate guards (no-ops at any real SF): an empty corpus has
+    # no centers; one vector IS its center (Spark KMeans rejects
+    # k < 2); otherwise k stays within [2, n]
+    if n_vectors == 0:
+        return spark.createDataFrame(
+            [], "cluster int, center array<double>"
+        )
+    if n_vectors == 1:
+        row = feats.select("features").first()
+        return spark.createDataFrame(
+            [(0, [float(x) for x in row["features"]])],
+            "cluster int, center array<double>",
+        )
+    k = max(2, min(k, n_vectors))
     train = _semantic_fit_frame(feats, n_vectors).cache()
     if k <= SEMANTIC_COARSE_MAX:
         model = KMeans(k=k, seed=42, maxIter=5).fit(train)
@@ -1521,6 +1535,13 @@ def _semantic_centers_fast(
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .toPandas()
     )
+    # degenerate guards mirroring _semantic_centers (the numpy path
+    # handles k = 1, so only empty needs a short-circuit)
+    if len(pdf) == 0:
+        return spark.createDataFrame(
+            [], "cluster int, center array<double>"
+        )
+    k = max(1, min(k, len(pdf)))
     out = _fit_cell_kmeans(k, 0)((0,), pdf)
     return spark.createDataFrame(
         [
@@ -1988,9 +2009,12 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.agg(
         F.count("*").alias("n_pairs"),
         F.lit(N_HASHES).cast("bigint").alias("n_hashes"),
-        F.min(F.when(F.col("ok"), True).otherwise(False)).alias(
-            "estimates_within_tol"
-        ),
+        # vacuously TRUE with no pairs (MIN over empty is NULL; the
+        # oracle's universal claim over an empty set holds)
+        F.coalesce(
+            F.min(F.when(F.col("ok"), True).otherwise(False)),
+            F.lit(True),
+        ).alias("estimates_within_tol"),
     )
 
 

@@ -94,7 +94,11 @@ def feat_brand_index_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_orderkey, l_linenumber,
            l_extendedprice,
-           ROUND((l_extendedprice - lo) / (hi - lo), 9) AS price_scaled
+           -- degenerate guard: a constant feature scales to 0.0
+           -- (hi = lo would divide by zero)
+           CASE WHEN hi = lo THEN 0.0
+                ELSE ROUND((l_extendedprice - lo) / (hi - lo), 9)
+                END AS price_scaled
     FROM lineitem CROSS JOIN bounds
     """,
 )
@@ -117,11 +121,15 @@ def feat_price_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_extendedprice",
-        F.round(
-            (F.col("l_extendedprice") - F.col("lo"))
-            / (F.col("hi") - F.col("lo")),
-            9,
-        ).alias("price_scaled"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("l_extendedprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo")),
+                9,
+            )
+        )
+        .alias("price_scaled"),
     )
 
 
@@ -445,10 +453,12 @@ WINSOR_HI = 0.99
     SELECT COUNT(*) AS n_rows,
            ROUND(ANY_VALUE(lo), 6) AS p01,
            ROUND(ANY_VALUE(hi), 6) AS p99,
-           SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
-             AS n_clipped_low,
-           SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
-             AS n_clipped_high,
+           -- COALESCE: zero clipped rows on an empty corpus (the
+           -- Spark side's count_if says 0; SUM over no rows, NULL)
+           COALESCE(SUM(CASE WHEN l_extendedprice < lo
+                             THEN 1 ELSE 0 END), 0) AS n_clipped_low,
+           COALESCE(SUM(CASE WHEN l_extendedprice > hi
+                             THEN 1 ELSE 0 END), 0) AS n_clipped_high,
            CAST(SUM(CAST(GREATEST(LEAST(l_extendedprice, hi), lo)
                          AS DECIMAL(25,6))) AS DOUBLE) AS clipped_sum
     FROM lineitem CROSS JOIN bounds
@@ -508,9 +518,13 @@ DRIFT_BINS = 10
       SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
       FROM lineitem
     ), binned AS (
-      SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / (hi - lo)
+      -- degenerate guard: a constant-price corpus (hi = lo) maps
+      -- every row to bin 0 instead of dividing by zero
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(CAST(FLOOR((l_extendedprice - lo)
+                                        / (hi - lo)
                               * {DRIFT_BINS}) AS INT),
-                   {DRIFT_BINS - 1}) AS bin_idx,
+                   {DRIFT_BINS - 1}) END AS bin_idx,
              l_orderkey % 2 AS half
       FROM lineitem CROSS JOIN bounds
     ), per_bin AS (
@@ -522,13 +536,18 @@ DRIFT_BINS = 10
       SELECT SUM(n_base) AS tb, SUM(n_delta) AS td FROM per_bin
     )
     SELECT bin_idx, n_base, n_delta,
-           ROUND(CAST(n_base AS DOUBLE) / tb, 6) AS share_base,
-           ROUND(CAST(n_delta AS DOUBLE) / td, 6) AS share_delta,
-           ROUND((CAST(n_base AS DOUBLE) / tb
+           CASE WHEN tb = 0 THEN NULL
+                ELSE ROUND(CAST(n_base AS DOUBLE) / tb, 6)
+                END AS share_base,
+           CASE WHEN td = 0 THEN NULL
+                ELSE ROUND(CAST(n_delta AS DOUBLE) / td, 6)
+                END AS share_delta,
+           CASE WHEN tb = 0 OR td = 0 OR n_base = 0 THEN NULL
+                ELSE ROUND((CAST(n_base AS DOUBLE) / tb
                   - CAST(n_delta AS DOUBLE) / td)
                  * (CAST(n_base AS DOUBLE) / tb
                     - CAST(n_delta AS DOUBLE) / td)
-                 / (CAST(n_base AS DOUBLE) / tb), 9) AS chi2_term
+                 / (CAST(n_base AS DOUBLE) / tb), 9) END AS chi2_term
     FROM per_bin CROSS JOIN totals
     """,
 )
@@ -552,13 +571,17 @@ def feat_price_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("lo"),
         F.max("l_extendedprice").alias("hi"),
     )
-    bin_idx = F.least(
-        F.floor(
-            (F.col("l_extendedprice") - F.col("lo"))
-            / (F.col("hi") - F.col("lo"))
-            * DRIFT_BINS
-        ).cast("int"),
-        F.lit(DRIFT_BINS - 1),
+    # degenerate guard: constant-price corpus maps to bin 0 (the
+    # oracle states the same rule) instead of dividing by zero
+    bin_idx = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * DRIFT_BINS
+            ).cast("int"),
+            F.lit(DRIFT_BINS - 1),
+        )
     )
     half = F.col("l_orderkey") % 2
     per_bin = (
@@ -580,9 +603,20 @@ def feat_price_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin_idx",
         "n_base",
         "n_delta",
-        F.round(pb, 6).alias("share_base"),
-        F.round(pd_, 6).alias("share_delta"),
-        F.round((pb - pd_) * (pb - pd_) / pb, 9).alias("chi2_term"),
+        F.when(F.col("tb") == 0, F.lit(None))
+        .otherwise(F.round(pb, 6))
+        .alias("share_base"),
+        F.when(F.col("td") == 0, F.lit(None))
+        .otherwise(F.round(pd_, 6))
+        .alias("share_delta"),
+        F.when(
+            (F.col("tb") == 0)
+            | (F.col("td") == 0)
+            | (F.col("n_base") == 0),
+            F.lit(None),
+        )
+        .otherwise(F.round((pb - pd_) * (pb - pd_) / pb, 9))
+        .alias("chi2_term"),
     )
 
 

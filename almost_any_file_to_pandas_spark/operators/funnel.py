@@ -1058,6 +1058,12 @@ def events_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (row["src"], row["dst"], int(row["c"]), int(row["r"]))
         for row in counts.join(rsums, "src").collect()
     ]  # domain-sized: (|types|+2)² ceiling
+    schema = (
+        "channel string, p_conv_q12 bigint, p_base_q12 bigint,"
+        " removal_q6 bigint"
+    )
+    if not mat:  # empty corpus: no chain, no rows (oracle agrees)
+        return spark.createDataFrame([], schema)
     states = sorted({m[0] for m in mat})
     channels = sorted(
         {m[0] for m in mat if m[0] not in (_ST,)}
@@ -1086,8 +1092,4 @@ def events_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             None if pb == 0 else max(pb - pf, 0) * 10**6 // pb
         )
         rows.append((ch, pf, pb, removal))
-    return spark.createDataFrame(
-        rows,
-        "channel string, p_conv_q12 bigint, p_base_q12 bigint,"
-        " removal_q6 bigint",
-    )
+    return spark.createDataFrame(rows, schema)

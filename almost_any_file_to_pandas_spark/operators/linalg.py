@@ -203,9 +203,11 @@ def emb_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).alias("cov"),
                 )
             )
-    return one.select(
-        F.explode(F.array(*cells)).alias("c")
-    ).select("c.dim_i", "c.dim_j", "c.cov")
+    return (
+        one.filter(F.col("n") > 0)  # empty corpus: no covariance rows
+        .select(F.explode(F.array(*cells)).alias("c"))
+        .select("c.dim_i", "c.dim_j", "c.cov")
+    )
 
 
 PCA_CHUNK = 512  # rows per numpy outer-product chunk inside a batch
@@ -346,11 +348,17 @@ def emb_pca_power_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.asDict() for r in gram_moments(emb).collect())
     )
     eps = 1e-9
-    ok = (
-        stats["lambda1"] >= stats["diag_max"] - eps
-        and stats["lambda1"] <= stats["trace"] + eps
-        and stats["lambda1"] >= stats["trace"] / SRC_DIMS - eps
-    )
+    if stats["n_vectors"] < 2:
+        # below two vectors covariance is identically zero (or
+        # undefined): the spectral sandwich holds vacuously — avoid
+        # NaN comparisons poisoning the claim
+        ok = True
+    else:
+        ok = (
+            stats["lambda1"] >= stats["diag_max"] - eps
+            and stats["lambda1"] <= stats["trace"] + eps
+            and stats["lambda1"] >= stats["trace"] / SRC_DIMS - eps
+        )
     return spark.createDataFrame(
         [(stats["n_vectors"], SRC_DIMS, bool(ok))],
         schema="n_vectors bigint, dim int, pc1_bounds_met boolean",

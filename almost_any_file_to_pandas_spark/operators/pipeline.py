@@ -606,12 +606,16 @@ _MORTON_DUCK = _morton_text(lambda c, i: f"({c} >> {i})")
            CAST(SUM(y_span) AS BIGINT) AS sum_y_span,
            CAST(SUM(x_span * y_span) AS BIGINT) AS sum_bbox_area
     FROM z
+    -- observed-shards semantics: no summary row for an empty scan
+    -- (Spark's shard groupBy emits none); real data has >= 1 shard
+    HAVING COUNT(*) > 0
     UNION ALL
     SELECT 'datesort', CAST(COUNT(*) AS BIGINT),
            CAST(SUM(n_rows) AS BIGINT), CAST(MAX(n_rows) AS BIGINT),
            CAST(SUM(x_span) AS BIGINT), CAST(SUM(y_span) AS BIGINT),
            CAST(SUM(x_span * y_span) AS BIGINT)
     FROM d
+    HAVING COUNT(*) > 0
     """,
 )
 def pipeline_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:

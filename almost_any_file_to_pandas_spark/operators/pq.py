@@ -77,6 +77,10 @@ def _fit_codebooks(X: np.ndarray) -> np.ndarray:
     """
     n, dim = X.shape
     sub = dim // PQ_M
+    # effective codebook width: never more centroids than training
+    # rows (identical to PQ_K at any real SF — the deterministic
+    # first-K init needs K distinct rows to copy)
+    k_eff = min(PQ_K, n)
     # All M subspaces iterate together: per Lloyd's round, ONE
     # (n, dim) @ (dim, M·K) block-diagonal GEMM yields every
     # subspace's query·centroid dot products at once (the per-subspace
@@ -85,41 +89,44 @@ def _fit_codebooks(X: np.ndarray) -> np.ndarray:
     # before that was worse still).  argmin over ‖s−c‖² needs only
     # ‖c‖² − 2s·c per subspace.
     books = np.stack(
-        [X[:PQ_K, m * sub : (m + 1) * sub].copy() for m in range(PQ_M)]
+        [X[:k_eff, m * sub : (m + 1) * sub].copy() for m in range(PQ_M)]
     )  # (M, K, sub) — deterministic init: first K rows per subspace
-    bd = np.zeros((dim, PQ_M * PQ_K))
+    bd = np.zeros((dim, PQ_M * k_eff))
     Xr = X.reshape(n, PQ_M, sub)
     for _ in range(PQ_ITERS):
         for m in range(PQ_M):
-            bd[m * sub : (m + 1) * sub, m * PQ_K : (m + 1) * PQ_K] = (
+            bd[m * sub : (m + 1) * sub, m * k_eff : (m + 1) * k_eff] = (
                 books[m].T
             )
         dots = X @ bd  # (n, M·K)
         c2 = (books**2).sum(axis=2)  # (M, K)
         d2 = c2.reshape(1, -1) - 2.0 * dots
-        assign = d2.reshape(n, PQ_M, PQ_K).argmin(axis=2)  # (n, M)
-        flat = (assign + np.arange(PQ_M)[None, :] * PQ_K).ravel()
-        counts = np.bincount(flat, minlength=PQ_M * PQ_K).astype(float)
+        assign = d2.reshape(n, PQ_M, k_eff).argmin(axis=2)  # (n, M)
+        flat = (assign + np.arange(PQ_M)[None, :] * k_eff).ravel()
+        counts = np.bincount(flat, minlength=PQ_M * k_eff).astype(float)
         sums = np.column_stack(
             [
                 np.bincount(
                     flat,
                     weights=Xr[:, :, d].ravel(),
-                    minlength=PQ_M * PQ_K,
+                    minlength=PQ_M * k_eff,
                 )
                 for d in range(sub)
             ]
-        ).reshape(PQ_M, PQ_K, sub)
-        nonempty = counts.reshape(PQ_M, PQ_K) > 0
+        ).reshape(PQ_M, k_eff, sub)
+        nonempty = counts.reshape(PQ_M, k_eff) > 0
         books[nonempty] = (
-            sums[nonempty] / counts.reshape(PQ_M, PQ_K)[nonempty, None]
+            sums[nonempty] / counts.reshape(PQ_M, k_eff)[nonempty, None]
         )
     return books
 
 
-def _train_codebooks(emb: DataFrame) -> np.ndarray:
-    """Codebooks straight from the DataFrame (one fetch + fit)."""
+def _train_codebooks(emb: DataFrame):
+    """Codebooks straight from the DataFrame (one fetch + fit);
+    ``None`` when the corpus is empty — callers short-circuit."""
     sample = _train_sample(emb)
+    if len(sample) == 0:
+        return None
     return _fit_codebooks(
         np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     )
@@ -169,6 +176,12 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     emb = table_wide(spark, sf_dir, "embeddings")
     sample = _train_sample(emb)  # one job serves codebooks AND queries
+    if len(sample) == 0:  # empty corpus: nothing to index or query
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, vec_id bigint, pq_cosine double,"
+            " pq_rank int",
+        )
     books = _fit_codebooks(
         np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     )
@@ -276,6 +289,12 @@ def sim_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     emb = table_wide(spark, sf_dir, "embeddings")
     books = _train_codebooks(emb)
+    if books is None:  # empty corpus: no vectors, no error summary
+        return spark.createDataFrame(
+            [],
+            "mean_sq_error double, raw_bytes_per_vec int,"
+            " coded_bytes_per_vec int, compression_x double",
+        )
     sub = books.shape[2]
     dim = PQ_M * sub
 
@@ -411,6 +430,11 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table_wide(spark, sf_dir, "embeddings")
     sample = _train_sample(emb)  # one job serves codebooks AND queries
+    if len(sample) == 0:  # empty corpus: nothing to index or query
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, vec_id bigint, cosine double, rank int",
+        )
     books = _fit_codebooks(
         np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     )
@@ -537,7 +561,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ivfpq_recall_floor",
     oracle=f"""
-    SELECT COUNT(*) AS n_queries,
+    -- n_queries counts EVALUABLE queries: a query vector with no
+    -- possible neighbor (corpus of one) has no recall to measure
+    SELECT CASE WHEN (SELECT COUNT(*) FROM embeddings) > 1
+                THEN COUNT(*) ELSE 0 END AS n_queries,
            CAST({KNN_K} AS BIGINT) AS k,
            TRUE AS recall_floor_met
     FROM embeddings WHERE vec_id < {N_QUERIES}
@@ -585,8 +612,12 @@ def sim_ivfpq_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_q.agg(
         F.count("*").alias("n_queries"),
-        F.max("k").cast("bigint").alias("k"),
-        (F.avg("recall") >= F.lit(IVFPQ_RECALL_FLOOR)).alias(
-            "recall_floor_met"
-        ),
+        # degenerate alignment: with zero queries the oracle states
+        # the constant k and a vacuously-true floor; MAX/AVG over no
+        # rows would say NULL
+        F.coalesce(F.max("k").cast("bigint"), F.lit(KNN_K)).alias("k"),
+        F.coalesce(
+            F.avg("recall") >= F.lit(IVFPQ_RECALL_FLOOR),
+            F.lit(True),
+        ).alias("recall_floor_met"),
     )

@@ -152,6 +152,7 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_data_contract",
     oracle="""
+    WITH checks AS (
     SELECT
       (SELECT COUNT(*) FROM documents) AS n_docs,
       (SELECT COUNT(*) FROM documents WHERE doc_id IS NULL
@@ -166,8 +167,15 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
          WHERE o.o_orderkey IS NULL) AS n_orphan_lineitems,
       (SELECT COUNT(*) FROM events
          WHERE ts < TIMESTAMP '1990-01-01'
-            OR ts > TIMESTAMP '2100-01-01') AS n_ts_out_of_range,
-      TRUE AS contract_met
+            OR ts > TIMESTAMP '2100-01-01') AS n_ts_out_of_range
+    ) SELECT *,
+      -- derived, not asserted: the oracle re-checks the same five
+      -- conditions, so a corpus that BREAKS the contract (degenerate
+      -- fixtures do) must read false on both engines
+      (n_doc_nulls = 0 AND n_dup_doc_ids = 0 AND n_emb_dims <= 1
+       AND n_orphan_lineitems = 0 AND n_ts_out_of_range = 0)
+        AS contract_met
+    FROM checks
     """,
 )
 def corpus_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -659,8 +659,21 @@ def sim_ivf_kmeans_topk(
     # input is the quantizer training set — bounded by sampling at
     # production scale.
     train = feats.select("features").cache()
+    # degenerate guards (no-ops at any real SF): the count also
+    # materializes the cache; k can never exceed the point count
+    n_train = train.count()
+    if n_train <= 1:
+        # 0 vectors: nothing to index; 1 vector: top-k excludes self,
+        # so the answer is empty either way (KMeans rejects k < 2)
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, vec_id bigint, bucket int,"
+            " cosine double, ivf_rank int",
+        )
     model = KMeans(
-        k=k if k is not None else IVF_K, seed=42, maxIter=5
+        k=max(2, min(k if k is not None else IVF_K, n_train)),
+        seed=42,
+        maxIter=5,
     ).fit(train)
     train.unpersist(blocking=False)
     assigned = model.transform(feats).select(
@@ -1089,9 +1102,11 @@ def sim_matryoshka_prefix_floor(
         "r_rr", F.row_number().over(wf)
     )
     denom = N_QUERIES * KNN_K
+    # COALESCE: zero hits on an empty shortlist (SUM over no rows is
+    # NULL; the oracle's COUNT FILTER says 0 and the floor fails)
     hit_sum = (
-        f"sum(CASE WHEN r_full <= {KNN_K} AND r_rr <= {KNN_K} "
-        "THEN 1 ELSE 0 END)"
+        f"COALESCE(sum(CASE WHEN r_full <= {KNN_K} AND r_rr <= {KNN_K} "
+        "THEN 1 ELSE 0 END), 0)"
     )
     return rerank.agg(
         F.lit(N_QUERIES).cast("long").alias("n_queries"),

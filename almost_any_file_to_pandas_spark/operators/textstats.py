@@ -1293,7 +1293,9 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), best AS (
       SELECT pair, c FROM counts ORDER BY c DESC, pair LIMIT 1
     )
-    SELECT CAST({BPE_TRAIN_ITERS} AS INT) AS n_merges,
+    SELECT CASE WHEN (SELECT COUNT(*) FROM counts) = 0 THEN 0
+                ELSE CAST({BPE_TRAIN_ITERS} AS INT)
+                END AS n_merges,
            (SELECT pair FROM best) AS first_merge_pair,
            (SELECT c FROM best) AS first_merge_count,
            TRUE AS counts_non_increasing
@@ -1319,6 +1321,14 @@ def text_bpe_train_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_train(spark, docs, BPE_TRAIN_ITERS).collect(),
         key=lambda r: r["iteration"],
     )
+    if not merges:  # empty vocabulary: nothing to merge, floor holds
+        return spark.createDataFrame(
+            [(0, None, None, True)],
+            schema=(
+                "n_merges int, first_merge_pair string, "
+                "first_merge_count bigint, counts_non_increasing boolean"
+            ),
+        )
     first = merges[0]
     non_inc = all(
         merges[i]["pair_count"] >= merges[i + 1]["pair_count"]

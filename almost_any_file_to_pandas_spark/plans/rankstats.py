@@ -70,13 +70,16 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
-           CAST(SUM((rx2 - ry2) * (rx2 - ry2)) AS BIGINT) AS s4,
-           CAST(1000000
+           COALESCE(CAST(SUM((rx2 - ry2) * (rx2 - ry2)) AS BIGINT), 0)
+             AS s4,
+           -- rho is undefined below two days (n(n^2-1) = 0)
+           CASE WHEN COUNT(*) < 2 THEN NULL
+                ELSE CAST(1000000
                 - CAST(3 * SUM(CAST((rx2 - ry2) AS HUGEINT)
                                * (rx2 - ry2)) * 1000000 AS HUGEINT)
                   // (2 * COUNT(*)
                       * (CAST(COUNT(*) AS HUGEINT) * COUNT(*) - 1))
-                AS BIGINT) AS rho_q6
+                AS BIGINT) END AS rho_q6
     FROM ranked
     """,
 )
@@ -111,15 +114,17 @@ def orders_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         F.count("*").cast("long").alias("n_days"),
         F.expr(
-            "CAST(SUM((rx2 - ry2) * (rx2 - ry2)) AS BIGINT)"
+            "COALESCE(CAST(SUM((rx2 - ry2) * (rx2 - ry2)) AS BIGINT),"
+            " 0)"
         ).alias("s4"),
         F.expr(
-            "CAST(1000000"
+            "CASE WHEN COUNT(*) < 2 THEN NULL ELSE"
+            " CAST(1000000"
             " - CAST(3 * SUM(CAST(rx2 - ry2 AS DECIMAL(38,0))"
             "              * (rx2 - ry2)) * 1000000 AS DECIMAL(38,0))"
             "   div (2 * COUNT(*)"
             "        * (CAST(COUNT(*) AS DECIMAL(38,0)) * COUNT(*) - 1))"
-            " AS BIGINT)"
+            " AS BIGINT) END"
         ).alias("rho_q6"),
     )
 
@@ -236,14 +241,19 @@ def orders_mannwhitney_priority_shift(
              END AS disc
       FROM daily a JOIN daily b ON a.d < b.d
     ), n AS (SELECT COUNT(*) AS n_days FROM daily)
-    SELECT CAST(n.n_days AS BIGINT) AS n_days,
-           CAST(SUM(conc) AS BIGINT) AS concordant,
-           CAST(SUM(disc) AS BIGINT) AS discordant,
-           CAST(CAST(2 * (SUM(conc) - SUM(disc)) * 1000000 AS HUGEINT)
-                // (CAST(n.n_days AS HUGEINT) * (n.n_days - 1))
-                AS BIGINT) AS tau_a_q6
-    FROM pairs, n
-    GROUP BY n.n_days
+    -- global fold (not grouped by the pair join's output): the
+    -- summary row must survive an empty/one-day frame, where the
+    -- pair join is empty and tau is undefined (NULL)
+    SELECT (SELECT CAST(n_days AS BIGINT) FROM n) AS n_days,
+           COALESCE(CAST(SUM(conc) AS BIGINT), 0) AS concordant,
+           COALESCE(CAST(SUM(disc) AS BIGINT), 0) AS discordant,
+           CASE WHEN (SELECT n_days FROM n) < 2 THEN NULL
+                ELSE CAST(
+                  CAST(2 * (SUM(conc) - SUM(disc)) * 1000000 AS HUGEINT)
+                  // ((SELECT CAST(n_days AS HUGEINT) FROM n)
+                      * ((SELECT n_days FROM n) - 1))
+                  AS BIGINT) END AS tau_a_q6
+    FROM pairs
     """,
 )
 def orders_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,12 +301,17 @@ def orders_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select(
             F.col("n_days").cast("long").alias("n_days"),
-            F.col("c").cast("long").alias("concordant"),
-            F.col("dd").cast("long").alias("discordant"),
+            F.coalesce(F.col("c").cast("long"), F.lit(0)).alias(
+                "concordant"
+            ),
+            F.coalesce(F.col("dd").cast("long"), F.lit(0)).alias(
+                "discordant"
+            ),
             F.expr(
-                "CAST(CAST(2 * (c - dd) * 1000000 AS DECIMAL(38,0))"
+                "CASE WHEN n_days < 2 THEN NULL ELSE"
+                " CAST(CAST(2 * (c - dd) * 1000000 AS DECIMAL(38,0))"
                 " div (CAST(n_days AS DECIMAL(38,0)) * (n_days - 1))"
-                " AS BIGINT)"
+                " AS BIGINT) END"
             ).alias("tau_a_q6"),
         )
     )
@@ -620,7 +635,9 @@ def orders_hodges_lehmann_shift(
     return picked.agg(
         F.max("m").cast("long").alias("m_pairs"),
         F.expr("CAST(SUM(diff) AS BIGINT)").alias("hl_shift_cents_x2"),
-    )
+        # no pairs (a priority group absent) → no estimator row, the
+        # oracle's pick-join semantics; real corpora always have both
+    ).filter(F.col("m_pairs").isNotNull())
 
 
 @register(

@@ -357,6 +357,10 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) AS n_orders
     FROM orders
     GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+    -- observed-groups semantics: Spark's ROLLUP over an EMPTY scan
+    -- emits no rows, DuckDB emits the all-NULL grand-total row;
+    -- every real group has >= 1 row, so this only bites on empty
+    HAVING COUNT(*) > 0
     """,
 )
 def revenue_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1348,8 +1352,13 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             child.join(hits, key_col, "left")
             .agg(
                 F.count("*").alias("n_rows"),
-                F.sum(
-                    F.when(F.col("_hit").isNull(), 1).otherwise(0)
+                # COALESCE: an empty child has ZERO orphans (the
+                # oracle's COUNT says 0; SUM over no rows says NULL)
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("_hit").isNull(), 1).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias("n_orphans"),
             )
             .select(F.lit(fk).alias("fk"), "n_rows", "n_orphans")
@@ -1566,7 +1575,11 @@ def lineitem_profile_approx_floor(
         "n_rows",
         "anchor_exact_distinct",
         anchor_ok.alias("anchor_within_tol"),
-        bounded.alias("approx_bounded_all_columns"),
+        # vacuously TRUE over zero rows (approx > 0 would read an
+        # empty sketch as a bound violation; the oracle says TRUE)
+        F.when(F.col("n_rows") == 0, F.lit(True))
+        .otherwise(bounded)
+        .alias("approx_bounded_all_columns"),
     )
 
 
@@ -3541,6 +3554,14 @@ def orders_pareto_concentration(
         F.min("rev").alias("lo"),
         F.max("rev").alias("hi"),
     ).first()
+    if int(stats["n"]) == 0:
+        # empty corpus: no customers, every top-k target undefined
+        # (the oracle's MIN over an empty walk is NULL)
+        return spark.createDataFrame(
+            [(0, None, None, None)],
+            "n_customers bigint, top_k_50 bigint, top_k_80 bigint,"
+            " top_k_90 bigint",
+        )
     n_customers, total = int(stats["n"]), int(stats["total"])
     glo, ghi = int(stats["lo"]), int(stats["hi"])
     targets = {p: math.ceil(p * total) for p in PARETO_PS}
@@ -4680,20 +4701,21 @@ def events_weekly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         F.lead("d", AUTOCORR_LAG).over(w_day).alias("d_lead"),
     )
-    return (
-        dev.crossJoin(F.broadcast(tot))
-        .groupBy("n")
-        .agg(
-            F.expr(
-                "CAST(SUM(CASE WHEN d_lead IS NOT NULL"
-                " THEN d * d_lead END) * 1000000"
-                " div SUM(d * d) AS BIGINT)"
-            ).alias("autocorr_lag7_q6")
-        )
-        .select(
-            F.col("n").cast("long").alias("n_days"),
-            "autocorr_lag7_q6",
-        )
+    # global fold + crossJoin tot (not a groupBy on the constant n):
+    # the summary row must survive an EMPTY daily frame — a groupBy
+    # over zero rows emits nothing, while the oracle's scalar
+    # subquery always yields its (n_days=0, NULL) row
+    sums = dev.agg(
+        F.expr(
+            "SUM(CASE WHEN d_lead IS NOT NULL THEN d * d_lead END)"
+        ).alias("num"),
+        F.expr("SUM(d * d)").alias("den"),
+    )
+    return sums.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            "CAST(num * 1000000 div den AS BIGINT)"
+        ).alias("autocorr_lag7_q6"),
     )
 
 

@@ -1,0 +1,136 @@
+"""Degenerate-corpus battery: every table EMPTY, and every table with
+a SINGLE (referentially dangling) row.
+
+At 100 TB these shapes are routine, not exotic: a fully-filtered
+partition, a brand-new tenant, a backfill day with one record. Every
+operator must agree with the oracle on them — no uncaught
+``collect()[0]``, no KMeans fit on zero points, no div-by-zero when a
+feature is constant, no NULL-vs-0 drift between engines.
+
+The full registry is swept by ``tools/check_oracle.py`` over
+``tools/make_degenerate_testdata.py``'s output (round-5 session 5:
+35 failures found, 29 fixed — the six survivors are frozen gate-slot
+queries whose oracles cannot change until the driver gate re-runs);
+this battery pins the FIXED set plus family representatives so the
+repairs cannot regress silently.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+SRC_SF = "/root/testdata/sf0.001"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# Queries repaired by the degenerate sweep (empty and/or singleton),
+# plus a spread of always-green family representatives.
+BATTERY = [
+    # repaired: crashes
+    "orders_pareto_concentration",
+    "text_bpe_train_floor",
+    "feat_price_minmax_scale",
+    "feat_price_drift_bins",
+    "orders_spearman_daily",
+    # repaired: NULL-vs-0 / row-presence semantics
+    "feat_price_winsorize_census",
+    "referential_integrity_audit",
+    "events_weekly_autocorr",
+    "orders_kendall_tau_daily",
+    "orders_hodges_lehmann_shift",
+    "revenue_rollup_hierarchy",
+    "pipeline_zorder_layout",
+    "events_attribution_removal",
+    "dedup_minhash_calibration",
+    "emb_covariance_block",
+    "sim_matryoshka_prefix_floor",
+    "lineitem_profile_approx_floor",
+    "corpus_data_contract",
+    # always-green representatives (one per family)
+    "q1_pricing_summary",
+    "dedup_exact",
+    "events_sessionization",
+    "text_token_count",
+    "orders_ks_priority_shift",
+]
+
+# Rows-only repaired queries (no oracle): crash-freedom is the pin.
+ROWS_ONLY_BATTERY = [
+    "dedup_semantic_clusters",
+    "dedup_semantic_clusters_fastfit",
+    "sim_ivf_kmeans_topk",
+    "sim_pq_topk",
+    "sim_pq_recall",
+    "sim_pq_reconstruction",
+    "sim_ivfpq_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_dirs(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp("degenerate")
+    from pathlib import Path
+
+    src = Path(SRC_SF)
+    for name in TABLES:
+        t = pq.read_table(src / f"{name}.parquet")
+        for variant, n in (("empty", 0), ("single", 1)):
+            dest = root / variant
+            dest.mkdir(parents=True, exist_ok=True)
+            pq.write_table(t.slice(0, n), dest / f"{name}.parquet")
+    return {"empty": str(root / "empty"), "single": str(root / "single")}
+
+
+def _compare(spark, sf_dir, name):
+    import duckdb
+
+    from check_oracle import frame_fingerprint
+
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    sdf = plans.QUERIES[name](spark, sf_dir)
+    s_fp = frame_fingerprint(
+        sdf.columns, [tuple(r) for r in sdf.collect()]
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    cur = con.execute(plans.ORACLES[name])
+    cols = [d[0] for d in cur.description]
+    d_fp = frame_fingerprint(cols, cur.fetchall())
+    assert s_fp == d_fp, f"{name} diverges on degenerate corpus"
+
+
+@pytest.mark.parametrize("variant", ["empty", "single"])
+def test_degenerate_corpus_matches_oracle(spark, degenerate_dirs, variant):
+    for name in BATTERY:
+        _compare(spark, degenerate_dirs[variant], name)
+
+
+@pytest.mark.parametrize("variant", ["empty", "single"])
+def test_degenerate_corpus_rows_only_no_crash(
+    spark, degenerate_dirs, variant
+):
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    for name in ROWS_ONLY_BATTERY:
+        # must run to completion; empty corpus must yield zero rows
+        rows = plans.QUERIES[name](
+            spark, degenerate_dirs[variant]
+        ).collect()
+        if variant == "empty":
+            assert rows == [], name

@@ -8,6 +8,11 @@ becomes NULL on one engine, a threshold crossJoin against an empty
 1-row aggregate) is a 100 TB incident waiting for an empty partition
 or a fully-filtered day.
 
+pyarrow slicing (not a Spark write) so each table stays ONE parquet
+file with the SOURCE schema byte-for-byte — events keeps its
+TIMESTAMP(NANOS) physical type, exercising the same read-side
+conversion the real testdata needs.
+
 Usage: python tools/make_degenerate_testdata.py [src_sf_dir] [out_root]
 Then:  python tools/check_oracle.py <out_root>/empty
        python tools/check_oracle.py <out_root>/single
@@ -18,8 +23,9 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
+import pyarrow.parquet as pq
+
 REPO = Path(__file__).resolve().parent.parent
-sys.path.insert(0, str(REPO))
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -28,25 +34,16 @@ TABLES = (
 
 
 def main() -> int:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    src = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
     out_root = Path(
         sys.argv[2] if len(sys.argv) > 2 else str(REPO / ".tmp_degenerate")
     )
-    from almost_any_file_to_pandas_spark.plans import table
-    from almost_any_file_to_pandas_spark.session import (
-        apply_engine_conf,
-        get_spark,
-    )
-
-    spark = get_spark()
-    apply_engine_conf(spark)
     for name in TABLES:
-        df = table(spark, src, name)
+        t = pq.read_table(src / f"{name}.parquet")
         for variant, n in (("empty", 0), ("single", 1)):
-            dest = out_root / variant / f"{name}.parquet"
-            df.limit(n).coalesce(1).write.mode("overwrite").parquet(
-                str(dest)
-            )
+            dest = out_root / variant
+            dest.mkdir(parents=True, exist_ok=True)
+            pq.write_table(t.slice(0, n), dest / f"{name}.parquet")
     print(f"wrote {out_root}/empty and {out_root}/single")
     return 0
 

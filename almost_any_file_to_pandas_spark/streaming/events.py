@@ -1054,3 +1054,211 @@ def events_heavy_hitters_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+RL_RATE_PER_HOUR = 2  # token refill rate
+RL_BURST = 3  # bucket capacity (tokens)
+_RL_MILLI = 1000  # token milli-units (exact integer refill math)
+_RL_CAP_MU = RL_BURST * _RL_MILLI
+_RL_HOUR_US = 3_600_000_000
+
+
+def _rate_limit_rows(rows):
+    """The shared token-bucket kernel: rows = iterable of (event_id,
+    us) IN ORDER for one user; yields (event_id, allowed,
+    tokens_milli_after). Exact integer arithmetic — per-step refill
+    ``min(cap, tok + dt·rate·milli div hour_us)`` — so the batch
+    twin, the streaming operator, and the recursive SQL oracle are
+    bit-identical state machines."""
+    tok = _RL_CAP_MU
+    last = None
+    for event_id, us in rows:
+        if last is not None:
+            dt = us - last
+            tok = min(
+                _RL_CAP_MU,
+                tok + dt * RL_RATE_PER_HOUR * _RL_MILLI // _RL_HOUR_US,
+            )
+        last = us
+        allowed = tok >= _RL_MILLI
+        if allowed:
+            tok -= _RL_MILLI
+        yield event_id, allowed, tok
+
+
+_RL_ORACLE = f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+             ) AS rn
+      FROM events
+    ), walk AS (
+      SELECT user_id, event_id, us, rn,
+             {_RL_CAP_MU} >= {_RL_MILLI} AS allowed,
+             {_RL_CAP_MU} - {_RL_MILLI} AS tok
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.us, e.rn,
+             LEAST({_RL_CAP_MU},
+                   w.tok + (e.us - w.us)
+                     * {RL_RATE_PER_HOUR * _RL_MILLI}
+                     // {_RL_HOUR_US}) >= {_RL_MILLI},
+             CASE WHEN LEAST({_RL_CAP_MU},
+                   w.tok + (e.us - w.us)
+                     * {RL_RATE_PER_HOUR * _RL_MILLI}
+                     // {_RL_HOUR_US}) >= {_RL_MILLI}
+                  THEN LEAST({_RL_CAP_MU},
+                   w.tok + (e.us - w.us)
+                     * {RL_RATE_PER_HOUR * _RL_MILLI}
+                     // {_RL_HOUR_US}) - {_RL_MILLI}
+                  ELSE LEAST({_RL_CAP_MU},
+                   w.tok + (e.us - w.us)
+                     * {RL_RATE_PER_HOUR * _RL_MILLI}
+                     // {_RL_HOUR_US})
+             END
+      FROM walk w JOIN ev e
+        ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, allowed,
+           CAST(tok AS BIGINT) AS tokens_milli_after
+    FROM walk
+"""
+
+
+@register("events_rate_limit_audit", oracle=_RL_ORACLE)
+def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event token-bucket rate-limit audit ({RL_BURST}-token
+    burst, {RL_RATE_PER_HOUR}/hour refill): which events a per-user
+    limiter would have admitted — the throttling/abuse-control replay
+    a platform runs before turning enforcement on.
+
+    The bucket recursion ``tok' = min(cap, tok + dt·rate) − spend``
+    has a min-CLAMP between every step, so no window algebra
+    (gaps-and-islands, prefix sums) can express it — this is the
+    genuinely-stateful class. It is STILL gate-checkable: the oracle
+    unwinds the same integer state machine with a RECURSIVE CTE
+    (lockstep over per-user event index), and the engine runs it as
+    one ``applyInPandas`` pass per user — the custom-stateful-operator
+    extension point, with the per-event decision feed hashed, not
+    just summaries.
+
+    Scale: one user-keyed shuffle; per-user state is two integers and
+    the kernel streams each user's rows once (cost ∝ events, memory
+    ∝ max per-user batch — the sessionizer's bound). The streaming
+    twin (:func:`events_rate_limiter_stream`) runs the SAME kernel
+    under ``applyInPandasWithState``; the test pins equality.
+    """
+    import pandas as pd
+
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+
+    def _audit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["us", "event_id"])
+        out = list(
+            _rate_limit_rows(
+                zip(pdf["event_id"].tolist(), pdf["us"].tolist())
+            )
+        )
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": [r[0] for r in out],
+                "allowed": [r[1] for r in out],
+                "tokens_milli_after": [r[2] for r in out],
+            }
+        )
+
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
+        .groupBy("user_id")
+        .applyInPandas(
+            _audit,
+            schema=(
+                "user_id bigint, event_id bigint, allowed boolean,"
+                " tokens_milli_after bigint"
+            ),
+        )
+    )
+
+
+def events_rate_limiter_stream(
+    spark: SparkSession, source_dir: str, schema
+) -> DataFrame:
+    """Streaming twin of :func:`events_rate_limit_audit`: the same
+    integer token-bucket kernel with its two-integer state
+    (tokens_milli, last_us) in the state store, emitting the
+    per-event decision feed in append mode. State is O(1) per user;
+    events are assumed in order per user across batches (the file
+    source replays in order — the sessionizer's documented
+    contract)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        tok, last = (
+            state.get if state.exists else (_RL_CAP_MU, None)
+        )
+        ids, allowed, toks = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["us", "event_id"])
+            for event_id, us in zip(
+                pdf["event_id"].tolist(), pdf["us"].tolist()
+            ):
+                if last is not None:
+                    tok = min(
+                        _RL_CAP_MU,
+                        tok
+                        + (us - last)
+                        * RL_RATE_PER_HOUR
+                        * _RL_MILLI
+                        // _RL_HOUR_US,
+                    )
+                last = us
+                ok = tok >= _RL_MILLI
+                if ok:
+                    tok -= _RL_MILLI
+                ids.append(event_id)
+                allowed.append(ok)
+                toks.append(tok)
+        state.update((tok, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(ids),
+                "event_id": ids,
+                "allowed": allowed,
+                "tokens_milli_after": toks,
+            }
+        )
+
+    return (
+        stream.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=(
+                "user_id bigint, event_id bigint, allowed boolean,"
+                " tokens_milli_after bigint"
+            ),
+            stateStructType="tok bigint, last_us bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -192,6 +192,7 @@ HEADLINE = [
     "sim_mutual_knn_pairs",
     "feat_target_encode_oof",
     "events_attribution_removal",
+    "events_rate_limit_audit",
 ]
 
 

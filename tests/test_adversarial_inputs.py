@@ -114,6 +114,7 @@ def test_hot_key_shapes_match_oracle(spark, skewed_events_dir):
         "events_user_rolling_median7",
         "graph_kcore_trajectory",
         "events_attribution_removal",
+        "events_rate_limit_audit",
     ):
         _gate_compare(spark, skewed_events_dir, q)
 

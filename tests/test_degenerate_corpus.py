@@ -59,6 +59,7 @@ BATTERY = [
     "events_sessionization",
     "text_token_count",
     "orders_ks_priority_shift",
+    "events_rate_limit_audit",
 ]
 
 # Rows-only repaired queries (no oracle): crash-freedom is the pin.

@@ -89,6 +89,8 @@ QUERIES_UNDER_TEST = [
     "sim_mutual_knn_pairs",
     # collected domain-sized chain + driver bigint value iteration
     "events_attribution_removal",
+    # per-user sequential token-bucket kernel (applyInPandas)
+    "events_rate_limit_audit",
 ]
 
 

@@ -404,3 +404,34 @@ def test_heavy_hitters_stream_exact_and_bounded(spark, events_source):
     for (t, u), n in true.items():
         if n > totals[t] // cap:
             assert (t, u) in emitted, (t, u, n)
+
+
+def test_rate_limiter_stream_equals_batch(spark, events_source):
+    """The applyInPandasWithState token bucket must emit EXACTLY the
+    batch audit's per-event decisions — same integer kernel, state
+    carried through the store instead of the group scan."""
+    from almost_any_file_to_pandas_spark.plans import QUERIES, load_all
+    from almost_any_file_to_pandas_spark.streaming.events import (
+        events_rate_limiter_stream,
+    )
+
+    load_all()
+    schema = spark.read.parquet(events_source).schema
+    _run_to_memory(
+        events_rate_limiter_stream(spark, events_source, schema),
+        "rl_stream",
+        "append",
+    )
+    got = {
+        (r["user_id"], r["event_id"], r["allowed"],
+         r["tokens_milli_after"])
+        for r in spark.sql("SELECT * FROM rl_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"], r["allowed"],
+         r["tokens_milli_after"])
+        for r in QUERIES["events_rate_limit_audit"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == want

@@ -1065,9 +1065,15 @@ def events_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not mat:  # empty corpus: no chain, no rows (oracle agrees)
         return spark.createDataFrame([], schema)
     states = sorted({m[0] for m in mat})
+    # channel list from ALL observed event types (the oracle's
+    # channels CTE), not from the truncated-journey matrix: a type
+    # seen only in post-first-purchase tails still gets its row
+    # (removal effect 0 — knocking out an unused state changes
+    # nothing), keeping both engines' row sets identical
     channels = sorted(
-        {m[0] for m in mat if m[0] not in (_ST,)}
-        | {m[1] for m in mat if m[1] not in (_CV, _NU)}
+        r[0]
+        for r in ev.select("event_type").distinct().collect()
+        if r[0] != "purchase"
     ) + ["__none__"]
 
     def absorb(removed: str) -> int:

@@ -775,10 +775,14 @@ def sim_ivf_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_query = sim_ivf_recall(spark, sf_dir)
     return per_query.agg(
         F.count("*").alias("n_queries"),
-        F.max("k").cast("bigint").alias("k"),
-        (F.avg("recall_at_k") >= F.lit(IVF_RECALL_FLOOR)).alias(
-            "recall_floor_met"
+        # engine-side empty alignment (frozen oracle states constants):
+        # zero evaluable queries -> nominal k, vacuously-met floor
+        F.coalesce(F.max("k").cast("bigint"), F.lit(KNN_K)).alias(
+            "k"
         ),
+        F.coalesce(
+            F.avg("recall_at_k") >= F.lit(IVF_RECALL_FLOOR), F.lit(True)
+        ).alias("recall_floor_met"),
     )
 
 

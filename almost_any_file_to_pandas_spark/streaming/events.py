@@ -854,8 +854,13 @@ def events_sessionizer_stateful_stream(
 
         start, last, n = state.get if state.exists else (None, None, 0)
         out_start, out_n = [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # concat BEFORE sorting: a user's micro-batch rows can span
+        # several Arrow chunks, and chunk-local sorts would process
+        # them out of time order (diverging from the batch twin,
+        # which sorts the whole group)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts_us", "event_id"])
             for ts in pdf["ts_us"]:
                 t = int(ts)
                 if start is None:
@@ -999,8 +1004,11 @@ def events_heavy_hitters_stream(
             }
         else:
             table = {}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_us", "event_id"])
+        # concat before sorting — chunk-local sorts would evict in a
+        # chunk-boundary-dependent order (see the sessionizer note)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts_us", "event_id"])
             for u in pdf["user_id"]:
                 u = int(u)
                 if u in table:
@@ -1063,15 +1071,16 @@ _RL_CAP_MU = RL_BURST * _RL_MILLI
 _RL_HOUR_US = 3_600_000_000
 
 
-def _rate_limit_rows(rows):
+def _rate_limit_rows(rows, tok=_RL_CAP_MU, last=None):
     """The shared token-bucket kernel: rows = iterable of (event_id,
-    us) IN ORDER for one user; yields (event_id, allowed,
-    tokens_milli_after). Exact integer arithmetic — per-step refill
-    ``min(cap, tok + dt·rate·milli div hour_us)`` — so the batch
-    twin, the streaming operator, and the recursive SQL oracle are
-    bit-identical state machines."""
-    tok = _RL_CAP_MU
-    last = None
+    us) IN ORDER for one user, plus the carried state (tokens_milli,
+    last_us). Returns (decisions, tok, last) where decisions is a
+    list of (event_id, allowed, tokens_milli_after). Exact integer
+    arithmetic — per-step refill ``min(cap, tok + dt·rate·milli div
+    hour_us)`` — so the batch twin, the streaming operator (which
+    passes its stored state back in), and the recursive SQL oracle
+    are the SAME state machine, defined once."""
+    out = []
     for event_id, us in rows:
         if last is not None:
             dt = us - last
@@ -1083,7 +1092,8 @@ def _rate_limit_rows(rows):
         allowed = tok >= _RL_MILLI
         if allowed:
             tok -= _RL_MILLI
-        yield event_id, allowed, tok
+        out.append((event_id, allowed, tok))
+    return out, tok, last
 
 
 _RL_ORACLE = f"""
@@ -1158,10 +1168,8 @@ def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _audit(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(["us", "event_id"])
-        out = list(
-            _rate_limit_rows(
-                zip(pdf["event_id"].tolist(), pdf["us"].tolist())
-            )
+        out, _, _ = _rate_limit_rows(
+            zip(pdf["event_id"].tolist(), pdf["us"].tolist())
         )
         import pandas as _pd
 
@@ -1212,35 +1220,25 @@ def events_rate_limiter_stream(
         tok, last = (
             state.get if state.exists else (_RL_CAP_MU, None)
         )
-        ids, allowed, toks = [], [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["us", "event_id"])
-            for event_id, us in zip(
-                pdf["event_id"].tolist(), pdf["us"].tolist()
-            ):
-                if last is not None:
-                    tok = min(
-                        _RL_CAP_MU,
-                        tok
-                        + (us - last)
-                        * RL_RATE_PER_HOUR
-                        * _RL_MILLI
-                        // _RL_HOUR_US,
-                    )
-                last = us
-                ok = tok >= _RL_MILLI
-                if ok:
-                    tok -= _RL_MILLI
-                ids.append(event_id)
-                allowed.append(ok)
-                toks.append(tok)
+        # concat BEFORE sorting (the sessionizer note): a user's
+        # micro-batch rows can span Arrow chunks; then run the ONE
+        # shared kernel with the stored state carried in
+        chunks = [c for c in pdfs if len(c)]
+        out = []
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["us", "event_id"])
+            out, tok, last = _rate_limit_rows(
+                zip(pdf["event_id"].tolist(), pdf["us"].tolist()),
+                tok,
+                last,
+            )
         state.update((tok, last))
         yield pd.DataFrame(
             {
-                "user_id": [key[0]] * len(ids),
-                "event_id": ids,
-                "allowed": allowed,
-                "tokens_milli_after": toks,
+                "user_id": [key[0]] * len(out),
+                "event_id": [r[0] for r in out],
+                "allowed": [r[1] for r in out],
+                "tokens_milli_after": [r[2] for r in out],
             }
         )
 

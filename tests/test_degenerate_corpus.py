@@ -76,18 +76,13 @@ ROWS_ONLY_BATTERY = [
 
 @pytest.fixture(scope="module")
 def degenerate_dirs(tmp_path_factory):
-    import pyarrow.parquet as pq
+    # one builder (tools/make_degenerate_testdata.py), not a copy of
+    # its slice-and-write loop — table-list or schema fixes there
+    # reach this fixture automatically
+    from make_degenerate_testdata import build
 
     root = tmp_path_factory.mktemp("degenerate")
-    from pathlib import Path
-
-    src = Path(SRC_SF)
-    for name in TABLES:
-        t = pq.read_table(src / f"{name}.parquet")
-        for variant, n in (("empty", 0), ("single", 1)):
-            dest = root / variant
-            dest.mkdir(parents=True, exist_ok=True)
-            pq.write_table(t.slice(0, n), dest / f"{name}.parquet")
+    build(SRC_SF, root)
     return {"empty": str(root / "empty"), "single": str(root / "single")}
 
 

@@ -33,17 +33,24 @@ TABLES = (
 ).split()
 
 
-def main() -> int:
-    src = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
-    out_root = Path(
-        sys.argv[2] if len(sys.argv) > 2 else str(REPO / ".tmp_degenerate")
-    )
+def build(src, out_root) -> None:
+    """Write <out_root>/{empty,single}/<table>.parquet from src —
+    importable (the pytest battery reuses it), schema-preserving."""
+    src, out_root = Path(src), Path(out_root)
     for name in TABLES:
         t = pq.read_table(src / f"{name}.parquet")
         for variant, n in (("empty", 0), ("single", 1)):
             dest = out_root / variant
             dest.mkdir(parents=True, exist_ok=True)
             pq.write_table(t.slice(0, n), dest / f"{name}.parquet")
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_root = (
+        sys.argv[2] if len(sys.argv) > 2 else str(REPO / ".tmp_degenerate")
+    )
+    build(src, out_root)
     print(f"wrote {out_root}/empty and {out_root}/single")
     return 0
 

@@ -435,3 +435,68 @@ def test_rate_limiter_stream_equals_batch(spark, events_source):
         ).collect()
     }
     assert got == want
+
+
+def test_rate_limiter_stream_multi_chunk_groups(spark, tmp_path):
+    """Pin the Arrow-chunk ordering fix: with a tiny
+    maxRecordsPerBatch every user's micro-batch spans several chunks,
+    and the source file is written in REVERSE time order, so any
+    chunk-local sort (the fixed bug) processes later events first and
+    diverges from the batch audit."""
+    import datetime
+
+    from almost_any_file_to_pandas_spark.plans import QUERIES, load_all
+    from almost_any_file_to_pandas_spark.streaming.events import (
+        events_rate_limiter_stream,
+    )
+
+    load_all()
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for i in range(40):  # >> the 7-row Arrow batch below
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(minutes=40 - i),  # reversed
+                    u,
+                    "view",
+                    1.0,
+                    None,
+                )
+            )
+            eid += 1
+    src = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        schema = spark.read.parquet(src).schema
+        _run_to_memory(
+            events_rate_limiter_stream(spark, src, schema),
+            "rl_chunked",
+            "append",
+        )
+        got = {
+            (r["user_id"], r["event_id"], r["allowed"],
+             r["tokens_milli_after"])
+            for r in spark.sql("SELECT * FROM rl_chunked").collect()
+        }
+        want = {
+            (r["user_id"], r["event_id"], r["allowed"],
+             r["tokens_milli_after"])
+            for r in QUERIES["events_rate_limit_audit"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+    assert got == want

@@ -500,3 +500,43 @@ def test_rate_limiter_stream_multi_chunk_groups(spark, tmp_path):
             "spark.sql.execution.arrow.maxRecordsPerBatch", prev
         )
     assert got == want
+
+
+def test_heavy_hitters_stream_chunk_invariant(spark, events_source):
+    """Space-saving eviction under TIGHT capacity must not depend on
+    Arrow chunk boundaries: a 7-row-batch run and a default-batch run
+    over the same source must emit identical snapshots (the
+    concat-then-sort discipline; chunk-local sorts would evict in a
+    chunk-dependent order)."""
+    from almost_any_file_to_pandas_spark.streaming.events import (
+        events_heavy_hitters_stream,
+    )
+
+    schema = spark.read.parquet(events_source).schema
+
+    def run(name, batch_rows):
+        prev = spark.conf.get(
+            "spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(batch_rows),
+        )
+        try:
+            _run_to_memory(
+                events_heavy_hitters_stream(
+                    spark, events_source, schema, capacity=8, topk=8
+                ),
+                name,
+                "update",
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+            )
+        return sorted(
+            tuple(r)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+    assert run("hh_chunk7", 7) == run("hh_chunk_big", 100000)

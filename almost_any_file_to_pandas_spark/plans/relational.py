@@ -5014,3 +5014,99 @@ def lineitem_price_index_basket(
             " div SUM(CAST(p0u AS DECIMAL(38,0)) * q1) AS BIGINT)"
         ).alias("paasche_q6"),
     )
+
+
+@register(
+    "part_brand_type_cramers_v",
+    oracle="""
+    WITH o AS (
+      SELECT p_brand, p_type, COUNT(*) AS obs FROM part GROUP BY 1, 2
+    ), r AS (
+      SELECT p_brand, SUM(obs) AS rn FROM o GROUP BY 1
+    ), c AS (
+      SELECT p_type, SUM(obs) AS cn FROM o GROUP BY 1
+    ), n AS (
+      SELECT SUM(obs) AS n FROM o
+    ), dims AS (
+      SELECT (SELECT COUNT(*) FROM r) AS n_rows_lvls,
+             (SELECT COUNT(*) FROM c) AS n_col_lvls
+    ), chi AS (
+      SELECT n.n AS n,
+             SUM(
+               (CAST(o.obs AS HUGEINT) * n.n
+                - CAST(r.rn AS HUGEINT) * c.cn)
+               * (CAST(o.obs AS HUGEINT) * n.n
+                  - CAST(r.rn AS HUGEINT) * c.cn)
+               // (CAST(r.rn AS HUGEINT) * c.cn * n.n)
+             ) AS chi2_scaled
+      FROM o JOIN r USING (p_brand) JOIN c USING (p_type) CROSS JOIN n
+      GROUP BY n.n
+    )
+    SELECT CAST(chi.n AS BIGINT) AS n_parts,
+           CAST(d.n_rows_lvls AS BIGINT) AS n_brand_levels,
+           CAST(d.n_col_lvls AS BIGINT) AS n_type_levels,
+           CAST(chi.chi2_scaled AS BIGINT) AS chi2_scaled,
+           CAST(CASE
+             WHEN LEAST(d.n_rows_lvls, d.n_col_lvls) < 2 THEN NULL
+             ELSE chi.chi2_scaled * 1000000
+                  // (CAST(chi.n AS HUGEINT) * chi.n
+                      * (LEAST(d.n_rows_lvls, d.n_col_lvls) - 1))
+           END AS BIGINT) AS cramers_v2_q6
+    FROM chi CROSS JOIN dims d
+    """,
+)
+def part_brand_type_cramers_v(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cramér's V (squared, exact q6) for the brand×type association
+    — the EFFECT SIZE the chi² screen
+    (:func:`part_brand_type_chi2`) lacks: chi² grows with n, so only
+    ``V² = χ²/(n·min(r−1, c−1)) ∈ [0, 1]`` says whether an
+    association is material. Reported squared to stay in exact
+    integer arithmetic (sqrt of a q6 integer is irrational; the
+    ordering and thresholds analysts use survive squaring).
+
+    Same observed-cell scaled identity as the chi² screen
+    (``chi2_scaled = n·χ²`` over observed cells), so
+    ``V²_q6 = chi2_scaled·1e6 div (n²·(min(r,c)−1))`` — all widened
+    integer products; NULL below a 2×2 table (V undefined).
+
+    Plan: identical cost to the chi² screen — one (brand, type)
+    aggregate, marginal rollups broadcast back, level counts from
+    the SAME marginal frames (no extra corpus pass).
+    """
+    apply_engine_conf(spark)
+    part = table(spark, sf_dir, "part")
+    o = part.groupBy("p_brand", "p_type").agg(F.count("*").alias("obs"))
+    r = o.groupBy("p_brand").agg(F.sum("obs").alias("rn"))
+    c = o.groupBy("p_type").agg(F.sum("obs").alias("cn"))
+    n = o.agg(F.sum("obs").alias("n"))
+    dims = r.agg(F.count("*").alias("n_rows_lvls")).crossJoin(
+        c.agg(F.count("*").alias("n_col_lvls"))
+    )
+    term = (
+        "(CAST(obs AS DECIMAL(38,0)) * n - CAST(rn AS DECIMAL(38,0)) * cn)"
+        " * (CAST(obs AS DECIMAL(38,0)) * n"
+        "    - CAST(rn AS DECIMAL(38,0)) * cn)"
+        " div (CAST(rn AS DECIMAL(38,0)) * cn * n)"
+    )
+    chi = (
+        o.join(r, "p_brand")
+        .join(c, "p_type")
+        .crossJoin(F.broadcast(n))
+        .groupBy("n")
+        .agg(F.expr(f"SUM({term})").alias("chi2_scaled"))
+    )
+    return chi.crossJoin(F.broadcast(dims)).select(
+        F.col("n").cast("long").alias("n_parts"),
+        F.col("n_rows_lvls").cast("long").alias("n_brand_levels"),
+        F.col("n_col_lvls").cast("long").alias("n_type_levels"),
+        F.col("chi2_scaled").cast("long").alias("chi2_scaled"),
+        F.expr(
+            "CAST(CASE WHEN LEAST(n_rows_lvls, n_col_lvls) < 2"
+            " THEN NULL ELSE chi2_scaled * 1000000"
+            " div (CAST(n AS DECIMAL(38,0)) * n"
+            "      * (LEAST(n_rows_lvls, n_col_lvls) - 1))"
+            " END AS BIGINT)"
+        ).alias("cramers_v2_q6"),
+    )

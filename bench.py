@@ -193,6 +193,7 @@ HEADLINE = [
     "feat_target_encode_oof",
     "events_attribution_removal",
     "events_rate_limit_audit",
+    "part_brand_type_cramers_v",
 ]
 
 

@@ -540,3 +540,46 @@ def test_heavy_hitters_stream_chunk_invariant(spark, events_source):
         )
 
     assert run("hh_chunk7", 7) == run("hh_chunk_big", 100000)
+
+
+def test_sessionizer_stream_multi_chunk_groups(spark, events_source):
+    """Third member of the chunk-ordering trio: the stateful
+    sessionizer under 7-row Arrow batches must still equal the batch
+    sessionizer minus open tails (the existing contract, now proven
+    with every user's micro-batch spanning several chunks)."""
+    from pyspark.sql import Window
+
+    from almost_any_file_to_pandas_spark.plans import QUERIES, load_all
+    from almost_any_file_to_pandas_spark.streaming.events import (
+        events_sessionizer_stateful_stream,
+    )
+
+    load_all()
+    schema = spark.read.parquet(events_source).schema
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        _run_to_memory(
+            events_sessionizer_stateful_stream(
+                spark, events_source, schema
+            ),
+            "sess_chunk7",
+            "append",
+        )
+        got = {
+            (r["user_id"], r["session_start_us"], r["n_events"])
+            for r in spark.sql("SELECT * FROM sess_chunk7").collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+    batch = QUERIES["events_sessionization"](spark, SF_DIR)
+    w_max = F.max("session_id").over(Window.partitionBy("user_id"))
+    want = {
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in batch.withColumn("_last", w_max)
+        .filter(F.col("session_id") != F.col("_last"))
+        .collect()
+    }
+    assert got == want

@@ -2293,3 +2293,253 @@ def dedup_simhash_hamming_pairs(
             F.col("sig_a").bitwiseXOR(F.col("sig_b"))
         ).cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= SIMHASH_HAMMING_K)
+
+
+# --- LSH band-tuning curve -------------------------------------------
+# 16 portable (md5-prefix) minhashes over df-capped word-3-gram
+# shingles, banded three ways (4×4, 8×2, 16×1). Ground truth and the
+# minhash universe are BOTH the df-capped shingle sets, so the curve
+# is a closed, engine-exact measurement: candidate counts, precision
+# and recall are integers DuckDB re-derives bit-for-bit.
+LSH_CURVE_HASHES = 16
+LSH_CURVE_CONFIGS = ((4, 4), (8, 2), (16, 1))  # (n_bands, rows_per_band)
+
+
+def _curve_hash_sql(seed: int) -> str:
+    return _portable_token_hash_sql(f"'{seed}:' || g")
+
+
+def _lsh_curve_sql() -> str:
+    mins = ", ".join(
+        f"MIN({_curve_hash_sql(s)}) AS h{s}"
+        for s in range(LSH_CURVE_HASHES)
+    )
+    band_selects = []
+    for nb, rpb in LSH_CURVE_CONFIGS:
+        for band in range(nb):
+            cols = ", ".join(
+                f"CAST(h{band * rpb + j} AS VARCHAR)"
+                for j in range(rpb)
+            )
+            band_selects.append(
+                f"SELECT {nb} AS nb, doc_id, {band} AS band,"
+                f" concat_ws(',', {cols}) AS key FROM sig"
+            )
+    bands = " UNION ALL ".join(band_selects)
+    values = ", ".join(f"({nb}, {rpb})" for nb, rpb in LSH_CURVE_CONFIGS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh0 AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS g
+      FROM base
+    ), dfok AS (
+      SELECT g FROM sh0 GROUP BY g HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ), kept AS (
+      SELECT s.doc_id, s.g FROM sh0 s JOIN dfok USING (g)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT i.da, i.db
+      FROM inter i
+      JOIN sizes sa ON i.da = sa.doc_id
+      JOIN sizes sb ON i.db = sb.doc_id
+      WHERE 5 * i.c >= 4 * (sa.sz + sb.sz - i.c)
+    ), sig AS (
+      SELECT doc_id, {mins} FROM kept GROUP BY doc_id
+    ), bands AS (
+      {bands}
+    ), okb AS (
+      SELECT nb, band, key FROM bands GROUP BY 1, 2, 3
+      HAVING COUNT(DISTINCT doc_id)
+             BETWEEN 2 AND {MAX_BUCKET_SIZE}
+    ), bb AS (
+      SELECT b.nb, b.band, b.key, b.doc_id
+      FROM bands b JOIN okb o
+        ON b.nb = o.nb AND b.band = o.band AND b.key = o.key
+    ), cand AS (
+      SELECT DISTINCT a.nb, a.doc_id AS da, b.doc_id AS db
+      FROM bb a JOIN bb b
+        ON a.nb = b.nb AND a.band = b.band AND a.key = b.key
+       AND a.doc_id < b.doc_id
+    ), nc AS (
+      SELECT nb, COUNT(*) AS n_candidates FROM cand GROUP BY nb
+    ), tc AS (
+      SELECT c.nb, COUNT(*) AS n_true_candidates
+      FROM cand c JOIN truth t ON c.da = t.da AND c.db = t.db
+      GROUP BY c.nb
+    ), nt AS (
+      SELECT COUNT(*) AS n_true FROM truth
+    )
+    SELECT CAST(v.nb AS INTEGER) AS n_bands,
+           CAST(v.rpb AS INTEGER) AS rows_per_band,
+           CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(tc.n_true_candidates, 0) AS BIGINT)
+             AS n_true_candidates,
+           CAST(nt.n_true AS BIGINT) AS n_true_pairs,
+           CAST(CASE WHEN COALESCE(nc.n_candidates, 0) = 0 THEN 0
+                ELSE COALESCE(tc.n_true_candidates, 0) * 1000000
+                     // nc.n_candidates END AS BIGINT) AS precision_q6,
+           CAST(CASE WHEN nt.n_true = 0 THEN 0
+                ELSE COALESCE(tc.n_true_candidates, 0) * 1000000
+                     // nt.n_true END AS BIGINT) AS recall_q6
+    FROM (VALUES {values}) v(nb, rpb)
+    LEFT JOIN nc ON v.nb = nc.nb
+    LEFT JOIN tc ON v.nb = tc.nb, nt
+    """
+
+
+@register("dedup_lsh_band_tuning_curve", oracle=_lsh_curve_sql())
+def dedup_lsh_band_tuning_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Precision/recall of MinHash-LSH candidate generation across
+    band configurations — the S-curve measurement behind every
+    banding choice (more bands ⇒ higher recall, lower precision; the
+    16×1 point is the recall ceiling of a 16-hash signature, 4×4 the
+    precision end). One row per config with integer q6 metrics.
+
+    Closed measurement contract: the minhash universe AND the ground
+    truth are both the df-capped (≤ MAX_SHINGLE_DF) word-3-gram sets
+    — stop-shingle removal before MinHash, with the cap an explicit
+    model parameter as in :func:`dedup_ngram_jaccard` — and the
+    minhashes are the portable md5-prefix integers of
+    ``'{{seed}}:' || shingle``, so candidate sets, truth sets
+    (``5·|∩| ≥ 4·(|a|+|b|−|∩|)`` — the Jaccard ≥ 0.8 test with no
+    floats), and both ratios are engine-exact.
+
+    Plan: one shingle explode → df filter (shuffle on shingle, reused
+    by the truth-side intersection counts via the one-shuffle bucket
+    pair expansion of :func:`_pairs_within_buckets`) → one 16-column
+    min-hash aggregate keyed on doc → per-config band explode and
+    capped bucket expansion. Signatures are computed ONCE; each curve
+    point reuses them — the curve costs one corpus pass plus three
+    band shuffles over signature rows (16 ints/doc), never a second
+    pass over text.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            _word_ngrams(F.split(F.col("text"), " ", -1))
+        ).alias("g"),
+    )
+    dfok = (
+        sh.groupBy("g")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= MAX_SHINGLE_DF)
+        .select("g")
+    )
+    # kept is consumed by three branches (sizes, intersections,
+    # signatures); checkpoint so the explode + df-filter shuffle runs
+    # once, not per branch
+    kept = sh.join(dfok, "g").localCheckpoint(eager=False)
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        _pairs_within_buckets(
+            kept,
+            "doc_id",
+            ["g"],
+            max_bucket=MAX_SHINGLE_DF,
+            distinct=False,
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("sz").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("sz").alias("sb")
+            ),
+            "doc_b",
+        )
+        .filter(
+            5 * F.col("c")
+            >= 4 * (F.col("sa") + F.col("sb") - F.col("c"))
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    sig = kept.groupBy("doc_id").agg(
+        *[
+            F.min(
+                _portable_token_hash(
+                    F.concat(F.lit(f"{s}:"), F.col("g"))
+                )
+            ).alias(f"h{s}")
+            for s in range(LSH_CURVE_HASHES)
+        ]
+    ).localCheckpoint(eager=False)
+    pair_frames = []
+    for nb, rpb in LSH_CURVE_CONFIGS:
+        entries = []
+        for band in range(nb):
+            key = F.concat_ws(
+                ",",
+                *[
+                    F.col(f"h{band * rpb + j}").cast("string")
+                    for j in range(rpb)
+                ],
+            )
+            entries.append(
+                F.struct(
+                    F.lit(band).alias("band"), key.alias("key")
+                )
+            )
+        btab = sig.select(
+            "doc_id", F.explode(F.array(*entries)).alias("bk")
+        ).select("doc_id", "bk.band", "bk.key")
+        pair_frames.append(
+            _pairs_within_buckets(
+                btab, "doc_id", ["band", "key"]
+            ).select(
+                F.lit(nb).alias("nb"), "doc_a", "doc_b"
+            )
+        )
+    cand = pair_frames[0]
+    for fr in pair_frames[1:]:
+        cand = cand.unionAll(fr)
+    nc = cand.groupBy("nb").agg(F.count("*").alias("n_candidates"))
+    tc = (
+        cand.join(truth, ["doc_a", "doc_b"])
+        .groupBy("nb")
+        .agg(F.count("*").alias("n_true_candidates"))
+    )
+    nt = truth.agg(F.count("*").alias("n_true_pairs"))
+    configs = spark.createDataFrame(
+        list(LSH_CURVE_CONFIGS), "nb int, rows_per_band int"
+    )
+    return (
+        configs.join(F.broadcast(nc), "nb", "left")
+        .join(F.broadcast(tc), "nb", "left")
+        .crossJoin(F.broadcast(nt))
+        .selectExpr(
+            "nb AS n_bands",
+            "rows_per_band",
+            "CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates",
+            "CAST(COALESCE(n_true_candidates, 0) AS BIGINT)"
+            " AS n_true_candidates",
+            "CAST(n_true_pairs AS BIGINT) AS n_true_pairs",
+            "CAST(CASE WHEN COALESCE(n_candidates, 0) = 0 THEN 0"
+            " ELSE COALESCE(n_true_candidates, 0) * 1000000"
+            " div n_candidates END AS BIGINT) AS precision_q6",
+            "CAST(CASE WHEN n_true_pairs = 0 THEN 0"
+            " ELSE COALESCE(n_true_candidates, 0) * 1000000"
+            " div n_true_pairs END AS BIGINT) AS recall_q6",
+        )
+        .orderBy("n_bands")
+    )

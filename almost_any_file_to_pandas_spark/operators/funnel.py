@@ -1099,3 +1099,148 @@ def events_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append((ch, pf, pb, removal))
     return spark.createDataFrame(rows, schema)
+
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "events_attribution_time_decay",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      FROM events
+    ), purch AS (
+      SELECT user_id, event_id, us,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM ev WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id, event_type, us FROM ev
+      WHERE event_type IN ('view', 'click')
+    ), per AS (
+      SELECT p.event_id, p.cents,
+             COALESCE(SUM(CASE WHEN t.event_type = 'view'
+               THEN 64 >> CAST((p.us - t.us - 1) // {_DAY_US}
+                               AS INTEGER) END), 0) AS w_view,
+             COALESCE(SUM(CASE WHEN t.event_type = 'click'
+               THEN 64 >> CAST((p.us - t.us - 1) // {_DAY_US}
+                               AS INTEGER) END), 0) AS w_click
+      FROM purch p LEFT JOIN touch t
+        ON t.user_id = p.user_id
+       AND t.us BETWEEN p.us - {ATTRIB_WINDOW_US} AND p.us - 1
+      GROUP BY 1, 2
+    ), long AS (
+      SELECT 'view' AS touch_type, cents,
+             w_view AS k, w_view + w_click AS n
+      FROM per WHERE w_view > 0
+      UNION ALL
+      SELECT 'click', cents, w_click, w_view + w_click
+      FROM per WHERE w_click > 0
+      UNION ALL
+      SELECT 'none', cents, 1, 0
+      FROM per WHERE w_view + w_click = 0
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN n = 0
+                    THEN CAST(cents AS HUGEINT) * 1000000
+                    ELSE CAST(cents AS HUGEINT) * 1000000 * k // n
+                    END) AS BIGINT) AS credited_q6c
+    FROM long GROUP BY 1
+    """,
+)
+def events_attribution_time_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-decay attribution — each touch's credit halves per day of
+    age: weight ``2^(6−Δ)`` where ``Δ = (p_us − t_us − 1) div 1day``
+    ∈ [0, 6] inside the 7-day lookback. The weights are DYADIC
+    integers (64 … 1), so the per-purchase weighted masses ``w_view``
+    / ``w_click`` and the normalized credits
+    ``cents·1e6·w div (w_view+w_click)`` are exact integers on both
+    engines — the float-free restatement of the usual ``exp(−λ·age)``
+    decay (2^-days IS exponential decay with λ = ln 2/day; no exp()
+    enters because the day-bucketed exponent is an integer).
+
+    Plan: the oracle's purchase×touch range join is restated as
+    SEVEN one-day RANGE frames per touch type over the SAME user-keyed
+    sort every per-user operator shares (frame d covers ages
+    ``(d·1day, (d+1)·1day]`` and carries the constant weight
+    ``2^(6−d)``), then the linear-attribution explode/aggregate
+    finishes — one sort, zero joins, the decayed mass assembled from
+    frame sums with constant multipliers. See
+    :func:`events_attribution_linear` for the frame-vs-join contrast;
+    at 100 TB the join side would shuffle touches ×7 days of fanout
+    while the frames reuse one exchange.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    view_ind = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    click_ind = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    w_view = F.lit(0)
+    w_click = F.lit(0)
+    for d in range(ATTRIB_WINDOW_DAYS):
+        frame = (
+            W.partitionBy("user_id")
+            .orderBy("us")
+            .rangeBetween(-(d + 1) * _DAY_US, -d * _DAY_US - 1)
+        )
+        weight = 64 >> d
+        w_view = w_view + F.coalesce(
+            F.sum(view_ind).over(frame), F.lit(0)
+        ) * F.lit(weight)
+        w_click = w_click + F.coalesce(
+            F.sum(click_ind).over(frame), F.lit(0)
+        ) * F.lit(weight)
+    counted = base.select(
+        "event_type",
+        "cents",
+        w_view.alias("w_view"),
+        w_click.alias("w_click"),
+    )
+    per = counted.filter(F.col("event_type") == "purchase").select(
+        "cents", "w_view", "w_click"
+    )
+    long = per.select(
+        "cents",
+        (F.col("w_view") + F.col("w_click")).alias("n"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view").alias("touch_type"),
+                    F.col("w_view").alias("k"),
+                ),
+                F.struct(
+                    F.lit("click").alias("touch_type"),
+                    F.col("w_click").alias("k"),
+                ),
+                F.struct(
+                    F.lit("none").alias("touch_type"),
+                    F.when(
+                        F.col("w_view") + F.col("w_click") == 0, 1
+                    )
+                    .otherwise(0)
+                    .cast("long")
+                    .alias("k"),
+                ),
+            )
+        ).alias("t"),
+    ).filter(F.col("t.k") > 0)
+    return long.groupBy(F.col("t.touch_type").alias("touch_type")).agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n = 0"
+            " THEN CAST(cents AS DECIMAL(38,0)) * 1000000"
+            " ELSE CAST(cents AS DECIMAL(38,0)) * 1000000 * t.k div n"
+            " END) AS BIGINT)"
+        ).alias("credited_q6c"),
+    )

@@ -323,3 +323,143 @@ def retrieval_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hybrid_rank") <= HYBRID_TOP)
         .select("query_id", "doc_id", "rrf_q6", "hybrid_rank")
     )
+
+
+# BM25 over the whitespace-token inverted index. The idf is the
+# RATIONAL (pre-log) Robertson–Spärck Jones weight
+# ``(N - df + 0.5) / (df + 0.5)`` — log-free because ln() is not
+# correctly-rounded-identical across engines (the repo's float
+# contract allows sqrt and ±*/ only); per term it is a monotone
+# transform of textbook BM25 idf, stated in the docstring as the
+# scoring-function definition. k1 = 6/5 and b = 3/4 are kept as exact
+# rationals and the whole per-term score is one integer expression.
+BM25_TERMS = ("spark", "vector", "window", "merge")
+BM25_TOP = 20
+
+
+def _bm25_terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@register(
+    "retrieval_bm25_rational_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), corpus AS (
+      SELECT COUNT(*) AS n_docs,
+             COALESCE(SUM(len(string_split(text, ' '))), 0) AS sum_dl
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM tok WHERE term IN ({_bm25_terms_sql()})
+      GROUP BY doc_id, dl, term
+    ), idf AS (
+      SELECT term,
+             (2 * c.n_docs - 2 * COUNT(*) + 1) * 1000000
+               // (2 * COUNT(*) + 1) AS idf_q6
+      FROM tf, corpus c GROUP BY term, c.n_docs
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(CAST(i.idf_q6 AS HUGEINT) * 22 * t.tf * c.sum_dl
+                  // (10 * c.sum_dl * t.tf + 3 * c.sum_dl
+                      + 9 * t.dl * c.n_docs)
+                  AS BIGINT) AS term_score
+      FROM tf t JOIN idf i ON t.term = i.term, corpus c
+    ), agg AS (
+      SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score_q6,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM scored GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, score_q6, n_terms,
+             ROW_NUMBER() OVER (ORDER BY score_q6 DESC, doc_id) AS rnk
+      FROM agg
+    )
+    SELECT doc_id, score_q6, n_terms, rnk
+    FROM ranked WHERE rnk <= {BM25_TOP}
+    """,
+)
+def retrieval_bm25_rational_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BM25 top-k for a fixed query-term set, with the RATIONAL
+    (pre-log) RSJ idf so every score is an exact integer on both
+    engines: per (doc, term)
+
+    ``score_q6 = idf_q6 · 22·tf·S  div  (10·S·tf + 3·S + 9·dl·N)``
+
+    where ``idf_q6 = (2N − 2df + 1)·1e6 div (2df + 1)`` (the
+    ×1e6-scaled ``(N−df+½)/(df+½)``), ``dl`` is the doc's token
+    count, ``S = Σ dl``, and the tf factor is textbook
+    ``tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`` with k1 = 6/5, b = 3/4
+    cleared of denominators (×10·S). Log-free by design: ln() is not
+    bit-identical across engines, and per term the rational idf is a
+    monotone transform of the log idf.
+
+    Plan (100 TB shape): ONE corpus pass explodes tokens and filters
+    to the query terms BEFORE the (doc, term) shuffle, so the
+    shuffled volume is matching tokens only, not the corpus; ``dl``
+    rides the explode as a functionally-dependent key (no join back
+    to the corpus). Corpus stats (N, S) are a one-row broadcast; the
+    per-term df/idf table is |terms| rows broadcast into the scoring
+    projection. Final top-k is TakeOrderedAndProject (per-partition
+    heaps), never a global sort; the rank window sees ≤ k rows.
+    """
+    apply_engine_conf(spark)
+    from pyspark.sql import Window as W
+
+    docs = table_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ", -1)).alias("dl"),
+        F.explode(F.split(F.col("text"), " ", -1)).alias("term"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    corpus = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.size(F.split(F.col("text"), " ", -1))), F.lit(0)
+        ).alias("sum_dl"),
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(corpus))
+        .selectExpr(
+            "term",
+            "(2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1)"
+            " AS idf_q6",
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(corpus))
+        .selectExpr(
+            "doc_id",
+            "CAST(CAST(idf_q6 AS DECIMAL(38,0)) * 22 * tf * sum_dl"
+            " div (10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs)"
+            " AS BIGINT) AS term_score",
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("term_score").alias("score_q6"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    top = agg.orderBy(
+        F.desc("score_q6"), F.asc("doc_id")
+    ).limit(BM25_TOP)
+    # rank window over ≤ k pre-limited rows; non-foldable constant
+    # partition key (see text_vocab_topk) keeps the single partition
+    # intended rather than warned-about
+    w = W.partitionBy(F.pmod(F.col("score_q6"), F.lit(1))).orderBy(
+        F.desc("score_q6"), F.asc("doc_id")
+    )
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "doc_id", "score_q6", "n_terms", "rnk"
+    )

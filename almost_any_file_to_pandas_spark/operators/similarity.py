@@ -1661,3 +1661,163 @@ def sim_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_ba",
         )
     )
+
+
+NPROBE_CURVE = (1, 2, 4, 8)
+
+
+@register(
+    "sim_ivf_nprobe_recall_curve",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_ivf_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ), nq AS (
+      SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+      FROM b WHERE vec_id < {N_QUERIES}
+    ), buckets AS (
+      SELECT DISTINCT bucket FROM b
+    ), probes AS (
+      SELECT query_id, qvec, bucket,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY bit_count(xor(CAST(qbucket AS BIGINT),
+                                      CAST(bucket AS BIGINT))),
+                        bucket) AS probe_rank
+      FROM nq, buckets
+    ), cand AS (
+      SELECT p.query_id, p.probe_rank, x.vec_id,
+             ROUND({_cosine_sql('x.embedding', 'p.qvec')}, 6) AS cosine
+      FROM probes p JOIN b x ON x.bucket = p.bucket
+      WHERE p.probe_rank <= {max(NPROBE_CURVE)}
+        AND x.vec_id <> p.query_id
+    ), exact AS (
+      SELECT q.query_id, x.vec_id
+      FROM nq q JOIN b x ON x.vec_id <> q.query_id
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY ROUND({_cosine_sql('x.embedding', 'q.qvec')}, 6) DESC,
+                 x.vec_id) <= {KNN_K}
+    ), picks AS (
+      SELECT np.nprobe, c.query_id, c.vec_id
+      FROM (VALUES {', '.join(f'({v})' for v in NPROBE_CURVE)})
+           np(nprobe), cand c
+      WHERE c.probe_rank <= np.nprobe
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY np.nprobe, c.query_id
+        ORDER BY c.cosine DESC, c.vec_id) <= {KNN_K}
+    ), hits AS (
+      SELECT p.nprobe, COUNT(*) AS n_hits
+      FROM picks p JOIN exact e
+        ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+      GROUP BY p.nprobe
+    ), denom AS (
+      SELECT COUNT(*) AS n_exact FROM exact
+    )
+    SELECT CAST(v.nprobe AS INTEGER) AS nprobe,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(d.n_exact AS BIGINT) AS n_exact,
+           CAST(CASE WHEN d.n_exact = 0 THEN 0
+                ELSE COALESCE(h.n_hits, 0) * 1000000 // d.n_exact
+                END AS BIGINT) AS recall_q6
+    FROM (VALUES {', '.join(f'({v})' for v in NPROBE_CURVE)}) v(nprobe)
+    LEFT JOIN hits h ON v.nprobe = h.nprobe, denom d
+    """,
+)
+def sim_ivf_nprobe_recall_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@k as a function of nprobe for the DETERMINISTIC
+    (sign-bit) IVF quantizer — the tuning curve every ANN deployment
+    reads before picking its probe count, here fully oracle-checkable
+    because both the buckets and the probe ORDER (Hamming distance
+    between sign-bit codes, tie-break bucket id) are static integer
+    arithmetic. For each nprobe ∈ {1, 2, 4, 8}: probe the nprobe
+    Hamming-nearest non-empty lists, take the in-probe top-k, and
+    score hits against the exact brute-force top-k
+    (:func:`sim_knn_batch` — the same query batch and rounding).
+    Output: one row per nprobe with hit/evaluable counts and the
+    integer q6 macro recall.
+
+    Plan (100 TB shape): candidates are generated ONCE at the widest
+    probe depth (one bucket-keyed join of the ≤|queries|·nprobe_max
+    broadcast probe table against the corpus), then every curve point
+    reuses that scored frame through a (nprobe, query) window — the
+    curve costs one corpus pass plus rank windows over candidate
+    rows, not one search per point. The exact baseline is the already
+    audited broadcast-scoring pass; the final fixed 4-row frame
+    assembles driver-side-free via broadcast joins.
+    """
+    apply_engine_conf(spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        _ivf_bucket_expr(F.col("embedding")).alias("bucket"),
+    )
+    nq = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    buckets = b.select("bucket").distinct()
+    wp = W.partitionBy("query_id").orderBy(
+        F.bit_count(
+            F.expr("CAST(qbucket AS BIGINT) ^ CAST(bucket AS BIGINT)")
+        ),
+        F.asc("bucket"),
+    )
+    probes = (
+        nq.crossJoin(F.broadcast(buckets))
+        .withColumn("probe_rank", F.row_number().over(wp))
+        .filter(F.col("probe_rank") <= max(NPROBE_CURVE))
+        .select("query_id", "qvec", "bucket", "probe_rank")
+    )
+    cand = (
+        b.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "probe_rank",
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("qvec"))
+                / (_norm(F.col("embedding")) * _norm(F.col("qvec"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    nprobes = spark.createDataFrame(
+        [(v,) for v in NPROBE_CURVE], "nprobe int"
+    )
+    wk = W.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    picks = (
+        cand.join(
+            F.broadcast(nprobes),
+            F.col("probe_rank") <= F.col("nprobe"),
+        )
+        .withColumn("_r", F.row_number().over(wk))
+        .filter(F.col("_r") <= KNN_K)
+        .select("nprobe", "query_id", "vec_id")
+    )
+    exact = sim_knn_batch(spark, sf_dir).select("query_id", "vec_id")
+    hits = picks.join(exact, ["query_id", "vec_id"]).groupBy(
+        "nprobe"
+    ).agg(F.count("*").alias("n_hits"))
+    denom = exact.agg(F.count("*").alias("n_exact"))
+    return (
+        nprobes.join(F.broadcast(hits), "nprobe", "left")
+        .crossJoin(F.broadcast(denom))
+        .selectExpr(
+            "nprobe",
+            "CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits",
+            "CAST(n_exact AS BIGINT) AS n_exact",
+            "CAST(CASE WHEN n_exact = 0 THEN 0"
+            " ELSE COALESCE(n_hits, 0) * 1000000 div n_exact"
+            " END AS BIGINT) AS recall_q6",
+        )
+        .orderBy("nprobe")
+    )

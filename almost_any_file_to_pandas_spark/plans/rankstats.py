@@ -1312,3 +1312,80 @@ def orders_ks_priority_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d_at_cents",
         )
     )
+
+
+@register(
+    "customer_order_count_dispersion",
+    oracle="""
+    WITH cnt AS (
+      SELECT o_custkey, COUNT(*) AS x FROM orders GROUP BY o_custkey
+    ), per AS (
+      SELECT c.c_mktsegment, COALESCE(t.x, 0) AS x
+      FROM customer c LEFT JOIN cnt t ON c.c_custkey = t.o_custkey
+    ), seg AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(x) AS BIGINT) AS sum_orders,
+             CAST(SUM(x * x) AS BIGINT) AS sum_sq
+      FROM per GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n_customers, sum_orders,
+           CAST((CAST(n_customers AS HUGEINT) * sum_sq
+                 - CAST(sum_orders AS HUGEINT) * sum_orders) * 1000000
+                // ((n_customers - 1) * sum_orders)
+                AS BIGINT) AS dispersion_q6
+    FROM seg WHERE n_customers >= 2 AND sum_orders > 0
+    """,
+)
+def customer_order_count_dispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-segment dispersion index (variance-to-mean ratio) of
+    per-customer order counts — the standard over/under-dispersion
+    screen against the Poisson arrival model (index ≈ 1e6 in q6 ⇔
+    Poisson; > 1e6 ⇔ clumped demand, < 1e6 ⇔ regular demand).
+    Customers with ZERO orders enter as x = 0 via the left join —
+    dropping them biases the index upward, the classic mistake this
+    operator exists to audit.
+
+    Exact integers end-to-end: sample-variance-to-mean =
+    ``(n·Σx² − (Σx)²) / ((n−1)·Σx)``, emitted as the widened q6
+    ratio (numerator can pass int64 at sf ≥ 10: DECIMAL(38,0) /
+    HUGEINT per the module recipe). Segments need n ≥ 2 and Σx > 0.
+
+    Plan: one hash aggregate of orders on custkey (map-side
+    combinable), one custkey-keyed join against the customer dim —
+    both sides already partition on the join key — then a
+    |segments|-row aggregate. No windows, no global sorts; at 100 TB
+    the only wide exchange is the orders groupBy.
+    """
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cnt = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("x"))
+    )
+    per = cust.join(
+        cnt, cust.c_custkey == cnt.o_custkey, "left"
+    ).select(
+        "c_mktsegment", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    seg = per.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("x").alias("sum_orders"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_sq"),
+    )
+    return seg.filter(
+        (F.col("n_customers") >= 2) & (F.col("sum_orders") > 0)
+    ).selectExpr(
+        "c_mktsegment",
+        "n_customers",
+        "sum_orders",
+        "CAST((CAST(n_customers AS DECIMAL(38,0)) * sum_sq"
+        " - CAST(sum_orders AS DECIMAL(38,0)) * sum_orders) * 1000000"
+        " div ((n_customers - 1) * sum_orders)"
+        " AS BIGINT) AS dispersion_q6",
+    )

@@ -3,6 +3,17 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The driver records only the LAST ~2000 characters of output and
+parses the JSON line out of that tail: rounds 3 and 4 both came back
+``"parsed": null`` because the suite grew past ~60 queries and the
+one JSON line outgrew the tail (BENCH_r03/r04.json show the line
+truncated mid-dict). The final stdout line is therefore a COMPACT
+summary — suite total over ALL queries plus a fixed representative
+subset of per-query medians, hard-capped below the tail size — while
+the complete per-query map (same harness, same medians) is written
+to BENCH_FULL.json and echoed to stderr. Timings are produced
+exactly as before; only the reporting envelope changed.
+
 Each query executes to completion via a noop-sink write: ``count()``
 lets Catalyst prune side-effect-free projections (a pure-projection
 query would be timed as scan+count without evaluating its
@@ -194,6 +205,56 @@ HEADLINE = [
     "events_attribution_removal",
     "events_rate_limit_audit",
     "part_brand_type_cramers_v",
+    # sixth-session operators (appended; prior slots frozen):
+    # integer-exact BM25 (rational RSJ idf), dyadic time-decay
+    # attribution, Poisson dispersion screen
+    "retrieval_bm25_rational_topk",
+    "events_attribution_time_decay",
+    "customer_order_count_dispersion",
+]
+
+# One representative per operator family, printed in the final
+# compact stdout line (the full map goes to BENCH_FULL.json). Fixed
+# list — append only — so the driver-recorded per-query rows stay
+# comparable across rounds. Chosen to overlap the r01/r02 parsed
+# rows wherever those queries still exist.
+COMPACT = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q21_waiting_suppliers",
+    "orders_merge_changeset",
+    "top_customers_per_segment",
+    "supplier_part_volume",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "sim_bruteforce_topk",
+    "sim_knn_batch",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "text_quality_score",
+    "text_lang_id",
+    "text_quality_filter",
+    "text_contamination_ngram",
+    "text_pack_sequences",
+    "events_tumbling_window",
+    "events_sessionization",
+    "events_asof_view_click",
+    "events_range_join_interval",
+    "events_funnel_ordered",
+    "customer_rfm_segments",
+    "pipeline_corpus_prep",
+    "emb_pca_power_floor",
+    "graph_kcore_trajectory",
 ]
 
 
@@ -254,17 +315,38 @@ def main() -> int:
         )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "headline_suite_total_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    (REPO / "BENCH_FULL.json").write_text(json.dumps(full, indent=1))
+    print(json.dumps(full), file=sys.stderr)
+
+    # Final stdout line: compact, hard-capped under the driver's
+    # ~2000-char tail so it always parses. Suite total covers ALL
+    # queries; the per-query dict is the fixed representative subset.
+    compact_q = {k: timings[k] for k in COMPACT if k in timings}
+    line = ""
+    while True:
+        line = json.dumps(
             {
                 "metric": "headline_suite_total_wall_seconds",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": compact_q,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "full": "BENCH_FULL.json",
             }
         )
-    )
+        if len(line) <= 1800 or not compact_q:
+            break
+        compact_q.pop(next(reversed(compact_q)))
+    print(line)
     return 0
 
 

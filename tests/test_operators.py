@@ -1079,3 +1079,56 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_bkt_a")
         spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+def test_ivf_nprobe_recall_curve_monotone(spark):
+    """Probe sets nest (nprobe 1 ⊂ 2 ⊂ 4 ⊂ 8), so candidate pools
+    nest; with a fixed exact denominator the recall curve must be
+    non-decreasing in nprobe, and every point stays in [0, 1e6]."""
+    from almost_any_file_to_pandas_spark.operators.similarity import (
+        sim_ivf_nprobe_recall_curve,
+    )
+
+    rows = sorted(
+        sim_ivf_nprobe_recall_curve(
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    assert len({r.n_exact for r in rows}) == 1  # shared denominator
+    recalls = [r.recall_q6 for r in rows]
+    assert recalls == sorted(recalls)
+    assert all(0 <= x <= 1_000_000 for x in recalls)
+
+
+def test_lsh_band_curve_candidates_nest(spark):
+    """Sharing a 4-hash band implies sharing both its 2-hash halves
+    implies sharing all four 1-hash bands: candidate sets NEST as
+    bands narrow, so n_candidates, n_true_candidates and recall are
+    all non-decreasing from (4×4) to (8×2) to (16×1), n_true_pairs
+    is config-independent, and true candidates never exceed either
+    side of their ratio."""
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        dedup_lsh_band_tuning_curve,
+    )
+
+    rows = sorted(
+        dedup_lsh_band_tuning_curve(
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.n_bands,
+    )
+    assert [(r.n_bands, r.rows_per_band) for r in rows] == [
+        (4, 4),
+        (8, 2),
+        (16, 1),
+    ]
+    assert len({r.n_true_pairs for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_candidates <= b.n_candidates
+        assert a.n_true_candidates <= b.n_true_candidates
+        assert a.recall_q6 <= b.recall_q6
+    for r in rows:
+        assert r.n_true_candidates <= r.n_candidates or r.n_candidates == 0
+        assert r.n_true_candidates <= r.n_true_pairs

@@ -449,3 +449,168 @@ def test_mix_shift_hand_decomposition(spark, tmp_path):
         + row.interaction_cents
         == row.delta_cents
     )
+
+
+def test_time_decay_attribution_hand_weights(spark, tmp_path):
+    """Hand-derived dyadic weights: a 2h-old click gets w=64, a
+    30h-old view w=32 (same purchase, so credits split 2:1), an
+    exactly-7-day-old view is still in window with w=1 (boundary
+    pin), and an untouched purchase credits 'none' in full."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from almost_any_file_to_pandas_spark.operators.funnel import (
+        events_attribution_time_decay,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    base = datetime.datetime(2024, 1, 1)
+    h = datetime.timedelta(hours=1)
+    rows = [
+        (1, base + 10 * h, 7, "view", 0.0),
+        (2, base + 38 * h, 7, "click", 0.0),
+        (3, base + 40 * h, 7, "purchase", 1.0),
+        (4, base, 8, "purchase", 2.5),
+        (5, base, 9, "view", 0.0),
+        (6, base + 168 * h, 9, "purchase", 1.0),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.touch_type: r
+        for r in events_attribution_time_decay(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # user 7: n = 64 + 32 = 96 → view 100e6·32//96, click 100e6·64//96
+    # user 9: single view at exactly -7d → w=1, full credit
+    assert got["click"].n_purchases == 1
+    assert got["click"].credited_q6c == 100_000_000 * 64 // 96
+    assert got["view"].n_purchases == 2
+    assert (
+        got["view"].credited_q6c
+        == 100_000_000 * 32 // 96 + 100_000_000
+    )
+    assert got["none"].n_purchases == 1
+    assert got["none"].credited_q6c == 250_000_000
+
+
+def test_time_decay_attribution_conserves_value(spark):
+    """Same conservation contract as linear attribution: per-class q6
+    credit telescopes to total purchase value within the per-purchase
+    truncation dust, and the 'none' class is identical to linear's
+    (decay reweights in-window touches; it never changes which
+    purchases are touched)."""
+    from pyspark.sql import functions as F
+
+    from almost_any_file_to_pandas_spark.operators.funnel import (
+        events_attribution_linear,
+        events_attribution_time_decay,
+    )
+    from almost_any_file_to_pandas_spark.plans import table
+
+    dec = {
+        r.touch_type: r
+        for r in events_attribution_time_decay(spark, SF_DIR).collect()
+    }
+    lin = {
+        r.touch_type: r
+        for r in events_attribution_linear(spark, SF_DIR).collect()
+    }
+    assert dec["none"].n_purchases == lin["none"].n_purchases
+    assert dec["none"].credited_q6c == lin["none"].credited_q6c
+    total = (
+        table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(
+            F.expr(
+                "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))"
+            ).alias("c"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    credited = sum(r.credited_q6c for r in dec.values())
+    assert credited <= total.c * 1_000_000
+    assert credited > total.c * 1_000_000 - 2 * total.n
+
+
+def test_order_count_dispersion_hand_case(spark, tmp_path):
+    """Counts [0, 2, 4] in one segment: mean 2, sample variance 4 →
+    dispersion index 2.0 (q6 2e6). The zero-order customer MUST
+    enter via the left join; a single-customer segment is filtered
+    (n ≥ 2)."""
+    from pyspark.sql import types as T
+
+    from almost_any_file_to_pandas_spark.plans.rankstats import (
+        customer_order_count_dispersion,
+    )
+
+    cust_schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B")], cust_schema
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    order_schema = T.StructType(
+        [T.StructField("o_custkey", T.LongType())]
+    )
+    spark.createDataFrame(
+        [(2,), (2,), (3,), (3,), (3,), (3,), (4,)], order_schema
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = customer_order_count_dispersion(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.c_mktsegment, r.n_customers, r.sum_orders) == ("A", 3, 6)
+    assert r.dispersion_q6 == 2_000_000
+
+
+def test_dispersion_and_time_decay_plan_shapes(spark):
+    """Scale pins: the dispersion index is window-free (two keyed
+    exchanges only); time-decay attribution reuses ONE user-keyed
+    Window node for all 14 day-frame sums and joins nothing."""
+    from almost_any_file_to_pandas_spark.operators.funnel import (
+        events_attribution_time_decay,
+    )
+    from almost_any_file_to_pandas_spark.plans.rankstats import (
+        customer_order_count_dispersion,
+    )
+
+    spark.catalog.clearCache()
+    p = (
+        customer_order_count_dispersion(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+    p = (
+        events_attribution_time_decay(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Window") == 1  # one node, all 14 frame sums
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 1

@@ -180,3 +180,57 @@ def test_corpus_split_content_keyed(spark):
         .count()
     )
     assert n_bad == 0
+
+
+def test_bm25_rational_hand_scores(spark, tmp_path):
+    """Three tiny docs, scores derived on paper with the exact
+    integer formula (N=3, S=9):
+
+    - df(spark)=2 → idf_q6 = 3e6 div 5 = 600000;
+      doc 1 (tf=2, dl=3): 600000·396 div 288 = 825000
+      doc 2 (tf=1, dl=4): 600000·198 div 225 = 528000
+    - df(window)=1 → idf_q6 = 5e6 div 3 = 1666666;
+      doc 3 (tf=1, dl=2): 1666666·198 div 171 = 1929823
+    """
+    from almost_any_file_to_pandas_spark.operators.retrieval import (
+        retrieval_bm25_rational_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark fast"),
+            (2, "spark slow slow slow"),
+            (3, "window join"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = retrieval_bm25_rational_topk(spark, str(tmp_path)).collect()
+    got = [(r.doc_id, r.score_q6, r.n_terms, r.rnk) for r in out]
+    assert got == [
+        (3, 1929823, 1, 1),
+        (1, 825000, 1, 2),
+        (2, 528000, 1, 3),
+    ]
+
+
+def test_bm25_plan_topk_heap_not_global_sort(spark):
+    """Scale pins: the final top-k is TakeOrderedAndProject
+    (per-partition heaps), the idf/corpus sides arrive broadcast, and
+    no sort-merge join or cartesian product appears anywhere."""
+    from almost_any_file_to_pandas_spark.operators.retrieval import (
+        retrieval_bm25_rational_topk,
+    )
+
+    spark.catalog.clearCache()
+    p = (
+        retrieval_bm25_rational_topk(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p

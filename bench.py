@@ -211,6 +211,8 @@ HEADLINE = [
     "retrieval_bm25_rational_topk",
     "events_attribution_time_decay",
     "customer_order_count_dispersion",
+    "sim_ivf_nprobe_recall_curve",
+    "dedup_lsh_band_tuning_curve",
 ]
 
 # One representative per operator family, printed in the final

@@ -698,3 +698,147 @@ def graph_kcore_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg = endpoints(edges).groupBy("v").agg(F.count("*").alias("d"))
         out = out.unionAll(summary(r, surv, edges))
     return out
+
+
+LINKPRED_TOP = 20
+
+
+def _linkpred_sql() -> str:
+    return f"""
+    WITH cells AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+    ), hours_ok AS ({_HOURS_OK_SQL}
+    ), pair_counts AS (
+      SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS c
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+      JOIN hours_ok ho ON ho.h = a.h
+      GROUP BY a.user_id, b.user_id
+    ), cut AS (
+      SELECT {EDGE_FACTOR} * AVG(c) AS threshold FROM pair_counts
+    ), edges AS (
+      SELECT u1, u2 FROM pair_counts CROSS JOIN cut
+      WHERE c > cut.threshold
+    ), sym AS (
+      SELECT u1 AS u, u2 AS v FROM edges
+      UNION ALL
+      SELECT u2 AS u, u1 AS v FROM edges
+    ), deg AS (
+      SELECT u, COUNT(*) AS d FROM sym GROUP BY u
+    ), cn AS (
+      SELECT a.u AS ua, b.u AS ub, COUNT(*) AS c
+      FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+      GROUP BY 1, 2
+    ), nonedge AS (
+      SELECT c.ua, c.ub, c.c FROM cn c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.u1 = c.ua AND e.u2 = c.ub)
+    ), scored AS (
+      SELECT ne.ua, ne.ub, ne.c,
+             ne.c * 1000000 // (da.d + db.d - ne.c) AS jacc_q6
+      FROM nonedge ne
+      JOIN deg da ON da.u = ne.ua
+      JOIN deg db ON db.u = ne.ub
+    )
+    SELECT CAST(ua AS BIGINT) AS u1, CAST(ub AS BIGINT) AS u2,
+           CAST(c AS BIGINT) AS common_neighbors,
+           CAST(jacc_q6 AS BIGINT) AS jacc_q6,
+           CAST(ROW_NUMBER() OVER (ORDER BY jacc_q6 DESC, ua, ub)
+                AS INTEGER) AS rnk
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (ORDER BY jacc_q6 DESC, ua, ub)
+            <= {LINKPRED_TOP}
+    """
+
+
+@register("graph_jaccard_link_prediction", oracle=_linkpred_sql())
+def graph_jaccard_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Link prediction by neighborhood Jaccard (Liben-Nowell & Klein-
+    berg 2003) on the hour-co-activity graph: for each NON-adjacent
+    user pair sharing ≥1 neighbor, score
+    ``|Γ(u)∩Γ(v)| div (du + dv − |∩|)`` (exact q6 integer — the
+    union by inclusion-exclusion, no set materialization) and emit
+    the top-{LINKPRED_TOP} predicted links. Completes the graph
+    family's analytics arc: census (triangles) → communities (LPA)
+    → cores (k-core) → PREDICTION.
+
+    Plan: the shared capped-bucket edge build (one shuffle), then
+    common-neighbor counting as ONE self-join of the symmetric edge
+    list keyed on the shared endpoint — the wedge walk, Σ deg²-
+    bounded, same cost class as the triangle census — a hash
+    aggregate on the (a, b) wedge ends, degree joins keyed on node,
+    an existing-edge ANTI join, and a TakeOrderedAndProject top-k.
+    No window touches anything corpus-sized; ties break (score DESC,
+    u1, u2) on exact integers in both engines.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    cells = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
+    ).distinct()
+    co = _pairs_within_buckets(cells, "user_id", ["h"], distinct=False)
+    pair_counts = (
+        co.groupBy(F.col("doc_a").alias("u1"), F.col("doc_b").alias("u2"))
+        .agg(F.count("*").alias("c"))
+    )
+    pair_counts = pair_counts.localCheckpoint()
+    cut = pair_counts.agg(
+        (F.lit(EDGE_FACTOR) * F.avg("c")).alias("threshold")
+    )
+    edges = (
+        pair_counts.crossJoin(F.broadcast(cut))
+        .filter(F.col("c") > F.col("threshold"))
+        .select("u1", "u2")
+        .localCheckpoint(eager=True)  # feeds sym, the anti join
+    )
+    sym = edges.select(
+        F.col("u1").alias("u"), F.col("u2").alias("v")
+    ).unionAll(
+        edges.select(F.col("u2").alias("u"), F.col("u1").alias("v"))
+    ).localCheckpoint(eager=True)  # feeds wedges (×2) and degrees
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    s1 = sym.select(F.col("u").alias("ua"), F.col("v").alias("w"))
+    s2 = sym.select(F.col("u").alias("ub"), F.col("v").alias("w"))
+    cn = (
+        s1.join(s2, "w")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count("*").alias("c"))
+    )
+    nonedge = cn.join(
+        edges,
+        (cn.ua == edges.u1) & (cn.ub == edges.u2),
+        "left_anti",
+    )
+    scored = (
+        nonedge.join(
+            deg.select(F.col("u").alias("ua"), F.col("d").alias("da")),
+            "ua",
+        )
+        .join(
+            deg.select(F.col("u").alias("ub"), F.col("d").alias("db")),
+            "ub",
+        )
+        .selectExpr(
+            "ua",
+            "ub",
+            "c",
+            "c * 1000000 div (da + db - c) AS jacc_q6",
+        )
+    )
+    top = scored.orderBy(
+        F.desc("jacc_q6"), F.asc("ua"), F.asc("ub")
+    ).limit(LINKPRED_TOP)
+    w = W.partitionBy(F.pmod(F.col("jacc_q6"), F.lit(1))).orderBy(
+        F.desc("jacc_q6"), F.asc("ua"), F.asc("ub")
+    )
+    return top.withColumn(
+        "rnk", F.row_number().over(w).cast("int")
+    ).select(
+        F.col("ua").cast("long").alias("u1"),
+        F.col("ub").cast("long").alias("u2"),
+        F.col("c").cast("long").alias("common_neighbors"),
+        F.col("jacc_q6").cast("long").alias("jacc_q6"),
+        "rnk",
+    )

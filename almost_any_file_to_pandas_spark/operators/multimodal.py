@@ -346,3 +346,104 @@ def mm_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("byte_len") - F.col("tile_idx") * TILE_BYTES,
         ).cast("long").alias("tile_len"),
     )
+
+
+SHARD_BUDGET_BYTES = 4096  # manifest bin size (multi-shard on testdata)
+SHARD_BAND_SHIFT = 6  # 64 consecutive doc_ids per prefix-sum band
+
+
+@register(
+    "mm_shard_manifest",
+    oracle=f"""
+    WITH mm AS (
+      SELECT doc_id, {_MODALITY_SQL} AS modality,
+             octet_length(encode(text)) AS byte_len
+      FROM documents
+    ), walk AS (
+      SELECT modality, doc_id, byte_len,
+             SUM(byte_len) OVER (PARTITION BY modality ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - byte_len
+               AS cum_before
+      FROM mm
+    )
+    SELECT modality,
+           CAST(cum_before // {SHARD_BUDGET_BYTES} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(byte_len) AS BIGINT) AS shard_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS doc_lo,
+           CAST(MAX(doc_id) AS BIGINT) AS doc_hi
+    FROM walk GROUP BY 1, 2
+    """,
+)
+def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side shard manifest for the multimodal corpus: within
+    each modality, assets (ordered by doc_id) pack into
+    ~{SHARD_BUDGET_BYTES}-byte shards by offset bucketing — asset →
+    shard ``prefix_bytes_before div budget`` — the deterministic
+    layout planner a training pipeline runs before materializing
+    WebDataset-style shards (contiguous id ranges per shard, byte-
+    balanced, metadata-only: the blob column is never touched).
+
+    Offset bucketing (vs first-fit) keeps assignment a pure function
+    of the byte prefix sum: a shard may overflow by at most one
+    asset, and the whole manifest is reproducible from metadata alone
+    on any engine — same trade as :func:`mm_tile_plan`'s fixed
+    ranges.
+
+    The oracle's per-modality global-order walk would serialize each
+    modality through one partition at 100 TB; the Spark plan is the
+    DISTRIBUTED PREFIX SUM from `customer_abc_classification`:
+    doc_id bands (shiftright {SHARD_BAND_SHIFT}) give a small
+    per-(modality, band) frame whose walk broadcasts each band's byte
+    base; assets then cumulate only WITHIN their band and add the
+    base. Bands are contiguous doc_id ranges, so the within-band
+    order extends the global order exactly.
+    """
+    apply_engine_conf(spark)
+    mm = with_binary_content(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "modality",
+        "byte_len",
+        F.expr(f"shiftright(doc_id, {SHARD_BAND_SHIFT})").alias("band"),
+    )
+    from pyspark.sql import Window as W
+
+    bands = mm.groupBy("modality", "band").agg(
+        F.sum("byte_len").alias("bbytes")
+    )
+    bwalk = bands.select(
+        "modality",
+        "band",
+        (
+            F.sum("bbytes")
+            .over(
+                W.partitionBy("modality")
+                .orderBy("band")
+                .rowsBetween(W.unboundedPreceding, 0)
+            )
+            - F.col("bbytes")
+        ).alias("base"),
+    )
+    walk = mm.join(F.broadcast(bwalk), ["modality", "band"]).select(
+        "modality",
+        "doc_id",
+        "byte_len",
+        (
+            F.col("base")
+            + F.sum("byte_len").over(
+                W.partitionBy("modality", "band")
+                .orderBy("doc_id")
+                .rowsBetween(W.unboundedPreceding, 0)
+            )
+            - F.col("byte_len")
+        ).alias("cum_before"),
+    )
+    return walk.groupBy(
+        "modality",
+        F.expr(f"cum_before div {SHARD_BUDGET_BYTES}").alias("shard_id"),
+    ).agg(
+        F.count("*").cast("long").alias("n_assets"),
+        F.sum("byte_len").alias("shard_bytes"),
+        F.min("doc_id").alias("doc_lo"),
+        F.max("doc_id").alias("doc_hi"),
+    )

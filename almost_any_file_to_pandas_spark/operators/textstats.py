@@ -1932,3 +1932,99 @@ def text_lm_perplexity_filter(
             "lang", "n_scored", "median_score_q9", "n_kept", "kept_tokens"
         )
     )
+
+
+@register(
+    "text_source_token_tvd",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), st AS (
+      SELECT source, term, COUNT(*) AS n
+      FROM tok GROUP BY source, term
+    ), ct AS (
+      SELECT term, COUNT(*) AS m FROM tok GROUP BY term
+    ), corpus AS (
+      SELECT COUNT(*) AS mm FROM tok
+    ), ns AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_terms
+      FROM st GROUP BY source
+    ), parts AS (
+      SELECT s.source,
+             SUM(abs(s.n * c.mm - t.m * ns.n_tokens)) AS part1,
+             SUM(t.m) AS cov
+      FROM st s
+      JOIN ct t ON s.term = t.term
+      JOIN ns ON s.source = ns.source, corpus c
+      GROUP BY s.source
+    )
+    SELECT ns.source, ns.n_tokens, ns.n_distinct_terms,
+           CAST(CAST(p.part1 + (c.mm - p.cov) * ns.n_tokens
+                     AS HUGEINT) * 1000000
+                // (2 * CAST(ns.n_tokens AS HUGEINT) * c.mm)
+                AS BIGINT) AS tvd_q6
+    FROM ns JOIN parts p ON ns.source = p.source, corpus c
+    """,
+)
+def text_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift as TOTAL-VARIATION distance
+    from the corpus distribution: ``TV = ½·Σ_i |p_i − q_i|`` ∈ [0, 1]
+    — the bounded, transcendental-free complement of the chi² drift
+    screen (KL needs ln(); TV is pure rational arithmetic, so the
+    whole statistic is one exact integer on both engines:
+    ``(Σ|n_i·M − m_i·N_s| )·1e6 div (2·N_s·M)``).
+
+    Absent terms cost ``Σ_{{n_i=0}} m_i·N_s = (M − Σ_present m_i)·N_s``
+    — the coverage identity — so the aggregation touches only terms
+    PRESENT in each source (a term-keyed join of the per-source and
+    corpus count frames), never the |sources|×|vocab| cross product.
+
+    Plan: one corpus tokenize pass feeds both count frames (the
+    (source, term) shuffle subsumes the term shuffle's work), the
+    per-source totals broadcast, the corpus total is a one-row cross
+    join. At 100 TB everything wide is keyed on term or (source,
+    term); widened DECIMAL(38,0)/HUGEINT only at the final q6 ratio.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.col("text"), " ", -1)).alias("term"),
+    )
+    st = tok.groupBy("source", "term").agg(F.count("*").alias("n"))
+    ct = tok.groupBy("term").agg(F.count("*").alias("m"))
+    corpus = tok.agg(F.count("*").alias("mm"))
+    ns = st.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct_terms"),
+    )
+    parts = (
+        st.join(ct, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n") * F.col("mm")
+                    - F.col("m") * F.col("n_tokens")
+                )
+            ).alias("part1"),
+            F.sum("m").alias("cov"),
+        )
+    )
+    return (
+        ns.join(parts, "source")
+        .crossJoin(F.broadcast(corpus))
+        .selectExpr(
+            "source",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "n_distinct_terms",
+            "CAST(CAST(part1 + (mm - cov) * n_tokens"
+            " AS DECIMAL(38,0)) * 1000000"
+            " div (2 * CAST(n_tokens AS DECIMAL(38,0)) * mm)"
+            " AS BIGINT) AS tvd_q6",
+        )
+    )

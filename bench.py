@@ -213,6 +213,9 @@ HEADLINE = [
     "customer_order_count_dispersion",
     "sim_ivf_nprobe_recall_curve",
     "dedup_lsh_band_tuning_curve",
+    "mm_shard_manifest",
+    "text_source_token_tvd",
+    "graph_jaccard_link_prediction",
 ]
 
 # One representative per operator family, printed in the final

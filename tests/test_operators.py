@@ -1132,3 +1132,119 @@ def test_lsh_band_curve_candidates_nest(spark):
     for r in rows:
         assert r.n_true_candidates <= r.n_candidates or r.n_candidates == 0
         assert r.n_true_candidates <= r.n_true_pairs
+
+
+def test_shard_manifest_hand_packing_and_telescoping(spark, tmp_path):
+    """Three 3000-byte assets of one modality under a 4096-byte
+    budget: prefix sums 0/3000/6000 → shards 0, 0, 1. Shard byte
+    sums telescope to the modality total and id ranges are disjoint
+    and ordered."""
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        mm_shard_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a" * 3000), (3, "b" * 3000), (6, "c" * 3000)],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = sorted(
+        mm_shard_manifest(spark, str(tmp_path)).collect(),
+        key=lambda r: r.shard_id,
+    )
+    assert [
+        (r.modality, r.shard_id, r.n_assets, r.shard_bytes,
+         r.doc_lo, r.doc_hi)
+        for r in rows
+    ] == [("image", 0, 2, 6000, 0, 3), ("image", 1, 1, 3000, 6, 6)]
+
+    got = mm_shard_manifest(spark, "/root/testdata/sf0.001").collect()
+    by_mod: dict = {}
+    for r in got:
+        by_mod.setdefault(r.modality, []).append(r)
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        with_binary_content,
+    )
+    from almost_any_file_to_pandas_spark.plans import table
+
+    totals = {
+        r.modality: r.total
+        for r in with_binary_content(
+            table(spark, "/root/testdata/sf0.001", "documents")
+        )
+        .groupBy("modality")
+        .sum("byte_len")
+        .withColumnRenamed("sum(byte_len)", "total")
+        .collect()
+    }
+    for mod, shards in by_mod.items():
+        shards.sort(key=lambda r: r.shard_id)
+        assert sum(r.shard_bytes for r in shards) == totals[mod]
+        for a, b in zip(shards, shards[1:]):
+            assert a.doc_hi < b.doc_lo
+
+
+def test_source_token_tvd_hand_case(spark, tmp_path):
+    """Two 3-token sources with mirrored (2,1)/(0,3) term counts:
+    both sit at exactly TV = 1/3 from the corpus distribution
+    (q6 333333), one via present-term mass, one via the absent-term
+    coverage identity."""
+    from almost_any_file_to_pandas_spark.operators.textstats import (
+        text_source_token_tvd,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "s0"), (2, "b b b", "s1")],
+        "doc_id long, text string, source string",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.source: r
+        for r in text_source_token_tvd(spark, str(tmp_path)).collect()
+    }
+    assert got["s0"].n_tokens == 3 and got["s0"].n_distinct_terms == 2
+    assert got["s1"].n_tokens == 3 and got["s1"].n_distinct_terms == 1
+    assert got["s0"].tvd_q6 == 333_333
+    assert got["s1"].tvd_q6 == 333_333
+
+
+def test_link_prediction_hand_triad(spark, tmp_path):
+    """Path graph 1—2—3 (edges forced above the mean-co-count
+    threshold by six weak noise pairs): the only wedge is (1, 3)
+    through 2, non-adjacent, Jaccard 1/(1+1−1) = 1 → q6 1e6."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from almost_any_file_to_pandas_spark.operators.graph import (
+        graph_jaccard_link_prediction,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    base = datetime.datetime(2024, 1, 1)
+    h = datetime.timedelta(hours=1)
+    rows = []
+    for i in range(20):  # strong pair (1,2): 20 co-active hours
+        rows += [(base + i * h, 1), (base + i * h, 2)]
+    for i in range(20, 40):  # strong pair (2,3)
+        rows += [(base + i * h, 2), (base + i * h, 3)]
+    for j, (u, v) in enumerate(
+        [(4, 5), (6, 7), (8, 9), (10, 11), (12, 13), (14, 15)]
+    ):  # weak noise pairs keep the mean threshold below 20
+        rows += [(base + (40 + j) * h, u), (base + (40 + j) * h, v)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    got = graph_jaccard_link_prediction(spark, str(tmp_path)).collect()
+    assert [
+        (r.u1, r.u2, r.common_neighbors, r.jacc_q6, r.rnk) for r in got
+    ] == [(1, 3, 1, 1_000_000, 1)]

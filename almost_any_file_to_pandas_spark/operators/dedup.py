@@ -2305,13 +2305,19 @@ LSH_CURVE_HASHES = 16
 LSH_CURVE_CONFIGS = ((4, 4), (8, 2), (16, 1))  # (n_bands, rows_per_band)
 
 
-def _curve_hash_sql(seed: int) -> str:
-    return _portable_token_hash_sql(f"'{seed}:' || g")
+# One md5 yields FOUR independent 32-bit minhash lanes (8 hex chars
+# each), and fixed-length lowercase hex compares lexicographically
+# exactly as it does numerically — so the signature needs 4 md5 calls
+# and 16 substrings per shingle row, and the MINs run on strings with
+# no hex→int parse anywhere (the parse was 8 instr/substr expression
+# nodes per lane; at bench scale it dominated the operator).
+def _curve_hash_sql(seed: int, lane: int) -> str:
+    return f"substr(md5('{seed}:' || g), {1 + 8 * lane}, 8)"
 
 
 def _lsh_curve_sql() -> str:
     mins = ", ".join(
-        f"MIN({_curve_hash_sql(s)}) AS h{s}"
+        f"MIN({_curve_hash_sql(s // 4, s % 4)}) AS h{s}"
         for s in range(LSH_CURVE_HASHES)
     )
     band_selects = []
@@ -2474,45 +2480,83 @@ def dedup_lsh_band_tuning_curve(
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
-    sig = kept.groupBy("doc_id").agg(
+    # 4 md5 columns materialized once per shingle row, then 16 string
+    # MINs over their 8-hex-char lanes (see _curve_hash_sql: fixed-
+    # length hex min == numeric min, no parse)
+    hashed = kept.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("g"))).alias(f"m{s}")
+            for s in range(LSH_CURVE_HASHES // 4)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
         *[
             F.min(
-                _portable_token_hash(
-                    F.concat(F.lit(f"{s}:"), F.col("g"))
-                )
+                F.substring(F.col(f"m{s // 4}"), 1 + 8 * (s % 4), 8)
             ).alias(f"h{s}")
             for s in range(LSH_CURVE_HASHES)
         ]
     ).localCheckpoint(eager=False)
-    pair_frames = []
+    # ALL 28 band memberships (4+8+16 across the three configs)
+    # explode from the signature row in one pass and share ONE
+    # (nb, band, key) bucket shuffle + in-row pair expansion — the
+    # per-config loop paid three shuffles and three repartitions for
+    # identically-shaped work (stage count, not data, dominated it)
+    entries = []
     for nb, rpb in LSH_CURVE_CONFIGS:
-        entries = []
         for band in range(nb):
             key = F.concat_ws(
                 ",",
                 *[
-                    F.col(f"h{band * rpb + j}").cast("string")
+                    F.col(f"h{band * rpb + j}")
                     for j in range(rpb)
                 ],
             )
             entries.append(
                 F.struct(
-                    F.lit(band).alias("band"), key.alias("key")
+                    F.lit(nb).alias("nb"),
+                    F.lit(band).alias("band"),
+                    key.alias("key"),
                 )
             )
-        btab = sig.select(
-            "doc_id", F.explode(F.array(*entries)).alias("bk")
-        ).select("doc_id", "bk.band", "bk.key")
-        pair_frames.append(
-            _pairs_within_buckets(
-                btab, "doc_id", ["band", "key"]
-            ).select(
-                F.lit(nb).alias("nb"), "doc_a", "doc_b"
-            )
+    btab = sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("bk")
+    ).select("doc_id", "bk.nb", "bk.band", "bk.key")
+    grouped = (
+        btab.groupBy("nb", "band", "key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET_SIZE)
         )
-    cand = pair_frames[0]
-    for fr in pair_frames[1:]:
-        cand = cand.unionAll(fr)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    cand = (
+        grouped.select(
+            "nb",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"),
+                                i + 2,
+                                F.greatest(
+                                    F.size("ids") - (i + 1), F.lit(0)
+                                ),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p"),
+        )
+        .select("nb", "p.doc_a", "p.doc_b")
+        .distinct()
+    )
     nc = cand.groupBy("nb").agg(F.count("*").alias("n_candidates"))
     tc = (
         cand.join(truth, ["doc_a", "doc_b"])

@@ -2239,3 +2239,162 @@ def orders_seasonal_naive_mase(
             " END AS BIGINT)"
         ).alias("mase_q6"),
     )
+
+
+# Bot screen model parameters — explicit, documented thresholds (the
+# cap-is-a-model-parameter discipline): a user is suspect if ANY of
+# (1) any single hour holds >= BOT_RATE_HOURLY events, (2) they emit
+# <= BOT_MIN_TYPES distinct event types over >= BOT_MIN_EVENTS
+# events, (3) their inter-event gaps are metronomic — squared
+# coefficient of variation at or below BOT_CV2_MAX_Q6 (human traffic
+# is bursty, CV^2 ~ 1 for Poisson arrivals; scripted traffic is
+# near-periodic, CV^2 -> 0). Gaps are measured in MILLISECONDS so the
+# widened integer CV^2 arithmetic keeps ~10x span headroom inside
+# DECIMAL(38,0)/HUGEINT.
+BOT_MIN_EVENTS = 5
+BOT_RATE_HOURLY = 10
+BOT_MIN_TYPES = 2
+BOT_CV2_MAX_Q6 = 250_000  # CV^2 <= 0.25
+
+
+@register(
+    "events_bot_screen",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hh
+      FROM events
+    ), per AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             COUNT(DISTINCT event_type) AS n_types
+      FROM ev GROUP BY user_id
+    ), hourly AS (
+      SELECT user_id, MAX(c) AS max_hourly FROM (
+        SELECT user_id, hh, COUNT(*) AS c FROM ev GROUP BY user_id, hh
+      ) GROUP BY user_id
+    ), gaps AS (
+      SELECT user_id,
+             (us - LAG(us) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id)) // 1000
+               AS g
+      FROM ev
+    ), gstat AS (
+      SELECT user_id, COUNT(g) AS n1,
+             CAST(SUM(g) AS HUGEINT) AS s,
+             SUM(CAST(g AS HUGEINT) * g) AS q
+      FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+    ), scored AS (
+      SELECT p.user_id,
+             CAST(p.n_events AS BIGINT) AS n_events,
+             CAST(p.n_types AS BIGINT) AS n_types,
+             CAST(h.max_hourly AS BIGINT) AS max_hourly,
+             CAST(CASE WHEN g.s <= 0 THEN 0
+                  ELSE CAST(g.n1 AS HUGEINT)
+                       * (g.n1 * g.q - g.s * g.s) * 1000000
+                       // ((g.n1 - 1) * g.s * g.s)
+                  END AS BIGINT) AS cv2_q6
+      FROM per p
+      JOIN hourly h ON p.user_id = h.user_id
+      JOIN gstat g ON p.user_id = g.user_id
+      WHERE p.n_events >= {BOT_MIN_EVENTS} AND g.n1 >= 2
+    )
+    SELECT user_id, n_events, n_types, max_hourly, cv2_q6,
+           CAST(CASE WHEN max_hourly >= {BOT_RATE_HOURLY}
+                     THEN 1 ELSE 0 END
+              + CASE WHEN n_types <= {BOT_MIN_TYPES}
+                     THEN 2 ELSE 0 END
+              + CASE WHEN cv2_q6 <= {BOT_CV2_MAX_Q6}
+                     THEN 4 ELSE 0 END AS INTEGER) AS bot_flags
+    FROM scored
+    """,
+)
+def events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based bot/automation screen over per-user behavior — the
+    events-side sibling of the Gopher text rules (quality.py): a
+    training-data pipeline drops scripted traffic BEFORE any model
+    sees it. One row per evaluable user (≥ {BOT_MIN_EVENTS} events,
+    ≥ 2 gaps) with three integer-exact signals and a flag bitmask
+    (1 = hourly burst ≥ {BOT_RATE_HOURLY}, 2 = type diversity ≤
+    {BOT_MIN_TYPES}, 4 = metronomic gaps CV² ≤ 0.25):
+
+    - ``max_hourly`` — peak events in any one clock hour,
+    - ``n_types`` — distinct event types,
+    - ``cv2_q6`` — squared coefficient of variation of inter-event
+      gaps (ms grain), exact integer:
+      ``n1·(n1·Σg² − S²)·1e6 div ((n1−1)·S²)`` with Σg² widened
+      (DECIMAL(38,0)/HUGEINT; ms gaps keep ~10× span headroom).
+      CV² ≈ 1 is Poisson (human-bursty), → 0 is periodic; all-equal
+      timestamps (S = 0) report 0, maximally metronomic.
+
+    Plan: three per-user hash aggregates (count/distinct, hourly-max,
+    gap moments over the ONE user-keyed sort the lag needs) joined on
+    user_id — after the first exchange all three sides share the hash
+    partitioning, so AQE plans local joins; nothing corpus-sized
+    crosses a second exchange. Deterministic lag order (us, event_id)
+    pins equal-timestamp gaps on both engines.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.date_trunc("hour", F.col("ts")).alias("hh"),
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+    hourly = (
+        ev.groupBy("user_id", "hh")
+        .agg(F.count("*").alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").cast("long").alias("max_hourly"))
+    )
+    wlag = W.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.col("us") - F.lag("us").over(wlag)).alias("_gus"),
+    ).select("user_id", F.expr("_gus div 1000").alias("g"))
+    gstat = (
+        gaps.filter(F.col("g").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("g").alias("n1"),
+            F.sum("g").cast("decimal(38,0)").alias("s"),
+            F.sum(
+                F.col("g").cast("decimal(38,0)") * F.col("g")
+            ).alias("q"),
+        )
+    )
+    scored = (
+        per.join(hourly, "user_id")
+        .join(gstat, "user_id")
+        .filter(
+            (F.col("n_events") >= BOT_MIN_EVENTS) & (F.col("n1") >= 2)
+        )
+        .selectExpr(
+            "user_id",
+            "n_events",
+            "n_types",
+            "max_hourly",
+            "CAST(CASE WHEN s <= 0 THEN 0"
+            " ELSE CAST(n1 AS DECIMAL(38,0))"
+            " * (n1 * q - s * s) * 1000000"
+            " div ((n1 - 1) * s * s)"
+            " END AS BIGINT) AS cv2_q6",
+        )
+    )
+    return scored.selectExpr(
+        "user_id",
+        "n_events",
+        "n_types",
+        "max_hourly",
+        "cv2_q6",
+        f"CAST(CASE WHEN max_hourly >= {BOT_RATE_HOURLY}"
+        " THEN 1 ELSE 0 END"
+        f" + CASE WHEN n_types <= {BOT_MIN_TYPES} THEN 2 ELSE 0 END"
+        f" + CASE WHEN cv2_q6 <= {BOT_CV2_MAX_Q6} THEN 4 ELSE 0 END"
+        " AS INTEGER) AS bot_flags",
+    )

@@ -216,6 +216,8 @@ HEADLINE = [
     "mm_shard_manifest",
     "text_source_token_tvd",
     "graph_jaccard_link_prediction",
+    "events_bot_screen",
+    "dedup_cluster_size_histogram",
 ]
 
 # One representative per operator family, printed in the final

@@ -1248,3 +1248,99 @@ def test_link_prediction_hand_triad(spark, tmp_path):
     assert [
         (r.u1, r.u2, r.common_neighbors, r.jacc_q6, r.rnk) for r in got
     ] == [(1, 3, 1, 1_000_000, 1)]
+
+
+def test_bot_screen_hand_flags(spark, tmp_path):
+    """A metronomic single-type burst user trips all three flags
+    (bitmask 7, CV² exactly 0); a varied-gap multi-type user trips
+    none; a 4-event user is below the evaluability floor."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from almost_any_file_to_pandas_spark.operators.temporal import (
+        events_bot_screen,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    s = datetime.timedelta(seconds=1)
+    rows = []
+    # user 100: 10 'view' events exactly 1s apart -> flags 1|2|4 = 7
+    for i in range(10):
+        rows.append((100 + i, base + i * s, 100, "view"))
+    # user 200: 6 events, gaps 1/2/4/8/100 s, spread over types+hours
+    offs, t = [0, 1, 3, 7, 15, 115], ["view", "click", "purchase",
+                                       "view", "click", "purchase"]
+    for i, (o, ty) in enumerate(zip(offs, t)):
+        rows.append((200 + i, base + o * s, 200, ty))
+    # user 300: 4 events only -> excluded
+    for i in range(4):
+        rows.append((300 + i, base + i * s, 300, "view"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.user_id: r
+        for r in events_bot_screen(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {100, 200}
+    assert (
+        got[100].n_types,
+        got[100].max_hourly,
+        got[100].cv2_q6,
+        got[100].bot_flags,
+    ) == (1, 10, 0, 7)
+    # user 200 expected CV² from the same integer formula (ms gaps)
+    g = [1000, 2000, 4000, 8000, 100000]
+    n1, S, Q = len(g), sum(g), sum(x * x for x in g)
+    cv2 = n1 * (n1 * Q - S * S) * 1_000_000 // ((n1 - 1) * S * S)
+    assert got[200].cv2_q6 == cv2
+    assert cv2 > 250_000  # not metronomic
+    assert got[200].bot_flags == 0
+
+
+def test_cluster_size_histogram_hand_and_telescoping(spark, tmp_path):
+    """Texts [x,x,x,y,y,z]: one size-3, one size-2, one size-1
+    cluster; docs_share_q6 500000/333333/166666, n_docs telescopes
+    to the corpus size. On the real corpus the histogram must agree
+    with dedup_exact's own n_copies distribution."""
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        dedup_cluster_size_histogram,
+        dedup_exact,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["x", "x", "x", "y", "y", "z"])],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.cluster_size: r
+        for r in dedup_cluster_size_histogram(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert {
+        k: (v.n_clusters, v.n_docs, v.docs_share_q6)
+        for k, v in got.items()
+    } == {3: (1, 3, 500_000), 2: (1, 2, 333_333), 1: (1, 1, 166_666)}
+    assert sum(r.n_docs for r in got.values()) == 6
+
+    sf = "/root/testdata/sf0.001"
+    hist = dedup_cluster_size_histogram(spark, sf).collect()
+    from collections import Counter
+
+    want = Counter(
+        r.n_copies for r in dedup_exact(spark, sf).collect()
+    )
+    assert {r.cluster_size: r.n_clusters for r in hist} == dict(want)

@@ -1821,3 +1821,58 @@ def sim_ivf_nprobe_recall_curve(
         )
         .orderBy("nprobe")
     )
+
+
+@register(
+    "sim_ivf_bucket_balance",
+    oracle=f"""
+    WITH b AS (
+      SELECT {_ivf_bucket_sql('embedding')} AS bucket FROM embeddings
+    ), sz AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM b GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b
+    )
+    SELECT s.bucket, s.n_vecs,
+           CAST(s.n_vecs * 1000000 // t.n AS BIGINT) AS share_q6,
+           CAST(s.n_vecs * (SELECT COUNT(*) FROM sz) * 1000000
+                // t.n AS BIGINT) AS load_factor_q6
+    FROM sz s, tot t
+    """,
+)
+def sim_ivf_bucket_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inverted-list balance diagnostics for the sign-bit IVF
+    quantizer — the index-health report behind every probe-cost
+    estimate: per bucket, its size, corpus share (q6), and LOAD
+    FACTOR = size / mean-size (q6; 1e6 ⇔ perfectly balanced lists —
+    probe latency and the skew-join risk both track its max).
+
+    Plan: one narrow pass computes the bucket id (sign bits — no
+    shuffle wider than the ≤2^bits-row count frame), then two tiny
+    broadcast scalars (total, bucket count). The operator's cost IS
+    the scan; it exists so the quantizer's balance is measured, not
+    assumed, before committing a 100 TB corpus to those lists.
+    """
+    apply_engine_conf(spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
+    sz = (
+        emb.select(_ivf_bucket_expr(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+    )
+    tot = emb.agg(F.count("*").cast("long").alias("n"))
+    nb = sz.agg(F.count("*").cast("long").alias("nb"))
+    return (
+        sz.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nb))
+        .selectExpr(
+            "bucket",
+            "n_vecs",
+            "CAST(n_vecs * 1000000 div n AS BIGINT) AS share_q6",
+            "CAST(n_vecs * nb * 1000000 div n AS BIGINT)"
+            " AS load_factor_q6",
+        )
+    )

@@ -2398,3 +2398,74 @@ def events_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" + CASE WHEN cv2_q6 <= {BOT_CV2_MAX_Q6} THEN 4 ELSE 0 END"
         " AS INTEGER) AS bot_flags",
     )
+
+
+@register(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT
+             CAST(date_trunc('month', CAST(ts AS TIMESTAMP))
+                  AS TIMESTAMP) AS mon,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                  AS TIMESTAMP) AS day,
+             user_id
+      FROM events
+    ), dau AS (
+      SELECT mon, day, COUNT(*) AS dau FROM du GROUP BY mon, day
+    ), per_mon AS (
+      SELECT mon, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(dau) AS BIGINT) AS sum_dau
+      FROM dau GROUP BY mon
+    ), mau AS (
+      SELECT mon, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM du GROUP BY mon
+    )
+    SELECT epoch_us(p.mon) AS mon_us, p.n_days, p.sum_dau, m.mau,
+           CAST(p.sum_dau * 1000000 // (p.n_days * m.mau) AS BIGINT)
+             AS stickiness_q6
+    FROM per_mon p JOIN mau m ON p.mon = m.mon
+    """,
+)
+def events_dau_mau_stickiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly DAU/MAU engagement ("stickiness"): per calendar month,
+    the day count, summed daily-active-user counts, monthly active
+    users, and ``avg(DAU)/MAU`` as the exact q6 integer
+    ``Σdau·1e6 div (n_days·mau)`` — the canonical product-analytics
+    ratio (1e6 ⇔ every monthly user active every day).
+
+    Plan: ONE distinct pass builds the (month, day, user) activity
+    frame; both rollups (per-day counts → month, per-month distinct
+    users) aggregate that frame, so the raw event volume crosses one
+    exchange exactly once. Calendar-bounded output (≤ months rows);
+    no windows.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("month", F.col("ts")).alias("mon"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id",
+    ).distinct()
+    per_mon = (
+        du.groupBy("mon", "day")
+        .agg(F.count("*").alias("dau"))
+        .groupBy("mon")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("dau").cast("long").alias("sum_dau"),
+        )
+    )
+    mau = du.groupBy("mon").agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    return per_mon.join(mau, "mon").selectExpr(
+        "unix_micros(mon) AS mon_us",
+        "n_days",
+        "sum_dau",
+        "mau",
+        "CAST(sum_dau * 1000000 div (n_days * mau) AS BIGINT)"
+        " AS stickiness_q6",
+    )

@@ -218,6 +218,8 @@ HEADLINE = [
     "graph_jaccard_link_prediction",
     "events_bot_screen",
     "dedup_cluster_size_histogram",
+    "events_dau_mau_stickiness",
+    "sim_ivf_bucket_balance",
 ]
 
 # One representative per operator family, printed in the final

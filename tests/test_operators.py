@@ -1344,3 +1344,75 @@ def test_cluster_size_histogram_hand_and_telescoping(spark, tmp_path):
         r.n_copies for r in dedup_exact(spark, sf).collect()
     )
     assert {r.cluster_size: r.n_clusters for r in hist} == dict(want)
+
+
+def test_dau_mau_stickiness_hand_case(spark, tmp_path):
+    """Month 1: days {1,2}×users {1,2},{1} → Σdau 3, 2 days, MAU 2 →
+    stickiness 3e6 div 4 = 750000. Month 2: one day, one user → 1e6
+    (perfect stickiness)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from almost_any_file_to_pandas_spark.operators.temporal import (
+        events_dau_mau_stickiness,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    d = datetime.datetime
+    rows = [
+        (d(2024, 1, 1, 9), 1),
+        (d(2024, 1, 1, 10), 1),  # same user+day: one DAU unit
+        (d(2024, 1, 1, 11), 2),
+        (d(2024, 1, 2, 9), 1),
+        (d(2024, 2, 5, 9), 3),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    rows_out = sorted(
+        events_dau_mau_stickiness(spark, str(tmp_path)).collect(),
+        key=lambda r: r.mon_us,
+    )
+    jan, feb = rows_out
+    assert (jan.n_days, jan.sum_dau, jan.mau) == (2, 3, 2)
+    assert jan.stickiness_q6 == 750_000
+    assert (feb.n_days, feb.sum_dau, feb.mau) == (1, 1, 1)
+    assert feb.stickiness_q6 == 1_000_000
+    assert (feb.mon_us - jan.mon_us) == 31 * 86_400_000_000
+
+
+def test_ivf_bucket_balance_hand_case(spark, tmp_path):
+    """Four vectors in three sign-bit buckets (one duplicated):
+    shares 500000/250000/250000 and load factors 1.5e6/0.75e6/0.75e6
+    against the mean list size of 4/3."""
+    from almost_any_file_to_pandas_spark.operators.similarity import (
+        sim_ivf_bucket_balance,
+    )
+
+    vecs = [
+        (0, [1.0, 1.0, 1.0, 1.0]),
+        (1, [1.0, 1.0, 1.0, 1.0]),
+        (2, [-1.0, 1.0, 1.0, 1.0]),
+        (3, [1.0, -1.0, -1.0, -1.0]),
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = {
+        r.bucket: r
+        for r in sim_ivf_bucket_balance(spark, str(tmp_path)).collect()
+    }
+    assert {k: (v.n_vecs, v.share_q6, v.load_factor_q6)
+            for k, v in got.items()} == {
+        15: (2, 500_000, 1_500_000),
+        14: (1, 250_000, 750_000),
+        1: (1, 250_000, 750_000),
+    }

@@ -680,3 +680,125 @@ def pipeline_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_bbox_area"),
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(length(text)), 0) AS BIGINT)
+               AS total_chars,
+             CAST(COALESCE(SUM(len(string_split(text, ' '))), 0)
+                  AS BIGINT) AS total_tokens
+      FROM documents
+    ), fp AS (
+      SELECT CAST(COUNT(DISTINCT md5(lower(trim(text)))) AS BIGINT)
+               AS unique_fingerprints
+      FROM documents
+    ), lc AS (
+      SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
+    ), langs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_langs FROM lc
+    ), top AS (
+      SELECT lang AS top_lang, CAST(c AS BIGINT) AS top_c
+      FROM lc ORDER BY c DESC, lang ASC LIMIT 1
+    ), srcs AS (
+      SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM documents
+    )
+    SELECT s.n_docs, sc.n_sources, l.n_langs,
+           s.total_tokens, s.total_chars,
+           f.unique_fingerprints,
+           s.n_docs - f.unique_fingerprints AS dup_docs,
+           CAST(CASE WHEN s.n_docs = 0 THEN 0
+                ELSE (s.n_docs - f.unique_fingerprints) * 1000000
+                     // s.n_docs END AS BIGINT) AS dup_rate_q6,
+           CAST(CASE WHEN s.n_docs = 0 THEN 0
+                ELSE s.total_tokens * 1000000 // s.n_docs
+                END AS BIGINT) AS mean_doc_tokens_q6,
+           t.top_lang,
+           CAST(CASE WHEN s.n_docs = 0 THEN 0
+                ELSE COALESCE(t.top_c, 0) * 1000000 // s.n_docs
+                END AS BIGINT) AS top_lang_share_q6
+    FROM stats s, fp f, langs l, srcs sc
+    LEFT JOIN top t ON 1 = 1
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row DATASET CARD — the corpus summary a training-data
+    release ships first: document/source/language counts, token and
+    character mass, exact-duplicate mass (dedup_exact's fingerprint),
+    mean document length, and the dominant language with its share.
+    Every ratio is an exact q6 integer; the card is the cheap union
+    of this module's audit families, here as ONE registered row the
+    gate hashes end-to-end.
+
+    Plan: column-pruned narrow passes per statistic — counts+sums in
+    one scan, the fingerprint distinct on its own shuffle, the
+    (lang) and (source) count frames (vocabulary-sized) reused for
+    cardinality AND the top-1 pick — then 1-row broadcast joins. NO
+    multi-distinct aggregate: a single agg with three COUNT(DISTINCT)
+    would Expand the 100 TB scan ×3 (the lineitem_profile lesson);
+    separate pruned passes each read one column.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.length("text")), F.lit(0))
+        .cast("long")
+        .alias("total_chars"),
+        F.coalesce(
+            F.sum(F.size(F.split(F.col("text"), " ", -1))), F.lit(0)
+        )
+        .cast("long")
+        .alias("total_tokens"),
+    )
+    fp = (
+        docs.select(
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+        )
+        .distinct()
+        .agg(F.count("*").cast("long").alias("unique_fingerprints"))
+    )
+    lc = docs.groupBy("lang").agg(F.count("*").alias("c"))
+    langs = lc.agg(F.count("*").cast("long").alias("n_langs"))
+    top = (
+        lc.orderBy(F.desc("c"), F.asc("lang"))
+        .limit(1)
+        .select(
+            F.col("lang").alias("top_lang"),
+            F.col("c").cast("long").alias("top_c"),
+        )
+    )
+    srcs = (
+        docs.select("source")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_sources"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(fp))
+        .crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(srcs))
+        .join(F.broadcast(top), F.lit(True), "left")
+        .selectExpr(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "total_tokens",
+            "total_chars",
+            "unique_fingerprints",
+            "n_docs - unique_fingerprints AS dup_docs",
+            "CAST(CASE WHEN n_docs = 0 THEN 0"
+            " ELSE (n_docs - unique_fingerprints) * 1000000 div n_docs"
+            " END AS BIGINT) AS dup_rate_q6",
+            "CAST(CASE WHEN n_docs = 0 THEN 0"
+            " ELSE total_tokens * 1000000 div n_docs"
+            " END AS BIGINT) AS mean_doc_tokens_q6",
+            "top_lang",
+            "CAST(CASE WHEN n_docs = 0 THEN 0"
+            " ELSE COALESCE(top_c, 0) * 1000000 div n_docs"
+            " END AS BIGINT) AS top_lang_share_q6",
+        )
+    )

@@ -220,6 +220,7 @@ HEADLINE = [
     "dedup_cluster_size_histogram",
     "events_dau_mau_stickiness",
     "sim_ivf_bucket_balance",
+    "pipeline_dataset_card",
 ]
 
 # One representative per operator family, printed in the final

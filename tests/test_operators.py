@@ -1416,3 +1416,48 @@ def test_ivf_bucket_balance_hand_case(spark, tmp_path):
         14: (1, 250_000, 750_000),
         1: (1, 250_000, 750_000),
     }
+
+
+def test_dataset_card_hand_case_and_consistency(spark, tmp_path):
+    """Six docs (one exact dup pair), two langs, two sources: every
+    card field derivable on paper; on the real corpus the card must
+    agree with dedup_cluster_size_histogram's duplicate mass."""
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        dedup_cluster_size_histogram,
+    )
+    from almost_any_file_to_pandas_spark.operators.pipeline import (
+        pipeline_dataset_card,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b", "en", "s0"),
+            (1, "a b", "en", "s0"),  # exact dup of doc 0
+            (2, "c d e", "en", "s1"),
+            (3, "f", "de", "s1"),
+            (4, "g h", "de", "s0"),
+            (5, "i", "en", "s0"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    card = pipeline_dataset_card(spark, str(tmp_path)).collect()
+    assert len(card) == 1
+    c = card[0]
+    assert (c.n_docs, c.n_sources, c.n_langs) == (6, 2, 2)
+    assert c.total_tokens == 2 + 2 + 3 + 1 + 2 + 1
+    assert c.unique_fingerprints == 5 and c.dup_docs == 1
+    assert c.dup_rate_q6 == 1_000_000 // 6
+    assert c.mean_doc_tokens_q6 == 11 * 1_000_000 // 6
+    assert (c.top_lang, c.top_lang_share_q6) == ("en", 666_666)
+
+    sf = "/root/testdata/sf0.001"
+    card = pipeline_dataset_card(spark, sf).collect()[0]
+    hist = dedup_cluster_size_histogram(spark, sf).collect()
+    assert card.n_docs == sum(r.n_docs for r in hist)
+    assert card.unique_fingerprints == sum(r.n_clusters for r in hist)
+    assert card.dup_docs == sum(
+        (r.cluster_size - 1) * r.n_clusters for r in hist
+    )

@@ -750,6 +750,39 @@ def _linkpred_sql() -> str:
     """
 
 
+def _coactivity_graph(spark: SparkSession, sf_dir: str):
+    """(edges, sym) of the mean-thresholded hour-co-activity graph —
+    the shared build of both link-prediction operators (identical to
+    the LPA/k-core construction; duplicated there because those
+    operators are gate-frozen). Both frames are localCheckpointed:
+    edges feeds the anti join, sym feeds wedges (×2) and degrees."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
+    ).distinct()
+    co = _pairs_within_buckets(cells, "user_id", ["h"], distinct=False)
+    pair_counts = (
+        co.groupBy(F.col("doc_a").alias("u1"), F.col("doc_b").alias("u2"))
+        .agg(F.count("*").alias("c"))
+    )
+    pair_counts = pair_counts.localCheckpoint()
+    cut = pair_counts.agg(
+        (F.lit(EDGE_FACTOR) * F.avg("c")).alias("threshold")
+    )
+    edges = (
+        pair_counts.crossJoin(F.broadcast(cut))
+        .filter(F.col("c") > F.col("threshold"))
+        .select("u1", "u2")
+        .localCheckpoint(eager=True)
+    )
+    sym = edges.select(
+        F.col("u1").alias("u"), F.col("u2").alias("v")
+    ).unionAll(
+        edges.select(F.col("u2").alias("u"), F.col("u1").alias("v"))
+    ).localCheckpoint(eager=True)
+    return edges, sym
+
+
 @register("graph_jaccard_link_prediction", oracle=_linkpred_sql())
 def graph_jaccard_link_prediction(
     spark: SparkSession, sf_dir: str
@@ -773,30 +806,7 @@ def graph_jaccard_link_prediction(
     u1, u2) on exact integers in both engines.
     """
     apply_engine_conf(spark)
-    ev = table(spark, sf_dir, "events")
-    cells = ev.select(
-        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
-    ).distinct()
-    co = _pairs_within_buckets(cells, "user_id", ["h"], distinct=False)
-    pair_counts = (
-        co.groupBy(F.col("doc_a").alias("u1"), F.col("doc_b").alias("u2"))
-        .agg(F.count("*").alias("c"))
-    )
-    pair_counts = pair_counts.localCheckpoint()
-    cut = pair_counts.agg(
-        (F.lit(EDGE_FACTOR) * F.avg("c")).alias("threshold")
-    )
-    edges = (
-        pair_counts.crossJoin(F.broadcast(cut))
-        .filter(F.col("c") > F.col("threshold"))
-        .select("u1", "u2")
-        .localCheckpoint(eager=True)  # feeds sym, the anti join
-    )
-    sym = edges.select(
-        F.col("u1").alias("u"), F.col("u2").alias("v")
-    ).unionAll(
-        edges.select(F.col("u2").alias("u"), F.col("u1").alias("v"))
-    ).localCheckpoint(eager=True)  # feeds wedges (×2) and degrees
+    edges, sym = _coactivity_graph(spark, sf_dir)
     deg = sym.groupBy("u").agg(F.count("*").alias("d"))
     s1 = sym.select(F.col("u").alias("ua"), F.col("v").alias("w"))
     s2 = sym.select(F.col("u").alias("ub"), F.col("v").alias("w"))
@@ -840,5 +850,107 @@ def graph_jaccard_link_prediction(
         F.col("ub").cast("long").alias("u2"),
         F.col("c").cast("long").alias("common_neighbors"),
         F.col("jacc_q6").cast("long").alias("jacc_q6"),
+        "rnk",
+    )
+
+
+def _ra_links_sql() -> str:
+    return f"""
+    WITH cells AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+    ), hours_ok AS ({_HOURS_OK_SQL}
+    ), pair_counts AS (
+      SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS c
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+      JOIN hours_ok ho ON ho.h = a.h
+      GROUP BY a.user_id, b.user_id
+    ), cut AS (
+      SELECT {EDGE_FACTOR} * AVG(c) AS threshold FROM pair_counts
+    ), edges AS (
+      SELECT u1, u2 FROM pair_counts CROSS JOIN cut
+      WHERE c > cut.threshold
+    ), sym AS (
+      SELECT u1 AS u, u2 AS v FROM edges
+      UNION ALL
+      SELECT u2 AS u, u1 AS v FROM edges
+    ), deg AS (
+      SELECT u, COUNT(*) AS d FROM sym GROUP BY u
+    ), wedge AS (
+      SELECT a.u AS ua, b.u AS ub,
+             SUM(1000000 // dw.d) AS ra_q6,
+             COUNT(*) AS common_neighbors
+      FROM sym a
+      JOIN sym b ON a.v = b.v AND a.u < b.u
+      JOIN deg dw ON dw.u = a.v
+      GROUP BY 1, 2
+    ), nonedge AS (
+      SELECT w.ua, w.ub, w.ra_q6, w.common_neighbors FROM wedge w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.u1 = w.ua AND e.u2 = w.ub)
+    )
+    SELECT CAST(ua AS BIGINT) AS u1, CAST(ub AS BIGINT) AS u2,
+           CAST(common_neighbors AS BIGINT) AS common_neighbors,
+           CAST(ra_q6 AS BIGINT) AS ra_q6,
+           CAST(ROW_NUMBER() OVER (ORDER BY ra_q6 DESC, ua, ub)
+                AS INTEGER) AS rnk
+    FROM nonedge
+    QUALIFY ROW_NUMBER() OVER (ORDER BY ra_q6 DESC, ua, ub)
+            <= {LINKPRED_TOP}
+    """
+
+
+@register("graph_resource_allocation_links", oracle=_ra_links_sql())
+def graph_resource_allocation_links(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Link prediction by the RESOURCE-ALLOCATION index (Zhou, Lü &
+    Zhang 2009): ``RA(u,v) = Σ_{{w ∈ Γ(u)∩Γ(v)}} 1/deg(w)`` — the
+    degree-weighted complement of :func:`graph_jaccard_link_
+    prediction` (a shared hub predicts little; a shared low-degree
+    neighbor predicts a lot). RA is chosen over Adamic-Adar exactly
+    because it is LOG-FREE: each term is the exact integer
+    ``1e6 div deg(w)`` (the per-term floor IS the stated score), so
+    the whole ranking is engine-exact where AA's ``1/ln d`` never
+    could be.
+
+    Plan: identical wedge walk to the Jaccard op (shared
+    :func:`_coactivity_graph` build) with ONE extra broadcast-sized
+    join — the shared endpoint's degree rides the wedge row and the
+    per-(u,v) score is a plain SUM, so the cost class is unchanged:
+    Σ deg²-bounded wedge rows, anti join, TakeOrderedAndProject.
+    """
+    apply_engine_conf(spark)
+    edges, sym = _coactivity_graph(spark, sf_dir)
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    s1 = sym.select(F.col("u").alias("ua"), F.col("v").alias("w"))
+    s2 = sym.select(F.col("u").alias("ub"), F.col("v").alias("w"))
+    wedge = (
+        s1.join(s2, "w")
+        .filter(F.col("ua") < F.col("ub"))
+        .join(deg.select(F.col("u").alias("w"), "d"), "w")
+        .groupBy("ua", "ub")
+        .agg(
+            F.expr("SUM(1000000 div d)").alias("ra_q6"),
+            F.count("*").alias("common_neighbors"),
+        )
+    )
+    nonedge = wedge.join(
+        edges,
+        (wedge.ua == edges.u1) & (wedge.ub == edges.u2),
+        "left_anti",
+    )
+    top = nonedge.orderBy(
+        F.desc("ra_q6"), F.asc("ua"), F.asc("ub")
+    ).limit(LINKPRED_TOP)
+    w = W.partitionBy(F.pmod(F.col("ra_q6"), F.lit(1))).orderBy(
+        F.desc("ra_q6"), F.asc("ua"), F.asc("ub")
+    )
+    return top.withColumn(
+        "rnk", F.row_number().over(w).cast("int")
+    ).select(
+        F.col("ua").cast("long").alias("u1"),
+        F.col("ub").cast("long").alias("u2"),
+        F.col("common_neighbors").cast("long").alias("common_neighbors"),
+        F.col("ra_q6").cast("long").alias("ra_q6"),
         "rnk",
     )

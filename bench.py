@@ -221,6 +221,7 @@ HEADLINE = [
     "events_dau_mau_stickiness",
     "sim_ivf_bucket_balance",
     "pipeline_dataset_card",
+    "graph_resource_allocation_links",
 ]
 
 # One representative per operator family, printed in the final

@@ -91,6 +91,16 @@ QUERIES_UNDER_TEST = [
     "events_attribution_removal",
     # per-user sequential token-bucket kernel (applyInPandas)
     "events_rate_limit_audit",
+    # sixth-session additions with partition-sensitive value classes:
+    # LIMIT cuts (BM25 top-k, link-prediction top-k), rank-window
+    # curve points, bucket-expansion + integer-threshold truth sets,
+    # RANGE-frame credit split, distributed prefix-sum shard cut
+    "retrieval_bm25_rational_topk",
+    "sim_ivf_nprobe_recall_curve",
+    "dedup_lsh_band_tuning_curve",
+    "graph_jaccard_link_prediction",
+    "events_attribution_time_decay",
+    "mm_shard_manifest",
 ]
 
 

@@ -1461,3 +1461,67 @@ def test_dataset_card_hand_case_and_consistency(spark, tmp_path):
     assert card.dup_docs == sum(
         (r.cluster_size - 1) * r.n_clusters for r in hist
     )
+
+
+def test_resource_allocation_hand_star(spark, tmp_path):
+    """Star 1—2—3 plus a high-degree hub 4 connected to 5,6,7 and to
+    1 and 3. Pair (2,4) shares the two degree-2 neighbors 1 and 3 →
+    RA = 2·(1e6 div 2) = 1e6, rank 1; pair (1,3) shares user 2
+    (degree 2) and hub 4 (degree 5) → 500000 + 200000 = 700000,
+    rank 2; every remaining wedge pair is hub-mediated only and
+    scores 1e6 div 5 = 200000 — the degree weighting demotes
+    hub-mediated pairs exactly as the index intends."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from almost_any_file_to_pandas_spark.operators.graph import (
+        graph_resource_allocation_links,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    base = datetime.datetime(2024, 1, 1)
+    h = datetime.timedelta(hours=1)
+    rows = []
+    hour = 0
+
+    def coactive(u, v, n):
+        nonlocal hour
+        for _ in range(n):
+            rows.append((base + hour * h, u))
+            rows.append((base + hour * h, v))
+            hour += 1
+
+    # strong pairs (edges): 1-2, 2-3, 4-1, 4-3, 4-5, 4-6, 4-7
+    for u, v in [(1, 2), (2, 3), (4, 1), (4, 3),
+                 (4, 5), (4, 6), (4, 7)]:
+        coactive(u, v, 30)
+    # weak noise pairs keep the 2x-mean threshold below 30
+    for u, v in [(8, 9), (10, 11), (12, 13), (14, 15), (16, 17),
+                 (18, 19), (20, 21), (22, 23), (24, 25), (26, 27),
+                 (28, 29), (30, 31), (32, 33), (34, 35)]:
+        coactive(u, v, 1)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.u1, r.u2): r
+        for r in graph_resource_allocation_links(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    r24 = got[(2, 4)]
+    assert (r24.common_neighbors, r24.ra_q6, r24.rnk) == (2, 1_000_000, 1)
+    r13 = got[(1, 3)]
+    assert (r13.common_neighbors, r13.ra_q6, r13.rnk) == (2, 700_000, 2)
+    # every remaining wedge pair is hub-mediated: exactly 1e6 div 5
+    hub_pairs = [k for k in got if k not in ((1, 3), (2, 4))]
+    assert hub_pairs and all(
+        got[k].ra_q6 == 200_000 and got[k].common_neighbors == 1
+        for k in hub_pairs
+    )

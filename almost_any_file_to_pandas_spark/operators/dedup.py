@@ -2644,3 +2644,168 @@ def dedup_cluster_size_histogram(
             " AS docs_share_q6",
         )
     )
+
+
+def _minhash_calibration_sql() -> str:
+    mins = ", ".join(
+        f"MIN({_curve_hash_sql(s // 4, s % 4)}) AS h{s}"
+        for s in range(LSH_CURVE_HASHES)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END"
+        for s in range(LSH_CURVE_HASHES)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh0 AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS g
+      FROM base
+    ), dfok AS (
+      SELECT g FROM sh0 GROUP BY g HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ), kept AS (
+      SELECT s.doc_id, s.g FROM sh0 s JOIN dfok USING (g)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+      FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sig AS (
+      SELECT doc_id, {mins} FROM kept GROUP BY doc_id
+    ), scored AS (
+      SELECT i.c * 1000000 // (za.sz + zb.sz - i.c) AS exact_q6,
+             ({matches}) * 1000000 // {LSH_CURVE_HASHES} AS est_q6
+      FROM inter i
+      JOIN sizes za ON i.da = za.doc_id
+      JOIN sizes zb ON i.db = zb.doc_id
+      JOIN sig sa ON i.da = sa.doc_id
+      JOIN sig sb ON i.db = sb.doc_id
+    )
+    SELECT CAST(exact_q6 // 100000 AS INTEGER) AS jaccard_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(abs(est_q6 - exact_q6)) // COUNT(*) AS BIGINT)
+             AS mean_abs_err_q6,
+           CAST(SUM(est_q6) // COUNT(*) AS BIGINT) AS mean_est_q6,
+           CAST(SUM(exact_q6) // COUNT(*) AS BIGINT) AS mean_exact_q6
+    FROM scored GROUP BY 1
+    """
+
+
+@register(
+    "dedup_minhash_estimate_calibration",
+    oracle=_minhash_calibration_sql(),
+)
+def dedup_minhash_estimate_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration of the 16-lane MinHash Jaccard ESTIMATOR against
+    exact Jaccard, bucketed by exact-Jaccard decile — the measurement
+    that tells you whether your signature width is adequate before
+    you trust the band curve built on it (E[matches/16] = J; the
+    per-decile mean absolute error ≈ √(J(1−J)/16) is the binomial
+    noise this report makes visible). Pairs = every df-capped-
+    shingle-sharing pair (the same closed universe as
+    :func:`dedup_lsh_band_tuning_curve`); estimate = matching lanes
+    · 1e6 div 16; exact = |∩|·1e6 div |∪|; all integers on both
+    engines (lanes compare as fixed-length hex strings).
+
+    Plan: the shared shingle pass + ONE signature aggregate, then the
+    candidate-pair frame joins sizes and signatures on doc_id (four
+    keyed joins of pair rows against doc-keyed frames — pair-volume
+    bound, Σ df² as everywhere in this family) and collapses to ≤ 11
+    decile rows. Nothing wider than the pair frame moves.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            _word_ngrams(F.split(F.col("text"), " ", -1))
+        ).alias("g"),
+    )
+    dfok = (
+        sh.groupBy("g")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= MAX_SHINGLE_DF)
+        .select("g")
+    )
+    kept = sh.join(dfok, "g").localCheckpoint(eager=False)
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        _pairs_within_buckets(
+            kept,
+            "doc_id",
+            ["g"],
+            max_bucket=MAX_SHINGLE_DF,
+            distinct=False,
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    hashed = kept.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("g"))).alias(f"m{s}")
+            for s in range(LSH_CURVE_HASHES // 4)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(F.col(f"m{s // 4}"), 1 + 8 * (s % 4), 8)
+            ).alias(f"h{s}")
+            for s in range(LSH_CURVE_HASHES)
+        ]
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(LSH_CURVE_HASHES)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(LSH_CURVE_HASHES)],
+    )
+    matches = " + ".join(
+        f"CASE WHEN a{s} = b{s} THEN 1 ELSE 0 END"
+        for s in range(LSH_CURVE_HASHES)
+    )
+    scored = (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("sz").alias("za")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("sz").alias("zb")
+            ),
+            "doc_b",
+        )
+        .join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .selectExpr(
+            "c * 1000000 div (za + zb - c) AS exact_q6",
+            f"({matches}) * 1000000 div {LSH_CURVE_HASHES} AS est_q6",
+        )
+    )
+    return scored.groupBy(
+        F.expr("CAST(exact_q6 div 100000 AS INT)").alias(
+            "jaccard_decile"
+        )
+    ).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(SUM(abs(est_q6 - exact_q6)) div COUNT(*) AS BIGINT)"
+        ).alias("mean_abs_err_q6"),
+        F.expr("CAST(SUM(est_q6) div COUNT(*) AS BIGINT)").alias(
+            "mean_est_q6"
+        ),
+        F.expr("CAST(SUM(exact_q6) div COUNT(*) AS BIGINT)").alias(
+            "mean_exact_q6"
+        ),
+    )

@@ -5110,3 +5110,111 @@ def part_brand_type_cramers_v(
             " END AS BIGINT)"
         ).alias("cramers_v2_q6"),
     )
+
+
+@register(
+    "star_referential_integrity_audit",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+               AS n_distinct_orderkeys,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_orderkeys,
+             CAST(SUM(CASE WHEN o_custkey IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_null_custkeys
+      FROM orders
+    ), orphan_o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan_orders
+      FROM orders t WHERE t.o_custkey IS NOT NULL AND NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = t.o_custkey)
+    ), l AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems FROM lineitem
+    ), orphan_l AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan_lineitems
+      FROM lineitem t WHERE t.l_orderkey IS NOT NULL AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = t.l_orderkey)
+    )
+    SELECT o.n_orders, o.n_distinct_orderkeys,
+           o.n_orders - o.n_distinct_orderkeys
+             - o.n_null_orderkeys AS n_dup_orderkeys,
+           o.n_null_orderkeys, o.n_null_custkeys,
+           oo.n_orphan_orders, l.n_lineitems, ol.n_orphan_lineitems
+    FROM o, orphan_o oo, l, orphan_l ol
+    """,
+)
+def star_referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-row referential-integrity audit of the fact spine — the
+    ingest gate every warehouse load runs before queries are allowed
+    to trust joins: primary-key duplication and NULLs on orders, and
+    FK orphan counts along both star edges (orders→customer,
+    lineitem→orders). All-zero orphan/dup columns on healthy data is
+    the point: the audit asserts it instead of assuming it.
+
+    Plan: two key-pruned aggregates plus two LEFT ANTI joins (each
+    keyed on the FK, the dimension side broadcast when small, and
+    only a COUNT leaves the join) — at 100 TB the audit costs two
+    narrow fact scans; nothing is collected, nothing re-shuffles the
+    facts twice. DISTINCT on a single key avoids the multi-distinct
+    Expand (each distinct count lives in its own pass).
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    lineitem = table(spark, sf_dir, "lineitem")
+    o = orders.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.countDistinct("o_orderkey")
+        .cast("long")
+        .alias("n_distinct_orderkeys"),
+        F.sum(
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_null_orderkeys"),
+        F.sum(
+            F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_null_custkeys"),
+    )
+    orphan_o = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("n_orphan_orders"))
+    )
+    li = lineitem.agg(
+        F.count("*").cast("long").alias("n_lineitems")
+    )
+    orphan_l = (
+        lineitem.filter(F.col("l_orderkey").isNotNull())
+        .join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("n_orphan_lineitems"))
+    )
+    return (
+        o.crossJoin(F.broadcast(orphan_o))
+        .crossJoin(F.broadcast(li))
+        .crossJoin(F.broadcast(orphan_l))
+        .selectExpr(
+            "n_orders",
+            "n_distinct_orderkeys",
+            "n_orders - n_distinct_orderkeys - n_null_orderkeys"
+            " AS n_dup_orderkeys",
+            "n_null_orderkeys",
+            "n_null_custkeys",
+            "n_orphan_orders",
+            "n_lineitems",
+            "n_orphan_lineitems",
+        )
+    )

@@ -222,6 +222,8 @@ HEADLINE = [
     "sim_ivf_bucket_balance",
     "pipeline_dataset_card",
     "graph_resource_allocation_links",
+    "dedup_minhash_estimate_calibration",
+    "star_referential_integrity_audit",
 ]
 
 # One representative per operator family, printed in the final

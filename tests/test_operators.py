@@ -1525,3 +1525,98 @@ def test_resource_allocation_hand_star(spark, tmp_path):
         got[k].ra_q6 == 200_000 and got[k].common_neighbors == 1
         for k in hub_pairs
     )
+
+
+def test_minhash_calibration_hand_pair(spark, tmp_path):
+    """Two 5-token docs sharing 2 of 4 distinct 3-gram shingles:
+    exact Jaccard exactly 0.5 (q6 500000); the estimate is recomputed
+    independently in pure Python over the same md5 lanes (min of
+    substr(md5('s:'||g), 8k+1, 8) per seed s, lane k) and must agree
+    with the operator's mean_est_q6 for the single pair."""
+    import hashlib
+
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        LSH_CURVE_HASHES,
+        dedup_minhash_estimate_calibration,
+    )
+
+    t1, t2 = "a b c d e", "a b c d f"
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    def sig(t):
+        out = []
+        for s in range(LSH_CURVE_HASHES):
+            seed, lane = s // 4, s % 4
+            out.append(
+                min(
+                    hashlib.md5(f"{seed}:{g}".encode()).hexdigest()[
+                        8 * lane : 8 * lane + 8
+                    ]
+                    for g in shingles(t)
+                )
+            )
+        return out
+    matches = sum(a == b for a, b in zip(sig(t1), sig(t2)))
+    want_est = matches * 1_000_000 // LSH_CURVE_HASHES
+
+    got = dedup_minhash_estimate_calibration(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.jaccard_decile, r.n_pairs, r.mean_exact_q6) == (
+        5,
+        1,
+        500_000,
+    )
+    assert r.mean_est_q6 == want_est
+    assert r.mean_abs_err_q6 == abs(want_est - 500_000)
+
+
+def test_integrity_audit_detects_seeded_violations(spark, tmp_path):
+    """Seed one duplicate order key, one NULL custkey, one orphan
+    order, and one orphan lineitem: the audit counts each exactly
+    once; on the pristine corpus every violation column is zero."""
+    from almost_any_file_to_pandas_spark.plans.relational import (
+        star_referential_integrity_audit,
+    )
+
+    spark.createDataFrame(
+        [(1,), (2,)], "c_custkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    spark.createDataFrame(
+        [(10, 1), (10, 2), (11, None), (12, 99)],
+        "o_orderkey long, o_custkey long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    spark.createDataFrame(
+        [(10,), (10,), (77,)], "l_orderkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    r = star_referential_integrity_audit(spark, str(tmp_path)).collect()[0]
+    assert (r.n_orders, r.n_distinct_orderkeys, r.n_dup_orderkeys) == (
+        4, 3, 1,
+    )
+    assert (r.n_null_orderkeys, r.n_null_custkeys) == (0, 1)
+    assert r.n_orphan_orders == 1  # custkey 99
+    assert (r.n_lineitems, r.n_orphan_lineitems) == (3, 1)  # key 77
+
+    clean = star_referential_integrity_audit(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert clean.n_dup_orderkeys == 0
+    assert clean.n_orphan_orders == 0
+    assert clean.n_orphan_lineitems == 0

@@ -1876,3 +1876,143 @@ def sim_ivf_bucket_balance(
             " AS load_factor_q6",
         )
     )
+
+
+def _margin_audit_sql() -> str:
+    cos = _cosine_sql("e.v", "c.cv")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE {_DOT_SQL.format(a='embedding::DOUBLE[]',
+                             b='embedding::DOUBLE[]')} > 0
+    ), expanded AS (
+      SELECT label, u.i AS dim_idx, u.x AS val
+      FROM e, LATERAL (
+        SELECT unnest(generate_series(1, len(v))) AS i,
+               unnest(v) AS x
+      ) u
+    ), cent0 AS (
+      SELECT label, dim_idx,
+             ROUND(CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE)
+                   / COUNT(*), 12) AS cval
+      FROM expanded GROUP BY label, dim_idx
+    ), c AS (
+      SELECT label, list(cval ORDER BY dim_idx) AS cv
+      FROM cent0 GROUP BY label
+    ), cn AS (
+      SELECT label, cv FROM c
+      WHERE {_DOT_SQL.format(a='cv', b='cv')} > 0
+    ), scored AS (
+      SELECT e.vec_id, e.label,
+             MAX(CASE WHEN c.label = e.label
+                 THEN ROUND({cos}, 6) END) AS own,
+             MAX(CASE WHEN c.label <> e.label
+                 THEN ROUND({cos}, 6) END) AS other
+      FROM e, cn c GROUP BY e.vec_id, e.label
+    ), margins AS (
+      SELECT label,
+             CAST(ROUND(own * 1000000, 0) AS BIGINT)
+               - CAST(ROUND(other * 1000000, 0) AS BIGINT) AS m_q6
+      FROM scored WHERE own IS NOT NULL AND other IS NOT NULL
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(m_q6) // COUNT(*) AS BIGINT) AS mean_margin_q6,
+           CAST(SUM(CASE WHEN m_q6 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_misassigned
+    FROM margins GROUP BY label
+    """
+
+
+@register("emb_label_margin_audit", oracle=_margin_audit_sql())
+def emb_label_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit for the embedding table: each vector's
+    IN-SAMPLE margin = cosine to its OWN label centroid minus the
+    best cosine to any OTHER label centroid; per label, the mean q6
+    margin and the count of misassigned vectors (negative margin —
+    the vector sits closer to a foreign centroid, the standard
+    mislabeled-example screen before training on labeled pairs).
+
+    Portability chain: centroids are DECIMAL(30,15)-accumulated
+    means (order-independent, the `sim_centroid_by_label` recipe)
+    rounded to 12 places; cosines are the shared sequential fold
+    rounded to 6; each margin is quantized to an exact q6 INTEGER
+    via the double-round idiom (``ROUND(cos·1e6, 0)`` is within
+    1e-9 of an integer, never at a tie) BEFORE any sum, so per-label
+    means are integer divisions, not order-dependent double sums.
+
+    Plan: one explode pass builds |labels|·d centroid cells (decimal
+    hash agg); the assembled |labels|-row centroid table broadcasts
+    into one narrow scoring pass over the corpus (conditional MAX
+    folds own/other in the same aggregate); output is |labels| rows.
+    At 100 TB: one shuffle (the centroid agg), one broadcast scan.
+    """
+    apply_engine_conf(spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).filter(_dot(F.col("v"), F.col("v")) > 0)
+    expl = e.select(
+        "label",
+        F.posexplode(F.col("v")).alias("pos", "val"),
+    )
+    cent0 = (
+        expl.groupBy("label", (F.col("pos") + 1).alias("dim_idx"))
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(30,15)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                12,
+            ).alias("cval")
+        )
+    )
+    cent = (
+        cent0.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim_idx", "cval"))
+            ).alias("pairs")
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            F.transform(F.col("pairs"), lambda p: p.cval).alias("cv"),
+        )
+        .filter(_dot(F.col("cv"), F.col("cv")) > 0)
+    )
+    cos = F.round(
+        _dot(F.col("v"), F.col("cv"))
+        / (_norm(F.col("v")) * _norm(F.col("cv"))),
+        6,
+    )
+    scored = (
+        e.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max(
+                F.when(F.col("clabel") == F.col("label"), cos)
+            ).alias("own"),
+            F.max(
+                F.when(F.col("clabel") != F.col("label"), cos)
+            ).alias("other"),
+        )
+    )
+    margins = scored.filter(
+        F.col("own").isNotNull() & F.col("other").isNotNull()
+    ).selectExpr(
+        "label",
+        "CAST(ROUND(own * 1000000, 0) AS BIGINT)"
+        " - CAST(ROUND(other * 1000000, 0) AS BIGINT) AS m_q6",
+    )
+    return margins.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.expr("CAST(SUM(m_q6) div COUNT(*) AS BIGINT)").alias(
+            "mean_margin_q6"
+        ),
+        F.expr(
+            "CAST(SUM(CASE WHEN m_q6 < 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_misassigned"),
+    )

@@ -224,6 +224,7 @@ HEADLINE = [
     "graph_resource_allocation_links",
     "dedup_minhash_estimate_calibration",
     "star_referential_integrity_audit",
+    "emb_label_margin_audit",
 ]
 
 # One representative per operator family, printed in the final

@@ -192,7 +192,12 @@ def test_no_rounded_transcendentals_in_oracles():
 # - sim_centroid_by_label: frozen driver-proven gate row (r4 verdict
 #   #9 bans churn in gate rows without a driver signal); convert to
 #   _q12 integers only if a driver run ever reddens it
-_ROUND_AGG_EXEMPT = {"sim_centroid_by_label"}
+# - emb_label_margin_audit: reuses that operator's exact centroid
+#   recipe verbatim (DECIMAL(30,15) sum — order-independent — cast
+#   once to double, one IEEE-exact division, ROUND 12); the margins
+#   built ON the centroids are quantized to q6 integers before any
+#   further aggregation, which is what this invariant exists to check
+_ROUND_AGG_EXEMPT = {"sim_centroid_by_label", "emb_label_margin_audit"}
 
 
 def _round_call_args(sql: str):

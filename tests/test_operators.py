@@ -1620,3 +1620,40 @@ def test_integrity_audit_detects_seeded_violations(spark, tmp_path):
     assert clean.n_dup_orderkeys == 0
     assert clean.n_orphan_orders == 0
     assert clean.n_orphan_lineitems == 0
+
+
+def test_label_margin_audit_hand_case(spark, tmp_path):
+    """Two tight clusters on orthogonal axes plus one mislabeled
+    vector: the mislabeled one is the only negative margin, and
+    every margin is derivable from the two centroids on paper."""
+    from almost_any_file_to_pandas_spark.operators.similarity import (
+        emb_label_margin_audit,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.0], 0),
+        (2, [0.0, 1.0], 1),
+        (3, [0.0, 1.0], 1),
+        (4, [1.0, 0.0], 1),  # mislabeled: sits on label-0's axis
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = {
+        r.label: r
+        for r in emb_label_margin_audit(spark, str(tmp_path)).collect()
+    }
+    # centroids: label0 = (1,0); label1 = (1/3, 2/3)
+    # label-0 vectors: own cos 1.0; other cos = cos((1,0),(1,2)/3)
+    #   = 1/sqrt(5) ~ 0.447214 -> margin ~ +552786 each
+    assert got[0].n_vecs == 2 and got[0].n_misassigned == 0
+    assert abs(got[0].mean_margin_q6 - 552_786) <= 1
+    # label-1: vectors 2,3 own cos((0,1),c1)=2/sqrt(5) ~ .894427,
+    # other 0 -> +894427; vector 4 own cos((1,0),c1)=1/sqrt(5)
+    # ~ .447214, other 1.0 -> -552786 (the only negative margin)
+    assert got[1].n_vecs == 3 and got[1].n_misassigned == 1
+    want_mean = (894_427 * 2 - 552_786) // 3
+    assert abs(got[1].mean_margin_q6 - want_mean) <= 1

@@ -2315,26 +2315,17 @@ def _curve_hash_sql(seed: int, lane: int) -> str:
     return f"substr(md5('{seed}:' || g), {1 + 8 * lane}, 8)"
 
 
-def _lsh_curve_sql() -> str:
+def _shingle_sig_cte() -> str:
+    """Shared WITH-body prefix of the two LSH-measurement oracles:
+    df-capped word-3-gram shingle sets (kept), per-doc set sizes,
+    pairwise intersection counts, and the 16-lane portable minhash
+    signature. One definition — both operators measure the SAME
+    universe by construction."""
     mins = ", ".join(
         f"MIN({_curve_hash_sql(s // 4, s % 4)}) AS h{s}"
         for s in range(LSH_CURVE_HASHES)
     )
-    band_selects = []
-    for nb, rpb in LSH_CURVE_CONFIGS:
-        for band in range(nb):
-            cols = ", ".join(
-                f"CAST(h{band * rpb + j} AS VARCHAR)"
-                for j in range(rpb)
-            )
-            band_selects.append(
-                f"SELECT {nb} AS nb, doc_id, {band} AS band,"
-                f" concat_ws(',', {cols}) AS key FROM sig"
-            )
-    bands = " UNION ALL ".join(band_selects)
-    values = ", ".join(f"({nb}, {rpb})" for nb, rpb in LSH_CURVE_CONFIGS)
-    return f"""
-    WITH base AS (
+    return f"""base AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ), sh0 AS (
       SELECT doc_id,
@@ -2352,14 +2343,83 @@ def _lsh_curve_sql() -> str:
       SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
       FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    ), truth AS (
+    ), sig AS (
+      SELECT doc_id, {mins} FROM kept GROUP BY doc_id
+    )"""
+
+
+def _shingle_sig_frames(spark: SparkSession, sf_dir: str):
+    """(kept, sizes, inter, sig) — the engine-side twin of
+    :func:`_shingle_sig_cte`, shared by the band-tuning curve and the
+    estimator calibration. ``kept`` is localCheckpointed (three
+    consumers); ``sig`` is the 16 string-lane minhash frame (4 md5
+    columns sliced into fixed-length hex lanes — see
+    :func:`_curve_hash_sql`)."""
+    docs = table_wide(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            _word_ngrams(F.split(F.col("text"), " ", -1))
+        ).alias("g"),
+    )
+    dfok = (
+        sh.groupBy("g")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= MAX_SHINGLE_DF)
+        .select("g")
+    )
+    kept = sh.join(dfok, "g").localCheckpoint(eager=False)
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        _pairs_within_buckets(
+            kept,
+            "doc_id",
+            ["g"],
+            max_bucket=MAX_SHINGLE_DF,
+            distinct=False,
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    hashed = kept.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("g"))).alias(f"m{s}")
+            for s in range(LSH_CURVE_HASHES // 4)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(F.col(f"m{s // 4}"), 1 + 8 * (s % 4), 8)
+            ).alias(f"h{s}")
+            for s in range(LSH_CURVE_HASHES)
+        ]
+    )
+    return kept, sizes, inter, sig
+
+
+def _lsh_curve_sql() -> str:
+    band_selects = []
+    for nb, rpb in LSH_CURVE_CONFIGS:
+        for band in range(nb):
+            cols = ", ".join(
+                f"CAST(h{band * rpb + j} AS VARCHAR)"
+                for j in range(rpb)
+            )
+            band_selects.append(
+                f"SELECT {nb} AS nb, doc_id, {band} AS band,"
+                f" concat_ws(',', {cols}) AS key FROM sig"
+            )
+    bands = " UNION ALL ".join(band_selects)
+    values = ", ".join(f"({nb}, {rpb})" for nb, rpb in LSH_CURVE_CONFIGS)
+    return f"""
+    WITH {_shingle_sig_cte()}, truth AS (
       SELECT i.da, i.db
       FROM inter i
       JOIN sizes sa ON i.da = sa.doc_id
       JOIN sizes sb ON i.db = sb.doc_id
       WHERE 5 * i.c >= 4 * (sa.sz + sb.sz - i.c)
-    ), sig AS (
-      SELECT doc_id, {mins} FROM kept GROUP BY doc_id
     ), bands AS (
       {bands}
     ), okb AS (
@@ -2431,35 +2491,8 @@ def dedup_lsh_band_tuning_curve(
     pass over text.
     """
     apply_engine_conf(spark)
-    docs = table_wide(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            _word_ngrams(F.split(F.col("text"), " ", -1))
-        ).alias("g"),
-    )
-    dfok = (
-        sh.groupBy("g")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= MAX_SHINGLE_DF)
-        .select("g")
-    )
-    # kept is consumed by three branches (sizes, intersections,
-    # signatures); checkpoint so the explode + df-filter shuffle runs
-    # once, not per branch
-    kept = sh.join(dfok, "g").localCheckpoint(eager=False)
-    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (
-        _pairs_within_buckets(
-            kept,
-            "doc_id",
-            ["g"],
-            max_bucket=MAX_SHINGLE_DF,
-            distinct=False,
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
-    )
+    kept, sizes, inter, sig = _shingle_sig_frames(spark, sf_dir)
+    sig = sig.localCheckpoint(eager=False)  # 28 band keys read it
     truth = (
         inter.join(
             sizes.select(
@@ -2480,24 +2513,6 @@ def dedup_lsh_band_tuning_curve(
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
-    # 4 md5 columns materialized once per shingle row, then 16 string
-    # MINs over their 8-hex-char lanes (see _curve_hash_sql: fixed-
-    # length hex min == numeric min, no parse)
-    hashed = kept.select(
-        "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{s}:"), F.col("g"))).alias(f"m{s}")
-            for s in range(LSH_CURVE_HASHES // 4)
-        ],
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(F.col(f"m{s // 4}"), 1 + 8 * (s % 4), 8)
-            ).alias(f"h{s}")
-            for s in range(LSH_CURVE_HASHES)
-        ]
-    ).localCheckpoint(eager=False)
     # ALL 28 band memberships (4+8+16 across the three configs)
     # explode from the signature row in one pass and share ONE
     # (nb, band, key) bucket shuffle + in-row pair expansion — the
@@ -2647,36 +2662,12 @@ def dedup_cluster_size_histogram(
 
 
 def _minhash_calibration_sql() -> str:
-    mins = ", ".join(
-        f"MIN({_curve_hash_sql(s // 4, s % 4)}) AS h{s}"
-        for s in range(LSH_CURVE_HASHES)
-    )
     matches = " + ".join(
         f"CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END"
         for s in range(LSH_CURVE_HASHES)
     )
     return f"""
-    WITH base AS (
-      SELECT doc_id, string_split(text, ' ') AS w FROM documents
-    ), sh0 AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(
-               range(1, greatest(len(w) - 2, 0) + 1),
-               i -> array_to_string(w[i:i+2], ' ')))) AS g
-      FROM base
-    ), dfok AS (
-      SELECT g FROM sh0 GROUP BY g HAVING COUNT(*) <= {MAX_SHINGLE_DF}
-    ), kept AS (
-      SELECT s.doc_id, s.g FROM sh0 s JOIN dfok USING (g)
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
-      FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), sig AS (
-      SELECT doc_id, {mins} FROM kept GROUP BY doc_id
-    ), scored AS (
+    WITH {_shingle_sig_cte()}, scored AS (
       SELECT i.c * 1000000 // (za.sz + zb.sz - i.c) AS exact_q6,
              ({matches}) * 1000000 // {LSH_CURVE_HASHES} AS est_q6
       FROM inter i
@@ -2720,47 +2711,8 @@ def dedup_minhash_estimate_calibration(
     decile rows. Nothing wider than the pair frame moves.
     """
     apply_engine_conf(spark)
-    docs = table_wide(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            _word_ngrams(F.split(F.col("text"), " ", -1))
-        ).alias("g"),
-    )
-    dfok = (
-        sh.groupBy("g")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= MAX_SHINGLE_DF)
-        .select("g")
-    )
-    kept = sh.join(dfok, "g").localCheckpoint(eager=False)
-    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (
-        _pairs_within_buckets(
-            kept,
-            "doc_id",
-            ["g"],
-            max_bucket=MAX_SHINGLE_DF,
-            distinct=False,
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
-    )
-    hashed = kept.select(
-        "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{s}:"), F.col("g"))).alias(f"m{s}")
-            for s in range(LSH_CURVE_HASHES // 4)
-        ],
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(F.col(f"m{s // 4}"), 1 + 8 * (s % 4), 8)
-            ).alias(f"h{s}")
-            for s in range(LSH_CURVE_HASHES)
-        ]
-    )
+    kept, sizes, inter, sig = _shingle_sig_frames(spark, sf_dir)
+    sig = sig.localCheckpoint(eager=False)  # joined twice (a/b side)
     sig_a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{s}").alias(f"a{s}") for s in range(LSH_CURVE_HASHES)],

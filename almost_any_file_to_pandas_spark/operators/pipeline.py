@@ -693,19 +693,22 @@ def pipeline_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS total_tokens
       FROM documents
     ), fp AS (
-      SELECT CAST(COUNT(DISTINCT md5(lower(trim(text)))) AS BIGINT)
-               AS unique_fingerprints
-      FROM documents
+      -- DISTINCT subquery + COUNT(*) keeps the NULL-text fingerprint
+      -- as its own cluster (COUNT(DISTINCT ...) would drop it),
+      -- matching Spark's distinct().count() and the cluster-size
+      -- histogram's NULL group
+      SELECT CAST(COUNT(*) AS BIGINT) AS unique_fingerprints
+      FROM (SELECT DISTINCT md5(lower(trim(text))) FROM documents)
     ), lc AS (
       SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
     ), langs AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_langs FROM lc
     ), top AS (
       SELECT lang AS top_lang, CAST(c AS BIGINT) AS top_c
-      FROM lc ORDER BY c DESC, lang ASC LIMIT 1
+      FROM lc ORDER BY c DESC, lang ASC NULLS LAST LIMIT 1
     ), srcs AS (
-      SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
-      FROM documents
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM (SELECT DISTINCT source FROM documents)
     )
     SELECT s.n_docs, sc.n_sources, l.n_langs,
            s.total_tokens, s.total_chars,
@@ -765,7 +768,7 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     lc = docs.groupBy("lang").agg(F.count("*").alias("c"))
     langs = lc.agg(F.count("*").cast("long").alias("n_langs"))
     top = (
-        lc.orderBy(F.desc("c"), F.asc("lang"))
+        lc.orderBy(F.desc("c"), F.asc_nulls_last("lang"))
         .limit(1)
         .select(
             F.col("lang").alias("top_lang"),

@@ -364,8 +364,8 @@ def _bm25_terms_sql() -> str:
     ), scored AS (
       SELECT t.doc_id,
              CAST(CAST(i.idf_q6 AS HUGEINT) * 22 * t.tf * c.sum_dl
-                  // (10 * c.sum_dl * t.tf + 3 * c.sum_dl
-                      + 9 * t.dl * c.n_docs)
+                  // (10 * CAST(c.sum_dl AS HUGEINT) * t.tf
+                      + 3 * c.sum_dl + 9 * t.dl * c.n_docs)
                   AS BIGINT) AS term_score
       FROM tf t JOIN idf i ON t.term = i.term, corpus c
     ), agg AS (
@@ -394,7 +394,10 @@ def retrieval_bm25_rational_topk(
     ×1e6-scaled ``(N−df+½)/(df+½)``), ``dl`` is the doc's token
     count, ``S = Σ dl``, and the tf factor is textbook
     ``tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`` with k1 = 6/5, b = 3/4
-    cleared of denominators (×10·S). Log-free by design: ln() is not
+    cleared of denominators (×10·S). Numerator AND denominator are
+    widened (DECIMAL(38,0)/HUGEINT): 10·S·tf passes int64 once
+    S·tf ~ 1e18 — reachable at corpus scale. Log-free by design:
+    ln() is not
     bit-identical across engines, and per term the rational idf is a
     monotone transform of the log idf.
 
@@ -443,7 +446,8 @@ def retrieval_bm25_rational_topk(
         .selectExpr(
             "doc_id",
             "CAST(CAST(idf_q6 AS DECIMAL(38,0)) * 22 * tf * sum_dl"
-            " div (10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs)"
+            " div (10 * CAST(sum_dl AS DECIMAL(38,0)) * tf"
+            " + 3 * sum_dl + 9 * dl * n_docs)"
             " AS BIGINT) AS term_score",
         )
     )

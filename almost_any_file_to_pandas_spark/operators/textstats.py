@@ -1953,7 +1953,8 @@ def text_lm_perplexity_filter(
       FROM st GROUP BY source
     ), parts AS (
       SELECT s.source,
-             SUM(abs(s.n * c.mm - t.m * ns.n_tokens)) AS part1,
+             SUM(abs(CAST(s.n AS HUGEINT) * c.mm
+                     - CAST(t.m AS HUGEINT) * ns.n_tokens)) AS part1,
              SUM(t.m) AS cov
       FROM st s
       JOIN ct t ON s.term = t.term
@@ -1961,8 +1962,8 @@ def text_lm_perplexity_filter(
       GROUP BY s.source
     )
     SELECT ns.source, ns.n_tokens, ns.n_distinct_terms,
-           CAST(CAST(p.part1 + (c.mm - p.cov) * ns.n_tokens
-                     AS HUGEINT) * 1000000
+           CAST((p.part1 + CAST(c.mm - p.cov AS HUGEINT)
+                           * ns.n_tokens) * 1000000
                 // (2 * CAST(ns.n_tokens AS HUGEINT) * c.mm)
                 AS BIGINT) AS tvd_q6
     FROM ns JOIN parts p ON ns.source = p.source, corpus c
@@ -1985,7 +1986,9 @@ def text_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, term) shuffle subsumes the term shuffle's work), the
     per-source totals broadcast, the corpus total is a one-row cross
     join. At 100 TB everything wide is keyed on term or (source,
-    term); widened DECIMAL(38,0)/HUGEINT only at the final q6 ratio.
+    term); the per-term products n_i·M / m_i·N_s are widened to
+    DECIMAL(38,0)/HUGEINT BEFORE the sum (n_i·M passes int64 once
+    M ~ 1e10 tokens), as are the coverage term and the final ratio.
     """
     apply_engine_conf(spark)
     docs = table_wide(spark, sf_dir, "documents")
@@ -2008,8 +2011,9 @@ def text_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 F.abs(
-                    F.col("n") * F.col("mm")
-                    - F.col("m") * F.col("n_tokens")
+                    F.col("n").cast("decimal(38,0)") * F.col("mm")
+                    - F.col("m").cast("decimal(38,0)")
+                    * F.col("n_tokens")
                 )
             ).alias("part1"),
             F.sum("m").alias("cov"),
@@ -2022,8 +2026,8 @@ def text_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "CAST(n_tokens AS BIGINT) AS n_tokens",
             "n_distinct_terms",
-            "CAST(CAST(part1 + (mm - cov) * n_tokens"
-            " AS DECIMAL(38,0)) * 1000000"
+            "CAST((part1 + CAST(mm - cov AS DECIMAL(38,0))"
+            " * n_tokens) * 1000000"
             " div (2 * CAST(n_tokens AS DECIMAL(38,0)) * mm)"
             " AS BIGINT) AS tvd_q6",
         )

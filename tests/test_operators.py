@@ -1657,3 +1657,36 @@ def test_label_margin_audit_hand_case(spark, tmp_path):
     assert got[1].n_vecs == 3 and got[1].n_misassigned == 1
     want_mean = (894_427 * 2 - 552_786) // 3
     assert abs(got[1].mean_margin_q6 - want_mean) <= 1
+
+
+def test_dataset_card_null_text_and_source(spark, tmp_path):
+    """The review-found divergence, pinned: a NULL text fingerprints
+    as its own cluster and a NULL source counts as a distinct source
+    on BOTH engines (Spark distinct() semantics; the oracle uses a
+    DISTINCT subquery instead of NULL-dropping COUNT(DISTINCT)), and
+    the card stays consistent with the cluster-size histogram."""
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        dedup_cluster_size_histogram,
+    )
+    from almost_any_file_to_pandas_spark.operators.pipeline import (
+        pipeline_dataset_card,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b", "en", "s0"),
+            (1, None, "en", None),
+            (2, "c", "de", "s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    c = pipeline_dataset_card(spark, str(tmp_path)).collect()[0]
+    assert c.n_docs == 3
+    assert c.n_sources == 3  # s0, s1, NULL
+    assert c.unique_fingerprints == 3  # 'a b', 'c', NULL
+    assert c.dup_docs == 0 and c.dup_rate_q6 == 0
+    hist = dedup_cluster_size_histogram(spark, str(tmp_path)).collect()
+    assert c.unique_fingerprints == sum(r.n_clusters for r in hist)

@@ -759,7 +759,10 @@ IVF_RECALL_FLOOR = 0.3  # macro recall@5 observed 0.52 at sf0.01
 @register(
     "sim_ivf_recall_floor",
     oracle=f"""
-    SELECT COUNT(*) AS n_queries,
+    -- n_queries counts EVALUABLE queries: a query vector with no
+    -- possible neighbor (corpus of one) has no recall to measure
+    SELECT CASE WHEN (SELECT COUNT(*) FROM embeddings) > 1
+                THEN COUNT(*) ELSE 0 END AS n_queries,
            CAST({KNN_K} AS BIGINT) AS k,
            TRUE AS recall_floor_met
     FROM embeddings WHERE vec_id < {N_QUERIES}

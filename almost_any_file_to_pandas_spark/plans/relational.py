@@ -330,6 +330,10 @@ def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+    -- observed-groups semantics: Spark's CUBE over an EMPTY scan
+    -- emits no rows, DuckDB emits the all-NULL grand-total row;
+    -- every real group has >= 1 row, so this only bites on empty
+    HAVING COUNT(*) > 0
     """,
 )
 def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,10 +995,18 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "order_value_approx_percentiles",
     oracle="""
+    -- empty-scan semantics: the engine's exact_disc_quantiles mirrors
+    -- an undefined quantile as NaN and the tolerance comparison
+    -- three-values to NULL; quantile_disc alone would say NULL/TRUE
     SELECT
-      CAST(quantile_disc(o_totalprice, 0.50) AS DOUBLE) AS p50_exact,
-      CAST(quantile_disc(o_totalprice, 0.95) AS DOUBLE) AS p95_exact,
-      TRUE AS approx_within_tol
+      CASE WHEN COUNT(o_totalprice) = 0 THEN 'NaN'::DOUBLE
+           ELSE CAST(quantile_disc(o_totalprice, 0.50) AS DOUBLE) END
+        AS p50_exact,
+      CASE WHEN COUNT(o_totalprice) = 0 THEN 'NaN'::DOUBLE
+           ELSE CAST(quantile_disc(o_totalprice, 0.95) AS DOUBLE) END
+        AS p95_exact,
+      CASE WHEN COUNT(o_totalprice) = 0 THEN NULL ELSE TRUE END
+        AS approx_within_tol
     FROM orders
     """,
 )

@@ -1,8 +1,7 @@
 """Build a driver-precision replica of a testdata directory.
 
-The driver environment's ``events.parquet`` carries TIMESTAMP(NANOS)
-(see .claude/skills/verify/SKILL.md), while the local testdata is
-microsecond parquet — exactly the divergence class behind round 3's
+The driver environment's ``events.parquet`` carries TIMESTAMP(NANOS),
+while the local testdata is microsecond parquet — exactly the divergence class behind round 3's
 three gate hash-fails (Spark reads nanos truncated to micros via the
 ``nanosAsLong`` branch in ``plans.table()``; an un-normalized DuckDB
 oracle sees full nanosecond values).

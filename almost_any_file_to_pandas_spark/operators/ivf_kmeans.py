@@ -1,0 +1,375 @@
+"""Learned-quantizer (k-means) IVF with a fully oracle-checkable
+nprobe recall curve.
+
+The sign-bit IVF curve (``sim_ivf_nprobe_recall_curve``) proved the
+tuning methodology, but the quantizer actually recommended for a
+100 TB corpus is the LEARNED one (``ivf_k_for_corpus`` +
+k-means inverted lists — see ``sim_ivf_kmeans_topk``). pyspark.ml's
+KMeans is not SQL-restatable, so this module implements a
+DETERMINISTIC Lloyd's iteration both engines can reproduce exactly:
+
+- **seeds**: the k smallest-``vec_id`` vectors (k from
+  ``ivf_k_for_corpus`` — both engines derive it from the corpus count);
+- **distance**: integer-q12 squared L2 — every (x−c)² term is scaled
+  by 1e12 and floored to a BIGINT *before* summation, so the sum is
+  exact int64 arithmetic, independent of accumulation order, and
+  bit-identical across engines (±*/ on doubles are IEEE-exact
+  cross-engine; ln/exp are not — never used here);
+- **means**: per-dimension DECIMAL(30,15) sums divided by the member
+  count, rounded to 12 decimals (the ``emb_label_margin_audit``
+  recipe — order-independent, cross-engine exact);
+- **rounds**: a fixed 2 Lloyd's iterations (empty clusters keep their
+  previous centroid on both sides).
+
+Scale shape (100 TB): each round's ASSIGNMENT is one narrow map pass —
+the ≤k-row centroid frame is collapsed into a single broadcast row and
+every vector computes its argmin inside ``transform``/``array_min``
+(no shuffle, no UDF); the MEAN step shuffles only (k × d) group keys.
+At production scale the quantizer trains on a bounded sample exactly
+like ``sim_ivf_kmeans_topk``; the full corpus then takes ONE
+assignment pass to materialize bucket ids (the hash-partitioning key
+for the inverted lists). The curve itself generates candidates ONCE at
+the widest probe depth and re-ranks through (nprobe, query) windows —
+one corpus pass for all curve points, the same plan spine as the
+sign-bit curve.
+
+Reference parity: extends the reference's aggregate surface
+(main.py:416-466 computes max/mode/shape summaries) with the
+similarity-search operators a training-data pipeline needs; no
+counterpart exists in the reference to copy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from almost_any_file_to_pandas_spark.plans import register, table_wide
+from almost_any_file_to_pandas_spark.session import apply_engine_conf
+from almost_any_file_to_pandas_spark.operators.similarity import (
+    IVF_K,
+    IVF_TARGET_BUCKET_ROWS,
+    KNN_K,
+    N_QUERIES,
+    NPROBE_CURVE,
+    _cosine_sql,
+    _dot,
+    _norm,
+    ivf_k_for_corpus,
+    sim_knn_batch,
+)
+
+LLOYD_ROUNDS = 2
+
+
+def _sqdist_q12(a, b):
+    """Integer-q12 squared L2 distance between two double arrays.
+
+    Each (x−y)² term is floored to a BIGINT at 1e12 scale BEFORE the
+    sum: the total is exact int64 arithmetic, so it is independent of
+    accumulation order and identical across engines. Term bound:
+    embedding values are |x| < 1, so a term is < 4e12 and a 64-dim
+    sum < 3e14 — far inside int64.
+    """
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.floor(
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+                * F.lit(1e12)
+                + F.lit(0.5)
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sqdist_q12_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`_sqdist_q12` (operands must be DOUBLE[])."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> CAST(FLOOR((p[1]-p[2])*(p[1]-p[2])*1e12 + 0.5) AS BIGINT)),"
+        " (x, y) -> x + y)"
+    )
+
+
+def _argmin_cid(cents_col, vec_col):
+    """cid of the nearest centroid: array_min over (distance, cid)
+    structs — order-independent, ties break to the smallest cid,
+    mirroring the oracle's ``ORDER BY dist, cid`` rank-1 pick."""
+    return F.array_min(
+        F.transform(
+            cents_col,
+            lambda c: F.struct(
+                _sqdist_q12(vec_col, c["cvec"]).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )["cid"]
+
+
+def deterministic_kmeans_centroids(
+    spark: SparkSession, emb: DataFrame, k: int
+) -> DataFrame:
+    """LLOYD_ROUNDS deterministic Lloyd's iterations over ``emb``
+    (``vec_id``, ``v`` double array) → (``cid``, ``cvec``).
+
+    Each round: collapse the ≤k centroids into ONE broadcast row,
+    assign every vector map-side (no shuffle), recompute means with a
+    (k × d)-key groupBy. ``localCheckpoint`` per round keeps the plan
+    from re-executing prior rounds' assignments (lineage doubles per
+    round otherwise) — the frame is k rows, so the checkpoint is free.
+    """
+    wseed = W.orderBy("vec_id")  # bounded: runs on the ≤k-row seed frame
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(wseed) - 1).cast("int").alias("cid"),
+            F.col("v").alias("cvec"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(LLOYD_ROUNDS):
+        crow = cents.agg(
+            F.collect_list(F.struct("cid", "cvec")).alias("cs")
+        )
+        assigned = emb.crossJoin(F.broadcast(crow)).select(
+            F.col("v"), _argmin_cid(F.col("cs"), F.col("v")).alias("cid")
+        )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("dim_idx", "val"))
+            .groupBy("cid", "dim_idx")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("decimal(30,15)")).cast("double")
+                    / F.count("*"),
+                    12,
+                ).alias("cval")
+            )
+        )
+        newc = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim_idx", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cvec_new")
+        )
+        cents = (
+            cents.join(newc, "cid", "left")
+            .select(
+                "cid", F.coalesce("cvec_new", "cvec").alias("cvec")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cents
+
+
+def _kmeans_cents_sql() -> str:
+    """CTE chain producing the final deterministic centroids ``c2``
+    (plus the double-cast corpus ``e``) — shared by the curve oracle."""
+    d1 = _sqdist_q12_sql("e.v", "c.cvec")
+    parts = [
+        """
+    e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), kk AS (
+      SELECT GREATEST(CAST({ivf_k} AS BIGINT),
+                      CAST(CEIL(COUNT(*) * 1.0 / {target}) AS BIGINT)) AS k
+      FROM e
+    ), c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cid,
+             v AS cvec
+      FROM e, kk
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= k
+    )""".format(ivf_k=IVF_K, target=IVF_TARGET_BUCKET_ROWS)
+    ]
+    prev = "c0"
+    for r in (1, 2):
+        parts.append(
+            f"""
+    a{r} AS (
+      SELECT e.vec_id, e.v, c.cid
+      FROM e CROSS JOIN {prev} c
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id ORDER BY {d1}, c.cid) = 1
+    ), m{r} AS (
+      SELECT cid, u.i AS dim_idx,
+             ROUND(CAST(SUM(CAST(u.x AS DECIMAL(30,15))) AS DOUBLE)
+                   / COUNT(*), 12) AS cval
+      FROM a{r},
+           LATERAL (
+             SELECT unnest(generate_series(1, len(v))) AS i,
+                    unnest(v) AS x
+           ) u
+      GROUP BY cid, u.i
+    ), c{r} AS (
+      SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
+      FROM {prev} p LEFT JOIN (
+        SELECT cid, list(cval ORDER BY dim_idx) AS cvec
+        FROM m{r} GROUP BY cid
+      ) n USING (cid)
+    )"""
+        )
+        prev = f"c{r}"
+    return ",".join(parts)
+
+
+_CURVE_TAIL_DIST = _sqdist_q12_sql("q.v", "c.cvec")
+
+
+@register(
+    "sim_ivf_kmeans_nprobe_curve",
+    oracle=f"""
+    WITH {_kmeans_cents_sql()}, assigned AS (
+      SELECT e.vec_id, e.v, c.cid AS bucket
+      FROM e CROSS JOIN c2 c
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_sqdist_q12_sql('e.v', 'c.cvec')}, c.cid) = 1
+    ), probes AS (
+      SELECT q.vec_id AS query_id, q.v AS qvec, c.cid AS bucket,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_CURVE_TAIL_DIST}, c.cid) AS probe_rank
+      FROM e q CROSS JOIN c2 c
+      WHERE q.vec_id < {N_QUERIES}
+    ), cand AS (
+      SELECT p.query_id, p.probe_rank, x.vec_id,
+             ROUND({_cosine_sql('x.v', 'p.qvec')}, 6) AS cosine
+      FROM probes p JOIN assigned x ON x.bucket = p.bucket
+      WHERE p.probe_rank <= {max(NPROBE_CURVE)}
+        AND x.vec_id <> p.query_id
+    ), exact AS (
+      SELECT q.vec_id AS query_id, x.vec_id
+      FROM e q JOIN e x ON x.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY ROUND({_cosine_sql('x.v', 'q.v')}, 6) DESC,
+                 x.vec_id) <= {KNN_K}
+    ), picks AS (
+      SELECT np.nprobe, c.query_id, c.vec_id
+      FROM (VALUES {', '.join(f'({v})' for v in NPROBE_CURVE)})
+           np(nprobe), cand c
+      WHERE c.probe_rank <= np.nprobe
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY np.nprobe, c.query_id
+        ORDER BY c.cosine DESC, c.vec_id) <= {KNN_K}
+    ), hits AS (
+      SELECT p.nprobe, COUNT(*) AS n_hits
+      FROM picks p JOIN exact e2
+        ON p.query_id = e2.query_id AND p.vec_id = e2.vec_id
+      GROUP BY p.nprobe
+    ), denom AS (
+      SELECT COUNT(*) AS n_exact FROM exact
+    )
+    SELECT CAST(v.nprobe AS INTEGER) AS nprobe,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(d.n_exact AS BIGINT) AS n_exact,
+           CAST(CASE WHEN d.n_exact = 0 THEN 0
+                ELSE COALESCE(h.n_hits, 0) * 1000000 // d.n_exact
+                END AS BIGINT) AS recall_q6
+    FROM (VALUES {', '.join(f'({v})' for v in NPROBE_CURVE)}) v(nprobe)
+    LEFT JOIN hits h ON v.nprobe = h.nprobe, denom d
+    """,
+)
+def sim_ivf_kmeans_nprobe_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@k vs nprobe for the LEARNED (k-means) IVF quantizer —
+    the tuning curve for the index actually recommended at 100 TB
+    (``ivf_k_for_corpus`` lists, trained centroids), oracle-paired
+    end-to-end because the training loop is the deterministic
+    integer-exact Lloyd's of :func:`deterministic_kmeans_centroids`.
+
+    For each nprobe ∈ {1, 2, 4, 8}: probe the nprobe centroids
+    nearest the query (integer-q12 L2, tie-break cid), take the
+    in-probe cosine top-k, and score hits against the exact
+    brute-force top-k (:func:`sim_knn_batch` — same batch, same
+    rounding). One row per nprobe: hit/evaluable counts + integer q6
+    macro recall.
+
+    Plan: candidates are generated ONCE at the widest probe depth
+    (bucket-keyed join of the broadcast ≤|queries|·nprobe_max probe
+    table against the one-pass bucket-assigned corpus); every curve
+    point re-ranks that scored frame through a (nprobe, query)
+    window. The driver-side ``count()`` sizes the quantizer — bounded
+    index-build orchestration, not a data path.
+    """
+    apply_engine_conf(spark)
+    emb = table_wide(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    k = ivf_k_for_corpus(emb.count())
+    cents = deterministic_kmeans_centroids(spark, emb, k)
+
+    crow = cents.agg(F.collect_list(F.struct("cid", "cvec")).alias("cs"))
+    assigned = emb.crossJoin(F.broadcast(crow)).select(
+        "vec_id",
+        "v",
+        _argmin_cid(F.col("cs"), F.col("v")).alias("bucket"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.asc("d"), F.asc("bucket"))
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qvec"))
+        .crossJoin(F.broadcast(cents.withColumnRenamed("cid", "bucket")))
+        .withColumn("d", _sqdist_q12(F.col("qvec"), F.col("cvec")))
+        .withColumn("probe_rank", F.row_number().over(wp))
+        .filter(F.col("probe_rank") <= max(NPROBE_CURVE))
+        .select("query_id", "qvec", "bucket", "probe_rank")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "probe_rank",
+            "vec_id",
+            F.round(
+                _dot(F.col("v"), F.col("qvec"))
+                / (_norm(F.col("v")) * _norm(F.col("qvec"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    nprobes = spark.createDataFrame(
+        [(v,) for v in NPROBE_CURVE], "nprobe int"
+    )
+    wk = W.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    picks = (
+        cand.join(
+            F.broadcast(nprobes),
+            F.col("probe_rank") <= F.col("nprobe"),
+        )
+        .withColumn("_r", F.row_number().over(wk))
+        .filter(F.col("_r") <= KNN_K)
+        .select("nprobe", "query_id", "vec_id")
+    )
+    exact = sim_knn_batch(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        picks.join(exact, ["query_id", "vec_id"])
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    denom = exact.agg(F.count("*").alias("n_exact"))
+    return (
+        nprobes.join(F.broadcast(hits), "nprobe", "left")
+        .crossJoin(F.broadcast(denom))
+        .selectExpr(
+            "nprobe",
+            "CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits",
+            "CAST(n_exact AS BIGINT) AS n_exact",
+            "CAST(CASE WHEN n_exact = 0 THEN 0"
+            " ELSE COALESCE(n_hits, 0) * 1000000 div n_exact"
+            " END AS BIGINT) AS recall_q6",
+        )
+        .orderBy("nprobe")
+    )

@@ -97,6 +97,9 @@ QUERIES_UNDER_TEST = [
     # RANGE-frame credit split, distributed prefix-sum shard cut
     "retrieval_bm25_rational_topk",
     "sim_ivf_nprobe_recall_curve",
+    # learned-quantizer curve: deterministic Lloyd's (integer-q12
+    # distances, DECIMAL means) must be partitioning-independent too
+    "sim_ivf_kmeans_nprobe_curve",
     "dedup_lsh_band_tuning_curve",
     "graph_jaccard_link_prediction",
     "events_attribution_time_decay",
@@ -197,7 +200,14 @@ def test_no_rounded_transcendentals_in_oracles():
 #   once to double, one IEEE-exact division, ROUND 12); the margins
 #   built ON the centroids are quantized to q6 integers before any
 #   further aggregation, which is what this invariant exists to check
-_ROUND_AGG_EXEMPT = {"sim_centroid_by_label", "emb_label_margin_audit"}
+_ROUND_AGG_EXEMPT = {
+    "sim_centroid_by_label",
+    "emb_label_margin_audit",
+    # deterministic-Lloyd centroid means: DECIMAL(30,15) sums are
+    # order-independent and exact; divide-by-count + ROUND 12 is the
+    # proven margin-audit recipe, not a float-aggregate ratio
+    "sim_ivf_kmeans_nprobe_curve",
+}
 
 
 def _round_call_args(sql: str):

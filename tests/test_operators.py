@@ -1102,6 +1102,43 @@ def test_ivf_nprobe_recall_curve_monotone(spark):
     assert all(0 <= x <= 1_000_000 for x in recalls)
 
 
+def test_ivf_kmeans_nprobe_curve_monotone(spark):
+    """Learned-quantizer twin of the sign-bit curve test: probe sets
+    nest (probe_rank ≤ 1 ⊂ 2 ⊂ 4 ⊂ 8 by construction), so candidate
+    pools nest and recall is non-decreasing in nprobe against the
+    fixed exact denominator; every point stays in [0, 1e6]. Also pins
+    the learned quantizer's headline claim: its recall at every probe
+    depth is ≥ the sign-bit quantizer's at the same depth on this
+    corpus (the reason k-means lists are the 100 TB recommendation)."""
+    from almost_any_file_to_pandas_spark.operators.ivf_kmeans import (
+        sim_ivf_kmeans_nprobe_curve,
+    )
+    from almost_any_file_to_pandas_spark.operators.similarity import (
+        sim_ivf_nprobe_recall_curve,
+    )
+
+    rows = sorted(
+        sim_ivf_kmeans_nprobe_curve(
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    assert len({r.n_exact for r in rows}) == 1  # shared denominator
+    recalls = [r.recall_q6 for r in rows]
+    assert recalls == sorted(recalls)
+    assert all(0 <= x <= 1_000_000 for x in recalls)
+
+    signbit = {
+        r.nprobe: r.recall_q6
+        for r in sim_ivf_nprobe_recall_curve(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for r in rows:
+        assert r.recall_q6 >= signbit[r.nprobe]
+
+
 def test_lsh_band_curve_candidates_nest(spark):
     """Sharing a 4-hash band implies sharing both its 2-hash halves
     implies sharing all four 1-hash bands: candidate sets NEST as

@@ -100,6 +100,8 @@ QUERIES_UNDER_TEST = [
     # learned-quantizer curve: deterministic Lloyd's (integer-q12
     # distances, DECIMAL means) must be partitioning-independent too
     "sim_ivf_kmeans_nprobe_curve",
+    # SQ8: global per-dim min/max + rank-window cut value classes
+    "sim_sq8_topk",
     "dedup_lsh_band_tuning_curve",
     "graph_jaccard_link_prediction",
     "events_attribution_time_decay",

@@ -53,21 +53,84 @@ def frame_fingerprint(columns, rows):
     return digest, len(lines), sorted(columns)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
+def make_duckdb_views(sf_dir: str):
+    """A DuckDB connection with the ten tables registered as views."""
     import duckdb
 
-    import __spark_entry__ as entrymod
-    from almost_any_file_to_pandas_spark.session import get_spark
-
-    spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    return con
+
+
+def check_one(spark, con, sf_dir, name, fn, oracle):
+    """Run one query on Spark and its oracle on DuckDB; compare.
+
+    Returns ``(status, detail)`` where status is ``PASS`` / ``FAIL`` /
+    ``OK?`` (rows-only: no oracle given). Library form of the CLI body
+    so bench.py can embed a self-run digest in its stdout line (the
+    driver re-records bench every round but hasn't re-read its own
+    correctness gate since round 3).
+    """
+    started = time.time()
+    try:
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sdf.columns
+        s_hash, s_n, s_cols = frame_fingerprint(
+            scols, [tuple(r) for r in srows]
+        )
+    except Exception as exc:  # noqa: BLE001
+        return "FAIL", f"spark error: {exc}"
+
+    if oracle is None:
+        return "OK?", (
+            f"rows-only check, {s_n} rows ({time.time()-started:.1f}s)"
+        )
+    try:
+        cur = con.execute(oracle)
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+        d_hash, d_n, d_cols = frame_fingerprint(dcols, drows)
+    except Exception as exc:  # noqa: BLE001
+        return "FAIL", f"duckdb error: {exc}"
+
+    status = "PASS"
+    detail = f"{s_n} rows ({time.time()-started:.1f}s)"
+    if s_cols != d_cols:
+        status, detail = "FAIL", f"columns spark={s_cols} duck={d_cols}"
+    elif s_n != d_n:
+        status, detail = "FAIL", f"rows spark={s_n} duck={d_n}"
+    elif s_hash != d_hash:
+        status, detail = "FAIL", "value hash mismatch"
+        # show first differing rows for debugging
+        order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+        s_set = sorted(
+            "\x1f".join(canon(r[i]) for i in order)
+            for r in [tuple(x) for x in srows]
+        )
+        d_order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+        d_set = sorted(
+            "\x1f".join(canon(r[i]) for i in d_order) for r in drows
+        )
+        for a, b in zip(s_set, d_set):
+            if a != b:
+                detail += f"\n  spark: {a[:200]}\n  duck : {b[:200]}"
+                break
+    return status, detail
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from almost_any_file_to_pandas_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = make_duckdb_views(sf_dir)
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -75,55 +138,9 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
-        started = time.time()
-        try:
-            sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
-            s_hash, s_n, s_cols = frame_fingerprint(
-                scols, [tuple(r) for r in srows]
-            )
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {exc}")
-            failures.append(name)
-            continue
-
-        if name not in oracles:
-            print(f"OK?  {name}: rows-only check, {s_n} rows "
-                  f"({time.time()-started:.1f}s)")
-            continue
-        try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
-            d_hash, d_n, d_cols = frame_fingerprint(dcols, drows)
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {exc}")
-            failures.append(name)
-            continue
-
-        status = "PASS"
-        detail = f"{s_n} rows ({time.time()-started:.1f}s)"
-        if s_cols != d_cols:
-            status, detail = "FAIL", f"columns spark={s_cols} duck={d_cols}"
-        elif s_n != d_n:
-            status, detail = "FAIL", f"rows spark={s_n} duck={d_n}"
-        elif s_hash != d_hash:
-            status, detail = "FAIL", "value hash mismatch"
-            # show first differing rows for debugging
-            order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
-            s_set = sorted(
-                "\x1f".join(canon(r[i]) for i in order)
-                for r in [tuple(x) for x in srows]
-            )
-            d_order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
-            d_set = sorted(
-                "\x1f".join(canon(r[i]) for i in d_order) for r in drows
-            )
-            for a, b in zip(s_set, d_set):
-                if a != b:
-                    detail += f"\n  spark: {a[:200]}\n  duck : {b[:200]}"
-                    break
+        status, detail = check_one(
+            spark, con, sf_dir, name, fn, oracles.get(name)
+        )
         print(f"{status} {name}: {detail}")
         if status == "FAIL":
             failures.append(name)

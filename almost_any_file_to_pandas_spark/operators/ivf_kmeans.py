@@ -373,3 +373,69 @@ def sim_ivf_kmeans_nprobe_curve(
         )
         .orderBy("nprobe")
     )
+
+
+@register(
+    "sim_ivf_kmeans_bucket_balance",
+    oracle=f"""
+    WITH {_kmeans_cents_sql()}, assigned AS (
+      SELECT e.vec_id, c.cid AS bucket
+      FROM e CROSS JOIN c2 c
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_sqdist_q12_sql('e.v', 'c.cvec')}, c.cid) = 1
+    ), sz AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM assigned GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM assigned
+    )
+    SELECT s.bucket, s.n_vecs,
+           CAST(s.n_vecs * 1000000 // t.n AS BIGINT) AS share_q6,
+           CAST(s.n_vecs * (SELECT COUNT(*) FROM sz) * 1000000
+                // t.n AS BIGINT) AS load_factor_q6
+    FROM sz s, tot t
+    """,
+)
+def sim_ivf_kmeans_bucket_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inverted-list balance audit for the LEARNED quantizer — the
+    twin of ``sim_ivf_bucket_balance`` (sign-bit) over the
+    deterministic Lloyd's lists, so the 100 TB index recommendation
+    carries its own skew evidence: per occupied list, its size,
+    corpus share (q6), and load factor (size / mean size, q6). Lloyd's
+    equalizes within-list variance, not counts — this row is how the
+    probe-cost and skew-join risk of that choice get measured rather
+    than assumed.
+
+    Plan: the one-broadcast-row argmin assignment (narrow), a bucket
+    count, and two broadcast scalars — the operator's cost is the
+    assignment scan.
+    """
+    apply_engine_conf(spark)
+    emb = table_wide(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    k = ivf_k_for_corpus(emb.count())
+    cents = deterministic_kmeans_centroids(spark, emb, k)
+    crow = cents.agg(F.collect_list(F.struct("cid", "cvec")).alias("cs"))
+    sz = (
+        emb.crossJoin(F.broadcast(crow))
+        .select(_argmin_cid(F.col("cs"), F.col("v")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+    )
+    tot = sz.agg(F.sum("n_vecs").cast("long").alias("n"))
+    nb = sz.agg(F.count("*").cast("long").alias("nb"))
+    return (
+        sz.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nb))
+        .selectExpr(
+            "bucket",
+            "n_vecs",
+            "CAST(n_vecs * 1000000 div n AS BIGINT) AS share_q6",
+            "CAST(n_vecs * nb * 1000000 div n AS BIGINT)"
+            " AS load_factor_q6",
+        )
+    )

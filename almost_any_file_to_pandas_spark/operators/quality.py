@@ -243,3 +243,123 @@ def corpus_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_orphan_lineitems") == 0)
         & (F.col("n_ts_out_of_range") == 0),
     )
+
+
+# threshold sweep for the duplicate-word-ratio cut: q6 caps from very
+# strict (10%) to permissive (50%) — the knob a corpus filter tunes
+DUP_RATIO_THRESHOLDS_Q6 = (100_000, 200_000, 300_000, 400_000, 500_000)
+
+
+@register(
+    "text_quality_threshold_curve",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             (len(string_split(text, ' '))
+              - len(list_distinct(string_split(text, ' '))))
+             * 1000000 // len(string_split(text, ' '))
+               AS dup_ratio_q6
+      FROM documents
+    ), tot AS (
+      SELECT COUNT(*) AS total_docs,
+             COALESCE(SUM(n_words), 0) AS total_words
+      FROM m
+    ), pts AS (
+      SELECT t.threshold_q6,
+             COUNT(*) FILTER (m.dup_ratio_q6 <= t.threshold_q6)
+               AS n_docs_kept,
+             COALESCE(SUM(m.n_words)
+               FILTER (m.dup_ratio_q6 <= t.threshold_q6), 0)
+               AS n_words_kept
+      FROM (VALUES {', '.join(f'({v})' for v in DUP_RATIO_THRESHOLDS_Q6)})
+           t(threshold_q6)
+      LEFT JOIN m ON TRUE
+      GROUP BY t.threshold_q6
+    )
+    SELECT CAST(p.threshold_q6 AS BIGINT) AS threshold_q6,
+           CAST(p.n_docs_kept AS BIGINT) AS n_docs_kept,
+           CAST(p.n_words_kept AS BIGINT) AS n_words_kept,
+           CAST(CASE WHEN t.total_docs = 0 THEN 0
+                ELSE p.n_docs_kept * 1000000 // t.total_docs
+                END AS BIGINT) AS docs_share_q6,
+           CAST(CASE WHEN t.total_words = 0 THEN 0
+                ELSE p.n_words_kept * 1000000 // t.total_words
+                END AS BIGINT) AS words_share_q6
+    FROM pts p, tot t
+    """,
+)
+def text_quality_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Threshold-tuning curve for the duplicate-word-ratio filter —
+    the text-family twin of the LSH band curve and the IVF nprobe
+    curves: before committing a cut to 100 TB, measure what every
+    candidate threshold KEEPS, in documents and (what training
+    actually buys) tokens. One row per threshold: kept counts and q6
+    shares of the corpus.
+
+    Plan: the per-doc metrics are one narrow projection over the scan
+    (split + array_distinct — no shuffle, the same expressions as
+    ``text_quality_filter``); the 5-row threshold frame joins
+    BROADCAST, and the sweep aggregates with map-side partial
+    aggregation into 5 groups. The curve costs one scan regardless of
+    how many thresholds are swept. Integer q6 arithmetic end-to-end.
+    """
+    apply_engine_conf(spark)
+    from almost_any_file_to_pandas_spark.plans import table_wide
+
+    docs = table_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    m = docs.select(
+        F.size(toks).alias("n_words"),
+        (
+            (F.size(toks) - F.size(F.array_distinct(toks)))
+            * F.lit(1_000_000)
+        ).cast("long").alias("_dup_scaled"),
+    ).select(
+        "n_words",
+        F.expr("_dup_scaled div n_words").alias("dup_ratio_q6"),
+    )
+    thresholds = spark.createDataFrame(
+        [(v,) for v in DUP_RATIO_THRESHOLDS_Q6], "threshold_q6 long"
+    )
+    kept = (
+        m.crossJoin(F.broadcast(thresholds))
+        .groupBy("threshold_q6")
+        .agg(
+            F.count_if(F.col("dup_ratio_q6") <= F.col("threshold_q6"))
+            .alias("n_docs_kept"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("dup_ratio_q6") <= F.col("threshold_q6"),
+                        F.col("n_words"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("n_words_kept"),
+        )
+    )
+    # empty corpus: the cross join yields no groups — re-anchor every
+    # threshold row so both engines emit the full 5-point curve
+    kept = thresholds.join(kept, "threshold_q6", "left").select(
+        "threshold_q6",
+        F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+        F.coalesce("n_words_kept", F.lit(0)).alias("n_words_kept"),
+    )
+    tot = m.agg(
+        F.count("*").alias("total_docs"),
+        F.coalesce(F.sum("n_words"), F.lit(0)).alias("total_words"),
+    )
+    return kept.crossJoin(F.broadcast(tot)).selectExpr(
+        "CAST(threshold_q6 AS BIGINT) AS threshold_q6",
+        "CAST(n_docs_kept AS BIGINT) AS n_docs_kept",
+        "CAST(n_words_kept AS BIGINT) AS n_words_kept",
+        "CAST(CASE WHEN total_docs = 0 THEN 0"
+        " ELSE n_docs_kept * 1000000 div total_docs END AS BIGINT)"
+        " AS docs_share_q6",
+        "CAST(CASE WHEN total_words = 0 THEN 0"
+        " ELSE n_words_kept * 1000000 div total_words END AS BIGINT)"
+        " AS words_share_q6",
+    )

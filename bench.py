@@ -242,6 +242,9 @@ HEADLINE = [
     "sim_ivf_kmeans_nprobe_curve",
     # round-6: SQ8 scalar-quantization search (exact-paired recall)
     "sim_sq8_topk",
+    "sim_ivfsq8_recall",
+    "text_quality_threshold_curve",
+    "sim_ivf_kmeans_bucket_balance",
 ]
 
 # One representative per operator family, printed in the final

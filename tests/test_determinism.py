@@ -102,6 +102,10 @@ QUERIES_UNDER_TEST = [
     "sim_ivf_kmeans_nprobe_curve",
     # SQ8: global per-dim min/max + rank-window cut value classes
     "sim_sq8_topk",
+    # IVFSQ8 + threshold sweep: probe-rank cuts and broadcast-scalar
+    # share denominators must not depend on input partitioning
+    "sim_ivfsq8_recall",
+    "text_quality_threshold_curve",
     "dedup_lsh_band_tuning_curve",
     "graph_jaccard_link_prediction",
     "events_attribution_time_decay",
@@ -209,6 +213,7 @@ _ROUND_AGG_EXEMPT = {
     # order-independent and exact; divide-by-count + ROUND 12 is the
     # proven margin-audit recipe, not a float-aggregate ratio
     "sim_ivf_kmeans_nprobe_curve",
+    "sim_ivf_kmeans_bucket_balance",
 }
 
 

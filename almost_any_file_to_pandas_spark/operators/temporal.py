@@ -2469,3 +2469,143 @@ def events_dau_mau_stickiness(
         "CAST(sum_dau * 1000000 div (n_days * mau) AS BIGINT)"
         " AS stickiness_q6",
     )
+
+
+# watermark-delay candidates for the tradeoff curve (micros): 0s, 1m,
+# 5m, 10m (the production candidate LATE_TOL_US), 30m
+WATERMARK_DELAYS_US = (
+    0,
+    60 * 1_000_000,
+    300 * 1_000_000,
+    600 * 1_000_000,
+    1_800 * 1_000_000,
+)
+WM_BAND_SHIFT = 12  # 4096 consecutive event_ids per prefix-max band
+
+
+@register(
+    "events_watermark_tradeoff_curve",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prior_max_us
+      FROM events
+    ), lateness AS (
+      SELECT user_id,
+             GREATEST(COALESCE(prior_max_us - ts_us, 0), 0) AS late_us
+      FROM arr
+    ), tot AS (
+      SELECT COUNT(*) AS n_events FROM lateness
+    ), pts AS (
+      SELECT d.delay_us,
+             COUNT(*) FILTER (l.late_us > d.delay_us) AS n_dropped,
+             COUNT(DISTINCT CASE WHEN l.late_us > d.delay_us
+                                 THEN l.user_id END) AS n_users_affected
+      FROM (VALUES {', '.join(f'({v})' for v in WATERMARK_DELAYS_US)})
+           d(delay_us)
+      LEFT JOIN lateness l ON TRUE
+      GROUP BY d.delay_us
+    )
+    SELECT CAST(p.delay_us AS BIGINT) AS delay_us,
+           CAST(p.n_dropped AS BIGINT) AS n_dropped,
+           CAST(p.n_users_affected AS BIGINT) AS n_users_affected,
+           CAST(CASE WHEN t.n_events = 0 THEN 0
+                ELSE p.n_dropped * 1000000 // t.n_events
+                END AS BIGINT) AS dropped_share_q6
+    FROM pts p, tot t
+    """,
+)
+def events_watermark_tradeoff_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark-delay tuning curve — the streaming-family twin of
+    the LSH band / IVF nprobe / quality threshold curves: for each
+    candidate delay, how many events a GLOBAL watermark at that delay
+    would drop (Spark's semantics: an event is dropped when its event
+    time trails the max event time already ingested by more than the
+    delay), how many users those drops touch, and the q6 drop share.
+    ``events_late_arrival_profile`` audits one candidate per user;
+    this prices the whole knob, globally, before a streaming job
+    commits to it.
+
+    Plan (100 TB): the global running max over arrival order is NOT a
+    global window — it is the two-level DISTRIBUTED PREFIX pattern of
+    ``mm_shard_manifest``/``customer_abc_classification``, with MAX
+    as the associative op: contiguous event_id bands (shiftright
+    {WM_BAND_SHIFT}) aggregate map-side; the band-level exclusive
+    prefix max runs over the small band frame; events then take
+    GREATEST(band base, within-band exclusive running max). Lateness
+    lands as integer micros; the 5-delay sweep is a broadcast join +
+    one 5-group aggregate, one scan total.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.expr(f"shiftright(event_id, {WM_BAND_SHIFT})").alias("band"),
+    )
+    bands = ev.groupBy("band").agg(F.max("ts_us").alias("bmax"))
+    # band-level exclusive prefix max: the frame is n/2^shift rows —
+    # domain-sized orchestration, same contract as the shard manifest
+    bwalk = bands.select(
+        "band",
+        F.max("bmax")
+        .over(
+            W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+        )
+        .alias("base_max"),
+    )
+    within_prior = F.max("ts_us").over(
+        W.partitionBy("band")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    # greatest() skips NULLs (band 0 has no base; a band's first event
+    # has no within-band prior); the first event overall coalesces to 0
+    lateness = ev.join(F.broadcast(bwalk), "band").select(
+        "user_id",
+        F.greatest(
+            F.coalesce(
+                F.greatest(F.col("base_max"), within_prior)
+                - F.col("ts_us"),
+                F.lit(0),
+            ),
+            F.lit(0),
+        ).alias("late_us"),
+    )
+    delays = spark.createDataFrame(
+        [(v,) for v in WATERMARK_DELAYS_US], "delay_us long"
+    )
+    pts = (
+        lateness.crossJoin(F.broadcast(delays))
+        .groupBy("delay_us")
+        .agg(
+            F.count_if(F.col("late_us") > F.col("delay_us")).alias(
+                "n_dropped"
+            ),
+            F.count_distinct(
+                F.when(
+                    F.col("late_us") > F.col("delay_us"), F.col("user_id")
+                )
+            ).alias("n_users_affected"),
+        )
+    )
+    pts = delays.join(pts, "delay_us", "left").select(
+        "delay_us",
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        F.coalesce("n_users_affected", F.lit(0)).alias("n_users_affected"),
+    )
+    tot = lateness.agg(F.count("*").alias("n_events"))
+    return pts.crossJoin(F.broadcast(tot)).selectExpr(
+        "CAST(delay_us AS BIGINT) AS delay_us",
+        "CAST(n_dropped AS BIGINT) AS n_dropped",
+        "CAST(n_users_affected AS BIGINT) AS n_users_affected",
+        "CAST(CASE WHEN n_events = 0 THEN 0"
+        " ELSE n_dropped * 1000000 div n_events END AS BIGINT)"
+        " AS dropped_share_q6",
+    )

@@ -245,6 +245,7 @@ HEADLINE = [
     "sim_ivfsq8_recall",
     "text_quality_threshold_curve",
     "sim_ivf_kmeans_bucket_balance",
+    "events_watermark_tradeoff_curve",
 ]
 
 # One representative per operator family, printed in the final

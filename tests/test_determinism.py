@@ -106,6 +106,9 @@ QUERIES_UNDER_TEST = [
     # share denominators must not depend on input partitioning
     "sim_ivfsq8_recall",
     "text_quality_threshold_curve",
+    # global-watermark lateness: the banded prefix max must equal the
+    # sequential running max under any input partitioning
+    "events_watermark_tradeoff_curve",
     "dedup_lsh_band_tuning_curve",
     "graph_jaccard_link_prediction",
     "events_attribution_time_decay",

@@ -805,3 +805,157 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT) AS top_lang_share_q6",
         )
     )
+
+
+# context lengths for the padding-waste audit: short / medium / long
+PAD_AUDIT_SEQ_LENS = (128, 512, 2048)
+QUOTA_PER_SOURCE = 10  # stratified eval-sample quota
+
+
+@register(
+    "text_padding_waste_audit",
+    oracle=f"""
+    WITH t AS (
+      SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), tot AS (
+      SELECT COUNT(*) AS n_docs,
+             COALESCE(SUM(n_tokens), 0) AS total_tokens
+      FROM t
+    ), pts AS (
+      SELECT l.seq_len,
+             COALESCE(SUM(
+               ((t.n_tokens + l.seq_len - 1) // l.seq_len) * l.seq_len
+             ), 0) AS padded_tokens_naive
+      FROM (VALUES {', '.join(f'({v})' for v in PAD_AUDIT_SEQ_LENS)})
+           l(seq_len)
+      LEFT JOIN t ON TRUE
+      GROUP BY l.seq_len
+    )
+    SELECT CAST(p.seq_len AS BIGINT) AS seq_len,
+           CAST(x.n_docs AS BIGINT) AS n_docs,
+           CAST(x.total_tokens AS BIGINT) AS total_tokens,
+           CAST(p.padded_tokens_naive AS BIGINT) AS padded_tokens_naive,
+           CAST(CASE WHEN p.padded_tokens_naive = 0 THEN 0
+                ELSE (p.padded_tokens_naive - x.total_tokens) * 1000000
+                     // p.padded_tokens_naive
+                END AS BIGINT) AS waste_naive_q6,
+           CAST(((x.total_tokens + p.seq_len - 1) // p.seq_len)
+                AS BIGINT) AS packed_sequences,
+           CAST(CASE WHEN x.total_tokens = 0 THEN 0
+                ELSE (((x.total_tokens + p.seq_len - 1) // p.seq_len)
+                      * p.seq_len - x.total_tokens) * 1000000
+                     // (((x.total_tokens + p.seq_len - 1) // p.seq_len)
+                         * p.seq_len)
+                END AS BIGINT) AS waste_packed_q6
+    FROM pts p, tot x
+    """,
+)
+def text_padding_waste_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batching-efficiency audit behind :func:`text_pack_sequences`:
+    for each candidate context length, the token waste of NAIVE
+    one-document-per-sequence batching (every document padded up to a
+    multiple of seq_len) versus concat-packing (only the final
+    sequence padded) — the number that justifies running the packer
+    at all, measured rather than assumed. One row per seq_len with
+    kept/padded token counts and q6 waste shares.
+
+    Plan: per-doc token counts are one narrow projection; the 3-row
+    seq_len frame joins broadcast and the sweep aggregates map-side
+    into 3 groups — one scan for the whole audit. Integer ceiling
+    division throughout ((n + L − 1) div L — exact on both engines).
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    t = docs.select(
+        F.size(F.split(F.col("text"), " ", -1)).cast("long").alias(
+            "n_tokens"
+        )
+    )
+    lens = spark.createDataFrame(
+        [(v,) for v in PAD_AUDIT_SEQ_LENS], "seq_len long"
+    )
+    pts = (
+        t.crossJoin(F.broadcast(lens))
+        .groupBy("seq_len")
+        .agg(
+            F.sum(
+                F.expr("((n_tokens + seq_len - 1) div seq_len) * seq_len")
+            ).alias("padded_tokens_naive")
+        )
+    )
+    pts = lens.join(pts, "seq_len", "left").select(
+        "seq_len",
+        F.coalesce("padded_tokens_naive", F.lit(0)).alias(
+            "padded_tokens_naive"
+        ),
+    )
+    tot = t.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
+    )
+    return pts.crossJoin(F.broadcast(tot)).selectExpr(
+        "CAST(seq_len AS BIGINT) AS seq_len",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(total_tokens AS BIGINT) AS total_tokens",
+        "CAST(padded_tokens_naive AS BIGINT) AS padded_tokens_naive",
+        "CAST(CASE WHEN padded_tokens_naive = 0 THEN 0"
+        " ELSE (padded_tokens_naive - total_tokens) * 1000000"
+        " div padded_tokens_naive END AS BIGINT) AS waste_naive_q6",
+        "CAST((total_tokens + seq_len - 1) div seq_len AS BIGINT)"
+        " AS packed_sequences",
+        "CAST(CASE WHEN total_tokens = 0 THEN 0"
+        " ELSE (((total_tokens + seq_len - 1) div seq_len) * seq_len"
+        " - total_tokens) * 1000000"
+        " div (((total_tokens + seq_len - 1) div seq_len) * seq_len)"
+        " END AS BIGINT) AS waste_packed_q6",
+    )
+
+
+@register(
+    "pipeline_stratified_quota_sample",
+    oracle=f"""
+    SELECT doc_id, source, CAST(pick_rank AS BIGINT) AS pick_rank
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS pick_rank
+      FROM documents
+    ) WHERE pick_rank <= {QUOTA_PER_SOURCE}
+    """,
+)
+def pipeline_stratified_quota_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-quota stratified sample: {QUOTA_PER_SOURCE} documents per
+    source, picked by md5(doc_id) order — the deterministic,
+    engine-portable way to draw a fixed-size eval/holdout set per
+    stratum (a `rand()` sample is neither reproducible nor
+    oracle-checkable; a fraction-based sample drifts with stratum
+    size). The hash order is uniform in doc_id, so the quota is an
+    unbiased draw; re-running on a grown corpus keeps previously
+    sampled docs only if they still win the hash order — for an
+    append-stable sample, hash-threshold instead (see
+    `pipeline_corpus_split`).
+
+    Plan: one shuffle on source, per-group top-{QUOTA_PER_SOURCE} via
+    rank window. At 100 TB the window never materializes a stratum:
+    with AQE the rank predicate pushes a per-partition top-k heap
+    (WindowGroupLimit) below the exchange, so each task ships at most
+    {QUOTA_PER_SOURCE} rows per (partition, source).
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).alias("pick_rank")
+        )
+        .filter(F.col("pick_rank") <= QUOTA_PER_SOURCE)
+        .select("doc_id", "source", F.col("pick_rank").cast("long"))
+    )

@@ -246,6 +246,8 @@ HEADLINE = [
     "text_quality_threshold_curve",
     "sim_ivf_kmeans_bucket_balance",
     "events_watermark_tradeoff_curve",
+    "text_padding_waste_audit",
+    "pipeline_stratified_quota_sample",
 ]
 
 # One representative per operator family, printed in the final

@@ -109,6 +109,8 @@ QUERIES_UNDER_TEST = [
     # global-watermark lateness: the banded prefix max must equal the
     # sequential running max under any input partitioning
     "events_watermark_tradeoff_curve",
+    # hash-order rank cut (WindowGroupLimit path)
+    "pipeline_stratified_quota_sample",
     "dedup_lsh_band_tuning_curve",
     "graph_jaccard_link_prediction",
     "events_attribution_time_decay",

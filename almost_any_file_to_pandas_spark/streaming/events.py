@@ -1260,3 +1260,113 @@ def events_rate_limiter_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+VIEW_CLICK_JOIN_WINDOW_MIN = 10  # clicks credited to views within 10m
+VIEW_CLICK_WATERMARK = "30 minutes"
+
+
+@register(
+    "events_view_click_pairs",
+    oracle=f"""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           epoch_us(CAST(c.ts AS TIMESTAMP))
+             - epoch_us(CAST(v.ts AS TIMESTAMP)) AS lag_us
+    FROM events v JOIN events c
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click'
+     AND epoch_us(CAST(c.ts AS TIMESTAMP))
+         BETWEEN epoch_us(CAST(v.ts AS TIMESTAMP))
+             AND epoch_us(CAST(v.ts AS TIMESTAMP))
+                 + {VIEW_CLICK_JOIN_WINDOW_MIN} * 60 * 1000000
+    WHERE v.event_type = 'view'
+    """,
+)
+def events_view_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL (view, click) pairs per user with the click inside the
+    view's {VIEW_CLICK_JOIN_WINDOW_MIN}-minute attribution window —
+    the batch twin of :func:`events_view_click_stream_join` (the
+    as-of join keeps only the nearest pair; attribution fan-out wants
+    every pair). Equi-join on user_id carries the shuffle; the time
+    band is a residual join predicate, so per-user fan-out is bounded
+    by the user's in-window activity, never by bin replication.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.unix_micros(F.col("ts")).alias("view_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros(F.col("ts")).alias("click_us"),
+    )
+    win_us = VIEW_CLICK_JOIN_WINDOW_MIN * 60 * 1_000_000
+    return views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_us") >= F.col("view_us"))
+        & (F.col("click_us") <= F.col("view_us") + win_us),
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.col("click_us") - F.col("view_us")).alias("lag_us"),
+    )
+
+
+def events_view_click_stream_join(
+    spark: SparkSession, source_dir: str, schema
+) -> DataFrame:
+    """STREAM-STREAM interval join — the canonical Structured
+    Streaming join shape: both sides watermarked
+    ({VIEW_CLICK_WATERMARK}), joined on user_id with the click's
+    event time range-bounded against the view's. The watermark plus
+    the time-range condition is what lets Spark EXPIRE buffered rows
+    (a view can stop waiting once the watermark passes its window
+    end), so join state is bounded on an unbounded 100 TB stream —
+    an un-banded stream-stream join would buffer both sides forever.
+    Batch twin (and the correctness semantics):
+    :func:`events_view_click_pairs`.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", VIEW_CLICK_WATERMARK)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", VIEW_CLICK_WATERMARK)
+    )
+    return views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts")
+            + F.expr(f"INTERVAL {VIEW_CLICK_JOIN_WINDOW_MIN} MINUTES")
+        ),
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (
+            F.unix_micros(F.col("click_ts"))
+            - F.unix_micros(F.col("view_ts"))
+        ).alias("lag_us"),
+    )

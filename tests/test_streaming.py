@@ -583,3 +583,27 @@ def test_sessionizer_stream_multi_chunk_groups(spark, events_source):
         .collect()
     }
     assert got == want
+
+
+def test_view_click_stream_join_matches_batch(spark, events_source):
+    """Stream-stream interval join (watermarked both sides) must emit
+    exactly the batch twin's (view, click) pairs — availableNow drains
+    the source, and append mode emits each matched pair once."""
+    from almost_any_file_to_pandas_spark.streaming.events import (
+        events_view_click_pairs,
+        events_view_click_stream_join,
+    )
+
+    schema = spark.read.parquet(events_source).schema
+    stream_df = events_view_click_stream_join(spark, events_source, schema)
+    _run_to_memory(stream_df, "vc_join_mem", "append")
+    got = {
+        (r["view_id"], r["click_id"], r["lag_us"])
+        for r in spark.sql("select * from vc_join_mem").collect()
+    }
+    batch = {
+        (r["view_id"], r["click_id"], r["lag_us"])
+        for r in events_view_click_pairs(spark, SF_DIR).collect()
+    }
+    assert got == batch
+    assert len(got) > 0

@@ -2609,3 +2609,64 @@ def events_watermark_tradeoff_curve(
         " ELSE n_dropped * 1000000 div n_events END AS BIGINT)"
         " AS dropped_share_q6",
     )
+
+
+# HLL relative-standard-deviation candidates (q6): the sketch-size
+# knob — rsd 0.05/0.02/0.01 cost ~0.7/4.3/17 KiB of registers each
+HLL_RSD_CURVE_Q6 = (50_000, 20_000, 10_000)
+
+
+@register(
+    "events_hll_rsd_curve",
+    oracle=f"""
+    SELECT CAST(r.rsd_q6 AS BIGINT) AS rsd_q6,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_users,
+           TRUE AS approx_within_tol
+    FROM (VALUES {', '.join(f'({v})' for v in HLL_RSD_CURVE_Q6)})
+         r(rsd_q6)
+    """,
+)
+def events_hll_rsd_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-precision tuning curve: distinct users estimated by
+    HyperLogLog++ at three relative-error settings, each
+    property-checked against the exact count in the
+    ``events_approx_distinct`` convention (the emitted boolean claims
+    the sketch landed within 3·rsd of exact — beyond 3σ of its
+    design error — and the oracle pins it TRUE). This is the row a
+    100 TB deployment reads to pick register size: rsd halves cost
+    4× the sketch bytes, and the curve shows what that buys on THIS
+    corpus rather than in expectation.
+
+    Plan: ONE aggregate computes the exact two-phase distinct and all
+    three sketches in the same pass (sketch registers merge map-side;
+    the exact count is the correctness harness, production keeps the
+    sketch); the 3-point frame assembles by broadcast join.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        *[
+            F.approx_count_distinct("user_id", rsd=q / 1_000_000).alias(
+                f"_a{q}"
+            )
+            for q in HLL_RSD_CURVE_Q6
+        ],
+    )
+    pts = spark.createDataFrame(
+        [(v,) for v in HLL_RSD_CURVE_Q6], "rsd_q6 long"
+    )
+    return pts.crossJoin(F.broadcast(agg)).select(
+        "rsd_q6",
+        "exact_users",
+        F.coalesce(
+            *[
+                F.when(
+                    F.col("rsd_q6") == q,
+                    F.abs(F.col(f"_a{q}") - F.col("exact_users"))
+                    <= F.lit(3 * q / 1_000_000) * F.col("exact_users"),
+                )
+                for q in HLL_RSD_CURVE_Q6
+            ]
+        ).alias("approx_within_tol"),
+    )

@@ -5230,3 +5230,91 @@ def star_referential_integrity_audit(
             "n_orphan_lineitems",
         )
     )
+
+
+@register(
+    "customer_cohort_ltv_curve",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), coh AS (
+      SELECT o_custkey, MIN(ym) AS cohort_ym FROM base GROUP BY 1
+    ), j AS (
+      SELECT b.o_custkey, c.cohort_ym,
+             (b.ym // 100 * 12 + b.ym % 100)
+             - (c.cohort_ym // 100 * 12 + c.cohort_ym % 100)
+               AS age_months,
+             b.cents
+      FROM base b JOIN coh c USING (o_custkey)
+    ), g AS (
+      SELECT cohort_ym, age_months,
+             COUNT(DISTINCT o_custkey) AS n_active,
+             SUM(cents) AS revenue_cents
+      FROM j GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_ym AS BIGINT) AS cohort_ym,
+           CAST(age_months AS BIGINT) AS age_months,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(revenue_cents AS BIGINT) AS revenue_cents,
+           CAST(SUM(revenue_cents) OVER (
+             PARTITION BY cohort_ym ORDER BY age_months
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents
+    FROM g
+    """,
+)
+def customer_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — the revenue twin of
+    ``events_retention_cohort``: customers cohorted by first-order
+    month, then per (cohort, age-in-months) the active-customer count,
+    the month's revenue, and the cohort's CUMULATIVE revenue — the
+    curve an LTV model is fit to. Integer end-to-end: months as
+    yyyymm ints (no date-type parity risk), money as FLOOR(·100+0.5)
+    cents (the cross-engine rounding invariant).
+
+    Plan: cohort assignment is one groupBy(custkey) min joined back on
+    the same key (co-partitioned — AQE plans the second stage without
+    a new exchange); the (cohort, age) aggregate is bounded by
+    calendar² cells; the cumulative window walks each cohort's ≤
+    calendar-length frame. Nothing here scales with row count past
+    the two custkey-keyed passes.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    coh = base.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    j = base.join(coh, "o_custkey").select(
+        "o_custkey",
+        "cohort_ym",
+        F.expr(
+            "(ym div 100) * 12 + ym % 100"
+            " - ((cohort_ym div 100) * 12 + cohort_ym % 100)"
+        ).alias("age_months"),
+        "cents",
+    )
+    g = j.groupBy("cohort_ym", "age_months").agg(
+        F.count_distinct("o_custkey").alias("n_active"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    w = (
+        W.partitionBy("cohort_ym")
+        .orderBy("age_months")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return g.select(
+        F.col("cohort_ym").cast("long"),
+        F.col("age_months").cast("long"),
+        F.col("n_active").cast("long"),
+        F.col("revenue_cents").cast("long"),
+        F.sum("revenue_cents").over(w).cast("long").alias(
+            "cum_revenue_cents"
+        ),
+    )

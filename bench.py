@@ -248,6 +248,9 @@ HEADLINE = [
     "events_watermark_tradeoff_curve",
     "text_padding_waste_audit",
     "pipeline_stratified_quota_sample",
+    "events_view_click_pairs",
+    "events_hll_rsd_curve",
+    "customer_cohort_ltv_curve",
 ]
 
 # One representative per operator family, printed in the final

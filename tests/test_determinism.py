@@ -111,6 +111,8 @@ QUERIES_UNDER_TEST = [
     "events_watermark_tradeoff_curve",
     # hash-order rank cut (WindowGroupLimit path)
     "pipeline_stratified_quota_sample",
+    # cohort join-back + per-cohort cumulative walk
+    "customer_cohort_ltv_curve",
     "dedup_lsh_band_tuning_curve",
     "graph_jaccard_link_prediction",
     "events_attribution_time_decay",

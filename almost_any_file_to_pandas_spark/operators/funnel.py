@@ -1244,3 +1244,149 @@ def events_attribution_time_decay(
             " END) AS BIGINT)"
         ).alias("credited_q6c"),
     )
+
+
+FUNNEL_WINDOW_HOURS = (1, 6, 24)
+
+
+def _funnel_window_count_sql(hours: int) -> str:
+    """Per-window existential level counts (the
+    ``events_funnel_within_window`` oracle spec, aggregated)."""
+    return f"""
+      SELECT {hours} AS window_hours,
+        (SELECT COUNT(DISTINCT user_id) FROM ev
+         WHERE event_type = 'view') AS n_level1,
+        (SELECT COUNT(DISTINCT v.user_id)
+         FROM ev v JOIN ev c ON c.user_id = v.user_id
+               AND c.event_type = 'click'
+               AND c.ts >= v.ts
+               AND c.ts <= v.ts + INTERVAL {hours} HOUR
+         WHERE v.event_type = 'view') AS n_level2,
+        (SELECT COUNT(DISTINCT v.user_id)
+         FROM ev v
+         JOIN ev c ON c.user_id = v.user_id AND c.event_type = 'click'
+               AND c.ts >= v.ts
+               AND c.ts <= v.ts + INTERVAL {hours} HOUR
+         JOIN ev p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+               AND p.ts >= c.ts
+               AND p.ts <= v.ts + INTERVAL {hours} HOUR
+         WHERE v.event_type = 'view') AS n_level3"""
+
+
+@register(
+    "events_funnel_window_curve",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    )
+    SELECT CAST(window_hours AS BIGINT) AS window_hours,
+           CAST(n_level1 AS BIGINT) AS n_level1,
+           CAST(n_level2 AS BIGINT) AS n_level2,
+           CAST(n_level3 AS BIGINT) AS n_level3,
+           CAST(CASE WHEN n_level1 = 0 THEN 0
+                ELSE n_level3 * 1000000 // n_level1
+                END AS BIGINT) AS conv_l3_q6
+    FROM ({' UNION ALL '.join(
+        _funnel_window_count_sql(h) for h in FUNNEL_WINDOW_HOURS)})
+    """,
+)
+def events_funnel_window_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversion-window tuning curve for the time-constrained funnel
+    — the funnel-family knob-pricing row next to the LSH band, IVF
+    nprobe, quality threshold, watermark delay, and HLL rsd curves:
+    per candidate window (1h / 6h / 24h), how many users reach each
+    funnel level and the end-to-end conversion share. Attribution
+    teams sweep exactly this before fixing the window a funnel
+    dashboard commits to.
+
+    Plan: ONE user-keyed shuffle computes all three widths — the
+    shared best_view and the three per-width best_open RANGE maxima
+    fold into two Window layers over the same partitioning and
+    ordering (best_open consumes best_view, so two is the minimum;
+    verified: 2 Window nodes, 3 exchanges end-to-end), and the
+    ``events_funnel_within_window`` greedy-exchange argument holds
+    per width independently. The curve costs one funnel pass, not
+    one per point.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    best_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts_us"))
+    ).over(w)
+    staged = ev.select(
+        "user_id", "event_type", "ts_us", best_view.alias("best_view")
+    )
+    lvl_cols = []
+    for h in FUNNEL_WINDOW_HOURS:
+        w_us = h * 3600 * 1_000_000
+        valid_click_open = F.when(
+            (F.col("event_type") == "click")
+            & F.col("best_view").isNotNull()
+            & (F.col("ts_us") <= F.col("best_view") + F.lit(w_us)),
+            F.col("best_view"),
+        )
+        best_open = F.max(valid_click_open).over(w)
+        lvl_cols.append(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & best_open.isNotNull()
+                & (F.col("ts_us") <= best_open + F.lit(w_us)),
+                3,
+            )
+            .when(valid_click_open.isNotNull(), 2)
+            .when(F.col("event_type") == "view", 1)
+            .otherwise(0)
+            .alias(f"lvl_{h}")
+        )
+    per_user = (
+        staged.select("user_id", *lvl_cols)
+        .groupBy("user_id")
+        .agg(*[F.max(f"lvl_{h}").alias(f"lvl_{h}") for h in FUNNEL_WINDOW_HOURS])
+    )
+    counts = per_user.agg(
+        *[
+            f
+            for h in FUNNEL_WINDOW_HOURS
+            for f in (
+                F.count_if(F.col(f"lvl_{h}") >= 1).alias(f"l1_{h}"),
+                F.count_if(F.col(f"lvl_{h}") >= 2).alias(f"l2_{h}"),
+                F.count_if(F.col(f"lvl_{h}") >= 3).alias(f"l3_{h}"),
+            )
+        ]
+    )
+    hours = spark.createDataFrame(
+        [(h,) for h in FUNNEL_WINDOW_HOURS], "window_hours long"
+    )
+    pick = lambda pre: F.coalesce(  # noqa: E731
+        *[
+            F.when(F.col("window_hours") == h, F.col(f"{pre}_{h}"))
+            for h in FUNNEL_WINDOW_HOURS
+        ]
+    )
+    return hours.crossJoin(F.broadcast(counts)).select(
+        "window_hours",
+        pick("l1").cast("long").alias("n_level1"),
+        pick("l2").cast("long").alias("n_level2"),
+        pick("l3").cast("long").alias("n_level3"),
+        F.expr(
+            "CAST(CASE WHEN "
+            + " WHEN ".join(
+                f"window_hours = {h} THEN CASE WHEN l1_{h} = 0 THEN 0"
+                f" ELSE l3_{h} * 1000000 div l1_{h} END"
+                for h in FUNNEL_WINDOW_HOURS
+            )
+            + " END AS BIGINT)"
+        ).alias("conv_l3_q6"),
+    )

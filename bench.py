@@ -251,6 +251,7 @@ HEADLINE = [
     "events_view_click_pairs",
     "events_hll_rsd_curve",
     "customer_cohort_ltv_curve",
+    "events_funnel_window_curve",
 ]
 
 # One representative per operator family, printed in the final

@@ -113,6 +113,8 @@ QUERIES_UNDER_TEST = [
     "pipeline_stratified_quota_sample",
     # cohort join-back + per-cohort cumulative walk
     "customer_cohort_ltv_curve",
+    # shared-window multi-width funnel levels
+    "events_funnel_window_curve",
     "dedup_lsh_band_tuning_curve",
     "graph_jaccard_link_prediction",
     "events_attribution_time_decay",

@@ -1727,3 +1727,156 @@ def test_dataset_card_null_text_and_source(spark, tmp_path):
     assert c.dup_docs == 0 and c.dup_rate_q6 == 0
     hist = dedup_cluster_size_histogram(spark, str(tmp_path)).collect()
     assert c.unique_fingerprints == sum(r.n_clusters for r in hist)
+
+
+def test_sq8_reconstruction_error_bound(spark):
+    """Hand-fixture contract for the SQ8 kernel: reconstruction error
+    per dimension is at most half a quantization step (the round-to-
+    nearest guarantee), range endpoints reconstruct exactly, and a
+    constant dimension (hi == lo) reconstructs exactly despite the
+    guarded division."""
+    from almost_any_file_to_pandas_spark.operators.sq8 import _sq8_recon
+    from pyspark.sql import functions as F
+
+    lo, hi = -0.5, 1.5
+    vals = [lo, hi, 0.0, 0.123456, 1.499999, -0.499999, 0.7]
+    df = spark.createDataFrame(
+        [([float(v) for v in vals], )], "v array<double>"
+    ).withColumn(
+        "lh",
+        F.expr(
+            "transform(v, x -> named_struct('lo', CAST(-0.5 AS DOUBLE),"
+            " 'hi', CAST(1.5 AS DOUBLE)))"
+        ),
+    )
+    rec = df.select(_sq8_recon(F.col("v"), F.col("lh")).alias("r")).first()[
+        "r"
+    ]
+    step = (hi - lo) / 255.0
+    for x, r in zip(vals, rec):
+        assert abs(x - r) <= step / 2 + 1e-12, (x, r)
+    assert rec[0] == lo and rec[1] == hi  # endpoints exact
+
+    const = spark.createDataFrame(
+        [([0.25, 0.25],)], "v array<double>"
+    ).withColumn(
+        "lh",
+        F.expr(
+            "transform(v, x -> named_struct('lo', CAST(0.25 AS DOUBLE),"
+            " 'hi', CAST(0.25 AS DOUBLE)))"
+        ),
+    )
+    crec = const.select(
+        _sq8_recon(F.col("v"), F.col("lh")).alias("r")
+    ).first()["r"]
+    assert crec == [0.25, 0.25]
+
+
+def test_kmeans_lloyd_objective_non_increasing(spark):
+    """Lloyd's invariant on the deterministic trainer: the total
+    integer-q12 within-cluster distance is non-increasing round over
+    round (each assignment and each mean step can only lower it —
+    the convergence argument), checked on sf0.001 for 1 vs 2 rounds."""
+    import almost_any_file_to_pandas_spark.operators.ivf_kmeans as km
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+
+    def objective(cents):
+        crow = cents.agg(
+            F.collect_list(F.struct("cid", "cvec")).alias("cs")
+        )
+        return (
+            emb.crossJoin(F.broadcast(crow))
+            .select(
+                F.array_min(
+                    F.transform(
+                        F.col("cs"),
+                        lambda c: km._sqdist_q12(F.col("v"), c["cvec"]),
+                    )
+                ).alias("d")
+            )
+            .agg(F.sum("d"))
+            .first()[0]
+        )
+
+    orig_rounds = km.LLOYD_ROUNDS
+    try:
+        km.LLOYD_ROUNDS = 1
+        obj1 = objective(
+            km.deterministic_kmeans_centroids(spark, emb, 16)
+        )
+        km.LLOYD_ROUNDS = 2
+        obj2 = objective(
+            km.deterministic_kmeans_centroids(spark, emb, 16)
+        )
+    finally:
+        km.LLOYD_ROUNDS = orig_rounds
+    assert obj2 <= obj1
+
+
+def test_watermark_lateness_banded_prefix_equals_sequential(spark):
+    """Property: the banded two-level prefix max inside
+    events_watermark_tradeoff_curve must reproduce the sequential
+    global running max for ANY arrival sequence — checked by writing
+    random event streams to parquet and comparing drop counts per
+    delay against a pure-Python replay."""
+    from hypothesis import given, settings, strategies as st
+    from almost_any_file_to_pandas_spark.operators.temporal import (
+        WATERMARK_DELAYS_US,
+        events_watermark_tradeoff_curve,
+    )
+    import datetime as dt
+    import tempfile
+
+    base = dt.datetime(2024, 1, 1)
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=3_600_000_000),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def run(offsets_us):
+        # stride the ids so the sequence CROSSES prefix-max bands
+        # (shiftright 12 = 4096 ids/band): 40 events span ~15 bands,
+        # including empty bands between occupied ones
+        rows = [
+            (
+                i * 1531,
+                base + dt.timedelta(microseconds=off),
+                i % 3,
+                "view",
+                1.0,
+                "{}",
+            )
+            for i, off in enumerate(offsets_us)
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+            got = {
+                r["delay_us"]: r["n_dropped"]
+                for r in events_watermark_tradeoff_curve(spark, d).collect()
+            }
+        # sequential replay
+        expect = {dly: 0 for dly in WATERMARK_DELAYS_US}
+        running = None
+        for off in offsets_us:
+            if running is not None:
+                late = max(running - off, 0)
+                for dly in WATERMARK_DELAYS_US:
+                    if late > dly:
+                        expect[dly] += 1
+            running = off if running is None else max(running, off)
+        assert got == expect
+
+    run()

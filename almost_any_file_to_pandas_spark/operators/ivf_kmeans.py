@@ -168,9 +168,14 @@ def deterministic_kmeans_centroids(
     return cents
 
 
-def _kmeans_cents_sql() -> str:
+def _kmeans_cents_sql(
+    k_floor: int = IVF_K, target: int = IVF_TARGET_BUCKET_ROWS
+) -> str:
     """CTE chain producing the final deterministic centroids ``c2``
-    (plus the double-cast corpus ``e``) — shared by the curve oracle."""
+    (plus the double-cast corpus ``e``) — shared by the curve,
+    balance, and deterministic-SemDeDup oracles. ``k_floor``/
+    ``target`` parameterize the quantizer sizing rule (defaults:
+    the IVF index; the semantic dedup twin passes its own)."""
     d1 = _sqdist_q12_sql("e.v", "c.cvec")
     parts = [
         """
@@ -186,7 +191,7 @@ def _kmeans_cents_sql() -> str:
              v AS cvec
       FROM e, kk
       QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= k
-    )""".format(ivf_k=IVF_K, target=IVF_TARGET_BUCKET_ROWS)
+    )""".format(ivf_k=k_floor, target=target)
     ]
     prev = "c0"
     for r in (1, 2):
@@ -439,3 +444,79 @@ def sim_ivf_kmeans_bucket_balance(
             " AS load_factor_q6",
         )
     )
+
+
+_SEM_SQDIST_F = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1]-p[2])*(p[1]-p[2])), (x, y) -> x + y)"
+)
+
+
+def _sem_det_oracle() -> str:
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        EMBEDDING_DUP_THRESHOLD,
+        SEMANTIC_CLUSTER_K,
+        SEMANTIC_TARGET_CLUSTER_ROWS,
+    )
+
+    dfl = _SEM_SQDIST_F.format(a="e.v", b="c.cvec")
+    cos = _cosine_sql("a.v", "b.v")
+    return f"""
+    WITH {_kmeans_cents_sql(SEMANTIC_CLUSTER_K,
+                            SEMANTIC_TARGET_CLUSTER_ROWS)}, top2 AS (
+      -- the parent pipeline's float sq-dist fold (sequential over
+      -- dims -> bit-identical across engines), ties to smaller cid
+      SELECT e.vec_id, e.v, c.cid AS cluster
+      FROM e CROSS JOIN c2 c
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id ORDER BY {dfl}, c.cid) <= 2
+    )
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({cos}, 6) AS cosine
+    FROM top2 a JOIN top2 b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE {cos} >= {EMBEDDING_DUP_THRESHOLD}
+    """
+
+
+@register("dedup_semantic_clusters_det", oracle=_sem_det_oracle())
+def dedup_semantic_clusters_det(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULLY oracle-paired SemDeDup: the exact
+    ``dedup_semantic_clusters`` pipeline — top-2 multi-probe
+    assignment, in-cluster exact-cosine verification at the duplicate
+    threshold, pair dedup — with ONLY the quantizer fit swapped from
+    ml.KMeans to :func:`deterministic_kmeans_centroids`. That swap
+    upgrades the family's correctness evidence from rows-only + floor
+    to a full value-hash pair: centroids, float sq-dist assignments
+    (the sequential fold is bit-identical across engines), kernel
+    cosines (the numpy fold matches the declarative form by the grid
+    block-NL contract), and the emitted pair set are all reproduced
+    by DuckDB.
+
+    Scale shape: identical to the parent (the pair search reuses
+    ``_semantic_pairs_from_centers`` verbatim — per-cluster Arrow
+    kernel, quadratic unit bounded by the cluster cap); the
+    deterministic trainer adds the ivf_kmeans cost model (narrow
+    broadcast-row assignment per round, (k × d)-key mean shuffles).
+    The production fit still trains on a sample; this twin is the
+    oracle-checkable statement of the SEMANTICS.
+    """
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        SEMANTIC_CLUSTER_K,
+        SEMANTIC_TARGET_CLUSTER_ROWS,
+        _semantic_pairs_from_centers,
+    )
+
+    apply_engine_conf(spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
+    embd = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = embd.count()
+    k = max(SEMANTIC_CLUSTER_K, -(-n // SEMANTIC_TARGET_CLUSTER_ROWS))
+    cents = deterministic_kmeans_centroids(spark, embd, k).select(
+        F.col("cid").alias("cluster"), F.col("cvec").alias("center")
+    )
+    return _semantic_pairs_from_centers(emb, emb, cents)

@@ -252,6 +252,7 @@ HEADLINE = [
     "events_hll_rsd_curve",
     "customer_cohort_ltv_curve",
     "events_funnel_window_curve",
+    "dedup_semantic_clusters_det",
 ]
 
 # One representative per operator family, printed in the final

@@ -115,6 +115,8 @@ QUERIES_UNDER_TEST = [
     "customer_cohort_ltv_curve",
     # shared-window multi-width funnel levels
     "events_funnel_window_curve",
+    # deterministic SemDeDup: Lloyd's + top-2 probe + kernel pairs
+    "dedup_semantic_clusters_det",
     "dedup_lsh_band_tuning_curve",
     "graph_jaccard_link_prediction",
     "events_attribution_time_decay",
@@ -223,6 +225,7 @@ _ROUND_AGG_EXEMPT = {
     # proven margin-audit recipe, not a float-aggregate ratio
     "sim_ivf_kmeans_nprobe_curve",
     "sim_ivf_kmeans_bucket_balance",
+    "dedup_semantic_clusters_det",
 }
 
 

@@ -45,13 +45,13 @@ BLOOM_BITS = 1 << 20  # 128 KiB bitset
 BLOOM_K = 3  # hash probes per shingle
 
 
-def _positions(col):
+def _positions(col, bits: int = BLOOM_BITS):
     """k xxhash64 bit positions for a shingle, as k separate columns
     (separate columns, not an array, so the probe UDF stays fully
     vectorized)."""
     return [
         F.pmod(
-            F.xxhash64(F.concat(col, F.lit(f"#{i}"))), F.lit(BLOOM_BITS)
+            F.xxhash64(F.concat(col, F.lit(f"#{i}"))), F.lit(bits)
         ).alias(f"p{i}")
         for i in range(BLOOM_K)
     ]
@@ -66,16 +66,20 @@ def _shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def build_bloom_bits(bench_shingles: DataFrame) -> np.ndarray:
+def build_bloom_bits(
+    bench_shingles: DataFrame, nbits: int = BLOOM_BITS
+) -> np.ndarray:
     """Packed uint8 bitset of the benchmark shingle set. The collect
-    is bounded by BLOOM_BITS distinct positions regardless of corpus
+    is bounded by the bitset's distinct positions regardless of corpus
     size — an index-build step, not a data-path materialization."""
     pos_rows = (
-        bench_shingles.select(F.explode(F.array(*_positions(F.col("s")))).alias("p"))
+        bench_shingles.select(
+            F.explode(F.array(*_positions(F.col("s"), nbits))).alias("p")
+        )
         .distinct()
         .collect()
     )
-    bits = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    bits = np.zeros(nbits // 8, dtype=np.uint8)
     a = np.array([r["p"] for r in pos_rows], dtype=np.int64)
     if len(a):
         np.bitwise_or.at(bits, a >> 3, (1 << (a & 7)).astype(np.uint8))
@@ -166,4 +170,129 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_exact.crossJoin(missed).select(
         "n_exact_contaminated",
         (F.col("_n_missed") == 0).alias("bloom_superset"),
+    )
+
+
+# bitset sizes for the sizing curve: 8 KiB / 128 KiB / 2 MiB
+BLOOM_SIZE_CURVE_BITS = (1 << 16, 1 << 20, 1 << 24)
+
+
+@register(
+    "text_bloom_size_curve",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - {CONTAM_NGRAM - 1}, 0) + 1),
+               i -> array_to_string(w[i:i+{CONTAM_NGRAM - 1}], ' ')))) AS s
+      FROM base
+    ), bench AS (
+      SELECT doc_id AS bench_id, s FROM sh
+      WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    ), exact AS (
+      SELECT COUNT(DISTINCT t.doc_id) AS n_exact_contaminated
+      FROM sh t JOIN bench b ON t.s = b.s AND t.doc_id <> b.bench_id
+    )
+    SELECT CAST(m.bloom_bits AS BIGINT) AS bloom_bits,
+           e.n_exact_contaminated,
+           TRUE AS bloom_superset,
+           TRUE AS fpr_within_bound
+    FROM (VALUES {', '.join(f'({v})' for v in BLOOM_SIZE_CURVE_BITS)})
+         m(bloom_bits), exact e
+    """,
+)
+def text_bloom_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-bitset SIZING curve — the sketch-memory knob priced like
+    the HLL rsd curve: for each candidate bitset size (8 KiB / 128 KiB
+    / 2 MiB), one row with the exact contaminated-doc count (the
+    oracle recomputes it in SQL), the no-false-negative claim, and the
+    claim that the measured shingle-level false-positive rate is
+    within 2× the design bound (1 − e^(−kn/m))^k for k={BLOOM_K}
+    hashes, n benchmark shingles, m bits. An undersized filter
+    passes too — its bound just predicts a high FPR; what the boolean
+    catches is a filter whose hashing is broken or biased, which
+    overshoots the bound at ANY size.
+
+    Plan: shingles explode ONCE (localCheckpoint, shared by all three
+    probes and the exact join); each size builds its bounded bitset
+    (≤ m distinct positions collected — index-build class) and probes
+    with the same vectorized Arrow UDF; the per-size flag/miss counts
+    aggregate in one pass per size. At 100 TB the curve tells you the
+    cheapest m whose verification-join traffic (FPR × corpus
+    shingles) fits the budget — measured, not assumed.
+    """
+    import math
+
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    sh = _shingles(docs).localCheckpoint(eager=True)
+    bench = _shingles(
+        docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    ).localCheckpoint(eager=True)
+
+    bench_keyed = bench.select(F.col("doc_id").alias("bench_id"), "s")
+    exact_docs = (
+        sh.join(F.broadcast(bench_keyed), "s")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_exact = exact_docs.count()  # bounded scalar, reused per size
+    n_bench = bench.select("s").distinct().count()
+    # shingle-level FPR denominator set: loop-invariant — materialize
+    # the member shingles ONCE, not per size
+    member = (
+        sh.join(
+            F.broadcast(bench.select("s").distinct()), "s", "left_semi"
+        )
+        .select("s")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    rows = []
+    for m in BLOOM_SIZE_CURVE_BITS:
+        bits = build_bloom_bits(bench, m)
+        probe = _make_probe(bits)
+        flagged = (
+            sh.select("doc_id", "s", *_positions(F.col("s"), m))
+            .withColumn(
+                "bloom_hit", probe(F.col("p0"), F.col("p1"), F.col("p2"))
+            )
+        )
+        stats = (
+            flagged.join(F.broadcast(member.withColumn("_m", F.lit(1))),
+                         "s", "left")
+            .agg(
+                F.count_if(
+                    F.col("bloom_hit") & F.col("_m").isNull()
+                ).alias("n_fp"),
+                F.count_if(F.col("_m").isNull()).alias("n_nonmember"),
+            )
+            .first()
+        )
+        cand_docs = (
+            flagged.filter(F.col("bloom_hit")).select("doc_id").distinct()
+        )
+        n_missed = exact_docs.join(cand_docs, "doc_id", "left_anti").count()
+        design = (1.0 - math.exp(-BLOOM_K * n_bench / m)) ** BLOOM_K
+        fpr = (
+            stats["n_fp"] / stats["n_nonmember"]
+            if stats["n_nonmember"]
+            else 0.0
+        )
+        rows.append(
+            (
+                m,
+                n_exact,
+                n_missed == 0,
+                fpr <= 2.0 * design + 1e-12,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "bloom_bits long, n_exact_contaminated long,"
+        " bloom_superset boolean, fpr_within_bound boolean",
     )

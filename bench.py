@@ -253,6 +253,7 @@ HEADLINE = [
     "customer_cohort_ltv_curve",
     "events_funnel_window_curve",
     "dedup_semantic_clusters_det",
+    "text_bloom_size_curve",
 ]
 
 # One representative per operator family, printed in the final

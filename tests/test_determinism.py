@@ -117,6 +117,8 @@ QUERIES_UNDER_TEST = [
     "events_funnel_window_curve",
     # deterministic SemDeDup: Lloyd's + top-2 probe + kernel pairs
     "dedup_semantic_clusters_det",
+    # bloom sizing: deterministic xxhash counts + driver-assembled rows
+    "text_bloom_size_curve",
     "dedup_lsh_band_tuning_curve",
     "graph_jaccard_link_prediction",
     "events_attribution_time_decay",

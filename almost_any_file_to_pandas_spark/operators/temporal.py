@@ -2670,3 +2670,116 @@ def events_hll_rsd_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("approx_within_tol"),
     )
+
+
+SESSION_GAP_CURVE_MIN = (10, 30, 60)
+
+
+def _session_gap_point_sql(gap_min: int) -> str:
+    g = gap_min * 60 * 1_000_000
+    return f"""
+      SELECT {gap_min} AS gap_minutes,
+             COALESCE(SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > {g}
+                      THEN 1 ELSE 0 END), 0) AS n_sessions,
+             COALESCE(SUM(CASE WHEN (prev_us IS NULL OR ts_us - prev_us > {g})
+                       AND (next_us IS NULL OR next_us - ts_us > {g})
+                      THEN 1 ELSE 0 END), 0) AS n_singleton_sessions,
+             COUNT(*) AS n_events
+      FROM lagged"""
+
+
+@register(
+    "events_session_gap_curve",
+    oracle=f"""
+    WITH ev_us AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ), lagged AS (
+      SELECT user_id, ts_us,
+             LAG(ts_us) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id) AS prev_us,
+             LEAD(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS next_us
+      FROM ev_us
+    )
+    SELECT CAST(gap_minutes AS BIGINT) AS gap_minutes,
+           CAST(n_sessions AS BIGINT) AS n_sessions,
+           CAST(n_singleton_sessions AS BIGINT) AS n_singleton_sessions,
+           CAST(CASE WHEN n_sessions = 0 THEN 0
+                ELSE n_events * 1000000 // n_sessions
+                END AS BIGINT) AS events_per_session_q6
+    FROM ({' UNION ALL '.join(
+        _session_gap_point_sql(g) for g in SESSION_GAP_CURVE_MIN)})
+    """,
+)
+def events_session_gap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-gap tuning curve — the knob behind the whole
+    sessionization family, priced like the funnel window: for each
+    candidate inactivity gap (10 / 30 / 60 min), the session count,
+    how many sessions are single-event (the gap-too-small symptom),
+    and mean events per session (q6). Every point derives from the
+    SAME one-pass lag/lead frame: a session starts where the previous
+    same-user event is more than the gap away, and a start is a
+    singleton when the NEXT event is also more than the gap away (or
+    absent) — so the 3-gap sweep needs no per-gap session-id
+    materialization at all, just three conditional sums.
+
+    Plan: ONE user-keyed shuffle (lag and lead share the window
+    sort), one aggregate producing all per-gap sums map-side, one
+    3-row assembly. Integer micros throughout — the identical
+    gap arithmetic the frozen ``events_sessionization`` row uses.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lagged = ev.select(
+        "ts_us",
+        F.lag("ts_us").over(w).alias("prev_us"),
+        F.lead("ts_us").over(w).alias("next_us"),
+    )
+    aggs = []
+    for g_min in SESSION_GAP_CURVE_MIN:
+        g = g_min * 60 * 1_000_000
+        start = F.col("prev_us").isNull() | (
+            F.col("ts_us") - F.col("prev_us") > g
+        )
+        lonely = F.col("next_us").isNull() | (
+            F.col("next_us") - F.col("ts_us") > g
+        )
+        aggs.append(
+            F.sum(F.when(start, 1).otherwise(0)).alias(f"ns_{g_min}")
+        )
+        aggs.append(
+            F.sum(F.when(start & lonely, 1).otherwise(0)).alias(
+                f"nx_{g_min}"
+            )
+        )
+    counts = lagged.agg(*aggs, F.count("*").alias("n_events"))
+    gaps = spark.createDataFrame(
+        [(g,) for g in SESSION_GAP_CURVE_MIN], "gap_minutes long"
+    )
+    pick = lambda pre: F.coalesce(  # noqa: E731
+        *[
+            F.when(F.col("gap_minutes") == g, F.col(f"{pre}_{g}"))
+            for g in SESSION_GAP_CURVE_MIN
+        ]
+    )
+    return gaps.crossJoin(F.broadcast(counts)).select(
+        "gap_minutes",
+        F.coalesce(pick("ns"), F.lit(0)).cast("long").alias("n_sessions"),
+        F.coalesce(pick("nx"), F.lit(0))
+        .cast("long")
+        .alias("n_singleton_sessions"),
+        F.expr(
+            "CAST(CASE WHEN "
+            + " WHEN ".join(
+                f"gap_minutes = {g} THEN CASE WHEN coalesce(ns_{g}, 0) = 0"
+                f" THEN 0 ELSE n_events * 1000000 div ns_{g} END"
+                for g in SESSION_GAP_CURVE_MIN
+            )
+            + " END AS BIGINT)"
+        ).alias("events_per_session_q6"),
+    )

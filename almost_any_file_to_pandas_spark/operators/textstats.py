@@ -2032,3 +2032,61 @@ def text_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) AS tvd_q6",
         )
     )
+
+
+@register(
+    "text_bpe_fertility_by_lang",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+             AS n_words,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')))
+             AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')))
+                * 1000000
+                // SUM(len(string_split(text, ' '))) AS BIGINT)
+             AS fertility_q6
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_bpe_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer FERTILITY per language — BPE-ish tokens per
+    whitespace word (q6): the standard multilingual tokenizer-cost
+    metric (a language with fertility 2× pays 2× the context budget
+    per word), computed per labeled language so the corpus-mixing
+    stage can weigh sources by effective token cost rather than raw
+    document counts. Sits on the same two counters as
+    ``text_token_count_bpe``; one narrow projection + one lang-keyed
+    aggregate (map-side combine; |langs| groups). The degenerate
+    corpus keeps the ratio total-based (sum/sum, not avg-of-ratios),
+    so empty languages cannot divide by zero — a lang group exists
+    only if it has ≥1 document, and every document has ≥1 whitespace
+    token by the split convention.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ", -1)).cast("long")
+    bpe = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0)
+    ).cast("long")
+    return (
+        docs.select("lang", toks.alias("w"), bpe.alias("b"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("w").alias("n_words"),
+            F.sum("b").alias("n_bpe_tokens"),
+        )
+        .selectExpr(
+            "lang",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(n_words AS BIGINT) AS n_words",
+            "CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens",
+            "CAST(n_bpe_tokens * 1000000 div n_words AS BIGINT)"
+            " AS fertility_q6",
+        )
+    )

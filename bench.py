@@ -254,6 +254,8 @@ HEADLINE = [
     "events_funnel_window_curve",
     "dedup_semantic_clusters_det",
     "text_bloom_size_curve",
+    "events_session_gap_curve",
+    "text_bpe_fertility_by_lang",
 ]
 
 # One representative per operator family, printed in the final

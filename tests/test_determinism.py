@@ -119,6 +119,8 @@ QUERIES_UNDER_TEST = [
     "dedup_semantic_clusters_det",
     # bloom sizing: deterministic xxhash counts + driver-assembled rows
     "text_bloom_size_curve",
+    # shared lag/lead multi-gap session sweep
+    "events_session_gap_curve",
     "dedup_lsh_band_tuning_curve",
     "graph_jaccard_link_prediction",
     "events_attribution_time_decay",

@@ -240,17 +240,12 @@ def text_bloom_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_exact = exact_docs.count()  # bounded scalar, reused per size
-    n_bench = bench.select("s").distinct().count()
-    # shingle-level FPR denominator set: loop-invariant — materialize
-    # the member shingles ONCE, not per size
-    member = (
-        sh.join(
-            F.broadcast(bench.select("s").distinct()), "s", "left_semi"
-        )
-        .select("s")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # membership set for the FPR denominator: bench docs are part of
+    # the corpus, so the bench shingle set IS the member set (a
+    # corpus-side semi-join would recompute the same frame the
+    # expensive way); loop-invariant — materialized once
+    member = bench.select("s").distinct().localCheckpoint(eager=True)
+    n_bench = member.count()
 
     rows = []
     for m in BLOOM_SIZE_CURVE_BITS:

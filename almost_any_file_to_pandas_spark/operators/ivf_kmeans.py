@@ -397,8 +397,9 @@ def sim_ivf_kmeans_nprobe_curve(
     )
     SELECT s.bucket, s.n_vecs,
            CAST(s.n_vecs * 1000000 // t.n AS BIGINT) AS share_q6,
-           CAST(s.n_vecs * (SELECT COUNT(*) FROM sz) * 1000000
-                // t.n AS BIGINT) AS load_factor_q6
+           -- factored share_q6 * nb form: see sim_ivf_bucket_balance
+           CAST(s.n_vecs * 1000000 // t.n
+                * (SELECT COUNT(*) FROM sz) AS BIGINT) AS load_factor_q6
     FROM sz s, tot t
     """,
 )
@@ -440,7 +441,7 @@ def sim_ivf_kmeans_bucket_balance(
             "bucket",
             "n_vecs",
             "CAST(n_vecs * 1000000 div n AS BIGINT) AS share_q6",
-            "CAST(n_vecs * nb * 1000000 div n AS BIGINT)"
+            "CAST(n_vecs * 1000000 div n * nb AS BIGINT)"
             " AS load_factor_q6",
         )
     )

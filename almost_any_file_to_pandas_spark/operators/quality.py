@@ -308,18 +308,16 @@ def text_quality_threshold_curve(
     """
     apply_engine_conf(spark)
     from almost_any_file_to_pandas_spark.plans import table_wide
+    from almost_any_file_to_pandas_spark.operators.textstats import (
+        dup_ratio_metrics,
+    )
 
     docs = table_wide(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ", -1)
-    m = docs.select(
-        F.size(toks).alias("n_words"),
-        (
-            (F.size(toks) - F.size(F.array_distinct(toks)))
-            * F.lit(1_000_000)
-        ).cast("long").alias("_dup_scaled"),
-    ).select(
-        "n_words",
-        F.expr("_dup_scaled div n_words").alias("dup_ratio_q6"),
+    # the SAME long-arithmetic kernel text_quality_filter decides on
+    # (the earlier local re-derivation multiplied int32 sizes by 1e6
+    # before casting — wrapping negative past 2148 duplicated words)
+    m = dup_ratio_metrics(docs).select(
+        "n_words", F.col("dup_word_ratio_q6").alias("dup_ratio_q6")
     )
     thresholds = spark.createDataFrame(
         [(v,) for v in DUP_RATIO_THRESHOLDS_Q6], "threshold_q6 long"

@@ -1839,8 +1839,11 @@ def sim_ivf_nprobe_recall_curve(
     )
     SELECT s.bucket, s.n_vecs,
            CAST(s.n_vecs * 1000000 // t.n AS BIGINT) AS share_q6,
-           CAST(s.n_vecs * (SELECT COUNT(*) FROM sz) * 1000000
-                // t.n AS BIGINT) AS load_factor_q6
+           -- load factor as share_q6 * nb: the n_vecs*nb*1e6 product
+           -- form overflows int64 past ~2e8 skewed vectors; this
+           -- factored form is bounded by 1e6 * nb
+           CAST(s.n_vecs * 1000000 // t.n
+                * (SELECT COUNT(*) FROM sz) AS BIGINT) AS load_factor_q6
     FROM sz s, tot t
     """,
 )
@@ -1875,7 +1878,7 @@ def sim_ivf_bucket_balance(
             "bucket",
             "n_vecs",
             "CAST(n_vecs * 1000000 div n AS BIGINT) AS share_q6",
-            "CAST(n_vecs * nb * 1000000 div n AS BIGINT)"
+            "CAST(n_vecs * 1000000 div n * nb AS BIGINT)"
             " AS load_factor_q6",
         )
     )

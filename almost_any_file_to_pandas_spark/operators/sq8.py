@@ -124,10 +124,11 @@ _SQ8_CTES = f"""
     )"""
 
 
-def _sq8_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared engine spine: per query (vec_id < N_QUERIES), every
-    corpus vector scored by asymmetric cosine (raw query ×
-    reconstructed corpus), ranked."""
+def _sq8_corpus_and_ranges(spark: SparkSession, sf_dir: str):
+    """(corpus double-cast, single-row (lo,hi)-ranges frame) — the
+    quantizer-build spine shared by every SQ8 operator, factored so
+    a future range change (e.g. percentile clipping) cannot fork the
+    exactly-oracle-paired family."""
     apply_engine_conf(spark)
     emb = table_wide(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -143,6 +144,14 @@ def _sq8_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: F.struct(s["lo"].alias("lo"), s["hi"].alias("hi")),
         ).alias("lh")
     )
+    return emb, lh_row
+
+
+def _sq8_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared engine spine: per query (vec_id < N_QUERIES), every
+    corpus vector scored by asymmetric cosine (raw query ×
+    reconstructed corpus), ranked."""
+    emb, lh_row = _sq8_corpus_and_ranges(spark, sf_dir)
     recon = emb.crossJoin(F.broadcast(lh_row)).select(
         "vec_id", _sq8_recon(F.col("v"), F.col("lh")).alias("rv")
     )
@@ -342,21 +351,7 @@ def sim_ivfsq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join is bucket-keyed; everything downstream operates on
     ≤ queries × probed-list rows.
     """
-    apply_engine_conf(spark)
-    emb = table_wide(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    dims = (
-        emb.select(F.posexplode("v").alias("dim_idx", "x"))
-        .groupBy("dim_idx")
-        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
-    )
-    lh_row = dims.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim_idx", "lo", "hi"))),
-            lambda s: F.struct(s["lo"].alias("lo"), s["hi"].alias("hi")),
-        ).alias("lh")
-    )
+    emb, lh_row = _sq8_corpus_and_ranges(spark, sf_dir)
     b = emb.crossJoin(F.broadcast(lh_row)).select(
         "vec_id",
         "v",

@@ -520,6 +520,25 @@ QF_MAX_DUP_RATIO = 0.6
 QF_MAX_TOP_FRACTION = 0.2
 
 
+def dup_ratio_metrics(docs: DataFrame) -> DataFrame:
+    """Per-doc (n_words, n_distinct, dup_word_ratio_q6) on LONG
+    arithmetic — the ONE kernel both the filter decision
+    (``text_quality_filter``) and the threshold sweep
+    (``text_quality_threshold_curve``) consume. The sizes must cast
+    to long BEFORE the ×1e6: int32 ``size()`` products wrap once a
+    document carries ≥2148 duplicated words (invisible on the short
+    synthetic docs, real on a crawl)."""
+    toks = F.split(F.col("text"), " ", -1)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    ).withColumn(
+        "dup_word_ratio_q6",
+        F.expr("(n_words - n_distinct) * 1000000 div n_words"),
+    )
+
+
 @register(
     "text_quality_filter",
     oracle=f"""
@@ -566,12 +585,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     apply_engine_conf(spark)
     docs = table_wide(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ", -1)
-    base = docs.select(
-        "doc_id",
-        F.size(toks).alias("n_words"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-    )
+    base = dup_ratio_metrics(docs)
     topw = (
         docs.select(
             "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("tok")
@@ -586,9 +600,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_words",
-            F.expr(
-                "(n_words - n_distinct) * 1000000 div n_words"
-            ).alias("dup_word_ratio_q6"),
+            "dup_word_ratio_q6",
             F.expr("top_cnt * 1000000 div n_words").alias(
                 "top_word_fraction_q6"
             ),

@@ -256,6 +256,7 @@ HEADLINE = [
     "text_bloom_size_curve",
     "events_session_gap_curve",
     "text_bpe_fertility_by_lang",
+    "dedup_cross_source_matrix",
 ]
 
 # One representative per operator family, printed in the final

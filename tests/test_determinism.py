@@ -121,6 +121,8 @@ QUERIES_UNDER_TEST = [
     "text_bloom_size_curve",
     # shared lag/lead multi-gap session sweep
     "events_session_gap_curve",
+    # near-dup pair machinery + source-pair matrix aggregate
+    "dedup_cross_source_matrix",
     "dedup_lsh_band_tuning_curve",
     "graph_jaccard_link_prediction",
     "events_attribution_time_decay",

@@ -650,3 +650,77 @@ def events_bitmap_distinct_rollup(
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum(F.bit_count("bits")).cast("long").alias("distinct_users"),
     )
+
+
+SALT_FACTOR_CURVE = (1, 2, 4, 8, 16)
+
+
+@register(
+    "events_salt_factor_curve",
+    oracle=f"""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows
+      FROM counts
+    ), pts AS (
+      SELECT s.salt,
+             COALESCE(MAX((n + s.salt - 1) // s.salt), 0) AS max_subkey
+      FROM (VALUES {', '.join(f'({v})' for v in SALT_FACTOR_CURVE)})
+           s(salt)
+      LEFT JOIN counts ON TRUE
+      GROUP BY s.salt
+    )
+    SELECT CAST(p.salt AS BIGINT) AS salt,
+           CAST(p.max_subkey AS BIGINT) AS max_subkey_rows,
+           CAST(CASE WHEN t.n_rows = 0 THEN 0
+                ELSE CAST(p.max_subkey AS HUGEINT) * t.n_keys * p.salt
+                     * 1000000 // t.n_rows
+                END AS BIGINT) AS residual_skew_q6
+    FROM pts p, tot t
+    """,
+)
+def events_salt_factor_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting-factor tuning curve — the treatment knob for the skew
+    ``events_key_skew_profile`` diagnoses: for each candidate salt
+    (1/2/4/8/16 sub-keys per key), the heaviest post-salt reducer
+    load (the hottest key's rows split as evenly as a modular salt
+    can) and the residual skew ratio vs a uniform spread over
+    keys×salt reducers (q6). Salting divides the hot key's ceiling by
+    s at the cost of an s-way fan-out on the other join side — this
+    row prices that trade before a job commits to it, from the SAME
+    per-key counts any keyed job computes anyway.
+
+    Plan: ONE corpus shuffle (the per-key count), then a broadcast
+    5-row sweep with map-side aggregation over |keys| rows; integer
+    ceiling division and DECIMAL-widened ratio products (the house
+    skew-profile recipe).
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_rows"),
+    )
+    salts = spark.createDataFrame(
+        [(v,) for v in SALT_FACTOR_CURVE], "salt long"
+    )
+    pts = (
+        counts.crossJoin(F.broadcast(salts))
+        .groupBy("salt")
+        .agg(
+            F.max(F.expr("(n + salt - 1) div salt")).alias("max_subkey")
+        )
+    )
+    pts = salts.join(pts, "salt", "left").select(
+        "salt", F.coalesce("max_subkey", F.lit(0)).alias("max_subkey")
+    )
+    return pts.crossJoin(F.broadcast(tot)).selectExpr(
+        "CAST(salt AS BIGINT) AS salt",
+        "CAST(max_subkey AS BIGINT) AS max_subkey_rows",
+        "CAST(CASE WHEN n_rows = 0 THEN 0"
+        " ELSE CAST(max_subkey AS DECIMAL(38,0)) * n_keys * salt"
+        " * 1000000 div n_rows END AS BIGINT) AS residual_skew_q6",
+    )

@@ -257,6 +257,7 @@ HEADLINE = [
     "events_session_gap_curve",
     "text_bpe_fertility_by_lang",
     "dedup_cross_source_matrix",
+    "events_salt_factor_curve",
 ]
 
 # One representative per operator family, printed in the final

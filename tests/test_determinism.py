@@ -123,6 +123,8 @@ QUERIES_UNDER_TEST = [
     "events_session_gap_curve",
     # near-dup pair machinery + source-pair matrix aggregate
     "dedup_cross_source_matrix",
+    # per-key count sweep with DECIMAL-widened ratios
+    "events_salt_factor_curve",
     "dedup_lsh_band_tuning_curve",
     "graph_jaccard_link_prediction",
     "events_attribution_time_decay",

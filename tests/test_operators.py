@@ -1880,3 +1880,59 @@ def test_watermark_lateness_banded_prefix_equals_sequential(spark):
         assert got == expect
 
     run()
+
+
+def test_session_gap_curve_hand_fixture(spark, tmp_path):
+    """Hand-built arrival sequence with known sessionization at every
+    swept gap: one user with events at minutes 0, 5, 45, 120.
+    gap=10min -> sessions {0,5} {45} {120} = 3 (2 singletons);
+    gap=30min -> same 3 (gap 40min and 75min both exceed 30);
+    gap=60min -> {0,5,45} {120} = 2 sessions (1 singleton)."""
+    import datetime as dt
+    from almost_any_file_to_pandas_spark.operators.temporal import (
+        events_session_gap_curve,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), 1, "view", 1.0, "{}")
+        for i, m in enumerate([0, 5, 45, 120])
+    ]
+    d = str(tmp_path / "fixture")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r["gap_minutes"]: (r["n_sessions"], r["n_singleton_sessions"])
+        for r in events_session_gap_curve(spark, d).collect()
+    }
+    assert got == {10: (3, 2), 30: (3, 2), 60: (2, 1)}
+
+
+def test_quality_threshold_curve_hand_fixture(spark, tmp_path):
+    """Two documents with exactly known duplicate-word ratios: doc 1
+    'a b c d' (ratio 0), doc 2 'a a a a a' (ratio 800000). Thresholds
+    100k-500k keep only doc 1; token accounting follows."""
+    from almost_any_file_to_pandas_spark.operators.quality import (
+        text_quality_threshold_curve,
+    )
+
+    d = str(tmp_path / "fixture")
+    spark.createDataFrame(
+        [(1, "a b c d", "en", "s1", 7), (2, "a a a a a", "en", "s2", 9)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {
+        r["threshold_q6"]: (
+            r["n_docs_kept"],
+            r["n_words_kept"],
+            r["docs_share_q6"],
+            r["words_share_q6"],
+        )
+        for r in text_quality_threshold_curve(spark, d).collect()
+    }
+    for t in (100_000, 200_000, 300_000, 400_000, 500_000):
+        assert rows[t] == (1, 4, 500_000, 444_444)

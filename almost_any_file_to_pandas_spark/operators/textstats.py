@@ -2102,3 +2102,85 @@ def text_bpe_fertility_by_lang(
             " AS fertility_q6",
         )
     )
+
+
+@register(
+    "text_contamination_span_extent",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), pos_sh AS (
+      -- positioned (NOT deduped) shingles: position matters here
+      SELECT doc_id, u.i AS pos, array_to_string(w[u.i:u.i+{CONTAM_NGRAM - 1}], ' ') AS s
+      FROM base, LATERAL (
+        SELECT unnest(generate_series(
+          1, greatest(len(w) - {CONTAM_NGRAM - 1}, 0))) AS i
+      ) u
+    ), bench_set AS (
+      SELECT DISTINCT s FROM pos_sh WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matched_positions,
+           CAST(MIN(p.pos) AS BIGINT) AS first_pos,
+           CAST(MAX(p.pos) AS BIGINT) AS last_pos,
+           CAST(MAX(p.pos) - MIN(p.pos) + {CONTAM_NGRAM} AS BIGINT)
+             AS span_words
+    FROM pos_sh p JOIN bench_set b ON p.s = b.s
+    WHERE p.doc_id % {CONTAM_BENCH_MOD} <> 0
+    GROUP BY p.doc_id
+    """,
+)
+def text_contamination_span_extent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WHERE the contamination sits, not just whether: for each
+    non-benchmark document sharing {CONTAM_NGRAM}-gram shingles with
+    the held-out benchmark set, the matched shingle positions'
+    count, first/last word offset (1-based), and the word extent of
+    the contaminated span — the row a surgical decontaminator needs
+    to cut the span instead of dropping the document (doc-level drops
+    at 100 TB throw away the clean 95% of a long document for a
+    quoted benchmark paragraph).
+
+    Plan: positioned shingles are a narrow posexplode (positions must
+    survive, so no dedup — unlike the census ops); the benchmark
+    shingle SET builds from the 1/{CONTAM_BENCH_MOD} pre-filtered scan
+    and joins BROADCAST; one doc-keyed aggregate emits the extents.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    n_sh = F.size(toks) - (CONTAM_NGRAM - 1)
+    pos_sh = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                n_sh >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n_sh),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.slice(toks, i, CONTAM_NGRAM),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "s"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+    bench_set = (
+        pos_sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select("s")
+        .distinct()
+    )
+    return (
+        pos_sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        .join(F.broadcast(bench_set), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_matched_positions"),
+            F.min("pos").cast("long").alias("first_pos"),
+            F.max("pos").cast("long").alias("last_pos"),
+            (F.max("pos") - F.min("pos") + CONTAM_NGRAM)
+            .cast("long")
+            .alias("span_words"),
+        )
+    )

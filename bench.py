@@ -258,6 +258,7 @@ HEADLINE = [
     "text_bpe_fertility_by_lang",
     "dedup_cross_source_matrix",
     "events_salt_factor_curve",
+    "text_contamination_span_extent",
 ]
 
 # One representative per operator family, printed in the final

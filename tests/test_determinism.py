@@ -125,6 +125,8 @@ QUERIES_UNDER_TEST = [
     "dedup_cross_source_matrix",
     # per-key count sweep with DECIMAL-widened ratios
     "events_salt_factor_curve",
+    # positioned shingles + broadcast bench-set join
+    "text_contamination_span_extent",
     "dedup_lsh_band_tuning_curve",
     "graph_jaccard_link_prediction",
     "events_attribution_time_decay",

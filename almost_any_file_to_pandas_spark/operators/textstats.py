@@ -2184,3 +2184,98 @@ def text_contamination_span_extent(
             .alias("span_words"),
         )
     )
+
+
+VOCAB_COVERAGE_SIZES = (8, 16, 32)
+
+
+@register(
+    "text_vocab_coverage_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), counts AS (
+      SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+    ), ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS rnk
+      FROM counts
+    ), tot AS (
+      SELECT COALESCE(SUM(n), 0) AS total_tokens,
+             COUNT(*) AS n_terms
+      FROM counts
+    )
+    SELECT CAST(v.vocab_size AS BIGINT) AS vocab_size,
+           CAST(LEAST(v.vocab_size, t.n_terms) AS BIGINT)
+             AS n_terms_in_vocab,
+           CAST(COALESCE((SELECT SUM(n) FROM ranked r
+                          WHERE r.rnk <= v.vocab_size), 0) AS BIGINT)
+             AS covered_tokens,
+           CAST(CASE WHEN t.total_tokens = 0 THEN 0
+                ELSE COALESCE((SELECT SUM(n) FROM ranked r
+                               WHERE r.rnk <= v.vocab_size), 0)
+                     * 1000000 // t.total_tokens
+                END AS BIGINT) AS coverage_q6
+    FROM (VALUES {', '.join(f'({v})' for v in VOCAB_COVERAGE_SIZES)})
+         v(vocab_size), tot t
+    """,
+)
+def text_vocab_coverage_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Vocabulary-size coverage curve — the tokenizer-budget knob
+    priced like the other tuning rows: for each candidate vocab size,
+    how many corpus tokens the top-V terms (frequency rank, ties
+    lexicographic — the ``text_vocab_topk`` order) cover, as a count
+    and a q6 share. The complement is the OOV mass a V-term
+    vocabulary sends through byte/char fallback — the number that
+    actually sizes a tokenizer.
+
+    Plan: ONE term-keyed aggregate (the corpus-wide shuffle any vocab
+    build pays), a rank window over the |vocab|-sized count frame
+    (domain-sized, never the token stream), and a broadcast 3-row
+    sweep aggregating rank-filtered sums map-side.
+    """
+    from pyspark.sql import Window as W
+
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = counts.select(
+        "n",
+        F.row_number()
+        .over(W.orderBy(F.desc("n"), F.asc("term")))
+        .alias("rnk"),
+    )
+    tot = counts.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("total_tokens"),
+        F.count("*").alias("n_terms"),
+    )
+    sizes = spark.createDataFrame(
+        [(v,) for v in VOCAB_COVERAGE_SIZES], "vocab_size long"
+    )
+    pts = (
+        ranked.crossJoin(F.broadcast(sizes))
+        .groupBy("vocab_size")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("vocab_size"), F.col("n")))
+            .alias("covered_tokens")
+        )
+    )
+    pts = sizes.join(pts, "vocab_size", "left").select(
+        "vocab_size",
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+    )
+    return pts.crossJoin(F.broadcast(tot)).selectExpr(
+        "CAST(vocab_size AS BIGINT) AS vocab_size",
+        "CAST(LEAST(vocab_size, n_terms) AS BIGINT) AS n_terms_in_vocab",
+        "CAST(covered_tokens AS BIGINT) AS covered_tokens",
+        "CAST(CASE WHEN total_tokens = 0 THEN 0"
+        " ELSE covered_tokens * 1000000 div total_tokens END AS BIGINT)"
+        " AS coverage_q6",
+    )

@@ -259,6 +259,7 @@ HEADLINE = [
     "dedup_cross_source_matrix",
     "events_salt_factor_curve",
     "text_contamination_span_extent",
+    "text_vocab_coverage_curve",
 ]
 
 # One representative per operator family, printed in the final

@@ -127,6 +127,8 @@ QUERIES_UNDER_TEST = [
     "events_salt_factor_curve",
     # positioned shingles + broadcast bench-set join
     "text_contamination_span_extent",
+    # frequency-rank cut over the vocab frame
+    "text_vocab_coverage_curve",
     "dedup_lsh_band_tuning_curve",
     "graph_jaccard_link_prediction",
     "events_attribution_time_decay",

@@ -467,3 +467,76 @@ def retrieval_bm25_rational_topk(
     return top.withColumn("rnk", F.row_number().over(w)).select(
         "doc_id", "score_q6", "n_terms", "rnk"
     )
+
+
+PHRASE_QUERY = "table value"
+PHRASE_TOP_K = 20
+
+
+def _phrase_count_sql(expr: str, phrase: str) -> str:
+    """Non-overlapping space-padded occurrence count — the same
+    replace-arithmetic kernel as textstats._occurrences_sql, restated
+    here with the identical expression on BOTH engines (back-to-back
+    repeats share a boundary space and count once per consumed pad —
+    a consistent convention, not a defect, as long as the two engines
+    run the same expression)."""
+    needle = f" {phrase} "
+    padded = f"(' ' || {expr} || ' ')"
+    return (
+        f"CAST((length({padded}) - length(replace({padded},"
+        f" '{needle}', ''))) / {len(needle)} AS BIGINT)"
+    )
+
+
+@register(
+    "retrieval_phrase_match_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_phrase_count_sql('text', PHRASE_QUERY)} AS n_matches
+      FROM documents
+    )
+    SELECT doc_id, n_matches,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_matches DESC, doc_id)
+                AS BIGINT) AS rnk
+    FROM scored WHERE n_matches > 0
+    QUALIFY ROW_NUMBER() OVER (ORDER BY n_matches DESC, doc_id)
+            <= {PHRASE_TOP_K}
+    """,
+)
+def retrieval_phrase_match_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT-PHRASE retrieval — the match mode BM25's bag-of-terms
+    scoring cannot express (order matters: '{PHRASE_QUERY}' ≠
+    'value table'): documents containing the query phrase as a
+    contiguous token sequence, ranked by occurrence count (ties by
+    doc_id), top {PHRASE_TOP_K}. Together with
+    ``retrieval_bm25_rational_topk`` (ranked bag-of-terms) and
+    ``retrieval_hybrid_rrf_topk`` (fused lexical+vector) this
+    completes the standard retrieval triad.
+
+    Plan: the occurrence count is ONE narrow string expression
+    (length/replace arithmetic — JVM codegen, no regex, no explode,
+    no shuffle); the match filter prunes before the global top-k,
+    which compiles to TakeOrderedAndProject (per-partition heaps, no
+    full sort). At 100 TB this is the scan-speed path; a phrase
+    INDEX (positional postings) is the next step only when the same
+    corpus serves many phrase queries.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.expr(_phrase_count_sql("text", PHRASE_QUERY)).alias("n_matches"),
+    ).filter(F.col("n_matches") > 0)
+    top = scored.orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(
+        PHRASE_TOP_K
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("n_matches"), F.asc("doc_id"))
+    # rank window runs on the ≤ top-k rows, never the corpus
+    return top.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    )

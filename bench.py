@@ -260,6 +260,7 @@ HEADLINE = [
     "events_salt_factor_curve",
     "text_contamination_span_extent",
     "text_vocab_coverage_curve",
+    "retrieval_phrase_match_topk",
 ]
 
 # One representative per operator family, printed in the final

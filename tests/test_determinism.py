@@ -129,6 +129,8 @@ QUERIES_UNDER_TEST = [
     "text_contamination_span_extent",
     # frequency-rank cut over the vocab frame
     "text_vocab_coverage_curve",
+    # global LIMIT cut on the phrase-match ranking
+    "retrieval_phrase_match_topk",
     "dedup_lsh_band_tuning_curve",
     "graph_jaccard_link_prediction",
     "events_attribution_time_decay",

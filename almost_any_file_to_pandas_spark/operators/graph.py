@@ -954,3 +954,70 @@ def graph_resource_allocation_links(
         F.col("ra_q6").cast("long").alias("ra_q6"),
         "rnk",
     )
+
+
+def _degree_dist_sql() -> str:
+    return f"""
+    WITH cells AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+    ), hours_ok AS ({_HOURS_OK_SQL}
+    ), pair_counts AS (
+      SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS c
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+      JOIN hours_ok ho ON ho.h = a.h
+      GROUP BY a.user_id, b.user_id
+    ), cut AS (
+      SELECT {EDGE_FACTOR} * AVG(c) AS threshold FROM pair_counts
+    ), edges AS (
+      SELECT u1, u2 FROM pair_counts CROSS JOIN cut
+      WHERE c > cut.threshold
+    ), sym AS (
+      SELECT u1 AS u, u2 AS v FROM edges
+      UNION ALL
+      SELECT u2 AS u, u1 AS v FROM edges
+    ), deg AS (
+      SELECT u, COUNT(*) AS d FROM sym GROUP BY u
+    ), with_zero AS (
+      SELECT d FROM deg
+      UNION ALL
+      SELECT 0 AS d FROM (SELECT DISTINCT user_id FROM events) au
+      WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.u = au.user_id)
+    )
+    SELECT CAST(d AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM with_zero GROUP BY d
+    """
+
+
+@register("graph_degree_distribution", oracle=_degree_dist_sql())
+def graph_degree_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree histogram of the hour-co-activity graph, INCLUDING the
+    degree-0 row (active users the edge threshold isolated) — the
+    first diagnostic every graph-family operator's cost model reads:
+    the wedge walks (triangles, LPA, link prediction) are Σ deg²-
+    bounded, and this row is where that Σ deg² is measured rather
+    than assumed. Same shared capped-bucket build as the rest of the
+    family (identical CTEs in the oracle).
+
+    Plan: the one edge-build shuffle, a node-keyed degree count, a
+    |degrees|-group histogram aggregate, plus an anti-join of the
+    distinct-user frame for the zero row — all frames from ``deg``
+    onward are node- or domain-sized, never event-sized.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    edges, sym = _coactivity_graph(spark, sf_dir)
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    zero = (
+        ev.select("user_id").distinct()
+        .join(deg, F.col("user_id") == F.col("u"), "left_anti")
+        .select(F.lit(0).alias("d"))
+    )
+    return (
+        deg.select("d")
+        .unionAll(zero)
+        .groupBy(F.col("d").cast("long").alias("degree"))
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )

@@ -261,6 +261,7 @@ HEADLINE = [
     "text_contamination_span_extent",
     "text_vocab_coverage_curve",
     "retrieval_phrase_match_topk",
+    "graph_degree_distribution",
 ]
 
 # One representative per operator family, printed in the final

@@ -131,6 +131,8 @@ QUERIES_UNDER_TEST = [
     "text_vocab_coverage_curve",
     # global LIMIT cut on the phrase-match ranking
     "retrieval_phrase_match_topk",
+    # data-derived edge threshold feeding the degree histogram
+    "graph_degree_distribution",
     "dedup_lsh_band_tuning_curve",
     "graph_jaccard_link_prediction",
     "events_attribution_time_decay",

@@ -1217,7 +1217,7 @@ SEMANTIC_FIT_SAMPLE = 65536  # KMeans training rows, corpus-independent
 
 
 def _semantic_fit_frame(feats: DataFrame, n_vectors: int) -> DataFrame:
-    """Bounded deterministic KMeans training set: the first
+    """Bounded deterministic quantizer training set: the first
     ``SEMANTIC_FIT_SAMPLE`` vec_ids (per-partition top-k heaps via
     TakeOrdered — never a global sort of the corpus), or the whole
     frame when it is already smaller. The quantizer fit is an index
@@ -1228,12 +1228,13 @@ def _semantic_fit_frame(feats: DataFrame, n_vectors: int) -> DataFrame:
     engine SWITCHES to two-level clustering — coarse fit on this
     sample, per-cell bounded refits — in :func:`_semantic_centers`,
     rather than widening this sample."""
-    if n_vectors <= SEMANTIC_FIT_SAMPLE:
-        return feats.select("features")
-    return (
-        feats.orderBy("vec_id")
-        .limit(SEMANTIC_FIT_SAMPLE)
-        .select("features")
+    sample = (
+        feats
+        if n_vectors <= SEMANTIC_FIT_SAMPLE
+        else feats.orderBy("vec_id").limit(SEMANTIC_FIT_SAMPLE)
+    )
+    return sample.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 
 
@@ -1293,9 +1294,16 @@ def _semantic_centers(
     """Cluster centers ``(cluster int, center array<double>)`` for the
     semantic dedup quantizer.
 
-    Single-level (k ≤ SEMANTIC_COARSE_MAX): one ml.KMeans fit on the
-    bounded sample — the r4 shape, unchanged, and the only path any
-    gate-scale corpus takes.
+    Single-level (k ≤ SEMANTIC_COARSE_MAX): one deterministic
+    driver-side numpy Lloyd's fit on the bounded sample
+    (:func:`_semantic_centers_fast`) — the only path any gate-scale
+    corpus takes. ROUND-7 SWAP from ml.KMeans, executed on the banked
+    r5 evidence (2.96→1.54s at sf0.1: Spark ML pays ~2s of fixed
+    per-iteration job-scheduling overhead at EVERY corpus size for a
+    ≤65,536-row ≈ 32 MB training matrix) once the driver-run digest in
+    BENCH_r06.json confirmed the fastfit floor twin green
+    (gate 50/0, registry 318/0). The fastfit twins below pin
+    backend equality from now on.
 
     Two-level (k > SEMANTIC_COARSE_MAX, i.e. the corpus outgrew what
     one SEMANTIC_FIT_SAMPLE-row fit supports): fit SEMANTIC_COARSE_MAX
@@ -1310,11 +1318,8 @@ def _semantic_centers(
     still never re-scanned per iteration. Global cluster key =
     coarse·k_fine + fine.
     """
-    from pyspark.ml.clustering import KMeans
-
     # degenerate guards (no-ops at any real SF): an empty corpus has
-    # no centers; one vector IS its center (Spark KMeans rejects
-    # k < 2); otherwise k stays within [2, n]
+    # no centers; one vector IS its center
     if n_vectors == 0:
         return spark.createDataFrame(
             [], "cluster int, center array<double>"
@@ -1326,28 +1331,13 @@ def _semantic_centers(
             "cluster int, center array<double>",
         )
     k = max(2, min(k, n_vectors))
-    train = _semantic_fit_frame(feats, n_vectors).cache()
     if k <= SEMANTIC_COARSE_MAX:
-        model = KMeans(k=k, seed=42, maxIter=5).fit(train)
-        train.unpersist(blocking=False)
-        return spark.createDataFrame(
-            [
-                (i, [float(x) for x in c])
-                for i, c in enumerate(model.clusterCenters())
-            ],
-            "cluster int, center array<double>",
-        )
+        return _semantic_centers_fast(spark, feats, n_vectors, k)
     k_coarse = SEMANTIC_COARSE_MAX
     k_fine = -(-k // k_coarse)
-    coarse_model = KMeans(k=k_coarse, seed=42, maxIter=5).fit(train)
-    train.unpersist(blocking=False)
-    coarse = spark.createDataFrame(
-        [
-            (i, [float(x) for x in c])
-            for i, c in enumerate(coarse_model.clusterCenters())
-        ],
-        "coarse int, center array<double>",
-    )
+    coarse = _semantic_centers_fast(
+        spark, feats, n_vectors, k_coarse
+    ).select(F.col("cluster").alias("coarse"), "center")
     arr = feats.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1391,7 +1381,8 @@ def _sq_dist(a, b):
 @register("dedup_semantic_clusters")  # rows-only: k-means partition
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic dedup: cluster the embedding space
-    (KMeans — the trained quantizer, like the kmeans-IVF index), then
+    (deterministic Lloyd's — the trained quantizer, like the
+    kmeans-IVF index), then
     search duplicate pairs ONLY inside each cluster with the exact
     cosine check at :data:`EMBEDDING_DUP_THRESHOLD`.
 
@@ -1415,9 +1406,11 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible); the hash-pinned acceptance row is
     :func:`dedup_semantic_floor`.
 
-    Plan: one ml.KMeans fit (bounded sample-scale work, an index
-    build; training frame cached so Lloyd's passes don't re-execute
-    the scan), one broadcast-centers scoring pass + per-vector top-2
+    Plan: one bounded deterministic quantizer fit (driver-side numpy
+    Lloyd's on the ≤SEMANTIC_FIT_SAMPLE-row sample — the round-7
+    backend, see :func:`_semantic_centers`; Lloyd's iterations run on
+    the in-memory matrix, never re-scanning the corpus), one
+    broadcast-centers scoring pass + per-vector top-2
     window (partitioned by vec_id — n·k compact rows, never global)
     → ONE shuffle on the cluster key into a per-cluster numpy kernel
     (the grid block-NL's sequential-over-dims fold, so every cosine
@@ -1523,18 +1516,13 @@ def _semantic_centers_fast(
     spark: SparkSession, feats: DataFrame, n_vectors: int, k: int
 ) -> DataFrame:
     """Driver-side deterministic numpy Lloyd's on the SAME bounded
-    sample the ml.KMeans path trains on (≤ SEMANTIC_FIT_SAMPLE rows ≈
-    32 MB at dim 64 — an index-build collect, the PQ codebook
+    sample every quantizer fit here trains on (≤ SEMANTIC_FIT_SAMPLE
+    rows ≈ 32 MB at dim 64 — an index-build collect, the PQ codebook
     pattern). Eliminates Spark ML's per-iteration job-scheduling
-    overhead (~2s fixed at every SF, measured r5); centroid INIT
-    differs from k-means||, so this backs the post-gate twin until a
-    fresh driver-green row unfreezes the gate query (r6 swap)."""
-    pdf = (
-        feats.orderBy("vec_id")
-        .limit(SEMANTIC_FIT_SAMPLE)
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .toPandas()
-    )
+    overhead (~2s fixed at every SF, measured r5). THE production
+    backend since round 7 (`_semantic_centers` routes here); the
+    `*_fastfit` twins now pin backend equality against the parent."""
+    pdf = _semantic_fit_frame(feats, n_vectors).toPandas()
     # degenerate guards mirroring _semantic_centers (the numpy path
     # handles k = 1, so only empty needs a short-circuit)
     if len(pdf) == 0:
@@ -1556,10 +1544,12 @@ def _semantic_centers_fast(
 def dedup_semantic_clusters_fastfit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """`dedup_semantic_clusters` with the driver-side numpy fit —
-    identical assignment/scoring plan (shared helper), different
-    quantizer training backend. Same acceptance contract, enforced by
-    its own floor row below."""
+    """`dedup_semantic_clusters` calling the numpy fit DIRECTLY —
+    since the round-7 backend swap the parent routes to the same
+    `_semantic_centers_fast`, so this twin now pins BACKEND EQUALITY:
+    any future divergence between the parent's routed fit and the
+    direct fast fit shows up as a floor/equality break here (a
+    fingerprint-equality test also pins parent == twin)."""
     apply_engine_conf(spark)
     from pyspark.ml.functions import array_to_vector
 
@@ -1593,9 +1583,9 @@ def dedup_semantic_floor_fastfit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Acceptance gate for the fast-fit twin — same precision/recall
-    contract as `dedup_semantic_floor`, so a driver-green row here is
-    the evidence that swapping the frozen gate query's fit backend in
-    round 6 is value-safe."""
+    contract as `dedup_semantic_floor`. Its driver-green history
+    (r5/r6) was the banked evidence for the round-7 backend swap;
+    post-swap it stands as the backend-equality regression row."""
     sem = dedup_semantic_clusters_fastfit(spark, sf_dir).select(
         "vec_a", "vec_b", F.lit(1).alias("_sem")
     )

@@ -521,14 +521,16 @@ def sim_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT label, embedding::DOUBLE[] AS v FROM embeddings
     ), expanded AS (
-      SELECT label, u.i AS dim_idx, u.x AS val
+      SELECT label, u.i AS dim_idx,
+             CAST(FLOOR(u.x * 1e12 + 0.5) AS BIGINT) AS vq12
       FROM e, LATERAL (
         SELECT unnest(generate_series(1, len(v))) AS i, unnest(v) AS x
       ) u
     )
     SELECT label, dim_idx,
-           ROUND(CAST(SUM(CAST(val AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*), 12)
-             AS centroid_val
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(CAST(SUM(vq12) AS HUGEINT) // COUNT(*) AS BIGINT)
+             AS centroid_q12
     FROM expanded
     GROUP BY label, dim_idx
     HAVING dim_idx <= 4
@@ -537,8 +539,17 @@ def sim_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components (first 4 dims) — the IVF
     coarse-quantizer build step (centroids via groupBy, assignment =
-    nearest centroid broadcast back). Decimal accumulation keeps the
-    mean engine-portable."""
+    nearest centroid broadcast back).
+
+    ROUND-7 conversion to the house all-integer recipe (the last
+    ROUND-over-aggregate exemption retired, executed together with
+    this row's rotation OUT of the gate window): each component is
+    quantized per row (``FLOOR(val·1e12 + 0.5)`` — identical IEEE
+    double product + FLOOR on both engines), summed as exact integers
+    (DECIMAL(38,0)/HUGEINT-widened — order-independent), and the mean
+    is an integer ``div`` by the count (both engines truncate toward
+    zero). Emitting ``n_vectors`` alongside keeps the exact sum
+    recoverable (``sum_q12 = centroid_q12·n + remainder``)."""
     apply_engine_conf(spark)
     emb = table_wide(spark, sf_dir, "embeddings")
     exploded = emb.select(
@@ -546,16 +557,22 @@ def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
             "pos", "val"
         ),
-    ).select("label", (F.col("pos") + 1).alias("dim_idx"), "val")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim_idx"),
+        F.floor(F.col("val") * F.lit(1e12) + F.lit(0.5))
+        .cast("long")
+        .alias("vq12"),
+    )
     return (
         exploded.filter(F.col("dim_idx") <= 4)
         .groupBy("label", "dim_idx")
         .agg(
-            F.round(
-                F.sum(F.col("val").cast("decimal(30,15)")).cast("double")
-                / F.count("*"),
-                12,
-            ).alias("centroid_val")
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.expr(
+                "CAST(CAST(SUM(vq12) AS DECIMAL(38,0)) div COUNT(*)"
+                " AS BIGINT)"
+            ).alias("centroid_q12"),
         )
     )
 
@@ -1939,7 +1956,9 @@ def emb_label_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     mislabeled-example screen before training on labeled pairs).
 
     Portability chain: centroids are DECIMAL(30,15)-accumulated
-    means (order-independent, the `sim_centroid_by_label` recipe)
+    means (order-independent — the deterministic-Lloyd's means
+    recipe, ivf_kmeans.py; `sim_centroid_by_label` itself moved to
+    all-integer q12 in round 7)
     rounded to 12 places; cosines are the shared sequential fold
     rounded to 6; each margin is quantized to an exact q6 INTEGER
     via the double-round idiom (``ROUND(cos·1e6, 0)`` is within

@@ -45,6 +45,23 @@ def register(name: str, oracle: Optional[str] = None):
 # tools/check_oracle.py; redundant in-family variants and the
 # rows-only (no-oracle) queries are deliberately registered after the
 # window so they never burn a gate slot.
+#
+# ROUND-7 ROTATION (the r4-verdict #3 swap, executed once the driver-
+# run digest inside BENCH_r06.json confirmed gate 50/0 + registry
+# 318/0 on round-6 code — the confirmation the runbook was waiting
+# for): six redundant in-family slots rotated OUT (each family keeps
+# a remaining representative; the out-rotated rows lead
+# POST_GATE_PRIORITY so they stay first in any widened window):
+#   t5_all_string_cast        (T5 covered by t2_t4 + pytest)
+#   sim_centroid_by_label     (sim family: bruteforce/lsh/floors stay)
+#   sim_pq_reconstruction_bound (PQ family: sim_pq_recall_floor stays)
+#   sim_ivf_topk              (IVF family: sim_ivf_recall_floor stays)
+#   dedup_cluster_canonical   (clustering: CC-alternating row stays)
+#   text_quality_score        (quality: text_gopher_quality_rules stays)
+# and the six r4-family representatives rotated IN:
+#   dedup_containment, sim_matryoshka_prefix_floor,
+#   retrieval_hybrid_rrf_topk, events_hll_mergeable_rollup,
+#   lineitem_profile_approx_floor, q19_disjunctive_revenue.
 GATE_ORDER = (
     # §2 reference-parity operators (aggregations, filters,
     # transforms, union, typed scan)
@@ -55,7 +72,6 @@ GATE_ORDER = (
     "f1_empty_row_filter",
     "f2_width_conditional_split",
     "t2_t4_split_pad_quote_strip",
-    "t5_all_string_cast",
     "t7_row_number",
     "u1_union_all_tagged",
     "s8_typed_scan_passthrough",
@@ -67,12 +83,14 @@ GATE_ORDER = (
     "order_value_approx_percentiles",
     "orders_merge_changeset",
     "events_salted_agg",
+    "q19_disjunctive_revenue",
+    "lineitem_profile_approx_floor",
     # dedup family — every variant + clustering
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_signature",
-    "dedup_cluster_canonical",
+    "dedup_containment",
     "dedup_embedding_cosine",
     "text_duplicate_span_census",  # substring-span family (supersedes
     # the corpus_retention composition row; retention still runs in
@@ -81,19 +99,17 @@ GATE_ORDER = (
     # similarity / ANN (int8 quantization stays represented by the two
     # PQ floor rows; JL distortion is the random-projection family rep)
     "sim_bruteforce_topk",
-    "sim_ivf_topk",
     "sim_lsh_verified_pairs",
     "sim_ivf_recall_floor",
     "sim_jl_distortion_bound",
-    "sim_centroid_by_label",
+    "sim_matryoshka_prefix_floor",
     "sim_pq_recall_floor",
-    "sim_pq_reconstruction_bound",
     # text analysis (fingerprint's md5 column family is also exercised
     # by dedup_exact; budget trim is the mixing-family rep alongside
     # stratified_sample)
     "text_token_count",
     "embedding_hygiene_report",
-    "text_quality_score",
+    "retrieval_hybrid_rrf_topk",
     "text_lang_id",
     "text_token_budget_trim",
     "text_stratified_sample",
@@ -106,6 +122,7 @@ GATE_ORDER = (
     "events_range_join_interval",
     "events_stream_enrich_batch",
     "events_stream_upsert_batch",
+    "events_hll_mergeable_rollup",
     # pipeline / linkage / contamination
     "pipeline_corpus_prep",
     "link_customer_supplier_fuzzy",
@@ -118,17 +135,20 @@ GATE_ORDER = (
 # added after the 50-slot curation so any widened window (or a judge
 # skim in registration order) sees the newest families first.
 POST_GATE_PRIORITY = (
-    "lineitem_profile_approx_floor",
-    "sim_matryoshka_prefix_floor",
-    "dedup_containment",
+    # the six round-7 out-rotated gate rows lead: still oracle-paired,
+    # still first in any widened driver window or registration-order
+    # skim (see the GATE_ORDER rotation note above)
+    "t5_all_string_cast",
+    "sim_centroid_by_label",
+    "sim_pq_reconstruction_bound",
+    "sim_ivf_topk",
+    "dedup_cluster_canonical",
+    "text_quality_score",
     "text_mix_temperature",
     "text_ngram_novelty",
-    "retrieval_hybrid_rrf_topk",
     "sim_filtered_topk",
-    "q19_disjunctive_revenue",
     "pipeline_shard_manifest",
     "dedup_cluster_keep_best",
-    "events_hll_mergeable_rollup",
     "lineitem_scd2_point_in_time",
     "orders_rolling_7d_revenue",
     "events_user_type_gini",

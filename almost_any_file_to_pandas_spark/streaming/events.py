@@ -125,7 +125,15 @@ SESSIONIZATION_ORACLE = f"""
     SELECT user_id, session_id,
            COUNT(*) AS n_events,
            epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS session_start_us,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) * 1000000 AS BIGINT)
+           -- per-row FLOOR(value*1e6 + 0.5) BIGINT, THEN an integer
+           -- sum (round-7 hardening): FLOOR over the identical IEEE
+           -- double product is bit-identical across engines, unlike
+           -- the double->DECIMAL(25,6) cast, where Spark rounds the
+           -- SHORTEST decimal repr and DuckDB the exact binary
+           -- expansion (they split on exact 6dp ties — the
+           -- characterized r5 divergence, test_diagnostics.py).
+           -- Value-identical to the decimal recipe on all 2dp data.
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
              AS total_value_q6
     FROM sessions
     GROUP BY user_id, session_id
@@ -145,9 +153,14 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision (driver env: DuckDB renders 9 fractional digits, Spark
     truncates to 6). ``CAST(ts AS TIMESTAMP)`` in the oracle truncates
     DuckDB's TIMESTAMP_NS to micros exactly as Spark's ``DIV 1000``
-    nanos branch does (plans/__init__.py table()). ``total_value`` is
-    an exact decimal sum scaled to an integer (×1e6) — no double ever
-    reaches the hash."""
+    nanos branch does (plans/__init__.py table()). ``total_value_q6``
+    quantizes each row to an integer (``FLOOR(value*1e6 + 0.5)``)
+    BEFORE the sum — pure IEEE ×/+ then FLOOR, bit-identical across
+    engines on ANY double, closing the decimal-cast shortest-repr tie
+    divergence characterized in round 5 (value-identical to the old
+    decimal recipe on the driver generator's 2dp data; the integer
+    sum is also order-independent) — no double ever reaches the
+    hash."""
     apply_engine_conf(spark)
     ev = table(spark, sf_dir, "events")
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -172,7 +185,11 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.unix_micros(F.min("ts")).alias("session_start_us"),
-        (F.sum(F.col("value").cast("decimal(25,6)")) * 1_000_000)
+        F.sum(
+            F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+                "long"
+            )
+        )
         .cast("long")
         .alias("total_value_q6"),
     )
@@ -762,7 +779,7 @@ def events_sessionization_incremental(
     event-level rule evaluated at the only places it can fire — which
     is why the merged output equals the direct answer EXACTLY (chain
     ids from the 1-based flag cumsum reproduce the sequential
-    session_id; decimal value sums reassociate losslessly; min-start
+    session_id; integer q6 value sums reassociate losslessly; min-start
     is associative). This is also the repair step a Structured
     Streaming session store runs on late batches.
     """
@@ -797,7 +814,14 @@ def events_sessionization_incremental(
             F.count("*").alias("n"),
             F.unix_micros(F.min("ts")).alias("first_us"),
             F.unix_micros(F.max("ts")).alias("last_us"),
-            F.sum(F.col("value").cast("decimal(25,6)")).alias("val"),
+            # same per-row q6 quantization as the direct form: integer
+            # partials reassociate losslessly across the day/boundary
+            # merge (the decimal recipe's hardened round-7 replacement)
+            F.sum(
+                F.floor(
+                    F.col("value") * F.lit(1_000_000.0) + F.lit(0.5)
+                ).cast("long")
+            ).alias("val_q6"),
         )
     )
     # level 2: the same gap rule over session rows only
@@ -815,7 +839,7 @@ def events_sessionization_incremental(
     return chained.groupBy("user_id", "session_id").agg(
         F.sum("n").cast("long").alias("n_events"),
         F.min("first_us").alias("session_start_us"),
-        (F.sum("val") * 1_000_000).cast("long").alias("total_value_q6"),
+        F.sum("val_q6").cast("long").alias("total_value_q6"),
     )
 
 

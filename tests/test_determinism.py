@@ -225,16 +225,14 @@ def test_no_rounded_transcendentals_in_oracles():
 # - the cosine/Jaccard similarity families (args contain list_reduce/
 #   list_zip/list_intersect): ROUND(…,6) over IEEE-exact dot/sqrt
 #   arithmetic, green in every driver gate run since r01
-# - sim_centroid_by_label: frozen driver-proven gate row (r4 verdict
-#   #9 bans churn in gate rows without a driver signal); convert to
-#   _q12 integers only if a driver run ever reddens it
-# - emb_label_margin_audit: reuses that operator's exact centroid
-#   recipe verbatim (DECIMAL(30,15) sum — order-independent — cast
-#   once to double, one IEEE-exact division, ROUND 12); the margins
-#   built ON the centroids are quantized to q6 integers before any
-#   further aggregation, which is what this invariant exists to check
+# - sim_centroid_by_label: converted to all-integer q12 in round 7
+#   (rotation window) — exemption retired
+# - emb_label_margin_audit: inline exact centroid recipe
+#   (DECIMAL(30,15) sum — order-independent — cast once to double,
+#   one IEEE-exact division, ROUND 12); the margins built ON the
+#   centroids are quantized to q6 integers before any further
+#   aggregation, which is what this invariant exists to check
 _ROUND_AGG_EXEMPT = {
-    "sim_centroid_by_label",
     "emb_label_margin_audit",
     # deterministic-Lloyd centroid means: DECIMAL(30,15) sums are
     # order-independent and exact; divide-by-count + ROUND 12 is the

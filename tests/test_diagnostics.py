@@ -134,27 +134,22 @@ def test_sessionization_value_decimal_ties(spark, tmp_path):
     _gate_compare(spark, sf, "diag_session_values")
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason=(
-        "KNOWN cross-engine divergence, characterized in round 5:"
-        " Spark casts double→decimal via Java's SHORTEST decimal repr"
-        " (BigDecimal.valueOf → Double.toString), so a double whose"
-        " shortest repr is an exact 7-digit tie (123456789.0000005)"
-        " rounds HALF_UP to …000001, while DuckDB rounds the exact"
-        " binary value (…00000049999…) DOWN to …000000. Unreachable"
-        " on the driver's 2-decimal generator at any SF (2dp doubles"
-        " quantize identically), so events_sessionization stays"
-        " FROZEN per the r4 verdict; the hardening — per-row"
-        " FLOOR(value·1e6+0.5) BIGINT sums, value-identical on all"
-        " 2dp data — is queued for after a fresh driver-green row."
-        " If this xfail ever XPASSes, the engines converged and the"
-        " note in SURVEY §6 should be retired."
-    ),
-)
-def test_sessionization_known_shortest_repr_tie_divergence(spark, tmp_path):
+def test_sessionization_shortest_repr_tie_now_hardened(spark, tmp_path):
+    """ROUND-7 FLIP of the long-standing strict xfail. Through the old
+    double→DECIMAL(25,6) value path this exact input DIVERGED: Spark
+    casts via Java's SHORTEST decimal repr (BigDecimal.valueOf →
+    Double.toString), so a double whose shortest repr is an exact
+    7-digit tie (123456789.0000005) rounded HALF_UP to …000001, while
+    DuckDB rounded the exact binary value (…00000049999…) DOWN to
+    …000000 (characterized round 5; unreachable on the driver's
+    2-decimal generator, which is why the row stayed frozen until the
+    rotation window). The round-7 hardening — per-row
+    FLOOR(value·1e6+0.5) BIGINT sums on BOTH engines — computes the
+    identical IEEE product before any rounding, so the former
+    divergence input now hash-matches."""
     sf = _events_dir(spark, tmp_path, [123456789.0000005, 185.22])
     _gate_compare(spark, sf, "diag_session_values")
+    _gate_compare(spark, sf, "events_sessionization")
 
 
 @pytest.fixture()

@@ -358,16 +358,15 @@ def test_gate_order_covers_families_and_is_oracle_paired():
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_simhash_signature",
-        "dedup_cluster_canonical",
+        "dedup_containment",         # r7 rotation (r4-family rep in)
         "dedup_embedding_cosine",
         "text_duplicate_span_census",  # substring-span family
         "connected_components_alternating",
         "sim_bruteforce_topk",
-        "sim_ivf_topk",
         "sim_lsh_verified_pairs",
-        "sim_ivf_recall_floor",
+        "sim_ivf_recall_floor",      # IVF family (sim_ivf_topk rotated out r7)
         "sim_jl_distortion_bound",   # random-projection family
-        "sim_centroid_by_label",
+        "sim_matryoshka_prefix_floor",  # r7 rotation in
         "sim_pq_recall_floor",       # PQ family
         "text_token_count",          # textstats
         "text_lang_id",
@@ -384,6 +383,11 @@ def test_gate_order_covers_families_and_is_oracle_paired():
         "pipeline_corpus_prep",      # pipeline
         "link_customer_supplier_fuzzy",  # linkage
         "text_contamination_bloom",  # bloom
+        # r7 rotation: remaining r4-family representatives in
+        "retrieval_hybrid_rrf_topk",   # retrieval / rank fusion
+        "events_hll_mergeable_rollup",  # mergeable-sketch family
+        "lineitem_profile_approx_floor",  # approx-profile family
+        "q19_disjunctive_revenue",   # disjunctive-predicate pushdown
     ]:
         assert representative in window, representative
     # rows-only queries never burn a gate slot
@@ -695,18 +699,20 @@ def test_semantic_dedup_scores_in_cluster_kernel(spark):
 
 
 def test_semantic_fit_sample_is_corpus_independent(spark):
-    """The semantic-dedup KMeans quantizer must train on a bounded
+    """The semantic-dedup quantizer must train on a bounded
     deterministic sample (the PQ codebook pattern), never the full
     corpus: above the cap the fit input is exactly SEMANTIC_FIT_SAMPLE
     rows picked by vec_id order (reproducible), below it the whole
-    frame — so fit cost is corpus-independent at 100 TB."""
+    frame — so fit cost is corpus-independent at 100 TB. (Since the
+    round-7 backend swap this frame is what the driver-side numpy
+    Lloyd's collects — the bound is also the collect bound.)"""
     from pyspark.sql import functions as F
 
     from almost_any_file_to_pandas_spark.operators import dedup as dd
 
     feats = spark.range(0, 500).select(
         F.col("id").alias("vec_id"),
-        F.array(F.lit(1.0)).alias("features"),
+        F.array(F.lit(1.0)).alias("embedding"),
     )
     cap = dd.SEMANTIC_FIT_SAMPLE
     try:
@@ -716,6 +722,27 @@ def test_semantic_fit_sample_is_corpus_independent(spark):
     finally:
         dd.SEMANTIC_FIT_SAMPLE = cap
     assert cap >= 4 * dd.SEMANTIC_TARGET_CLUSTER_ROWS
+
+
+def test_semantic_parent_equals_fastfit_twin(spark):
+    """Round-7 backend swap pin: `dedup_semantic_clusters` (which now
+    routes its fit through `_semantic_centers` → the driver-side numpy
+    Lloyd's) must emit EXACTLY the pair set of the direct fast-fit
+    twin — any future backend divergence breaks this equality."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    parent = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in qs["dedup_semantic_clusters"](spark, SF_DIR).collect()
+    }
+    twin = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in qs["dedup_semantic_clusters_fastfit"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert parent == twin and len(parent) > 0
 
 
 def test_matryoshka_windows_share_one_exchange(spark):

@@ -273,9 +273,18 @@ def text_bloom_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_missed = exact_docs.join(cand_docs, "doc_id", "left_anti").count()
         design = (1.0 - math.exp(-BLOOM_K * n_bench / m)) ** BLOOM_K
-        fpr = (
-            stats["n_fp"] / stats["n_nonmember"]
-            if stats["n_nonmember"]
+        nn = stats["n_nonmember"]
+        fpr = stats["n_fp"] / nn if nn else 0.0
+        # r6 ADVICE hardening: the oracle pins this boolean TRUE, so a
+        # correct filter must not be falsifiable by honest sampling
+        # noise — on top of the 2× design margin, allow the binomial
+        # 3σ band plus a small-sample absolute slack (10/n). A filter
+        # with broken/biased hashing overshoots by orders of
+        # magnitude, which this still catches; a tiny non-member pool
+        # (degenerate corpora) can no longer trip it.
+        slack = (
+            3.0 * math.sqrt(design * (1.0 - design) / nn) + 10.0 / nn
+            if nn
             else 0.0
         )
         rows.append(
@@ -283,7 +292,7 @@ def text_bloom_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 m,
                 n_exact,
                 n_missed == 0,
-                fpr <= 2.0 * design + 1e-12,
+                fpr <= 2.0 * design + slack + 1e-12,
             )
         )
     return spark.createDataFrame(

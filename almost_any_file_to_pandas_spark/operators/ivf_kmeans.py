@@ -112,6 +112,17 @@ def _argmin_cid(cents_col, vec_col):
     )["cid"]
 
 
+# Data contract for the integer-q12 distance arithmetic: embedding
+# components must satisfy |x| <= Q12_SAFE_ABS. Per-term bound is then
+# (2A)²·1e12 = 2.56e14 and a 256-dim sum < 6.6e16 — three orders of
+# magnitude inside int64 (the driver corpus is |x| < 1, dim 64). The
+# trainer trips a one-time seed-sample check below; out-of-contract
+# embeddings must be rescaled upstream, silently overflowing q12
+# terms would corrupt assignments on BOTH engines identically
+# (r6 ADVICE).
+Q12_SAFE_ABS = 8.0
+
+
 def deterministic_kmeans_centroids(
     spark: SparkSession, emb: DataFrame, k: int
 ) -> DataFrame:
@@ -123,11 +134,28 @@ def deterministic_kmeans_centroids(
     (k × d)-key groupBy. ``localCheckpoint`` per round keeps the plan
     from re-executing prior rounds' assignments (lineage doubles per
     round otherwise) — the frame is k rows, so the checkpoint is free.
+
+    Guards the :data:`Q12_SAFE_ABS` data contract with a one-time
+    check on the seed frame (bounded — a k-row tripwire, not a corpus
+    proof; the contract itself is the documented bound).
     """
     wseed = W.orderBy("vec_id")  # bounded: runs on the ≤k-row seed frame
+    # k-row checkpoint: the contract tripwire and the seed selection
+    # share ONE TakeOrdered pass over the corpus
+    seed = emb.orderBy("vec_id").limit(k).localCheckpoint(eager=True)
+    over = seed.agg(
+        F.max(
+            F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+        ).alias("m")
+    ).first()["m"]
+    if over is not None and over > Q12_SAFE_ABS:
+        raise ValueError(
+            f"embedding components reach |x|={over:.3g} > "
+            f"Q12_SAFE_ABS={Q12_SAFE_ABS}: integer-q12 distance terms "
+            "would overflow int64 — rescale the embeddings upstream"
+        )
     cents = (
-        emb.orderBy("vec_id")
-        .limit(k)
+        seed
         .select(
             (F.row_number().over(wseed) - 1).cast("int").alias("cid"),
             F.col("v").alias("cvec"),

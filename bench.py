@@ -313,6 +313,13 @@ COMPACT = [
     "dedup_containment",
     "dedup_lsh_band_tuning_curve",
     "events_attribution_time_decay",
+    # round-7 appends (r6 verdict #6): one driver-parsed row per
+    # round-6 post-final family (vocab coverage, phrase match, graph
+    # degree histogram) and one SQ8 representative
+    "text_vocab_coverage_curve",
+    "retrieval_phrase_match_topk",
+    "graph_degree_distribution",
+    "sim_sq8_topk",
 ]
 
 
@@ -326,10 +333,17 @@ def _oracle_digest(spark) -> dict:
     This runs the SAME oracle comparison the gate uses (via
     tools/check_oracle.check_one: row count + columns + order-
     insensitive value hash vs DuckDB) at sf0.01 over (a) the 50
-    frozen gate rows, always, and (b) the rest of the registry under
-    a wall-clock budget (default 600s) so the digest can never blow
-    the driver's bench timeout. Any failure is contained: the bench
-    line still prints, carrying gate_pass: -1.
+    gate rows, under a larger hard budget (3× the registry budget —
+    r6 ADVICE: a slow gate query in the driver environment must not
+    blow the driver's bench timeout either; rows past the wall are
+    counted in ``gate_skipped``, never as failures), and (b) the rest
+    of the registry under a wall-clock budget (default 600s). A
+    single HUNG Spark action still cannot be preempted without a
+    watchdog thread — the budgets bound between-query progress, which
+    covers the observed slow-environment class. Any failure is
+    contained: the bench line still prints, carrying gate_pass: -1.
+    Up to 5 failing query names ride the line (``digest_fail_names``)
+    so a red round is self-diagnosing without repo access.
     """
     t0 = time.perf_counter()
     try:
@@ -354,10 +368,15 @@ def _oracle_digest(spark) -> dict:
         # the budget truncates the sweep
         rest.sort(key=lambda n: (not n.startswith("diag_"),))
         gate_pass = gate_fail = reg_pass = reg_fail = reg_skip = 0
+        gate_skip = 0
         fails: list[str] = []
         for i, name in enumerate(gate + rest):
             in_gate = i < len(gate)
-            if not in_gate and time.perf_counter() - t0 > budget:
+            elapsed = time.perf_counter() - t0
+            if in_gate and elapsed > 3 * budget:
+                gate_skip += 1
+                continue
+            if not in_gate and elapsed > budget:
                 reg_skip += 1
                 continue
             status, detail = co.check_one(
@@ -381,10 +400,15 @@ def _oracle_digest(spark) -> dict:
             "registry_fail": gate_fail + reg_fail,
             "digest_sec": round(time.perf_counter() - t0, 1),
         }
+        if gate_skip:
+            out["gate_skipped"] = gate_skip
         if reg_skip:
             out["registry_skipped"] = reg_skip
         if fails:
-            out["digest_fails"] = fails[:3]
+            # name up to 5 failing keys (r6 verdict #4) — short names,
+            # bounded total; the compact-line trimmer never drops
+            # digest fields, it pops per-query timing rows instead
+            out["digest_fail_names"] = [n[:48] for n in fails[:5]]
         return out
     except Exception as exc:  # noqa: BLE001 — digest must never kill bench
         print(f"# digest error: {exc}", file=sys.stderr)

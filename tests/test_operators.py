@@ -36,8 +36,53 @@ def test_multimodal_binary_layout(spark):
 def test_decode_image_stub_raises():
     from almost_any_file_to_pandas_spark.operators.multimodal import decode_image
 
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present: the non-BMP gate does not raise")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG fake")
+
+
+def _make_bmp(width: int, height: int, bpp: int = 24) -> bytes:
+    """Hand-assemble a minimal uncompressed BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + zeroed pixel rows, 4-byte row padding) — the
+    stdlib-producible fixture the real decode arm is verified on."""
+    import struct
+
+    row = (width * (bpp // 8) + 3) & ~3
+    pixels = b"\x00" * (row * abs(height))
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, 0,
+        len(pixels), 2835, 2835, 0, 0,
+    )
+    head = struct.pack(
+        "<2sIHHI", b"BM", 14 + len(info) + len(pixels), 0, 0,
+        14 + len(info),
+    )
+    return head + info + pixels
+
+
+def test_decode_image_real_bmp_roundtrip():
+    """The decode arm parses REAL bytes (r6 verdict #5): a hand-built
+    uncompressed BMP round-trips through decode_image — bottom-up
+    24-bit, top-down (negative height) 32-bit, and 8-bit grayscale —
+    and a compressed BMP still routes to the Pillow gate."""
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    assert decode_image(_make_bmp(3, 2, 24)) == (3, 2, "RGB")
+    assert decode_image(_make_bmp(5, -4, 32)) == (5, 4, "RGBA")
+    assert decode_image(_make_bmp(7, 1, 8)) == (7, 1, "L")
+    import struct
+
+    rle = bytearray(_make_bmp(3, 2, 8))
+    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(rle))
 
 
 def test_pairs_within_buckets_expansion(spark):
@@ -1106,10 +1151,13 @@ def test_ivf_kmeans_nprobe_curve_monotone(spark):
     """Learned-quantizer twin of the sign-bit curve test: probe sets
     nest (probe_rank ≤ 1 ⊂ 2 ⊂ 4 ⊂ 8 by construction), so candidate
     pools nest and recall is non-decreasing in nprobe against the
-    fixed exact denominator; every point stays in [0, 1e6]. Also pins
-    the learned quantizer's headline claim: its recall at every probe
-    depth is ≥ the sign-bit quantizer's at the same depth on this
-    corpus (the reason k-means lists are the 100 TB recommendation)."""
+    fixed exact denominator; every point stays in [0, 1e6]. The
+    cross-quantizer comparison (k-means ≥ sign-bit — the reason
+    k-means lists are the 100 TB recommendation) is a
+    DISTRIBUTION-SPECIFIC expectation, not an invariant (r6 ADVICE:
+    a reseeded corpus could flake a per-depth pin), so it is checked
+    in AGGREGATE across the curve (measured per-depth margins on this
+    snapshot: 0.86–0.98 vs 0.20–0.80 — far from the boundary)."""
     from almost_any_file_to_pandas_spark.operators.ivf_kmeans import (
         sim_ivf_kmeans_nprobe_curve,
     )
@@ -1135,8 +1183,10 @@ def test_ivf_kmeans_nprobe_curve_monotone(spark):
             spark, "/root/testdata/sf0.001"
         ).collect()
     }
-    for r in rows:
-        assert r.recall_q6 >= signbit[r.nprobe]
+    # aggregate dominance only — per-depth would pin a data accident
+    assert sum(r.recall_q6 for r in rows) >= sum(
+        signbit[r.nprobe] for r in rows
+    )
 
 
 def test_lsh_band_curve_candidates_nest(spark):

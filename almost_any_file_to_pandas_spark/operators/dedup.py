@@ -2836,3 +2836,133 @@ def dedup_cross_source_matrix(
         F.count("*").cast("long").alias("n_pairs"),
         F.sum("j_q6").cast("long").alias("sum_jaccard_q6"),
     )
+
+
+# Content-defined chunking: a chunk boundary closes after word i when
+# the md5 of the 3-word window ending at i starts with this prefix —
+# P(boundary) = 1/16, expected chunk ≈ 16 words. Content-defined (not
+# fixed-size) boundaries are what makes chunk dedup INSERTION-STABLE:
+# editing one word reshuffles every fixed-size chunk after it, but
+# only the ≤3 windows overlapping the edit here.
+CDC_BOUNDARY_PREFIX = "0"
+CDC_WINDOW = 3
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, u.pos - 1 AS pos, u.w
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents) d,
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS pos,
+                           unnest(ws) AS w) u
+    ), flagged AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN pos >= {CDC_WINDOW - 1}
+                  AND substr(md5(
+                        LAG(w, 2) OVER dw || ' ' ||
+                        LAG(w, 1) OVER dw || ' ' || w), 1, 1)
+                      = '{CDC_BOUNDARY_PREFIX}'
+                  THEN 1 ELSE 0 END AS b
+      FROM words
+      WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+    ), chunked AS (
+      SELECT doc_id, pos, w,
+             COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_id
+      FROM flagged
+    ), chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS fp,
+             length(string_agg(w, ' ' ORDER BY pos)) AS chars
+      FROM chunked GROUP BY doc_id, chunk_id
+    ), per_fp AS (
+      SELECT fp, COUNT(*) AS cnt, MIN(chars) AS chars
+      FROM chunks GROUP BY fp
+    )
+    SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+           CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS dup_copies,
+           CAST(COALESCE(SUM((cnt - 1) * chars), 0) AS BIGINT)
+             AS dup_chars
+    FROM per_fp
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup census — the STORAGE-dedup
+    pattern (LBFS/restic/borg style) restated on token streams: a
+    rolling content hash places chunk boundaries (md5 of the 3-word
+    window; P=1/16 per position → ~16-word chunks), every chunk is
+    fingerprinted, and the census reports how many chunk COPIES a
+    chunk-store would never have to keep twice. Against doc-level
+    dedup this catches PARTIAL overlap (boilerplate headers, quoted
+    paragraphs) that whole-doc fingerprints miss, and unlike
+    fixed-size chunking it is insertion-stable — an edit disturbs
+    only the windows overlapping it.
+
+    Plan: ONE doc-keyed shuffle carries the whole chunking (the
+    sessionization gaps-and-islands shape on token position: lag
+    window for the rolling hash, prefix-sum window for chunk ids —
+    both share the (doc_id, pos) sort), then chunk texts assemble in
+    the same aggregate and only (fp, chars) — never chunk text —
+    enters the corpus-wide fingerprint shuffle. At 100 TB both
+    shuffles are linear in tokens/chunks with map-side combine; no
+    pairwise anything.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ", -1)).alias("pos", "w"),
+    )
+    dw = W.partitionBy("doc_id").orderBy("pos")
+    shingle = F.concat_ws(
+        " ", F.lag("w", 2).over(dw), F.lag("w", 1).over(dw), F.col("w")
+    )
+    flagged = words.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.when(
+            (F.col("pos") >= CDC_WINDOW - 1)
+            & F.md5(shingle).startswith(CDC_BOUNDARY_PREFIX),
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    chunked = flagged.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.coalesce(
+            F.sum("b").over(dw.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("chunk_id"),
+    )
+    chunk_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))),
+            lambda s: s["w"],
+        ),
+        " ",
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(chunk_text).alias("fp"),
+        F.length(chunk_text).alias("chars"),
+    )
+    per_fp = chunks.groupBy("fp").agg(
+        F.count("*").alias("cnt"), F.min("chars").alias("chars")
+    )
+    return per_fp.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("n_unique_chunks"),
+        F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0))
+        .cast("long")
+        .alias("dup_copies"),
+        F.coalesce(F.sum((F.col("cnt") - 1) * F.col("chars")), F.lit(0))
+        .cast("long")
+        .alias("dup_chars"),
+    )

@@ -959,3 +959,82 @@ def pipeline_stratified_quota_sample(
         .filter(F.col("pick_rank") <= QUOTA_PER_SOURCE)
         .select("doc_id", "source", F.col("pick_rank").cast("long"))
     )
+
+
+GLOBAL_SHUFFLE_SHARDS = 16  # one shard per leading md5 hex digit
+
+
+@register(
+    "pipeline_global_shuffle_shards",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, source, length(text) AS chars,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+      FROM documents
+    ), per_shard AS (
+      SELECT shard,
+             COUNT(*) AS n_docs,
+             CAST(COALESCE(SUM(chars), 0) AS BIGINT) AS n_chars,
+             COUNT(DISTINCT source) AS n_sources
+      FROM assigned GROUP BY shard
+    ), tot AS (SELECT COALESCE(SUM(n_docs), 0) AS total FROM per_shard)
+    SELECT shard,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           n_chars,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           -- HUGEINT-widened product: n_docs*16e6 overflows int64 past
+           -- ~5.7e11 docs (the r6-review bucket-balance overflow class)
+           CAST(CAST(n_docs AS HUGEINT) * 1000000
+                * {GLOBAL_SHUFFLE_SHARDS} // t.total
+                AS BIGINT) AS load_factor_q6
+    FROM per_shard, tot t
+    """,
+)
+def pipeline_global_shuffle_shards(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DETERMINISTIC global training shuffle: every document gets a
+    pseudo-random but REPRODUCIBLE position — order key
+    ``md5(doc_id)``, shard = its leading hex digit
+    ({GLOBAL_SHUFFLE_SHARDS} shards) — and the census verifies what a
+    trainer needs from a shuffle: near-uniform shard loads
+    (``load_factor_q6`` ≈ 1e6) and source mixing inside every shard
+    (``n_sources``). Hash-ordering instead of ``rand()`` is the
+    production trick that makes the epoch order stable across reruns,
+    resumable mid-epoch, and independent of partition layout — the
+    same discipline as the engine's other no-RNG sampling rows.
+
+    Plan: one narrow projection (hash + length — JVM md5, no Python),
+    one {GLOBAL_SHUFFLE_SHARDS}-group aggregate with map-side
+    combine, and the total folded back as a broadcast scalar. The
+    shard WRITE this prices is ``repartition(shard).write`` — at
+    100 TB the only full-data movement is that single shuffle, and
+    the census is how you check it before paying for it.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "source",
+        F.length("text").alias("chars"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias(
+            "shard"
+        ),
+    )
+    per_shard = assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("chars"), F.lit(0)).cast("long").alias("n_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    tot = per_shard.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("total")
+    )
+    return per_shard.crossJoin(F.broadcast(tot)).selectExpr(
+        "shard",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "n_chars",
+        "n_sources",
+        # DECIMAL(38,0)-widened product (see oracle's HUGEINT note)
+        f"CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000"
+        f" * {GLOBAL_SHUFFLE_SHARDS} div total"
+        " AS BIGINT) AS load_factor_q6",
+    )

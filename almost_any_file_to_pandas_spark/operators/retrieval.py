@@ -540,3 +540,85 @@ def retrieval_phrase_match_topk(
     return top.withColumn(
         "rnk", F.row_number().over(w).cast("long")
     )
+
+
+@register(
+    "retrieval_phrase_index_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             CAST(len(list_filter(
+               range(1, greatest(len(w), 1)),
+               i -> w[i] = '{PHRASE_QUERY.split()[0]}'
+                    AND w[i+1] = '{PHRASE_QUERY.split()[1]}'
+             )) AS BIGINT) AS n_matches
+      FROM base
+    )
+    SELECT doc_id, n_matches,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_matches DESC, doc_id)
+                AS BIGINT) AS rnk
+    FROM scored WHERE n_matches > 0
+    QUALIFY ROW_NUMBER() OVER (ORDER BY n_matches DESC, doc_id)
+            <= {PHRASE_TOP_K}
+    """,
+)
+def retrieval_phrase_index_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Phrase retrieval through a POSITIONAL POSTINGS INDEX — the
+    many-query path the scan-speed twin's docstring names as the next
+    step (``retrieval_phrase_match_topk``): tokenize once into
+    ``(term, doc_id, pos)`` postings, keep ONLY the query's terms
+    (the filter reaches the tokenize stage, so at 100 TB the shuffled
+    volume is the postings of |phrase| terms, not the corpus), then
+    resolve the phrase as an equi-join of consecutive-term postings
+    on ``(doc_id, pos+1)`` and count aligned starts per document.
+
+    Semantics note (documented, test-pinned): the index counts
+    TOKEN-ALIGNED occurrences, so back-to-back repeats
+    ('t v t v' → 2) each count, whereas the scan twin's padded
+    replace-arithmetic collapses adjacent repeats sharing a boundary
+    space ('t v t v' → 1). Both are consistent conventions; each row
+    carries its own oracle restating its own rule.
+
+    Plan: one tokenize+filter projection per phrase term position
+    (shared scan), ONE shuffled equi-join on (doc_id, pos) between
+    term-0 and term-1 postings — both sides already pruned to single
+    terms — a doc-keyed count, and TakeOrderedAndProject for the
+    global top-{PHRASE_TOP_K}. In a served deployment the postings
+    frame is a bucketed table written once (bucketBy(doc_id)), making
+    the phrase join co-partitioned and shuffle-free per query; the
+    in-query build here prices exactly that reuse decision.
+    """
+    apply_engine_conf(spark)
+    terms = PHRASE_QUERY.split()
+    docs = table_wide(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ", -1)).alias(
+            "pos", "term"
+        ),
+    ).filter(F.col("term").isin(terms))
+    t0 = postings.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    t1 = postings.filter(F.col("term") == terms[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("p0")
+    )
+    scored = (
+        t0.join(t1, ["doc_id", "p0"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+    )
+    top = scored.orderBy(F.desc("n_matches"), F.asc("doc_id")).limit(
+        PHRASE_TOP_K
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("n_matches"), F.asc("doc_id"))
+    # rank window runs on the ≤ top-k rows, never the corpus
+    return top.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    )

@@ -262,6 +262,12 @@ HEADLINE = [
     "text_vocab_coverage_curve",
     "retrieval_phrase_match_topk",
     "graph_degree_distribution",
+    # round-7 additions: positional phrase index, distributed real BMP
+    # decode census, CDC chunk dedup, deterministic shuffle shards
+    "retrieval_phrase_index_topk",
+    "mm_bmp_decode_census",
+    "dedup_cdc_chunks",
+    "pipeline_global_shuffle_shards",
 ]
 
 # One representative per operator family, printed in the final

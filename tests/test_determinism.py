@@ -87,6 +87,8 @@ QUERIES_UNDER_TEST = [
     "graph_kcore_trajectory",
     # rank-picked in-bucket kNN edges + reciprocal join
     "sim_mutual_knn_pairs",
+    # round-7: postings-join phrase top-k (LIMIT-cut value class)
+    "retrieval_phrase_index_topk",
     # collected domain-sized chain + driver bigint value iteration
     "events_attribution_removal",
     # per-user sequential token-bucket kernel (applyInPandas)

@@ -47,22 +47,14 @@ def test_decode_image_stub_raises():
 
 
 def _make_bmp(width: int, height: int, bpp: int = 24) -> bytes:
-    """Hand-assemble a minimal uncompressed BMP (BITMAPFILEHEADER +
-    BITMAPINFOHEADER + zeroed pixel rows, 4-byte row padding) — the
-    stdlib-producible fixture the real decode arm is verified on."""
-    import struct
+    """Stdlib-producible BMP fixture — delegates to the engine's own
+    synthesizer so the test decodes EXACTLY the bytes
+    mm_bmp_decode_census manufactures distributed."""
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        synth_bmp,
+    )
 
-    row = (width * (bpp // 8) + 3) & ~3
-    pixels = b"\x00" * (row * abs(height))
-    info = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, bpp, 0,
-        len(pixels), 2835, 2835, 0, 0,
-    )
-    head = struct.pack(
-        "<2sIHHI", b"BM", 14 + len(info) + len(pixels), 0, 0,
-        14 + len(info),
-    )
-    return head + info + pixels
+    return synth_bmp(width, height, bpp)
 
 
 def test_decode_image_real_bmp_roundtrip():
@@ -1986,3 +1978,42 @@ def test_quality_threshold_curve_hand_fixture(spark, tmp_path):
     }
     for t in (100_000, 200_000, 300_000, 400_000, 500_000):
         assert rows[t] == (1, 4, 500_000, 444_444)
+
+
+def test_phrase_index_token_aligned_vs_scan_convention(spark, tmp_path):
+    """Pins the DOCUMENTED convention split between the two phrase
+    rows: the positional index counts token-aligned starts (adjacent
+    repeats each count), the scan twin's padded replace-arithmetic
+    collapses adjacent repeats sharing a boundary space. On text with
+    no adjacent repeats the two agree exactly."""
+    from almost_any_file_to_pandas_spark.operators.retrieval import (
+        retrieval_phrase_index_topk,
+        retrieval_phrase_match_topk,
+    )
+
+    rows = [
+        # adjacent repeat: index counts 2, scan collapses to 1
+        (1, "table value table value", "en", "web", 0),
+        # separated repeats: both count 2
+        (2, "table value x table value", "en", "web", 0),
+        # no match (order reversed)
+        (3, "value table", "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf = str(tmp_path)
+    idx = {
+        r["doc_id"]: r["n_matches"]
+        for r in retrieval_phrase_index_topk(spark, sf).collect()
+    }
+    scan = {
+        r["doc_id"]: r["n_matches"]
+        for r in retrieval_phrase_match_topk(spark, sf).collect()
+    }
+    assert idx == {1: 2, 2: 2}
+    assert scan == {1: 1, 2: 2}

@@ -218,3 +218,133 @@ def link_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("bal"), 2).alias("max_bal"),
     )
+
+
+# Blocking-key candidates for the tuning curve: nation alone, then
+# nation + name-suffix of growing width. Suffix predicates NEST
+# (right(n,3) equal ⇒ right(n,2) equal ⇒ right(n,1) equal), so
+# candidate sets shrink monotonically as the key widens — the LSH
+# band-curve structure restated for record linkage.
+LINK_BLOCK_SUFFIXES = (0, 1, 2, 3)
+
+
+@register(
+    "link_blocking_tuning_curve",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT right(c.c_name, 1) = right(s.s_name, 1) AS m1,
+             right(c.c_name, 2) = right(s.s_name, 2) AS m2,
+             right(c.c_name, 3) = right(s.s_name, 3) AS m3,
+             levenshtein(c.c_name, s.s_name) <= {LINK_MAX_DIST} AS hit
+      FROM customer c JOIN supplier s
+        ON c.c_nationkey = s.s_nationkey
+    ), folded AS (
+      -- COUNT(*) FILTER, not SUM(CASE): on an EMPTY pair stream SUM
+      -- is NULL while Spark's count_if is 0 — COUNT FILTER matches
+      SELECT COUNT(*) AS c0,
+             COUNT(*) FILTER (WHERE m1) AS c1,
+             COUNT(*) FILTER (WHERE m2) AS c2,
+             COUNT(*) FILTER (WHERE m3) AS c3,
+             COUNT(*) FILTER (WHERE hit) AS h0,
+             COUNT(*) FILTER (WHERE hit AND m1) AS h1,
+             COUNT(*) FILTER (WHERE hit AND m2) AS h2,
+             COUNT(*) FILTER (WHERE hit AND m3) AS h3
+      FROM pairs
+    )
+    SELECT v.sfx_len,
+           CAST(CASE v.sfx_len WHEN 0 THEN c0 WHEN 1 THEN c1
+                WHEN 2 THEN c2 ELSE c3 END AS BIGINT) AS n_candidates,
+           CAST(CASE v.sfx_len WHEN 0 THEN h0 WHEN 1 THEN h1
+                WHEN 2 THEN h2 ELSE h3 END AS BIGINT) AS n_matches,
+           CAST(CASE WHEN h0 = 0 THEN 1000000 ELSE
+                CAST(CASE v.sfx_len WHEN 0 THEN h0 WHEN 1 THEN h1
+                     WHEN 2 THEN h2 ELSE h3 END AS HUGEINT)
+                * 1000000 // h0 END AS BIGINT) AS recall_q6,
+           CAST(CASE WHEN c0 = 0 THEN 0 ELSE
+                CAST(CASE v.sfx_len WHEN 0 THEN c0 WHEN 1 THEN c1
+                     WHEN 2 THEN c2 ELSE c3 END AS HUGEINT)
+                * 1000000 // c0 END AS BIGINT) AS candidate_share_q6
+    FROM folded,
+         (VALUES {', '.join(f'({v})' for v in LINK_BLOCK_SUFFIXES)})
+         v(sfx_len)
+    """,
+)
+def link_blocking_tuning_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BLOCKING-KEY tuning curve for record linkage — the knob every
+    entity-resolution pipeline has to price: a coarser block keeps
+    recall but pays quadratic candidate volume; a stricter block cuts
+    candidates but can drop true matches. One row per candidate key
+    (nation alone, then nation + name-suffix width 1/2/3): candidate
+    count, true matches surviving the block, recall vs the
+    within-nation truth (sfx_len 0 — the coarsest key IS the truth
+    denominator), and candidate volume relative to it. The production
+    key (`link_customer_supplier_fuzzy` uses suffix-2) is priced in
+    context instead of assumed.
+
+    Plan: ONE broadcast nation-block join and ONE aggregate — all
+    four configs fold as conditional sums over the same pair stream
+    (the suffix predicates nest, so no per-config join exists even
+    conceptually); the 4-point frame assembles by broadcast from the
+    1-row fold. The nation-block pair stream is the measurement cost
+    (it IS the truth set — the dedup-curve pattern): at 100 TB this
+    tuning row runs on an entity sample, and only the chosen key's
+    production join runs corpus-wide.
+    """
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_name", "c_nationkey"
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_name", "s_nationkey"
+    )
+    pairs = cust.join(
+        F.broadcast(supp), F.col("c_nationkey") == F.col("s_nationkey")
+    ).select(
+        (
+            F.expr("right(c_name, 1)") == F.expr("right(s_name, 1)")
+        ).alias("m1"),
+        (
+            F.expr("right(c_name, 2)") == F.expr("right(s_name, 2)")
+        ).alias("m2"),
+        (
+            F.expr("right(c_name, 3)") == F.expr("right(s_name, 3)")
+        ).alias("m3"),
+        (
+            F.levenshtein(F.col("c_name"), F.col("s_name"))
+            <= LINK_MAX_DIST
+        ).alias("hit"),
+    )
+    folded = pairs.agg(
+        F.count("*").alias("c0"),
+        F.count_if(F.col("m1")).alias("c1"),
+        F.count_if(F.col("m2")).alias("c2"),
+        F.count_if(F.col("m3")).alias("c3"),
+        F.count_if(F.col("hit")).alias("h0"),
+        F.count_if(F.col("hit") & F.col("m1")).alias("h1"),
+        F.count_if(F.col("hit") & F.col("m2")).alias("h2"),
+        F.count_if(F.col("hit") & F.col("m3")).alias("h3"),
+    )
+    sizes = spark.createDataFrame(
+        [(v,) for v in LINK_BLOCK_SUFFIXES], "sfx_len int"
+    )
+    cand = (
+        "CASE sfx_len WHEN 0 THEN c0 WHEN 1 THEN c1"
+        " WHEN 2 THEN c2 ELSE c3 END"
+    )
+    hits = (
+        "CASE sfx_len WHEN 0 THEN h0 WHEN 1 THEN h1"
+        " WHEN 2 THEN h2 ELSE h3 END"
+    )
+    return sizes.crossJoin(F.broadcast(folded)).selectExpr(
+        "sfx_len",
+        f"CAST({cand} AS BIGINT) AS n_candidates",
+        f"CAST({hits} AS BIGINT) AS n_matches",
+        "CAST(CASE WHEN h0 = 0 THEN 1000000 ELSE"
+        f" CAST({hits} AS DECIMAL(38,0)) * 1000000 div h0 END"
+        " AS BIGINT) AS recall_q6",
+        "CAST(CASE WHEN c0 = 0 THEN 0 ELSE"
+        f" CAST({cand} AS DECIMAL(38,0)) * 1000000 div c0 END"
+        " AS BIGINT) AS candidate_share_q6",
+    )

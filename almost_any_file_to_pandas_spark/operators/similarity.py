@@ -2041,3 +2041,67 @@ def emb_label_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("n_misassigned"),
     )
+
+
+DELETE_MOD_SLOT = 3  # vec_id % ARRIVAL_MOD == 3 plays the deleted set
+
+
+@register(
+    "sim_ivf_delete_compact",
+    oracle=f"""
+    WITH scanned AS (
+      SELECT {_ivf_bucket_sql('embedding')} AS bucket,
+             CASE WHEN vec_id % {ARRIVAL_MOD} = {DELETE_MOD_SLOT}
+                  THEN 1 ELSE 0 END AS tomb
+      FROM embeddings
+    )
+    SELECT bucket,
+           COUNT(*) AS n_total,
+           CAST(SUM(tomb) AS BIGINT) AS n_tombstones,
+           CAST(COUNT(*) - SUM(tomb) AS BIGINT) AS n_live,
+           CAST(CAST(SUM(tomb) AS HUGEINT) * 1000000 // COUNT(*)
+                AS BIGINT) AS tombstone_q6
+    FROM scanned GROUP BY bucket
+    """,
+)
+def sim_ivf_delete_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The third leg of the ANN index lifecycle (build →
+    ``sim_ivf_incremental_assign`` arrivals → DELETIONS): serving
+    indexes soft-delete with tombstones and compact a posting list
+    only when its tombstone share crosses a threshold — scanning
+    tombstoned codes wastes probe time, but rewriting a list costs a
+    pass over it. This census is the compaction SCHEDULER's input:
+    per coarse bucket, live vs tombstoned counts and the integer
+    tombstone share, so the operator compacts exactly the lists where
+    tombstone_q6 exceeds policy instead of rewriting the index.
+
+    Plan: ONE narrow scan (bucket expression + pushed-down tombstone
+    flag — here a deterministic vec_id slot standing in for the
+    delete log), one ≤2^IVF_BITS-group aggregate with map-side
+    combine; no join at all (the incremental twin needs one only
+    because its two sides census separately). At 100 TB a real
+    deployment joins the delete log instead of the modular flag —
+    same single-aggregate shape with a broadcast of the log's
+    bucket-level counts.
+    """
+    apply_engine_conf(spark)
+    emb = table_wide(spark, sf_dir, "embeddings")
+    bucket = _ivf_bucket_expr(F.col("embedding"))
+    tomb = F.when(
+        F.col("vec_id") % ARRIVAL_MOD == DELETE_MOD_SLOT, 1
+    ).otherwise(0)
+    return (
+        emb.select(bucket.alias("bucket"), tomb.alias("tomb"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("tomb").cast("long").alias("n_tombstones"),
+            (F.count("*") - F.sum("tomb")).cast("long").alias("n_live"),
+            F.expr(
+                "CAST(CAST(SUM(tomb) AS DECIMAL(38,0)) * 1000000"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("tombstone_q6"),
+        )
+    )

@@ -5318,3 +5318,96 @@ def customer_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_revenue_cents"
         ),
     )
+
+
+# Candidate bucket counts for the physical-design advisor: one shard
+# per leading md5 hex digit (16) and per two digits (256) — string
+# prefixes keep the bucket key portable across engines (no hex->int
+# parsing divergence risk).
+BUCKET_ADVISOR_PREFIXES = (1, 2)
+
+
+@register(
+    "lineitem_bucket_advisor",
+    oracle="""
+    WITH fine AS (
+      SELECT substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) AS b2,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY b2
+    ), levels AS (
+      SELECT 16 AS n_buckets, substr(b2, 1, 1) AS bucket, SUM(n) AS n
+      FROM fine GROUP BY 2
+      UNION ALL
+      SELECT 256, b2, n FROM fine
+    ), tot AS (SELECT COALESCE(SUM(n), 0) AS total FROM fine)
+    SELECT CAST(l.n_buckets AS BIGINT) AS n_buckets,
+           CAST(COUNT(*) AS BIGINT) AS n_nonempty,
+           CAST(MAX(l.n) AS BIGINT) AS max_bucket_rows,
+           CAST(MIN(l.n) AS BIGINT) AS min_bucket_rows,
+           -- skew = max bucket load vs the uniform ideal, q6
+           -- (HUGEINT-widened; 1e6 = perfectly uniform)
+           CAST(CAST(MAX(l.n) AS HUGEINT) * 1000000 * l.n_buckets
+                // MAX(t.total) AS BIGINT) AS max_load_q6
+    FROM levels l, tot t
+    GROUP BY l.n_buckets
+    """,
+)
+def lineitem_bucket_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHYSICAL-DESIGN advisor for bucketed tables: before paying for
+    ``df.write.bucketBy(n, "l_orderkey")`` — the layout that makes
+    every subsequent orders⋈lineitem join shuffle-free — this row
+    prices the candidate bucket counts on the REAL key distribution:
+    non-empty buckets, min/max bucket loads, and ``max_load_q6``
+    (largest bucket vs the uniform ideal; 1e6 = perfectly uniform).
+    A key whose max_load_q6 explodes at every width is a skewed join
+    key that bucketing cannot fix (salt it instead); a flat curve
+    says pick the width matching executor memory. The md5-prefix
+    bucket key is the portable stand-in for Spark's bucketing hash —
+    the DISTRIBUTION verdict (uniform vs skewed) is hash-invariant.
+
+    Plan: ONE corpus shuffle to the FINEST level (256 groups,
+    map-side combined — at 100 TB this is a full-scan count, the
+    cheapest statement of the question), then the coarser level
+    derives by PREFIX ROLLUP of the 256-row frame — never a second
+    scan; the totals fold back as a broadcast scalar.
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    fine = (
+        li.select(
+            F.substring(
+                F.md5(F.col("l_orderkey").cast("string")), 1, 2
+            ).alias("b2")
+        )
+        .groupBy("b2")
+        .agg(F.count("*").alias("n"))
+        # 256-row frame: materialize once for both levels + the total
+        .localCheckpoint(eager=True)
+    )
+    coarse = fine.groupBy(
+        F.substring(F.col("b2"), 1, 1).alias("bucket")
+    ).agg(F.sum("n").alias("n"))
+    levels = coarse.select(
+        F.lit(16).alias("n_buckets"), "n"
+    ).unionByName(fine.select(F.lit(256).alias("n_buckets"), "n"))
+    tot = fine.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("total"))
+    return (
+        levels.crossJoin(F.broadcast(tot))
+        .groupBy("n_buckets")
+        .agg(
+            F.count("*").cast("long").alias("n_nonempty"),
+            F.max("n").cast("long").alias("max_bucket_rows"),
+            F.min("n").cast("long").alias("min_bucket_rows"),
+            F.expr(
+                "CAST(CAST(MAX(n) AS DECIMAL(38,0)) * 1000000"
+                " * n_buckets div MAX(total) AS BIGINT)"
+            ).alias("max_load_q6"),
+        )
+        .select(
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            "n_nonempty",
+            "max_bucket_rows",
+            "min_bucket_rows",
+            "max_load_q6",
+        )
+    )

@@ -268,6 +268,11 @@ HEADLINE = [
     "mm_bmp_decode_census",
     "dedup_cdc_chunks",
     "pipeline_global_shuffle_shards",
+    # index lifecycle (delete/compact), bucketed-layout advisor,
+    # linkage blocking knob curve
+    "sim_ivf_delete_compact",
+    "lineitem_bucket_advisor",
+    "link_blocking_tuning_curve",
 ]
 
 # One representative per operator family, printed in the final

@@ -794,40 +794,18 @@ EMB_COSINE_PAIRS_ORACLE = f"""
     """
 
 
-@register("dedup_embedding_cosine", oracle=EMB_COSINE_PAIRS_ORACLE)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by embedding cosine ≥ threshold — the exact
-    all-pairs baseline of the embedding-dedup family, as a fully
-    distributed *grid* block nested loop: no driver collect, no
-    broadcast of the corpus, bounded per-task memory.
-
-    Shape (the classic theta-join grid): every vector gets a block id
-    ``blk = vec_id mod NB`` and is replicated to the NB grid cells
-    ``(min(blk, j), max(blk, j))`` — one shuffle of NB·n compact rows
-    keyed by cell. Each cell scores its two blocks against each other
-    in ONE numpy kernel (``applyInPandas``); a pair (x, y) is computed
-    exactly once, in the single cell owning both blocks. Per-task
-    memory is (n/NB)² doubles, tuned by NB — at 100× data, raise NB
-    ~linearly and cell size stays constant while cells (= tasks) grow
-    quadratically, which is the honest cost of an exact O(n²) operator
-    spread across the cluster instead of one driver.
-
-    Inside the kernel the accumulation loops over *dimensions* and
-    vectorizes over *pairs*: ``acc += A[:, i] ⊗ B[:, i]`` per dim —
-    each pair's double adds happen in the identical sequential order
-    as the SQL ``list_reduce`` fold, so results are bit-for-bit equal
-    to the DuckDB oracle (rounding applied Spark-side for HALF_UP).
-
-    Scale contract: brute force is O(n²) by definition — this is the
-    correctness anchor for the bucketed variants (sim_lsh /
-    sim_ivf_topk, the 100 TB candidate paths).
-    """
-    apply_engine_conf(spark)
+def _cosine_pair_stream(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """The grid block-NL cosine pair kernel behind
+    :func:`dedup_embedding_cosine`, parameterized by threshold so the
+    threshold-sweep curve can reuse the identical machinery at its
+    loosest cut (see that function's docstring for the shape/parity
+    argument)."""
     emb = table_wide(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     nb = EMB_GRID_BLOCKS
-    threshold = EMBEDDING_DUP_THRESHOLD
 
     cells = (
         emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(nb)))
@@ -897,6 +875,156 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         _score_cell, schema="vec_a bigint, vec_b bigint, _cos double"
     )
     return pairs.select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))
+
+
+@register("dedup_embedding_cosine", oracle=EMB_COSINE_PAIRS_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold — the exact
+    all-pairs baseline of the embedding-dedup family, as a fully
+    distributed *grid* block nested loop: no driver collect, no
+    broadcast of the corpus, bounded per-task memory.
+
+    Shape (the classic theta-join grid): every vector gets a block id
+    ``blk = vec_id mod NB`` and is replicated to the NB grid cells
+    ``(min(blk, j), max(blk, j))`` — one shuffle of NB·n compact rows
+    keyed by cell. Each cell scores its two blocks against each other
+    in ONE numpy kernel (``applyInPandas``); a pair (x, y) is computed
+    exactly once, in the single cell owning both blocks. Per-task
+    memory is (n/NB)² doubles, tuned by NB — at 100× data, raise NB
+    ~linearly and cell size stays constant while cells (= tasks) grow
+    quadratically, which is the honest cost of an exact O(n²) operator
+    spread across the cluster instead of one driver.
+
+    Inside the kernel the accumulation loops over *dimensions* and
+    vectorizes over *pairs*: ``acc += A[:, i] ⊗ B[:, i]`` per dim —
+    each pair's double adds happen in the identical sequential order
+    as the SQL ``list_reduce`` fold, so results are bit-for-bit equal
+    to the DuckDB oracle (rounding applied Spark-side for HALF_UP).
+
+    Scale contract: brute force is O(n²) by definition — this is the
+    correctness anchor for the bucketed variants (sim_lsh /
+    sim_ivf_topk, the 100 TB candidate paths).
+    """
+    apply_engine_conf(spark)
+    return _cosine_pair_stream(spark, sf_dir, EMBEDDING_DUP_THRESHOLD)
+
+
+COSINE_CURVE_PCTS = (30, 35, 40, 45)  # sweep floor 0.30 ≤ dup cut 0.45
+
+
+def _cosine_curve_oracle() -> str:
+    lo = min(COSINE_CURVE_PCTS) / 100.0
+    np_cols = ", ".join(
+        f"COUNT(*) FILTER (WHERE cosine >= {p} / 100.0) AS np_{p}"
+        for p in COSINE_CURVE_PCTS
+    )
+    nd_cols = ", ".join(
+        f"COUNT(*) FILTER (WHERE m >= {p} / 100.0) AS nd_{p}"
+        for p in COSINE_CURVE_PCTS
+    )
+    arms = "\n      UNION ALL ".join(
+        f"SELECT {p} AS threshold_pct, np_{p} AS n_pairs, "
+        f"nd_{p} AS n_dup FROM pc CROSS JOIN dc"
+        for p in COSINE_CURVE_PCTS
+    )
+    pairs_sql = EMB_COSINE_PAIRS_ORACLE.replace(
+        f">= {EMBEDDING_DUP_THRESHOLD}", f">= {lo}"
+    )
+    return f"""
+    WITH p AS (
+      {pairs_sql}
+    ), m AS (
+      SELECT vec_b, MAX(cosine) AS m FROM p GROUP BY vec_b
+    ), pc AS (
+      SELECT {np_cols} FROM p
+    ), dc AS (
+      SELECT {nd_cols} FROM m
+    ), n AS (
+      SELECT COUNT(*) AS total FROM embeddings
+    ), u AS (
+      {arms}
+    )
+    SELECT CAST(threshold_pct AS BIGINT) AS threshold_pct,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_dup AS BIGINT) AS n_dup_vectors,
+           CAST(total - n_dup AS BIGINT) AS n_retained,
+           CAST(CASE WHEN total = 0 THEN 1000000
+                ELSE (total - n_dup) * 1000000 // total END AS BIGINT)
+             AS retention_q6
+    FROM u CROSS JOIN n
+    """
+
+
+@register("dedup_cosine_threshold_curve", oracle=_cosine_curve_oracle())
+def dedup_cosine_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Threshold-sweep knob curve for the embedding-cosine dedup
+    family (the one family still missing its pricing curve after the
+    LSH-band / minhash / session-gap / funnel-window / quality /
+    salt-factor sweeps): at each cosine cut in
+    {COSINE_CURVE_PCTS} (percent), how many near-dup pairs fire, how
+    many vectors acquire an earlier-id duplicate (the keep-first
+    casualty set), and the corpus retention share — the curve a
+    pipeline owner reads to price a semantic-dedup threshold before
+    paying for it corpus-wide.
+
+    100 TB shape: the pair stream is built ONCE at the loosest cut by
+    the same grid block-NL kernel as :func:`dedup_embedding_cosine`
+    (localCheckpoint — it feeds both aggregates); each sweep point is
+    a conditional count, so the sweep adds zero extra corpus passes.
+    Both metric frames are single-row global aggregates (empty-safe
+    by construction on degenerate corpora), unpivoted driver-free via
+    ``stack``; thresholds compare as ``pct / 100.0`` — the identical
+    double literal division on both engines — against the
+    bit-identical rounded cosine.
+    """
+    apply_engine_conf(spark)
+    lo = min(COSINE_CURVE_PCTS) / 100.0
+    pairs = _cosine_pair_stream(spark, sf_dir, lo).localCheckpoint(
+        eager=True
+    )
+    pc = pairs.agg(
+        *[
+            F.count(
+                F.when(F.col("cosine") >= F.lit(p) / 100.0, 1)
+            ).alias(f"np_{p}")
+            for p in COSINE_CURVE_PCTS
+        ]
+    )
+    dc = pairs.groupBy("vec_b").agg(F.max("cosine").alias("m")).agg(
+        *[
+            F.count(F.when(F.col("m") >= F.lit(p) / 100.0, 1)).alias(
+                f"nd_{p}"
+            )
+            for p in COSINE_CURVE_PCTS
+        ]
+    )
+    n = (
+        table_wide(spark, sf_dir, "embeddings")
+        .agg(F.count("*").alias("total"))
+    )
+    stack_args = ", ".join(
+        f"{p}L, np_{p}, nd_{p}" for p in COSINE_CURVE_PCTS
+    )
+    u = (
+        pc.crossJoin(dc)
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "total",
+            f"stack({len(COSINE_CURVE_PCTS)}, {stack_args}) AS "
+            "(threshold_pct, n_pairs, n_dup)",
+        )
+    )
+    return u.selectExpr(
+        "CAST(threshold_pct AS BIGINT) AS threshold_pct",
+        "CAST(n_pairs AS BIGINT) AS n_pairs",
+        "CAST(n_dup AS BIGINT) AS n_dup_vectors",
+        "CAST(total - n_dup AS BIGINT) AS n_retained",
+        "CAST(CASE WHEN total = 0 THEN 1000000"
+        " ELSE (total - n_dup) * 1000000 div total END AS BIGINT)"
+        " AS retention_q6",
+    )
 
 
 @register(

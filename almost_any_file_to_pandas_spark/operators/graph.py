@@ -427,10 +427,9 @@ def graph_degree_assortativity(
 LPA_ITERS = 3  # fixed synchronous label-propagation rounds
 
 
-def _lpa_sql() -> str:
-    """Unrolled synchronous LPA oracle: each round is a neighbor-label
-    census + (count DESC, label ASC) argmin pick + isolated-node
-    carry-over — the same deterministic rule the engine loop runs."""
+def _lpa_cte_head() -> str:
+    """The shared WITH-chain through ``it{LPA_ITERS}`` (final labels)
+    — reused by the LPA census oracle and the modularity oracle."""
     head = f"""
     WITH cells AS (
       SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
@@ -470,9 +469,15 @@ def _lpa_sql() -> str:
       FROM it{i - 1} prev LEFT JOIN pick{i} pk ON pk.u = prev.u
     )"""
         )
+    return head + "".join(rounds)
+
+
+def _lpa_sql() -> str:
+    """Unrolled synchronous LPA oracle: each round is a neighbor-label
+    census + (count DESC, label ASC) argmin pick + isolated-node
+    carry-over — the same deterministic rule the engine loop runs."""
     return (
-        head
-        + "".join(rounds)
+        _lpa_cte_head()
         + f"""
     SELECT lab AS community, COUNT(*) AS n_members
     FROM it{LPA_ITERS} GROUP BY lab
@@ -506,6 +511,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the iterative-algorithm discipline PageRank set (graph.py).
     """
     apply_engine_conf(spark)
+    _, labels = _lpa_label_frames(spark, sf_dir)
+    return labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count("*").alias("n_members")
+    )
+
+
+def _lpa_label_frames(spark: SparkSession, sf_dir: str):
+    """The LPA engine loop behind :func:`graph_label_propagation`,
+    returning (symmetric edge list, final (u, lab) labels) so the
+    modularity scorer can reuse both frames (plan-identical for the
+    census query)."""
     ev = table(spark, sf_dir, "events")
     cells = ev.select(
         F.date_trunc("hour", F.col("ts")).alias("h"), "user_id"
@@ -558,8 +574,114 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    return labels.groupBy(F.col("lab").alias("community")).agg(
-        F.count("*").alias("n_members")
+    return sym, labels
+
+
+@register(
+    "graph_modularity_score",
+    oracle=_lpa_cte_head()
+    + f""", deg AS (
+      SELECT u, COUNT(*) AS d FROM sym GROUP BY u
+    ), intra AS (
+      SELECT COUNT(*) FILTER (WHERE a.lab = b.lab) AS intra2
+      FROM sym e
+      JOIN it{LPA_ITERS} a ON a.u = e.u
+      JOIN it{LPA_ITERS} b ON b.u = e.v
+    ), dc AS (
+      SELECT COALESCE(SUM(s * s), 0) AS sum_dc2
+      FROM (
+        SELECT l.lab, SUM(d.d) AS s
+        FROM it{LPA_ITERS} l JOIN deg d ON d.u = l.u
+        GROUP BY l.lab
+      )
+    ), m AS (
+      SELECT COUNT(*) AS two_m FROM sym
+    ), nodes AS (
+      SELECT COUNT(*) AS n_nodes,
+             COUNT(DISTINCT lab) AS n_communities
+      FROM it{LPA_ITERS}
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(two_m // 2 AS BIGINT) AS n_edges,
+           CAST(n_communities AS BIGINT) AS n_communities,
+           CAST(intra2 // 2 AS BIGINT) AS intra_edges,
+           CASE WHEN two_m = 0 THEN NULL
+                ELSE CAST(FLOOR(
+                  (intra2 * two_m - sum_dc2)::DOUBLE
+                  / (two_m::DOUBLE * two_m::DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT)
+           END AS modularity_q6
+    FROM nodes CROSS JOIN intra CROSS JOIN dc CROSS JOIN m
+    """,
+)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities over the co-activity
+    graph — the quality score that tells you whether the detected
+    partition is actually denser-than-chance (Q > 0) or noise
+    (Q ≈ 0), closing the loop on ``graph_label_propagation``:
+    ``Q = Σ_c (m_c/m − (d_c/2m)²) = (intra2·2m − Σd_c²) / (2m)²``
+    where ``intra2`` counts intra-community rows of the SYMMETRIC
+    edge list (each undirected edge twice) and ``d_c`` sums member
+    degrees. The numerator/denominator are exact int64; the final
+    ratio is the established FLOOR(x·1e6 + 0.5) double recipe
+    (``graph_degree_assortativity``'s class — num, den well inside
+    2^53), NULL on an empty graph.
+
+    Plan/scale: labels come from the SAME deterministic {LPA_ITERS}-
+    round LPA loop (refactored to ``_lpa_label_frames`` —
+    plan-identical for the census row); modularity adds two
+    node-keyed broadcast-scale maps (labels, degrees) joined onto the
+    one materialized edge list — no new corpus pass, no all-pairs
+    anything — then three scalar aggregates folded by 1-row
+    crossJoins.
+    """
+    apply_engine_conf(spark)
+    sym, labels = _lpa_label_frames(spark, sf_dir)
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    lab_u = labels.select(F.col("u"), F.col("lab").alias("lab_a"))
+    lab_v = labels.select(
+        F.col("u").alias("v"), F.col("lab").alias("lab_b")
+    )
+    intra = (
+        sym.join(lab_u, "u")
+        .join(lab_v, "v")
+        .agg(
+            F.count(
+                F.when(F.col("lab_a") == F.col("lab_b"), 1)
+            ).alias("intra2")
+        )
+    )
+    dc = (
+        labels.join(deg, "u")
+        .groupBy("lab")
+        .agg(F.sum("d").alias("s"))
+        .agg(
+            F.coalesce(F.sum(F.col("s") * F.col("s")), F.lit(0)).alias(
+                "sum_dc2"
+            )
+        )
+    )
+    m = sym.agg(F.count("*").alias("two_m"))
+    nodes = labels.agg(
+        F.count("*").alias("n_nodes"),
+        F.countDistinct("lab").alias("n_communities"),
+    )
+    return (
+        nodes.crossJoin(intra)
+        .crossJoin(dc)
+        .crossJoin(m)
+        .selectExpr(
+            "CAST(n_nodes AS BIGINT) AS n_nodes",
+            "CAST(two_m div 2 AS BIGINT) AS n_edges",
+            "CAST(n_communities AS BIGINT) AS n_communities",
+            "CAST(intra2 div 2 AS BIGINT) AS intra_edges",
+            "CASE WHEN two_m = 0 THEN NULL"
+            " ELSE CAST(FLOOR("
+            " CAST(intra2 * two_m - sum_dc2 AS DOUBLE)"
+            " / (CAST(two_m AS DOUBLE) * CAST(two_m AS DOUBLE))"
+            " * 1000000 + 0.5) AS BIGINT)"
+            " END AS modularity_q6",
+        )
     )
 
 

@@ -574,3 +574,168 @@ def mm_bmp_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_pixels"),
         F.sum("nbytes").cast("long").alias("total_bytes"),
     )
+
+
+def synth_wav(rate: int, channels: int, n_frames: int) -> bytes:
+    """Deterministically assemble a canonical 44-byte-header PCM WAV
+    (RIFF + fmt + data); every channel of frame ``i`` carries the
+    int16 ramp value ``(i % 17) - 8``, whose sum of squares has the
+    closed form the census oracle restates. Shared by the pytest
+    round-trip fixture and :func:`mm_wav_decode_census`'s distributed
+    synthesis stage (the audio twin of :func:`synth_bmp`)."""
+    import struct
+
+    frame = b"".join(
+        struct.pack("<h", (i % 17) - 8) * channels for i in range(n_frames)
+    )
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(frame), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(frame))
+        + frame
+    )
+
+
+def decode_wav(content: bytes):
+    """Real audio decode: (bytes in → (rate, channels, n_frames,
+    sum_sq) out). Walks the RIFF chunk list per the WAVE container
+    spec (id + little-endian size, word-aligned), parses the ``fmt ``
+    chunk, and decodes the 16-bit PCM ``data`` payload into samples
+    whose energy (Σ value²) is computed from the DECODED ints — so a
+    decoder regression breaks census parity. Non-PCM codecs
+    (IEEE-float, ADPCM, MP3-in-WAV...) raise the honest
+    ``NotImplementedError`` gate, mirroring :func:`decode_image`'s
+    compressed-BMP arm."""
+    import array
+    import struct
+    import sys
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = struct.unpack_from("<4sI", content, pos)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV codec (format {audio_format}, {bits}-bit) beyond "
+            "16-bit PCM requires an audio library this environment "
+            "does not ship; the PCM arm above runs the real decode"
+        )
+    samples = array.array("h")
+    samples.frombytes(data[: len(data) - len(data) % 2])
+    if sys.byteorder == "big":  # pragma: no cover
+        samples.byteswap()
+    n_frames = len(samples) // channels
+    sum_sq = sum(int(v) * int(v) for v in samples)
+    return rate, channels, n_frames, sum_sq
+
+
+WAV_FRAMES_MOD = 32  # n_frames = (doc_id % 32 + 1) * 8 → 8..256 frames
+_WAV_RAMP_CYCLE_SSQ = 408  # Σ_{j=0}^{16} (j-8)² — one full ramp cycle
+
+
+@register(
+    "mm_wav_decode_census",
+    oracle=f"""
+    WITH a AS (
+      SELECT 8000 * ((doc_id % 2) + 1) AS rate,
+             CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 2 END AS ch,
+             ((doc_id % {WAV_FRAMES_MOD}) + 1) * 8 AS nf
+      FROM documents WHERE doc_id % 3 = 1
+    ), e AS (
+      SELECT rate, ch, nf, nf // 17 AS q, nf % 17 AS r FROM a
+    )
+    SELECT CAST(rate AS BIGINT) AS sample_rate,
+           CAST(ch AS BIGINT) AS channels,
+           COUNT(*) AS n_assets,
+           CAST(SUM(nf) AS BIGINT) AS total_frames,
+           CAST(SUM(44 + nf * ch * 2) AS BIGINT) AS total_bytes,
+           CAST(SUM((nf * 1000000) // rate) AS BIGINT)
+             AS total_duration_us,
+           CAST(SUM(ch * (q * {_WAV_RAMP_CYCLE_SSQ}
+                          + ((r - 1) * r * (2 * r - 1)) // 6
+                          - 8 * r * (r - 1) + 64 * r)) AS BIGINT)
+             AS total_energy
+    FROM e GROUP BY 1, 2
+    """,
+)
+def mm_wav_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, distributed — the audio twin of
+    :func:`mm_bmp_decode_census`: every audio-modality asset is
+    materialized as a genuine 16-bit PCM WAV (deterministic rate /
+    channels / frame count from doc_id, int16 ramp samples) inside an
+    Arrow-batched ``mapInPandas`` stage, parsed back by
+    :func:`decode_wav`, and the DECODED rate/channels/frames/energy
+    feed the census — never the synthesis parameters. The oracle
+    restates the container arithmetic (44-byte canonical header +
+    2·channels bytes per frame) and the ramp's closed-form sum of
+    squares (q full 17-sample cycles of {_WAV_RAMP_CYCLE_SSQ} plus the
+    partial-cycle square pyramid), so a header-walk or PCM-decode
+    regression breaks oracle parity.
+
+    100 TB shape: audio blobs live only inside the Python worker
+    batches (the synthesis stands in for a blob-store read); the
+    shuffle carries four integer columns per asset, and the census
+    aggregate is a ≤4-cell frame (2 rates × 2 channel layouts).
+    Duration is exact integer microseconds — frame counts are
+    multiples of 8, so nf·10⁶ divides evenly by both 8000 and 16000.
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    auds = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 1).select(
+        "doc_id"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            out = {
+                "sample_rate": [],
+                "channels": [],
+                "n_frames": [],
+                "nbytes": [],
+                "energy": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blob = synth_wav(
+                    8000 * (did % 2 + 1),
+                    1 if did % 4 < 2 else 2,
+                    (did % WAV_FRAMES_MOD + 1) * 8,
+                )
+                rate, ch, nf, ssq = decode_wav(blob)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["n_frames"].append(nf)
+                out["nbytes"].append(len(blob))
+                out["energy"].append(ssq)
+            yield pd.DataFrame(out)
+
+    decoded = auds.mapInPandas(
+        decode_batches,
+        schema=(
+            "sample_rate long, channels long, n_frames long, "
+            "nbytes long, energy long"
+        ),
+    )
+    return decoded.groupBy("sample_rate", "channels").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("n_frames").alias("total_frames"),
+        F.sum("nbytes").alias("total_bytes"),
+        F.sum(
+            F.expr("n_frames * 1000000 div sample_rate")
+        ).alias("total_duration_us"),
+        F.sum("energy").alias("total_energy"),
+    )

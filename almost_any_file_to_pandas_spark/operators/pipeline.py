@@ -1038,3 +1038,443 @@ def pipeline_global_shuffle_shards(
         f" * {GLOBAL_SHUFFLE_SHARDS} div total"
         " AS BIGINT) AS load_factor_q6",
     )
+
+
+ENC_ADVISOR_COLS = (
+    "l_returnflag",
+    "l_linestatus",
+    "l_quantity",
+    "l_discount",
+    "l_tax",
+    "l_partkey",
+)
+ENC_DICT_NDV_MAX = 4096  # dictionary page stays effective below this
+ENC_RLE_MIN_RUN_Q6 = 2_000_000  # avg run ≥ 2 → run-length wins
+# (l_orderkey, l_linenumber) is NOT unique in the testdata, so the
+# within-order sort closes over every advisor column: remaining ties
+# are rows identical in all compared columns, making run counts
+# order-invariant on both engines.
+_ENC_SORT_COLS = ("l_linenumber",) + tuple(
+    c for c in ENC_ADVISOR_COLS if c != "l_linenumber"
+)
+
+
+def _enc_oracle() -> str:
+    runs = ",\n             ".join(
+        f"CASE WHEN LAG({c}) OVER w IS NULL OR LAG({c}) OVER w <> {c} "
+        f"THEN 1 ELSE 0 END AS run_{c}"
+        for c in ENC_ADVISOR_COLS
+    )
+    aggs = ",\n             ".join(
+        f"COUNT(DISTINCT {c}) AS nd_{c}, SUM(run_{c}) AS runs_{c}"
+        for c in ENC_ADVISOR_COLS
+    )
+    arms = "\n      UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, nd_{c} AS n_distinct, "
+        f"runs_{c} AS n_runs, n_rows FROM a"
+        for c in ENC_ADVISOR_COLS
+    )
+    return f"""
+    WITH f AS (
+      SELECT {", ".join(ENC_ADVISOR_COLS)},
+             {runs}
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_orderkey
+                   ORDER BY {", ".join(_ENC_SORT_COLS)})
+    ), a AS (
+      SELECT COUNT(*) AS n_rows,
+             {aggs}
+      FROM f
+    ), u AS (
+      {arms}
+    )
+    SELECT column_name,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_runs AS BIGINT) AS n_runs,
+           -- NULLIF guards: a fully-empty scan yields n_rows = 0 and
+           -- NULL run sums; ratios go NULL instead of erroring
+           CAST(n_distinct * 1000000 // NULLIF(n_rows, 0) AS BIGINT)
+             AS distinct_ratio_q6,
+           CAST(n_rows * 1000000 // NULLIF(n_runs, 0) AS BIGINT)
+             AS avg_run_len_q6,
+           CASE
+             WHEN n_distinct > {ENC_DICT_NDV_MAX} THEN 'PLAIN'
+             WHEN n_rows * 1000000 // NULLIF(n_runs, 0)
+                  >= {ENC_RLE_MIN_RUN_Q6} THEN 'DICT_RLE'
+             ELSE 'DICT'
+           END AS encoding
+    FROM u
+    """
+
+
+@register("lineitem_encoding_advisor", oracle=_enc_oracle())
+def lineitem_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet encoding advisor — the column-layout companion to
+    ``lineitem_bucket_advisor`` (bucket counts) and
+    ``pipeline_zorder_layout`` (row order): for each candidate column
+    it measures the two statistics parquet writers actually decide
+    on — exact NDV (dictionary-page viability, cutoff
+    {ENC_DICT_NDV_MAX}) and average run length in the table's
+    clustered order (RLE viability, cutoff avg ≥ 2) — and emits the
+    recommended encoding. Runs are counted within each l_orderkey in
+    a deterministic full-column sort (line number, then every advisor
+    column — see ``_ENC_SORT_COLS``): the layout a sorted-write
+    produces, so the measurement prices the encoding on the order the
+    data will actually be laid out in, not on arrival order.
+
+    100 TB shape: ONE shuffle (by l_orderkey — the run windows for
+    ALL {len(ENC_ADVISOR_COLS)} columns share the same sort), then a
+    single global aggregate. The exact multi-column COUNT(DISTINCT)
+    expands the aggregate input ×{len(ENC_ADVISOR_COLS)} (Spark's
+    Expand) — the honest price of exact NDV; a production advisor at
+    100 TB would flip to approx_count_distinct and keep the identical
+    plan shape, but exact NDV is what the DuckDB oracle can restate.
+    The per-column unpivot runs on a 1-row frame.
+    """
+    apply_engine_conf(spark)
+    from pyspark.sql import Window as _W
+
+    li = table(spark, sf_dir, "lineitem")
+    w = _W.partitionBy("l_orderkey").orderBy(*_ENC_SORT_COLS)
+    flagged = li.select(
+        *ENC_ADVISOR_COLS,
+        *[
+            F.when(
+                F.lag(c).over(w).isNull()
+                | (F.lag(c).over(w) != F.col(c)),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias(f"run_{c}")
+            for c in ENC_ADVISOR_COLS
+        ],
+    )
+    agg = flagged.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            e
+            for c in ENC_ADVISOR_COLS
+            for e in (
+                F.countDistinct(c).alias(f"nd_{c}"),
+                F.sum(f"run_{c}").alias(f"runs_{c}"),
+            )
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{c}', nd_{c}, runs_{c}" for c in ENC_ADVISOR_COLS
+    )
+    u = agg.selectExpr(
+        "n_rows",
+        f"stack({len(ENC_ADVISOR_COLS)}, {stack_args}) AS "
+        "(column_name, n_distinct, n_runs)",
+    )
+    return u.selectExpr(
+        "column_name",
+        "CAST(n_distinct AS BIGINT) AS n_distinct",
+        "CAST(n_runs AS BIGINT) AS n_runs",
+        "CAST(n_distinct * 1000000 div nullif(n_rows, 0) AS BIGINT)"
+        " AS distinct_ratio_q6",
+        "CAST(n_rows * 1000000 div nullif(n_runs, 0) AS BIGINT)"
+        " AS avg_run_len_q6",
+        f"""CASE
+             WHEN n_distinct > {ENC_DICT_NDV_MAX} THEN 'PLAIN'
+             WHEN n_rows * 1000000 div nullif(n_runs, 0)
+                  >= {ENC_RLE_MIN_RUN_Q6} THEN 'DICT_RLE'
+             ELSE 'DICT'
+           END AS encoding""",
+    )
+
+
+DSIR_BUCKETS = 1024  # hashed unigram feature space (DSIR §3 shape)
+DSIR_TARGET_LANG = "en"  # the "target domain" the selector tilts toward
+DSIR_K = 100  # selected corpus size
+
+_DSIR_BUCKET_SQL = (
+    f"(('0x' || substr(md5(term), 1, 8))::BIGINT % {DSIR_BUCKETS})"
+)
+
+
+@register(
+    "pipeline_dsir_select",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, source,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), b AS (
+      SELECT doc_id, lang, source, {_DSIR_BUCKET_SQL} AS bucket FROM tok
+    ), counts AS (
+      SELECT bucket, COUNT(*) AS cnt_all,
+             COUNT(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS cnt_t
+      FROM b GROUP BY bucket
+    ), tot AS (
+      SELECT COALESCE(SUM(cnt_all), 0) AS n_all,
+             COALESCE(SUM(cnt_t), 0) AS n_t
+      FROM counts
+    ), weights AS (
+      SELECT bucket,
+             CAST((cnt_t + 1)::HUGEINT * (n_all + {DSIR_BUCKETS})
+                  * 1000000
+                  // ((cnt_all + 1)::HUGEINT * (n_t + {DSIR_BUCKETS}))
+                  AS BIGINT) AS w_q6
+      FROM counts CROSS JOIN tot
+    ), scored AS (
+      SELECT b.doc_id, b.lang, b.source,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(w.w_q6) AS BIGINT) AS score_q6
+      FROM b JOIN weights w ON w.bucket = b.bucket
+      GROUP BY b.doc_id, b.lang, b.source
+    ), ranked AS (
+      SELECT doc_id, lang, source, n_tokens, score_q6,
+             ROW_NUMBER() OVER (ORDER BY score_q6 DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, lang, source, n_tokens, score_q6, rnk
+    FROM ranked WHERE rnk <= {DSIR_K}
+    """,
+)
+def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection with importance resampling (DSIR — Xie et al.
+    2023, arXiv:2302.03169) restated log-free: documents are scored
+    by hashed-unigram importance weights toward a target domain
+    (lang='{DSIR_TARGET_LANG}') and the top {DSIR_K} are selected.
+    Per hashed bucket the weight is the smoothed RATIONAL likelihood
+    ratio ``w_q6 = (cnt_target+1)·(N_all+B)·1e6 div
+    ((cnt_all+1)·(N_target+B))`` (add-one over B = {DSIR_BUCKETS}
+    buckets); a document's score is the exact integer sum of its
+    token occurrences' weights. The paper sums log-ratios; ln() is
+    not bit-identical across engines (the repo's float contract —
+    see retrieval.py's rational BM25 idf), so the ratio itself is the
+    per-token weight: same target-tilted selector, exact integers end
+    to end, HUGEINT/DECIMAL(38,0)-widened (cnt·N·1e6 passes int64 at
+    web scale).
+
+    100 TB shape: TWO corpus passes, both narrow — pass 1 hashes
+    tokens into {DSIR_BUCKETS} buckets and counts target/all per
+    bucket in ONE map-side-combined shuffle (the n-gram feature table
+    is fixed-size regardless of corpus — the DSIR trick); totals fold
+    from the bucket frame, never a re-scan. Pass 2 re-hashes and
+    joins the BROADCAST {DSIR_BUCKETS}-row weight table, partial-sums
+    per doc (one doc-keyed shuffle), and selects via
+    TakeOrderedAndProject (per-partition heaps, never a global sort).
+    The rank window runs over the ≤{DSIR_K}-row LIMIT result.
+    """
+    apply_engine_conf(spark)
+    from pyspark.sql import Window as _W
+
+    docs = table_wide(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split(F.col("text"), " ", -1)).alias("term"),
+    )
+    b = tok.select(
+        "doc_id",
+        "lang",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.count("*").alias("cnt_all"),
+        F.count(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1)
+        ).alias("cnt_t"),
+    )
+    tot = counts.agg(
+        F.coalesce(F.sum("cnt_all"), F.lit(0)).alias("n_all"),
+        F.coalesce(F.sum("cnt_t"), F.lit(0)).alias("n_t"),
+    )
+    weights = counts.crossJoin(F.broadcast(tot)).selectExpr(
+        "bucket",
+        f"CAST(CAST(cnt_t + 1 AS DECIMAL(38,0)) * (n_all + {DSIR_BUCKETS})"
+        f" * 1000000 div (CAST(cnt_all + 1 AS DECIMAL(38,0))"
+        f" * (n_t + {DSIR_BUCKETS})) AS BIGINT) AS w_q6",
+    )
+    scored = (
+        b.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("w_q6").cast("long").alias("score_q6"),
+        )
+    )
+    top = scored.orderBy(F.desc("score_q6"), F.asc("doc_id")).limit(DSIR_K)
+    # rank window over ≤ k pre-limited rows (non-foldable constant
+    # partition key — the retrieval_bm25_rational_topk pattern)
+    w = _W.partitionBy(F.pmod(F.col("score_q6"), F.lit(1))).orderBy(
+        F.desc("score_q6"), F.asc("doc_id")
+    )
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "doc_id", "lang", "source", "n_tokens", "score_q6", "rnk"
+    )
+
+
+ZM_ORDERKEY_SPAN = 2048  # natural-layout row-group = orderkey band
+ZM_SORT_GROUP_ROWS = 4096  # row-group size of the hypothetical sort
+ZM_SHIP_LO = "1995-01-01"
+ZM_SHIP_HI = "1996-01-01"
+ZM_QTY_LO = 45
+ZM_DISC_EQ = 0.05
+
+
+@register(
+    "lineitem_zonemap_advisor",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_orderkey // {ZM_ORDERKEY_SPAN} AS band,
+             COUNT(*) AS n,
+             MIN(l_shipdate) AS ship_min, MAX(l_shipdate) AS ship_max,
+             MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max,
+             MIN(l_discount) AS disc_min, MAX(l_discount) AS disc_max,
+             COUNT(*) FILTER (WHERE l_shipdate >= TIMESTAMP '{ZM_SHIP_LO}'
+                              AND l_shipdate < TIMESTAMP '{ZM_SHIP_HI}')
+               AS m1,
+             COUNT(*) FILTER (WHERE l_shipdate < TIMESTAMP '{ZM_SHIP_LO}')
+               AS lo1,
+             COUNT(*) FILTER (WHERE l_shipdate >= TIMESTAMP '{ZM_SHIP_HI}')
+               AS hi1,
+             COUNT(*) FILTER (WHERE l_quantity >= {ZM_QTY_LO}) AS m2,
+             COUNT(*) FILTER (WHERE l_quantity < {ZM_QTY_LO}) AS lo2,
+             COUNT(*) FILTER (WHERE l_discount = {ZM_DISC_EQ}) AS m3,
+             COUNT(*) FILTER (WHERE l_discount < {ZM_DISC_EQ}) AS lo3,
+             COUNT(*) FILTER (WHERE l_discount > {ZM_DISC_EQ}) AS hi3
+      FROM lineitem GROUP BY 1
+    ), g AS (
+      SELECT COALESCE(SUM(n), 0) AS n_rows, COUNT(*) AS groups_nat,
+             COALESCE(SUM(m1), 0) AS m1, COALESCE(SUM(lo1), 0) AS lo1,
+             COALESCE(SUM(hi1), 0) AS hi1,
+             COALESCE(SUM(m2), 0) AS m2, COALESCE(SUM(lo2), 0) AS lo2,
+             COALESCE(SUM(m3), 0) AS m3, COALESCE(SUM(lo3), 0) AS lo3,
+             COALESCE(SUM(hi3), 0) AS hi3,
+             COUNT(*) FILTER (WHERE ship_max < TIMESTAMP '{ZM_SHIP_LO}'
+                              OR ship_min >= TIMESTAMP '{ZM_SHIP_HI}')
+               AS skip1,
+             COUNT(*) FILTER (WHERE qty_max < {ZM_QTY_LO}) AS skip2,
+             COUNT(*) FILTER (WHERE disc_max < {ZM_DISC_EQ}
+                              OR disc_min > {ZM_DISC_EQ}) AS skip3
+      FROM b
+    ), u AS (
+      SELECT 'shipdate_year_1995' AS predicate, m1 AS n_match,
+             skip1 AS skip_natural, lo1 AS n_below, hi1 AS n_above,
+             n_rows, groups_nat FROM g
+      UNION ALL
+      SELECT 'quantity_ge_{ZM_QTY_LO}', m2, skip2, lo2, 0,
+             n_rows, groups_nat FROM g
+      UNION ALL
+      SELECT 'discount_eq_005', m3, skip3, lo3, hi3,
+             n_rows, groups_nat FROM g
+    )
+    SELECT predicate,
+           CAST(n_match AS BIGINT) AS n_match,
+           CAST(groups_nat AS BIGINT) AS groups_natural,
+           CAST(skip_natural AS BIGINT) AS skip_natural,
+           CAST((n_rows + {ZM_SORT_GROUP_ROWS} - 1)
+                // {ZM_SORT_GROUP_ROWS} AS BIGINT) AS groups_sorted,
+           CAST(n_below // {ZM_SORT_GROUP_ROWS}
+                + n_above // {ZM_SORT_GROUP_ROWS} AS BIGINT)
+             AS skip_sorted,
+           CAST(skip_natural * 1000000 // NULLIF(groups_nat, 0)
+                AS BIGINT) AS skip_natural_q6,
+           CAST((n_below // {ZM_SORT_GROUP_ROWS}
+                 + n_above // {ZM_SORT_GROUP_ROWS}) * 1000000
+                // NULLIF((n_rows + {ZM_SORT_GROUP_ROWS} - 1)
+                          // {ZM_SORT_GROUP_ROWS}, 0) AS BIGINT)
+             AS skip_sorted_q6
+    FROM u
+    """,
+)
+def lineitem_zonemap_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (parquet row-group min/max pruning) advisor — the
+    fourth leg of the physical-design family (bucket counts, z-order,
+    encodings, now SKIPPING): for three representative predicates
+    (a shipdate year range, a quantity tail, a discount point lookup)
+    it prices how many row groups min/max statistics would skip under
+    the CURRENT clustered layout ({ZM_ORDERKEY_SPAN}-orderkey bands,
+    real per-band min/max — a band with a value gap is honestly
+    non-skippable) versus under a layout SORTED by the predicate
+    column (where skipped groups are exactly the full
+    {ZM_SORT_GROUP_ROWS}-row groups strictly outside the value range:
+    ``n_below div G + n_above div G`` — no hypothetical sort is ever
+    executed). The q6 shares are what a layout decision reads:
+    sorted-by-shipdate skipping ≫ natural means the sort pays for
+    itself on time-ranged scans.
+
+    100 TB shape: ONE corpus shuffle — every band's min/max for all
+    three columns AND all match/below/above conditional counts ride
+    the same map-side-combined groupBy(band); global numbers fold
+    from the band frame (never a second scan), and the three
+    predicate rows are a UNION of 1-row projections over that scalar
+    frame. Empty-safe by construction (global aggregate + NULLIF).
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    lo_ts = f"TIMESTAMP '{ZM_SHIP_LO}'"
+    hi_ts = f"TIMESTAMP '{ZM_SHIP_HI}'"
+    b = li.groupBy(
+        F.expr(f"l_orderkey div {ZM_ORDERKEY_SPAN}").alias("band")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("l_shipdate").alias("ship_min"),
+        F.max("l_shipdate").alias("ship_max"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.min("l_discount").alias("disc_min"),
+        F.max("l_discount").alias("disc_max"),
+        F.expr(
+            f"count_if(l_shipdate >= {lo_ts} AND l_shipdate < {hi_ts})"
+        ).alias("m1"),
+        F.expr(f"count_if(l_shipdate < {lo_ts})").alias("lo1"),
+        F.expr(f"count_if(l_shipdate >= {hi_ts})").alias("hi1"),
+        F.expr(f"count_if(l_quantity >= {ZM_QTY_LO})").alias("m2"),
+        F.expr(f"count_if(l_quantity < {ZM_QTY_LO})").alias("lo2"),
+        F.expr(f"count_if(l_discount = {ZM_DISC_EQ})").alias("m3"),
+        F.expr(f"count_if(l_discount < {ZM_DISC_EQ})").alias("lo3"),
+        F.expr(f"count_if(l_discount > {ZM_DISC_EQ})").alias("hi3"),
+    )
+    g = b.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_rows"),
+        F.count("*").alias("groups_nat"),
+        *[
+            F.coalesce(F.sum(c), F.lit(0)).alias(c)
+            for c in ("m1", "lo1", "hi1", "m2", "lo2", "m3", "lo3", "hi3")
+        ],
+        F.expr(
+            f"count_if(ship_max < {lo_ts} OR ship_min >= {hi_ts})"
+        ).alias("skip1"),
+        F.expr(f"count_if(qty_max < {ZM_QTY_LO})").alias("skip2"),
+        F.expr(
+            f"count_if(disc_max < {ZM_DISC_EQ} OR disc_min > {ZM_DISC_EQ})"
+        ).alias("skip3"),
+    )
+    arms = [
+        ("shipdate_year_1995", "m1", "skip1", "lo1", "hi1"),
+        (f"quantity_ge_{ZM_QTY_LO}", "m2", "skip2", "lo2", "0"),
+        ("discount_eq_005", "m3", "skip3", "lo3", "hi3"),
+    ]
+    G = ZM_SORT_GROUP_ROWS
+    parts = [
+        g.selectExpr(
+            f"'{name}' AS predicate",
+            f"CAST({m} AS BIGINT) AS n_match",
+            "CAST(groups_nat AS BIGINT) AS groups_natural",
+            f"CAST({skip} AS BIGINT) AS skip_natural",
+            f"CAST((n_rows + {G} - 1) div {G} AS BIGINT) AS groups_sorted",
+            f"CAST({lo} div {G} + {hi} div {G} AS BIGINT) AS skip_sorted",
+            f"CAST({skip} * 1000000 div nullif(groups_nat, 0) AS BIGINT)"
+            " AS skip_natural_q6",
+            f"CAST(({lo} div {G} + {hi} div {G}) * 1000000"
+            f" div nullif((n_rows + {G} - 1) div {G}, 0) AS BIGINT)"
+            " AS skip_sorted_q6",
+        )
+        for name, m, skip, lo, hi in arms
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -1,0 +1,108 @@
+"""Privacy / compliance census operators for training-data pipelines.
+
+The reference has no privacy surface (its scope is file ingestion,
+main.py:1-466); this module extends the training-pipeline family —
+before a corpus with user-derived records ships to training, the
+pipeline must quantify re-identification exposure. The classic measure
+is k-anonymity (Sweeney 2002, "k-anonymity: a model for protecting
+privacy"): a record is k-anonymous when at least k records share its
+quasi-identifier (QI) tuple; groups smaller than k are the
+re-identifiable tail that must be suppressed or generalized.
+
+Related existing rows: ``text_pii_scrub`` (value-level redaction) and
+``events_user_erasure_audit`` (GDPR deletion) — this adds the
+dataset-level risk census.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+K_ANONYMITY_LEVELS = (2, 5, 10, 25)
+ACCTBAL_BUCKET = 1000  # quasi-identifier coarsening for the balance
+
+_QI_SQL = (
+    "c_nationkey, c_mktsegment, "
+    f"CAST(FLOOR(c_acctbal / {ACCTBAL_BUCKET}.0) AS BIGINT)"
+)
+
+
+@register(
+    "privacy_k_anonymity_census",
+    oracle=f"""
+    WITH sizes AS (
+      SELECT COUNT(*) AS gsize
+      FROM customer GROUP BY {_QI_SQL}
+    ), levels AS (
+      SELECT gsize, COUNT(*) AS n_groups FROM sizes GROUP BY gsize
+    ), ks(k) AS (VALUES {", ".join(f"({k})" for k in K_ANONYMITY_LEVELS)})
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(SUM(n_groups) AS BIGINT) AS n_groups_total,
+           CAST(COALESCE(SUM(n_groups) FILTER (WHERE gsize < ks.k), 0)
+                AS BIGINT) AS n_groups_below,
+           CAST(COALESCE(SUM(gsize * n_groups) FILTER (WHERE gsize < ks.k),
+                0) AS BIGINT) AS n_rows_at_risk,
+           CAST((COALESCE(SUM(gsize * n_groups)
+                          FILTER (WHERE gsize < ks.k), 0) * 1000000)
+                // SUM(gsize * n_groups) AS BIGINT) AS risk_share_q6
+    FROM ks CROSS JOIN levels
+    GROUP BY ks.k
+    """,
+)
+def privacy_k_anonymity_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-anonymity risk census over the customer table's
+    quasi-identifiers (nation, market segment, {ACCTBAL_BUCKET}-unit
+    balance bucket): for each k in {K_ANONYMITY_LEVELS}, how many QI
+    groups fall below k members, how many rows they hold, and the
+    at-risk row share (exact integer millionths) — the go/no-go
+    number a compliance gate reads before a corpus ships.
+
+    100 TB shape: ONE corpus shuffle (the QI groupBy, map-side
+    combined); group sizes then collapse to a size-LEVEL census
+    (distinct sizes ≪ groups — the budget-trim level pattern), so the
+    k-sweep is conditional sums over a broadcast-scale frame crossed
+    with the {len(K_ANONYMITY_LEVELS)}-row k list. No per-k rescan,
+    no second corpus pass. The suppression share is integer
+    arithmetic end to end (no float division to drift cross-engine).
+    """
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer")
+    sizes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / float(ACCTBAL_BUCKET))
+        .cast("long")
+        .alias("bal_kb"),
+    ).agg(F.count("*").alias("gsize"))
+    levels = sizes.groupBy("gsize").agg(F.count("*").alias("n_groups"))
+    ks = spark.createDataFrame(
+        [(k,) for k in K_ANONYMITY_LEVELS], "k long"
+    )
+    below = F.when(F.col("gsize") < F.col("k"), F.col("n_groups"))
+    rows_below = F.when(
+        F.col("gsize") < F.col("k"), F.col("gsize") * F.col("n_groups")
+    )
+    return (
+        F.broadcast(ks)
+        .crossJoin(levels)
+        .groupBy("k")
+        .agg(
+            F.sum("n_groups").alias("n_groups_total"),
+            F.coalesce(F.sum(below), F.lit(0))
+            .cast("long")
+            .alias("n_groups_below"),
+            F.coalesce(F.sum(rows_below), F.lit(0))
+            .cast("long")
+            .alias("n_rows_at_risk"),
+            F.expr(
+                "CAST(coalesce(sum(CASE WHEN gsize < k THEN gsize * n_groups "
+                "END), 0) * 1000000 div sum(gsize * n_groups) AS BIGINT)"
+            ).alias("risk_share_q6"),
+        )
+    )

@@ -341,6 +341,55 @@ def _bm25_terms_sql() -> str:
     return ", ".join(f"'{t}'" for t in BM25_TERMS)
 
 
+def _bm25_score_frame(docs: DataFrame, terms) -> DataFrame:
+    """The rational-idf BM25 per-doc scorer behind
+    ``retrieval_bm25_rational_topk``, parameterized by query-term set
+    so the PRF expansion round can rescore with the widened query
+    using the identical machinery (see that function's docstring for
+    the formula and shape argument)."""
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ", -1)).alias("dl"),
+        F.explode(F.split(F.col("text"), " ", -1)).alias("term"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    corpus = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.size(F.split(F.col("text"), " ", -1))), F.lit(0)
+        ).alias("sum_dl"),
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(corpus))
+        .selectExpr(
+            "term",
+            "(2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1)"
+            " AS idf_q6",
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(corpus))
+        .selectExpr(
+            "doc_id",
+            "CAST(CAST(idf_q6 AS DECIMAL(38,0)) * 22 * tf * sum_dl"
+            " div (10 * CAST(sum_dl AS DECIMAL(38,0)) * tf"
+            " + 3 * sum_dl + 9 * dl * n_docs)"
+            " AS BIGINT) AS term_score",
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("term_score").alias("score_q6"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+
+
 @register(
     "retrieval_bm25_rational_topk",
     oracle=f"""
@@ -414,47 +463,7 @@ def retrieval_bm25_rational_topk(
     from pyspark.sql import Window as W
 
     docs = table_wide(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ", -1)).alias("dl"),
-        F.explode(F.split(F.col("text"), " ", -1)).alias("term"),
-    )
-    tf = (
-        toks.filter(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    corpus = docs.agg(
-        F.count("*").alias("n_docs"),
-        F.coalesce(
-            F.sum(F.size(F.split(F.col("text"), " ", -1))), F.lit(0)
-        ).alias("sum_dl"),
-    )
-    idf = (
-        tf.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .crossJoin(F.broadcast(corpus))
-        .selectExpr(
-            "term",
-            "(2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1)"
-            " AS idf_q6",
-        )
-    )
-    scored = (
-        tf.join(F.broadcast(idf), "term")
-        .crossJoin(F.broadcast(corpus))
-        .selectExpr(
-            "doc_id",
-            "CAST(CAST(idf_q6 AS DECIMAL(38,0)) * 22 * tf * sum_dl"
-            " div (10 * CAST(sum_dl AS DECIMAL(38,0)) * tf"
-            " + 3 * sum_dl + 9 * dl * n_docs)"
-            " AS BIGINT) AS term_score",
-        )
-    )
-    agg = scored.groupBy("doc_id").agg(
-        F.sum("term_score").alias("score_q6"),
-        F.count("*").cast("long").alias("n_terms"),
-    )
+    agg = _bm25_score_frame(docs, BM25_TERMS)
     top = agg.orderBy(
         F.desc("score_q6"), F.asc("doc_id")
     ).limit(BM25_TOP)
@@ -621,4 +630,167 @@ def retrieval_phrase_index_topk(
     # rank window runs on the ≤ top-k rows, never the corpus
     return top.withColumn(
         "rnk", F.row_number().over(w).cast("long")
+    )
+
+
+PRF_FB_DOCS = 10  # feedback depth: top round-1 docs mined for terms
+PRF_EXPAND = 3  # expansion terms added to the query
+
+
+def _prf_oracle() -> str:
+    terms = _bm25_terms_sql()
+    values = ", ".join(f"('{t}')" for t in BM25_TERMS)
+    score_expr = """
+             CAST(CAST(i.idf_q6 AS HUGEINT) * 22 * t.tf * c.sum_dl
+                  // (10 * CAST(c.sum_dl AS HUGEINT) * t.tf
+                      + 3 * c.sum_dl + 9 * t.dl * c.n_docs)
+                  AS BIGINT)"""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), corpus AS (
+      SELECT COUNT(*) AS n_docs,
+             COALESCE(SUM(len(string_split(text, ' '))), 0) AS sum_dl
+      FROM documents
+    ), tf1 AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM tok WHERE term IN ({terms})
+      GROUP BY doc_id, dl, term
+    ), idf1 AS (
+      SELECT term,
+             (2 * c.n_docs - 2 * COUNT(*) + 1) * 1000000
+               // (2 * COUNT(*) + 1) AS idf_q6
+      FROM tf1, corpus c GROUP BY term, c.n_docs
+    ), agg1 AS (
+      SELECT t.doc_id, SUM({score_expr}) AS score_q6
+      FROM tf1 t JOIN idf1 i ON t.term = i.term, corpus c
+      GROUP BY t.doc_id
+    ), fb AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_q6 DESC, doc_id) AS rn
+        FROM agg1
+      ) WHERE rn <= {PRF_FB_DOCS}
+    ), cand AS (
+      SELECT t.term, COUNT(*) AS fb_tf
+      FROM tok t JOIN fb ON fb.doc_id = t.doc_id
+      WHERE t.term NOT IN ({terms})
+      GROUP BY t.term
+    ), canddf AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df
+      FROM tok WHERE term IN (SELECT term FROM cand)
+      GROUP BY term
+    ), exp3 AS (
+      SELECT term FROM (
+        SELECT c.term,
+               ROW_NUMBER() OVER (
+                 ORDER BY c.fb_tf * ((2 * x.n_docs - 2 * d.df + 1)
+                                     * 1000000 // (2 * d.df + 1)) DESC,
+                          c.term ASC) AS rn
+        FROM cand c JOIN canddf d ON d.term = c.term, corpus x
+      ) WHERE rn <= {PRF_EXPAND}
+    ), q2 AS (
+      SELECT term FROM (VALUES {values}) v(term)
+      UNION ALL SELECT term FROM exp3
+    ), tf2 AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM tok WHERE term IN (SELECT term FROM q2)
+      GROUP BY doc_id, dl, term
+    ), idf2 AS (
+      SELECT term,
+             (2 * c.n_docs - 2 * COUNT(*) + 1) * 1000000
+               // (2 * COUNT(*) + 1) AS idf_q6
+      FROM tf2, corpus c GROUP BY term, c.n_docs
+    ), agg2 AS (
+      SELECT t.doc_id, SUM({score_expr}) AS score_q6,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM tf2 t JOIN idf2 i ON t.term = i.term, corpus c
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(score_q6 AS BIGINT) AS score_q6, n_terms, rnk
+    FROM (
+      SELECT doc_id, score_q6, n_terms,
+             ROW_NUMBER() OVER (ORDER BY score_q6 DESC, doc_id) AS rnk
+      FROM agg2
+    ) WHERE rnk <= {BM25_TOP}
+    """
+
+
+@register("retrieval_prf_expansion_topk", oracle=_prf_oracle())
+def retrieval_prf_expansion_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio/RM1 family)
+    over the rational BM25 scorer: round 1 ranks the corpus for the
+    base query {BM25_TERMS}; the top {PRF_FB_DOCS} feedback documents
+    are mined for expansion candidates, each scored
+    ``feedback_tf · rational_idf`` (exact integers — same log-free
+    idf as the base ranker); the top {PRF_EXPAND} candidates (score
+    DESC, term ASC — deterministic) widen the query; round 2 rescores
+    and returns the final top {BM25_TOP}. Both rounds run the SAME
+    scorer (:func:`_bm25_score_frame` — refactored out of
+    ``retrieval_bm25_rational_topk`` with an identical plan), so the
+    expansion's effect is isolated to the term set.
+
+    100 TB shape: each round is the audited BM25 shape (terms pruned
+    BEFORE the (doc, term) shuffle; stats broadcast; top-k =
+    TakeOrderedAndProject). The feedback mining pass prunes to the
+    BROADCAST {PRF_FB_DOCS}-row doc set before its term census, and
+    the candidate-df pass prunes on the broadcast candidate set.
+    Four narrow corpus passes total — a production system amortizes
+    them against the positional postings index
+    (``retrieval_phrase_index_topk``); the {PRF_EXPAND} chosen terms
+    are a bounded driver collect (the train-sample exemption class).
+    """
+    apply_engine_conf(spark)
+    from pyspark.sql import Window as W
+
+    docs = table_wide(spark, sf_dir, "documents")
+    fb = (
+        _bm25_score_frame(docs, BM25_TERMS)
+        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        .limit(PRF_FB_DOCS)
+        .select("doc_id")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+    )
+    cand = (
+        toks.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("term").isin(*BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("fb_tf"))
+    )
+    canddf = (
+        toks.join(F.broadcast(cand.select("term")), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    corpus = docs.agg(F.count("*").alias("n_docs"))
+    expansion = (
+        cand.join(canddf, "term")
+        .crossJoin(F.broadcast(corpus))
+        .selectExpr(
+            "term",
+            "fb_tf * ((2 * n_docs - 2 * df + 1) * 1000000"
+            " div (2 * df + 1)) AS es",
+        )
+        .orderBy(F.desc("es"), F.asc("term"))
+        .limit(PRF_EXPAND)
+    )
+    # bounded driver collect: exactly PRF_EXPAND rows
+    exp_terms = [r["term"] for r in expansion.collect()]
+    q2 = tuple(BM25_TERMS) + tuple(exp_terms)
+    top = (
+        _bm25_score_frame(docs, q2)
+        .orderBy(F.desc("score_q6"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )
+    w = W.partitionBy(F.pmod(F.col("score_q6"), F.lit(1))).orderBy(
+        F.desc("score_q6"), F.asc("doc_id")
+    )
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "doc_id", "score_q6", "n_terms", "rnk"
     )

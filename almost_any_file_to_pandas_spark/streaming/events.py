@@ -1394,3 +1394,104 @@ def events_view_click_stream_join(
             - F.unix_micros(F.col("view_ts"))
         ).alias("lag_us"),
     )
+
+
+WTOPK_K = 3  # leaders kept per tumbling window
+
+
+def topk_of_window_counts(counts: DataFrame, k: int = WTOPK_K) -> DataFrame:
+    """Per-window top-k rank over a (window_start_us, event_type,
+    n_events) counts frame — the ONE ranking kernel shared by the
+    batch twin and the streaming sink (test pins stream+helper ==
+    batch by construction). The window partitions by window_start, so
+    each partition holds ≤ |event types| rows — never a global sort.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start_us").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+@register(
+    "events_windowed_topk",
+    oracle=f"""
+    WITH c AS (
+      SELECT
+        epoch_us(CAST(time_bucket(INTERVAL '{WINDOW_MINUTES} minutes',
+                                  CAST(ts AS TIMESTAMP)) AS TIMESTAMP))
+          AS window_start_us,
+        event_type,
+        COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start_us, event_type, n_events, rnk FROM (
+      SELECT window_start_us, event_type, n_events,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY window_start_us
+               ORDER BY n_events DESC, event_type ASC) AS BIGINT) AS rnk
+      FROM c
+    ) WHERE rnk <= {WTOPK_K}
+    """,
+)
+def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tumbling-window event-type leaderboard (top {WTOPK_K} by
+    count, type ASC tiebreak) — the trending-now view every event
+    pipeline serves, and the windowed-RANKING class the streaming
+    section needs a batch anchor for (plain windowed counts are
+    ``events_tumbling_window``; heavy hitters rank per TYPE, this
+    ranks per WINDOW).
+
+    Plan/scale: one map-side-combined (window, type) count shuffle;
+    the rank window partitions by window_start, so every partition is
+    ≤ |event types| rows — the global-sort trap never appears. The
+    streaming form (:func:`events_windowed_topk_stream`) reuses the
+    identical ranking kernel over the streamed counts.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            F.window("ts", f"{WINDOW_MINUTES} minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return topk_of_window_counts(counts)
+
+
+def events_windowed_topk_stream(
+    spark: SparkSession, source_dir: str, schema
+) -> DataFrame:
+    """Streaming half of :func:`events_windowed_topk`: file source →
+    watermark → per-(window, type) stateful counts. Ranking is NOT in
+    the stream graph — Structured Streaming cannot rank across a
+    window's types until the window closes, so the production shape
+    is counts in the stream + :func:`topk_of_window_counts` applied
+    per finalized window in the sink (foreachBatch / the serving
+    layer), which is exactly what the equality test replays. State is
+    O(open windows × types); the 10-minute watermark bounds it.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", f"{WINDOW_MINUTES} minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )

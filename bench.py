@@ -273,6 +273,19 @@ HEADLINE = [
     "sim_ivf_delete_compact",
     "lineitem_bucket_advisor",
     "link_blocking_tuning_curve",
+    # real WAV decode census, k-anonymity risk census, parquet
+    # encoding advisor, embedding-dedup threshold knob curve
+    "mm_wav_decode_census",
+    "privacy_k_anonymity_census",
+    "lineitem_encoding_advisor",
+    "dedup_cosine_threshold_curve",
+    # DSIR importance selection, PRF query expansion, LPA modularity,
+    # windowed top-k leaderboard, zone-map skipping advisor
+    "pipeline_dsir_select",
+    "retrieval_prf_expansion_topk",
+    "graph_modularity_score",
+    "events_windowed_topk",
+    "lineitem_zonemap_advisor",
 ]
 
 # One representative per operator family, printed in the final

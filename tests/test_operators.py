@@ -77,6 +77,43 @@ def test_decode_image_real_bmp_roundtrip():
         decode_image(bytes(rle))
 
 
+def test_decode_wav_real_pcm_roundtrip():
+    """The audio decode arm parses REAL bytes: a canonical 16-bit PCM
+    WAV round-trips through decode_wav (rate / channels / frames and
+    the energy computed from the DECODED samples matches the census
+    oracle's closed form); non-PCM codecs route to the honest gate
+    and malformed containers raise."""
+    import struct
+
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        decode_wav,
+        synth_wav,
+    )
+
+    for rate, ch, nf in [(8000, 1, 8), (16000, 2, 136), (8000, 2, 256)]:
+        blob = synth_wav(rate, ch, nf)
+        assert len(blob) == 44 + nf * ch * 2
+        r, c, n, ssq = decode_wav(blob)
+        assert (r, c, n) == (rate, ch, nf)
+        q, rr = nf // 17, nf % 17
+        closed = c * (
+            q * 408
+            + ((rr - 1) * rr * (2 * rr - 1)) // 6
+            - 8 * rr * (rr - 1)
+            + 64 * rr
+        )
+        assert ssq == closed
+    floaty = bytearray(synth_wav(8000, 1, 8))
+    struct.pack_into("<H", floaty, 20, 3)  # WAVE_FORMAT_IEEE_FLOAT
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(floaty))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxJUNK")
+    with pytest.raises(ValueError):
+        # RIFF/WAVE shell with no fmt/data chunks
+        decode_wav(struct.pack("<4sI4s", b"RIFF", 4, b"WAVE"))
+
+
 def test_pairs_within_buckets_expansion(spark):
     from almost_any_file_to_pandas_spark.operators.dedup import (
         _pairs_within_buckets,

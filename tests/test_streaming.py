@@ -607,3 +607,33 @@ def test_view_click_stream_join_matches_batch(spark, events_source):
     }
     assert got == batch
     assert len(got) > 0
+
+
+def test_windowed_topk_stream_matches_batch(spark, events_source):
+    """The streamed (window, type) counts, ranked by the SAME
+    topk_of_window_counts kernel the batch twin uses, reproduce the
+    batch leaderboard exactly — complete mode surfaces every window."""
+    from almost_any_file_to_pandas_spark.streaming.events import (
+        events_windowed_topk,
+        events_windowed_topk_stream,
+        topk_of_window_counts,
+    )
+
+    schema = spark.read.parquet(events_source).schema
+    stream_df = events_windowed_topk_stream(spark, events_source, schema)
+    _run_to_memory(stream_df, "wtopk_mem", "complete")
+    sink = spark.sql("select * from wtopk_mem").select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+    )
+    got = {
+        (r["window_start_us"], r["event_type"]): (r["n_events"], r["rnk"])
+        for r in topk_of_window_counts(sink).collect()
+    }
+    batch = {
+        (r["window_start_us"], r["event_type"]): (r["n_events"], r["rnk"])
+        for r in events_windowed_topk(spark, SF_DIR).collect()
+    }
+    assert got == batch
+    assert len(got) > 0

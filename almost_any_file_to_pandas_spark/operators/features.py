@@ -801,3 +801,167 @@ def feat_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("oof_enc_q6"),
     )
+
+
+RFM_K = 4  # customer segments trained by the deterministic quantizer
+
+_RFM_E_SQL = """SELECT b.vec_id,
+             [CASE WHEN m.max_r = 0 THEN 0.0
+                   ELSE b.r_days * 1.0 / m.max_r END,
+              CASE WHEN m.max_n = 0 THEN 0.0
+                   ELSE b.n_orders * 1.0 / m.max_n END,
+              CASE WHEN m.max_s = 0 THEN 0.0
+                   ELSE b.spend_d / m.max_s END] AS v
+      FROM (
+        SELECT i.o_custkey AS vec_id,
+               date_diff('day', i.last_d, g.gmax) AS r_days,
+               i.n_orders,
+               CAST(i.spend AS DOUBLE) AS spend_d
+        FROM (
+          SELECT o_custkey,
+                 MAX(CAST(o_orderdate AS DATE)) AS last_d,
+                 COUNT(*) AS n_orders,
+                 SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS spend
+          FROM orders GROUP BY o_custkey
+        ) i CROSS JOIN (
+          SELECT MAX(CAST(o_orderdate AS DATE)) AS gmax FROM orders
+        ) g
+      ) b CROSS JOIN (
+        SELECT MAX(b2.r_days) AS max_r, MAX(b2.n_orders) AS max_n,
+               MAX(b2.spend_d) AS max_s
+        FROM (
+          SELECT date_diff('day', i.last_d, g.gmax) AS r_days,
+                 i.n_orders, CAST(i.spend AS DOUBLE) AS spend_d
+          FROM (
+            SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS spend
+            FROM orders GROUP BY o_custkey
+          ) i CROSS JOIN (
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS gmax FROM orders
+          ) g
+        ) b2
+      ) m"""
+
+
+def _rfm_kmeans_oracle() -> str:
+    from almost_any_file_to_pandas_spark.operators.ivf_kmeans import (
+        _kmeans_cents_sql,
+        _sqdist_q12_sql,
+    )
+
+    cents = _kmeans_cents_sql(
+        e_sql=_RFM_E_SQL, k_fixed_sql=f"SELECT {RFM_K} AS k"
+    )
+    d = _sqdist_q12_sql("e.v", "c.cvec")
+    return f"""
+    WITH {cents}, assigned AS (
+      SELECT e.vec_id, c.cid
+      FROM e CROSS JOIN c2 c
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id ORDER BY {d}, c.cid) = 1
+    ), raw AS (
+      SELECT o_custkey AS vec_id,
+             COUNT(*) AS n_orders,
+             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(25,6))) * 100
+                        + 0.5) AS BIGINT) AS spend_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(a.cid AS BIGINT) AS segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(r.n_orders) AS BIGINT) AS total_orders,
+           CAST(SUM(r.spend_cents) AS BIGINT) AS total_spend_cents
+    FROM assigned a JOIN raw r ON r.vec_id = a.vec_id
+    GROUP BY a.cid
+    """
+
+
+@register("customer_rfm_kmeans_segments", oracle=_rfm_kmeans_oracle())
+def customer_rfm_kmeans_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEARNED customer segmentation: k-means (k={RFM_K}) over
+    normalized RFM features (recency days, order count, total spend —
+    each scaled to [0,1] by its corpus max, all ±*/ double arithmetic
+    so both engines see bit-identical vectors), trained by the SAME
+    deterministic integer-q12 Lloyd's quantizer as the IVF index
+    (``deterministic_kmeans_centroids`` — seeds = k smallest
+    custkeys, 2 rounds, exact cross-engine parity), then a one-pass
+    assignment and an exact integer census per segment. Complements
+    the RULE-based ``customer_rfm_segments`` (fixed thresholds) with
+    the data-driven clustering a CRM actually ships.
+
+    100 TB shape: RFM features are ONE orders shuffle (custkey
+    groupBy); the global max date and the three normalizers fold from
+    customer-sized frames (1-row broadcasts). The quantizer's
+    per-round assignment is a narrow broadcast-argmin map pass (no
+    shuffle) and its mean step shuffles only (k × 3) keys; the final
+    assignment reuses the same broadcast pattern, and the census is a
+    {RFM_K}-row aggregate. q12 contract holds by construction:
+    features live in [0, 1].
+    """
+    apply_engine_conf(spark)
+    from almost_any_file_to_pandas_spark.operators.ivf_kmeans import (
+        _argmin_cid,
+        deterministic_kmeans_centroids,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    inner = orders.groupBy(F.col("o_custkey").alias("vec_id")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("spend"),
+    )
+    g = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("gmax")
+    )
+    b = inner.crossJoin(F.broadcast(g)).select(
+        "vec_id",
+        F.datediff("gmax", "last_d").alias("r_days"),
+        "n_orders",
+        F.col("spend").cast("double").alias("spend_d"),
+    )
+    m = b.agg(
+        F.max("r_days").alias("max_r"),
+        F.max("n_orders").alias("max_n"),
+        F.max("spend_d").alias("max_s"),
+    )
+    feat = b.crossJoin(F.broadcast(m)).select(
+        "vec_id",
+        F.array(
+            F.expr(
+                "CASE WHEN max_r = 0 THEN 0.0"
+                " ELSE r_days * 1.0 / max_r END"
+            ),
+            F.expr(
+                "CASE WHEN max_n = 0 THEN 0.0"
+                " ELSE n_orders * 1.0 / max_n END"
+            ),
+            F.expr(
+                "CASE WHEN max_s = 0 THEN 0.0 ELSE spend_d / max_s END"
+            ),
+        ).alias("v"),
+    )
+    cents = deterministic_kmeans_centroids(spark, feat, RFM_K)
+    crow = cents.agg(F.collect_list(F.struct("cid", "cvec")).alias("cs"))
+    assigned = feat.crossJoin(F.broadcast(crow)).select(
+        "vec_id", _argmin_cid(F.col("cs"), F.col("v")).alias("cid")
+    )
+    raw = orders.groupBy(F.col("o_custkey").alias("vec_id")).agg(
+        F.count("*").alias("n_orders"),
+        F.floor(
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("spend_cents"),
+    )
+    return (
+        assigned.join(raw, "vec_id")
+        .groupBy(F.col("cid").cast("long").alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("n_orders").cast("long").alias("total_orders"),
+            F.sum("spend_cents").cast("long").alias("total_spend_cents"),
+        )
+    )

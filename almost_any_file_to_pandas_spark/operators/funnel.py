@@ -1433,3 +1433,295 @@ def events_funnel_window_curve(
             + " END AS BIGINT)"
         ).alias("conv_l3_q6"),
     )
+
+
+# factorials 0!..8! as a portable CASE (both engines) — caps the
+# Shapley channel universe at 8; the events domain is ~5 types, and a
+# wider domain should pre-bucket channels before exact Shapley anyway
+# (2^n coalitions).
+def _fact_case(expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {k} THEN {v}"
+        for k, v in enumerate((1, 1, 2, 6, 24, 120, 720, 5040, 40320))
+    )
+    return f"(CASE {expr} {arms} END)"
+
+
+@register(
+    "events_attribution_shapley",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ), fp AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_id FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM ev WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ), channels AS (
+      SELECT event_type AS channel,
+             ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS bit
+      FROM (SELECT DISTINCT event_type FROM ev
+            WHERE event_type <> 'purchase')
+    ), nch AS (
+      SELECT COUNT(*) AS n FROM channels
+    ), presence AS (
+      SELECT DISTINCT e.user_id, c.bit
+      FROM ev e JOIN fp ON fp.user_id = e.user_id
+      JOIN channels c ON c.channel = e.event_type
+      WHERE e.ts < fp.p_ts
+         OR (e.ts = fp.p_ts AND e.event_id < fp.p_id)
+    ), umask AS (
+      SELECT fp.user_id,
+             COALESCE(SUM(1 << p.bit), 0) AS mask
+      FROM fp LEFT JOIN presence p ON p.user_id = fp.user_id
+      GROUP BY fp.user_id
+    ), census AS (
+      SELECT mask, COUNT(*) AS n_users FROM umask GROUP BY mask
+    ), subsets AS (
+      SELECT unnest(range(0, 1 << n)) AS s FROM nch
+    ), v AS (
+      SELECT s, COALESCE(SUM(CASE WHEN (c.mask & sub.s) = c.mask
+                                  THEN c.n_users END), 0) AS v
+      FROM subsets sub LEFT JOIN census c ON TRUE
+      GROUP BY s
+    ), num AS (
+      SELECT ch.channel, ch.bit,
+             SUM({_fact_case("bit_count(vs.s)")}
+                 * {_fact_case("n.n - 1 - bit_count(vs.s)")}
+                 * (vi.v - vs.v)) AS num
+      FROM channels ch
+      CROSS JOIN nch n
+      JOIN v vs ON (vs.s >> ch.bit) % 2 = 0
+      JOIN v vi ON vi.s = (vs.s | (1 << ch.bit))
+      GROUP BY ch.channel, ch.bit, n.n
+    )
+    SELECT nm.channel,
+           CAST(sv.v AS BIGINT) AS v_solo,
+           CAST(nm.num * 1000000 // {_fact_case("n.n")} AS BIGINT)
+             AS shapley_q6
+    FROM num nm
+    JOIN v sv ON sv.s = (1 << nm.bit)
+    CROSS JOIN nch n
+    """,
+)
+def events_attribution_shapley(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT Shapley-value conversion attribution (Shapley 1953; the
+    game-theoretic model the heuristic last-touch / linear /
+    time-decay / removal-effect quartet approximates): players = the
+    non-purchase channel types, coalition worth v(S) = converting
+    users whose pre-first-purchase channel-presence set ⊆ S, and each
+    channel's credit is the exact Shapley sum
+    ``φ_i = Σ_{{S∌i}} |S|!·(n−1−|S|)!·(v(S∪i)−v(S)) / n!``.
+    v is a subset-sum of the presence census, hence monotone, so
+    every φ_i ≥ 0 and Σφ_i = v(full) − v(∅) (efficiency — pinned in
+    pytest). All arithmetic is exact integers: factorial weights via
+    a 0!..8! CASE, φ emitted as ``num·1e6 div n!``.
+
+    100 TB shape: the corpus-sized work is ONE user-keyed pass
+    (first-purchase rank + strictly-preceding presence join — the
+    attribution family's shared shape) ending in a ≤2^n-row presence
+    census; every coalition/Shapley step after that operates on
+    2^n ≤ {1 << 8} broadcast-scale rows (subset lattice from
+    ``sequence``, conditional-sum v, self-join on S∪{{i}}). Exact
+    Shapley is exponential in CHANNELS, never in events — n is the
+    channel domain (~5 here, capped 8), which is what makes the exact
+    computation production-feasible.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w_fp = W.partitionBy("user_id").orderBy("ts", "event_id")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+    )
+    w_bit = W.partitionBy(F.lit("all")).orderBy("channel")
+    channels = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("channel"))
+        .distinct()
+        .withColumn(
+            "bit", (F.row_number().over(w_bit) - 1).cast("long")
+        )
+        .localCheckpoint(eager=True)
+    )
+    nch = channels.agg(F.count("*").alias("n"))
+    presence = (
+        ev.join(fp, "user_id")
+        .filter(
+            (F.col("ts") < F.col("p_ts"))
+            | (
+                (F.col("ts") == F.col("p_ts"))
+                & (F.col("event_id") < F.col("p_id"))
+            )
+        )
+        .join(
+            F.broadcast(channels),
+            F.col("event_type") == F.col("channel"),
+        )
+        .select("user_id", "bit")
+        .distinct()
+    )
+    umask = (
+        fp.join(presence, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CAST(1 AS BIGINT) << bit")), F.lit(0)
+            ).alias("mask")
+        )
+    )
+    census = umask.groupBy("mask").agg(F.count("*").alias("n_users"))
+    subsets = nch.select(
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.expr("CAST((1 << n) - 1 AS BIGINT)"),
+            )
+        ).alias("s")
+    )
+    v = (
+        subsets.join(F.broadcast(census), how="left")
+        .groupBy("s")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.expr("(mask & s) = mask"), F.col("n_users")
+                    )
+                ),
+                F.lit(0),
+            ).alias("v")
+        )
+        .localCheckpoint(eager=True)
+    )
+    vs = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    vi = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    num = (
+        F.broadcast(channels)
+        .crossJoin(F.broadcast(nch))
+        .join(vs, F.expr("(s0 >> bit) % 2 = 0"))
+        .join(vi, F.expr("s1 = (s0 | (CAST(1 AS BIGINT) << bit))"))
+        .groupBy("channel", "bit", "n")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"{_fact_case('bit_count(s0)')}"
+                    f" * {_fact_case('n - 1 - bit_count(s0)')}"
+                    " * (v1 - v0)"
+                )
+            ).alias("num")
+        )
+    )
+    solo = v.select(F.col("s").alias("s_solo"), F.col("v").alias("v_solo"))
+    return (
+        num.join(
+            F.broadcast(solo),
+            F.expr("s_solo = (CAST(1 AS BIGINT) << bit)"),
+        )
+        .selectExpr(
+            "channel",
+            "CAST(v_solo AS BIGINT) AS v_solo",
+            f"CAST(num * 1000000 div {_fact_case('n')} AS BIGINT)"
+            " AS shapley_q6",
+        )
+    )
+
+
+# single-char alphabet for sequence regexes (portable Java/RE2 subset:
+# character classes + * only, the text_pii_scrub contract)
+_CEP_CHR_SQL = "substr(event_type, 1, 1)"
+CEP_STRICT = "v[^e]*c[^e]*p"  # view→click→purchase, no error between
+CEP_LOOSE = "v.*c.*p"  # same funnel, interruptions allowed
+
+
+@register(
+    "events_cep_pattern_census",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg({_CEP_CHR_SQL}, ''
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS s
+      FROM events GROUP BY user_id
+    ), flags AS (
+      SELECT user_id,
+             CASE WHEN regexp_matches(s, '{CEP_STRICT}')
+                  THEN 1 ELSE 0 END AS strict_hit,
+             CASE WHEN regexp_matches(s, '{CEP_LOOSE}')
+                  THEN 1 ELSE 0 END AS loose_hit
+      FROM seq
+    )
+    SELECT CAST(strict_hit AS BIGINT) AS strict_hit,
+           CAST(loose_hit AS BIGINT) AS loose_hit,
+           COUNT(*) AS n_users
+    FROM flags GROUP BY 1, 2
+    """,
+)
+def events_cep_pattern_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Complex-event-processing pattern census — the
+    MATCH_RECOGNIZE class restated as sequence-string regexes (the
+    standard Spark workaround: Spark has no MATCH_RECOGNIZE): each
+    user's event history collapses to an ordered single-char type
+    string, and the funnel pattern view→click→purchase is matched
+    twice — STRICT ('{CEP_STRICT}': no error event may interrupt)
+    and LOOSE ('{CEP_LOOSE}': interruptions allowed). The census of
+    (strict, loose) flag pairs is what a growth team reads
+    interruption cost from; the regexes stay inside the portable
+    Java-regex ∩ RE2 subset (the text_pii_scrub contract), and the
+    per-user string is built by the same (ts, event_id)-ordered
+    deterministic aggregation both engines sort identically.
+
+    100 TB shape: ONE user-keyed shuffle (sorted aggregate —
+    sessionization's partitioning, shared with every per-user
+    operator); the regex match is a narrow JVM-side projection on the
+    user-sized frame; output is a ≤4-row census. Per-user sequence
+    strings are event-history-bounded — a production deployment
+    scopes them per session (the gaps-and-islands machinery) to cap
+    string length; the pattern algebra is identical.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.expr(_CEP_CHR_SQL).alias("c"),
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+        ).alias("s")
+    )
+    flags = seq.select(
+        F.when(F.col("s").rlike(CEP_STRICT), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("strict_hit"),
+        F.when(F.col("s").rlike(CEP_LOOSE), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("loose_hit"),
+    )
+    return flags.groupBy("strict_hit", "loose_hit").agg(
+        F.count("*").alias("n_users")
+    )

@@ -197,29 +197,42 @@ def deterministic_kmeans_centroids(
 
 
 def _kmeans_cents_sql(
-    k_floor: int = IVF_K, target: int = IVF_TARGET_BUCKET_ROWS
+    k_floor: int = IVF_K,
+    target: int = IVF_TARGET_BUCKET_ROWS,
+    e_sql: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+    k_fixed_sql: str | None = None,
 ) -> str:
     """CTE chain producing the final deterministic centroids ``c2``
     (plus the double-cast corpus ``e``) — shared by the curve,
     balance, and deterministic-SemDeDup oracles. ``k_floor``/
     ``target`` parameterize the quantizer sizing rule (defaults:
-    the IVF index; the semantic dedup twin passes its own)."""
+    the IVF index; the semantic dedup twin passes its own);
+    ``e_sql``/``k_fixed_sql`` let a NON-embedding feature frame train
+    with a fixed k (the RFM segmentation twin) — defaults emit the
+    byte-identical chain the existing oracles pin."""
     d1 = _sqdist_q12_sql("e.v", "c.cvec")
+    kk_body = (
+        k_fixed_sql
+        if k_fixed_sql is not None
+        else (
+            "SELECT GREATEST(CAST({ivf_k} AS BIGINT),\n"
+            "                      CAST(CEIL(COUNT(*) * 1.0 / {target})"
+            " AS BIGINT)) AS k\n      FROM e"
+        ).format(ivf_k=k_floor, target=target)
+    )
     parts = [
         """
     e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      {e_sql}
     ), kk AS (
-      SELECT GREATEST(CAST({ivf_k} AS BIGINT),
-                      CAST(CEIL(COUNT(*) * 1.0 / {target}) AS BIGINT)) AS k
-      FROM e
+      {kk_body}
     ), c0 AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                AS cid,
              v AS cvec
       FROM e, kk
       QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= k
-    )""".format(ivf_k=k_floor, target=target)
+    )""".format(e_sql=e_sql, kk_body=kk_body)
     ]
     prev = "c0"
     for r in (1, 2):

@@ -739,3 +739,119 @@ def mm_wav_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_duration_us"),
         F.sum("energy").alias("total_energy"),
     )
+
+
+SHOT_SIG_MOD = 4096  # fake per-frame signature space
+SHOT_CUT = 2048  # |Δsignature| above this opens a new shot
+
+_SHOT_SIG_SQL = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||"
+    " CAST(frame_no AS VARCHAR)), 1, 8))::BIGINT % {mod})"
+)
+
+
+@register(
+    "mm_video_shot_boundaries",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, octet_length(encode(text)) % 256 AS n_frames
+      FROM documents
+      WHERE doc_id % 3 = 2 AND octet_length(encode(text)) % 256 > 0
+    ), frames AS (
+      SELECT doc_id, n_frames,
+             unnest(range(0, n_frames)) AS frame_no
+      FROM v
+    ), sig AS (
+      SELECT doc_id, n_frames, frame_no,
+             {_SHOT_SIG_SQL.format(mod=SHOT_SIG_MOD)} AS s
+      FROM frames
+    ), jumps AS (
+      SELECT doc_id, n_frames,
+             ABS(s - LAG(s) OVER (PARTITION BY doc_id
+                                  ORDER BY frame_no)) AS jump
+      FROM sig
+    )
+    SELECT doc_id,
+           CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+           CAST(1 + COUNT(*) FILTER (WHERE jump > {SHOT_CUT}) AS BIGINT)
+             AS n_shots,
+           CAST(COALESCE(MAX(jump), 0) AS BIGINT) AS max_jump
+    FROM jumps GROUP BY doc_id
+    """,
+)
+def mm_video_shot_boundaries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shot-boundary detection over video frame streams — the
+    temporal-analysis leg of the video family (``mm_frame_sample``
+    generates the work queue; this consumes the per-frame signal): a
+    boundary opens wherever the frame-signature jump exceeds
+    {SHOT_CUT} (the classic luminance/histogram-difference detector).
+    The per-frame signature is the deterministic md5 stand-in the
+    multimodal fakes contract uses (a real deployment swaps the
+    signature column for a decoded histogram via the
+    ``mm_bmp_decode_census`` mapInPandas arm; the PLAN — generate
+    frames, lag within doc, threshold, census — is the production
+    shape and is what this row pins).
+
+    100 TB shape: frames are generated engine-side
+    (``explode(sequence)``, no UDF, fan-out proportional to
+    n_frames); the lag window partitions by doc_id (frame streams
+    never cross documents, no global sort); the census collapses back
+    to one row per asset.
+    """
+    apply_engine_conf(spark)
+    mm = with_binary_content(table(spark, sf_dir, "documents"))
+    v = mm.filter(
+        (F.col("modality") == "video")
+        & (F.pmod(F.col("byte_len"), F.lit(256)) > 0)
+    ).select(
+        "doc_id", F.pmod(F.col("byte_len"), F.lit(256)).alias("n_frames")
+    )
+    frames = v.select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"), F.col("n_frames") - 1
+            )
+        ).alias("frame_no"),
+    )
+    sig = frames.withColumn(
+        "s",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("frame_no").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % SHOT_SIG_MOD,
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy("frame_no")
+    jumps = sig.select(
+        "doc_id",
+        "n_frames",
+        F.abs(F.col("s") - F.lag("s").over(w)).alias("jump"),
+    )
+    return jumps.groupBy("doc_id").agg(
+        F.max("n_frames").cast("long").alias("n_frames"),
+        (
+            1 + F.count(F.when(F.col("jump") > SHOT_CUT, 1))
+        )
+        .cast("long")
+        .alias("n_shots"),
+        F.coalesce(F.max("jump"), F.lit(0))
+        .cast("long")
+        .alias("max_jump"),
+    )

@@ -106,3 +106,88 @@ def privacy_k_anonymity_census(
             ).alias("risk_share_q6"),
         )
     )
+
+
+L_DIVERSITY_LEVELS = (2, 3, 5)
+_QI_NOSENS_SQL = (
+    f"c_nationkey, CAST(FLOOR(c_acctbal / {ACCTBAL_BUCKET}.0) AS BIGINT)"
+)
+
+
+@register(
+    "privacy_l_diversity_census",
+    oracle=f"""
+    WITH g AS (
+      SELECT COUNT(*) AS gsize,
+             COUNT(DISTINCT c_mktsegment) AS nsens
+      FROM customer GROUP BY {_QI_NOSENS_SQL}
+    ), levels AS (
+      SELECT nsens, COUNT(*) AS n_groups, SUM(gsize) AS n_rows
+      FROM g GROUP BY nsens
+    ), ls(l) AS (VALUES {", ".join(f"({v})" for v in L_DIVERSITY_LEVELS)})
+    SELECT CAST(ls.l AS BIGINT) AS l,
+           CAST(SUM(n_groups) AS BIGINT) AS n_groups_total,
+           CAST(COALESCE(SUM(n_groups) FILTER (WHERE nsens < ls.l), 0)
+                AS BIGINT) AS n_groups_below,
+           CAST(COALESCE(SUM(n_rows) FILTER (WHERE nsens < ls.l), 0)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(COALESCE(SUM(n_rows) FILTER (WHERE nsens < ls.l), 0)
+                * 1000000 // SUM(n_rows) AS BIGINT) AS risk_share_q6
+    FROM ls CROSS JOIN levels
+    GROUP BY ls.l
+    """,
+)
+def privacy_l_diversity_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """l-diversity risk census (Machanavajjhala et al. 2007 — the
+    k-anonymity refinement: a QI group whose SENSITIVE attribute
+    takes < l distinct values leaks the attribute even when the group
+    is large): quasi-identifiers are nation + balance bucket, the
+    sensitive attribute is the market segment, and for each l in
+    {L_DIVERSITY_LEVELS} the census reports groups below l, their row
+    mass, and the at-risk share (exact integer millionths).
+
+    100 TB shape: identical to :func:`privacy_k_anonymity_census` —
+    ONE corpus shuffle computing (group size, distinct-sensitive
+    count) per QI group, collapsed to an nsens-LEVEL census, then the
+    l-sweep is conditional sums over the broadcast-scale level frame
+    crossed with the {len(L_DIVERSITY_LEVELS)}-row l list.
+    """
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / float(ACCTBAL_BUCKET))
+        .cast("long")
+        .alias("bal_kb"),
+    ).agg(
+        F.count("*").alias("gsize"),
+        F.countDistinct("c_mktsegment").alias("nsens"),
+    )
+    levels = g.groupBy("nsens").agg(
+        F.count("*").alias("n_groups"), F.sum("gsize").alias("n_rows")
+    )
+    ls = spark.createDataFrame(
+        [(v,) for v in L_DIVERSITY_LEVELS], "l long"
+    )
+    below_g = F.when(F.col("nsens") < F.col("l"), F.col("n_groups"))
+    below_r = F.when(F.col("nsens") < F.col("l"), F.col("n_rows"))
+    return (
+        F.broadcast(ls)
+        .crossJoin(levels)
+        .groupBy("l")
+        .agg(
+            F.sum("n_groups").alias("n_groups_total"),
+            F.coalesce(F.sum(below_g), F.lit(0))
+            .cast("long")
+            .alias("n_groups_below"),
+            F.coalesce(F.sum(below_r), F.lit(0))
+            .cast("long")
+            .alias("n_rows_at_risk"),
+            F.expr(
+                "CAST(coalesce(sum(CASE WHEN nsens < l THEN n_rows END), 0)"
+                " * 1000000 div sum(n_rows) AS BIGINT)"
+            ).alias("risk_share_q6"),
+        )
+    )

@@ -2790,3 +2790,235 @@ def events_session_gap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             + " END AS BIGINT)"
         ).alias("events_per_session_q6"),
     )
+
+
+HOLT_ALPHA = 0.5  # level gain — exact binary rational
+HOLT_BETA = 0.25  # trend gain — exact binary rational
+
+
+@register(
+    "orders_holt_linear_smoothing",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+      SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(25,6))) * 100
+                        + 0.5) AS BIGINT) AS y_cents
+      FROM orders GROUP BY 1
+    ), idx AS (
+      SELECT ym, y_cents, ROW_NUMBER() OVER (ORDER BY ym) AS t FROM s
+    ), h AS (
+      SELECT t, ym, y_cents,
+             y_cents / 100.0 AS l, CAST(0.0 AS DOUBLE) AS b,
+             CAST(NULL AS DOUBLE) AS fc
+      FROM idx WHERE t = 1
+      UNION ALL
+      SELECT i.t, i.ym, i.y_cents,
+             {HOLT_ALPHA} * (i.y_cents / 100.0)
+               + {1 - HOLT_ALPHA} * (h.l + h.b),
+             {HOLT_BETA} * (({HOLT_ALPHA} * (i.y_cents / 100.0)
+                             + {1 - HOLT_ALPHA} * (h.l + h.b)) - h.l)
+               + {1 - HOLT_BETA} * h.b,
+             h.l + h.b
+      FROM h JOIN idx i ON i.t = h.t + 1
+    )
+    SELECT CAST(ym AS BIGINT) AS ym, y_cents,
+           CAST(FLOOR(l * 100 + 0.5) AS BIGINT) AS level_cents,
+           CAST(FLOOR(b * 100 + 0.5) AS BIGINT) AS trend_cents,
+           CAST(FLOOR(fc * 100 + 0.5) AS BIGINT) AS forecast_cents
+    FROM h
+    """,
+)
+def orders_holt_linear_smoothing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over the monthly
+    revenue series — the trend-aware forecaster completing the
+    forecasting quartet (EWMA = level-only, seasonal-naive MASE =
+    benchmark, Theil–Sen = robust slope): per month,
+    ``l_t = α·y_t + (1−α)(l_{{t−1}}+b_{{t−1}})``,
+    ``b_t = β(l_t−l_{{t−1}}) + (1−β)b_{{t−1}}``, and the one-step
+    forecast ``l_{{t−1}}+b_{{t−1}}``, with α={HOLT_ALPHA},
+    β={HOLT_BETA} (exact binary rationals — every recursion step is
+    ±*/ on doubles, bit-identical cross-engine; the oracle restates
+    the identical recursion as a recursive CTE). Monthly y is the
+    exact DECIMAL cents sum, so both engines smooth identical inputs.
+
+    100 TB shape: the corpus-sized work is ONE (year, month) groupBy
+    with map-side combine; the recursion then runs driver-side over
+    the BOUNDED month spine (the markov/rate-limiter bounded-model-
+    state pattern — a calendar has ~8 rows per PB-year of data, and
+    an inherently sequential scalar recursion does not distribute).
+    Forecast/level/trend emit as FLOOR(x·100+0.5) cents.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("ym")
+        )
+        .agg(
+            F.floor(
+                F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("y_cents")
+        )
+        .orderBy("ym")
+    )
+    # bounded driver collect: the month spine (~84 rows; calendar-
+    # sized at any corpus scale)
+    series = monthly.collect()
+    import math
+
+    out = []
+    l = b = None
+    for row in series:
+        yd = row["y_cents"] / 100.0
+        if l is None:
+            l, b, fc = yd, 0.0, None
+        else:
+            fc = l + b
+            l_new = HOLT_ALPHA * yd + (1 - HOLT_ALPHA) * (l + b)
+            b = HOLT_BETA * (l_new - l) + (1 - HOLT_BETA) * b
+            l = l_new
+        out.append(
+            (
+                row["ym"],
+                row["y_cents"],
+                int(math.floor(l * 100 + 0.5)),
+                int(math.floor(b * 100 + 0.5)),
+                None if fc is None else int(math.floor(fc * 100 + 0.5)),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        schema=(
+            "ym bigint, y_cents bigint, level_cents bigint, "
+            "trend_cents bigint, forecast_cents bigint"
+        ),
+    )
+
+
+@register(
+    "orders_capacity_backlog_replay",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+             CAST(MAX(o_orderdate) AS DATE) AS d1,
+             COUNT(*) AS total
+      FROM orders
+    ), spine AS (
+      SELECT CAST(u.d AS DATE) AS day,
+             ROW_NUMBER() OVER (ORDER BY u.d) AS t
+      FROM bounds, LATERAL (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+      ) u
+      WHERE d0 IS NOT NULL
+    ), kcap AS (
+      SELECT (b.total + COUNT(*) - 1) // COUNT(*) AS k
+      FROM spine, bounds b GROUP BY b.total
+    ), arriv AS (
+      SELECT s.t, s.day, COALESCE(a.n, 0) AS a
+      FROM spine s LEFT JOIN (
+        SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+        FROM orders GROUP BY 1
+      ) a ON a.day = s.day
+    ), sim AS (
+      SELECT t, day, a,
+             GREATEST(0, a - (SELECT k FROM kcap)) AS backlog,
+             a - GREATEST(0, a - (SELECT k FROM kcap)) AS shipped
+      FROM arriv WHERE t = 1
+      UNION ALL
+      SELECT n.t, n.day, n.a,
+             GREATEST(0, sim.backlog + n.a - (SELECT k FROM kcap)),
+             sim.backlog + n.a
+               - GREATEST(0, sim.backlog + n.a - (SELECT k FROM kcap))
+      FROM sim JOIN arriv n ON n.t = sim.t + 1
+    )
+    SELECT CAST(year(day) * 100 + month(day) AS BIGINT) AS ym,
+           CAST(SUM(a) AS BIGINT) AS arrivals,
+           CAST(SUM(shipped) AS BIGINT) AS shipped,
+           CAST(MAX(backlog) AS BIGINT) AS max_backlog,
+           CAST(COUNT(*) FILTER (WHERE backlog > 0) AS BIGINT)
+             AS days_backlogged,
+           CAST(MAX_BY(backlog, t) AS BIGINT) AS end_backlog
+    FROM sim GROUP BY 1
+    """,
+)
+def orders_capacity_backlog_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic capacity/backlog replay — the operational
+    "what-if" a fulfillment planner runs against history: a fixed
+    daily ship capacity K = ⌈mean daily arrivals⌉ (derived from the
+    data, scale-free) replays the dense calendar with the integer
+    queue recursion ``backlog_t = max(0, backlog_{t−1} + a_t − K)``,
+    and each month reports arrivals, shipped units, peak and
+    month-end backlog, and backlogged-day count — the Lindley
+    recursion of queueing theory on exact integers (no float
+    anywhere, no RNG: a replay, not a Monte Carlo).
+
+    100 TB shape: the corpus-sized work is ONE daily-count groupBy;
+    the recursion is inherently sequential and runs driver-side over
+    the BOUNDED dense calendar spine (~2.4k days here; calendar-sized
+    at any corpus scale — the Holt/markov bounded-model-state
+    pattern), gap days synthesized in the loop. The oracle restates
+    the identical recursion as a recursive CTE over the
+    generate_series spine.
+    """
+    apply_engine_conf(spark)
+    import datetime as _dt
+
+    orders = table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("day")
+    )
+    rows = daily.collect()  # bounded: calendar-sized
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            schema=(
+                "ym bigint, arrivals bigint, shipped bigint, "
+                "max_backlog bigint, days_backlogged bigint, "
+                "end_backlog bigint"
+            ),
+        )
+    counts = {r["day"]: r["n"] for r in rows}
+    d0, d1 = rows[0]["day"], rows[-1]["day"]
+    n_days = (d1 - d0).days + 1
+    total = sum(counts.values())
+    k = (total + n_days - 1) // n_days
+    monthly: dict = {}
+    backlog = 0
+    for i in range(n_days):
+        day = d0 + _dt.timedelta(days=i)
+        a = counts.get(day, 0)
+        new_backlog = max(0, backlog + a - k)
+        shipped = backlog + a - new_backlog
+        backlog = new_backlog
+        ym = day.year * 100 + day.month
+        m = monthly.setdefault(
+            ym, {"a": 0, "s": 0, "mx": 0, "db": 0, "eb": 0}
+        )
+        m["a"] += a
+        m["s"] += shipped
+        m["mx"] = max(m["mx"], backlog)
+        m["db"] += 1 if backlog > 0 else 0
+        m["eb"] = backlog
+    out = [
+        (ym, m["a"], m["s"], m["mx"], m["db"], m["eb"])
+        for ym, m in sorted(monthly.items())
+    ]
+    return spark.createDataFrame(
+        out,
+        schema=(
+            "ym bigint, arrivals bigint, shipped bigint, "
+            "max_backlog bigint, days_backlogged bigint, "
+            "end_backlog bigint"
+        ),
+    )

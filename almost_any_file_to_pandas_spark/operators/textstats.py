@@ -2293,3 +2293,102 @@ def text_vocab_coverage_curve(
         " ELSE covered_tokens * 1000000 div total_tokens END AS BIGINT)"
         " AS coverage_q6",
     )
+
+
+@register(
+    "text_filter_ablation_census",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    ), w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), topw AS (
+      SELECT doc_id, MAX(cnt) AS top_cnt FROM (
+        SELECT doc_id, tok, COUNT(*) AS cnt FROM w GROUP BY 1, 2
+      ) GROUP BY doc_id
+    ), flags AS (
+      SELECT t.doc_id, t.n_words,
+             CASE WHEN t.n_words >= {QF_MIN_WORDS} THEN 1 ELSE 0 END
+               AS words_ok,
+             CASE WHEN 1 - t.n_distinct::DOUBLE / t.n_words
+                       <= {QF_MAX_DUP_RATIO} THEN 1 ELSE 0 END AS dup_ok,
+             CASE WHEN topw.top_cnt::DOUBLE / t.n_words
+                       <= {QF_MAX_TOP_FRACTION} THEN 1 ELSE 0 END
+               AS top_ok
+      FROM t JOIN topw ON t.doc_id = topw.doc_id
+    )
+    SELECT CAST(words_ok AS BIGINT) AS words_ok,
+           CAST(dup_ok AS BIGINT) AS dup_ok,
+           CAST(top_ok AS BIGINT) AS top_ok,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens
+    FROM flags GROUP BY 1, 2, 3
+    """,
+)
+def text_filter_ablation_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filter ablation census — the question every pipeline owner
+    asks before turning a quality gate on: WHICH rule removes WHAT
+    mass, and how much do the rules overlap? The three
+    ``text_quality_filter`` conjuncts (min words, dup-ratio cap,
+    top-token cap — identical expressions, so the all-pass cell
+    equals that filter's keep set by construction) become independent
+    flags and the corpus is censused over all 2³ flag combinations
+    with document and token mass per cell — the inclusion-exclusion
+    table a removal decision actually needs (a doc failing two rules
+    is not saved by relaxing one).
+
+    100 TB shape: ONE token-census pass (the same doc-keyed top-token
+    aggregate the filter row runs), flags as narrow JVM projections,
+    then an 8-cell groupBy. No per-rule rescan — the whole ablation
+    matrix costs exactly one filter evaluation.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    t = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("tok")
+    )
+    topw = (
+        w.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"))
+    )
+    flags = t.join(topw, "doc_id").select(
+        "n_words",
+        F.when(F.col("n_words") >= QF_MIN_WORDS, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("words_ok"),
+        F.when(
+            1
+            - F.col("n_distinct").cast("double") / F.col("n_words")
+            <= QF_MAX_DUP_RATIO,
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("dup_ok"),
+        F.when(
+            F.col("top_cnt").cast("double") / F.col("n_words")
+            <= QF_MAX_TOP_FRACTION,
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("top_ok"),
+    )
+    return flags.groupBy("words_ok", "dup_ok", "top_ok").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+    )

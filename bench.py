@@ -286,6 +286,17 @@ HEADLINE = [
     "graph_modularity_score",
     "events_windowed_topk",
     "lineitem_zonemap_advisor",
+    # exact Shapley attribution, l-diversity census, learned RFM
+    # segments, Holt linear smoothing, CEP pattern census
+    "events_attribution_shapley",
+    "privacy_l_diversity_census",
+    "customer_rfm_kmeans_segments",
+    "orders_holt_linear_smoothing",
+    "events_cep_pattern_census",
+    # filter ablation matrix, capacity backlog replay, shot boundaries
+    "text_filter_ablation_census",
+    "orders_capacity_backlog_replay",
+    "mm_video_shot_boundaries",
 ]
 
 # One representative per operator family, printed in the final

@@ -2054,3 +2054,43 @@ def test_phrase_index_token_aligned_vs_scan_convention(spark, tmp_path):
     }
     assert idx == {1: 2, 2: 2}
     assert scan == {1: 1, 2: 2}
+
+
+def test_shapley_efficiency_identity(spark):
+    """Shapley axioms on the real corpus: every channel's credit is
+    ≥ 0 (v is a monotone subset-sum) and the credits sum to
+    v(full) − v(∅) (efficiency) — checked in exact pre-division
+    integers: Σ shapley_q6 = (v_full − v_empty)·1e6 within n·1
+    integer-division slack."""
+    from almost_any_file_to_pandas_spark.operators.funnel import (
+        events_attribution_shapley,
+    )
+    from almost_any_file_to_pandas_spark.plans import table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = events_attribution_shapley(spark, sf).collect()
+    assert rows, "channel domain is non-empty on sf0.001"
+    assert all(r["shapley_q6"] >= 0 for r in rows)
+    ev = table(spark, sf, "events")
+    # v(full) = converting users (every presence set ⊆ full set);
+    # v(empty) = converting users with NO pre-purchase channel touch
+    purch = ev.filter(F.col("event_type") == "purchase")
+    fp = purch.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id")).alias("fp")
+    )
+    pre = (
+        ev.join(fp, "user_id")
+        .filter(
+            (F.col("event_type") != "purchase")
+            & (F.struct("ts", "event_id") < F.col("fp"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    v_full = fp.count()
+    v_empty = v_full - pre.count()
+    total = sum(r["shapley_q6"] for r in rows)
+    target = (v_full - v_empty) * 1_000_000
+    # each φ_i loses < 1 micro-unit to integer division
+    assert target - len(rows) <= total <= target

@@ -794,3 +794,91 @@ def retrieval_prf_expansion_topk(
     return top.withColumn("rnk", F.row_number().over(w)).select(
         "doc_id", "score_q6", "n_terms", "rnk"
     )
+
+
+@register(
+    "retrieval_postings_gap_census",
+    oracle="""
+    WITH postings AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS term, doc_id
+      FROM documents
+    ), gaps AS (
+      SELECT term, doc_id,
+             COALESCE(doc_id - LAG(doc_id) OVER (PARTITION BY term
+                                                 ORDER BY doc_id),
+                      doc_id + 1) AS gap
+      FROM postings
+    ), per_term AS (
+      SELECT term, COUNT(*) AS df,
+             SUM((length(bin(gap)) + 6) // 7) AS delta_bytes,
+             SUM((length(bin(doc_id + 1)) + 6) // 7) AS abs_bytes
+      FROM gaps GROUP BY term
+    )
+    SELECT CAST(length(bin(df)) AS BIGINT) AS df_bucket,
+           COUNT(*) AS n_terms,
+           CAST(SUM(df) AS BIGINT) AS n_postings,
+           CAST(SUM(delta_bytes) AS BIGINT) AS delta_bytes,
+           CAST(SUM(abs_bytes) AS BIGINT) AS abs_bytes,
+           CAST((SUM(abs_bytes) - SUM(delta_bytes)) * 1000000
+                // NULLIF(SUM(abs_bytes), 0) AS BIGINT) AS savings_q6
+    FROM per_term GROUP BY 1
+    """,
+)
+def retrieval_postings_gap_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Postings-list compression advisor — prices the delta-gap +
+    varint encoding every real inverted index (Lucene, Tantivy) uses
+    against absolute ids, BEFORE building the index
+    (``retrieval_phrase_index_topk`` is the consumer): per term, the
+    sorted posting list's gaps cost ``⌈bitlen(gap)/7⌉`` varint bytes
+    each; terms census by df magnitude (the ``bitlen(df)`` bucket),
+    reporting postings mass, delta vs absolute bytes, and the
+    integer-millionth savings share — high-df buckets show the big
+    wins (dense lists → tiny gaps), which is what decides dictionary
+    split points. All integer arithmetic: bit lengths via
+    ``length(bin(x))`` (identical on both engines), never a log.
+
+    100 TB shape: ONE tokenize+distinct pass, ONE term-keyed shuffle
+    (the lag window partitions per term — no global sort; skewed
+    stop-terms are the known hot keys and exactly the ones the df
+    buckets isolate), then a ≤64-row bucket aggregate.
+    """
+    apply_engine_conf(spark)
+    from pyspark.sql import Window as W
+
+    docs = table_wide(spark, sf_dir, "documents")
+    postings = docs.select(
+        F.explode(F.split(F.col("text"), " ", -1)).alias("term"),
+        "doc_id",
+    ).distinct()
+    w = W.partitionBy("term").orderBy("doc_id")
+    gaps = postings.select(
+        "term",
+        "doc_id",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(w),
+            F.col("doc_id") + 1,
+        ).alias("gap"),
+    )
+    per_term = gaps.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum(
+            F.expr("(length(bin(gap)) + 6) div 7")
+        ).alias("delta_bytes"),
+        F.sum(
+            F.expr("(length(bin(doc_id + 1)) + 6) div 7")
+        ).alias("abs_bytes"),
+    )
+    return per_term.groupBy(
+        F.expr("CAST(length(bin(df)) AS BIGINT)").alias("df_bucket")
+    ).agg(
+        F.count("*").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.sum("delta_bytes").cast("long").alias("delta_bytes"),
+        F.sum("abs_bytes").cast("long").alias("abs_bytes"),
+        F.expr(
+            "CAST((sum(abs_bytes) - sum(delta_bytes)) * 1000000"
+            " div nullif(sum(abs_bytes), 0) AS BIGINT)"
+        ).alias("savings_q6"),
+    )

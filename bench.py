@@ -297,6 +297,9 @@ HEADLINE = [
     "text_filter_ablation_census",
     "orders_capacity_backlog_replay",
     "mm_video_shot_boundaries",
+    # real zlib PNG decode census, postings-gap compression advisor
+    "mm_png_decode_census",
+    "retrieval_postings_gap_census",
 ]
 
 # One representative per operator family, printed in the final

@@ -2094,3 +2094,82 @@ def test_shapley_efficiency_identity(spark):
     target = (v_full - v_empty) * 1_000_000
     # each φ_i loses < 1 micro-unit to integer division
     assert target - len(rows) <= total <= target
+
+
+def test_decode_png_real_roundtrip_all_filters():
+    """The PNG arm decodes REAL compressed bytes: synth gradient PNGs
+    round-trip (dims + exact pixel sum) through zlib inflate +
+    de-filter; hand-encoded Sub/Up/Average/Paeth scanlines reconstruct
+    the identical pixels; 16-bit depth routes to the Pillow gate and
+    a corrupted chunk fails CRC."""
+    import struct
+    import zlib
+
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        PNG_SIGNATURE,
+        decode_image,
+        decode_png_gray,
+        synth_png,
+    )
+
+    for w, h in [(1, 1), (3, 2), (16, 8)]:
+        blob = synth_png(w, h)
+        dw, dh, px = decode_png_gray(blob)
+        assert (dw, dh) == (w, h)
+        assert sum(px) == h * w * (w - 1) // 2 + w * h * (h - 1) // 2
+        assert decode_image(blob) == (w, h, "L")
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    w, h = 5, 4
+    pix = [[(x + y) % 256 for x in range(w)] for y in range(h)]
+    for f in (1, 2, 3, 4):
+        rows, prev = b"", [0] * w
+        for y in range(h):
+            line = bytearray([f])
+            for x in range(w):
+                a = pix[y][x - 1] if x else 0
+                b = prev[x]
+                c = prev[x - 1] if x else 0
+                if f == 1:
+                    add = a
+                elif f == 2:
+                    add = b
+                elif f == 3:
+                    add = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    add = (
+                        a
+                        if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
+                    )
+                line.append((pix[y][x] - add) & 0xFF)
+            rows += bytes(line)
+            prev = pix[y]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        blob = (
+            PNG_SIGNATURE
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(rows))
+            + chunk(b"IEND", b"")
+        )
+        _, _, px = decode_png_gray(blob)
+        assert list(px) == [v for row in pix for v in row], f"filter {f}"
+
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    with pytest.raises(NotImplementedError):
+        decode_png_gray(
+            PNG_SIGNATURE + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b"")
+        )
+    bad = bytearray(synth_png(3, 2))
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png_gray(bytes(bad))

@@ -1143,3 +1143,83 @@ def graph_degree_distribution(
         .groupBy(F.col("d").cast("long").alias("degree"))
         .agg(F.count("*").cast("long").alias("n_nodes"))
     )
+
+
+_EDGE_CTE_HEAD = f"""
+    WITH cells AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+    ), hours_ok AS ({_HOURS_OK_SQL}
+    ), pair_counts AS (
+      SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS c
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+      JOIN hours_ok ho ON ho.h = a.h
+      GROUP BY a.user_id, b.user_id
+    ), cut AS (
+      SELECT {EDGE_FACTOR} * AVG(c) AS threshold FROM pair_counts
+    ), edges AS (
+      SELECT u1, u2 FROM pair_counts CROSS JOIN cut
+      WHERE c > cut.threshold
+    ), sym AS (
+      SELECT u1 AS u, u2 AS v FROM edges
+      UNION ALL
+      SELECT u2 AS u, u1 AS v FROM edges
+    )"""
+
+
+@register(
+    "graph_two_hop_reach",
+    oracle=_EDGE_CTE_HEAD
+    + """, hop2 AS (
+      SELECT e1.u, e2.v AS w
+      FROM sym e1 JOIN sym e2 ON e2.u = e1.v
+      WHERE e2.v <> e1.u
+      UNION ALL
+      SELECT u, v AS w FROM sym
+    ), deg AS (
+      SELECT u, COUNT(*) AS d FROM sym GROUP BY u
+    )
+    SELECT h.u AS user_id,
+           CAST(d.d AS BIGINT) AS degree,
+           CAST(COUNT(DISTINCT h.w) AS BIGINT) AS reach_2hop
+    FROM hop2 h JOIN deg d ON d.u = h.u
+    GROUP BY h.u, d.d
+    """,
+)
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth reach census: per node, degree and the distinct
+    vertex count within ≤2 hops — the neighborhood-growth signal
+    (local expander vs clustered) that complements the global
+    distance-free metrics (CC, PageRank) and the local triangle
+    census; in an abuse pipeline, 2-hop reach ≫ degree flags
+    broker/bridge accounts.
+
+    Plan/scale: the shared capped-bucket edge build
+    (:func:`_coactivity_graph`, one shuffle), then the 2-hop set is
+    ONE self-join of the symmetric edge list keyed on the shared
+    endpoint — the wedge walk, Σ deg²-bounded like the triangle and
+    link-prediction rows (the degree histogram row measures that
+    bound on this exact graph) — unioned with the 1-hop list and
+    collapsed by a distinct-count aggregate. Output is node-sized.
+    """
+    apply_engine_conf(spark)
+    _, sym = _coactivity_graph(spark, sf_dir)
+    e2 = sym.select(
+        F.col("u").alias("mid"), F.col("v").alias("w")
+    )
+    hop2 = (
+        sym.join(e2, F.col("v") == F.col("mid"))
+        .filter(F.col("w") != F.col("u"))
+        .select("u", "w")
+        .unionAll(sym.select("u", F.col("v").alias("w")))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    return (
+        hop2.join(deg, "u")
+        .groupBy(F.col("u").alias("user_id"), F.col("d"))
+        .agg(F.countDistinct("w").alias("reach_2hop"))
+        .select(
+            "user_id",
+            F.col("d").cast("long").alias("degree"),
+            F.col("reach_2hop").cast("long"),
+        )
+    )

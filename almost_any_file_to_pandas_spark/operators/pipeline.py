@@ -1451,7 +1451,8 @@ def lineitem_zonemap_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"count_if(disc_max < {ZM_DISC_EQ} OR disc_min > {ZM_DISC_EQ})"
         ).alias("skip3"),
-    )
+    ).localCheckpoint(eager=True)  # 1 row: the three predicate arms
+    # below project from it WITHOUT re-running the corpus band scan
     arms = [
         ("shipdate_year_1995", "m1", "skip1", "lo1", "hi1"),
         (f"quantity_ge_{ZM_QTY_LO}", "m2", "skip2", "lo2", "0"),
@@ -1478,3 +1479,242 @@ def lineitem_zonemap_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@register(
+    "pipeline_unimax_waterfill_mix",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             COALESCE(SUM(len(string_split(text, ' '))), 0) AS toks
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT COALESCE(SUM(toks), 0) AS total, COUNT(*) AS n FROM src
+    ), b AS (
+      SELECT total // 2 AS budget FROM tot
+    ), o AS (
+      SELECT source, toks,
+             ROW_NUMBER() OVER (ORDER BY toks, source) AS i,
+             SUM(toks) OVER (ORDER BY toks, source
+                             ROWS UNBOUNDED PRECEDING) - toks
+               AS prefix_prev
+      FROM src
+    ), lvl AS (
+      SELECT MIN(i) AS istar
+      FROM o, tot, b
+      WHERE prefix_prev + (tot.n - i + 1) * toks > b.budget
+    ), t AS (
+      SELECT (SELECT (b.budget - o2.prefix_prev)
+                     // (tot.n - o2.i + 1)
+              FROM o o2, tot, b WHERE o2.i = lvl.istar) AS level
+      FROM lvl
+    )
+    SELECT o.source,
+           CAST(o.toks AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN t.level IS NULL THEN o.toks
+                     ELSE LEAST(o.toks, t.level) END AS BIGINT)
+             AS alloc_tokens,
+           CAST(CASE WHEN t.level IS NULL THEN o.toks
+                     ELSE LEAST(o.toks, t.level) END * 1000000
+                // NULLIF(o.toks, 0) AS BIGINT) AS share_q6
+    FROM o CROSS JOIN t
+    """,
+)
+def pipeline_unimax_waterfill_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UniMax-style mixing allocation (Chung et al. 2023,
+    arXiv:2304.09151 — cap every source at the same epoch level
+    instead of temperature-tilting): a token budget B = total div 2
+    waterfills across sources — each source receives
+    ``min(its tokens, level)`` where the integer level is the classic
+    sorted-prefix-sum solve (first index whose uniform level
+    overflows B fixes the cap boundary; the remainder under-allocates
+    at most n−1 tokens — documented determinism trade). Exact
+    integers end to end; the existing `text_mix_*` rows cover
+    temperature and target mixing — this adds the epoch-cap policy.
+
+    100 TB shape: ONE corpus pass for per-source token counts; the
+    entire waterfill solve (sort, prefix sums, level search) runs on
+    the |sources|-row frame — broadcast-scale windows, no second
+    corpus pass, no driver collect.
+    """
+    apply_engine_conf(spark)
+    from pyspark.sql import Window as _W
+
+    docs = table_wide(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.coalesce(
+            F.sum(F.size(F.split(F.col("text"), " ", -1))), F.lit(0)
+        )
+        .cast("long")
+        .alias("toks")
+    )
+    tot = src.agg(
+        F.coalesce(F.sum("toks"), F.lit(0)).alias("total"),
+        F.count("*").alias("n"),
+    ).selectExpr("total", "n", "total div 2 AS budget")
+    # |sources|-row frame: the constant non-foldable partition key
+    # keeps the window single-partition by intent, not accident
+    wo = _W.partitionBy(F.pmod(F.col("toks"), F.lit(1))).orderBy(
+        "toks", "source"
+    )
+    o = (
+        src.withColumn("i", F.row_number().over(wo))
+        .withColumn(
+            "prefix_prev",
+            F.sum("toks").over(
+                wo.rowsBetween(_W.unboundedPreceding, 0)
+            )
+            - F.col("toks"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    lvl = o.filter(
+        F.expr("prefix_prev + (n - i + 1) * toks > budget")
+    ).agg(F.min("i").alias("istar"))
+    level = (
+        o.join(F.broadcast(lvl), F.expr("i = istar"))
+        .selectExpr("(budget - prefix_prev) div (n - i + 1) AS level")
+    )
+    # istar NULL (budget fits everything) → no level row; the min-agg
+    # turns the empty frame into a 1-row NULL, and the CASE below
+    # falls back to full allocation
+    lvl1 = level.agg(F.min("level").alias("level"))
+    return (
+        o.crossJoin(F.broadcast(lvl1))
+        .selectExpr(
+            "source",
+            "CAST(toks AS BIGINT) AS n_tokens",
+            "CAST(CASE WHEN level IS NULL THEN toks"
+            " ELSE LEAST(toks, level) END AS BIGINT) AS alloc_tokens",
+            "CAST(CASE WHEN level IS NULL THEN toks"
+            " ELSE LEAST(toks, level) END * 1000000"
+            " div NULLIF(toks, 0) AS BIGINT) AS share_q6",
+        )
+    )
+
+
+SNAP_REMOVE_MOD = 11  # snapshot B drops doc_id % 11 == 0
+SNAP_MODIFY_MOD = 7  # ... rewrites doc_id % 7 == 0 (minus removed)
+SNAP_ADD_MOD = 13  # ... adds new ids (doc_id + offset) % 13 == 0
+SNAP_ADD_OFFSET = 1_000_000
+
+
+@register(
+    "pipeline_snapshot_diff_census",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, source, md5(text) AS fp,
+             octet_length(encode(text)) AS bytes
+      FROM documents
+    ), b AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % {SNAP_MODIFY_MOD} = 0
+                  THEN md5(text || ' rev2') ELSE md5(text) END AS fp,
+             CASE WHEN doc_id % {SNAP_MODIFY_MOD} = 0
+                  THEN octet_length(encode(text || ' rev2'))
+                  ELSE octet_length(encode(text)) END AS bytes
+      FROM documents WHERE doc_id % {SNAP_REMOVE_MOD} <> 0
+      UNION ALL
+      SELECT doc_id + {SNAP_ADD_OFFSET}, source, md5(text || ' new'),
+             octet_length(encode(text || ' new'))
+      FROM documents WHERE doc_id % {SNAP_ADD_MOD} = 0
+    ), d AS (
+      SELECT COALESCE(a.source, b.source) AS source,
+             CASE
+               WHEN a.doc_id IS NULL THEN 'added'
+               WHEN b.doc_id IS NULL THEN 'removed'
+               WHEN a.fp <> b.fp THEN 'modified'
+               ELSE 'unchanged'
+             END AS status,
+             COALESCE(b.bytes, 0) - COALESCE(a.bytes, 0) AS delta
+      FROM a FULL OUTER JOIN b ON b.doc_id = a.doc_id
+    )
+    SELECT source, status,
+           COUNT(*) AS n_docs,
+           CAST(SUM(delta) AS BIGINT) AS delta_bytes
+    FROM d GROUP BY 1, 2
+    """,
+)
+def pipeline_snapshot_diff_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus snapshot diff — the data-versioning audit run between
+    two ingests before retraining (what changed, where, how much):
+    fingerprint-level FULL OUTER reconciliation of snapshot A
+    (documents as-is) against a deterministic snapshot B (removals,
+    rewrites, additions derived from doc_id — the PII-injection
+    pattern: the corpus has no second version, so the diff machinery
+    is exercised on a synthesized one with every status populated),
+    censused as (source, added/removed/modified/unchanged) with net
+    byte drift. The relational twin is `orders_merge_changeset`
+    (MERGE semantics); this is the corpus-level fingerprint diff.
+
+    100 TB shape: both sides are narrow (id, source, md5, bytes)
+    projections; the FULL OUTER join keys on doc_id so the two scans
+    co-partition into ONE shuffle each; the census is
+    |sources|×4 rows. No text ever shuffles — fingerprints only.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    a = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("fp"),
+        F.length(F.encode("text", "utf-8")).cast("long").alias("bytes"),
+    )
+    mod = F.pmod(F.col("doc_id"), F.lit(SNAP_MODIFY_MOD)) == 0
+    b_kept = docs.filter(
+        F.pmod(F.col("doc_id"), F.lit(SNAP_REMOVE_MOD)) != 0
+    ).select(
+        "doc_id",
+        "source",
+        F.when(mod, F.md5(F.concat(F.col("text"), F.lit(" rev2"))))
+        .otherwise(F.md5("text"))
+        .alias("fp"),
+        F.when(
+            mod,
+            F.length(
+                F.encode(F.concat(F.col("text"), F.lit(" rev2")), "utf-8")
+            ),
+        )
+        .otherwise(F.length(F.encode("text", "utf-8")))
+        .cast("long")
+        .alias("bytes"),
+    )
+    b_new = docs.filter(
+        F.pmod(F.col("doc_id"), F.lit(SNAP_ADD_MOD)) == 0
+    ).select(
+        (F.col("doc_id") + SNAP_ADD_OFFSET).alias("doc_id"),
+        "source",
+        F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("fp"),
+        F.length(
+            F.encode(F.concat(F.col("text"), F.lit(" new")), "utf-8")
+        )
+        .cast("long")
+        .alias("bytes"),
+    )
+    b = b_kept.unionAll(b_new)
+    a2 = a.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("source").alias("a_src"),
+        F.col("fp").alias("a_fp"),
+        F.col("bytes").alias("a_bytes"),
+    )
+    d = a2.join(b, F.col("doc_id") == F.col("a_id"), "full_outer").select(
+        F.coalesce(F.col("a_src"), F.col("source")).alias("source"),
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("doc_id").isNull(), "removed")
+        .when(F.col("a_fp") != F.col("fp"), "modified")
+        .otherwise("unchanged")
+        .alias("status"),
+        (
+            F.coalesce(F.col("bytes"), F.lit(0))
+            - F.coalesce(F.col("a_bytes"), F.lit(0))
+        ).alias("delta"),
+    )
+    return d.groupBy("source", "status").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("delta").cast("long").alias("delta_bytes"),
+    )

@@ -1389,3 +1389,131 @@ def customer_order_count_dispersion(
         " div ((n_customers - 1) * sum_orders)"
         " AS BIGINT) AS dispersion_q6",
     )
+
+
+TOPSIS_TOP = 20  # suppliers in the final ranking
+
+
+@register(
+    "supplier_topsis_ranking",
+    oracle=f"""
+    WITH crit AS (
+      SELECT s.s_suppkey,
+             CAST(COALESCE(SUM(CAST(l.l_extendedprice
+                                    AS DECIMAL(25,6))), 0) AS DOUBLE)
+               AS rev,
+             CAST(COUNT(DISTINCT l.l_partkey) AS DOUBLE) AS parts,
+             CAST(COUNT(DISTINCT l.l_orderkey) AS DOUBLE) AS ords
+      FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_suppkey
+    ), mx AS (
+      SELECT MAX(rev) AS mr, MAX(parts) AS mp, MAX(ords) AS mo,
+             MIN(rev) AS nr, MIN(parts) AS np, MIN(ords) AS no
+      FROM crit
+    ), norm AS (
+      SELECT s_suppkey,
+             rev / mr AS x1, parts / mp AS x2, ords / mo AS x3,
+             nr / mr AS m1, np / mp AS m2, no / mo AS m3
+      FROM crit CROSS JOIN mx
+    ), scored AS (
+      SELECT s_suppkey,
+             SQRT((1 - x1) * (1 - x1) + (1 - x2) * (1 - x2)
+                  + (1 - x3) * (1 - x3)) AS dp,
+             SQRT((x1 - m1) * (x1 - m1) + (x2 - m2) * (x2 - m2)
+                  + (x3 - m3) * (x3 - m3)) AS dm
+      FROM norm
+    ), q AS (
+      SELECT s_suppkey,
+             CASE WHEN dp + dm = 0 THEN 500000
+                  ELSE CAST(FLOOR(dm / (dp + dm) * 1000000 + 0.5)
+                            AS BIGINT) END AS topsis_q6
+      FROM scored
+    )
+    SELECT s_suppkey, topsis_q6, rnk FROM (
+      SELECT s_suppkey, topsis_q6,
+             CAST(ROW_NUMBER() OVER (ORDER BY topsis_q6 DESC,
+                                     s_suppkey) AS BIGINT) AS rnk
+      FROM q
+    ) WHERE rnk <= {TOPSIS_TOP}
+    """,
+)
+def supplier_topsis_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-criteria supplier ranking by TOPSIS (Hwang & Yoon 1981):
+    three benefit criteria (revenue, distinct parts, distinct
+    orders), MAX-normalized (the documented order-independent variant
+    — the textbook √Σx² normalizer is an order-sensitive float sum,
+    which the engine-portability contract forbids; max/min fold
+    order-free), then the closeness ratio d⁻/(d⁺+d⁻) to the
+    ideal/anti-ideal points. Every distance is an EXPLICIT three-term
+    sum (fixed association, bit-identical doubles), sqrt is
+    IEEE-exact, and the score quantizes via FLOOR(x·1e6+0.5) BEFORE
+    ranking so the top-{TOPSIS_TOP} cut orders on exact integers
+    (ties → smaller suppkey). Degenerate single-point criterion
+    spaces pin the indifference score 0.5 on both engines.
+
+    100 TB shape: one fact-side shuffle (supplier-keyed aggregate
+    with two exact distinct counts), 1-row min/max broadcast, narrow
+    scoring projection, TakeOrderedAndProject top-k; the rank window
+    sees ≤{TOPSIS_TOP} rows.
+    """
+    apply_engine_conf(spark)
+    from pyspark.sql import Window as W
+
+    sup = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    crit = (
+        sup.join(li, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("l_extendedprice").cast("decimal(25,6)")),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("rev"),
+            F.countDistinct("l_partkey").cast("double").alias("parts"),
+            F.countDistinct("l_orderkey").cast("double").alias("ords"),
+        )
+    )
+    mx = crit.agg(
+        F.max("rev").alias("mr"),
+        F.max("parts").alias("mp"),
+        F.max("ords").alias("mo"),
+        F.min("rev").alias("nr"),
+        F.min("parts").alias("np"),
+        F.min("ords").alias("no"),
+    )
+    q = (
+        crit.crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "s_suppkey",
+            "rev / mr AS x1",
+            "parts / mp AS x2",
+            "ords / mo AS x3",
+            "nr / mr AS m1",
+            "np / mp AS m2",
+            "no / mo AS m3",
+        )
+        .selectExpr(
+            "s_suppkey",
+            "SQRT((1 - x1) * (1 - x1) + (1 - x2) * (1 - x2)"
+            " + (1 - x3) * (1 - x3)) AS dp",
+            "SQRT((x1 - m1) * (x1 - m1) + (x2 - m2) * (x2 - m2)"
+            " + (x3 - m3) * (x3 - m3)) AS dm",
+        )
+        .selectExpr(
+            "s_suppkey",
+            "CASE WHEN dp + dm = 0 THEN 500000"
+            " ELSE CAST(FLOOR(dm / (dp + dm) * 1000000 + 0.5)"
+            " AS BIGINT) END AS topsis_q6",
+        )
+    )
+    top = q.orderBy(F.desc("topsis_q6"), F.asc("s_suppkey")).limit(
+        TOPSIS_TOP
+    )
+    w = W.partitionBy(F.pmod(F.col("topsis_q6"), F.lit(1))).orderBy(
+        F.desc("topsis_q6"), F.asc("s_suppkey")
+    )
+    return top.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    )

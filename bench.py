@@ -300,6 +300,12 @@ HEADLINE = [
     # real zlib PNG decode census, postings-gap compression advisor
     "mm_png_decode_census",
     "retrieval_postings_gap_census",
+    # UniMax waterfill mix, TOPSIS supplier ranking, two-hop reach,
+    # snapshot fingerprint diff
+    "pipeline_unimax_waterfill_mix",
+    "supplier_topsis_ranking",
+    "graph_two_hop_reach",
+    "pipeline_snapshot_diff_census",
 ]
 
 # One representative per operator family, printed in the final

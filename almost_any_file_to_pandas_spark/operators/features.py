@@ -805,18 +805,26 @@ def feat_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RFM_K = 4  # customer segments trained by the deterministic quantizer
 
+# Features quantize to EXACT q6 rationals before training: integer
+# millionths divided by 1e6 are bit-identical doubles on both engines,
+# their DECIMAL(30,15) centroid-mean casts are exact, and the whole
+# Lloyd chain inherits the embeddings recipe's determinism. Raw
+# double ratios here (messy dividends like 37/89) surfaced last-ulp
+# ROUND(x,12) divergence in the elbow curve's distance sums.
 _RFM_E_SQL = """SELECT b.vec_id,
              [CASE WHEN m.max_r = 0 THEN 0.0
-                   ELSE b.r_days * 1.0 / m.max_r END,
+                   ELSE (b.r_days * 1000000 // m.max_r) / 1000000.0 END,
               CASE WHEN m.max_n = 0 THEN 0.0
-                   ELSE b.n_orders * 1.0 / m.max_n END,
+                   ELSE (b.n_orders * 1000000 // m.max_n) / 1000000.0
+              END,
               CASE WHEN m.max_s = 0 THEN 0.0
-                   ELSE b.spend_d / m.max_s END] AS v
+                   ELSE (b.spend_c * 1000000 // m.max_s) / 1000000.0
+              END] AS v
       FROM (
         SELECT i.o_custkey AS vec_id,
                date_diff('day', i.last_d, g.gmax) AS r_days,
                i.n_orders,
-               CAST(i.spend AS DOUBLE) AS spend_d
+               CAST(FLOOR(i.spend * 100 + 0.5) AS BIGINT) AS spend_c
         FROM (
           SELECT o_custkey,
                  MAX(CAST(o_orderdate AS DATE)) AS last_d,
@@ -828,10 +836,11 @@ _RFM_E_SQL = """SELECT b.vec_id,
         ) g
       ) b CROSS JOIN (
         SELECT MAX(b2.r_days) AS max_r, MAX(b2.n_orders) AS max_n,
-               MAX(b2.spend_d) AS max_s
+               MAX(b2.spend_c) AS max_s
         FROM (
           SELECT date_diff('day', i.last_d, g.gmax) AS r_days,
-                 i.n_orders, CAST(i.spend AS DOUBLE) AS spend_d
+                 i.n_orders,
+                 CAST(FLOOR(i.spend * 100 + 0.5) AS BIGINT) AS spend_c
           FROM (
             SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d,
                    COUNT(*) AS n_orders,
@@ -881,9 +890,10 @@ def customer_rfm_kmeans_segments(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """LEARNED customer segmentation: k-means (k={RFM_K}) over
-    normalized RFM features (recency days, order count, total spend —
-    each scaled to [0,1] by its corpus max, all ±*/ double arithmetic
-    so both engines see bit-identical vectors), trained by the SAME
+    normalized RFM features (recency days, order count, total spend
+    cents — each scaled to [0,1] as an EXACT q6 rational: integer
+    millionths divided by 1e6, so both engines see bit-identical
+    vectors whose decimal casts are exact), trained by the SAME
     deterministic integer-q12 Lloyd's quantizer as the IVF index
     (``deterministic_kmeans_centroids`` — seeds = k smallest
     custkeys, 2 rounds, exact cross-engine parity), then a one-pass
@@ -919,26 +929,29 @@ def customer_rfm_kmeans_segments(
         "vec_id",
         F.datediff("gmax", "last_d").alias("r_days"),
         "n_orders",
-        F.col("spend").cast("double").alias("spend_d"),
+        F.floor(F.col("spend") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("spend_c"),
     )
     m = b.agg(
         F.max("r_days").alias("max_r"),
         F.max("n_orders").alias("max_n"),
-        F.max("spend_d").alias("max_s"),
+        F.max("spend_c").alias("max_s"),
     )
     feat = b.crossJoin(F.broadcast(m)).select(
         "vec_id",
         F.array(
             F.expr(
                 "CASE WHEN max_r = 0 THEN 0.0"
-                " ELSE r_days * 1.0 / max_r END"
+                " ELSE (r_days * 1000000 div max_r) / 1000000.0 END"
             ),
             F.expr(
                 "CASE WHEN max_n = 0 THEN 0.0"
-                " ELSE n_orders * 1.0 / max_n END"
+                " ELSE (n_orders * 1000000 div max_n) / 1000000.0 END"
             ),
             F.expr(
-                "CASE WHEN max_s = 0 THEN 0.0 ELSE spend_d / max_s END"
+                "CASE WHEN max_s = 0 THEN 0.0"
+                " ELSE (spend_c * 1000000 div max_s) / 1000000.0 END"
             ),
         ).alias("v"),
     )
@@ -965,3 +978,151 @@ def customer_rfm_kmeans_segments(
             F.sum("spend_cents").cast("long").alias("total_spend_cents"),
         )
     )
+
+
+RFM_ELBOW_KS = (2, 4, 8)
+
+
+def _rfm_elbow_oracle() -> str:
+    from almost_any_file_to_pandas_spark.operators.ivf_kmeans import (
+        _kmeans_cents_sql,
+        _sqdist_q12_sql,
+    )
+
+    d = _sqdist_q12_sql("e.v", "c.cvec")
+    arms = []
+    for k in RFM_ELBOW_KS:
+        cents = _kmeans_cents_sql(
+            e_sql=_RFM_E_SQL, k_fixed_sql=f"SELECT {k} AS k"
+        )
+        arms.append(
+            f"""(
+      WITH {cents}, a AS (
+        SELECT e.vec_id, c.cid, {d} AS dist
+        FROM e CROSS JOIN c2 c
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY e.vec_id ORDER BY {d}, c.cid) = 1
+      )
+      SELECT {k} AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(COALESCE(SUM(CAST(dist AS HUGEINT)), 0)
+                  // NULLIF(COUNT(*), 0) AS BIGINT) AS mean_sqdist_q12,
+             CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_clusters_used
+      FROM a
+    )"""
+        )
+    return (
+        "SELECT CAST(k AS BIGINT) AS k, n_points, mean_sqdist_q12,"
+        " n_clusters_used FROM (\n"
+        + "\n      UNION ALL ".join(arms)
+        + "\n    )"
+    )
+
+
+@register("customer_rfm_kmeans_elbow_curve", oracle=_rfm_elbow_oracle())
+def customer_rfm_kmeans_elbow_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The elbow curve for the learned RFM segmentation — the
+    clustering family's knob curve (choose k by watching mean
+    within-cluster squared distance fall): for k in {RFM_ELBOW_KS},
+    train the SAME deterministic integer-q12 quantizer and report
+    exact mean assigned-centroid q12 distance (HUGEINT/DECIMAL-
+    widened sum — n·3e12 passes int64 at ~3M customers) plus how
+    many clusters the seeds actually used. Every number is exact
+    integer arithmetic, so the curve's monotone-in-k story is
+    hash-pinned, not eyeballed.
+
+    100 TB shape: one RFM feature build (shared lineage), then per k
+    a fixed 2-round trainer (broadcast-argmin assignment passes,
+    (k×3)-key mean shuffles) and ONE final assignment aggregate —
+    |ks| bounded trainings, no per-k corpus rescan beyond the
+    trainer's fixed passes; at production scale the trainer runs on
+    a bounded sample exactly like the IVF quantizer.
+    """
+    apply_engine_conf(spark)
+    from almost_any_file_to_pandas_spark.operators.ivf_kmeans import (
+        _sqdist_q12,
+        deterministic_kmeans_centroids,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    inner = orders.groupBy(F.col("o_custkey").alias("vec_id")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("spend"),
+    )
+    g = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("gmax")
+    )
+    b = inner.crossJoin(F.broadcast(g)).select(
+        "vec_id",
+        F.datediff("gmax", "last_d").alias("r_days"),
+        "n_orders",
+        F.floor(F.col("spend") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("spend_c"),
+    )
+    m = b.agg(
+        F.max("r_days").alias("max_r"),
+        F.max("n_orders").alias("max_n"),
+        F.max("spend_c").alias("max_s"),
+    )
+    feat = (
+        b.crossJoin(F.broadcast(m))
+        .select(
+            "vec_id",
+            F.array(
+                F.expr(
+                    "CASE WHEN max_r = 0 THEN 0.0"
+                    " ELSE (r_days * 1000000 div max_r) / 1000000.0 END"
+                ),
+                F.expr(
+                    "CASE WHEN max_n = 0 THEN 0.0"
+                    " ELSE (n_orders * 1000000 div max_n) / 1000000.0"
+                    " END"
+                ),
+                F.expr(
+                    "CASE WHEN max_s = 0 THEN 0.0"
+                    " ELSE (spend_c * 1000000 div max_s) / 1000000.0"
+                    " END"
+                ),
+            ).alias("v"),
+        )
+        .localCheckpoint(eager=True)  # shared by all |ks| trainings
+    )
+    arms = []
+    for k in RFM_ELBOW_KS:
+        cents = deterministic_kmeans_centroids(spark, feat, k)
+        crow = cents.agg(
+            F.collect_list(F.struct("cid", "cvec")).alias("cs")
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    _sqdist_q12(F.col("v"), c["cvec"]).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+        assigned = feat.crossJoin(F.broadcast(crow)).select(
+            best["d"].alias("dist"), best["cid"].alias("cid")
+        )
+        arms.append(
+            assigned.agg(
+                F.lit(k).cast("long").alias("k"),
+                F.count("*").alias("n_points"),
+                F.expr(
+                    "CAST(coalesce(sum(CAST(dist AS DECIMAL(38,0))), 0)"
+                    " div nullif(count(*), 0) AS BIGINT)"
+                ).alias("mean_sqdist_q12"),
+                F.countDistinct("cid").cast("long").alias(
+                    "n_clusters_used"
+                ),
+            ).select("k", "n_points", "mean_sqdist_q12", "n_clusters_used")
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out

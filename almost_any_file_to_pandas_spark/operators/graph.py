@@ -1223,3 +1223,77 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("reach_2hop").cast("long"),
         )
     )
+
+
+BFS_MAX_DEPTH = 3  # bounded-depth closure from the smallest-id seed
+
+
+def _bfs_recursive_sql(src: str) -> str:
+    """ONE dialect-shared recursive-CTE text (Spark 4 executes
+    `WITH RECURSIVE` natively since SPARK-24497; DuckDB always has) —
+    the engine runs it verbatim over the events temp view, the oracle
+    over the DuckDB view, so both sides literally execute the same
+    query string."""
+    return f"""
+    WITH RECURSIVE cells AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM {src}
+    ), hours_ok AS (
+      SELECT h FROM cells GROUP BY h
+      HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET_SIZE}
+    ), pair_counts AS (
+      SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS c
+      FROM cells a JOIN cells b ON a.h = b.h AND a.user_id < b.user_id
+      JOIN hours_ok ho ON ho.h = a.h
+      GROUP BY a.user_id, b.user_id
+    ), cut AS (
+      SELECT {EDGE_FACTOR} * AVG(c) AS threshold FROM pair_counts
+    ), edges AS (
+      SELECT u1, u2 FROM pair_counts CROSS JOIN cut
+      WHERE c > cut.threshold
+    ), sym AS (
+      SELECT u1 AS u, u2 AS v FROM edges
+      UNION ALL
+      SELECT u2 AS u, u1 AS v FROM edges
+    ), seed AS (
+      SELECT MIN(u) AS u FROM sym
+    ), walk(u, depth) AS (
+      SELECT u, 0 FROM seed WHERE u IS NOT NULL
+      UNION ALL
+      SELECT s.v, w.depth + 1
+      FROM walk w JOIN sym s ON s.u = w.u
+      WHERE w.depth < {BFS_MAX_DEPTH}
+    ), md AS (
+      SELECT u, MIN(depth) AS d FROM walk GROUP BY u
+    )
+    SELECT CAST(d AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM md GROUP BY d
+    """
+
+
+@register("graph_reach_bfs_recursive", oracle=_bfs_recursive_sql("events"))
+def graph_reach_bfs_recursive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-depth BFS closure via Spark 4's NATIVE recursive CTE
+    (`WITH RECURSIVE`, SPARK-24497) — a mechanism-parity row: the
+    IDENTICAL query text runs on both engines (the seed's min-depth
+    frontier census to depth {BFS_MAX_DEPTH} over the co-activity
+    graph), exercising the engine's recursion operator rather than
+    the DataFrame-loop form the scale-path rows use
+    (``connected_components_alternating``'s checkpointed O(log n)
+    rounds, LPA, k-core).
+
+    Scale contract: UNION ALL recursion enumerates PATHS (no visited
+    set), so work grows with Σ paths ≤ deg^depth from the seed —
+    fine for bounded-depth ego queries (this row's semantics), NOT
+    for full-graph closure; at 100 TB the full-closure job stays on
+    the checkpointed alternating-CC loop, and this row documents the
+    boundary between the two mechanisms. The depth guard bounds
+    recursion well under Spark's cteRecursionLevelLimit.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    view = "events_bfs_r7"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(_bfs_recursive_sql(view))

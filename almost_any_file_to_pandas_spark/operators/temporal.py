@@ -3022,3 +3022,108 @@ def orders_capacity_backlog_replay(
             "end_backlog bigint"
         ),
     )
+
+
+ANOMALY_CURVE_DECI = (15, 20, 30, 40)  # σ-multiplier tenths
+
+
+@register(
+    "events_anomaly_threshold_curve",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_v,
+             CAST(SUM(CAST(
+               CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+               AS DECIMAL(30,6))) AS DOUBLE) AS sum_v2
+      FROM events GROUP BY event_type
+    ), quant AS (
+      SELECT event_type, n_events,
+             CAST(FLOOR(sum_v / n_events * 1000000 + 0.5) AS BIGINT)
+               AS mean_q6,
+             CAST(FLOOR(sqrt(sum_v2 / n_events
+                             - (sum_v / n_events) * (sum_v / n_events))
+                        * 1000000 + 0.5) AS BIGINT) AS std_q6
+      FROM stats
+    ), ts(t) AS (VALUES {", ".join(f"({t})" for t in ANOMALY_CURVE_DECI)})
+    SELECT s.event_type,
+           CAST(ts.t AS BIGINT) AS threshold_deci,
+           s.n_events,
+           COUNT(*) FILTER (
+             WHERE abs(e.value - s.mean_q6 / 1000000.0)
+                   > (ts.t / 10.0) * (s.std_q6 / 1000000.0)
+           ) AS n_anomalies,
+           CAST(COUNT(*) FILTER (
+             WHERE abs(e.value - s.mean_q6 / 1000000.0)
+                   > (ts.t / 10.0) * (s.std_q6 / 1000000.0)
+           ) * 1000000 // s.n_events AS BIGINT) AS alert_share_q6
+    FROM events e JOIN quant s USING (event_type) CROSS JOIN ts
+    GROUP BY s.event_type, ts.t, s.n_events
+    """,
+)
+def events_anomaly_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Alert-threshold tuning curve for the z-score monitor — the
+    anomaly family's knob curve (every other tunable family has one:
+    LSH bands, session gap, funnel window, quality threshold, salt
+    factor, HLL rsd...): at σ-multipliers {ANOMALY_CURVE_DECI} (in
+    tenths), how many alerts fire per event type and what share of
+    the stream pages the on-call — the alert-budget table a
+    monitoring rollout reads before picking its threshold.
+
+    100 TB shape: the sufficient statistics are ONE per-type
+    aggregate (exact decimal sums, integer-quantized boundaries —
+    the audited ``events_anomaly_zscore`` recipe); the sweep is
+    conditional counts inside ONE second pass over the stream with
+    the |types|-row stats and {len(ANOMALY_CURVE_DECI)}-row threshold
+    list broadcast — no per-threshold rescan.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    v6 = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_v"),
+        F.sum((v6 * v6).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_v2"),
+    )
+    mean = F.col("sum_v") / F.col("n_events")
+    var = F.col("sum_v2") / F.col("n_events") - mean * mean
+    quant = stats.select(
+        "event_type",
+        "n_events",
+        F.floor(mean * 1_000_000 + F.lit(0.5)).alias("mean_q6"),
+        F.floor(F.sqrt(var) * 1_000_000 + F.lit(0.5)).alias("std_q6"),
+    )
+    ts = spark.createDataFrame(
+        [(t,) for t in ANOMALY_CURVE_DECI], "t long"
+    )
+    hit = F.expr(
+        "abs(value - mean_q6 / 1000000.0)"
+        " > (t / 10.0) * (std_q6 / 1000000.0)"
+    )
+    return (
+        ev.join(F.broadcast(quant), "event_type")
+        .crossJoin(F.broadcast(ts))
+        .groupBy(
+            "event_type",
+            F.col("t").cast("long").alias("threshold_deci"),
+            "n_events",
+        )
+        .agg(
+            F.count(F.when(hit, 1)).alias("n_anomalies"),
+        )
+        .selectExpr(
+            "event_type",
+            "threshold_deci",
+            "n_events",
+            "n_anomalies",
+            "CAST(n_anomalies * 1000000 div n_events AS BIGINT)"
+            " AS alert_share_q6",
+        )
+    )

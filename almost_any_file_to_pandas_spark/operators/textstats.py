@@ -2392,3 +2392,84 @@ def text_filter_ablation_census(
         F.count("*").alias("n_docs"),
         F.sum("n_words").cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "text_script_mix_census",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             length(text) AS total_chars,
+             len(list_filter(string_split(text, ''),
+                 c -> (ascii(c) BETWEEN 65 AND 90)
+                   OR (ascii(c) BETWEEN 97 AND 122))) AS latin_chars,
+             len(list_filter(string_split(text, ''),
+                 c -> ascii(c) BETWEEN 48 AND 57)) AS digit_chars,
+             len(list_filter(string_split(text, ''),
+                 c -> ascii(c) = 32)) AS space_chars,
+             len(list_filter(string_split(text, ''),
+                 c -> ascii(c) BETWEEN 19968 AND 40959)) AS cjk_chars
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(total_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(latin_chars) AS BIGINT) AS latin_chars,
+           CAST(SUM(digit_chars) AS BIGINT) AS digit_chars,
+           CAST(SUM(space_chars) AS BIGINT) AS space_chars,
+           CAST(SUM(cjk_chars) AS BIGINT) AS cjk_chars,
+           CAST(SUM(total_chars - latin_chars - digit_chars
+                    - space_chars - cjk_chars) AS BIGINT) AS other_chars
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_script_mix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition census per language — the
+    mislabeled-language tripwire a multilingual pipeline runs next to
+    n-gram language ID (a 'zh' shard that is 95% Latin codepoints is
+    a labeling bug, not Chinese): per lang, character mass by script
+    class (Latin letters, ASCII digits, spaces, CJK Unified
+    Ideographs, other). Classes are CODEPOINT-RANGE predicates over
+    the per-character array — deliberately regex-free, because Java
+    regex and RE2 spell Unicode escapes differently
+    (``\\uXXXX`` vs ``\\x{{...}}``) while ``ascii()`` returns the
+    identical code point on both engines; the residual class is
+    total − counted, so engine-specific empty-split artifacts cancel
+    by construction.
+
+    100 TB shape: one NARROW scan — the per-character filters run
+    inside whole-stage codegen on the pre-split array (no explode, no
+    per-char shuffle rows), then a |langs|-key aggregate.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+
+    def _cls(cond: str) -> str:
+        return f"size(filter(split(text, ''), c -> {cond}))"
+
+    per_doc = docs.selectExpr(
+        "lang",
+        "length(text) AS total_chars",
+        _cls("(ascii(c) BETWEEN 65 AND 90)"
+             " OR (ascii(c) BETWEEN 97 AND 122)") + " AS latin_chars",
+        _cls("ascii(c) BETWEEN 48 AND 57") + " AS digit_chars",
+        _cls("ascii(c) = 32") + " AS space_chars",
+        _cls("ascii(c) BETWEEN 19968 AND 40959") + " AS cjk_chars",
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("total_chars").cast("long").alias("total_chars"),
+        F.sum("latin_chars").cast("long").alias("latin_chars"),
+        F.sum("digit_chars").cast("long").alias("digit_chars"),
+        F.sum("space_chars").cast("long").alias("space_chars"),
+        F.sum("cjk_chars").cast("long").alias("cjk_chars"),
+        F.sum(
+            F.col("total_chars")
+            - F.col("latin_chars")
+            - F.col("digit_chars")
+            - F.col("space_chars")
+            - F.col("cjk_chars")
+        )
+        .cast("long")
+        .alias("other_chars"),
+    )

@@ -1495,3 +1495,83 @@ def events_windowed_topk_stream(
             "n_events",
         )
     )
+
+
+@register(
+    "events_session_window_native",
+    oracle=f"""
+    WITH ev_us AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_id, ts, value,
+        -- >= (not >): Spark's session_window is [start, last+gap), so
+        -- an event at EXACTLY last+gap opens a NEW session — the
+        -- boundary differs from the gaps-and-islands row's strict >
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+                  >= INTERVAL '{SESSION_GAP_MINUTES} minutes'
+             OR LAG(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM ev_us
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS session_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_value_q6
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_window_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` operator —
+    the mechanism twin of ``events_sessionization`` (identical gap
+    model, different physical strategy): instead of the
+    gaps-and-islands lag/prefix-sum windows, the engine's built-in
+    merging session aggregate buckets each user's events directly.
+    The oracle restates the islands form with ``>=`` at the boundary
+    — ``session_window`` is ``[start, last+gap)``, so an event at
+    exactly ``last + gap`` opens a NEW session, one boundary tick
+    away from the strict-``>`` row (both definitions pinned, the
+    difference documented here rather than averaged over).
+
+    100 TB shape: ONE user-keyed shuffle into the session aggregate
+    (the same partitioning every per-user operator shares); no rank
+    window at all — session merging happens inside the aggregation
+    operator, which is also what makes this form STREAMING-READY
+    (the stateful sessionizer row uses the same operator under
+    ``withWatermark``). Values use the round-7 hardened per-row
+    FLOOR(value·1e6+0.5) BIGINT sum.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MINUTES} minutes"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("total_value_q6"),
+            F.min("ts").alias("first_ts"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("first_ts")).alias("session_start_us"),
+            "n_events",
+            "total_value_q6",
+        )
+    )

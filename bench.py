@@ -306,6 +306,13 @@ HEADLINE = [
     "supplier_topsis_ranking",
     "graph_two_hop_reach",
     "pipeline_snapshot_diff_census",
+    # native session_window twin, Spark-4 recursive-CTE BFS
+    "events_session_window_native",
+    "graph_reach_bfs_recursive",
+    # alert-threshold curve, script mix census, k-means elbow curve
+    "events_anomaly_threshold_curve",
+    "text_script_mix_census",
+    "customer_rfm_kmeans_elbow_curve",
 ]
 
 # One representative per operator family, printed in the final

@@ -243,6 +243,7 @@ _ROUND_AGG_EXEMPT = {
     "sim_ivf_kmeans_bucket_balance",
     "dedup_semantic_clusters_det",
     "customer_rfm_kmeans_segments",  # same Lloyd centroid-mean chain
+    "customer_rfm_kmeans_elbow_curve",  # same Lloyd chain, 3 k arms
 }
 
 

@@ -3127,3 +3127,104 @@ def events_anomaly_threshold_curve(
             " AS alert_share_q6",
         )
     )
+
+
+WM_STATE_HORIZONS_MIN = (10, 60, 360)  # candidate watermark delays
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "events_watermark_state_advisor",
+    oracle=f"""
+    WITH ev_us AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events
+    ), hs(h) AS (VALUES {", ".join(f"({h})" for h in WM_STATE_HORIZONS_MIN)}),
+    b AS (
+      SELECT h, t AS inst, 1 AS d FROM ev_us CROSS JOIN hs
+      UNION ALL
+      SELECT h, t + CAST(h AS BIGINT) * 60000000 + 1, -1
+      FROM ev_us CROSS JOIN hs
+    ), c AS (
+      SELECT h, inst, SUM(d) AS d FROM b GROUP BY h, inst
+    ), r AS (
+      SELECT h, SUM(d) OVER (PARTITION BY h ORDER BY inst
+                             ROWS UNBOUNDED PRECEDING) AS run
+      FROM c
+    )
+    SELECT CAST(h AS BIGINT) AS horizon_minutes,
+           CAST(MAX(run) AS BIGINT) AS peak_buffered_rows
+    FROM r GROUP BY h
+    """,
+)
+def events_watermark_state_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming state-budget advisor: for each candidate watermark
+    delay in {WM_STATE_HORIZONS_MIN} minutes, the PEAK number of
+    events simultaneously inside the watermark horizon — the row
+    count the state store must hold for stream-stream joins /
+    dedup / windowed aggregates at that delay (the companion to
+    ``events_watermark_tradeoff_curve``, which prices LATE-DATA loss;
+    this prices MEMORY). Sweep-line: +1 at the event, −1 one
+    microsecond after it leaves the horizon, deltas collapsed per
+    instant before any ordering, peak = max running sum — exact
+    integers in epoch-microsecond arithmetic.
+
+    100 TB shape: ONE corpus pass generates all horizons' boundary
+    points (broadcast horizon list, explode of two struct rows); the
+    running sum is the TWO-LEVEL banded walk (the
+    events_concurrency_profile discipline): day bands are integer
+    division on the instant, within-band cumsums partition by
+    (horizon, band), and band offsets come from the calendar-sized
+    (horizon, band)-totals window — never a global single-partition
+    ordered walk over the boundary stream.
+    """
+    apply_engine_conf(spark)
+    from pyspark.sql import Window as _W
+
+    ev = table(spark, sf_dir, "events")
+    hs = spark.createDataFrame(
+        [(h,) for h in WM_STATE_HORIZONS_MIN], "h long"
+    )
+    pts = (
+        ev.select(F.unix_micros("ts").alias("t"))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            "h",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("t").alias("inst"), F.lit(1).alias("d")
+                    ),
+                    F.struct(
+                        (F.col("t") + F.col("h") * 60000000 + 1).alias(
+                            "inst"
+                        ),
+                        F.lit(-1).alias("d"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("h", F.col("p.inst").alias("inst"), F.col("p.d").alias("d"))
+    )
+    c = pts.groupBy("h", "inst").agg(F.sum("d").alias("d")).withColumn(
+        "band", F.expr(f"inst div {_US_PER_DAY}")
+    )
+    band_tot = c.groupBy("h", "band").agg(F.sum("d").alias("bd"))
+    w_band = _W.partitionBy("h").orderBy("band").rowsBetween(
+        _W.unboundedPreceding, 0
+    )
+    base = band_tot.select(
+        "h",
+        "band",
+        (F.sum("bd").over(w_band) - F.col("bd")).alias("base"),
+    )
+    w_in = _W.partitionBy("h", "band").orderBy("inst").rowsBetween(
+        _W.unboundedPreceding, 0
+    )
+    run = c.join(F.broadcast(base), ["h", "band"]).select(
+        "h", (F.col("base") + F.sum("d").over(w_in)).alias("run")
+    )
+    return run.groupBy(F.col("h").alias("horizon_minutes")).agg(
+        F.max("run").cast("long").alias("peak_buffered_rows")
+    )

@@ -5411,3 +5411,123 @@ def lineitem_bucket_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_load_q6",
         )
     )
+
+
+@register(
+    "lineitem_join_order_advisor",
+    oracle="""
+    WITH nc AS (SELECT COUNT(*) AS n FROM customer),
+    no AS (SELECT COUNT(*) AS n FROM orders),
+    fc AS (
+      SELECT COUNT(*) AS n FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ), fo AS (
+      SELECT COUNT(*) AS n FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ), fl AS (
+      SELECT COUNT(*) AS n FROM lineitem
+      WHERE l_shipdate > TIMESTAMP '1998-01-01'
+    ), j1 AS (
+      SELECT COUNT(*) AS n
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    ), j2 AS (
+      SELECT COUNT(*) AS n
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    ), u AS (
+      SELECT 'customer_join_orders' AS step,
+             CAST(fo.n * fc.n // NULLIF(nc.n, 0) AS BIGINT) AS est_rows,
+             CAST(j1.n AS BIGINT) AS actual_rows
+      FROM fo, fc, nc, j1
+      UNION ALL
+      SELECT 'plus_lineitem',
+             CAST(fl.n::HUGEINT * j1.n // NULLIF(no.n, 0) AS BIGINT),
+             CAST(j2.n AS BIGINT)
+      FROM fl, j1, no, j2
+    )
+    SELECT step, est_rows, actual_rows,
+           CAST(est_rows * 1000000 // NULLIF(actual_rows, 0) AS BIGINT)
+             AS est_over_actual_q6
+    FROM u
+    """,
+)
+def lineitem_join_order_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cardinality-estimation audit for the Q3 join pipeline — the
+    fifth physical-design advisor (buckets, z-order, encodings,
+    zone maps, now JOIN CARDINALITIES): at each join step it compares
+    the textbook independence/FK-uniformity ESTIMATE (next estimate =
+    |σ(probe)| · selectivity(build side): ``|σo|·|σc| div |customer|``
+    then ``|σl|·|c⋈o| div |orders|``) against the ACTUAL exact count,
+    reporting the q6 over/under-estimation ratio — the number a
+    cost-based optimizer's misestimation audit reads, and the
+    empirical check on whether the broadcast-then-shuffle order the
+    frozen q3 row pins is actually right at this data's correlation
+    structure. Exact integers throughout (HUGEINT/DECIMAL-widened
+    products — |σl|·|j1| passes int64 at web scale).
+
+    100 TB shape: three pushdown-filtered counts (map-side combined),
+    plus the two actual join counts the pipeline pays anyway — at
+    production this runs as a side-channel of the real query (the
+    counts are free observability off the same joins); nothing here
+    is quadratic and every frame after the scans is one row.
+    """
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c_f = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    o_f = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l_f = li.filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    nc = cust.agg(F.count("*").alias("nc"))
+    no = orders.agg(F.count("*").alias("no"))
+    fc = c_f.agg(F.count("*").alias("fc"))
+    fo = o_f.agg(F.count("*").alias("fo"))
+    fl = l_f.agg(F.count("*").alias("fl"))
+    j1df = c_f.join(
+        o_f, F.col("o_custkey") == F.col("c_custkey")
+    ).localCheckpoint(eager=True)
+    j1 = j1df.agg(F.count("*").alias("j1"))
+    j2 = (
+        j1df.join(l_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(F.count("*").alias("j2"))
+    )
+    row1 = (
+        fo.crossJoin(fc)
+        .crossJoin(nc)
+        .crossJoin(j1)
+        .selectExpr(
+            "'customer_join_orders' AS step",
+            "CAST(fo * fc div NULLIF(nc, 0) AS BIGINT) AS est_rows",
+            "CAST(j1 AS BIGINT) AS actual_rows",
+        )
+    )
+    row2 = (
+        fl.crossJoin(j1)
+        .crossJoin(no)
+        .crossJoin(j2)
+        .selectExpr(
+            "'plus_lineitem' AS step",
+            "CAST(CAST(fl AS DECIMAL(38,0)) * j1 div NULLIF(no, 0)"
+            " AS BIGINT) AS est_rows",
+            "CAST(j2 AS BIGINT) AS actual_rows",
+        )
+    )
+    return row1.unionAll(row2).selectExpr(
+        "step",
+        "est_rows",
+        "actual_rows",
+        "CAST(est_rows * 1000000 div NULLIF(actual_rows, 0) AS BIGINT)"
+        " AS est_over_actual_q6",
+    )

@@ -313,6 +313,9 @@ HEADLINE = [
     "events_anomaly_threshold_curve",
     "text_script_mix_census",
     "customer_rfm_kmeans_elbow_curve",
+    # join-cardinality audit, watermark state-budget advisor
+    "lineitem_join_order_advisor",
+    "events_watermark_state_advisor",
 ]
 
 # One representative per operator family, printed in the final

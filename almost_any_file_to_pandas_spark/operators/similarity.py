@@ -2105,3 +2105,112 @@ def sim_ivf_delete_compact(
             ).alias("tombstone_q6"),
         )
     )
+
+
+KCENTER_K = 8  # coreset size (greedy 2-approximation of k-center)
+
+
+def _kcenter_oracle() -> str:
+    from almost_any_file_to_pandas_spark.operators.ivf_kmeans import (
+        _sqdist_q12_sql,
+    )
+
+    d = _sqdist_q12_sql("e.v", "s.v")
+    parts = [
+        """
+    e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), sel1 AS MATERIALIZED (
+      SELECT vec_id, v, 1 AS rank, CAST(NULL AS BIGINT) AS radius
+      FROM e WHERE vec_id = (SELECT MIN(vec_id) FROM e)
+    )"""
+    ]
+    for i in range(2, KCENTER_K + 1):
+        parts.append(f""", cand{i} AS MATERIALIZED (
+      SELECT e.vec_id, e.v, MIN({d}) AS mind
+      FROM e CROSS JOIN sel{i - 1} s
+      WHERE e.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+      GROUP BY e.vec_id, e.v
+    ), sel{i} AS MATERIALIZED (
+      SELECT * FROM sel{i - 1}
+      UNION ALL
+      SELECT * FROM (
+        SELECT vec_id, v, {i} AS rank, mind AS radius
+        FROM cand{i} ORDER BY mind DESC, vec_id LIMIT 1
+      )
+    )""")
+    return (
+        "WITH"
+        + "".join(parts)
+        + f"""
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id, radius AS radius_q12
+    FROM sel{KCENTER_K}
+    """
+    )
+
+
+@register("sim_kcenter_greedy_coreset", oracle=_kcenter_oracle())
+def sim_kcenter_greedy_coreset(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal — the 2-approximation behind coreset/active-learning
+    selection, k-means++ without its RNG): start from the smallest
+    vec_id, then {KCENTER_K - 1} times pick the point FARTHEST from
+    the selected set (max-min distance, ties to the smaller id). Each
+    pick's ``radius_q12`` — its min integer-q12 distance to the prior
+    picks — is the coverage-radius curve a coreset-size decision
+    reads (the radius at k bounds every point's distance to the
+    coreset by 2-approximation). All distances are the exact
+    integer-q12 kernel, so the trajectory is hash-pinned.
+
+    100 TB shape: the greedy loop is inherently sequential in k —
+    {KCENTER_K - 1} corpus passes, each a NARROW broadcast-argmax
+    (the ≤k selected vectors ship as literals; per-row work is k
+    distance folds; TakeOrderedAndProject keeps one row). Production
+    runs the identical loop on a bounded sample (the quantizer-
+    trainer discipline); the oracle restates the traversal as
+    {KCENTER_K - 1} chained CTEs (the MMR pattern).
+    """
+    apply_engine_conf(spark)
+    from almost_any_file_to_pandas_spark.operators.ivf_kmeans import (
+        _sqdist_q12,
+    )
+
+    emb = table_wide(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    first = (
+        emb.orderBy("vec_id").limit(1).collect()
+    )  # bounded: one row
+    if not first:
+        return spark.createDataFrame(
+            [], schema="rank bigint, vec_id bigint, radius_q12 bigint"
+        )
+    selected = [(1, int(first[0]["vec_id"]), None, list(first[0]["v"]))]
+    for i in range(2, KCENTER_K + 1):
+        sel_ids = [s[1] for s in selected]
+        dists = [
+            _sqdist_q12(
+                F.col("v"), F.array(*[F.lit(float(x)) for x in vec])
+            )
+            for _, _, _, vec in selected
+        ]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        pick = (
+            emb.filter(~F.col("vec_id").isin(sel_ids))
+            .select("vec_id", "v", mind.alias("mind"))
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not pick:
+            break
+        row = pick[0]
+        selected.append(
+            (i, int(row["vec_id"]), int(row["mind"]), list(row["v"]))
+        )
+    return spark.createDataFrame(
+        [(r, vid, rad) for r, vid, rad, _ in selected],
+        schema="rank bigint, vec_id bigint, radius_q12 bigint",
+    )

@@ -1517,3 +1517,145 @@ def supplier_topsis_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rnk", F.row_number().over(w).cast("long")
     )
+
+
+XYZ_CUT_X_Q6 = 550_000  # demand CV below → X (stable)
+XYZ_CUT_Y_Q6 = 700_000  # ... below → Y; else Z (erratic)
+_LCENTS = (
+    "CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) * 100 + 0.5)"
+    " AS BIGINT)"
+)
+ABC_PART_SHIFT = 18  # part-revenue band width (the customer-ABC trick)
+
+
+@register(
+    "part_abc_xyz_matrix",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_partkey,
+             year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+             {_LCENTS} AS cents
+      FROM lineitem GROUP BY 1, 2
+    ), p AS (
+      SELECT l_partkey,
+             CAST(SUM(cents) AS BIGINT) AS rev,
+             COUNT(*) AS n, SUM(q) AS s, SUM(q * q) AS s2
+      FROM m GROUP BY 1
+    ), walk AS (
+      SELECT l_partkey, rev, n, s, s2,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(rev) OVER () AS t
+      FROM p
+    ), classed AS (
+      SELECT rev,
+             CASE WHEN cum * 5 <= t * 4 THEN 'A'
+                  WHEN cum * 20 <= t * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             CASE WHEN s = 0 THEN 'Z'
+                  WHEN CAST(FLOOR(sqrt(n * s2 - s * s) / s * 1000000
+                                  + 0.5) AS BIGINT) < {XYZ_CUT_X_Q6}
+                    THEN 'X'
+                  WHEN CAST(FLOOR(sqrt(n * s2 - s * s) / s * 1000000
+                                  + 0.5) AS BIGINT) < {XYZ_CUT_Y_Q6}
+                    THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM walk
+    )
+    SELECT abc_class, xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS BIGINT) AS revenue_cents
+    FROM classed GROUP BY 1, 2
+    """,
+)
+def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC×XYZ inventory matrix — the planning grid supply-chain
+    teams run: ABC ranks parts by cumulative revenue share (80%/95%
+    Pareto cuts, exact-integer comparisons) while XYZ grades demand
+    PREDICTABILITY by the coefficient of variation of monthly
+    quantities (integer moments ``√(n·Σq²−S²)/S`` — exact int64
+    inputs into an IEEE-exact sqrt, FLOOR-q6 before the class cut at
+    {XYZ_CUT_X_Q6}/{XYZ_CUT_Y_Q6}). An A×Z cell (high revenue,
+    erratic demand) is where safety stock goes.
+
+    100 TB shape: ONE lineitem shuffle to (part, month); part-level
+    revenue AND demand moments fold from that frame together. The
+    ABC cumulative uses the customer-ABC DISTRIBUTED PREFIX SUM
+    (revenue bands by arithmetic shift, broadcast band bases,
+    within-band windows) — never a global single-partition walk —
+    and the matrix is a ≤9-cell rollup.
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        "l_partkey",
+        F.expr(
+            "CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)"
+        ).alias("ym"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("q"),
+        F.expr(_LCENTS).alias("cents"),
+    )
+    p = (
+        m.groupBy("l_partkey")
+        .agg(
+            F.sum("cents").cast("long").alias("rev"),
+            F.count("*").alias("n"),
+            F.sum("q").alias("s"),
+            F.sum(F.col("q") * F.col("q")).alias("s2"),
+        )
+        .withColumn(
+            "band", F.expr(f"shiftright(rev, {ABC_PART_SHIFT})")
+        )
+        .localCheckpoint(eager=True)
+    )
+    bands = p.groupBy("band").agg(F.sum("rev").alias("brev"))
+    bwalk = bands.select(
+        "band",
+        (
+            F.sum("brev")
+            .over(
+                W.orderBy(F.col("band").desc()).rowsBetween(
+                    W.unboundedPreceding, 0
+                )
+            )
+            - F.col("brev")
+        ).alias("base"),
+        F.sum("brev")
+        .over(
+            W.orderBy(F.col("band").desc()).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("t"),
+    )
+    cv_q6 = (
+        "CAST(FLOOR(sqrt(CAST(n * s2 - s * s AS DOUBLE)) / s * 1000000"
+        " + 0.5) AS BIGINT)"
+    )
+    classed = (
+        p.join(F.broadcast(bwalk), "band")
+        .withColumn(
+            "cum",
+            F.col("base")
+            + F.sum("rev").over(
+                W.partitionBy("band")
+                .orderBy(F.col("rev").desc(), F.col("l_partkey"))
+                .rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .selectExpr(
+            "rev",
+            "CASE WHEN cum * 5 <= t * 4 THEN 'A'"
+            " WHEN cum * 20 <= t * 19 THEN 'B' ELSE 'C' END AS abc_class",
+            f"""CASE WHEN s = 0 THEN 'Z'
+                 WHEN {cv_q6} < {XYZ_CUT_X_Q6} THEN 'X'
+                 WHEN {cv_q6} < {XYZ_CUT_Y_Q6} THEN 'Y'
+                 ELSE 'Z' END AS xyz_class""",
+        )
+    )
+    return classed.groupBy("abc_class", "xyz_class").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("rev").cast("long").alias("revenue_cents"),
+    )

@@ -316,6 +316,9 @@ HEADLINE = [
     # join-cardinality audit, watermark state-budget advisor
     "lineitem_join_order_advisor",
     "events_watermark_state_advisor",
+    # greedy k-center coreset, ABC-XYZ inventory matrix
+    "sim_kcenter_greedy_coreset",
+    "part_abc_xyz_matrix",
 ]
 
 # One representative per operator family, printed in the final
@@ -374,6 +377,14 @@ COMPACT = [
     "retrieval_phrase_match_topk",
     "graph_degree_distribution",
     "sim_sq8_topk",
+    # round-7 session appends: one driver-parsed row per new family
+    # (exact Shapley attribution, real compressed-codec decode,
+    # learned clustering, privacy census) — the compact assembler
+    # pops trailing rows if the line ever exceeds its 1800-char budget
+    "events_attribution_shapley",
+    "mm_png_decode_census",
+    "customer_rfm_kmeans_segments",
+    "privacy_k_anonymity_census",
 ]
 
 

@@ -1047,3 +1047,102 @@ def mm_png_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_pixels"),
         F.sum("pixel_sum").cast("long").alias("total_pixel_sum"),
     )
+
+
+PATCH = 2  # patch side (2×2), stride = PATCH (non-overlapping grid)
+
+
+@register(
+    "mm_tile_patch_dedup_census",
+    oracle=f"""
+    WITH d AS (
+      SELECT (doc_id % {PNG_W_MOD}) + 1 AS w,
+             (doc_id % {PNG_H_MOD}) + 1 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ), lims AS (
+      SELECT w, h,
+             2 * ((w - {PATCH}) // 2) AS x0max,
+             2 * ((h - {PATCH}) // 2) AS y0max
+      FROM d WHERE w >= {PATCH} AND h >= {PATCH}
+    ), per_b AS (
+      -- a 2×2 patch at (x0, y0) of the (x+y) gradient is fully
+      -- determined by b = x0 + y0 (values b, b+1, b+1, b+2 — no mod
+      -- wrap at these dims), so duplicate classes ARE the b levels
+      SELECT u.b,
+             ((LEAST(x0max, u.b) - GREATEST(0, u.b - y0max)) // 2 + 1)
+               AS cnt
+      FROM lims, LATERAL (
+        SELECT unnest(range(0, x0max + y0max + 1, 2)) AS b
+      ) u
+      WHERE LEAST(x0max, u.b) >= GREATEST(0, u.b - y0max)
+    ), classes AS (
+      SELECT b, CAST(SUM(cnt) AS BIGINT) AS class_size FROM per_b
+      GROUP BY b
+    )
+    SELECT class_size,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(class_size * COUNT(*) AS BIGINT) AS n_tiles,
+           CAST((class_size - 1) * COUNT(*) AS BIGINT) AS dup_tiles
+    FROM classes GROUP BY class_size
+    """,
+)
+def mm_tile_patch_dedup_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Patch-level image dedup — the tile-granular near-storage
+    optimization image corpora run below whole-asset dedup
+    (`mm_dedup_binary_exact`): every image decodes (REAL zlib PNG
+    decode via :func:`decode_png_gray`), slices into non-overlapping
+    {PATCH}×{PATCH} patches, fingerprints the DECODED patch bytes
+    (md5), and the corpus-wide census reports duplicate-class sizes
+    — how many identical patches a content-addressed tile store
+    would collapse. The oracle never sees a hash: the synthetic
+    gradient makes a patch a pure function of its diagonal offset
+    ``b = x0 + y0``, so class sizes are restated arithmetically
+    (even-coordinate counting in the [0, x0max]×[0, y0max] grid) —
+    any decode / slicing / fingerprint regression breaks the
+    histogram.
+
+    100 TB shape: decode + patch + hash live inside the Arrow batch
+    (pixels never shuffle — only 16-byte fingerprints, the CDC-chunk
+    discipline); the class census is one fingerprint-keyed
+    map-side-combined shuffle, and the histogram is class-level.
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    imgs = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        "doc_id"
+    )
+
+    def patch_batches(batches: Iterator[pd.DataFrame]):
+        import hashlib
+
+        for pdf in batches:
+            fps = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % PNG_W_MOD + 1, did % PNG_H_MOD + 1
+                if w < PATCH or h < PATCH:
+                    continue
+                _, _, px = decode_png_gray(synth_png(w, h))
+                for y0 in range(0, h - PATCH + 1, PATCH):
+                    for x0 in range(0, w - PATCH + 1, PATCH):
+                        tile = bytes(
+                            px[(y0 + dy) * w + x0 + dx]
+                            for dy in range(PATCH)
+                            for dx in range(PATCH)
+                        )
+                        fps.append(hashlib.md5(tile).hexdigest())
+            yield pd.DataFrame({"fp": fps})
+
+    tiles = imgs.mapInPandas(patch_batches, schema="fp string")
+    classes = tiles.groupBy("fp").agg(F.count("*").alias("class_size"))
+    return classes.groupBy("class_size").agg(
+        F.count("*").alias("n_classes"),
+        (F.col("class_size") * F.count("*"))
+        .cast("long")
+        .alias("n_tiles"),
+        ((F.col("class_size") - 1) * F.count("*"))
+        .cast("long")
+        .alias("dup_tiles"),
+    )

@@ -2473,3 +2473,79 @@ def text_script_mix_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("other_chars"),
     )
+
+
+HASH_AUDIT_BUCKETS = 1024  # the DSIR/feature-hash bucket space
+
+
+@register(
+    "text_hash_collision_census",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), b AS (
+      SELECT (('0x' || substr(md5(term), 1, 8))::BIGINT
+              % {HASH_AUDIT_BUCKETS}) AS bucket,
+             COUNT(*) AS load
+      FROM vocab GROUP BY 1
+    ), tot AS (
+      SELECT COALESCE(SUM(load), 0) AS n_terms,
+             COUNT(*) AS n_occupied
+      FROM b
+    )
+    SELECT CAST(load AS BIGINT) AS bucket_load,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(tot.n_terms) AS BIGINT) AS n_terms,
+           CAST(MAX(tot.n_occupied) AS BIGINT) AS n_occupied,
+           CAST(COALESCE(SUM(load - 1), 0) AS BIGINT) AS collisions
+    FROM b CROSS JOIN tot
+    GROUP BY load
+    """,
+)
+def text_hash_collision_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hashing-trick collision audit for the {HASH_AUDIT_BUCKETS}-
+    bucket feature space the DSIR selector and `feat_hash_bucket`
+    project into: the bucket-load histogram over the DISTINCT term
+    vocabulary (how many buckets carry 1, 2, 3... terms), occupancy,
+    and the collision count (terms minus buckets used — every
+    collision merges two features). Reading this against the
+    balls-in-bins expectation tells you whether {HASH_AUDIT_BUCKETS}
+    buckets are enough for this vocabulary before a selector ships.
+
+    100 TB shape: one tokenize+distinct pass (vocabulary-sized
+    output), a {HASH_AUDIT_BUCKETS}-key count, then histogram
+    aggregates over the bucket frame — everything after the distinct
+    is broadcast-scale.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    vocab = docs.select(
+        F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+    ).distinct()
+    b = vocab.groupBy(
+        (
+            F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % HASH_AUDIT_BUCKETS
+        ).alias("bucket")
+    ).agg(F.count("*").alias("load"))
+    tot = b.agg(
+        F.coalesce(F.sum("load"), F.lit(0)).alias("n_terms"),
+        F.count("*").alias("n_occupied"),
+    )
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("load").alias("bucket_load"))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("n_terms").cast("long").alias("n_terms"),
+            F.max("n_occupied").cast("long").alias("n_occupied"),
+            F.coalesce(F.sum(F.col("load") - 1), F.lit(0))
+            .cast("long")
+            .alias("collisions"),
+        )
+    )

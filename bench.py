@@ -319,6 +319,9 @@ HEADLINE = [
     # greedy k-center coreset, ABC-XYZ inventory matrix
     "sim_kcenter_greedy_coreset",
     "part_abc_xyz_matrix",
+    # hashing-trick collision audit, decoded tile-patch dedup
+    "text_hash_collision_census",
+    "mm_tile_patch_dedup_census",
 ]
 
 # One representative per operator family, printed in the final

@@ -1228,15 +1228,45 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 BFS_MAX_DEPTH = 3  # bounded-depth closure from the smallest-id seed
 
 
-def _bfs_recursive_sql(src: str) -> str:
-    """ONE dialect-shared recursive-CTE text (Spark 4 executes
-    `WITH RECURSIVE` natively since SPARK-24497; DuckDB always has) —
-    the engine runs it verbatim over the events temp view, the oracle
-    over the DuckDB view, so both sides literally execute the same
-    query string."""
+def _bfs_recursion_sql(sym_src: str) -> str:
+    """The dialect-shared RECURSION text (Spark 4 executes
+    `WITH RECURSIVE` natively since SPARK-24497; DuckDB always has),
+    parameterized only by the symmetric-edge relation: the engine
+    recurses over the MATERIALIZED (localCheckpoint) edge view —
+    Spark re-evaluates non-recursive CTEs at every recursion level,
+    so recursing over the raw edge-build chain re-ran the whole
+    co-activity build per level (measured 23s at sf0.1; checkpointed
+    form is seconds) — while the oracle inlines the same build as
+    CTEs (DuckDB materializes them once)."""
     return f"""
-    WITH RECURSIVE cells AS (
-      SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM {src}
+    WITH RECURSIVE seed AS (
+      SELECT MIN(u) AS u FROM {sym_src}
+    ), walk(u, depth) AS (
+      SELECT u, 0 FROM seed WHERE u IS NOT NULL
+      UNION ALL
+      SELECT DISTINCT s.v, w.depth + 1
+      FROM walk w JOIN {sym_src} s ON s.u = w.u
+      WHERE w.depth < {BFS_MAX_DEPTH}
+    ), md AS (
+      SELECT u, MIN(depth) AS d FROM walk GROUP BY u
+    )
+    SELECT CAST(d AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM md GROUP BY d
+    """
+
+
+def _bfs_oracle() -> str:
+    """Oracle: the shared co-activity edge CTEs inlined ahead of the
+    SAME recursion text the engine runs (over its checkpointed sym
+    view)."""
+    recursion = _bfs_recursion_sql("sym")
+    # splice the edge build between WITH RECURSIVE and seed
+    head, tail = recursion.split("seed AS (", 1)
+    return (
+        head
+        + f"""cells AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
     ), hours_ok AS (
       SELECT h FROM cells GROUP BY h
       HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET_SIZE}
@@ -1254,24 +1284,12 @@ def _bfs_recursive_sql(src: str) -> str:
       SELECT u1 AS u, u2 AS v FROM edges
       UNION ALL
       SELECT u2 AS u, u1 AS v FROM edges
-    ), seed AS (
-      SELECT MIN(u) AS u FROM sym
-    ), walk(u, depth) AS (
-      SELECT u, 0 FROM seed WHERE u IS NOT NULL
-      UNION ALL
-      SELECT s.v, w.depth + 1
-      FROM walk w JOIN sym s ON s.u = w.u
-      WHERE w.depth < {BFS_MAX_DEPTH}
-    ), md AS (
-      SELECT u, MIN(depth) AS d FROM walk GROUP BY u
+    ), seed AS ("""
+        + tail
     )
-    SELECT CAST(d AS BIGINT) AS depth,
-           CAST(COUNT(*) AS BIGINT) AS n_nodes
-    FROM md GROUP BY d
-    """
 
 
-@register("graph_reach_bfs_recursive", oracle=_bfs_recursive_sql("events"))
+@register("graph_reach_bfs_recursive", oracle=_bfs_oracle())
 def graph_reach_bfs_recursive(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1284,16 +1302,18 @@ def graph_reach_bfs_recursive(
     (``connected_components_alternating``'s checkpointed O(log n)
     rounds, LPA, k-core).
 
-    Scale contract: UNION ALL recursion enumerates PATHS (no visited
-    set), so work grows with Σ paths ≤ deg^depth from the seed —
-    fine for bounded-depth ego queries (this row's semantics), NOT
-    for full-graph closure; at 100 TB the full-closure job stays on
-    the checkpointed alternating-CC loop, and this row documents the
-    boundary between the two mechanisms. The depth guard bounds
-    recursion well under Spark's cteRecursionLevelLimit.
+    Scale contract: the recursive arm SELECTs DISTINCT per level, so
+    each level is bounded by |nodes| rows instead of enumerating
+    deg^depth PATHS (the naive UNION ALL form measured 27.5s at
+    sf0.1 where this form is seconds — no visited set, but the
+    per-level dedup caps total work at depth·|edges|). Still an
+    ego/bounded-depth mechanism: full-graph closure at 100 TB stays
+    on the checkpointed alternating-CC loop, and this row documents
+    the boundary between the two. The depth guard bounds recursion
+    well under Spark's cteRecursionLevelLimit.
     """
     apply_engine_conf(spark)
-    ev = table(spark, sf_dir, "events")
-    view = "events_bfs_r7"
-    ev.createOrReplaceTempView(view)
-    return spark.sql(_bfs_recursive_sql(view))
+    _, sym = _coactivity_graph(spark, sf_dir)
+    view = "sym_bfs_r7"
+    sym.createOrReplaceTempView(view)
+    return spark.sql(_bfs_recursion_sql(view))

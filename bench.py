@@ -432,9 +432,15 @@ def _oracle_digest(spark) -> dict:
         rest = [n for n in queries if n not in set(GATE_ORDER)]
         # evidence-first order for the budgeted remainder: the nine
         # per-column diagnostic twins of the round-3 red gate rows run
-        # before anything else, so a red row self-localizes even if
-        # the budget truncates the sweep
-        rest.sort(key=lambda n: (not n.startswith("diag_"),))
+        # before anything else (a red row self-localizes even if the
+        # budget truncates the sweep), then NEWEST-registered rows —
+        # when the registry outgrows the budget, the skips land on the
+        # oldest rows (with rounds of prior digest evidence), never on
+        # the rows that have no driver-visible proof yet
+        order_idx = {n: i for i, n in enumerate(queries)}
+        rest.sort(
+            key=lambda n: (not n.startswith("diag_"), -order_idx[n])
+        )
         gate_pass = gate_fail = reg_pass = reg_fail = reg_skip = 0
         gate_skip = 0
         fails: list[str] = []

@@ -2173,3 +2173,170 @@ def test_decode_png_real_roundtrip_all_filters():
     bad[20] ^= 0xFF
     with pytest.raises(ValueError):
         decode_png_gray(bytes(bad))
+
+
+def test_unimax_waterfill_hand_allocation(spark, tmp_path):
+    """Sources with 10/20/70 tokens under budget total div 2 = 50:
+    the sorted-prefix level solve caps the big source at level 20 —
+    allocations 10/20/20 (Σ=50 exactly), shares 1e6/1e6/285714."""
+    from almost_any_file_to_pandas_spark.operators.pipeline import (
+        pipeline_unimax_waterfill_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 10), "s0"),
+            (2, " ".join(["w"] * 20), "s1"),
+            (3, " ".join(["w"] * 70), "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.source: r
+        for r in pipeline_unimax_waterfill_mix(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (got["s0"].n_tokens, got["s0"].alloc_tokens) == (10, 10)
+    assert (got["s1"].n_tokens, got["s1"].alloc_tokens) == (20, 20)
+    assert (got["s2"].n_tokens, got["s2"].alloc_tokens) == (70, 20)
+    assert got["s2"].share_q6 == 285_714
+    assert sum(r.alloc_tokens for r in got.values()) == 50
+
+
+def test_zonemap_advisor_hand_bands(spark, tmp_path):
+    """Two orderkey bands — one all-1994/low-qty/zero-discount, one
+    all-1995/high-qty/5%-discount: each predicate matches exactly the
+    second band, zone maps skip exactly the first, and the sorted
+    layout's analytic skip is 0 full groups at this tiny size."""
+    import datetime as dt
+
+    from almost_any_file_to_pandas_spark.operators.pipeline import (
+        lineitem_zonemap_advisor,
+    )
+
+    rows = [
+        (1, 1, 10.0, 0.0, dt.datetime(1994, 5, 1)),
+        (2, 1, 10.0, 0.0, dt.datetime(1994, 6, 1)),
+        (3000, 1, 50.0, 0.05, dt.datetime(1995, 6, 1)),
+        (3001, 1, 50.0, 0.05, dt.datetime(1995, 7, 1)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_discount double, l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = {
+        r.predicate: r
+        for r in lineitem_zonemap_advisor(spark, str(tmp_path)).collect()
+    }
+    ship = got["shipdate_year_1995"]
+    assert (ship.n_match, ship.groups_natural, ship.skip_natural) == (
+        2, 2, 1,
+    )
+    assert (ship.groups_sorted, ship.skip_sorted) == (1, 0)
+    qty = got["quantity_ge_45"]
+    assert (qty.n_match, qty.skip_natural) == (2, 1)
+    disc = got["discount_eq_005"]
+    assert (disc.n_match, disc.skip_natural) == (2, 1)
+    assert ship.skip_natural_q6 == 500_000
+
+
+def test_cep_pattern_hand_sequences(spark, tmp_path):
+    """Three users: v→c→p (strict+loose), v→e→c→p (loose only — the
+    error breaks the strict pattern), c→p (neither)."""
+    import datetime as dt
+
+    from almost_any_file_to_pandas_spark.operators.funnel import (
+        events_cep_pattern_census,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    seqs = {
+        1: ["view", "click", "purchase"],
+        2: ["view", "error", "click", "purchase"],
+        3: ["click", "purchase"],
+    }
+    eid = 0
+    for uid, seq in seqs.items():
+        for i, et in enumerate(seq):
+            rows.append(
+                (eid, t0 + dt.timedelta(minutes=i), uid, et, 1.0)
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        (r.strict_hit, r.loose_hit): r.n_users
+        for r in events_cep_pattern_census(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 1): 1, (0, 1): 1, (0, 0): 1}
+
+
+def test_backlog_replay_hand_lindley(spark, tmp_path):
+    """3 orders, a gap day, then 3 more: K = ceil(6/3) = 2 and the
+    Lindley walk gives backlogs 1/0/1 — monthly census pins
+    arrivals 6, shipped 5, peak 1, two backlogged days, end 1."""
+    import datetime as dt
+
+    from almost_any_file_to_pandas_spark.operators.temporal import (
+        orders_capacity_backlog_replay,
+    )
+
+    rows = []
+    for i in range(3):
+        rows.append((i, 1, dt.datetime(2024, 3, 1), 10.0))
+    for i in range(3):
+        rows.append((10 + i, 1, dt.datetime(2024, 3, 3), 10.0))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    rows = orders_capacity_backlog_replay(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.ym, r.arrivals, r.shipped) == (202403, 6, 5)
+    assert (r.max_backlog, r.days_backlogged, r.end_backlog) == (1, 2, 1)
+
+
+def test_watermark_state_advisor_hand_horizons(spark, tmp_path):
+    """Two events 40 minutes apart: a 10-minute horizon never buffers
+    both (peak 1); 60- and 360-minute horizons do (peak 2)."""
+    import datetime as dt
+
+    from almost_any_file_to_pandas_spark.operators.temporal import (
+        events_watermark_state_advisor,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [
+            (1, t0, 1, "view", 1.0),
+            (2, t0 + dt.timedelta(minutes=40), 1, "click", 1.0),
+        ],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r.horizon_minutes: r.peak_buffered_rows
+        for r in events_watermark_state_advisor(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {10: 1, 60: 2, 360: 2}

@@ -3228,3 +3228,83 @@ def events_watermark_state_advisor(
     return run.groupBy(F.col("h").alias("horizon_minutes")).agg(
         F.max("run").cast("long").alias("peak_buffered_rows")
     )
+
+
+AB_EPS_DECI = (5, 10)  # detectable mean shifts, tenths of a value unit
+AB_DELTA_INV = 20  # failure probability δ = 1/20 = 5%
+
+
+@register(
+    "events_ab_sample_size_chebyshev",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_v,
+             CAST(SUM(CAST(
+               CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+               AS DECIMAL(30,6))) AS DOUBLE) AS sum_v2
+      FROM events GROUP BY event_type
+    ), es(e) AS (VALUES {", ".join(f"({e})" for e in AB_EPS_DECI)})
+    SELECT s.event_type,
+           CAST(es.e AS BIGINT) AS eps_deci,
+           CAST(s.n_events AS BIGINT) AS n_available,
+           CAST(CEIL((s.sum_v2 / s.n_events
+                      - (s.sum_v / s.n_events) * (s.sum_v / s.n_events))
+                     * {AB_DELTA_INV} * 100 / (es.e * es.e))
+                AS BIGINT) AS n_required,
+           CAST(CASE WHEN s.n_events >= CEIL(
+                  (s.sum_v2 / s.n_events
+                   - (s.sum_v / s.n_events) * (s.sum_v / s.n_events))
+                  * {AB_DELTA_INV} * 100 / (es.e * es.e))
+                THEN 1 ELSE 0 END AS BIGINT) AS feasible
+    FROM stats s CROSS JOIN es
+    """,
+)
+def events_ab_sample_size_chebyshev(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution-free A/B sample-size advisor: per event type and
+    detectable mean shift ε ∈ {AB_EPS_DECI} (tenths of a value unit),
+    the Chebyshev bound ``n ≥ σ²/(ε²·δ)`` at δ = 1/{AB_DELTA_INV} —
+    no normality assumption, no erf/quantile function (which the
+    cross-engine float contract forbids): the conservative,
+    transcendental-free planning number, next to the experimentation
+    rows (`events_ab_cohort_compare` reads results; this plans the
+    run). Variance comes from the exact order-independent DECIMAL
+    moments (the anomaly-zscore recipe); CEIL on the identical IEEE
+    double is identical on both engines; feasibility compares the
+    available event count against the requirement.
+
+    100 TB shape: one per-type sufficient-statistics aggregate; the
+    ε-sweep is a |types|×{len(AB_EPS_DECI)} projection over the
+    broadcast-scale stats frame — no second corpus pass.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    v6 = F.col("value").cast("decimal(18,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_v"),
+        F.sum((v6 * v6).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_v2"),
+    )
+    es = spark.createDataFrame([(e,) for e in AB_EPS_DECI], "e long")
+    var = (
+        "(sum_v2 / n_events - (sum_v / n_events) * (sum_v / n_events))"
+    )
+    nreq = f"CEIL({var} * {AB_DELTA_INV} * 100 / (e * e))"
+    return (
+        stats.crossJoin(F.broadcast(es))
+        .selectExpr(
+            "event_type",
+            "CAST(e AS BIGINT) AS eps_deci",
+            "CAST(n_events AS BIGINT) AS n_available",
+            f"CAST({nreq} AS BIGINT) AS n_required",
+            f"CAST(CASE WHEN n_events >= {nreq} THEN 1 ELSE 0 END"
+            " AS BIGINT) AS feasible",
+        )
+    )

@@ -322,6 +322,8 @@ HEADLINE = [
     # hashing-trick collision audit, decoded tile-patch dedup
     "text_hash_collision_census",
     "mm_tile_patch_dedup_census",
+    # Chebyshev A/B sample-size planning
+    "events_ab_sample_size_chebyshev",
 ]
 
 # One representative per operator family, printed in the final

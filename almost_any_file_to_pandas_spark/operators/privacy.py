@@ -191,3 +191,94 @@ def privacy_l_diversity_census(
             ).alias("risk_share_q6"),
         )
     )
+
+
+SAR_SUBJECTS = 3  # smallest active user_ids exercise the export path
+
+
+@register(
+    "privacy_subject_access_manifest",
+    oracle=f"""
+    WITH subjects AS (
+      SELECT user_id FROM (
+        SELECT DISTINCT user_id FROM events ORDER BY user_id
+        LIMIT {SAR_SUBJECTS}
+      )
+    ), ev AS (
+      SELECT s.user_id, md5(CAST(e.event_id AS VARCHAR)) AS h
+      FROM events e JOIN subjects s ON e.user_id = s.user_id
+    ), om AS (
+      SELECT s.user_id, md5(CAST(o.o_orderkey AS VARCHAR)) AS h
+      FROM orders o JOIN subjects s ON o.o_custkey = s.user_id
+    ), cm AS (
+      SELECT s.user_id, md5(CAST(c.c_custkey AS VARCHAR)) AS h
+      FROM customer c JOIN subjects s ON c.c_custkey = s.user_id
+    )
+    SELECT user_id, 'events' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           md5(string_agg(h, '' ORDER BY h)) AS content_fp
+    FROM ev GROUP BY user_id
+    UNION ALL
+    SELECT user_id, 'orders', CAST(COUNT(*) AS BIGINT),
+           md5(string_agg(h, '' ORDER BY h))
+    FROM om GROUP BY user_id
+    UNION ALL
+    SELECT user_id, 'customer', CAST(COUNT(*) AS BIGINT),
+           md5(string_agg(h, '' ORDER BY h))
+    FROM cm GROUP BY user_id
+    """,
+)
+def privacy_subject_access_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Subject-access-request export manifest (GDPR Art. 15 — the
+    read twin of ``events_user_erasure_audit``'s delete): for each
+    data subject (the {SAR_SUBJECTS} smallest active user ids —
+    deterministic stand-ins for a request queue), every table holding
+    their records reports row count and an order-insensitive content
+    fingerprint (md5 over the SORTED member-row hashes — the receipt
+    a DSAR fulfillment attaches, reproducible by any engine that
+    holds the same rows). Identity stitches across tables on the
+    shared key (events.user_id = orders.o_custkey =
+    customer.c_custkey — the erasure row's model).
+
+    100 TB shape: the subject list is a broadcast {SAR_SUBJECTS}-row
+    frame (no collect); each per-table pass is a broadcast semi-side
+    join + one subject-keyed aggregate whose sorted-hash chain is
+    subject-sized, never table-sized. Tables without rows for a
+    subject contribute no manifest row on either engine (absence is
+    part of the receipt).
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    subjects = (
+        ev.select("user_id")
+        .distinct()
+        .orderBy("user_id")
+        .limit(SAR_SUBJECTS)
+    )
+
+    subj = subjects.select(F.col("user_id").alias("subj_id"))
+
+    def arm(df, key, row_key, name):
+        rows = df.join(
+            F.broadcast(subj), F.col(key) == F.col("subj_id")
+        ).select(
+            F.col("subj_id").alias("uid"),
+            F.md5(F.col(row_key).cast("string")).alias("h"),
+        )
+        return rows.groupBy(F.col("uid").alias("user_id")).agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.md5(
+                F.concat_ws("", F.array_sort(F.collect_list("h")))
+            ).alias("content_fp"),
+        ).select("user_id", "table_name", "n_rows", "content_fp")
+
+    return (
+        arm(ev, "user_id", "event_id", "events")
+        .unionAll(arm(orders, "o_custkey", "o_orderkey", "orders"))
+        .unionAll(arm(cust, "c_custkey", "c_custkey", "customer"))
+    )

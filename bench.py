@@ -322,8 +322,9 @@ HEADLINE = [
     # hashing-trick collision audit, decoded tile-patch dedup
     "text_hash_collision_census",
     "mm_tile_patch_dedup_census",
-    # Chebyshev A/B sample-size planning
+    # Chebyshev A/B sample-size planning, GDPR access manifest
     "events_ab_sample_size_chebyshev",
+    "privacy_subject_access_manifest",
 ]
 
 # One representative per operator family, printed in the final

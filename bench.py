@@ -531,9 +531,20 @@ def main() -> int:
     # sample per query and the median discards it, instead of one bad
     # window poisoning all n samples of whichever query it hit. Sink,
     # warm-up and median are unchanged — same harness, same metric.
+    #
+    # Wall-clock containment (round 7, HEADLINE at 225 rows): only
+    # the DRIVER-PARSED compact rows keep the full n-run median —
+    # those are the cross-round comparable series; the non-compact
+    # HEADLINE tail is measured once (BENCH_FULL.json context rows),
+    # so total bench wall stays in the envelope the driver has
+    # demonstrably tolerated instead of growing 3× with every
+    # registry batch.
+    compact_set = set(COMPACT)
     samples: dict = {name: [] for name in HEADLINE}
-    for _ in range(n_runs):
+    for run_i in range(n_runs):
         for name in HEADLINE:
+            if run_i > 0 and name not in compact_set:
+                continue
             fn = queries[name]
             start = time.perf_counter()
             df = fn(spark, sf_dir)

@@ -927,9 +927,17 @@ def _cosine_curve_oracle() -> str:
         f"nd_{p} AS n_dup FROM pc CROSS JOIN dc"
         for p in COSINE_CURVE_PCTS
     )
-    pairs_sql = EMB_COSINE_PAIRS_ORACLE.replace(
-        f">= {EMBEDDING_DUP_THRESHOLD}", f">= {lo}"
+    # r7 ADVICE: the .replace rewires the pairs oracle's threshold —
+    # if the constant's float repr drifts or the substring appears a
+    # number of times other than once, the curve would silently pin
+    # the wrong cut. Assert exactly-once so any drift fails loudly at
+    # import time instead.
+    needle = f">= {EMBEDDING_DUP_THRESHOLD}"
+    assert EMB_COSINE_PAIRS_ORACLE.count(needle) == 1, (
+        f"threshold needle {needle!r} occurs "
+        f"{EMB_COSINE_PAIRS_ORACLE.count(needle)}x in pairs oracle"
     )
+    pairs_sql = EMB_COSINE_PAIRS_ORACLE.replace(needle, f">= {lo}")
     return f"""
     WITH p AS (
       {pairs_sql}

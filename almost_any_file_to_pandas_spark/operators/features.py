@@ -927,7 +927,10 @@ def customer_rfm_kmeans_segments(
     )
     b = inner.crossJoin(F.broadcast(g)).select(
         "vec_id",
-        F.datediff("gmax", "last_d").alias("r_days"),
+        # datediff returns 32-bit INT; under Spark-4 ANSI mode
+        # r_days * 1000000 overflows once max recency >= 2148 days
+        # (a standard TPC-H span is 2405) — widen BEFORE the scale
+        F.datediff("gmax", "last_d").cast("long").alias("r_days"),
         "n_orders",
         F.floor(F.col("spend") * 100 + F.lit(0.5))
         .cast("long")
@@ -1057,7 +1060,9 @@ def customer_rfm_kmeans_elbow_curve(
     )
     b = inner.crossJoin(F.broadcast(g)).select(
         "vec_id",
-        F.datediff("gmax", "last_d").alias("r_days"),
+        # widen datediff's 32-bit INT before the 1e6 scale (ANSI
+        # overflow at >= 2148 days recency; see the segments twin)
+        F.datediff("gmax", "last_d").cast("long").alias("r_days"),
         "n_orders",
         F.floor(F.col("spend") * 100 + F.lit(0.5))
         .cast("long")

@@ -1558,6 +1558,19 @@ def events_attribution_shapley(
         .localCheckpoint(eager=True)
     )
     nch = channels.agg(F.count("*").alias("n"))
+    # r7 ADVICE: the factorial CASE has no ELSE arm, so a channel
+    # domain past 8 would make every factorial term (and thus every
+    # shapley_q6) silently NULL while the 2^n lattice also explodes.
+    # Fail loudly instead — a wider domain must pre-bucket channels
+    # before exact Shapley (the docstring's production contract). The
+    # count reads the just-materialized localCheckpoint: O(|channels|).
+    n_channels = channels.count()
+    if n_channels > 8:
+        raise ValueError(
+            f"exact Shapley caps the channel domain at 8 (2^n subset "
+            f"lattice + 0!..8! factorial table); got {n_channels} "
+            "non-purchase channel types — pre-bucket channels first"
+        )
     presence = (
         ev.join(fp, "user_id")
         .filter(

@@ -32,7 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from almost_any_file_to_pandas_spark.plans import register, table_wide
+from almost_any_file_to_pandas_spark.plans import (
+    ORACLES,
+    register,
+    table_wide,
+)
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
 
 
@@ -94,6 +98,18 @@ def embedding_hygiene_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     apply_engine_conf(spark)
     return hygiene_report(table_wide(spark, sf_dir, "embeddings"))
+
+
+# Round-8 gate refresh (r7 verdict Next-round #1): the driver's gate
+# harness caches results per query NAME (round 7's six renamed slots
+# were freshly computed; this row's unchanged name carried a
+# byte-identical round-3 result for five rounds while passing every
+# independent re-execution). Identical callable + oracle under a new
+# name forces re-evaluation; the old name stays registered post-gate.
+register(
+    "embedding_hygiene_report_v2",
+    oracle=ORACLES["embedding_hygiene_report"],
+)(embedding_hygiene_report)
 
 
 def hygiene_report(emb: DataFrame) -> DataFrame:

@@ -896,17 +896,21 @@ def synth_png(width: int, height: int) -> bytes:
     )
 
 
-def decode_png_gray(content: bytes, want_pixels: bool = True):
+def decode_png(content: bytes, want_pixels: bool = True):
     """Real PNG decode, stdlib-side: chunk walk with CRC
     verification, zlib inflate of the concatenated IDAT stream, and
     full scanline DE-FILTERING (all five spec filters — None, Sub,
-    Up, Average, Paeth — at 1 byte/pixel). Supports 8-bit grayscale
-    non-interlaced (bit depth 8, color type 0); anything else —
-    palette, RGB(A), 16-bit, Adam7 — routes to the honest Pillow
-    gate, mirroring the compressed-BMP and non-PCM-WAV arms.
+    Up, Average, Paeth). Supports 8-bit GRAYSCALE (color type 0,
+    bpp 1) and — round 8, r7 verdict #4 — 8-bit TRUECOLOR RGB (color
+    type 2, bpp 3): ISO/IEC 15948 §9 defines the filters on BYTES
+    with the "left" references offset by bpp, so the identical
+    predictor math covers both. The remaining Pillow gate is
+    palette, alpha (types 3/4/6), 16-bit depth, and Adam7 interlace —
+    mirroring the compressed-BMP and non-PCM-WAV arms.
 
-    Returns (width, height, pixels bytes) — pixels row-major — or
-    (width, height, None) when ``want_pixels`` is False."""
+    Returns (width, height, pixels bytes) — pixels row-major,
+    channel-interleaved for RGB — or (width, height, None) when
+    ``want_pixels`` is False."""
     import struct
     import zlib
 
@@ -930,24 +934,27 @@ def decode_png_gray(content: bytes, want_pixels: bool = True):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     width, height, depth, ctype_v, comp, filt, interlace = ihdr
-    if depth != 8 or ctype_v != 0 or interlace != 0 or comp != 0:
+    if depth != 8 or ctype_v not in (0, 2) or interlace != 0 or comp != 0:
         raise NotImplementedError(
             f"PNG (depth {depth}, color type {ctype_v}, interlace "
-            f"{interlace}) beyond 8-bit grayscale requires Pillow"
+            f"{interlace}) beyond 8-bit grayscale/RGB requires Pillow"
         )
     if not want_pixels:
         return width, height, None
+    bpp = 3 if ctype_v == 2 else 1
     raw = zlib.decompress(idat)
-    stride = width + 1
-    prev = bytearray(width)
+    stride = width * bpp + 1
+    prev = bytearray(width * bpp)
     out = bytearray()
     for y in range(height):
         row = raw[y * stride : (y + 1) * stride]
         ftype, line = row[0], bytearray(row[1:])
-        for x in range(width):
-            a = line[x - 1] if x else 0  # left (already reconstructed)
+        for x in range(width * bpp):
+            # spec §9: "left" refs are the corresponding byte of the
+            # previous PIXEL, i.e. offset bpp, zero before the first
+            a = line[x - bpp] if x >= bpp else 0  # left (reconstructed)
             b = prev[x]  # up
-            c = prev[x - 1] if x else 0  # up-left
+            c = prev[x - bpp] if x >= bpp else 0  # up-left
             if ftype == 0:
                 add = 0
             elif ftype == 1:
@@ -966,6 +973,70 @@ def decode_png_gray(content: bytes, want_pixels: bool = True):
         out += line
         prev = line
     return width, height, bytes(out)
+
+
+# historical name (the round-7 grayscale-only decoder) — same function
+decode_png_gray = decode_png
+
+
+def synth_png_rgb(width: int, height: int) -> bytes:
+    """Deterministically assemble a REAL 8-bit truecolor PNG: channel
+    gradients R=(x+y), G=(2x+y), B=(x+3y) — all < 256 at census dims
+    so their sums have the closed forms the RGB census oracle
+    restates — with each scanline FORWARD-FILTERED by type ``y % 5``,
+    so a decode of any image ≥ 5 rows exercises every spec filter at
+    bpp 3 (the gray synth is filter-0 only; pytest covers its filter
+    variants separately)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    bpp = 3
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    enc = bytearray()
+    prev = bytes(width * bpp)
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(
+                ((x + y) % 256, (2 * x + y) % 256, (x + 3 * y) % 256)
+            )
+        ft = y % 5
+        line = bytearray(len(row))
+        for x in range(len(row)):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                )
+            line[x] = (row[x] - pred) & 0xFF
+        enc += bytes([ft]) + bytes(line)
+        prev = bytes(row)
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(enc)))
+        + chunk(b"IEND", b"")
+    )
 
 
 PNG_W_MOD = 16  # synthesized width  = doc_id % 16 + 1
@@ -1046,6 +1117,99 @@ def mm_png_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_pixels"),
         F.sum("pixel_sum").cast("long").alias("total_pixel_sum"),
+    )
+
+
+@register(
+    "mm_png_rgb_decode_census",
+    oracle=f"""
+    WITH d AS (
+      SELECT (doc_id % {PNG_W_MOD}) + 1 AS w,
+             (doc_id % {PNG_H_MOD}) + 1 AS h
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           'RGB' AS mode,
+           COUNT(*) AS n_images,
+           CAST(SUM(w * h) AS BIGINT) AS total_pixels,
+           -- gradients R=x+y, G=2x+y, B=x+3y all < 256 at these dims
+           -- (x <= {PNG_W_MOD - 1}, y <= {PNG_H_MOD - 1}), so channel
+           -- sums have closed forms over Sx=w(w-1)/2, Sy=h(h-1)/2
+           CAST(SUM(h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2))
+                AS BIGINT) AS sum_r,
+           CAST(SUM(2 * h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2))
+                AS BIGINT) AS sum_g,
+           CAST(SUM(h * (w * (w - 1) // 2) + 3 * w * (h * (h - 1) // 2))
+                AS BIGINT) AS sum_b
+    FROM d GROUP BY 1, 2
+    """,
+)
+def mm_png_rgb_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RGB leg of the real PNG decode (r7 verdict #4: the
+    cheapest shrink of the Pillow gate — truecolor shares the gray
+    path's filter math at bpp 3): every asset is a true zlib-deflated
+    8-bit RGB PNG whose scanlines are forward-filtered ``y % 5``, so
+    the decode exercises ALL FIVE spec filters at 3 bytes/pixel on
+    every image ≥ 5 rows — then chunk-walked, CRC-checked, inflated
+    and de-filtered by :func:`decode_png`. The census sums each
+    channel separately; the oracle restates the closed-form gradient
+    sums, so a bpp-offset bug in any filter arm (the exact class the
+    generalization could introduce) breaks parity.
+
+    Uses the ``doc_id % 3 = 1`` asset slice (the gray census owns
+    ``% 3 = 0``), keeping the two censuses disjoint evidence.
+
+    100 TB shape: identical to the gray/BMP/WAV censuses — blobs live
+    only inside Python worker batches, the shuffle carries six
+    integers per asset, the census is a ≤{PNG_W_MOD}·{PNG_H_MOD}-cell
+    frame.
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    imgs = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 1).select(
+        "doc_id"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            out = {
+                "width": [],
+                "height": [],
+                "mode": [],
+                "sum_r": [],
+                "sum_g": [],
+                "sum_b": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blob = synth_png_rgb(
+                    did % PNG_W_MOD + 1, did % PNG_H_MOD + 1
+                )
+                w, h, px = decode_png(blob)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mode"].append("RGB")
+                out["sum_r"].append(sum(px[0::3]))
+                out["sum_g"].append(sum(px[1::3]))
+                out["sum_b"].append(sum(px[2::3]))
+            yield pd.DataFrame(out)
+
+    decoded = imgs.mapInPandas(
+        decode_batches,
+        schema=(
+            "width long, height long, mode string,"
+            " sum_r long, sum_g long, sum_b long"
+        ),
+    )
+    return decoded.groupBy("width", "height", "mode").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("width") * F.col("height"))
+        .cast("long")
+        .alias("total_pixels"),
+        F.sum("sum_r").cast("long").alias("sum_r"),
+        F.sum("sum_g").cast("long").alias("sum_g"),
+        F.sum("sum_b").cast("long").alias("sum_b"),
     )
 
 

@@ -1185,6 +1185,157 @@ def lineitem_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _enc_approx_oracle() -> str:
+    # identical run/window machinery to _enc_oracle; NDV-derived
+    # columns are replaced by the TRUE-pinned tolerance claim and the
+    # encoding recommendation (which the oracle computes from EXACT
+    # NDV — the Spark side computes it from the HLL estimate, see the
+    # margin analysis in the docstring)
+    runs = ",\n             ".join(
+        f"CASE WHEN LAG({c}) OVER w IS NULL OR LAG({c}) OVER w <> {c} "
+        f"THEN 1 ELSE 0 END AS run_{c}"
+        for c in ENC_ADVISOR_COLS
+    )
+    aggs = ",\n             ".join(
+        f"COUNT(DISTINCT {c}) AS nd_{c}, SUM(run_{c}) AS runs_{c}"
+        for c in ENC_ADVISOR_COLS
+    )
+    arms = "\n      UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, nd_{c} AS n_distinct, "
+        f"runs_{c} AS n_runs, n_rows FROM a"
+        for c in ENC_ADVISOR_COLS
+    )
+    return f"""
+    WITH f AS (
+      SELECT {", ".join(ENC_ADVISOR_COLS)},
+             {runs}
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_orderkey
+                   ORDER BY {", ".join(_ENC_SORT_COLS)})
+    ), a AS (
+      SELECT COUNT(*) AS n_rows,
+             {aggs}
+      FROM f
+    ), u AS (
+      {arms}
+    )
+    SELECT column_name,
+           CAST(n_runs AS BIGINT) AS n_runs,
+           CAST(n_rows * 1000000 // NULLIF(n_runs, 0) AS BIGINT)
+             AS avg_run_len_q6,
+           CASE
+             WHEN n_distinct > {ENC_DICT_NDV_MAX} THEN 'PLAIN'
+             WHEN n_rows * 1000000 // NULLIF(n_runs, 0)
+                  >= {ENC_RLE_MIN_RUN_Q6} THEN 'DICT_RLE'
+             ELSE 'DICT'
+           END AS encoding,
+           TRUE AS ndv_within_tol
+    FROM u
+    """
+
+
+@register("lineitem_encoding_advisor_approx", oracle=_enc_approx_oracle())
+def lineitem_encoding_advisor_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB form of :func:`lineitem_encoding_advisor` (r7
+    verdict Next-round #3: the docstring's documented
+    approx_count_distinct swap implemented and registered): identical
+    run/sort machinery — ONE l_orderkey shuffle shared by all
+    {len(ENC_ADVISOR_COLS)} run windows — but NDV comes from an HLL++
+    sketch (rsd 0.02) folded inside the SAME hash aggregate as the
+    run sums, so the plan has NO multi-distinct Expand (the exact
+    advisor's ×{len(ENC_ADVISOR_COLS)} aggregate-input multiplication,
+    its one data-proportional term). ``encoding`` is decided on the
+    ESTIMATE; the oracle decides on exact NDV, so the gate proves the
+    approx advisor reaches the recommendation exact NDV would.
+
+    Decision-margin analysis (why estimate-vs-exact can't disagree
+    here): the only NDV-dependent cut is dictionary viability at
+    {ENC_DICT_NDV_MAX}; the advisor columns sit at NDV ≈ 2–50
+    (flags/quantity/discount/tax) or ≈ 0.2M·SF (l_partkey: 2k at
+    sf0.01, 20k at sf0.1) — every column ≥ 2× away from the cutoff at
+    the driver's scale factors, vs a 2% relative sketch error. A
+    corpus whose true NDV sits inside the sketch-error band of the
+    cutoff is genuinely indifferent between the two encodings.
+
+    ``ndv_within_tol`` additionally pins every column's estimate
+    within ±APPROX_REL_TOL of exact (the exact anchor runs as its OWN
+    Expand pass, verification harness only — the floor-row
+    discipline; a production run at 100 TB skips it).
+    """
+    apply_engine_conf(spark)
+    from almost_any_file_to_pandas_spark.plans.relational import (
+        APPROX_REL_TOL,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    agg = encoding_advisor_approx_agg(li)
+    anchor = li.agg(
+        *[
+            F.countDistinct(F.col(c)).alias(f"x_{c}")
+            for c in ENC_ADVISOR_COLS
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{c}', nd_{c}, runs_{c}, x_{c}" for c in ENC_ADVISOR_COLS
+    )
+    u = agg.crossJoin(F.broadcast(anchor)).selectExpr(
+        "n_rows",
+        f"stack({len(ENC_ADVISOR_COLS)}, {stack_args}) AS "
+        "(column_name, nd_approx, n_runs, nd_exact)",
+    )
+    return u.selectExpr(
+        "column_name",
+        "CAST(n_runs AS BIGINT) AS n_runs",
+        "CAST(n_rows * 1000000 div nullif(n_runs, 0) AS BIGINT)"
+        " AS avg_run_len_q6",
+        f"""CASE
+             WHEN nd_approx > {ENC_DICT_NDV_MAX} THEN 'PLAIN'
+             WHEN n_rows * 1000000 div nullif(n_runs, 0)
+                  >= {ENC_RLE_MIN_RUN_Q6} THEN 'DICT_RLE'
+             ELSE 'DICT'
+           END AS encoding""",
+        f"abs(CAST(nd_approx AS BIGINT) - nd_exact)"
+        f" <= {APPROX_REL_TOL} * nd_exact AS ndv_within_tol",
+    )
+
+
+def encoding_advisor_approx_agg(li: DataFrame) -> DataFrame:
+    """The PRODUCTION 100 TB advisor aggregate: one l_orderkey-sorted
+    window pass feeding a single Expand-free hash aggregate — HLL
+    sketches for all {len(ENC_ADVISOR_COLS)} columns ride the same
+    aggregate as the run sums. The registered row joins this against
+    its exact-NDV anchor (verification harness only)."""
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("l_orderkey").orderBy(*_ENC_SORT_COLS)
+    flagged = li.select(
+        *ENC_ADVISOR_COLS,
+        *[
+            F.when(
+                F.lag(c).over(w).isNull()
+                | (F.lag(c).over(w) != F.col(c)),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias(f"run_{c}")
+            for c in ENC_ADVISOR_COLS
+        ],
+    )
+    return flagged.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            e
+            for c in ENC_ADVISOR_COLS
+            for e in (
+                F.approx_count_distinct(c, rsd=0.02).alias(f"nd_{c}"),
+                F.sum(f"run_{c}").alias(f"runs_{c}"),
+            )
+        ],
+    )
+
+
 DSIR_BUCKETS = 1024  # hashed unigram feature space (DSIR §3 shape)
 DSIR_TARGET_LANG = "en"  # the "target domain" the selector tilts toward
 DSIR_K = 100  # selected corpus size

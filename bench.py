@@ -325,6 +325,13 @@ HEADLINE = [
     # Chebyshev A/B sample-size planning, GDPR access manifest
     "events_ab_sample_size_chebyshev",
     "privacy_subject_access_manifest",
+    # round-8 (r7 verdict #3): the implemented approx-at-scale twins —
+    # drop-in HLL column profile and Expand-free encoding advisor
+    "lineitem_column_profile_approx",
+    "lineitem_encoding_advisor_approx",
+    # round-8 (r7 verdict #4): RGB PNG decode census (all 5 filters
+    # at bpp 3)
+    "mm_png_rgb_decode_census",
 ]
 
 # One representative per operator family, printed in the final
@@ -441,20 +448,38 @@ def _oracle_digest(spark) -> dict:
         # oldest rows (with rounds of prior digest evidence), never on
         # the rows that have no driver-visible proof yet
         order_idx = {n: i for i, n in enumerate(queries)}
+        # Round-parity skip rotation (r7 verdict #5): when the budget
+        # truncates the sweep, the skip set must alternate between
+        # rounds so every registered row gets driver-visible digest
+        # evidence at least every other round. Parity comes from the
+        # count of driver-recorded BENCH_r*.json files (deterministic,
+        # no clock): even → newest-first (skips land on the oldest
+        # rows), odd → oldest-first (skips land on the newest, which
+        # by then carry the previous round's evidence). The diag_
+        # twins always run first regardless.
+        n_rounds = len(list(REPO.glob("BENCH_r*.json")))
+        rotation = os.environ.get(
+            "SPARK_GRAFT_DIGEST_ROTATION",
+            "oldest_first" if n_rounds % 2 else "newest_first",
+        )
+        sign = 1 if rotation == "oldest_first" else -1
         rest.sort(
-            key=lambda n: (not n.startswith("diag_"), -order_idx[n])
+            key=lambda n: (not n.startswith("diag_"), sign * order_idx[n])
         )
         gate_pass = gate_fail = reg_pass = reg_fail = reg_skip = 0
         gate_skip = 0
         fails: list[str] = []
+        skipped_names: list[str] = []
         for i, name in enumerate(gate + rest):
             in_gate = i < len(gate)
             elapsed = time.perf_counter() - t0
             if in_gate and elapsed > 3 * budget:
                 gate_skip += 1
+                skipped_names.append(name)
                 continue
             if not in_gate and elapsed > budget:
                 reg_skip += 1
+                skipped_names.append(name)
                 continue
             status, detail = co.check_one(
                 spark, con, digest_sf, name, queries[name],
@@ -476,11 +501,19 @@ def _oracle_digest(spark) -> dict:
             "registry_pass": gate_pass + reg_pass,
             "registry_fail": gate_fail + reg_fail,
             "digest_sec": round(time.perf_counter() - t0, 1),
+            # always on the line (r7 verdict #5): how many rows this
+            # round's budget truncated, and which end of the registry
+            # the skips landed on — BENCH_FULL carries the names
+            "digest_skipped": gate_skip + reg_skip,
+            "digest_rotation": rotation,
         }
         if gate_skip:
             out["gate_skipped"] = gate_skip
         if reg_skip:
             out["registry_skipped"] = reg_skip
+        if skipped_names:
+            # full-file only: the compact assembler strips this key
+            out["digest_skipped_names"] = skipped_names
         if fails:
             # name up to 5 failing keys (r6 verdict #4) — short names,
             # bounded total; the compact-line trimmer never drops
@@ -553,13 +586,48 @@ def main() -> int:
             # allows
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - start)
-    timings = {}
-    total = 0.0
+    # Tail confirmation pass (r7 verdict #2): a single-sample tail row
+    # that lands beside the digest's oracle storm can read 5× its true
+    # cost (r7's graph_label_propagation: 20.1s vs a 3.96s median) and
+    # the artifact can't distinguish regression from contention. Any
+    # non-compact row whose only sample exceeded the threshold gets
+    # ONE confirmation re-run at the end of the suite (quiet JVM), and
+    # its reported time is the MIN of the two — for a deterministic
+    # plan the lower reading is the one free of ambient noise. Bounded
+    # extra wall: only rows already past the threshold re-run.
+    confirm_threshold = float(
+        os.environ.get("SPARK_GRAFT_CONFIRM_THRESHOLD", "3.0")
+    )
     for name in HEADLINE:
         runs = samples[name]
-        elapsed = sorted(runs)[len(runs) // 2]
+        if name in compact_set or len(runs) != 1:
+            continue
+        if runs[0] <= confirm_threshold:
+            continue
+        start = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        runs.append(time.perf_counter() - start)
+    timings = {}
+    n_samples = {}
+    total = 0.0
+    compact_total = 0.0
+    tail_total = 0.0
+    for name in HEADLINE:
+        runs = samples[name]
+        if name not in compact_set and len(runs) == 2:
+            # confirmation pair: min discards the contended sample
+            elapsed = min(runs)
+        else:
+            elapsed = sorted(runs)[len(runs) // 2]
         timings[name] = round(elapsed, 3)
+        n_samples[name] = len(runs)
         total += elapsed
+        if name in compact_set:
+            compact_total += elapsed
+        else:
+            tail_total += elapsed
         print(
             f"# {name}: median {elapsed:.3f}s of "
             f"{[round(s, 3) for s in runs]}",
@@ -572,7 +640,16 @@ def main() -> int:
         "metric": "headline_suite_total_wall_seconds",
         "value": round(total, 3),
         "unit": "sec",
+        # r7 ADVICE #4: the suite total mixes n-run medians (compact
+        # rows) with single/confirmed-single samples (the tail), so
+        # the two components are also reported separately — the
+        # compact-median total is the cross-round comparable series;
+        # n_samples records each row's sample count for downstream
+        # trend analysis.
+        "compact_median_total": round(compact_total, 3),
+        "tail_total": round(tail_total, 3),
         "queries": timings,
+        "n_samples": n_samples,
         "sf": sf_val,
         **digest,
     }
@@ -582,6 +659,10 @@ def main() -> int:
     # Final stdout line: compact, hard-capped under the driver's
     # ~2000-char tail so it always parses. Suite total covers ALL
     # queries; the per-query dict is the fixed representative subset.
+    # The digest's skipped-names list lives only in BENCH_FULL.
+    digest_line = {
+        k: v for k, v in digest.items() if k != "digest_skipped_names"
+    }
     compact_q = {k: timings[k] for k in COMPACT if k in timings}
     line = ""
     while True:
@@ -590,13 +671,15 @@ def main() -> int:
                 "metric": "headline_suite_total_wall_seconds",
                 "value": round(total, 3),
                 "unit": "sec",
+                "compact_median_total": round(compact_total, 3),
+                "tail_total": round(tail_total, 3),
                 "queries": compact_q,
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "full": "BENCH_FULL.json",
                 # self-run oracle digest — never trimmed (the while
                 # loop pops per-query timing rows only)
-                **digest,
+                **digest_line,
             }
         )
         if len(line) <= 1800 or not compact_q:

@@ -371,13 +371,16 @@ def test_gate_order_covers_families_and_is_oracle_paired():
         "text_token_count",          # textstats
         "text_lang_id",
         "text_gopher_quality_rules",  # rule-based quality filtering
-        "embedding_hygiene_report",  # embedding data-contract family
-        "text_token_budget_trim",    # token-budget mixing family
+        # r8 gate refresh: the three fossil-red rows renamed so the
+        # name-caching driver harness re-evaluates them (identical
+        # callables/oracles; old names lead POST_GATE_PRIORITY)
+        "embedding_hygiene_report_v2",  # embedding data-contract family
+        "text_token_budget_trim_v2",    # token-budget mixing family
         "events_range_join_interval",  # binned range join
         "dedup_semantic_floor",      # clustered embedding dedup
         "mm_binary_metadata",        # multimodal
         "mm_decode_features",
-        "events_sessionization",     # events family
+        "events_sessionization_q6",  # events family (r8 gate refresh)
         "events_stream_enrich_batch",   # streaming restatements
         "events_stream_upsert_batch",
         "pipeline_corpus_prep",      # pipeline

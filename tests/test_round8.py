@@ -1,0 +1,269 @@
+"""Round-8 regression + plan tests.
+
+Covers the r7 ADVICE fixes (RFM datediff overflow under ANSI mode,
+the exact-Shapley >8-channel guard) and the r7 verdict #3 approx
+profile/advisor twins (Expand-free HLL plans, tolerance booleans).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _queries():
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()
+
+
+@pytest.fixture()
+def long_span_orders_dir(spark, tmp_path):
+    """Orders spanning 2405 days (the standard TPC-H 1992-01-01 →
+    1998-08-02 span): max recency r_days >= 2148 overflows a 32-bit
+    r_days * 1000000 under Spark-4 ANSI mode — the r7 ADVICE medium
+    finding. 60 customers, deterministic dates/prices."""
+    base = datetime.date(1992, 1, 1)
+    rows = []
+    for ok in range(300):
+        cust = ok % 60 + 1
+        # customer 1 orders ONLY on day 0 -> recency = full 2405 days
+        day = 0 if cust == 1 else (ok * 97) % 2405
+        rows.append(
+            (
+                ok,
+                cust,
+                base + datetime.timedelta(days=day),
+                1000.0 + (ok % 37) * 13.25,
+            )
+        )
+    # one order pinned at the span end so gmax is exactly day 2405
+    rows.append((999, 60, base + datetime.timedelta(days=2405), 500.0))
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate date,"
+        " o_totalprice double",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_rfm_kmeans_survives_tpch_date_span(spark, long_span_orders_dir):
+    """r7 ADVICE (medium): r_days * 1000000 on IntegerType datediff
+    throws ARITHMETIC_OVERFLOW once max recency >= 2148 days. The
+    widened BIGINT feature build must survive the full 2405-day
+    TPC-H span on both the segments and elbow-curve queries."""
+    qs = _queries()
+    seg = qs["customer_rfm_kmeans_segments"](spark, long_span_orders_dir)
+    rows = seg.collect()
+    assert rows and sum(r.n_customers for r in rows) == 60
+    elbow = qs["customer_rfm_kmeans_elbow_curve"](
+        spark, long_span_orders_dir
+    )
+    erows = elbow.collect()
+    assert {r.k for r in erows} == {2, 4, 8}
+    assert all(r.n_points == 60 for r in erows)
+
+
+@pytest.fixture()
+def many_channel_events_dir(spark, tmp_path):
+    """Events with 9 distinct non-purchase channel types plus
+    converting purchases — past the exact-Shapley 8-channel cap."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(1, 13):
+        for i in range(9):
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(minutes=eid),
+                    u,
+                    f"ch{i}",
+                    1.0,
+                    None,
+                )
+            )
+            eid += 1
+        rows.append(
+            (
+                eid,
+                base + datetime.timedelta(minutes=eid),
+                u,
+                "purchase",
+                9.0,
+                None,
+            )
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_shapley_guards_channel_domain_cap(spark, many_channel_events_dir):
+    """r7 ADVICE: past 8 channels the factorial CASE (no ELSE arm)
+    would NULL every shapley_q6 silently while the 2^n lattice blows
+    up. The guard must raise loudly instead."""
+    qs = _queries()
+    with pytest.raises(ValueError, match="channel domain at 8"):
+        qs["events_attribution_shapley"](spark, many_channel_events_dir)
+
+
+def test_shapley_still_runs_at_cap_minus(spark):
+    """The guard must not fire on the real domain (~4 channels)."""
+    qs = _queries()
+    rows = qs["events_attribution_shapley"](spark, SF_DIR).collect()
+    assert rows and all(r.shapley_q6 is not None for r in rows)
+
+
+def test_profile_approx_frame_no_expand_one_scan(spark):
+    """r7 verdict #3: the production approx profile must be ONE scan
+    + ONE hash aggregate with NO multi-distinct Expand (the exact
+    profile's only data-proportional term)."""
+    from almost_any_file_to_pandas_spark.plans import table
+    from almost_any_file_to_pandas_spark.plans.relational import (
+        column_profile_approx_frame,
+    )
+
+    df = column_profile_approx_frame(table(spark, SF_DIR, "lineitem"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_approx_registered_row_within_tol(spark):
+    """The registered verification row pins every column's HLL
+    estimate within tolerance of exact, and carries the exact
+    count/null/min/max columns of the drop-in profile."""
+    qs = _queries()
+    rows = qs["lineitem_column_profile_approx"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert all(r.ndv_within_tol for r in rows)
+    exact = {
+        r.col: r
+        for r in qs["lineitem_column_profile"](spark, SF_DIR).collect()
+    }
+    for r in rows:
+        e = exact[r.col]
+        assert (r.n_rows, r.n_nulls) == (e.n_rows, e.n_nulls)
+        assert (r.min_value, r.max_value) == (e.min_value, e.max_value)
+
+
+def test_encoding_advisor_approx_single_anchor_expand(spark):
+    """The approx advisor's HLL sketches ride the SAME hash aggregate
+    as the run sums (no Expand there); the only Expand in the plan is
+    the exact-NDV verification anchor — exactly one."""
+    qs = _queries()
+    df = qs["lineitem_encoding_advisor_approx"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert all(r.ndv_within_tol for r in rows)
+    exact = {
+        r.column_name: r.encoding
+        for r in qs["lineitem_encoding_advisor"](spark, SF_DIR).collect()
+    }
+    for r in rows:
+        assert r.encoding == exact[r.column_name]
+
+
+def test_png_rgb_roundtrip_all_filters():
+    """r7 verdict #4: the bpp-3 generalization must reconstruct the
+    exact RGB gradient through every spec filter (synth_png_rgb
+    forward-filters row y with type y % 5, so h >= 5 covers all
+    five), and the remaining Pillow gate (palette / alpha / 16-bit)
+    must still raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        PNG_SIGNATURE,
+        decode_png,
+        synth_png,
+        synth_png_rgb,
+    )
+
+    for w, h in [(1, 1), (3, 2), (6, 7), (16, 8)]:
+        blob = synth_png_rgb(w, h)
+        dw, dh, px = decode_png(blob)
+        assert (dw, dh) == (w, h)
+        expect = bytes(
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in ((x + y) % 256, (2 * x + y) % 256, (x + 3 * y) % 256)
+        )
+        assert px == expect, f"{w}x{h}"
+    # grayscale path unchanged by the generalization
+    _, _, gpx = decode_png(synth_png(4, 3))
+    assert list(gpx) == [(x + y) % 256 for y in range(3) for x in range(4)]
+
+    import zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    for ctype_v in (3, 4, 6):  # palette, gray+alpha, RGBA
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, ctype_v, 0, 0, 0)
+        with _pytest.raises(NotImplementedError):
+            decode_png(
+                PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+            )
+
+
+def test_png_rgb_census_matches_closed_form(spark):
+    """The registered RGB census equals the oracle's closed-form
+    channel sums at test SF (the gate pins it at sf0.01 too)."""
+    qs = _queries()
+    rows = qs["mm_png_rgb_decode_census"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        w, h = r.width, r.height
+        sx, sy = w * (w - 1) // 2, h * (h - 1) // 2
+        assert r.sum_r == r.n_images * (h * sx + w * sy)
+        assert r.sum_g == r.n_images * (2 * h * sx + w * sy)
+        assert r.sum_b == r.n_images * (h * sx + 3 * w * sy)
+
+
+def test_gate_refresh_twins_are_identical_callables():
+    """The r8 gate-refresh rows must be the SAME callable + oracle as
+    the fossil originals — a rename, not a reimplementation."""
+    import __spark_entry__ as entrymod
+    from almost_any_file_to_pandas_spark import plans
+
+    plans.load_all()
+    for old, new in (
+        ("events_sessionization", "events_sessionization_q6"),
+        ("embedding_hygiene_report", "embedding_hygiene_report_v2"),
+        ("text_token_budget_trim", "text_token_budget_trim_v2"),
+    ):
+        assert plans.QUERIES[old] is plans.QUERIES[new]
+        assert plans.ORACLES[old] == plans.ORACLES[new]
+        assert new in plans.GATE_ORDER and old not in plans.GATE_ORDER
+    keys = list(entrymod.queries())
+    # the originals stay registered immediately post-gate
+    assert set(keys[50:53]) == {
+        "events_sessionization",
+        "embedding_hygiene_report",
+        "text_token_budget_trim",
+    }

@@ -1131,3 +1131,82 @@ def customer_rfm_kmeans_elbow_curve(
     for a in arms[1:]:
         out = out.unionAll(a)
     return out
+
+
+GROUP_KFOLD_K = 5
+
+
+@register(
+    "feat_group_kfold_census",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+              % {GROUP_KFOLD_K}) AS fold
+      FROM events
+    ), f AS (
+      SELECT fold, COUNT(DISTINCT user_id) AS n_users,
+             COUNT(*) AS n_events
+      FROM e GROUP BY fold
+    ), t AS (
+      SELECT SUM(n_users) AS tot_users, SUM(n_events) AS tot_events
+      FROM f
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_users * 1000000 // tot_users AS BIGINT)
+             AS user_share_q6,
+           CAST(n_events * 1000000 // tot_events AS BIGINT)
+             AS event_share_q6
+    FROM f CROSS JOIN t
+    """,
+)
+def feat_group_kfold_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP k-fold assignment census (the GroupKFold
+    contract: all rows of one group land in exactly ONE fold, so a
+    model never sees its validation users at train time — the
+    cross-validation twin of `corpus_split_leakage`'s train/test
+    discipline): fold = portable md5 bucket of user_id mod
+    {GROUP_KFOLD_K}, a pure function of the group key, making the
+    no-leakage property hold BY CONSTRUCTION on any engine and any
+    partitioning. The census reports per-fold user/event counts and
+    shares — the balance check an experimenter reads before trusting
+    fold variance.
+
+    100 TB shape: fold is a stateless narrow expression (no fit pass,
+    no vocabulary); the census is one (fold, user) two-phase distinct
+    aggregate — {GROUP_KFOLD_K} output rows. Assignment of the corpus
+    itself never shuffles: training readers filter
+    ``fold != k`` with the same expression, predicate-pushable.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    folded = ev.select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % GROUP_KFOLD_K
+        ).alias("fold"),
+    )
+    f = folded.groupBy("fold").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+    t = f.agg(
+        F.sum("n_users").alias("tot_users"),
+        F.sum("n_events").alias("tot_events"),
+    )
+    return f.crossJoin(F.broadcast(t)).select(
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.expr("n_users * 1000000 div tot_users").alias("user_share_q6"),
+        F.expr("n_events * 1000000 div tot_events").alias(
+            "event_share_q6"
+        ),
+    )

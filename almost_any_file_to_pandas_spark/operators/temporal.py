@@ -3308,3 +3308,945 @@ def events_ab_sample_size_chebyshev(
             " AS BIGINT) AS feasible",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 experimentation-analysis family: difference-in-differences,
+# CUPED variance reduction, jackknife standard error. The A/B readout
+# (events_ab_cohort_compare) and the Chebyshev sizing advisor gave the
+# engine a point estimate and a sample-size plan; these add the three
+# estimators an experimentation platform runs next — causal lift with
+# a parallel-trends baseline, pre-period covariate adjustment, and a
+# resampling-free nonparametric CI.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_did_estimator",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id % 2 AS cohort,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(value AS DECIMAL(25,6)) AS v
+      FROM events
+    ), lim AS (
+      SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM ev
+    ), cell AS (
+      SELECT cohort,
+             CASE WHEN ts_us < mid_us THEN 0 ELSE 1 END AS period,
+             COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sv
+      FROM ev CROSS JOIN lim GROUP BY 1, 2
+    ), p AS (
+      SELECT
+        MAX(CASE WHEN cohort = 0 AND period = 0 THEN n END) AS n_a_pre,
+        MAX(CASE WHEN cohort = 0 AND period = 1 THEN n END) AS n_a_post,
+        MAX(CASE WHEN cohort = 1 AND period = 0 THEN n END) AS n_b_pre,
+        MAX(CASE WHEN cohort = 1 AND period = 1 THEN n END) AS n_b_post,
+        MAX(CASE WHEN cohort = 0 AND period = 0 THEN sv END) AS s_a_pre,
+        MAX(CASE WHEN cohort = 0 AND period = 1 THEN sv END) AS s_a_post,
+        MAX(CASE WHEN cohort = 1 AND period = 0 THEN sv END) AS s_b_pre,
+        MAX(CASE WHEN cohort = 1 AND period = 1 THEN sv END) AS s_b_post
+      FROM cell
+    )
+    SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+      CAST(FLOOR(s_a_pre / n_a_pre * 1000000 + 0.5) AS BIGINT)
+        AS mean_a_pre_q6,
+      CAST(FLOOR(s_a_post / n_a_post * 1000000 + 0.5) AS BIGINT)
+        AS mean_a_post_q6,
+      CAST(FLOOR(s_b_pre / n_b_pre * 1000000 + 0.5) AS BIGINT)
+        AS mean_b_pre_q6,
+      CAST(FLOOR(s_b_post / n_b_post * 1000000 + 0.5) AS BIGINT)
+        AS mean_b_post_q6,
+      CAST(FLOOR(((s_b_post / n_b_post - s_b_pre / n_b_pre)
+                - (s_a_post / n_a_post - s_a_pre / n_a_pre))
+                * 1000000 + 0.5) AS BIGINT) AS did_q6
+    FROM p
+    """,
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (the canonical quasi-experimental
+    causal estimator, Card & Krueger 1994 form): cohorts are the
+    deterministic ``user_id % 2`` split of `events_ab_cohort_compare`;
+    periods split the stream at the INTEGER midpoint of its epoch-µs
+    range (data-derived, so the query is meaningful at every SF).
+    DiD = (B_post − B_pre) − (A_post − A_pre) of per-cell mean value —
+    the treatment lift net of the shared time trend under the
+    parallel-trends assumption.
+
+    Determinism: the period boundary is 64-bit integer arithmetic on
+    the min/max epoch-µs (1-row broadcast); cell sums accumulate in
+    DECIMAL (order-independent); the four means and the DiD are one
+    identical double expression on both engines, quantized q6.
+
+    100 TB shape: ONE aggregate over (cohort, period) — 4 cells of
+    map-side partial sums — after a 1-row min/max fold broadcast back.
+    No window, no per-user state; the estimator costs two scans (the
+    range fold + the cell aggregate) of pushdown-pruned columns.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("value").cast("decimal(25,6)").alias("v"),
+    )
+    lim = ev.agg(
+        F.expr("(MIN(ts_us) + MAX(ts_us)) DIV 2").alias("mid_us")
+    )
+    cell = (
+        ev.crossJoin(F.broadcast(lim))
+        .groupBy(
+            "cohort",
+            F.when(F.col("ts_us") < F.col("mid_us"), 0)
+            .otherwise(1)
+            .alias("period"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").cast("double").alias("sv"),
+        )
+    )
+
+    def pick(c, p, col):
+        return F.max(
+            F.when((F.col("cohort") == c) & (F.col("period") == p), F.col(col))
+        )
+
+    p = cell.agg(
+        pick(0, 0, "n").alias("n_a_pre"),
+        pick(0, 1, "n").alias("n_a_post"),
+        pick(1, 0, "n").alias("n_b_pre"),
+        pick(1, 1, "n").alias("n_b_post"),
+        pick(0, 0, "sv").alias("s_a_pre"),
+        pick(0, 1, "sv").alias("s_a_post"),
+        pick(1, 0, "sv").alias("s_b_pre"),
+        pick(1, 1, "sv").alias("s_b_post"),
+    )
+    q6 = lambda e: F.floor(e * 1_000_000 + F.lit(0.5))  # noqa: E731
+    return p.select(
+        "n_a_pre",
+        "n_a_post",
+        "n_b_pre",
+        "n_b_post",
+        q6(F.col("s_a_pre") / F.col("n_a_pre")).alias("mean_a_pre_q6"),
+        q6(F.col("s_a_post") / F.col("n_a_post")).alias("mean_a_post_q6"),
+        q6(F.col("s_b_pre") / F.col("n_b_pre")).alias("mean_b_pre_q6"),
+        q6(F.col("s_b_post") / F.col("n_b_post")).alias("mean_b_post_q6"),
+        q6(
+            (
+                F.col("s_b_post") / F.col("n_b_post")
+                - F.col("s_b_pre") / F.col("n_b_pre")
+            )
+            - (
+                F.col("s_a_post") / F.col("n_a_post")
+                - F.col("s_a_pre") / F.col("n_a_pre")
+            )
+        ).alias("did_q6"),
+    )
+
+
+@register(
+    "events_cuped_adjustment",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    ), lim AS (
+      SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM ev
+    ), u AS (
+      -- per-user sums as exact integer MICROS (HUGEINT): theta and
+      -- corr^2 are invariant under common scaling of X and Y, so the
+      -- moment formulas below need no rescale and every product is
+      -- exact 128-bit integer arithmetic (no decimal-width overflow)
+      SELECT user_id,
+        CAST(COALESCE(SUM(CASE WHEN ts_us <  mid_us THEN v END), 0)
+             * 1000000 AS HUGEINT) AS x,
+        CAST(COALESCE(SUM(CASE WHEN ts_us >= mid_us THEN v END), 0)
+             * 1000000 AS HUGEINT) AS y
+      FROM ev CROSS JOIN lim GROUP BY user_id
+    ), s AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(x) AS DOUBLE) AS sx,
+        CAST(SUM(y) AS DOUBLE) AS sy,
+        CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+      CAST(FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 * 1000000 + 0.5) AS BIGINT) AS theta_q6,
+      CAST(FLOOR((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 * 1000000 + 0.5) AS BIGINT) AS variance_reduction_q6
+    FROM s
+    """,
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED pre-period covariate adjustment (Deng, Xu, Kohavi &
+    Walker, WSDM 2013): per user, X = pre-period value sum and Y =
+    post-period value sum (the DiD row's integer midpoint boundary);
+    θ = cov(X,Y)/var(X) is the regression adjustment coefficient and
+    the achievable variance reduction is corr²(X,Y) =
+    cov²/(var_X·var_Y) — the fraction of metric variance the
+    experimenter removes by analyzing Y − θ·X instead of Y.
+
+    Determinism: per-user sums quantize to exact integer MICROS
+    before any second moment — θ = cov/var and corr² are invariant
+    under the common ×1e6 scaling, so every product and sum is exact
+    integer arithmetic (DECIMAL(38,0) / HUGEINT), order-independent;
+    θ and corr² are one identical double expression over those exact
+    sums, quantized q6.
+
+    100 TB shape: ONE user-keyed shuffle builds (X, Y); the moment
+    fold is a 1-row map-side-partial aggregate. No user-level data
+    leaves the aggregate — the estimator's cost is the same shuffle
+    the per-user metric already pays.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    lim = ev.agg(
+        F.expr("(MIN(ts_us) + MAX(ts_us)) DIV 2").alias("mid_us")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(lim))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("ts_us") < F.col("mid_us"), F.col("v"))
+                    ),
+                    F.lit(0),
+                )
+                * 1_000_000
+            )
+            .cast("decimal(19,0)")
+            .alias("x"),
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("ts_us") >= F.col("mid_us"), F.col("v"))
+                    ),
+                    F.lit(0),
+                )
+                * 1_000_000
+            )
+            .cast("decimal(19,0)")
+            .alias("y"),
+        )
+    )
+    s = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = n * F.col("sxy") - sx * sy
+    varx = n * F.col("sxx") - sx * sx
+    vary = n * F.col("syy") - sy * sy
+    return s.select(
+        n.cast("long").alias("n_users"),
+        F.floor(cov / varx * 1_000_000 + F.lit(0.5)).alias("theta_q6"),
+        F.floor(cov * cov / (varx * vary) * 1_000_000 + F.lit(0.5)).alias(
+            "variance_reduction_q6"
+        ),
+    )
+
+
+@register(
+    "orders_jackknife_mean_ci",
+    oracle="""
+    WITH o AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS g,
+             CAST(o_totalprice AS DECIMAL(25,6)) AS v
+      FROM orders
+    ), per_g AS (
+      SELECT g, COUNT(*) AS n_g, SUM(v) AS s_g FROM o GROUP BY g
+    ), tot AS (
+      SELECT COUNT(*) AS gg, SUM(n_g) AS n,
+             CAST(SUM(s_g) AS DECIMAL(38,6)) AS s
+      FROM per_g
+    ), loo AS (
+      SELECT CAST(FLOOR(CAST(s - s_g AS DOUBLE) / (n - n_g)
+                        * 1000000 + 0.5) AS BIGINT) AS loo_q6
+      FROM per_g CROSS JOIN tot
+    ), bar AS (
+      SELECT SUM(loo_q6) // COUNT(*) AS bar_q6 FROM loo
+    ), ss AS (
+      SELECT SUM(CAST(loo_q6 - bar_q6 AS DECIMAL(19,0))
+               * CAST(loo_q6 - bar_q6 AS DECIMAL(19,0))) AS ss2
+      FROM loo CROSS JOIN bar
+    )
+    SELECT CAST(gg AS BIGINT) AS n_groups,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(FLOOR(CAST(s AS DOUBLE) / n * 1000000 + 0.5) AS BIGINT)
+             AS mean_q6,
+           CAST(FLOOR(sqrt(CAST(ss2 AS DOUBLE) * (gg - 1) / gg) + 0.5)
+                AS BIGINT) AS jk_se_q6,
+           CAST(FLOOR(CAST(s AS DOUBLE) / n * 1000000 + 0.5)
+                - 2 * FLOOR(sqrt(CAST(ss2 AS DOUBLE) * (gg - 1) / gg)
+                            + 0.5) AS BIGINT) AS ci_lo_q6,
+           CAST(FLOOR(CAST(s AS DOUBLE) / n * 1000000 + 0.5)
+                + 2 * FLOOR(sqrt(CAST(ss2 AS DOUBLE) * (gg - 1) / gg)
+                            + 0.5) AS BIGINT) AS ci_hi_q6
+    FROM ss CROSS JOIN tot
+    """,
+)
+def orders_jackknife_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error of the mean order
+    value (Quenouille 1956 / Tukey 1958; the block form is the
+    estimator production metric platforms use when rows are
+    correlated within time blocks): groups are order months (a
+    calendar-bounded domain), θ₍₋g₎ = mean with month g removed,
+    SE² = (G−1)/G · Σ(θ₍₋g₎ − θ̄)², CI = mean ± 2·SE (the
+    distribution-free 2-sigma band, matching the Chebyshev advisor's
+    conservatism).
+
+    Determinism (the established integer-lattice discipline): every
+    leave-one-out mean is quantized to an INTEGER q6 BEFORE any
+    cross-group reduction — θ̄ is an integer floor-mean, each squared
+    deviation is an exact DECIMAL(38,0) integer product, and their
+    sum is order-independent. No double is ever summed across groups,
+    so partition order cannot flip the floor.
+
+    100 TB shape: ONE month aggregate (map-side partials, ≤ |months|
+    rows) and everything after runs on the group census — the
+    jackknife is resampling-free: the G leave-one-out estimates are
+    closed-form from (Σ, n, Σ_g, n_g), never G re-scans.
+    """
+    apply_engine_conf(spark)
+    o = table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("g"),
+        F.col("o_totalprice").cast("decimal(25,6)").alias("v"),
+    )
+    per_g = o.groupBy("g").agg(
+        F.count("*").alias("n_g"), F.sum("v").alias("s_g")
+    )
+    tot = per_g.agg(
+        F.count("*").alias("gg"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").cast("decimal(38,6)").alias("s"),
+    )
+    loo = per_g.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            (F.col("s") - F.col("s_g")).cast("double")
+            / (F.col("n") - F.col("n_g"))
+            * 1_000_000
+            + F.lit(0.5)
+        ).alias("loo_q6")
+    )
+    bar = loo.agg(F.expr("SUM(loo_q6) DIV COUNT(*)").alias("bar_q6"))
+    ss = loo.crossJoin(F.broadcast(bar)).agg(
+        F.sum(
+            (F.col("loo_q6") - F.col("bar_q6")).cast("decimal(19,0)")
+            * (F.col("loo_q6") - F.col("bar_q6")).cast("decimal(19,0)")
+        ).alias("ss2")
+    )
+    mean_q6 = F.floor(
+        F.col("s").cast("double") / F.col("n") * 1_000_000 + F.lit(0.5)
+    )
+    se_q6 = F.floor(
+        F.sqrt(
+            F.col("ss2").cast("double") * (F.col("gg") - 1) / F.col("gg")
+        )
+        + F.lit(0.5)
+    )
+    return ss.crossJoin(F.broadcast(tot)).select(
+        F.col("gg").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n_orders"),
+        mean_q6.cast("long").alias("mean_q6"),
+        se_q6.cast("long").alias("jk_se_q6"),
+        (mean_q6 - 2 * se_q6).cast("long").alias("ci_lo_q6"),
+        (mean_q6 + 2 * se_q6).cast("long").alias("ci_hi_q6"),
+    )
+
+
+CONFORMAL_SEASON_LAG_DAYS = 7
+CONFORMAL_LEVEL_PCT = 90  # 90% split-conformal interval
+
+
+@register(
+    "orders_conformal_naive_interval",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS dkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), lagged AS (
+      SELECT dkey, rev,
+             CASE WHEN lag(dkey, {CONFORMAL_SEASON_LAG_DAYS})
+                       OVER (ORDER BY dkey)
+                       = dkey - {CONFORMAL_SEASON_LAG_DAYS}
+                  THEN lag(rev, {CONFORMAL_SEASON_LAG_DAYS})
+                       OVER (ORDER BY dkey)
+             END AS rev_season
+      FROM daily
+    ), resid AS (
+      SELECT dkey, ABS(rev - rev_season) AS r, dkey % 2 AS side
+      FROM lagged WHERE rev_season IS NOT NULL
+    ), calib AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r, dkey) AS rn
+      FROM resid WHERE side = 0
+    ), nc AS (
+      SELECT COUNT(*) AS n_calib FROM calib
+    ), q AS (
+      SELECT MIN(r) AS q90 FROM calib CROSS JOIN nc
+      WHERE rn >= CAST(CEIL(n_calib * {CONFORMAL_LEVEL_PCT} / 100.0)
+                       AS BIGINT)
+    ), ev AS (
+      SELECT COUNT(*) AS n_eval,
+             SUM(CASE WHEN r <= q90 THEN 1 ELSE 0 END) AS n_covered
+      FROM resid CROSS JOIN q WHERE side = 1
+    )
+    SELECT CAST(n_calib AS BIGINT) AS n_calib,
+           CAST(n_eval AS BIGINT) AS n_eval,
+           CAST(q90 AS BIGINT) AS q90_resid_cents,
+           CAST(n_covered AS BIGINT) AS n_covered,
+           CAST(n_covered * 1000000 // NULLIF(n_eval, 0) AS BIGINT)
+             AS coverage_q6
+    FROM ev CROSS JOIN q CROSS JOIN nc
+    """,
+)
+def orders_conformal_naive_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split conformal prediction interval for the seasonal-naive
+    daily-revenue forecast (Vovk et al. 2005; Lei et al. 2018 split
+    form — the distribution-free calibration layer a forecasting
+    pipeline wraps around ANY point model): residuals
+    |rev(d) − rev(d−{CONFORMAL_SEASON_LAG_DAYS})| split by day parity
+    into a calibration and an evaluation half; the interval half-width
+    is the exact {CONFORMAL_LEVEL_PCT}th-percentile calibration
+    residual (order statistic at rank ⌈0.9·n⌉, tie-broken by day for
+    determinism), and the evaluation half reports empirical COVERAGE —
+    the number a platform alerts on when the world shifts
+    (coverage_q6 well below {CONFORMAL_LEVEL_PCT * 10_000} means the
+    model's uncertainty is understated).
+
+    The MASE row (`orders_seasonal_naive_mase`) scores the point
+    forecast; this row calibrates its UNCERTAINTY — together they are
+    the accuracy/calibration pair.
+
+    Determinism: integer cents end to end; the forecast lag validates
+    its calendar distance (gaps yield NULL, excluded); the order
+    statistic is picked at an exact integer rank with a total
+    tie-break, never an interpolated percentile. Scale: one corpus
+    aggregate folds orders to the ≤2405-row day census; the rank
+    window and both folds run on that bounded frame (the module's
+    bounded-model-state discipline).
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+        )
+        .cast("long")
+        .alias("dkey")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("rev")
+    )
+    w = W.orderBy("dkey")
+    lag_n = CONFORMAL_SEASON_LAG_DAYS
+    resid = (
+        daily.select(
+            "dkey",
+            "rev",
+            F.when(
+                F.lag("dkey", lag_n).over(w) == F.col("dkey") - lag_n,
+                F.lag("rev", lag_n).over(w),
+            ).alias("rev_season"),
+        )
+        .filter(F.col("rev_season").isNotNull())
+        .select(
+            "dkey",
+            F.abs(F.col("rev") - F.col("rev_season")).alias("r"),
+            (F.col("dkey") % 2).alias("side"),
+        )
+    )
+    calib = resid.filter(F.col("side") == 0).select(
+        "r", F.row_number().over(W.orderBy("r", "dkey")).alias("rn")
+    )
+    nc = calib.agg(F.count("*").alias("n_calib"))
+    q = (
+        calib.crossJoin(F.broadcast(nc))
+        .filter(
+            F.col("rn")
+            >= F.ceil(
+                F.col("n_calib") * CONFORMAL_LEVEL_PCT / 100.0
+            ).cast("long")
+        )
+        .agg(F.min("r").alias("q90"))
+    )
+    ev = (
+        resid.filter(F.col("side") == 1)
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum(
+                F.when(F.col("r") <= F.col("q90"), 1).otherwise(0)
+            ).alias("n_covered"),
+        )
+    )
+    return (
+        ev.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.col("n_calib").cast("long").alias("n_calib"),
+            F.col("n_eval").cast("long").alias("n_eval"),
+            F.col("q90").cast("long").alias("q90_resid_cents"),
+            F.col("n_covered").cast("long").alias("n_covered"),
+            F.expr(
+                "CAST(n_covered * 1000000 div nullif(n_eval, 0)"
+                " AS BIGINT)"
+            ).alias("coverage_q6"),
+        )
+    )
+
+
+# DYADIC pre-period engagement bands — band = ⌊log2(pre_n)⌋+1 (0 for
+# no pre events), capped. A pure integer-comparison projection: no
+# global rank (an NTILE decile's tie handling is partition-order-
+# dependent) and, unlike fixed linear cut-points, dyadic bands spread
+# the population at EVERY scale factor (mean events/user grows ~10×
+# per SF decade; log2 banding absorbs that).
+UPLIFT_BAND_CAP = 12  # pre_n >= 2^(cap-1) folds into the top band
+
+
+def _uplift_band_case(col: str) -> str:
+    arms = [f"WHEN {col} <= 0 THEN 0"]
+    for b in range(1, UPLIFT_BAND_CAP):
+        arms.append(f"WHEN {col} < {1 << b} THEN {b}")
+    return (
+        "CASE " + " ".join(arms) + f" ELSE {UPLIFT_BAND_CAP} END"
+    )
+
+
+@register(
+    "events_uplift_by_band",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_type
+      FROM events
+    ), lim AS (
+      SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM ev
+    ), u AS (
+      SELECT user_id, user_id % 2 AS treated,
+             COALESCE(SUM(CASE WHEN ts_us < mid_us THEN 1 END), 0)
+               AS pre_n,
+             MAX(CASE WHEN ts_us >= mid_us
+                       AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS converted
+      FROM ev CROSS JOIN lim GROUP BY 1, 2
+    ), banded AS (
+      SELECT {_uplift_band_case("pre_n")} AS band, treated, converted
+      FROM u
+    ), cells AS (
+      SELECT band,
+        SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS n_treat,
+        SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS n_ctrl,
+        SUM(CASE WHEN treated = 1 THEN converted ELSE 0 END)
+          AS conv_treat,
+        SUM(CASE WHEN treated = 0 THEN converted ELSE 0 END)
+          AS conv_ctrl
+      FROM banded GROUP BY band
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(n_treat AS BIGINT) AS n_treat,
+           CAST(n_ctrl AS BIGINT) AS n_ctrl,
+           CAST(conv_treat AS BIGINT) AS conv_treat,
+           CAST(conv_ctrl AS BIGINT) AS conv_ctrl,
+           CAST(conv_treat * 1000000 // NULLIF(n_treat, 0)
+              - conv_ctrl * 1000000 // NULLIF(n_ctrl, 0) AS BIGINT)
+             AS uplift_q6
+    FROM cells
+    """,
+)
+def events_uplift_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-treatment-effect readout (the uplift-model
+    evaluation table, Radcliffe 2007 form): users banded by
+    PRE-period engagement (DYADIC bands ⌊log2(pre_n)⌋+1, a pure
+    integer projection — no tie-ambiguous NTILE, and the log2 spread
+    stays populated at every SF), then per band the treatment-vs-
+    control POST-period purchase-conversion lift. The DiD row gives
+    one average effect; this is its per-segment decomposition — where
+    an experimenter learns WHICH users the treatment moves (the
+    qini/uplift-curve input).
+
+    Cohort and period follow the family conventions (user_id % 2;
+    integer epoch-µs midpoint). All-integer output: conversion rates
+    are q6 integer divisions, the uplift their difference.
+
+    100 TB shape: ONE user-keyed aggregate (pre-count + post-convert
+    fold together), a narrow band projection, and a
+    ≤{UPLIFT_BAND_CAP + 1}-row cell aggregate — the same
+    single-shuffle cost as the per-user metric itself.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+    )
+    lim = ev.agg(
+        F.expr("(MIN(ts_us) + MAX(ts_us)) DIV 2").alias("mid_us")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(lim))
+        .groupBy("user_id", (F.col("user_id") % 2).alias("treated"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts_us") < F.col("mid_us"), 1)),
+                F.lit(0),
+            ).alias("pre_n"),
+            F.max(
+                F.when(
+                    (F.col("ts_us") >= F.col("mid_us"))
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    banded = u.select(
+        F.expr(_uplift_band_case("pre_n")).alias("band"),
+        "treated",
+        "converted",
+    )
+    cells = banded.groupBy("band").agg(
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0)).alias(
+            "n_treat"
+        ),
+        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0)).alias(
+            "n_ctrl"
+        ),
+        F.sum(
+            F.when(F.col("treated") == 1, F.col("converted")).otherwise(0)
+        ).alias("conv_treat"),
+        F.sum(
+            F.when(F.col("treated") == 0, F.col("converted")).otherwise(0)
+        ).alias("conv_ctrl"),
+    )
+    return cells.select(
+        F.col("band").cast("long").alias("band"),
+        F.col("n_treat").cast("long").alias("n_treat"),
+        F.col("n_ctrl").cast("long").alias("n_ctrl"),
+        F.col("conv_treat").cast("long").alias("conv_treat"),
+        F.col("conv_ctrl").cast("long").alias("conv_ctrl"),
+        F.expr(
+            "CAST(conv_treat * 1000000 div nullif(n_treat, 0)"
+            " - conv_ctrl * 1000000 div nullif(n_ctrl, 0) AS BIGINT)"
+        ).alias("uplift_q6"),
+    )
+
+
+@register(
+    "events_cuped_adjusted_lift",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, user_id % 2 AS cohort,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    ), lim AS (
+      SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM ev
+    ), u AS (
+      SELECT user_id, cohort,
+        CAST(COALESCE(SUM(CASE WHEN ts_us <  mid_us THEN v END), 0)
+             * 1000000 AS HUGEINT) AS x,
+        CAST(COALESCE(SUM(CASE WHEN ts_us >= mid_us THEN v END), 0)
+             * 1000000 AS HUGEINT) AS y
+      FROM ev CROSS JOIN lim GROUP BY 1, 2
+    ), g AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(x) AS DOUBLE) AS sx,
+        CAST(SUM(y) AS DOUBLE) AS sy,
+        CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM u
+    ), c AS (
+      SELECT cohort, COUNT(*) AS nc,
+        CAST(SUM(x) AS DOUBLE) AS scx,
+        CAST(SUM(y) AS DOUBLE) AS scy
+      FROM u GROUP BY cohort
+    ), t AS (
+      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+             sx / n AS xbar
+      FROM g
+    ), adj AS (
+      SELECT cohort, nc,
+        (scy / nc - theta * (scx / nc - xbar)) / 1000000.0 AS adj_mean
+      FROM c CROSS JOIN t
+    ), p AS (
+      SELECT
+        MAX(CASE WHEN cohort = 0 THEN nc END) AS n_ctrl,
+        MAX(CASE WHEN cohort = 1 THEN nc END) AS n_treat,
+        MAX(CASE WHEN cohort = 0 THEN adj_mean END) AS m_ctrl,
+        MAX(CASE WHEN cohort = 1 THEN adj_mean END) AS m_treat
+      FROM adj
+    )
+    SELECT CAST(n_ctrl AS BIGINT) AS n_ctrl,
+           CAST(n_treat AS BIGINT) AS n_treat,
+           CAST(FLOOR(m_ctrl * 1000000 + 0.5) AS BIGINT)
+             AS adj_mean_ctrl_q6,
+           CAST(FLOOR(m_treat * 1000000 + 0.5) AS BIGINT)
+             AS adj_mean_treat_q6,
+           CAST(FLOOR((m_treat - m_ctrl) * 1000000 + 0.5) AS BIGINT)
+             AS adj_lift_q6
+    FROM p
+    """,
+)
+def events_cuped_adjusted_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CUPED-ADJUSTED experiment readout — what a platform
+    actually ships once `events_cuped_adjustment` has fit θ: per
+    cohort the adjusted mean  ȳ_c − θ·(x̄_c − x̄)  (Deng et al. 2013
+    eq. 4 — the x̄ re-centering keeps the adjusted metric on the raw
+    scale) and the treatment lift on the adjusted metric. Same θ as
+    the adjustment row (global pooled fit, exact integer-micros
+    moments), same cohort/period conventions as the family.
+
+    Determinism: the per-user (X, Y) micros are exact integers; the
+    pooled moments and per-cohort sums are exact; θ, the two adjusted
+    means, and the lift are one identical double expression on both
+    engines, quantized q6.
+
+    100 TB shape: the SAME single user-keyed shuffle as the
+    adjustment row — the per-cohort sums fold in a second tiny
+    aggregate over the per-user frame; no extra corpus pass.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("user_id") % 2).alias("cohort"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    lim = ev.agg(
+        F.expr("(MIN(ts_us) + MAX(ts_us)) DIV 2").alias("mid_us")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(lim))
+        .groupBy("user_id", "cohort")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("ts_us") < F.col("mid_us"), F.col("v"))
+                    ),
+                    F.lit(0),
+                )
+                * 1_000_000
+            )
+            .cast("decimal(19,0)")
+            .alias("x"),
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("ts_us") >= F.col("mid_us"), F.col("v"))
+                    ),
+                    F.lit(0),
+                )
+                * 1_000_000
+            )
+            .cast("decimal(19,0)")
+            .alias("y"),
+        )
+    )
+    # the per-user frame feeds BOTH the pooled-moment fold and the
+    # per-cohort sums — materialize once (the shared-scan discipline)
+    u = u.localCheckpoint(eager=True)
+    g = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    c = u.groupBy("cohort").agg(
+        F.count("*").alias("nc"),
+        F.sum("x").cast("double").alias("scx"),
+        F.sum("y").cast("double").alias("scy"),
+    )
+    t = g.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("theta"),
+        (F.col("sx") / F.col("n")).alias("xbar"),
+    )
+    adj = c.crossJoin(F.broadcast(t)).select(
+        "cohort",
+        "nc",
+        (
+            (
+                F.col("scy") / F.col("nc")
+                - F.col("theta")
+                * (F.col("scx") / F.col("nc") - F.col("xbar"))
+            )
+            / 1_000_000.0
+        ).alias("adj_mean"),
+    )
+    p = adj.agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("nc"))).alias("n_ctrl"),
+        F.max(F.when(F.col("cohort") == 1, F.col("nc"))).alias("n_treat"),
+        F.max(F.when(F.col("cohort") == 0, F.col("adj_mean"))).alias(
+            "m_ctrl"
+        ),
+        F.max(F.when(F.col("cohort") == 1, F.col("adj_mean"))).alias(
+            "m_treat"
+        ),
+    )
+    return p.select(
+        F.col("n_ctrl").cast("long").alias("n_ctrl"),
+        F.col("n_treat").cast("long").alias("n_treat"),
+        F.floor(F.col("m_ctrl") * 1_000_000 + F.lit(0.5)).alias(
+            "adj_mean_ctrl_q6"
+        ),
+        F.floor(F.col("m_treat") * 1_000_000 + F.lit(0.5)).alias(
+            "adj_mean_treat_q6"
+        ),
+        F.floor(
+            (F.col("m_treat") - F.col("m_ctrl")) * 1_000_000 + F.lit(0.5)
+        ).alias("adj_lift_q6"),
+    )
+
+
+TSCV_N_FOLDS = 4
+TSCV_TEST_MONTHS = 3
+
+
+@register(
+    "orders_tscv_fold_census",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mkey,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    ), lim AS (
+      SELECT MAX(mkey) AS max_m FROM monthly
+    ), folds AS (
+      SELECT unnest(range(1, {TSCV_N_FOLDS} + 1)) AS fold
+    ), bounds AS (
+      -- rolling origin: fold f tests the {TSCV_TEST_MONTHS}-month
+      -- block ending (f-1) blocks before the corpus end; training is
+      -- everything strictly before the test block
+      SELECT fold,
+             max_m - ({TSCV_N_FOLDS} - fold + 1) * {TSCV_TEST_MONTHS}
+               AS train_end_m
+      FROM folds CROSS JOIN lim
+    ), cells AS (
+      SELECT b.fold, b.train_end_m,
+        COALESCE(SUM(CASE WHEN m.mkey <= b.train_end_m
+                          THEN m.n_orders END), 0) AS n_train,
+        COALESCE(SUM(CASE WHEN m.mkey >  b.train_end_m
+                           AND m.mkey <= b.train_end_m
+                                         + {TSCV_TEST_MONTHS}
+                          THEN m.n_orders END), 0) AS n_test,
+        COALESCE(SUM(CASE WHEN m.mkey >  b.train_end_m
+                           AND m.mkey <= b.train_end_m
+                                         + {TSCV_TEST_MONTHS}
+                          THEN m.rev_cents END), 0) AS test_rev_cents
+      FROM bounds b CROSS JOIN monthly m
+      GROUP BY 1, 2
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(train_end_m AS BIGINT) AS train_end_mkey,
+           CAST(n_train AS BIGINT) AS n_train,
+           CAST(n_test AS BIGINT) AS n_test,
+           CAST(test_rev_cents AS BIGINT) AS test_rev_cents
+    FROM cells
+    """,
+)
+def orders_tscv_fold_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin time-series cross-validation fold census
+    (Tashman 2000; the temporal twin of `feat_group_kfold_census` —
+    GroupKFold guards ENTITY leakage, this guards TEMPORAL leakage):
+    {TSCV_N_FOLDS} folds, each testing the {TSCV_TEST_MONTHS}-month
+    block after its training cutoff, cutoffs marching backward from
+    the corpus end so every fold trains strictly on the past. The
+    census reports per-fold train/test sizes and test-block revenue —
+    the sanity table read before trusting a backtest (a fold with a
+    thin test block invalidates its error estimate).
+
+    Determinism: integer month keys (year·12+month), integer cents;
+    fold bounds are pure integer arithmetic off the 1-row max-month
+    fold. 100 TB shape: ONE corpus aggregate to the calendar-bounded
+    monthly census; the fold×month cross product is
+    {TSCV_N_FOLDS}×|months| ≤ a few hundred broadcast-scale rows.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+            "mkey"
+        )
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))"
+            " AS BIGINT)"
+        ).alias("rev_cents"),
+    )
+    lim = monthly.agg(F.max("mkey").alias("max_m"))
+    folds = spark.range(1, TSCV_N_FOLDS + 1).select(
+        F.col("id").alias("fold")
+    )
+    bounds = folds.crossJoin(F.broadcast(lim)).select(
+        "fold",
+        (
+            F.col("max_m")
+            - (TSCV_N_FOLDS - F.col("fold") + 1) * TSCV_TEST_MONTHS
+        ).alias("train_end_m"),
+    )
+    in_test = (F.col("mkey") > F.col("train_end_m")) & (
+        F.col("mkey") <= F.col("train_end_m") + TSCV_TEST_MONTHS
+    )
+    cells = (
+        F.broadcast(bounds)
+        .crossJoin(monthly)
+        .groupBy("fold", "train_end_m")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("mkey") <= F.col("train_end_m"),
+                        F.col("n_orders"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("n_train"),
+            F.coalesce(
+                F.sum(F.when(in_test, F.col("n_orders"))), F.lit(0)
+            ).alias("n_test"),
+            F.coalesce(
+                F.sum(F.when(in_test, F.col("rev_cents"))), F.lit(0)
+            ).alias("test_rev_cents"),
+        )
+    )
+    return cells.select(
+        F.col("fold").cast("long").alias("fold"),
+        F.col("train_end_m").cast("long").alias("train_end_mkey"),
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.col("test_rev_cents").cast("long").alias("test_rev_cents"),
+    )

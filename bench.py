@@ -332,6 +332,17 @@ HEADLINE = [
     # round-8 (r7 verdict #4): RGB PNG decode census (all 5 filters
     # at bpp 3)
     "mm_png_rgb_decode_census",
+    # round-8 experimentation-analysis family: DiD, CUPED, jackknife
+    # CI, leakage-safe group k-fold census, conformal forecast
+    # intervals, uplift-by-band decomposition
+    "events_did_estimator",
+    "events_cuped_adjustment",
+    "orders_jackknife_mean_ci",
+    "feat_group_kfold_census",
+    "orders_conformal_naive_interval",
+    "events_uplift_by_band",
+    "events_cuped_adjusted_lift",
+    "orders_tscv_fold_census",
 ]
 
 # One representative per operator family, printed in the final

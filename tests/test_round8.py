@@ -245,6 +245,241 @@ def test_png_rgb_census_matches_closed_form(spark):
         assert r.sum_b == r.n_images * (h * sx + 3 * w * sy)
 
 
+@pytest.fixture()
+def cuped_perfect_corr_dir(spark, tmp_path):
+    """Events where each user's post-period sum is EXACTLY twice the
+    pre-period sum: theta = 2, corr^2 = 1 (full variance reduction).
+    Period boundary = integer midpoint of the epoch-us range, so pre
+    events sit in hour 0 and post events in hour 48 (midpoint: 24h).
+    """
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(1, 41):
+        pre = float(u)  # pre-period sum = u
+        rows.append((eid, base, u, "view", pre, None))
+        eid += 1
+        # post-period sum = 2u, split over two events
+        for frac in (0.5, 1.5):
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(hours=48),
+                    u,
+                    "click",
+                    u * frac,
+                    None,
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_cuped_perfect_correlation(spark, cuped_perfect_corr_dir):
+    """Y = 2X exactly -> theta_q6 = 2e6, variance_reduction_q6 = 1e6."""
+    qs = _queries()
+    row = qs["events_cuped_adjustment"](
+        spark, cuped_perfect_corr_dir
+    ).collect()[0]
+    assert row.n_users == 40
+    assert row.theta_q6 == 2_000_000
+    assert row.variance_reduction_q6 == 1_000_000
+
+
+@pytest.fixture()
+def did_hand_lift_dir(spark, tmp_path):
+    """Hand DiD: control (even user_id) means 10 -> 12 (+2 trend);
+    treatment (odd) means 10 -> 15 (+5). DiD = +3 exactly."""
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(1, 21):
+        treated = u % 2 == 1
+        rows.append((eid, base, u, "view", 10.0, None))
+        eid += 1
+        post_v = 15.0 if treated else 12.0
+        rows.append(
+            (
+                eid,
+                base + datetime.timedelta(hours=48),
+                u,
+                "view",
+                post_v,
+                None,
+            )
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_did_hand_lift(spark, did_hand_lift_dir):
+    qs = _queries()
+    row = qs["events_did_estimator"](spark, did_hand_lift_dir).collect()[0]
+    assert row.mean_a_pre_q6 == 10_000_000
+    assert row.mean_a_post_q6 == 12_000_000
+    assert row.mean_b_pre_q6 == 10_000_000
+    assert row.mean_b_post_q6 == 15_000_000
+    assert row.did_q6 == 3_000_000
+
+
+def test_jackknife_zero_variance_when_groups_identical(spark, tmp_path):
+    """Every month identical (same n, same values) -> all leave-one-out
+    means equal -> jackknife SE exactly 0 and CI collapses to the mean.
+    """
+    import datetime as dt
+
+    rows = []
+    ok = 0
+    for m in range(1, 7):
+        for i in range(10):
+            rows.append(
+                (ok, 1, dt.date(2024, m, 1 + i), 100.0 + i)
+            )
+            ok += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate date,"
+        " o_totalprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    qs = _queries()
+    row = qs["orders_jackknife_mean_ci"](spark, str(tmp_path)).collect()[0]
+    assert row.n_groups == 6
+    assert row.jk_se_q6 == 0
+    assert row.ci_lo_q6 == row.mean_q6 == row.ci_hi_q6 == 104_500_000
+
+
+def test_group_kfold_partitions_users(spark):
+    """Folds must partition the user set exactly (no user in two
+    folds, none dropped) and cover all events."""
+    from almost_any_file_to_pandas_spark.plans import table
+
+    qs = _queries()
+    rows = qs["feat_group_kfold_census"](spark, SF_DIR).collect()
+    ev = table(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    n_events = ev.count()
+    assert sum(r.n_users for r in rows) == n_users
+    assert sum(r.n_events for r in rows) == n_events
+    assert len(rows) <= 5 and len({r.fold for r in rows}) == len(rows)
+
+
+def test_conformal_interval_calibrated_on_testdata(spark):
+    """Split-conformal coverage on exchangeable halves must land near
+    the nominal 90% (deterministic data -> deterministic value; the
+    slack band guards against day-parity drift, not randomness)."""
+    qs = _queries()
+    row = qs["orders_conformal_naive_interval"](spark, SF_DIR).collect()[0]
+    assert row.n_calib > 0 and row.n_eval > 0
+    assert row.q90_resid_cents >= 0
+    assert 800_000 <= row.coverage_q6 <= 1_000_000
+
+
+def test_uplift_band_hand_effect(spark, tmp_path):
+    """Hand uplift: every treated (odd) user purchases post-period,
+    no control user does -> uplift_q6 = 1e6 in every populated band;
+    dyadic banding splits the 3-event and 33-event user groups."""
+    base = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(1, 21):
+        pre_events = 3 if u <= 10 else 33
+        for i in range(pre_events):
+            rows.append(
+                (eid, base + datetime.timedelta(minutes=i), u, "view",
+                 1.0, None)
+            )
+            eid += 1
+        if u % 2 == 1:  # treated users convert post-period
+            rows.append(
+                (eid, base + datetime.timedelta(hours=48), u,
+                 "purchase", 9.0, None)
+            )
+            eid += 1
+        else:  # controls stay active post-period but never convert
+            rows.append(
+                (eid, base + datetime.timedelta(hours=48), u, "view",
+                 1.0, None)
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    qs = _queries()
+    out = {
+        r.band: r
+        for r in qs["events_uplift_by_band"](spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 2  # 3 events -> band 2; 33 events -> band 6
+    for r in out.values():
+        assert r.n_treat == 5 and r.n_ctrl == 5
+        assert r.conv_treat == 5 and r.conv_ctrl == 0
+        assert r.uplift_q6 == 1_000_000
+
+
+def test_cuped_adjusted_lift_removes_pre_period_imbalance(
+    spark, cuped_perfect_corr_dir
+):
+    """On the Y = 2X corpus, theta = 2 makes the adjusted means of
+    both cohorts collapse to 2*xbar exactly -> adjusted lift = 0,
+    even though the RAW post-period means differ by cohort (odd vs
+    even user_id have different pre sums)."""
+    qs = _queries()
+    row = qs["events_cuped_adjusted_lift"](
+        spark, cuped_perfect_corr_dir
+    ).collect()[0]
+    assert row.n_ctrl == 20 and row.n_treat == 20
+    assert row.adj_lift_q6 == 0
+    assert row.adj_mean_ctrl_q6 == row.adj_mean_treat_q6
+    # the raw (unadjusted) cohort means DO differ on this corpus —
+    # the adjustment is what removed the gap
+    did = qs["events_did_estimator"](
+        spark, cuped_perfect_corr_dir
+    ).collect()[0]
+    assert did.mean_b_post_q6 != did.mean_a_post_q6
+
+
+def test_tscv_folds_march_forward_without_leakage(spark):
+    """Rolling-origin folds: train cutoffs strictly increase, test
+    blocks are disjoint, and every fold's training set grows."""
+    qs = _queries()
+    rows = sorted(
+        qs["orders_tscv_fold_census"](spark, SF_DIR).collect(),
+        key=lambda r: r.fold,
+    )
+    assert [r.fold for r in rows] == [1, 2, 3, 4]
+    cutoffs = [r.train_end_mkey for r in rows]
+    assert cutoffs == sorted(cutoffs) and len(set(cutoffs)) == 4
+    from almost_any_file_to_pandas_spark.operators.temporal import (
+        TSCV_TEST_MONTHS,
+    )
+
+    for a, b in zip(cutoffs, cutoffs[1:]):
+        assert b - a == TSCV_TEST_MONTHS  # disjoint adjacent blocks
+    n_trains = [r.n_train for r in rows]
+    assert n_trains == sorted(n_trains)
+    assert all(r.n_test > 0 for r in rows)
+
+
 def test_gate_refresh_twins_are_identical_callables():
     """The r8 gate-refresh rows must be the SAME callable + oracle as
     the fossil originals — a rename, not a reimplementation."""

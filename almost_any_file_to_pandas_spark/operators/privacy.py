@@ -282,3 +282,148 @@ def privacy_subject_access_manifest(
         .unionAll(arm(orders, "o_custkey", "o_orderkey", "orders"))
         .unionAll(arm(cust, "c_custkey", "c_custkey", "customer"))
     )
+
+
+# t-closeness thresholds, in q6 total-variation units (0.10 / 0.20 /
+# 0.35). Categorical sensitive attribute -> the EMD of Li et al.
+# reduces to total variation distance.
+T_CLOSENESS_LEVELS_Q6 = (100_000, 200_000, 350_000)
+
+
+@register(
+    "privacy_t_closeness_census",
+    oracle=f"""
+    WITH cell AS (
+      SELECT {_QI_NOSENS_SQL.split(',')[0]},
+             CAST(FLOOR(c_acctbal / {ACCTBAL_BUCKET}.0) AS BIGINT)
+               AS bal_kb,
+             c_mktsegment, COUNT(*) AS cnt
+      FROM customer GROUP BY 1, 2, 3
+    ), grp AS (
+      SELECT c_nationkey, bal_kb, SUM(cnt) AS gsize
+      FROM cell GROUP BY 1, 2
+    ), seg AS (
+      SELECT c_mktsegment, SUM(cnt) AS scnt FROM cell GROUP BY 1
+    ), tot AS (
+      SELECT SUM(cnt) AS n FROM cell
+    ), dev AS (
+      SELECT g.c_nationkey, g.bal_kb, g.gsize, t.n,
+             ABS(COALESCE(c.cnt, 0) * t.n - s.scnt * g.gsize) AS dev
+      FROM grp g CROSS JOIN seg s CROSS JOIN tot t
+      LEFT JOIN cell c
+        ON c.c_nationkey = g.c_nationkey AND c.bal_kb = g.bal_kb
+       AND c.c_mktsegment = s.c_mktsegment
+    ), gtvd AS (
+      SELECT c_nationkey, bal_kb, ANY_VALUE(gsize) AS gsize,
+             SUM(dev) * 1000000 // (2 * ANY_VALUE(gsize) * ANY_VALUE(n))
+               AS tvd_q6
+      FROM dev GROUP BY 1, 2
+    ), ts(t) AS (VALUES {", ".join(f"({v})" for v in T_CLOSENESS_LEVELS_Q6)})
+    SELECT CAST(ts.t AS BIGINT) AS t_q6,
+           CAST(COUNT(*) AS BIGINT) AS n_groups_total,
+           CAST(COALESCE(SUM(CASE WHEN tvd_q6 > ts.t THEN 1 END), 0)
+                AS BIGINT) AS n_groups_exceeding,
+           CAST(COALESCE(SUM(CASE WHEN tvd_q6 > ts.t THEN gsize END), 0)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(COALESCE(SUM(CASE WHEN tvd_q6 > ts.t THEN gsize END), 0)
+                * 1000000 // SUM(gsize) AS BIGINT) AS risk_share_q6
+    FROM ts CROSS JOIN gtvd
+    GROUP BY ts.t
+    """,
+)
+def privacy_t_closeness_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """t-closeness risk census (Li, Li & Venkatasubramanian, ICDE
+    2007 — the refinement l-diversity still misses: a group can have
+    many distinct sensitive values yet a SKEWED distribution that
+    leaks; t-closeness bounds the distance between each QI group's
+    sensitive distribution and the global one). For the categorical
+    market segment the paper's EMD reduces to total variation
+    distance; each group's TVD is exact integer arithmetic —
+    Σ|cnt_g·N − cnt·g| · 1e6 div (2·g·N), no float — and the census
+    sweeps the {T_CLOSENESS_LEVELS_Q6} thresholds reporting groups
+    exceeding t and their row mass. Completes the privacy triad:
+    k-anonymity (group size), l-diversity (value count), t-closeness
+    (value distribution).
+
+    100 TB shape: ONE corpus shuffle to (QI, segment) cells; groups,
+    the global segment distribution, and every TVD computation run on
+    the QI-domain-bounded cell frame (|nations|·|balance buckets|·
+    |segments| — hundreds of rows at any corpus size); the t-sweep is
+    a conditional sum over that frame crossed with the
+    {len(T_CLOSENESS_LEVELS_Q6)}-row threshold list.
+    """
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer")
+    cell = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / float(ACCTBAL_BUCKET))
+        .cast("long")
+        .alias("bal_kb"),
+        "c_mktsegment",
+    ).agg(F.count("*").alias("cnt"))
+    cell = cell.localCheckpoint(eager=True)  # four consumers below
+    grp = cell.groupBy("c_nationkey", "bal_kb").agg(
+        F.sum("cnt").alias("gsize")
+    )
+    seg = cell.groupBy("c_mktsegment").agg(F.sum("cnt").alias("scnt"))
+    tot = cell.agg(F.sum("cnt").alias("n"))
+    dev = (
+        grp.crossJoin(F.broadcast(seg))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            cell.withColumnRenamed("c_mktsegment", "seg_m"),
+            (F.col("seg_m") == F.col("c_mktsegment"))
+            & (cell["c_nationkey"] == grp["c_nationkey"])
+            & (cell["bal_kb"] == grp["bal_kb"]),
+            "left",
+        )
+        .select(
+            grp["c_nationkey"],
+            grp["bal_kb"],
+            "gsize",
+            "n",
+            F.abs(
+                F.coalesce(F.col("cnt"), F.lit(0)) * F.col("n")
+                - F.col("scnt") * F.col("gsize")
+            ).alias("dev"),
+        )
+    )
+    gtvd = dev.groupBy("c_nationkey", "bal_kb").agg(
+        F.any_value("gsize").alias("gsize"),
+        F.expr(
+            "SUM(dev) * 1000000"
+            " div (2 * any_value(gsize) * any_value(n))"
+        ).alias("tvd_q6"),
+    )
+    ts = spark.createDataFrame(
+        [(v,) for v in T_CLOSENESS_LEVELS_Q6], "t long"
+    )
+    exceed_g = F.when(F.col("tvd_q6") > F.col("t"), 1)
+    exceed_r = F.when(F.col("tvd_q6") > F.col("t"), F.col("gsize"))
+    return (
+        F.broadcast(ts)
+        .crossJoin(gtvd)
+        .groupBy("t")
+        .agg(
+            F.count("*").alias("n_groups_total"),
+            F.coalesce(F.sum(exceed_g), F.lit(0))
+            .cast("long")
+            .alias("n_groups_exceeding"),
+            F.coalesce(F.sum(exceed_r), F.lit(0))
+            .cast("long")
+            .alias("n_rows_at_risk"),
+            F.expr(
+                "CAST(coalesce(sum(CASE WHEN tvd_q6 > t THEN gsize END), 0)"
+                " * 1000000 div sum(gsize) AS BIGINT)"
+            ).alias("risk_share_q6"),
+        )
+        .select(
+            F.col("t").alias("t_q6"),
+            "n_groups_total",
+            "n_groups_exceeding",
+            "n_rows_at_risk",
+            "risk_share_q6",
+        )
+    )

@@ -2214,3 +2214,119 @@ def sim_kcenter_greedy_coreset(
         [(r, vid, rad) for r, vid, rad, _ in selected],
         schema="rank bigint, vec_id bigint, radius_q12 bigint",
     )
+
+
+LOO_N_PROBES = 40  # leave-one-out probe panel (bounded by design)
+LOO_K = 5
+
+
+@register(
+    "sim_knn_loo_label_accuracy",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+      FROM embeddings
+      WHERE vec_id < {LOO_N_PROBES} AND embedding IS NOT NULL
+    ), scored AS (
+      SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+             {_cosine_sql('e.embedding', 'q.qvec')} AS c
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id AND e.embedding IS NOT NULL
+    ), nn AS (
+      SELECT query_id, qlabel, label,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, vec_id ASC) AS rn
+      FROM scored
+    ), votes AS (
+      SELECT query_id, qlabel, label, COUNT(*) AS v
+      FROM nn WHERE rn <= {LOO_K} GROUP BY 1, 2, 3
+    ), pick AS (
+      SELECT query_id, qlabel, label AS pred,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY v DESC, label ASC) AS pr
+      FROM votes
+    )
+    SELECT CAST(qlabel AS BIGINT) AS true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN pred = qlabel THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN pred = qlabel THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS accuracy_q6
+    FROM pick WHERE pr = 1 GROUP BY 1
+    """,
+)
+def sim_knn_loo_label_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leave-one-out kNN label-prediction accuracy — the
+    embedding-quality EVALUATION row (the model-eval family's
+    similarity leg): for each probe in a bounded {LOO_N_PROBES}-vector
+    panel, predict its label by majority vote of its {LOO_K} exact
+    cosine nearest neighbors (self excluded; cosine desc / vec_id
+    tie-break; vote ties break label-asc) and report per-true-label
+    accuracy. A collapsing embedding space (hubness, norm pathology,
+    training leakage) shows up here before any downstream model does.
+
+    Determinism: the cosine is the module's order-stable sequential
+    fold (bit-identical across engines), both rank windows carry
+    total tie-breaks, and accuracy is an integer division.
+
+    100 TB shape: the probe panel broadcasts (bounded by design —
+    the brute-force arm is the evaluation harness, like every *_floor
+    anchor); one narrow corpus pass scores probes × corpus, the kNN
+    rank shuffles only by query_id ({LOO_N_PROBES} partitions of
+    corpus-sized lists pruned by the rank filter — at production
+    scale the shortlist would come from the IVF path instead, same
+    contract as sim_ivf_recall_floor).
+    """
+    apply_engine_conf(spark)
+    emb = table_wide(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    q = emb.filter(F.col("vec_id") < LOO_N_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "vec_id",
+            "label",
+            cosine_expr(F.col("embedding"), F.col("qvec")).alias("c"),
+        )
+    )
+    w_nn = W.partitionBy("query_id").orderBy(
+        F.desc("c"), F.asc("vec_id")
+    )
+    votes = (
+        scored.withColumn("rn", F.row_number().over(w_nn))
+        .filter(F.col("rn") <= LOO_K)
+        .groupBy("query_id", "qlabel", "label")
+        .agg(F.count("*").alias("v"))
+    )
+    w_pick = W.partitionBy("query_id").orderBy(
+        F.desc("v"), F.asc("label")
+    )
+    pick = (
+        votes.withColumn("pr", F.row_number().over(w_pick))
+        .filter(F.col("pr") == 1)
+        .select("qlabel", F.col("label").alias("pred"))
+    )
+    return pick.groupBy(
+        F.col("qlabel").cast("long").alias("true_label")
+    ).agg(
+        F.count("*").alias("n_probes"),
+        F.sum(
+            F.when(F.col("pred") == F.col("qlabel"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+        F.expr(
+            "CAST(SUM(CASE WHEN pred = qlabel THEN 1 ELSE 0 END)"
+            " * 1000000 div COUNT(*) AS BIGINT)"
+        ).alias("accuracy_q6"),
+    )

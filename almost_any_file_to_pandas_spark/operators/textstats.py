@@ -2549,3 +2549,213 @@ def text_hash_collision_census(
             .alias("collisions"),
         )
     )
+
+
+LIFT_VOCAB_TOP = 20  # pair universe = top-df terms (bounded pairs/doc)
+LIFT_TOP_PAIRS = 25
+
+
+@register(
+    "text_term_lift_topk",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM dt GROUP BY term
+    ), vocab AS (
+      SELECT term, df FROM df
+      ORDER BY df DESC, term ASC LIMIT {LIFT_VOCAB_TOP}
+    ), vd AS (
+      SELECT dt.doc_id, dt.term FROM dt JOIN vocab USING (term)
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+    ), pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_ab
+      FROM vd a JOIN vd b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2
+    )
+    SELECT term_a, term_b,
+           CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(va.df AS BIGINT) AS df_a,
+           CAST(vb.df AS BIGINT) AS df_b,
+           CAST(n_ab * n.n_docs * 1000000 // (va.df * vb.df) AS BIGINT)
+             AS lift_q6
+    FROM pairs
+    JOIN vocab va ON va.term = term_a
+    JOIN vocab vb ON vb.term = term_b
+    CROSS JOIN n
+    ORDER BY lift_q6 DESC, term_a ASC, term_b ASC
+    LIMIT {LIFT_TOP_PAIRS}
+    """,
+)
+def text_term_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term co-occurrence LIFT collocations (PMI without the log —
+    the exact-rational association measure: lift = P(a,b)/(P(a)P(b)),
+    monotone in PMI so the top-k ranking is identical while every
+    value stays an integer division — the house transcendental-free
+    discipline). The text twin of ``orders_market_basket_lift``:
+    which term pairs co-occur in documents beyond chance — the
+    collocation-discovery pass of corpus analysis.
+
+    Pair universe bounded BY DESIGN: only the top-{LIFT_VOCAB_TOP}
+    terms by document frequency (deterministic df-desc/term-asc
+    tie-break) enter pairing, so a document contributes at most
+    C({LIFT_VOCAB_TOP},2) pairs regardless of length — the same
+    capped-universe discipline as the df-capped LSH inverted index.
+
+    100 TB shape: one tokenize + distinct (doc, term) shuffle; the
+    vocabulary is a TakeOrdered top-k of the df aggregate (broadcast
+    back as a semi-join); the pair self-join shuffles only the
+    vocab-filtered (doc, term) stream keyed by doc — ≤{LIFT_VOCAB_TOP}
+    rows per doc; the final top-k is TakeOrdered over the
+    ≤C({LIFT_VOCAB_TOP},2)-row pair table.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+    ).distinct()
+    # the (doc, term) distinct stream feeds the df aggregate AND the
+    # vocab-filtered pair join — materialize once
+    dt = dt.localCheckpoint(eager=True)
+    df_t = dt.groupBy("term").agg(F.count("*").alias("df"))
+    vocab = df_t.orderBy(F.desc("df"), F.asc("term")).limit(
+        LIFT_VOCAB_TOP
+    )
+    vd = dt.join(F.broadcast(vocab.select("term")), "term").select(
+        "doc_id", "term"
+    )
+    n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    a = vd.select("doc_id", F.col("term").alias("term_a"))
+    b = vd.select("doc_id", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    va = vocab.select(
+        F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    vb = vocab.select(
+        F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    )
+    return (
+        pairs.join(F.broadcast(va), "term_a")
+        .join(F.broadcast(vb), "term_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("df_a").cast("long").alias("df_a"),
+            F.col("df_b").cast("long").alias("df_b"),
+            F.expr(
+                "CAST(n_ab * n_docs * 1000000 div (df_a * df_b)"
+                " AS BIGINT)"
+            ).alias("lift_q6"),
+        )
+        .orderBy(F.desc("lift_q6"), F.asc("term_a"), F.asc("term_b"))
+        .limit(LIFT_TOP_PAIRS)
+    )
+
+
+@register(
+    "text_langid_eval_census",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        {_lang_score_sql('en')} AS score_en,
+        {_lang_score_sql('de')} AS score_de,
+        {_lang_score_sql('fr')} AS score_fr,
+        {_lang_score_sql('es')} AS score_es
+      FROM documents
+    ), pred AS (
+      SELECT lang AS labeled, {_LANG_CASE_SQL} AS predicted FROM scored
+    ), by_true AS (
+      SELECT labeled, COUNT(*) AS n_labeled,
+             SUM(CASE WHEN predicted = labeled THEN 1 ELSE 0 END)
+               AS n_correct
+      FROM pred GROUP BY labeled
+    ), by_pred AS (
+      SELECT predicted, COUNT(*) AS n_predicted FROM pred
+      GROUP BY predicted
+    )
+    SELECT t.labeled AS lang,
+           CAST(t.n_labeled AS BIGINT) AS n_labeled,
+           CAST(COALESCE(p.n_predicted, 0) AS BIGINT) AS n_predicted,
+           CAST(t.n_correct AS BIGINT) AS n_correct,
+           CAST(t.n_correct * 1000000
+                // NULLIF(COALESCE(p.n_predicted, 0), 0) AS BIGINT)
+             AS precision_q6,
+           CAST(t.n_correct * 1000000 // t.n_labeled AS BIGINT)
+             AS recall_q6,
+           -- F1 = 2PR/(P+R) = 2c/(L+P) exactly — one integer division
+           CAST(2 * t.n_correct * 1000000
+                // (t.n_labeled + COALESCE(p.n_predicted, 0)) AS BIGINT)
+             AS f1_q6
+    FROM by_true t LEFT JOIN by_pred p ON p.predicted = t.labeled
+    """,
+)
+def text_langid_eval_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation census for the lang-ID heuristic — the
+    model-eval family's first row: per TRUE class, support, predicted
+    count, correct count, and precision / recall / F1, all exact
+    integer q6 (F1 = 2PR/(P+R) collapses to 2·correct/(support +
+    predicted) — one integer division, no float harmonic mean).
+    `text_lang_id` emits the per-doc (label, prediction) pairs; this
+    is the aggregate report card a pipeline tracks per ingest batch
+    to catch heuristic drift against labeled data.
+
+    100 TB shape: one marker-scan projection (the lang-ID pass the
+    pipeline already pays) folded by TWO bounded aggregates (by true
+    class and by predicted class, each ≤ |langs| rows) joined at
+    census scale.
+    """
+    apply_engine_conf(spark)
+    from almost_any_file_to_pandas_spark.plans import QUERIES
+
+    pred = QUERIES["text_lang_id"](spark, sf_dir).select(
+        F.col("labeled_lang").alias("labeled"),
+        F.col("predicted_lang").alias("predicted"),
+    )
+    # the marker scan is the expensive projection and BOTH censuses
+    # read it — materialize once
+    pred = pred.localCheckpoint(eager=True)
+    by_true = pred.groupBy("labeled").agg(
+        F.count("*").alias("n_labeled"),
+        F.sum(
+            F.when(F.col("predicted") == F.col("labeled"), 1).otherwise(0)
+        ).alias("n_correct"),
+    )
+    by_pred = pred.groupBy("predicted").agg(
+        F.count("*").alias("n_predicted")
+    )
+    return (
+        by_true.join(
+            F.broadcast(by_pred),
+            F.col("predicted") == F.col("labeled"),
+            "left",
+        )
+        .select(
+            F.col("labeled").alias("lang"),
+            F.col("n_labeled").cast("long").alias("n_labeled"),
+            F.coalesce(F.col("n_predicted"), F.lit(0))
+            .cast("long")
+            .alias("n_predicted"),
+            F.col("n_correct").cast("long").alias("n_correct"),
+            F.expr(
+                "CAST(n_correct * 1000000"
+                " div nullif(coalesce(n_predicted, 0), 0) AS BIGINT)"
+            ).alias("precision_q6"),
+            F.expr(
+                "CAST(n_correct * 1000000 div n_labeled AS BIGINT)"
+            ).alias("recall_q6"),
+            F.expr(
+                "CAST(2 * n_correct * 1000000"
+                " div (n_labeled + coalesce(n_predicted, 0)) AS BIGINT)"
+            ).alias("f1_q6"),
+        )
+    )

@@ -343,6 +343,13 @@ HEADLINE = [
     "events_uplift_by_band",
     "events_cuped_adjusted_lift",
     "orders_tscv_fold_census",
+    # round-8: privacy triad completion + collocation lift
+    "privacy_t_closeness_census",
+    "text_term_lift_topk",
+    # round-8 model-evaluation family: classifier report card +
+    # embedding-space LOO probe
+    "text_langid_eval_census",
+    "sim_knn_loo_label_accuracy",
 ]
 
 # One representative per operator family, printed in the final

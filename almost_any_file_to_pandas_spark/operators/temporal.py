@@ -3475,10 +3475,14 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u
     )
     SELECT CAST(n AS BIGINT) AS n_users,
-      CAST(FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx)
+      -- degenerate guard: a single user (or constant X/Y) zeroes the
+      -- variance terms; theta/corr^2 are undefined -> NULL, not a
+      -- division error (the 100 TB one-record-backfill shape)
+      CAST(FLOOR((n * sxy - sx * sy)
+                 / NULLIF(n * sxx - sx * sx, 0)
                  * 1000000 + 0.5) AS BIGINT) AS theta_q6,
       CAST(FLOOR((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0)
                  * 1000000 + 0.5) AS BIGINT) AS variance_reduction_q6
     FROM s
     """,
@@ -3553,12 +3557,18 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = n * F.col("sxy") - sx * sy
     varx = n * F.col("sxx") - sx * sx
     vary = n * F.col("syy") - sy * sy
+    # degenerate guard (single-row corpus sweep): zero variance makes
+    # theta/corr^2 undefined -> NULL on both engines, never an ANSI
+    # division error
     return s.select(
         n.cast("long").alias("n_users"),
-        F.floor(cov / varx * 1_000_000 + F.lit(0.5)).alias("theta_q6"),
-        F.floor(cov * cov / (varx * vary) * 1_000_000 + F.lit(0.5)).alias(
-            "variance_reduction_q6"
-        ),
+        F.floor(
+            cov / F.nullif(varx, F.lit(0.0)) * 1_000_000 + F.lit(0.5)
+        ).alias("theta_q6"),
+        F.floor(
+            cov * cov / F.nullif(varx * vary, F.lit(0.0)) * 1_000_000
+            + F.lit(0.5)
+        ).alias("variance_reduction_q6"),
     )
 
 
@@ -3576,7 +3586,10 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(s_g) AS DECIMAL(38,6)) AS s
       FROM per_g
     ), loo AS (
-      SELECT CAST(FLOOR(CAST(s - s_g AS DOUBLE) / (n - n_g)
+      -- degenerate guard: with ONE group, deleting it leaves nothing
+      -- (n = n_g) -> the leave-one-out estimate is undefined -> NULL
+      SELECT CAST(FLOOR(CAST(s - s_g AS DOUBLE)
+                        / NULLIF(n - n_g, 0)
                         * 1000000 + 0.5) AS BIGINT) AS loo_q6
       FROM per_g CROSS JOIN tot
     ), bar AS (
@@ -3636,10 +3649,12 @@ def orders_jackknife_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_g").alias("n"),
         F.sum("s_g").cast("decimal(38,6)").alias("s"),
     )
+    # degenerate guard (single-row corpus sweep): one group -> the
+    # leave-one-out denominator is zero -> NULL, not an ANSI error
     loo = per_g.crossJoin(F.broadcast(tot)).select(
         F.floor(
             (F.col("s") - F.col("s_g")).cast("double")
-            / (F.col("n") - F.col("n_g"))
+            / F.nullif(F.col("n") - F.col("n_g"), F.lit(0))
             * 1_000_000
             + F.lit(0.5)
         ).alias("loo_q6")
@@ -3986,7 +4001,10 @@ def events_uplift_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(SUM(y) AS DOUBLE) AS scy
       FROM u GROUP BY cohort
     ), t AS (
-      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+      -- degenerate guard: zero pre-period variance -> theta NULL
+      -- (adjusted means/lift go NULL, never a division error)
+      SELECT (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)
+               AS theta,
              sx / n AS xbar
       FROM g
     ), adj AS (
@@ -4085,10 +4103,14 @@ def events_cuped_adjusted_lift(
         F.sum("x").cast("double").alias("scx"),
         F.sum("y").cast("double").alias("scy"),
     )
+    # degenerate guard: zero pre-period variance -> theta NULL
     t = g.select(
         (
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / F.nullif(
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                F.lit(0.0),
+            )
         ).alias("theta"),
         (F.col("sx") / F.col("n")).alias("xbar"),
     )

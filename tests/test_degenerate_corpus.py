@@ -60,6 +60,18 @@ BATTERY = [
     "text_token_count",
     "orders_ks_priority_shift",
     "events_rate_limit_audit",
+    # round-8 repairs: zero-variance / single-group denominators found
+    # by this sweep over the new experimentation family (theta, the
+    # leave-one-out mean, and the adjusted lift all NULL-guard now)
+    "events_cuped_adjustment",
+    "events_cuped_adjusted_lift",
+    "orders_jackknife_mean_ci",
+    # round-8 always-green additions (one per new family)
+    "events_did_estimator",
+    "orders_conformal_naive_interval",
+    "privacy_t_closeness_census",
+    "text_langid_eval_census",
+    "lineitem_column_profile_approx",
 ]
 
 # Rows-only repaired queries (no oracle): crash-freedom is the pin.

@@ -139,6 +139,15 @@ QUERIES_UNDER_TEST = [
     "graph_jaccard_link_prediction",
     "events_attribution_time_decay",
     "mm_shard_manifest",
+    # round-8 additions with partition-sensitive value classes:
+    # exact order statistic at an integer rank (conformal), LIMIT-cut
+    # rankings (collocation lift, kNN vote windows), and the
+    # integer-lattice jackknife (loo quantize -> integer bar ->
+    # decimal squares must be partitioning-independent)
+    "orders_conformal_naive_interval",
+    "text_term_lift_topk",
+    "sim_knn_loo_label_accuracy",
+    "orders_jackknife_mean_ci",
 ]
 
 

@@ -908,15 +908,21 @@ def decode_png(content: bytes, want_pixels: bool = True):
     palette, alpha (types 3/4/6), 16-bit depth, and Adam7 interlace —
     mirroring the compressed-BMP and non-PCM-WAV arms.
 
+    Round 8 second extension: 8-bit PALETTE (color type 3) — the
+    scanlines carry 1-byte palette indices (de-filtered at bpp 1,
+    identical predictor math) and the PLTE chunk's 3-byte entries
+    expand each index to RGB, so the returned pixels are
+    channel-interleaved RGB exactly like color type 2.
+
     Returns (width, height, pixels bytes) — pixels row-major,
-    channel-interleaved for RGB — or (width, height, None) when
-    ``want_pixels`` is False."""
+    channel-interleaved for RGB/palette — or (width, height, None)
+    when ``want_pixels`` is False."""
     import struct
     import zlib
 
     if content[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG stream")
-    pos, ihdr, idat = 8, None, b""
+    pos, ihdr, idat, plte = 8, None, b"", None
     while pos + 8 <= len(content):
         (size,) = struct.unpack_from(">I", content, pos)
         ctype = content[pos + 4 : pos + 8]
@@ -926,6 +932,10 @@ def decode_png(content: bytes, want_pixels: bool = True):
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if size % 3 != 0:
+                raise ValueError("PNG PLTE length not divisible by 3")
+            plte = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -934,14 +944,23 @@ def decode_png(content: bytes, want_pixels: bool = True):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     width, height, depth, ctype_v, comp, filt, interlace = ihdr
-    if depth != 8 or ctype_v not in (0, 2) or interlace != 0 or comp != 0:
+    supported = (depth == 8 and ctype_v in (0, 2, 3)) or (
+        depth == 16 and ctype_v == 0
+    )
+    if not supported or interlace != 0 or comp != 0:
         raise NotImplementedError(
             f"PNG (depth {depth}, color type {ctype_v}, interlace "
-            f"{interlace}) beyond 8-bit grayscale/RGB requires Pillow"
+            f"{interlace}) beyond 8-bit grayscale/RGB/palette or "
+            "16-bit grayscale requires Pillow"
         )
+    if ctype_v == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     if not want_pixels:
         return width, height, None
-    bpp = 3 if ctype_v == 2 else 1
+    # spec §9: filters operate on BYTES; bpp = bytes per complete
+    # pixel (2 for 16-bit grayscale — the "left" refs skip the whole
+    # big-endian sample)
+    bpp = 3 if ctype_v == 2 else (2 if depth == 16 else 1)
     raw = zlib.decompress(idat)
     stride = width * bpp + 1
     prev = bytearray(width * bpp)
@@ -972,11 +991,140 @@ def decode_png(content: bytes, want_pixels: bool = True):
             line[x] = (line[x] + add) & 0xFF
         out += line
         prev = line
+    if ctype_v == 3:
+        n_entries = len(plte) // 3
+        rgb = bytearray(len(out) * 3)
+        for i, idx in enumerate(out):
+            if idx >= n_entries:
+                raise ValueError(
+                    f"palette index {idx} outside {n_entries}-entry PLTE"
+                )
+            rgb[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
+        return width, height, bytes(rgb)
     return width, height, bytes(out)
 
 
 # historical name (the round-7 grayscale-only decoder) — same function
 decode_png_gray = decode_png
+
+
+def synth_png_gray16(width: int, height: int) -> bytes:
+    """Deterministically assemble a REAL 16-bit grayscale PNG: sample
+    value (x+y)·257 (the 8→16-bit replication constant; < 65536 at
+    census dims), big-endian per spec, scanlines forward-filtered
+    ``y % 5`` at bpp 2."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    bpp = 2
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, 0, 0, 0, 0)
+    enc = bytearray()
+    prev = bytes(width * bpp)
+    for y in range(height):
+        row = b"".join(
+            struct.pack(">H", (x + y) * 257) for x in range(width)
+        )
+        ft = y % 5
+        line = bytearray(len(row))
+        for x in range(len(row)):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                )
+            line[x] = (row[x] - pred) & 0xFF
+        enc += bytes([ft]) + bytes(line)
+        prev = row
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(enc)))
+        + chunk(b"IEND", b"")
+    )
+
+
+# 16-entry palette: entry j = (7j, 11j, 13j) — all < 256 at j <= 15,
+# so channel sums have the closed forms the palette census restates.
+PLTE_ENTRIES = 16
+
+
+def synth_png_palette(width: int, height: int) -> bytes:
+    """Deterministically assemble a REAL 8-bit palette PNG: a
+    {PLTE_ENTRIES}-entry PLTE of (7j, 11j, 13j) colors, index
+    gradient (x+y) % {PLTE_ENTRIES}, scanlines forward-filtered
+    ``y % 5`` at bpp 1 — every spec filter exercised on the index
+    plane of any image ≥ 5 rows."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    plte = bytes(
+        v
+        for j in range(PLTE_ENTRIES)
+        for v in (7 * j, 11 * j, 13 * j)
+    )
+    enc = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        row = bytes((x + y) % PLTE_ENTRIES for x in range(width))
+        ft = y % 5
+        line = bytearray(width)
+        for x in range(width):
+            a = row[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                )
+            line[x] = (row[x] - pred) & 0xFF
+        enc += bytes([ft]) + bytes(line)
+        prev = row
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(bytes(enc)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def synth_png_rgb(width: int, height: int) -> bytes:
@@ -1210,6 +1358,188 @@ def mm_png_rgb_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_r").cast("long").alias("sum_r"),
         F.sum("sum_g").cast("long").alias("sum_g"),
         F.sum("sum_b").cast("long").alias("sum_b"),
+    )
+
+
+@register(
+    "mm_png_palette_decode_census",
+    oracle=f"""
+    WITH d AS (
+      SELECT (doc_id % {PNG_W_MOD}) + 1 AS w,
+             (doc_id % {PNG_H_MOD}) + 1 AS h
+      FROM documents WHERE doc_id % 3 = 2
+    ), dims AS (
+      SELECT w, h, COUNT(*) AS n_images FROM d GROUP BY 1, 2
+    ), per AS (
+      -- one decoded image's palette-index sum, by grid enumeration
+      -- (grids are <= {PNG_W_MOD}x{PNG_H_MOD} cells)
+      SELECT dims.w, dims.h,
+             SUM((xs.x + ys.y) % {PLTE_ENTRIES}) AS idx_sum
+      FROM dims,
+      LATERAL (SELECT unnest(range(dims.w)) AS x) xs,
+      LATERAL (SELECT unnest(range(dims.h)) AS y) ys
+      GROUP BY 1, 2
+    )
+    SELECT CAST(dims.w AS BIGINT) AS width,
+           CAST(dims.h AS BIGINT) AS height,
+           'P' AS mode,
+           CAST(dims.n_images AS BIGINT) AS n_images,
+           CAST(dims.w * dims.h * dims.n_images AS BIGINT)
+             AS total_pixels,
+           -- palette entry j = (7j, 11j, 13j), all < 256 at j <= 15,
+           -- so each channel sum is a scalar multiple of the index sum
+           CAST(7 * per.idx_sum * dims.n_images AS BIGINT) AS sum_r,
+           CAST(11 * per.idx_sum * dims.n_images AS BIGINT) AS sum_g,
+           CAST(13 * per.idx_sum * dims.n_images AS BIGINT) AS sum_b
+    FROM dims JOIN per ON per.w = dims.w AND per.h = dims.h
+    """,
+)
+def mm_png_palette_decode_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PALETTE leg of the real PNG decode (round-8 second gate
+    shrink): every asset is a true 8-bit indexed PNG — a
+    {PLTE_ENTRIES}-entry PLTE chunk, index gradient scanlines
+    forward-filtered ``y % 5`` — chunk-walked, CRC-checked, inflated,
+    de-filtered at bpp 1 and EXPANDED through the palette by
+    :func:`decode_png`. The census sums the decoded RGB channels; the
+    oracle enumerates each grid and restates the channel sums as
+    scalar multiples of the index sum, so an index-plane filter bug
+    OR a palette-expansion bug breaks parity. Uses the remaining
+    ``doc_id % 3 = 2`` asset slice (gray owns 0, RGB owns 1 — the
+    three censuses partition the corpus).
+
+    The Pillow gate now covers only alpha channels (types 4/6),
+    16-bit depth, and Adam7 interlace.
+
+    100 TB shape: identical to the gray/RGB censuses — blobs live
+    only inside Python worker batches; six integers per asset
+    shuffle; ≤{PNG_W_MOD}·{PNG_H_MOD}-cell census.
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    imgs = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 2).select(
+        "doc_id"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            out = {
+                "width": [],
+                "height": [],
+                "mode": [],
+                "sum_r": [],
+                "sum_g": [],
+                "sum_b": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blob = synth_png_palette(
+                    did % PNG_W_MOD + 1, did % PNG_H_MOD + 1
+                )
+                w, h, px = decode_png(blob)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mode"].append("P")
+                out["sum_r"].append(sum(px[0::3]))
+                out["sum_g"].append(sum(px[1::3]))
+                out["sum_b"].append(sum(px[2::3]))
+            yield pd.DataFrame(out)
+
+    decoded = imgs.mapInPandas(
+        decode_batches,
+        schema=(
+            "width long, height long, mode string,"
+            " sum_r long, sum_g long, sum_b long"
+        ),
+    )
+    return decoded.groupBy("width", "height", "mode").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("width") * F.col("height"))
+        .cast("long")
+        .alias("total_pixels"),
+        F.sum("sum_r").cast("long").alias("sum_r"),
+        F.sum("sum_g").cast("long").alias("sum_g"),
+        F.sum("sum_b").cast("long").alias("sum_b"),
+    )
+
+
+@register(
+    "mm_png_gray16_decode_census",
+    oracle=f"""
+    WITH d AS (
+      SELECT (doc_id % {PNG_W_MOD}) + 1 AS w,
+             (doc_id % {PNG_H_MOD}) + 1 AS h
+      FROM documents WHERE doc_id % 4 = 3
+    )
+    SELECT CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           'I;16' AS mode,
+           COUNT(*) AS n_images,
+           CAST(SUM(w * h) AS BIGINT) AS total_pixels,
+           -- sample (x+y)*257 < 65536 at these dims: closed form is
+           -- 257 * (h*Sx + w*Sy) per image
+           CAST(SUM(257 * (h * (w * (w - 1) // 2)
+                           + w * (h * (h - 1) // 2))) AS BIGINT)
+             AS total_sample_sum
+    FROM d GROUP BY 1, 2
+    """,
+)
+def mm_png_gray16_decode_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 16-BIT leg of the real PNG decode (round-8 third gate
+    shrink — of the four arms the r7 verdict named, palette / RGB /
+    16-bit are now real; only alpha and Adam7 interlace remain
+    Pillow-gated): every asset is a true 16-bit grayscale PNG
+    (big-endian samples, scanlines forward-filtered ``y % 5`` at
+    bpp 2 — the "left" filter refs skip a whole 2-byte sample, the
+    exact offset class the bpp generalization must get right),
+    decoded by :func:`decode_png` and re-assembled to sample values;
+    the census sums the DECODED 16-bit samples against the closed
+    form 257·(h·Sx + w·Sy).
+
+    100 TB shape: identical to the other codec censuses.
+    """
+    import struct as _struct
+
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    imgs = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 3).select(
+        "doc_id"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            out = {
+                "width": [],
+                "height": [],
+                "mode": [],
+                "sample_sum": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blob = synth_png_gray16(
+                    did % PNG_W_MOD + 1, did % PNG_H_MOD + 1
+                )
+                w, h, px = decode_png(blob)
+                vals = _struct.unpack(f">{w * h}H", px)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mode"].append("I;16")
+                out["sample_sum"].append(sum(vals))
+            yield pd.DataFrame(out)
+
+    decoded = imgs.mapInPandas(
+        decode_batches,
+        schema="width long, height long, mode string, sample_sum long",
+    )
+    return decoded.groupBy("width", "height", "mode").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("width") * F.col("height"))
+        .cast("long")
+        .alias("total_pixels"),
+        F.sum("sample_sum").cast("long").alias("total_sample_sum"),
     )
 
 

@@ -350,6 +350,11 @@ HEADLINE = [
     # embedding-space LOO probe
     "text_langid_eval_census",
     "sim_knn_loo_label_accuracy",
+    # round-8: palette PNG decode census (PLTE expansion, all 5
+    # filters on the index plane) + 16-bit grayscale census (bpp-2
+    # filter offsets, big-endian samples)
+    "mm_png_palette_decode_census",
+    "mm_png_gray16_decode_census",
 ]
 
 # One representative per operator family, printed in the final

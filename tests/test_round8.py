@@ -223,7 +223,10 @@ def test_png_rgb_roundtrip_all_filters():
             + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
         )
 
-    for ctype_v in (3, 4, 6):  # palette, gray+alpha, RGBA
+    # palette (3) is implemented since the second round-8 batch — the
+    # alpha types are the remaining gate here (16-bit/interlace and
+    # the PLTE contract are pinned in the palette test below)
+    for ctype_v in (4, 6):  # gray+alpha, RGBA
         ihdr = struct.pack(">IIBBBBB", 2, 2, 8, ctype_v, 0, 0, 0)
         with _pytest.raises(NotImplementedError):
             decode_png(
@@ -546,6 +549,88 @@ def test_knn_loo_accuracy_bounds_and_panel_size(spark):
     for r in rows:
         assert 0 <= r.accuracy_q6 <= 1_000_000
         assert r.n_correct <= r.n_probes
+
+
+def test_png_palette_roundtrip_and_remaining_gate():
+    """Palette PNG: the index plane de-filters at bpp 1 through all
+    five filters (h >= 5) and PLTE expansion reproduces the exact
+    (7j, 11j, 13j) gradient; missing PLTE raises ValueError; the
+    remaining Pillow gate (alpha, 16-bit) still raises."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        PLTE_ENTRIES,
+        PNG_SIGNATURE,
+        decode_png,
+        synth_png_palette,
+    )
+
+    for w, h in [(1, 1), (4, 3), (6, 7), (16, 8)]:
+        dw, dh, px = decode_png(synth_png_palette(w, h))
+        assert (dw, dh) == (w, h)
+        expect = bytes(
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in (
+                7 * ((x + y) % PLTE_ENTRIES),
+                11 * ((x + y) % PLTE_ENTRIES),
+                13 * ((x + y) % PLTE_ENTRIES),
+            )
+        )
+        assert px == expect, f"{w}x{h}"
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    # palette header without a PLTE chunk -> loud ValueError
+    ihdr_p = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = b"\x00\x00\x00" + b"\x00\x00\x00"
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_png(
+            PNG_SIGNATURE
+            + chunk(b"IHDR", ihdr_p)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+    # alpha types and Adam7 interlace remain honestly gated (16-bit
+    # grayscale decodes for real since the third round-8 batch)
+    gated = [(8, 4, 0), (8, 6, 0), (8, 0, 1), (16, 2, 0)]
+    for depth, ctype_v, interlace in gated:
+        ihdr = struct.pack(
+            ">IIBBBBB", 2, 2, depth, ctype_v, 0, 0, interlace
+        )
+        with _pytest.raises(NotImplementedError):
+            decode_png(
+                PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+            )
+
+
+def test_png_gray16_roundtrip():
+    """16-bit grayscale: bpp-2 de-filtering through all five filters
+    reconstructs the exact big-endian (x+y)*257 ramp."""
+    import struct
+
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        decode_png,
+        synth_png_gray16,
+    )
+
+    for w, h in [(1, 1), (5, 6), (16, 8)]:
+        dw, dh, px = decode_png(synth_png_gray16(w, h))
+        assert (dw, dh) == (w, h)
+        vals = struct.unpack(f">{w * h}H", px)
+        assert list(vals) == [
+            (x + y) * 257 for y in range(h) for x in range(w)
+        ]
 
 
 def test_gate_refresh_twins_are_identical_callables():

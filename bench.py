@@ -355,6 +355,10 @@ HEADLINE = [
     # filter offsets, big-endian samples)
     "mm_png_palette_decode_census",
     "mm_png_gray16_decode_census",
+    # round-8: the final PNG legs — RGBA (alpha channel census) and
+    # Adam7 de-interlace merge
+    "mm_png_rgba_decode_census",
+    "mm_png_adam7_decode_census",
 ]
 
 # One representative per operator family, printed in the final

@@ -2164,13 +2164,13 @@ def test_decode_png_real_roundtrip_all_filters():
         _, _, px = decode_png_gray(blob)
         assert list(px) == [v for row in pix for v in row], f"filter {f}"
 
-    # 16-bit grayscale decodes for real since round 8 — the RGBA arm
-    # stands in as the Pillow-gate representative here (the full gate
-    # matrix is pinned in test_round8.py)
-    ihdr_rgba = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)
+    # the whole byte-aligned baseline decodes for real since round 8 —
+    # a sub-byte bit depth stands in as the Pillow-gate representative
+    # here (the full gate matrix is pinned in test_round8.py)
+    ihdr_4bit = struct.pack(">IIBBBBB", 2, 2, 4, 3, 0, 0, 0)
     with pytest.raises(NotImplementedError):
         decode_png_gray(
-            PNG_SIGNATURE + chunk(b"IHDR", ihdr_rgba) + chunk(b"IEND", b"")
+            PNG_SIGNATURE + chunk(b"IHDR", ihdr_4bit) + chunk(b"IEND", b"")
         )
     bad = bytearray(synth_png(3, 2))
     bad[20] ^= 0xFF

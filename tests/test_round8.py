@@ -223,15 +223,9 @@ def test_png_rgb_roundtrip_all_filters():
             + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
         )
 
-    # palette (3) is implemented since the second round-8 batch — the
-    # alpha types are the remaining gate here (16-bit/interlace and
-    # the PLTE contract are pinned in the palette test below)
-    for ctype_v in (4, 6):  # gray+alpha, RGBA
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, ctype_v, 0, 0, 0)
-        with _pytest.raises(NotImplementedError):
-            decode_png(
-                PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
-            )
+    # every byte-aligned baseline color type is implemented by the
+    # end of round 8; the honest gate is sub-byte bit depths (packed
+    # scanlines) and 16-bit color — pinned in the gate-matrix test
 
 
 def test_png_rgb_census_matches_closed_form(spark):
@@ -601,17 +595,46 @@ def test_png_palette_roundtrip_and_remaining_gate():
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b"")
         )
-    # alpha types and Adam7 interlace remain honestly gated (16-bit
-    # grayscale decodes for real since the third round-8 batch)
-    gated = [(8, 4, 0), (8, 6, 0), (8, 0, 1), (16, 2, 0)]
-    for depth, ctype_v, interlace in gated:
-        ihdr = struct.pack(
-            ">IIBBBBB", 2, 2, depth, ctype_v, 0, 0, interlace
-        )
+    # the final honest gate: sub-byte bit depths (1/2/4 — bit-packed
+    # scanlines) and 16-bit color types; everything byte-aligned
+    # decodes for real by the end of round 8
+    gated = [(1, 0), (2, 0), (4, 0), (4, 3), (16, 2), (16, 6)]
+    for depth, ctype_v in gated:
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype_v, 0, 0, 0)
         with _pytest.raises(NotImplementedError):
             decode_png(
                 PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
             )
+
+
+def test_png_rgba_and_adam7_roundtrip():
+    """RGBA (bpp 4) and Adam7-interlaced grayscale reconstruct the
+    exact gradients across edge dims (1x1, single row/column, dims
+    hitting every pass-emptiness case)."""
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        decode_png,
+        synth_png_gray_adam7,
+        synth_png_rgba,
+    )
+
+    for w, h in [(1, 1), (2, 1), (1, 2), (3, 2), (5, 7), (9, 5), (16, 8)]:
+        _, _, px = decode_png(synth_png_rgba(w, h))
+        expect = bytes(
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in (
+                (x + y) % 256,
+                (2 * x + y) % 256,
+                (x + 3 * y) % 256,
+                (255 - (x + y)) % 256,
+            )
+        )
+        assert px == expect, f"rgba {w}x{h}"
+        _, _, gpx = decode_png(synth_png_gray_adam7(w, h))
+        assert gpx == bytes(
+            (x + y) % 256 for y in range(h) for x in range(w)
+        ), f"adam7 {w}x{h}"
 
 
 def test_png_gray16_roundtrip():

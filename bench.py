@@ -359,6 +359,16 @@ HEADLINE = [
     # Adam7 de-interlace merge
     "mm_png_rgba_decode_census",
     "mm_png_adam7_decode_census",
+    # round-8: legal-IHDR-matrix closure — sub-byte bit depths
+    # (1/2/4, bit-packed scanlines) and 16-bit truecolor
+    "mm_png_subbyte_decode_census",
+    "mm_png_rgb16_decode_census",
+    # round-8: ITU-T G.711 µ-law/A-law decode (the telephony WAV
+    # codecs; oracle re-derives the expansion tables in SQL)
+    "mm_wav_g711_decode_census",
+    # round-8: BI_RLE8 compressed-BMP decode (runs + absolute mode +
+    # escapes; gate shrunk to RLE4/bitfields)
+    "mm_bmp_rle8_decode_census",
 ]
 
 # One representative per operator family, printed in the final

@@ -72,7 +72,9 @@ def test_decode_image_real_bmp_roundtrip():
     import struct
 
     rle = bytearray(_make_bmp(3, 2, 8))
-    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
+    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8 — real arm now
+    assert decode_image(bytes(rle)) == (3, 2, "P")
+    struct.pack_into("<I", rle, 30, 2)  # BI_RLE4 stays gated
     with pytest.raises(NotImplementedError):
         decode_image(bytes(rle))
 
@@ -2164,13 +2166,13 @@ def test_decode_png_real_roundtrip_all_filters():
         _, _, px = decode_png_gray(blob)
         assert list(px) == [v for row in pix for v in row], f"filter {f}"
 
-    # the whole byte-aligned baseline decodes for real since round 8 —
-    # a sub-byte bit depth stands in as the Pillow-gate representative
-    # here (the full gate matrix is pinned in test_round8.py)
-    ihdr_4bit = struct.pack(">IIBBBBB", 2, 2, 4, 3, 0, 0, 0)
-    with pytest.raises(NotImplementedError):
+    # the ENTIRE legal IHDR matrix decodes for real since round 8 —
+    # an unsupported header is an ILLEGAL header, rejected loudly
+    # (the full illegal-combo matrix is pinned in test_round8.py)
+    ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    with pytest.raises(ValueError, match="legal"):
         decode_png_gray(
-            PNG_SIGNATURE + chunk(b"IHDR", ihdr_4bit) + chunk(b"IEND", b"")
+            PNG_SIGNATURE + chunk(b"IHDR", ihdr_bad) + chunk(b"IEND", b"")
         )
     bad = bytearray(synth_png(3, 2))
     bad[20] ^= 0xFF

@@ -548,8 +548,8 @@ def test_knn_loo_accuracy_bounds_and_panel_size(spark):
 def test_png_palette_roundtrip_and_remaining_gate():
     """Palette PNG: the index plane de-filters at bpp 1 through all
     five filters (h >= 5) and PLTE expansion reproduces the exact
-    (7j, 11j, 13j) gradient; missing PLTE raises ValueError; the
-    remaining Pillow gate (alpha, 16-bit) still raises."""
+    (7j, 11j, 13j) gradient; missing PLTE raises ValueError; illegal
+    IHDR combinations raise ValueError (no gate remains)."""
     import struct
     import zlib
 
@@ -595,13 +595,13 @@ def test_png_palette_roundtrip_and_remaining_gate():
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b"")
         )
-    # the final honest gate: sub-byte bit depths (1/2/4 — bit-packed
-    # scanlines) and 16-bit color types; everything byte-aligned
-    # decodes for real by the end of round 8
-    gated = [(1, 0), (2, 0), (4, 0), (4, 3), (16, 2), (16, 6)]
-    for depth, ctype_v in gated:
+    # no gate remains on PNG: the decoder covers the entire legal
+    # ISO/IEC 15948 IHDR matrix; an unsupported header is an ILLEGAL
+    # header and is rejected loudly with ValueError
+    illegal = [(2, 2), (4, 2), (16, 3), (3, 0), (8, 5), (4, 6), (2, 4)]
+    for depth, ctype_v in illegal:
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype_v, 0, 0, 0)
-        with _pytest.raises(NotImplementedError):
+        with _pytest.raises(ValueError, match="legal"):
             decode_png(
                 PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
             )
@@ -654,6 +654,232 @@ def test_png_gray16_roundtrip():
         assert list(vals) == [
             (x + y) * 257 for y in range(h) for x in range(w)
         ]
+
+
+def test_png_subbyte_roundtrip_all_depths():
+    """Sub-byte PNG (depths 1/2/4): packed-byte de-filtering (bpp 1)
+    through all five filters plus MSB-first bit unpack reconstructs
+    the exact (x+y) mod 2^d ramp across edge dims — including widths
+    that leave a partial trailing byte."""
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        decode_png,
+        synth_png_gray_subbyte,
+    )
+
+    for depth in (1, 2, 4):
+        for w, h in [(1, 1), (2, 1), (1, 2), (3, 2), (7, 5), (9, 1),
+                     (16, 8)]:
+            dw, dh, px = decode_png(synth_png_gray_subbyte(w, h, depth))
+            assert (dw, dh) == (w, h)
+            assert px == bytes(
+                (x + y) % (1 << depth)
+                for y in range(h)
+                for x in range(w)
+            ), f"depth {depth} {w}x{h}"
+
+
+def test_png_subbyte_palette_and_adam7():
+    """The sub-byte combination arms: a depth-2 PALETTE image (bit
+    unpack feeding PLTE expansion) and a depth-4 Adam7-INTERLACED
+    image (each pass bit-packs its own scanlines independently)."""
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        _ADAM7_PASSES,
+        _png_forward_filter,
+        _png_wrap,
+        decode_png,
+    )
+
+    w, h, per = 9, 6, 4  # depth-2 palette: 4 indices per packed byte
+    rows = []
+    for y in range(h):
+        packed = bytearray((w * 2 + 7) // 8)
+        for x in range(w):
+            packed[x // per] |= ((x + y) % 4) << (8 - 2 * (x % per + 1))
+        rows.append(bytes(packed))
+    plte = bytes(v for j in range(4) for v in (7 * j, 11 * j, 13 * j))
+    blob = _png_wrap(
+        (w, h, 2, 3, 0, 0, 0), _png_forward_filter(rows, 1), plte=plte
+    )
+    _, _, px = decode_png(blob)
+    assert px == bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in (7 * ((x + y) % 4), 11 * ((x + y) % 4), 13 * ((x + y) % 4))
+    )
+
+    for w, h in [(1, 1), (3, 2), (5, 7), (16, 8)]:
+        enc = b""
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            if w <= x0 or h <= y0:
+                continue
+            xs = list(range(x0, w, dx))
+            rows = []
+            for y in range(y0, h, dy):
+                packed = bytearray((len(xs) * 4 + 7) // 8)
+                for i, x in enumerate(xs):
+                    packed[i // 2] |= ((x + y) % 16) << (8 - 4 * (i % 2 + 1))
+                rows.append(bytes(packed))
+            enc += _png_forward_filter(rows, 1)
+        _, _, px = decode_png(_png_wrap((w, h, 4, 0, 0, 0, 1), enc))
+        assert px == bytes(
+            (x + y) % 16 for y in range(h) for x in range(w)
+        ), f"adam7 depth-4 {w}x{h}"
+
+
+def test_png_16bit_color_roundtrip():
+    """16-bit color types (2/4/6): bpp 6/4/8 de-filtering through all
+    five filters reconstructs the exact big-endian sample ramps."""
+    import struct
+
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        _png_forward_filter,
+        _png_wrap,
+        decode_png,
+        synth_png_rgb16,
+    )
+
+    for w, h in [(1, 1), (2, 7), (5, 6), (16, 8)]:
+        dw, dh, px = decode_png(synth_png_rgb16(w, h))
+        assert (dw, dh) == (w, h)
+        vals = struct.unpack(f">{w * h * 3}H", px)
+        assert list(vals) == [
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in ((x + y) * 257, (2 * x + y) * 257, (x + 3 * y) * 257)
+        ]
+
+    for ctype_v, ch in ((4, 2), (6, 4)):  # gray+alpha / RGBA at 16-bit
+        w, h = 6, 7
+        rows = [
+            b"".join(
+                struct.pack(
+                    f">{ch}H",
+                    *[((k + 1) * x + y) * 257 % 65536 for k in range(ch)],
+                )
+                for x in range(w)
+            )
+            for y in range(h)
+        ]
+        blob = _png_wrap(
+            (w, h, 16, ctype_v, 0, 0, 0),
+            _png_forward_filter(rows, 2 * ch),
+        )
+        _, _, px = decode_png(blob)
+        vals = struct.unpack(f">{w * h * ch}H", px)
+        assert list(vals) == [
+            ((k + 1) * x + y) * 257 % 65536
+            for y in range(h)
+            for x in range(w)
+            for k in range(ch)
+        ], f"16-bit color type {ctype_v}"
+
+
+def test_wav_g711_roundtrip_and_remaining_gate():
+    """G.711 WAV: µ-law and A-law code bytes expand through the spec
+    segment tables (checked against hand-computed landmark values),
+    frames/channels parse from the container, and the remaining
+    non-PCM gate (IEEE-float, ADPCM) still raises."""
+    import struct
+
+    import pytest as _pytest
+
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        decode_wav,
+        synth_wav_g711,
+    )
+
+    # spec landmarks: µ-law 0xFF -> 0 (complement 0x00), 0x7F -> -0
+    # magnitude class, 0x00 -> -8031·4+... = the max-magnitude code
+    assert _ULAW_TABLE[0xFF] == 0
+    assert _ULAW_TABLE[0x00] == -32124
+    assert _ULAW_TABLE[0x80] == 32124
+    assert max(_ULAW_TABLE) == 32124 and min(_ULAW_TABLE) == -32124
+    # A-law landmarks: 0x55 toggles to 0x00 -> +8; 0xD5 -> -8 class
+    assert _ALAW_TABLE[0x55] == 8
+    assert _ALAW_TABLE[0xD5] == -8
+    assert max(_ALAW_TABLE) == 32256 and min(_ALAW_TABLE) == -32256
+    # symmetry: code with sign bit flipped negates the sample
+    for c in range(128):
+        assert _ULAW_TABLE[c] == -_ULAW_TABLE[c ^ 0x80]
+        assert _ALAW_TABLE[c ^ 0x55 ^ 0x55] == -_ALAW_TABLE[c ^ 0x80]
+
+    for law, tbl in (("ulaw", _ULAW_TABLE), ("alaw", _ALAW_TABLE)):
+        for ch, nf in [(1, 8), (2, 96), (1, 256), (2, 13)]:
+            rate, dch, dnf, ssq = decode_wav(synth_wav_g711(ch, nf, law))
+            assert (rate, dch, dnf) == (8000, ch, nf)
+            assert ssq == ch * sum(
+                tbl[i % 256] ** 2 for i in range(nf)
+            ), (law, ch, nf)
+
+    # IEEE-float WAV (format 3) stays honestly gated
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    blob = (
+        struct.pack("<4sI4s", b"RIFF", 36 + 8, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", 8)
+        + b"\x00" * 8
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_wav(blob)
+
+
+def test_bmp_rle8_roundtrip_delta_and_malformed():
+    """BI_RLE8 BMP: the synth's run/absolute/EOL/EOF streams decode
+    to the exact two-family gradient across edge dims; a hand fixture
+    pins the DELTA escape (skipped cells stay 0); malformed streams
+    raise ValueError."""
+    import struct
+
+    import pytest as _pytest
+
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        decode_bmp_rle8,
+        synth_bmp_rle8,
+    )
+
+    for w, h in [(1, 1), (2, 1), (1, 2), (3, 2), (5, 7), (16, 8), (9, 3)]:
+        dw, dh, px = decode_bmp_rle8(synth_bmp_rle8(w, h))
+        assert (dw, dh) == (w, h)
+        expect = bytes(
+            ((y % 7) + 1) if y % 2 == 0 else (x + y) % 13
+            for y in range(h)
+            for x in range(w)
+        )
+        assert px == expect, f"{w}x{h}"
+
+    def wrap(enc: bytes, w: int, h: int) -> bytes:
+        palette = b"".join(
+            struct.pack("<BBBB", j, j, j, 0) for j in range(256)
+        )
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(enc), 0, 0, 256, 0
+        )
+        off = 14 + len(info) + len(palette)
+        return (
+            struct.pack("<2sIHHI", b"BM", off + len(enc), 0, 0, off)
+            + info
+            + palette
+            + enc
+        )
+
+    # delta escape: run 2×5 at (0,0) of bottom row, delta (+1,+1),
+    # then run 1×9 — cells crossed by the delta stay 0
+    enc = bytes((2, 5, 0, 2, 1, 1, 1, 9, 0, 0, 0, 1))
+    _, _, px = decode_bmp_rle8(wrap(enc, 4, 2))
+    # bottom stored row = image row 1: [5, 5, 0, 0];
+    # after delta y=1 -> image row 0, x=3: [0, 0, 0, 9]
+    assert px == bytes([0, 0, 0, 9, 5, 5, 0, 0])
+
+    # malformed: run overflowing the row, and a missing EOF
+    with _pytest.raises(ValueError, match="overflow"):
+        decode_bmp_rle8(wrap(bytes((9, 1, 0, 1)), 4, 2))
+    with _pytest.raises(ValueError, match="end-of-bitmap"):
+        decode_bmp_rle8(wrap(bytes((2, 1, 0, 0)), 4, 2))
 
 
 def test_gate_refresh_twins_are_identical_callables():

@@ -148,6 +148,12 @@ QUERIES_UNDER_TEST = [
     "text_term_lift_topk",
     "sim_knn_loo_label_accuracy",
     "orders_jackknife_mean_ci",
+    # round-8 codec closures: integer-exact decode sums must be
+    # identical under any partitioning of the asset scan (sub-byte
+    # bit unpack and the G.711 table expansion are per-asset pure
+    # functions; the census aggregates are integer sums)
+    "mm_png_subbyte_decode_census",
+    "mm_wav_g711_decode_census",
 ]
 
 

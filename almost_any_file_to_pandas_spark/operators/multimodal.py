@@ -841,12 +841,14 @@ def decode_wav(content: bytes):
     spec (id + little-endian size, word-aligned), parses the ``fmt ``
     chunk, and decodes the ``data`` payload into samples whose energy
     (Σ value²) is computed from the DECODED ints — so a decoder
-    regression breaks census parity. Three real codec arms: 16-bit
-    PCM (format 1), ITU-T G.711 A-law (format 6) and µ-law (format
-    7) — the telephony codecs, expanded through the spec's integer
-    segment tables. The remaining codecs (IEEE-float, ADPCM,
-    MP3-in-WAV...) raise the honest ``NotImplementedError`` gate,
-    mirroring :func:`decode_image`'s compressed-BMP arm."""
+    regression breaks census parity. Four real codec arms: 16-bit
+    PCM (format 1), 32-bit IEEE float (format 3, energy rounded to
+    the nearest integer — exact for integer-valued samples), and
+    ITU-T G.711 A-law (format 6) / µ-law (format 7) — the telephony
+    codecs, expanded through the spec's integer segment tables. The
+    remaining codecs (ADPCM, MP3-in-WAV...) raise the honest
+    ``NotImplementedError`` gate, mirroring :func:`decode_image`'s
+    compressed-BMP arm."""
     import array
     import struct
     import sys
@@ -870,12 +872,23 @@ def decode_wav(content: bytes):
         n_frames = len(data) // channels
         sum_sq = sum(tbl[b] * tbl[b] for b in data)
         return rate, channels, n_frames, sum_sq
+    if audio_format == 3 and bits == 32:
+        # WAVE_FORMAT_IEEE_FLOAT: little-endian float32 samples. The
+        # energy is returned as the ROUNDED integer Σv² — exact
+        # whenever samples are integer-valued (every synth here; a
+        # float32 of a small integer is exact), documented lossy
+        # otherwise.
+        n = len(data) // 4
+        vals = struct.unpack(f"<{n}f", data[: n * 4])
+        n_frames = n // channels
+        sum_sq = int(sum(v * v for v in vals) + 0.5)
+        return rate, channels, n_frames, sum_sq
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
             f"WAV codec (format {audio_format}, {bits}-bit) beyond "
-            "16-bit PCM and G.711 requires an audio library this "
-            "environment does not ship; the arms above run the real "
-            "decode"
+            "16-bit PCM, 32-bit IEEE float, and G.711 requires an "
+            "audio library this environment does not ship; the arms "
+            "above run the real decode"
         )
     samples = array.array("h")
     samples.frombytes(data[: len(data) - len(data) % 2])
@@ -980,6 +993,115 @@ def mm_wav_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.expr("n_frames * 1000000 div sample_rate")
         ).alias("total_duration_us"),
+        F.sum("energy").alias("total_energy"),
+    )
+
+
+def synth_wav_float(rate: int, channels: int, n_frames: int) -> bytes:
+    """Deterministically assemble a canonical 44-byte-header IEEE-
+    float WAV (format tag 3, 32 bits/sample): every channel of frame
+    ``i`` carries float32 of the integer ramp ``(i % 17) - 8`` —
+    exactly representable, so the decoded energy equals the PCM
+    census's closed form."""
+    import struct
+
+    frame = b"".join(
+        struct.pack("<f", float((i % 17) - 8)) * channels
+        for i in range(n_frames)
+    )
+    fmt = struct.pack(
+        "<HHIIHH", 3, channels, rate, rate * channels * 4,
+        channels * 4, 32,
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(frame), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(frame))
+        + frame
+    )
+
+
+@register(
+    "mm_wav_float_decode_census",
+    oracle=f"""
+    WITH a AS (
+      SELECT 8000 * ((doc_id % 2) + 1) AS rate,
+             CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 2 END AS ch,
+             ((doc_id % {WAV_FRAMES_MOD}) + 1) * 8 AS nf
+      FROM documents WHERE doc_id % 3 = 2
+    ), e AS (
+      SELECT rate, ch, nf, nf // 17 AS q, nf % 17 AS r FROM a
+    )
+    SELECT CAST(rate AS BIGINT) AS sample_rate,
+           CAST(ch AS BIGINT) AS channels,
+           COUNT(*) AS n_assets,
+           CAST(SUM(nf) AS BIGINT) AS total_frames,
+           CAST(SUM(44 + nf * ch * 4) AS BIGINT) AS total_bytes,
+           CAST(SUM(ch * (q * {_WAV_RAMP_CYCLE_SSQ}
+                          + ((r - 1) * r * (2 * r - 1)) // 6
+                          - 8 * r * (r - 1) + 64 * r)) AS BIGINT)
+             AS total_energy
+    FROM e GROUP BY 1, 2
+    """,
+)
+def mm_wav_float_decode_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IEEE-FLOAT leg of the real WAV decode (format tag 3 —
+    with the G.711 arms this leaves only genuinely-library-bound
+    codecs gated: ADPCM, MP3-in-WAV): every asset is a true 32-bit
+    float WAV carrying the SAME integer ramp as the PCM census —
+    float32 of (i % 17) − 8, exactly representable, so the decoded
+    energy (rounded Σv², exact here) matches the PCM closed form
+    while the byte-size arithmetic pins the 4-byte sample width.
+    Decoded by :func:`decode_wav`'s float arm. Uses the ``doc_id %
+    3 = 2`` asset slice (both rates × both channel layouts).
+
+    100 TB shape: identical to the PCM census — blobs stay inside
+    worker batches, five integers per asset shuffle, ≤4-cell census.
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    auds = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 2).select(
+        "doc_id"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            out = {
+                "sample_rate": [],
+                "channels": [],
+                "n_frames": [],
+                "nbytes": [],
+                "energy": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blob = synth_wav_float(
+                    8000 * (did % 2 + 1),
+                    1 if did % 4 < 2 else 2,
+                    (did % WAV_FRAMES_MOD + 1) * 8,
+                )
+                rate, ch, nf, ssq = decode_wav(blob)
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["n_frames"].append(nf)
+                out["nbytes"].append(len(blob))
+                out["energy"].append(ssq)
+            yield pd.DataFrame(out)
+
+    decoded = auds.mapInPandas(
+        decode_batches,
+        schema=(
+            "sample_rate long, channels long, n_frames long, "
+            "nbytes long, energy long"
+        ),
+    )
+    return decoded.groupBy("sample_rate", "channels").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("n_frames").alias("total_frames"),
+        F.sum("nbytes").alias("total_bytes"),
         F.sum("energy").alias("total_energy"),
     )
 

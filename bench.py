@@ -369,6 +369,9 @@ HEADLINE = [
     # round-8: BI_RLE8 compressed-BMP decode (runs + absolute mode +
     # escapes; gate shrunk to RLE4/bitfields)
     "mm_bmp_rle8_decode_census",
+    # round-8: IEEE-float WAV decode (integer-valued float32 ramp,
+    # energy exact; WAV gate shrunk to ADPCM/MP3-in-WAV)
+    "mm_wav_float_decode_census",
 ]
 
 # One representative per operator family, printed in the final

@@ -105,6 +105,8 @@ def test_decode_wav_real_pcm_roundtrip():
             + 64 * rr
         )
         assert ssq == closed
+    # format 3 with 16-bit samples is a malformed float header (the
+    # real 32-bit float arm decodes since round 8) — stays gated
     floaty = bytearray(synth_wav(8000, 1, 8))
     struct.pack_into("<H", floaty, 20, 3)  # WAVE_FORMAT_IEEE_FLOAT
     with pytest.raises(NotImplementedError):

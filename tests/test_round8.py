@@ -815,8 +815,19 @@ def test_wav_g711_roundtrip_and_remaining_gate():
                 tbl[i % 256] ** 2 for i in range(nf)
             ), (law, ch, nf)
 
-    # IEEE-float WAV (format 3) stays honestly gated
-    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    # IEEE-float WAV (format 3) decodes for real: the integer ramp
+    # is exactly representable in float32, so the energy matches the
+    # PCM closed form; IMA-ADPCM (format 0x11) stays honestly gated
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        synth_wav_float,
+    )
+
+    for ch, nf in [(1, 8), (2, 40), (1, 17)]:
+        rate, dch, dnf, ssq = decode_wav(synth_wav_float(8000, ch, nf))
+        assert (rate, dch, dnf) == (8000, ch, nf)
+        assert ssq == ch * sum(((i % 17) - 8) ** 2 for i in range(nf))
+
+    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4000, 1, 4)
     blob = (
         struct.pack("<4sI4s", b"RIFF", 36 + 8, b"WAVE")
         + struct.pack("<4sI", b"fmt ", len(fmt))

@@ -150,10 +150,12 @@ QUERIES_UNDER_TEST = [
     "orders_jackknife_mean_ci",
     # round-8 codec closures: integer-exact decode sums must be
     # identical under any partitioning of the asset scan (sub-byte
-    # bit unpack and the G.711 table expansion are per-asset pure
-    # functions; the census aggregates are integer sums)
+    # bit unpack, the G.711 table expansion, and the RLE8 opcode
+    # walk are per-asset pure functions; the census aggregates are
+    # integer sums)
     "mm_png_subbyte_decode_census",
     "mm_wav_g711_decode_census",
+    "mm_bmp_rle8_decode_census",
 ]
 
 

@@ -1869,3 +1869,103 @@ def pipeline_snapshot_diff_census(
         F.count("*").alias("n_docs"),
         F.sum("delta").cast("long").alias("delta_bytes"),
     )
+
+
+COMPACT_TARGET_BYTES = 8_000  # output-file size target (test scale)
+COMPACT_BUCKETS = 32  # input "files" per source = doc_id % 32 slices
+
+
+@register(
+    "pipeline_file_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT source, doc_id % {COMPACT_BUCKETS} AS bucket,
+             COUNT(*) AS n_docs,
+             CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS n_bytes
+      FROM documents GROUP BY 1, 2
+    ), placed AS (
+      SELECT source, bucket, n_docs, n_bytes,
+             (SUM(n_bytes) OVER (
+                PARTITION BY source ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) - n_bytes)
+               // {COMPACT_TARGET_BYTES} AS out_file
+      FROM files
+    )
+    SELECT source,
+           CAST(out_file AS BIGINT) AS out_file,
+           CAST(COUNT(*) AS BIGINT) AS n_inputs,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+           CAST(SUM(n_bytes) * 1000000 // {COMPACT_TARGET_BYTES}
+                AS BIGINT) AS fill_q6,
+           SUM(n_bytes) > {COMPACT_TARGET_BYTES} AS over_target
+    FROM placed GROUP BY 1, 2
+    """,
+)
+def pipeline_file_compaction_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Small-files compaction plan — the physical-design advisor for
+    the other end of :func:`pipeline_global_shuffle_shards`: given a
+    per-source manifest of input files (restated here as the
+    ``doc_id % {COMPACT_BUCKETS}`` slices so the plan is
+    oracle-checkable on testdata), assign each file to an output file
+    by START-OFFSET binning — ``out_file = (running_bytes − n_bytes)
+    div {COMPACT_TARGET_BYTES}`` — the greedy packing Spark's own
+    ``FilePartition`` planner uses for ``maxPartitionBytes``
+    coalescing (a bin may overflow by at most one input file; the
+    census flags those as ``over_target``). The output prices the
+    rewrite before paying for it: fill factors near 1e6 mean the
+    compaction is worth the IO; many sub-filled bins mean the target
+    is too small.
+
+    Plan: ONE manifest aggregate (map-side combine) then a running
+    sum over the manifest ordered within each source — the window is
+    PARTITIONED BY source, so at 100 TB no global single-partition
+    sort exists (the r6 vocab-coverage scale-killer class); each
+    source's manifest is file-count-sized, orders of magnitude
+    smaller than the corpus. The final regroup is bin-count-sized.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    files = docs.groupBy(
+        "source",
+        F.pmod(F.col("doc_id"), F.lit(COMPACT_BUCKETS)).alias("bucket"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum(F.length("text")), F.lit(0))
+        .cast("long")
+        .alias("n_bytes"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    placed = files.withColumn(
+        "cum_bytes", F.sum("n_bytes").over(w)
+    ).withColumn(
+        "out_file",
+        F.expr(
+            f"(cum_bytes - n_bytes) div {COMPACT_TARGET_BYTES}"
+        ).cast("long"),
+    )
+    return placed.groupBy("source", "out_file").agg(
+        F.count("*").cast("long").alias("n_inputs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("n_bytes"),
+        (F.sum("n_bytes") * 1_000_000)
+        .cast("long")
+        .alias("_fill_num"),
+        (F.sum("n_bytes") > COMPACT_TARGET_BYTES).alias("over_target"),
+    ).select(
+        "source",
+        "out_file",
+        "n_inputs",
+        "n_docs",
+        "n_bytes",
+        F.expr(f"_fill_num div {COMPACT_TARGET_BYTES}")
+        .cast("long")
+        .alias("fill_q6"),
+        "over_target",
+    )

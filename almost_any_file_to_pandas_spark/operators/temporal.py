@@ -4272,3 +4272,290 @@ def orders_tscv_fold_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_test").cast("long").alias("n_test"),
         F.col("test_rev_cents").cast("long").alias("test_rev_cents"),
     )
+
+
+PERM_TEST_B = 32  # pseudo-permutation replicates
+
+
+@register(
+    "events_permutation_test",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                           AS BIGINT)) AS BIGINT) AS tot
+      FROM events GROUP BY user_id
+    ), spine AS (
+      SELECT unnest(range(-1, {PERM_TEST_B})) AS b
+    ), assigned AS (
+      SELECT s.b,
+             CASE WHEN s.b = -1 THEN u.user_id % 2
+                  ELSE ('0x' || substr(md5(CAST(u.user_id AS VARCHAR)
+                        || ':' || CAST(s.b AS VARCHAR)), 1, 8))::BIGINT
+                       % 2 END AS side,
+             u.tot
+      FROM users u, spine s
+    ), sides AS (
+      SELECT b, side, COUNT(*) AS n, SUM(tot) AS s
+      FROM assigned GROUP BY b, side
+    ), diffs AS (
+      SELECT b,
+             MAX(CASE WHEN side = 1 THEN s END)
+               // MAX(CASE WHEN side = 1 THEN n END)
+             - MAX(CASE WHEN side = 0 THEN s END)
+               // MAX(CASE WHEN side = 0 THEN n END) AS diff
+      FROM sides GROUP BY b
+    ), obs AS (SELECT diff AS observed FROM diffs WHERE b = -1)
+    SELECT CAST((SELECT COUNT(*) FROM users) AS BIGINT) AS n_users,
+           CAST(o.observed AS BIGINT) AS observed_diff_micros,
+           CAST({PERM_TEST_B} AS BIGINT) AS b_perms,
+           CAST(COUNT(*) FILTER (WHERE d.b >= 0
+                AND abs(d.diff) >= abs(o.observed)) AS BIGINT)
+             AS n_extreme,
+           CAST((COUNT(*) FILTER (WHERE d.b >= 0
+                 AND abs(d.diff) >= abs(o.observed)) + 1) * 1000000
+                // ({PERM_TEST_B} + 1) AS BIGINT) AS p_value_q6
+    FROM diffs d, obs o GROUP BY o.observed
+    """,
+)
+def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test on the A/B cohort split — the
+    distribution-free companion to `events_ab_cohort_compare`'s
+    Welch z and `events_ab_sample_size_chebyshev`: is the observed
+    per-user mean-value difference between cohorts (``user_id % 2``)
+    larger than what {PERM_TEST_B} label-shuffled replicates produce?
+    Replicates are PSEUDO-permutations — cohort relabels drawn from
+    the md5 stream ``hash(user:b) % 2`` — the deterministic,
+    engine-portable restatement of a Monte-Carlo permutation test
+    (Fisher randomization with hash randomness; binomial cohort
+    sizes, asymptotically equivalent). The p-value uses the standard
+    add-one estimator ``(1 + #extreme) / (B + 1)`` in exact integer
+    q6; every per-replicate mean is an exact integer division of
+    micros, so no double crosses an engine boundary.
+
+    Plan: ONE user-keyed aggregate reduces the corpus to per-user
+    totals (the only corpus-sized shuffle); the replicate fan-out
+    multiplies the USER frame — already aggregated — by {PERM_TEST_B}
+    + 1 narrow rows whose re-aggregation has map-side combine into
+    2·({PERM_TEST_B} + 1) cells; everything after is a bounded-frame
+    fold. At 100 TB the fan-out cost is B× the user table, tunable by
+    B, never B× the corpus.
+    """
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    micros = (
+        F.col("value").cast("decimal(18,6)") * 1_000_000
+    ).cast("bigint")
+    users = ev.groupBy("user_id").agg(
+        F.sum(micros).cast("bigint").alias("tot")
+    )
+    spine = spark.range(-1, PERM_TEST_B).select(F.col("id").alias("b"))
+    assigned = users.crossJoin(F.broadcast(spine)).select(
+        "b",
+        "tot",
+        F.when(F.col("b") == -1, F.col("user_id") % 2)
+        .otherwise(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("user_id").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        )
+        .alias("side"),
+    )
+    sides = assigned.groupBy("b", "side").agg(
+        F.count("*").alias("n"), F.sum("tot").alias("s")
+    )
+    diffs = sides.groupBy("b").agg(
+        (
+            F.expr("MAX(CASE WHEN side = 1 THEN s END)"
+                   " div MAX(CASE WHEN side = 1 THEN n END)")
+            - F.expr("MAX(CASE WHEN side = 0 THEN s END)"
+                     " div MAX(CASE WHEN side = 0 THEN n END)")
+        ).alias("diff")
+    )
+    n_users = users.agg(F.count("*").cast("long").alias("n_users"))
+    obs = diffs.filter(F.col("b") == -1).select(
+        F.col("diff").alias("observed")
+    )
+    return (
+        diffs.crossJoin(F.broadcast(obs))
+        .crossJoin(F.broadcast(n_users))
+        .groupBy("n_users", "observed")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("b") >= 0)
+                    & (F.abs(F.col("diff")) >= F.abs(F.col("observed"))),
+                    1,
+                )
+            ).alias("n_extreme")
+        )
+        .selectExpr(
+            "n_users",
+            "CAST(observed AS BIGINT) AS observed_diff_micros",
+            f"CAST({PERM_TEST_B} AS BIGINT) AS b_perms",
+            "CAST(n_extreme AS BIGINT) AS n_extreme",
+            f"CAST((n_extreme + 1) * 1000000 div ({PERM_TEST_B} + 1)"
+            " AS BIGINT) AS p_value_q6",
+        )
+    )
+
+
+@register(
+    "orders_seasonal_decompose_additive",
+    oracle="""
+    WITH monthly AS (
+      SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(25,6))) * 100
+                        + 0.5) AS BIGINT) AS y_cents
+      FROM orders GROUP BY 1
+    ), trended AS (
+      SELECT ym, y_cents,
+             CASE WHEN COUNT(*) OVER w11 = 11
+                   AND LAG(y_cents, 6) OVER wo IS NOT NULL
+                   AND LEAD(y_cents, 6) OVER wo IS NOT NULL
+                  THEN (2 * SUM(y_cents) OVER w11
+                        + LAG(y_cents, 6) OVER wo
+                        + LEAD(y_cents, 6) OVER wo) // 24
+             END AS trend_cents
+      FROM monthly
+      WINDOW wo AS (ORDER BY ym),
+             w11 AS (ORDER BY ym ROWS BETWEEN 5 PRECEDING
+                     AND 5 FOLLOWING)
+    ), season_raw AS (
+      SELECT ym % 100 AS moy,
+             CAST(FLOOR(CAST(SUM(y_cents - trend_cents) AS DOUBLE)
+                        / COUNT(*) + 0.5) AS BIGINT) AS s_raw
+      FROM trended WHERE trend_cents IS NOT NULL GROUP BY 1
+    ), season AS (
+      SELECT moy,
+             s_raw - CAST(FLOOR(
+               (SELECT CAST(SUM(s_raw) AS DOUBLE) / COUNT(*)
+                FROM season_raw) + 0.5) AS BIGINT) AS seasonal_cents
+      FROM season_raw
+    )
+    SELECT CAST(t.ym AS BIGINT) AS ym,
+           t.y_cents,
+           CAST(t.trend_cents AS BIGINT) AS trend_cents,
+           CAST(s.seasonal_cents AS BIGINT) AS seasonal_cents,
+           CAST(t.y_cents - t.trend_cents - s.seasonal_cents
+                AS BIGINT) AS remainder_cents
+    FROM trended t JOIN season s ON t.ym % 100 = s.moy
+    """,
+)
+def orders_seasonal_decompose_additive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method of Macaulay 1931 — the procedure inside X-11/STL's first
+    pass) of monthly revenue: trend = CENTERED 12-month MA with the
+    spec's half-weights on the end months (``(y_{t−6} + 2Σ_{t−5..t+5}
+    + y_{t+6}) div 24`` — exact integer on positive cents), seasonal
+    = per month-of-year mean of the detrended series re-centered to
+    sum ≈ 0, remainder = what's left. NULL trend at the 6-month edges
+    is the honest contract (a centered window has no value there).
+    Complements the forecasting quartet: EWMA/Holt forecast the
+    future; this explains the past — the standard first look at
+    "is the December spike seasonal or growth?".
+
+    The only mean that can go negative (the seasonal step) rounds via
+    ``FLOOR(x + 0.5)`` on DOUBLE — identical cross-engine — because
+    integer division of negatives truncates differently across
+    engines (Spark ``div`` toward zero, DuckDB ``//`` toward −∞).
+
+    100 TB shape: ONE (year, month) aggregate with map-side combine
+    reduces the corpus to the calendar-bounded month spine; every
+    window and join after that runs on ≤ ~100 rows (the Holt/Markov
+    bounded-model-state pattern). The month windows run on the
+    bounded frame with the non-foldable constant partition key.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym")
+    ).agg(
+        F.floor(
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("y_cents")
+    )
+    # bounded month spine: constant-but-non-foldable partition key
+    # (see text_vocab_topk) keeps the single partition intended
+    pk = F.pmod(F.col("ym"), F.lit(1))
+    wo = W.partitionBy(pk).orderBy("ym")
+    w11 = (
+        W.partitionBy(pk).orderBy("ym").rowsBetween(-5, 5)
+    )
+    trended = monthly.select(
+        "ym",
+        "y_cents",
+        F.when(
+            (F.count("*").over(w11) == 11)
+            & F.lag("y_cents", 6).over(wo).isNotNull()
+            & F.lead("y_cents", 6).over(wo).isNotNull(),
+            F.expr("2") * F.sum("y_cents").over(w11)
+            + F.lag("y_cents", 6).over(wo)
+            + F.lead("y_cents", 6).over(wo),
+        ).alias("trend_num"),
+    ).withColumn(
+        "trend_cents", F.expr("trend_num div 24").cast("long")
+    )
+    season_raw = (
+        trended.filter(F.col("trend_cents").isNotNull())
+        .groupBy((F.col("ym") % 100).alias("moy"))
+        .agg(
+            F.floor(
+                F.sum(F.col("y_cents") - F.col("trend_cents")).cast(
+                    "double"
+                )
+                / F.count("*")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("s_raw")
+        )
+    )
+    s_mean = season_raw.agg(
+        F.floor(
+            F.sum("s_raw").cast("double") / F.count("*") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("s_mean")
+    )
+    season = season_raw.crossJoin(F.broadcast(s_mean)).select(
+        "moy", (F.col("s_raw") - F.col("s_mean")).alias("seasonal_cents")
+    )
+    return (
+        trended.join(
+            F.broadcast(season), trended["ym"] % 100 == season["moy"]
+        )
+        .select(
+            F.col("ym").cast("long").alias("ym"),
+            "y_cents",
+            F.col("trend_cents").cast("long").alias("trend_cents"),
+            F.col("seasonal_cents").cast("long").alias("seasonal_cents"),
+            (
+                F.col("y_cents")
+                - F.col("trend_cents")
+                - F.col("seasonal_cents")
+            )
+            .cast("long")
+            .alias("remainder_cents"),
+        )
+    )

@@ -2759,3 +2759,144 @@ def text_langid_eval_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f1_q6"),
         )
     )
+
+
+HEAPS_CHECKPOINTS = 10  # corpus-prefix deciles the growth curve samples
+
+
+@register(
+    "text_heaps_vocab_growth",
+    oracle=f"""
+    WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), firsts AS (
+      SELECT term, MIN(doc_id) AS first_doc FROM tok GROUP BY term
+    ), vocab_by_decile AS (
+      SELECT (first_doc * {HEAPS_CHECKPOINTS}) // nn.n AS decile,
+             COUNT(*) AS new_terms
+      FROM firsts, nn GROUP BY 1
+    ), docstats AS (
+      SELECT (doc_id * {HEAPS_CHECKPOINTS}) // nn.n AS decile,
+             COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents, nn GROUP BY 1
+    ), spine AS (
+      SELECT unnest(range({HEAPS_CHECKPOINTS})) AS checkpoint
+    ), cum AS (
+      SELECT s.checkpoint,
+             (SELECT COALESCE(SUM(d.n_docs), 0) FROM docstats d
+               WHERE d.decile <= s.checkpoint) AS cum_docs,
+             (SELECT COALESCE(SUM(d.n_tokens), 0) FROM docstats d
+               WHERE d.decile <= s.checkpoint) AS cum_tokens,
+             (SELECT COALESCE(SUM(v.new_terms), 0) FROM vocab_by_decile v
+               WHERE v.decile <= s.checkpoint) AS vocab_size
+      FROM spine s
+    )
+    SELECT CAST(checkpoint AS BIGINT) AS checkpoint,
+           CAST(cum_docs AS BIGINT) AS cum_docs,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(vocab_size AS BIGINT) AS vocab_size,
+           CAST(CASE WHEN cum_tokens = 0 THEN 0
+                ELSE vocab_size * 1000000 // cum_tokens END AS BIGINT)
+             AS ttr_q6
+    FROM cum
+    """,
+)
+def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve — distinct vocabulary vs
+    cumulative token count at {HEAPS_CHECKPOINTS} corpus-prefix
+    checkpoints (docs in ``doc_id`` order, decile =
+    ``(doc_id·{HEAPS_CHECKPOINTS}) div (max_doc+1)``). The curve is
+    how a corpus builder decides whether more data still buys new
+    vocabulary (sub-linear growth flattening = diminishing lexical
+    returns) and is the classic companion to the Zipf rank-frequency
+    profile (`text_vocab_topk`); the type-token ratio per prefix
+    rides along in exact integer q6 — no logs, per the house
+    transcendental-free discipline.
+
+    Plan: the cumulative trick is that a term contributes to every
+    checkpoint ≥ its FIRST decile, so one vocabulary-keyed aggregate
+    (min doc_id per term — the only corpus-sized shuffle) reduces to
+    a ≤{HEAPS_CHECKPOINTS}-row frame, and the prefix sums run on the
+    {HEAPS_CHECKPOINTS}-row spine — never a re-scan per checkpoint
+    and never a corpus-sized window. Doc/token masses come from a
+    second map-side-combined aggregate over per-doc projections; the
+    max-doc scalar broadcasts.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    n = docs.agg((F.max("doc_id") + 1).alias("n"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+    )
+    firsts = tok.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    vocab_dec = (
+        firsts.crossJoin(F.broadcast(n))
+        .selectExpr(
+            f"(first_doc * {HEAPS_CHECKPOINTS}) div n AS decile"
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("new_terms"))
+    )
+    doc_dec = (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ", -1)).alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            f"(doc_id * {HEAPS_CHECKPOINTS}) div n AS decile",
+            "n_tokens",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    spine = spark.range(HEAPS_CHECKPOINTS).select(
+        F.col("id").alias("checkpoint")
+    )
+    cum_docs = (
+        spine.join(
+            F.broadcast(doc_dec),
+            doc_dec["decile"] <= F.col("checkpoint"),
+            "left",
+        )
+        .groupBy("checkpoint")
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0))
+            .cast("long")
+            .alias("cum_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("long")
+            .alias("cum_tokens"),
+        )
+    )
+    cum_vocab = (
+        spine.join(
+            F.broadcast(vocab_dec),
+            vocab_dec["decile"] <= F.col("checkpoint"),
+            "left",
+        )
+        .groupBy("checkpoint")
+        .agg(
+            F.coalesce(F.sum("new_terms"), F.lit(0))
+            .cast("long")
+            .alias("vocab_size")
+        )
+    )
+    return (
+        cum_docs.join(cum_vocab, "checkpoint")
+        .selectExpr(
+            "CAST(checkpoint AS BIGINT) AS checkpoint",
+            "cum_docs",
+            "cum_tokens",
+            "vocab_size",
+            "CAST(CASE WHEN cum_tokens = 0 THEN 0"
+            " ELSE vocab_size * 1000000 div cum_tokens END AS BIGINT)"
+            " AS ttr_q6",
+        )
+    )

@@ -372,6 +372,24 @@ HEADLINE = [
     # round-8: IEEE-float WAV decode (integer-valued float32 ramp,
     # energy exact; WAV gate shrunk to ADPCM/MP3-in-WAV)
     "mm_wav_float_decode_census",
+    # round-8: BI_RLE4 (nibble runs/packing) + BI_BITFIELDS (mask
+    # extraction, RGB565 + XRGB8888) — the BMP gate is now only the
+    # embed-a-JPEG/PNG methods 4/5
+    "mm_bmp_rle4_decode_census",
+    "mm_bmp_bitfields_decode_census",
+    # round-8: IMA/DVI ADPCM WAV decode (step-table recurrence;
+    # oracle replays it in a recursive CTE — WAV gate now only
+    # MS-ADPCM / MP3-in-WAV)
+    "mm_wav_adpcm_decode_census",
+    # round-8: small-files compaction advisor, Heaps'-law vocabulary
+    # growth curve, hash-randomized permutation test
+    "pipeline_file_compaction_plan",
+    "text_heaps_vocab_growth",
+    "events_permutation_test",
+    # round-8: delta-proportional CC maintenance + classical additive
+    # seasonal decomposition
+    "graph_cc_incremental_batch",
+    "orders_seasonal_decompose_additive",
 ]
 
 # One representative per operator family, printed in the final

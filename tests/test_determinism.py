@@ -156,6 +156,15 @@ QUERIES_UNDER_TEST = [
     "mm_png_subbyte_decode_census",
     "mm_wav_g711_decode_census",
     "mm_bmp_rle8_decode_census",
+    # round-8 second session: incremental label composition must land
+    # on identical component histograms under any partitioning; the
+    # compaction cumsum window and the permutation replicate fold are
+    # integer-exact; the seasonal means divide exact-int sums in
+    # double only at the final FLOOR
+    "graph_cc_incremental_batch",
+    "pipeline_file_compaction_plan",
+    "events_permutation_test",
+    "orders_seasonal_decompose_additive",
 ]
 
 

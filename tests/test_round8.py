@@ -817,7 +817,8 @@ def test_wav_g711_roundtrip_and_remaining_gate():
 
     # IEEE-float WAV (format 3) decodes for real: the integer ramp
     # is exactly representable in float32, so the energy matches the
-    # PCM closed form; IMA-ADPCM (format 0x11) stays honestly gated
+    # PCM closed form; MS-ADPCM (format 2) stays honestly gated (the
+    # IMA-ADPCM format 0x11 became a real arm later in round 8)
     from almost_any_file_to_pandas_spark.operators.multimodal import (
         synth_wav_float,
     )
@@ -827,7 +828,7 @@ def test_wav_g711_roundtrip_and_remaining_gate():
         assert (rate, dch, dnf) == (8000, ch, nf)
         assert ssq == ch * sum(((i % 17) - 8) ** 2 for i in range(nf))
 
-    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4000, 1, 4)
+    fmt = struct.pack("<HHIIHH", 0x02, 1, 8000, 4000, 1, 4)
     blob = (
         struct.pack("<4sI4s", b"RIFF", 36 + 8, b"WAVE")
         + struct.pack("<4sI", b"fmt ", len(fmt))
@@ -915,3 +916,235 @@ def test_gate_refresh_twins_are_identical_callables():
         "embedding_hygiene_report",
         "text_token_budget_trim",
     }
+
+
+def test_bmp_rle4_roundtrip_delta_and_malformed():
+    """BI_RLE4 BMP: the synth's nibble-run/absolute/EOL/EOF streams
+    decode to the exact two-family gradient across edge dims; hand
+    fixtures pin the hi/lo alternation phase on ODD run counts, the
+    absolute-mode word alignment, and the DELTA escape; malformed
+    streams raise ValueError."""
+    import struct
+
+    import pytest as _pytest
+
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        decode_bmp_rle4,
+        synth_bmp_rle4,
+    )
+
+    for w, h in [(1, 1), (2, 1), (1, 2), (3, 2), (5, 7), (16, 8), (9, 3)]:
+        dw, dh, px = decode_bmp_rle4(synth_bmp_rle4(w, h))
+        assert (dw, dh) == (w, h)
+        expect = bytes(
+            ((((y % 5) + 1) if x % 2 == 0 else (y % 3)) if y % 2 == 0
+             else (x + y) % 11)
+            for y in range(h)
+            for x in range(w)
+        )
+        assert px == expect, f"{w}x{h}"
+
+    def wrap(enc: bytes, w: int, h: int) -> bytes:
+        palette = b"".join(
+            struct.pack("<BBBB", j * 17, j * 17, j * 17, 0)
+            for j in range(16)
+        )
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 4, 2, len(enc), 0, 0, 16, 0
+        )
+        off = 14 + len(info) + len(palette)
+        return (
+            struct.pack("<2sIHHI", b"BM", off + len(enc), 0, 0, off)
+            + info
+            + palette
+            + enc
+        )
+
+    # odd-count encoded run: 3 pixels of byte 0x12 alternate 1,2,1
+    enc = bytes((3, 0x12, 0, 0, 0, 1))
+    _, _, px = decode_bmp_rle4(wrap(enc, 3, 1))
+    assert px == bytes([1, 2, 1])
+
+    # absolute mode, odd pixel count: 5 nibbles pack into 3 bytes —
+    # an ODD payload, so one pad byte word-aligns it — then a run
+    # must resume cleanly after the pad
+    enc = bytes((0, 5, 0xAB, 0xCD, 0xE0, 0x00, 1, 0xF0, 0, 0, 0, 1))
+    _, _, px = decode_bmp_rle4(wrap(enc, 6, 1))
+    assert px == bytes([0xA, 0xB, 0xC, 0xD, 0xE, 0xF])
+
+    # delta escape: run 2 of 0x53 at bottom row, delta (+1,+1), then
+    # run 1 of 0x90 — cells crossed by the delta stay 0
+    enc = bytes((2, 0x53, 0, 2, 1, 1, 1, 0x90, 0, 0, 0, 1))
+    _, _, px = decode_bmp_rle4(wrap(enc, 4, 2))
+    # bottom stored row = image row 1: [5, 3, 0, 0];
+    # after delta y=1 -> image row 0, x=3: [0, 0, 0, 9]
+    assert px == bytes([0, 0, 0, 9, 5, 3, 0, 0])
+
+    with _pytest.raises(ValueError, match="overflow"):
+        decode_bmp_rle4(wrap(bytes((9, 0x11, 0, 1)), 4, 2))
+    with _pytest.raises(ValueError, match="end-of-bitmap"):
+        decode_bmp_rle4(wrap(bytes((2, 0x11, 0, 0)), 4, 2))
+
+
+def test_bmp_bitfields_roundtrip_and_errors():
+    """BI_BITFIELDS BMP: both depths round-trip the 5/6/5-bit
+    gradients; a hand 2x1 RGB565 fixture pins the mask/shift
+    arithmetic byte-for-byte; zero/overlapping masks, wrong depth,
+    and truncation raise ValueError; decode_image reports BF16/BF32
+    as real and gates only the embed-JPEG/PNG methods."""
+    import struct
+
+    import pytest as _pytest
+
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        decode_bmp_bitfields,
+        decode_image,
+        synth_bmp_bitfields,
+    )
+
+    for bpp in (16, 32):
+        for w, h in [(1, 1), (2, 1), (1, 2), (3, 2), (5, 7), (16, 8)]:
+            dw, dh, db, (r, g, b) = decode_bmp_bitfields(
+                synth_bmp_bitfields(w, h, bpp)
+            )
+            assert (dw, dh, db) == (w, h, bpp)
+            assert r == [(x + y) % 32 for y in range(h) for x in range(w)]
+            assert g == [
+                (2 * x + y) % 64 for y in range(h) for x in range(w)
+            ]
+            assert b == [
+                (x + 2 * y) % 32 for y in range(h) for x in range(w)
+            ]
+            assert decode_image(synth_bmp_bitfields(w, h, bpp)) == (
+                w,
+                h,
+                f"BF{bpp}",
+            )
+
+    def wrap565(pix_words, w, h, masks=(0xF800, 0x07E0, 0x001F), bpp=16):
+        stride = (w * (bpp // 8) + 3) & ~3
+        rows = bytearray()
+        for j in range(h):
+            row = b"".join(
+                struct.pack("<H", v)
+                for v in pix_words[(h - 1 - j) * w : (h - j) * w]
+            )
+            rows += row + b"\x00" * (stride - len(row))
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, 3, len(rows), 0, 0, 0, 0
+        )
+        mask_blk = struct.pack("<III", *masks)
+        off = 14 + len(info) + len(mask_blk)
+        return (
+            struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
+            + info
+            + mask_blk
+            + bytes(rows)
+        )
+
+    # hand fixture: 0xF800 -> r=31, 0x07E0 -> g=63 in RGB565
+    _, _, _, (r, g, b) = decode_bmp_bitfields(
+        wrap565([0xF800, 0x07E0], 2, 1)
+    )
+    assert (r, g, b) == ([31, 0], [0, 63], [0, 0])
+
+    with _pytest.raises(ValueError, match="zero"):
+        decode_bmp_bitfields(
+            wrap565([0], 1, 1, masks=(0xF800, 0x07E0, 0))
+        )
+    with _pytest.raises(ValueError, match="overlap"):
+        decode_bmp_bitfields(
+            wrap565([0], 1, 1, masks=(0xFF00, 0x0FF0, 0x001F))
+        )
+    with _pytest.raises(ValueError, match="16/32"):
+        bad = bytearray(synth_bmp_bitfields(2, 1, 16))
+        struct.pack_into("<H", bad, 28, 8)
+        decode_bmp_bitfields(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp_bitfields(synth_bmp_bitfields(8, 8, 32)[:-16])
+
+    # the remaining BMP gate: embed-a-JPEG/PNG compression methods
+    bad = bytearray(synth_bmp_bitfields(2, 1, 16))
+    struct.pack_into("<I", bad, 30, 4)  # BI_JPEG
+    with _pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image(bytes(bad))
+
+
+def test_wav_ima_adpcm_roundtrip_clamps_and_malformed():
+    """IMA ADPCM WAV: the synth's two-block streams decode to the
+    exact step-table recurrence for both channel counts and all four
+    block sizes; hand cases pin the TRUNCATING shift-sum difference
+    (step 7, code 1 -> diff 1, not the fused form's 2), the int16 and
+    index clamps, and the stereo 4-byte-group interleave; ragged or
+    inconsistent streams raise ValueError; decode_wav dispatches the
+    format-0x11 arm and gates only the library-bound codecs."""
+    import struct
+
+    import pytest as _pytest
+
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        _ima_step,
+        decode_wav,
+        decode_wav_ima_adpcm,
+        synth_wav_ima_adpcm,
+    )
+
+    # truncating shift-sum: step index 0 (step 7), code 1 ->
+    # diff = 7>>3 + 7>>2 = 0 + 1 = 1; the fused ((2*1+1)*7)>>3 = 2
+    assert _ima_step(0, 0, 1) == (1, 0)
+    # int16 clamp both ways at the table top (step 32767)
+    assert _ima_step(32000, 88, 7)[0] == 32767
+    assert _ima_step(-32000, 88, 15)[0] == -32768
+    # index clamp at both rails
+    assert _ima_step(0, 0, 0)[1] == 0  # adj -1 clamps at 0
+    assert _ima_step(0, 88, 7)[1] == 88  # adj +8 clamps at 88
+
+    for doc in (0, 1, 2, 3, 5, 10, 17):
+        ch = 1 + (doc % 2)
+        spb = 8 * ((doc % 4) + 1) + 1
+        rate, dch, chans = decode_wav_ima_adpcm(
+            synth_wav_ima_adpcm(doc, ch, spb)
+        )
+        assert (rate, dch) == (8000, ch)
+        assert all(len(c) == 2 * spb for c in chans)
+        # replay the recurrence independently
+        for c in range(ch):
+            out = []
+            for b in range(2):
+                pred = ((doc + 11 * b + 5 * c) % 29 - 14) * 100
+                idx = (doc + 7 * b + 3 * c) % 89
+                out.append(pred)
+                for k in range(spb - 1):
+                    pred, idx = _ima_step(
+                        pred, idx, (doc + 13 * b + 3 * c + 5 * k) % 16
+                    )
+                    out.append(pred)
+            assert chans[c] == out
+
+    # stereo interleave: zero nibbles everywhere, distinct headers —
+    # channel 0's samples must all derive from ITS header
+    blob = bytearray(synth_wav_ima_adpcm(4, 2, 9))
+    rate, dch, chans = decode_wav_ima_adpcm(bytes(blob))
+    assert dch == 2 and chans[0] != chans[1]
+
+    # ragged data: truncate one byte off the data chunk
+    whole = synth_wav_ima_adpcm(3, 1, 9)
+    bad = bytearray(whole[:-1])
+    struct.pack_into("<I", bad, len(bad) - len(whole) + 44 - 4 - 3, 0)
+    with _pytest.raises(ValueError):
+        decode_wav_ima_adpcm(bytes(whole[:-4]))
+
+    # inconsistent block align vs samples-per-block
+    bad = bytearray(whole)
+    off = bad.find(b"fmt ") + 8
+    struct.pack_into("<H", bad, off + 12, 99)  # block_align
+    with _pytest.raises(ValueError, match="block align"):
+        decode_wav_ima_adpcm(bytes(bad))
+
+    # decode_wav dispatch + the remaining honest gate (MS-ADPCM)
+    r, c, nf, ssq = decode_wav(whole)
+    assert (r, c, nf) == (8000, 1, 18) and ssq > 0
+    bad = bytearray(whole)
+    struct.pack_into("<H", bad, off, 2)  # MS-ADPCM format tag
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad))

@@ -1,0 +1,280 @@
+"""Round-8 second-session operator tests: the small-files compaction
+advisor (greedy start-offset binning), the Heaps'-law vocabulary
+growth curve, and the hash-randomized permutation test."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _queries():
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()
+
+
+@pytest.fixture()
+def compaction_docs_dir(spark, tmp_path):
+    """Six documents, one per compaction bucket, with text lengths
+    crafted so the greedy start-offset bins are hand-computable
+    against COMPACT_TARGET_BYTES = 8000: cum starts 0 / 5000 / 10000
+    / 15000 / 17000 / 26000 -> bins 0, 0, 1, 1, 2, 3."""
+    lengths = [5000, 5000, 5000, 2000, 9000, 100]
+    rows = [
+        (i, "x" * n, "en", "s", n) for i, n in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_compaction_plan_hand_bins(spark, compaction_docs_dir):
+    """Greedy start-offset binning must reproduce the hand plan,
+    including both over-target bins (a bin may overflow by at most
+    the one file that straddles its end)."""
+    qs = _queries()
+    rows = {
+        r.out_file: r
+        for r in qs["pipeline_file_compaction_plan"](
+            spark, compaction_docs_dir
+        ).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    assert (rows[0].n_inputs, rows[0].n_bytes, rows[0].over_target) == (
+        2, 10000, True,
+    )
+    assert (rows[1].n_inputs, rows[1].n_bytes, rows[1].over_target) == (
+        2, 7000, False,
+    )
+    assert (rows[2].n_inputs, rows[2].n_bytes, rows[2].over_target) == (
+        1, 9000, True,
+    )
+    assert (rows[3].n_inputs, rows[3].n_bytes, rows[3].over_target) == (
+        1, 100, False,
+    )
+    # fill factor is exact integer q6 of bytes/target
+    assert rows[1].fill_q6 == 7000 * 1_000_000 // 8000
+
+
+def test_compaction_plan_testdata_invariants(spark):
+    """On real testdata: bins partition the corpus (doc counts add
+    up), every bin is non-empty, and per source the bin ids are a
+    dense 0..k prefix (greedy binning cannot skip a bin)."""
+    qs = _queries()
+    rows = qs["pipeline_file_compaction_plan"](spark, SF_DIR).collect()
+    assert rows
+    from collections import defaultdict
+
+    per_src = defaultdict(list)
+    for r in rows:
+        assert r.n_inputs >= 1 and r.n_bytes > 0
+        per_src[r.source].append(r.out_file)
+    for src, bins in per_src.items():
+        assert sorted(bins) == list(range(len(bins))), src
+
+
+def test_heaps_growth_monotone_and_totals(spark):
+    """The growth curve must be monotone in docs/tokens/vocab, end at
+    the full corpus totals, and carry exactly HEAPS_CHECKPOINTS
+    rows."""
+    from almost_any_file_to_pandas_spark.operators.textstats import (
+        HEAPS_CHECKPOINTS,
+    )
+    from almost_any_file_to_pandas_spark.plans import table
+
+    qs = _queries()
+    rows = sorted(
+        qs["text_heaps_vocab_growth"](spark, SF_DIR).collect(),
+        key=lambda r: r.checkpoint,
+    )
+    assert len(rows) == HEAPS_CHECKPOINTS
+    for a, b in zip(rows, rows[1:]):
+        assert a.cum_docs <= b.cum_docs
+        assert a.cum_tokens <= b.cum_tokens
+        assert a.vocab_size <= b.vocab_size
+    docs = table(spark, SF_DIR, "documents").toPandas()
+    total_docs = len(docs)
+    total_tokens = int(docs.text.str.split(" ").str.len().sum())
+    vocab = len({t for s in docs.text for t in s.split(" ")})
+    last = rows[-1]
+    assert last.cum_docs == total_docs
+    assert last.cum_tokens == total_tokens
+    assert last.vocab_size == vocab
+    assert last.ttr_q6 == vocab * 1_000_000 // total_tokens
+
+
+@pytest.fixture()
+def null_effect_events_dir(spark, tmp_path):
+    """Every user has the identical total value, so the observed
+    cohort difference is exactly 0 and EVERY permutation replicate is
+    at least as extreme: p must be exactly 1.0 (q6 1e6)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(1, 17):
+        for i in range(3):
+            rows.append(
+                (
+                    eid,
+                    base + datetime.timedelta(minutes=eid),
+                    u,
+                    "view",
+                    2.5,
+                    None,
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_permutation_test_null_effect(spark, null_effect_events_dir):
+    from almost_any_file_to_pandas_spark.operators.temporal import (
+        PERM_TEST_B,
+    )
+
+    qs = _queries()
+    (row,) = qs["events_permutation_test"](
+        spark, null_effect_events_dir
+    ).collect()
+    assert row.n_users == 16
+    assert row.observed_diff_micros == 0
+    assert row.n_extreme == PERM_TEST_B
+    assert row.p_value_q6 == 1_000_000
+
+
+def test_permutation_test_testdata_bounds(spark):
+    """On real testdata the p-value must be a valid add-one estimate
+    and the replicate count fixed."""
+    from almost_any_file_to_pandas_spark.operators.temporal import (
+        PERM_TEST_B,
+    )
+
+    qs = _queries()
+    (row,) = qs["events_permutation_test"](spark, SF_DIR).collect()
+    assert row.b_perms == PERM_TEST_B
+    assert 0 <= row.n_extreme <= PERM_TEST_B
+    lo = 1 * 1_000_000 // (PERM_TEST_B + 1)
+    assert lo <= row.p_value_q6 <= 1_000_000
+
+
+@pytest.fixture()
+def merging_docs_dir(spark, tmp_path):
+    """A doc corpus whose (source, lang) chain edges are known, built
+    so at least one DELTA edge (md5(u:v) % 5 == 0) bridges two BASE
+    components — found by probing the hash, not hoped for."""
+    from almost_any_file_to_pandas_spark.operators.graph import (
+        CC_DELTA_MOD,
+    )
+    import hashlib
+
+    def is_delta(u, v):
+        h = int(hashlib.md5(f"{u}:{v}".encode()).hexdigest()[:8], 16)
+        return h % CC_DELTA_MOD == 0
+
+    # one chain of 40 docs in a single (source, lang) slice: edges
+    # (i, i+1); assert the hash split produces BOTH kinds
+    ids = list(range(40))
+    kinds = [is_delta(u, v) for u, v in zip(ids, ids[1:])]
+    assert any(kinds) and not all(kinds)
+    rows = [(i, f"doc {i}", "en", "s", 5) for i in ids]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_cc_incremental_merges_to_full_graph(spark, merging_docs_dir):
+    """On a 40-node path the full graph is ONE component of 40; the
+    base split breaks it apart, and the incremental merge must weld
+    it back exactly."""
+    qs = _queries()
+    rows = qs["graph_cc_incremental_batch"](
+        spark, merging_docs_dir
+    ).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r.component_size, r.n_components, r.n_nodes) == (40, 1, 40)
+
+
+def test_cc_incremental_census_equals_from_scratch(spark):
+    """On testdata the incremental composition must produce the same
+    size histogram as a from-scratch alternating CC of the full edge
+    set (the Spark-side restatement of the oracle identity)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        connected_components_alternating,
+    )
+    from almost_any_file_to_pandas_spark.plans import table
+
+    qs = _queries()
+    inc = {
+        r.component_size: (r.n_components, r.n_nodes)
+        for r in qs["graph_cc_incremental_batch"](spark, SF_DIR).collect()
+    }
+    docs = table(spark, SF_DIR, "documents")
+    w = W.partitionBy("source", "lang").orderBy("doc_id")
+    edges = docs.select(
+        F.col("doc_id").alias("u"), F.lead("doc_id").over(w).alias("v")
+    ).filter(F.col("v").isNotNull())
+    full = connected_components_alternating(edges)
+    sizes = full.groupBy("lbl").count()
+    scratch = {
+        r["count"]: r["n"]
+        for r in sizes.groupBy("count")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {k: v[0] for k, v in inc.items()} == scratch
+
+
+def test_seasonal_decompose_identity_and_edges(spark):
+    """Decomposition invariants on testdata: one row per month, NULL
+    trend exactly at the 6 edge months each side, y = trend +
+    seasonal + remainder wherever trend exists, the seasonal value is
+    a pure function of month-of-year, and the re-centered seasonal
+    means sum to ~0 (|sum| bounded by the 12 floor-roundings)."""
+    qs = _queries()
+    rows = sorted(
+        qs["orders_seasonal_decompose_additive"](spark, SF_DIR).collect(),
+        key=lambda r: r.ym,
+    )
+    assert len(rows) == len({r.ym for r in rows})
+    no_trend = [r.ym for r in rows if r.trend_cents is None]
+    assert no_trend == [r.ym for r in rows[:6]] + [
+        r.ym for r in rows[-6:]
+    ]
+    by_moy = {}
+    for r in rows:
+        by_moy.setdefault(r.ym % 100, set()).add(r.seasonal_cents)
+        if r.trend_cents is not None:
+            assert (
+                r.y_cents
+                == r.trend_cents + r.seasonal_cents + r.remainder_cents
+            )
+        else:
+            assert r.remainder_cents is None
+    assert all(len(v) == 1 for v in by_moy.values())
+    assert abs(sum(next(iter(v)) for v in by_moy.values())) <= 12

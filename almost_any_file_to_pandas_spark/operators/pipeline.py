@@ -1969,3 +1969,215 @@ def pipeline_file_compaction_plan(
         .alias("fill_q6"),
         "over_target",
     )
+
+
+# flat-object JSON pair extraction: one regex, run IDENTICALLY on
+# both engines over the RAW text (from_json map<string,string>
+# un-quotes strings, so a JSON "69" and a JSON 69 would become
+# indistinguishable — raw-text capture keeps the type evidence)
+PROPS_PAIR_RX = (
+    '"([^"]+)"\\s*:\\s*("[^"]*"|-?[0-9][0-9.eE+-]*|true|false|null)'
+)
+
+
+@register(
+    "events_props_schema_census",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT u.k AS key, u.v AS val
+      FROM (
+        SELECT regexp_extract_all(props, '{PROPS_PAIR_RX}', 1) AS ks,
+               regexp_extract_all(props, '{PROPS_PAIR_RX}', 2) AS vs
+        FROM events WHERE props IS NOT NULL
+      ), LATERAL (
+        SELECT unnest(ks) AS k, unnest(vs) AS v
+      ) u
+    ), typed AS (
+      SELECT key,
+             CASE WHEN val LIKE '"%' THEN 'string'
+                  WHEN val IN ('true', 'false') THEN 'boolean'
+                  WHEN val = 'null' THEN 'null'
+                  WHEN regexp_full_match(val, '-?[0-9]+') THEN 'integer'
+                  ELSE 'number' END AS jtype,
+             CASE WHEN regexp_full_match(val, '-?[0-9]+')
+                  THEN CAST(val AS BIGINT) END AS ival
+      FROM pairs
+    )
+    SELECT key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE jtype = 'integer') AS BIGINT)
+             AS n_integer,
+           CAST(COUNT(*) FILTER (WHERE jtype = 'number') AS BIGINT)
+             AS n_number,
+           CAST(COUNT(*) FILTER (WHERE jtype = 'string') AS BIGINT)
+             AS n_string,
+           CAST(COUNT(*) FILTER (WHERE jtype = 'boolean') AS BIGINT)
+             AS n_boolean,
+           CAST(COUNT(*) FILTER (WHERE jtype = 'null') AS BIGINT)
+             AS n_null,
+           CAST(COUNT(DISTINCT jtype) AS BIGINT) AS n_types,
+           CAST(MIN(ival) AS BIGINT) AS int_min,
+           CAST(MAX(ival) AS BIGINT) AS int_max,
+           CAST(SUM(ival) AS BIGINT) AS int_sum
+    FROM typed GROUP BY key
+    """,
+)
+def events_props_schema_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semi-structured schema discovery over the ``props`` JSON
+    column — the first thing an ingestion pipeline runs on an events
+    feed it does not control: per key, how often it appears, the
+    distribution of JSON types behind it (``n_types > 1`` is the
+    schema-drift alarm), and exact integer min/max/sum for the
+    integer-typed values. Pairs are captured from the RAW text by one
+    regex run identically on both engines (documented contract: flat
+    objects, no nesting or escaped quotes) because a parsed
+    ``map<string,string>`` un-quotes strings and destroys the
+    evidence distinguishing JSON ``"69"`` from ``69``.
+
+    Plan: one narrow projection (JVM ``regexp_extract_all`` × 2 on
+    the same pattern — positionally consistent by construction),
+    zipped explode, ONE key-keyed aggregate with map-side combine.
+    At 100 TB the shuffle carries per-key type-tagged partials —
+    key-domain-bounded after combine — and the census frame is
+    key-count-sized. No Python touches the hot path.
+    """
+    apply_engine_conf(spark)
+    ev = table_wide(spark, sf_dir, "events")
+    # F.lit keeps the pattern out of SQL string-literal escaping
+    # (an F.expr literal would eat the \s)
+    pairs = (
+        ev.filter(F.col("props").isNotNull())
+        .select(
+            F.arrays_zip(
+                F.regexp_extract_all(
+                    F.col("props"), F.lit(PROPS_PAIR_RX), F.lit(1)
+                ).alias("k"),
+                F.regexp_extract_all(
+                    F.col("props"), F.lit(PROPS_PAIR_RX), F.lit(2)
+                ).alias("v"),
+            ).alias("kv")
+        )
+        .select(F.explode("kv").alias("p"))
+        .select(F.col("p.k").alias("key"), F.col("p.v").alias("val"))
+    )
+    is_int = F.col("val").rlike("^-?[0-9]+$")
+    typed = pairs.select(
+        "key",
+        F.when(F.col("val").startswith('"'), "string")
+        .when(F.col("val").isin("true", "false"), "boolean")
+        .when(F.col("val") == "null", "null")
+        .when(is_int, "integer")
+        .otherwise("number")
+        .alias("jtype"),
+        F.when(is_int, F.col("val").cast("bigint")).alias("ival"),
+    )
+    return typed.groupBy("key").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count(F.when(F.col("jtype") == "integer", 1))
+        .cast("long")
+        .alias("n_integer"),
+        F.count(F.when(F.col("jtype") == "number", 1))
+        .cast("long")
+        .alias("n_number"),
+        F.count(F.when(F.col("jtype") == "string", 1))
+        .cast("long")
+        .alias("n_string"),
+        F.count(F.when(F.col("jtype") == "boolean", 1))
+        .cast("long")
+        .alias("n_boolean"),
+        F.count(F.when(F.col("jtype") == "null", 1))
+        .cast("long")
+        .alias("n_null"),
+        F.countDistinct("jtype").cast("long").alias("n_types"),
+        F.min("ival").cast("long").alias("int_min"),
+        F.max("ival").cast("long").alias("int_max"),
+        F.sum("ival").cast("long").alias("int_sum"),
+    )
+
+
+REPEAT_BUDGET_X = 3  # token budget = 3x the corpus (forces repeats)
+REPEAT_MAX_EPOCHS = 4  # the data-constrained-scaling repeat ceiling
+
+
+@register(
+    "pipeline_repeat_epochs_advisor",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+             COALESCE(SUM(len(string_split(text, ' '))), 0) AS toks
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT COALESCE(SUM(toks), 0) AS total, COUNT(*) AS n_src FROM src
+    ), alloc AS (
+      -- equal budget share per source (the mixing rows own weighted
+      -- shares; this advisor prices the REPEAT side)
+      SELECT s.source, s.toks,
+             (t.total * {REPEAT_BUDGET_X}) // t.n_src AS share
+      FROM src s, tot t
+    )
+    SELECT source,
+           CAST(toks AS BIGINT) AS source_tokens,
+           CAST(share AS BIGINT) AS budget_share,
+           CAST(LEAST({REPEAT_MAX_EPOCHS},
+                CASE WHEN toks = 0 THEN 0
+                     ELSE (share + toks - 1) // toks END) AS BIGINT)
+             AS epochs,
+           CAST(LEAST(share, LEAST({REPEAT_MAX_EPOCHS},
+                CASE WHEN toks = 0 THEN 0
+                     ELSE (share + toks - 1) // toks END) * toks)
+                AS BIGINT) AS tokens_served,
+           CAST(GREATEST(0, share - {REPEAT_MAX_EPOCHS} * toks)
+                AS BIGINT) AS unfilled_budget
+    FROM alloc
+    """,
+)
+def pipeline_repeat_epochs_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data-constrained repeat advisor (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models": tokens reused up to
+    ~4 epochs are nearly as good as fresh): given a token budget of
+    {REPEAT_BUDGET_X}× the corpus split equally across sources, how
+    many epochs must each source repeat (capped at
+    {REPEAT_MAX_EPOCHS}), how many tokens does it actually serve, and
+    how much budget stays UNFILLED once the cap binds — the number
+    that tells a corpus builder which sources need new collection
+    rather than more repetition. Complements the mixing family
+    (UniMax waterfills fresh tokens; this prices repetition).
+
+    Plan: ONE source-keyed token aggregate (map-side combine, the
+    corpus-sized step), then pure projection arithmetic on the
+    source-count frame with the 1-row total broadcast. Exact integer
+    ceil-division throughout.
+    """
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.coalesce(
+            F.sum(F.size(F.split(F.col("text"), " ", -1))), F.lit(0)
+        ).alias("toks")
+    )
+    tot = src.agg(
+        F.coalesce(F.sum("toks"), F.lit(0)).alias("total"),
+        F.count("*").alias("n_src"),
+    )
+    alloc = src.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "toks",
+        f"(total * {REPEAT_BUDGET_X}) div n_src AS share",
+    )
+    return alloc.selectExpr(
+        "source",
+        "CAST(toks AS BIGINT) AS source_tokens",
+        "CAST(share AS BIGINT) AS budget_share",
+        f"CAST(LEAST({REPEAT_MAX_EPOCHS}, CASE WHEN toks = 0 THEN 0"
+        " ELSE (share + toks - 1) div toks END) AS BIGINT) AS epochs",
+        f"CAST(LEAST(share, LEAST({REPEAT_MAX_EPOCHS},"
+        " CASE WHEN toks = 0 THEN 0"
+        " ELSE (share + toks - 1) div toks END) * toks) AS BIGINT)"
+        " AS tokens_served",
+        f"CAST(GREATEST(0, share - {REPEAT_MAX_EPOCHS} * toks)"
+        " AS BIGINT) AS unfilled_budget",
+    )

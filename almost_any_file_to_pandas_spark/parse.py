@@ -130,6 +130,15 @@ def parse(
             )
 
             return [read_feather(spark, p, **options)]
+        if extension == ".avro":
+            # extension beyond the reference (SURVEY.md §7): Avro OCF
+            # via the stdlib spec decoder, block-parallel (the
+            # built-in format("avro") jar does not ship here)
+            from almost_any_file_to_pandas_spark.sources.avro import (
+                read_avro,
+            )
+
+            return [read_avro(spark, p, **options)]
         if extension in (".html", ".htm"):
             # extension beyond the reference (SURVEY.md §7): every
             # <table> in the document fans out as its own result —

@@ -390,6 +390,15 @@ HEADLINE = [
     # seasonal decomposition
     "graph_cc_incremental_batch",
     "orders_seasonal_decompose_additive",
+    # round-8: MS-ADPCM decode (adaptive-delta recurrence with the
+    # floor `>> 8`; oracle recursive CTE — WAV gate now MP3-only)
+    "mm_wav_ms_adpcm_decode_census",
+    # round-8: semi-structured JSON schema-drift census (raw-text
+    # regex pair capture, identical on both engines)
+    "events_props_schema_census",
+    # round-8: data-constrained repeat advisor (epochs under a
+    # budget, 4-epoch cap, unfilled-budget readout)
+    "pipeline_repeat_epochs_advisor",
 ]
 
 # One representative per operator family, printed in the final

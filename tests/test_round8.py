@@ -817,8 +817,9 @@ def test_wav_g711_roundtrip_and_remaining_gate():
 
     # IEEE-float WAV (format 3) decodes for real: the integer ramp
     # is exactly representable in float32, so the energy matches the
-    # PCM closed form; MS-ADPCM (format 2) stays honestly gated (the
-    # IMA-ADPCM format 0x11 became a real arm later in round 8)
+    # PCM closed form; MP3-in-WAV (format 0x55) stays honestly gated
+    # (IMA ADPCM 0x11 and MS-ADPCM 2 became real arms later in
+    # round 8)
     from almost_any_file_to_pandas_spark.operators.multimodal import (
         synth_wav_float,
     )
@@ -828,7 +829,7 @@ def test_wav_g711_roundtrip_and_remaining_gate():
         assert (rate, dch, dnf) == (8000, ch, nf)
         assert ssq == ch * sum(((i % 17) - 8) ** 2 for i in range(nf))
 
-    fmt = struct.pack("<HHIIHH", 0x02, 1, 8000, 4000, 1, 4)
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 4000, 1, 4)
     blob = (
         struct.pack("<4sI4s", b"RIFF", 36 + 8, b"WAVE")
         + struct.pack("<4sI", b"fmt ", len(fmt))
@@ -1141,10 +1142,10 @@ def test_wav_ima_adpcm_roundtrip_clamps_and_malformed():
     with _pytest.raises(ValueError, match="block align"):
         decode_wav_ima_adpcm(bytes(bad))
 
-    # decode_wav dispatch + the remaining honest gate (MS-ADPCM)
+    # decode_wav dispatch + the remaining honest gate (MP3-in-WAV)
     r, c, nf, ssq = decode_wav(whole)
     assert (r, c, nf) == (8000, 1, 18) and ssq > 0
     bad = bytearray(whole)
-    struct.pack_into("<H", bad, off, 2)  # MS-ADPCM format tag
+    struct.pack_into("<H", bad, off, 0x55)  # MP3-in-WAV format tag
     with _pytest.raises(NotImplementedError):
         decode_wav(bytes(bad))

@@ -278,3 +278,258 @@ def test_seasonal_decompose_identity_and_edges(spark):
             assert r.remainder_cents is None
     assert all(len(v) == 1 for v in by_moy.values())
     assert abs(sum(next(iter(v)) for v in by_moy.values())) <= 12
+
+
+def test_wav_ms_adpcm_roundtrip_floor_shift_and_malformed():
+    """MS-ADPCM WAV: two-block streams decode to the exact adaptive-
+    delta recurrence for both channel counts and all three block
+    sizes (independent replay below); the C `>> 8` FLOOR shift is
+    pinned on a negative predictor (floor != truncate there); ragged
+    geometry, an out-of-range predictor index, and the remaining
+    MP3-in-WAV gate raise correctly."""
+    import struct
+
+    import pytest as _pytest
+
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        _MS_ADPCM_COEFS,
+        _ms_adpcm_step,
+        decode_wav,
+        decode_wav_ms_adpcm,
+        synth_wav_ms_adpcm,
+    )
+
+    # floor vs truncate: samp1=-1, c1=256 -> product -256 >> 8 = -1
+    # exactly; samp1=-1 with c1=255 -> -255 >> 8 = -1 under FLOOR but
+    # 0 under truncation — the class the oracle's CASE restates
+    assert (-255) >> 8 == -1
+    new, d = _ms_adpcm_step(-1, 0, 16, 255, 0, 0)
+    assert new == -1 and d == 16
+
+    def ref(doc, ch, spb, n_blocks=2):
+        chans = [[] for _ in range(ch)]
+        for b in range(n_blocks):
+            for c in range(ch):
+                c1, c2 = _MS_ADPCM_COEFS[(doc + b + c) % 7]
+                delta = 16 + (7 * doc + 11 * b + 5 * c) % 1000
+                s1 = ((doc + 3 * b + 2 * c) % 41 - 20) * 50
+                s2 = ((doc + 5 * b + 3 * c) % 37 - 18) * 40
+                chans[c].append(s2)
+                chans[c].append(s1)
+                for k in range(spb - 2):
+                    n = (doc + 13 * b + 3 * c + 5 * k) % 16
+                    new, delta = _ms_adpcm_step(s1, s2, delta, c1, c2, n)
+                    s2, s1 = s1, new
+                    chans[c].append(new)
+        return chans
+
+    for doc in (0, 1, 2, 3, 5, 8, 13):
+        ch = 1 + (doc % 2)
+        spb = 2 + 8 * ((doc % 3) + 1)
+        blob = synth_wav_ms_adpcm(doc, ch, spb)
+        rate, dch, chans = decode_wav_ms_adpcm(blob)
+        assert (rate, dch) == (8000, ch)
+        assert chans == ref(doc, ch, spb)
+        r, c, nf, ssq = decode_wav(blob)
+        assert (r, c, nf) == (8000, ch, 2 * spb)
+        assert ssq == sum(v * v for cc in chans for v in cc)
+
+    whole = synth_wav_ms_adpcm(3, 1, 10)
+    with _pytest.raises(ValueError):
+        decode_wav_ms_adpcm(whole[:-3])
+    off = whole.find(b"fmt ") + 8
+    bad = bytearray(whole)
+    struct.pack_into("<H", bad, off + 12, 99)  # block_align
+    with _pytest.raises(ValueError, match="block align"):
+        decode_wav_ms_adpcm(bytes(bad))
+    # predictor index past the coefficient table
+    data_off = whole.find(b"data") + 8
+    bad = bytearray(whole)
+    bad[data_off] = 9
+    with _pytest.raises(ValueError, match="predictor index"):
+        decode_wav_ms_adpcm(bytes(bad))
+
+
+@pytest.fixture()
+def drifting_props_events_dir(spark, tmp_path):
+    """Events whose props JSON drifts across every JSON type for one
+    key while a second key stays stable — the schema-drift alarm
+    case, covering all five type arms."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    props = [
+        '{"k": 7, "tag": "a"}',
+        '{"k": -3, "tag": "b"}',
+        '{"k": 1.25, "tag": "c"}',
+        '{"k": "seven", "tag": "d"}',
+        '{"k": true, "tag": "e"}',
+        '{"k": null, "tag": "f"}',
+        '{"k": 2e3, "tag": "g"}',
+    ]
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 1, "view", 1.0, p)
+        for i, p in enumerate(props)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_props_schema_census_types_and_drift(
+    spark, drifting_props_events_dir
+):
+    qs = _queries()
+    rows = {
+        r.key: r
+        for r in qs["events_props_schema_census"](
+            spark, drifting_props_events_dir
+        ).collect()
+    }
+    assert set(rows) == {"k", "tag"}
+    k = rows["k"]
+    assert (k.n, k.n_integer, k.n_number, k.n_string) == (7, 2, 2, 1)
+    assert (k.n_boolean, k.n_null, k.n_types) == (1, 1, 5)
+    assert (k.int_min, k.int_max, k.int_sum) == (-3, 7, 4)
+    t = rows["tag"]
+    assert (t.n, t.n_string, t.n_types) == (7, 7, 1)
+    assert t.int_min is None and t.int_sum is None
+
+
+def test_props_schema_census_testdata_shape(spark):
+    """Testdata props carry one integer key 'k' — the census must say
+    exactly that, with exact integer stats."""
+    qs = _queries()
+    rows = qs["events_props_schema_census"](spark, SF_DIR).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r.key == "k" and r.n_types == 1 and r.n == r.n_integer
+    assert r.int_min is not None and r.int_min <= r.int_max
+
+
+def test_avro_source_roundtrip_and_parse_arm(spark, tmp_path):
+    """Avro OCF source: the stdlib container decoder round-trips both
+    codecs and multi-block files through the DISTRIBUTED scan; the
+    parse facade dispatches `.avro` as a typed passthrough; negative
+    zigzag, union nulls, sync mismatch, unknown codec, and the
+    non-record gate behave per spec."""
+    import pytest as _pytest
+
+    from almost_any_file_to_pandas_spark import parse
+    from almost_any_file_to_pandas_spark.sources.avro import (
+        read_avro_frame,
+        read_avro_header,
+        synth_avro,
+        write_varint,
+        read_varint,
+    )
+
+    # zigzag: spec examples 0->0x00, -1->0x01, 1->0x02, -64->0x7f
+    assert write_varint(0) == b"\x00"
+    assert write_varint(-1) == b"\x01"
+    assert write_varint(1) == b"\x02"
+    assert write_varint(-64) == b"\x7f"
+    assert read_varint(b"\x80\x01", 0) == (64, 2)
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "flag", "type": "boolean"},
+            {"name": "note", "type": ["null", "string"]},
+        ],
+    }
+    rows = [
+        (
+            i - 500,
+            f"name{i}",
+            i * 0.25,
+            i % 2 == 0,
+            None if i % 3 == 0 else f"note{i}",
+        )
+        for i in range(100)
+    ]
+    for codec in ("null", "deflate"):
+        path = tmp_path / f"t_{codec}.avro"
+        path.write_bytes(
+            synth_avro(schema, rows, codec=codec, rows_per_block=17)
+        )
+        df = read_avro_frame(spark, path)
+        got = sorted(
+            (r.id, r.name, r.score, r.flag, r.note)
+            for r in df.collect()
+        )
+        assert got == sorted(rows), codec
+        assert dict(df.dtypes)["id"] == "bigint"
+        assert dict(df.dtypes)["note"] == "string"
+
+    # parse facade: typed passthrough, one result, parse_info OK
+    res = parse(spark, str(tmp_path / "t_null.avro"))
+    assert len(res) == 1 and res[0].parse_info == "OK"
+    assert res[0].data.count() == 100
+
+    # malformed: flipped sync marker, unknown codec, non-record gate
+    blob = bytearray(synth_avro(schema, rows[:5]))
+    blob[-1] ^= 0xFF
+    bad = tmp_path / "bad.avro"
+    bad.write_bytes(bytes(blob))
+    with _pytest.raises(ValueError, match="sync"):
+        read_avro_frame(spark, bad)
+    hdr = synth_avro(schema, [])
+    hdr = hdr.replace(b'"null"', b'"x0x0"').replace(b"null", b"x0x0", 1)
+    with _pytest.raises((ValueError, NotImplementedError)):
+        read_avro_header(
+            synth_avro(schema, [], codec="null").replace(
+                b"null", b"lz4x"
+            )
+        )
+    with _pytest.raises(NotImplementedError, match="record"):
+        synth_avro({"type": "array", "items": "long"}, [])
+    # facade error path: malformed avro degrades to Failed, no raise
+    assert parse(spark, str(bad))[0].parse_info == "Failed"
+
+
+def test_repeat_epochs_cap_binds_on_skewed_sources(spark, tmp_path):
+    """A tiny source under an equal budget share must hit the 4-epoch
+    cap and report unfilled budget; a huge source serves its share in
+    one epoch."""
+    rows = []
+    did = 0
+    for _ in range(40):  # big: 40 docs x 10 tokens = 400
+        rows.append((did, "t " * 9 + "t", "en", "big", 19))
+        did += 1
+    for _ in range(2):  # small: 2 docs x 10 tokens = 20
+        rows.append((did, "t " * 9 + "t", "en", "small", 19))
+        did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    qs = _queries()
+    out = {
+        r.source: r
+        for r in qs["pipeline_repeat_epochs_advisor"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # total 420 tokens, budget 3x = 1260, share 630 each
+    big, small = out["big"], out["small"]
+    assert big.source_tokens == 400 and big.budget_share == 630
+    assert big.epochs == 2 and big.tokens_served == 630
+    assert big.unfilled_budget == 0
+    assert small.source_tokens == 20
+    assert small.epochs == 4  # cap binds
+    assert small.tokens_served == 80
+    assert small.unfilled_budget == 630 - 4 * 20

@@ -72,6 +72,18 @@ BATTERY = [
     "privacy_t_closeness_census",
     "text_langid_eval_census",
     "lineitem_column_profile_approx",
+    # round-8 second session: checkpoint spines and broadcast scalar
+    # totals must agree with the oracle on empty/dangling corpora
+    # (empty curves, NULL-observed permutation, sub-13-month empty
+    # decomposition, edge-less CC, zero-source advisor)
+    "text_heaps_vocab_growth",
+    "events_permutation_test",
+    "pipeline_file_compaction_plan",
+    "orders_seasonal_decompose_additive",
+    "graph_cc_incremental_batch",
+    "events_props_schema_census",
+    "pipeline_repeat_epochs_advisor",
+    "mm_wav_ms_adpcm_decode_census",
 ]
 
 # Rows-only repaired queries (no oracle): crash-freedom is the pin.

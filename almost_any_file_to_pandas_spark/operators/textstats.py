@@ -2900,3 +2900,149 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS ttr_q6",
         )
     )
+
+
+RAKE_TOP = 15  # keyphrases reported
+
+# Gopher stopword list, restated for the oracle (import would be
+# circular at module-import time for the SQL constant)
+_RAKE_STOP_SQL = (
+    "'the', 'be', 'to', 'of', 'and', 'that', 'have', 'with', 'a', 'in'"
+)
+
+
+@register(
+    "text_rake_keyphrases_topk",
+    oracle=f"""
+    WITH toks AS (
+      -- index-join ordinality (DuckDB lacks WITH ORDINALITY)
+      SELECT doc_id, u.ord, l[u.ord] AS term
+      FROM (SELECT doc_id, string_split(text, ' ') AS l
+            FROM documents),
+      LATERAL (SELECT unnest(range(1, len(l) + 1)) AS ord) u
+    ), marked AS (
+      SELECT doc_id, term, ord,
+             SUM(CASE WHEN term IN ({_RAKE_STOP_SQL}) OR term = ''
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY ord) AS run_id,
+             (term IN ({_RAKE_STOP_SQL}) OR term = '') AS is_stop
+      FROM toks
+    ), content AS (
+      SELECT doc_id, run_id, term, ord FROM marked WHERE NOT is_stop
+    ), phrase_len AS (
+      SELECT doc_id, run_id, COUNT(*) AS plen FROM content
+      GROUP BY doc_id, run_id
+    ), word_stats AS (
+      SELECT c.term,
+             COUNT(*) AS freq,
+             SUM(p.plen) AS degree
+      FROM content c
+      JOIN phrase_len p
+        ON p.doc_id = c.doc_id AND p.run_id = c.run_id
+      GROUP BY c.term
+    ), word_score AS (
+      SELECT term, (degree * 1000000) // freq AS score_q6
+      FROM word_stats
+    ), phrases AS (
+      SELECT c.doc_id, c.run_id,
+             string_agg(c.term, ' ' ORDER BY c.ord) AS phrase,
+             COUNT(*) AS n_words,
+             SUM(w.score_q6) AS score_q6
+      FROM content c JOIN word_score w ON w.term = c.term
+      GROUP BY c.doc_id, c.run_id
+    ), agg AS (
+      SELECT phrase,
+             CAST(MAX(n_words) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_occ,
+             CAST(MAX(score_q6) AS BIGINT) AS score_q6
+      FROM phrases GROUP BY phrase
+    )
+    SELECT phrase, n_words, n_occ, score_q6
+    FROM agg
+    ORDER BY score_q6 DESC, phrase ASC
+    LIMIT {RAKE_TOP}
+    """,
+)
+def text_rake_keyphrases_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, "Automatic
+    Keyword Extraction from Individual Documents"): candidate phrases
+    are the maximal runs of non-stopword tokens (split at the Gopher
+    stopword list + empty tokens), each word scores degree/frequency
+    (degree = Σ lengths of the phrases containing it), and a phrase
+    scores the sum of its word scores. The house integer discipline:
+    word scores quantize to q6 BEFORE the phrase sum (the contract
+    both engines state identically), so the top-{RAKE_TOP} ranking is
+    hash-exact with a deterministic (score, phrase) tie-break.
+
+    Plan: posexplode (narrow) → per-doc stopword-prefix window (the
+    run-id trick that turns "maximal runs" into a GROUP BY — no
+    UDF, no re-scan) → three hash aggregates whose keys shrink
+    corpus → phrases → vocabulary, each map-side combined → one
+    TakeOrderedAndProject. The only window partitions BY DOC (never
+    global). At 100 TB every stage key is vocabulary- or
+    phrase-bounded after combine.
+    """
+    from almost_any_file_to_pandas_spark.operators.quality import (
+        STOPWORDS,
+    )
+    from pyspark.sql import Window as W
+
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ", -1)).alias(
+            "ord", "term"
+        ),
+    )
+    is_stop = F.col("term").isin(*STOPWORDS) | (F.col("term") == "")
+    marked = toks.select(
+        "doc_id",
+        "term",
+        "ord",
+        F.sum(is_stop.cast("long"))
+        .over(W.partitionBy("doc_id").orderBy("ord"))
+        .alias("run_id"),
+        is_stop.alias("is_stop"),
+    )
+    content = marked.filter(~F.col("is_stop")).localCheckpoint(
+        eager=True
+    )
+    phrase_len = content.groupBy("doc_id", "run_id").agg(
+        F.count("*").alias("plen")
+    )
+    word_score = (
+        content.join(phrase_len, ["doc_id", "run_id"])
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+        .selectExpr(
+            "term", "(degree * 1000000) div freq AS score_q6"
+        )
+    )
+    phrases = (
+        content.join(word_score, "term")
+        .groupBy("doc_id", "run_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("ord", "term"))
+                ).getField("term"),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("n_words"),
+            F.sum("score_q6").alias("score_q6"),
+        )
+    )
+    agg = phrases.groupBy("phrase").agg(
+        F.max("n_words").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_occ"),
+        F.max("score_q6").cast("long").alias("score_q6"),
+    )
+    return agg.orderBy(
+        F.desc("score_q6"), F.asc("phrase")
+    ).limit(RAKE_TOP)

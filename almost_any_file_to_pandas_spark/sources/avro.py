@@ -334,3 +334,57 @@ def synth_avro(
         out.write(sync)
     _ = decoders
     return out.getvalue()
+
+
+def read_avro_many(spark: SparkSession, paths) -> DataFrame:
+    """Corpus-scale Avro ingestion: ONE DataFrame over many container
+    files — the 100 TB shape (the single-file reader exists for the
+    façade's per-file metadata contract, not throughput). The driver
+    reads each file's HEADER + block index only (O(#blocks) seeks,
+    the pass a production deployment persists as a manifest);
+    executors decode `(file, codec, offset, size, count)` slices
+    independently, so parallelism = total block count across the
+    corpus, not file count. All files must share one schema (the
+    homogeneous-corpus assumption of the other `_many` readers);
+    codecs may differ per file."""
+    import glob as _glob
+
+    if isinstance(paths, (str, Path)):
+        file_list = sorted(_glob.glob(str(paths)))
+    else:
+        file_list = [str(p) for p in paths]
+    if not file_list:
+        raise ValueError("read_avro_many: no files matched")
+    specs, ddl0, decoders0 = [], None, None
+    for fp in file_list:
+        data = Path(fp).read_bytes()
+        schema, codec, sync, pos = read_avro_header(data)
+        fields = []
+        for f in schema.get("fields", []):
+            t, _ = _spark_type(f["type"])
+            fields.append(f"`{f['name']}` {t}")
+        ddl = ", ".join(fields)
+        if ddl0 is None:
+            ddl0, decoders0 = ddl, _field_decoders(schema)
+        elif ddl != ddl0:
+            raise ValueError(
+                f"read_avro_many: schema mismatch in {fp}"
+            )
+        for count, off, size in index_avro_blocks(data, pos, sync):
+            specs.append((fp, codec, count, off, size))
+    if not specs:
+        return spark.createDataFrame([], ddl0)
+    sc = spark.sparkContext
+    decoders = decoders0
+
+    def decode_spec(spec):
+        fp, codec, count, off, size = spec
+        with open(fp, "rb") as fh:
+            fh.seek(off)
+            payload = fh.read(size)
+        return decode_avro_block(payload, codec, decoders, count)
+
+    rdd = sc.parallelize(
+        specs, min(len(specs), sc.defaultParallelism)
+    ).flatMap(decode_spec)
+    return spark.createDataFrame(rdd, ddl0)

@@ -399,6 +399,11 @@ HEADLINE = [
     # round-8: data-constrained repeat advisor (epochs under a
     # budget, 4-epoch cap, unfilled-budget readout)
     "pipeline_repeat_epochs_advisor",
+    # round-8: QI generalization ladder (one Expand, four rungs)
+    "privacy_qi_generalization_ladder",
+    # round-8: RAKE keyphrase extraction (run-id phrase grouping,
+    # exact-integer degree/frequency scores)
+    "text_rake_keyphrases_topk",
 ]
 
 # One representative per operator family, printed in the final

@@ -533,3 +533,100 @@ def test_repeat_epochs_cap_binds_on_skewed_sources(spark, tmp_path):
     assert small.epochs == 4  # cap binds
     assert small.tokens_served == 80
     assert small.unfilled_budget == 630 - 4 * 20
+
+
+def test_qi_ladder_one_expand_and_monotone(spark):
+    """The ladder must compile to ONE Expand feeding one aggregate
+    (never a rescan per rung), and walking UP the ladder must be
+    monotone: min_group non-decreasing, at-risk share non-increasing,
+    the fully-generalized rung one single group of N."""
+    qs = _queries()
+    df = qs["privacy_qi_generalization_ladder"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+    rows = {r.qi_level: r for r in df.collect()}
+    assert set(rows) == {0, 1, 3, 7}
+    ladder = [rows[0], rows[1], rows[3], rows[7]]
+    for a, b in zip(ladder, ladder[1:]):
+        assert a.min_group <= b.min_group
+        assert a.risk_share_q6 >= b.risk_share_q6
+        assert a.n_groups >= b.n_groups
+    top = rows[7]
+    from almost_any_file_to_pandas_spark.plans import table
+
+    n = table(spark, SF_DIR, "customer").count()
+    assert (top.n_groups, top.min_group) == (1, n)
+    assert top.k_reached and top.rows_below_k == 0
+
+
+def test_avro_many_unions_files_block_parallel(spark, tmp_path):
+    """read_avro_many: one frame over many container files, mixed
+    codecs allowed, schema drift rejected loudly."""
+    import pytest as _pytest
+
+    from almost_any_file_to_pandas_spark.sources.avro import (
+        read_avro_many,
+        synth_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": "double"},
+        ],
+    }
+    total = []
+    for i, codec in enumerate(("null", "deflate", "null")):
+        rows = [(i * 100 + j, j * 0.5) for j in range(30)]
+        total += rows
+        (tmp_path / f"part{i}.avro").write_bytes(
+            synth_avro(schema, rows, codec=codec, rows_per_block=7)
+        )
+    df = read_avro_many(spark, str(tmp_path / "*.avro"))
+    got = sorted((r.id, r.v) for r in df.collect())
+    assert got == sorted(total)
+    # schema drift across files is a loud error
+    other = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "id", "type": "string"}],
+    }
+    (tmp_path / "drift.avro").write_bytes(
+        synth_avro(other, [("x",)])
+    )
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        read_avro_many(spark, str(tmp_path / "*.avro"))
+
+
+def test_rake_hand_scores(spark, tmp_path):
+    """RAKE on a hand corpus: 'training and deep learning models of
+    deep learning' splits at the stopwords into three phrases with
+    exactly computable degree/frequency scores."""
+    text = "training and deep learning models of deep learning"
+    rows = [(0, text, "en", "s", len(text)), (1, text, "en", "s", len(text))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    qs = _queries()
+    out = {
+        r.phrase: r
+        for r in qs["text_rake_keyphrases_topk"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # per doc (x2 docs, global word stats double but ratios hold):
+    # training: freq 2, degree 2 -> 1e6
+    # deep/learning: freq 4, degree 10 -> 2.5e6 ; models: freq 2,
+    # degree 6 -> 3e6
+    assert out["training"].score_q6 == 1_000_000
+    assert out["deep learning"].score_q6 == 5_000_000
+    assert out["deep learning models"].score_q6 == 8_000_000
+    assert out["deep learning models"].n_words == 3
+    assert all(r.n_occ == 2 for r in out.values())

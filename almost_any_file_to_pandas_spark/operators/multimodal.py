@@ -623,6 +623,11 @@ def decode_bmp_rle8(content: bytes):
         )
     if height < 0:
         raise ValueError("RLE8 BMP cannot be top-down (negative height)")
+    if width < 0 or width * height > (1 << 26):
+        raise ValueError(
+            "RLE8 bitmap dimensions exceed the untrusted-input "
+            "allocation guard (2^26 pixels)"
+        )
     out = bytearray(width * height)
     x = y = 0  # y counts stored rows (bottom-up)
     i = data_off
@@ -826,6 +831,11 @@ def decode_bmp_rle4(content: bytes):
         )
     if height < 0:
         raise ValueError("RLE4 BMP cannot be top-down (negative height)")
+    if width < 0 or width * height > (1 << 26):
+        raise ValueError(
+            "RLE4 bitmap dimensions exceed the untrusted-input "
+            "allocation guard (2^26 pixels)"
+        )
     out = bytearray(width * height)
     x = y = 0  # y counts stored rows (bottom-up)
     i = data_off

@@ -5680,3 +5680,98 @@ def lineitem_join_order_advisor(
         "CAST(est_rows * 1000000 div NULLIF(actual_rows, 0) AS BIGINT)"
         " AS est_over_actual_q6",
     )
+
+
+@register(
+    "star_denormalize_audit",
+    oracle="""
+    WITH wide AS (
+      SELECT l.l_quantity, l.l_extendedprice, l.l_discount,
+             o.o_orderdate, o.o_orderpriority,
+             c.c_mktsegment, p.p_brand, s.s_name,
+             n.n_name AS cust_nation, r.r_name AS cust_region
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+    SELECT cust_region,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+           CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM wide GROUP BY cust_region
+    """,
+)
+def star_denormalize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide-table materialization audit — the join a training
+    pipeline runs to denormalize the full star (fact lineitem ⨝ fact
+    orders ⨝ five dimensions) into one feature table, reduced to a
+    per-region census so the row is oracle-checkable: row count,
+    dimension-coverage distincts, exact revenue/quantity masses. At
+    100 TB this is THE canonical plan-shape test: the fact-fact join
+    (lineitem ⨝ orders on orderkey) is the only sort-merge-eligible
+    edge, and EVERY dimension hop (customer, part, supplier, nation,
+    region) must broadcast — a single dimension spilling to a
+    shuffle join multiplies the job's exchange volume by the fact
+    size. The plan test pins exactly that: ≥ 5 BroadcastHashJoins
+    and at most one non-broadcast join.
+
+    Column pruning matters as much as join strategy here: the scan
+    must read only the 4+3 joined/aggregated fact columns, not the
+    full 16-column lineitem — asserted via ReadSchema in the plan
+    test.
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    wide = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == region["r_regionkey"],
+        )
+    )
+    rev = F.expr(
+        "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+        " AS BIGINT)"
+    )
+    return wide.groupBy(F.col("r_name").alias("cust_region")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+        F.countDistinct("p_brand").cast("long").alias("n_brands"),
+        F.sum(rev).cast("long").alias("revenue_cents"),
+        F.sum(F.col("l_quantity").cast("long"))
+        .cast("long")
+        .alias("total_qty"),
+    )

@@ -45,6 +45,16 @@ def write(
     """
     p = str(path)
     suffix = Path(p).suffix.lower()
+    if suffix == ".avro":
+        # stdlib OCF writer (no built-in avro jar here): one complete
+        # container per partition, the reverse of sources.avro
+        from almost_any_file_to_pandas_spark.sources.avro import (
+            write_avro,
+        )
+
+        if coalesce is not None:
+            df = df.coalesce(coalesce)
+        return write_avro(df, p, **options)
     fmt = _WRITERS.get(suffix, "parquet")
     if coalesce is not None:
         df = df.coalesce(coalesce)

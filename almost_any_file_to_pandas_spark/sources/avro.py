@@ -57,7 +57,7 @@ def read_varint(buf, pos: int) -> Tuple[int, int]:
     """Avro variable-length zigzag long at ``pos`` → (value, next)."""
     shift = acc = 0
     while True:
-        if pos >= len(buf):
+        if pos < 0 or pos >= len(buf):
             raise ValueError("Avro varint truncated")
         b = buf[pos]
         pos += 1
@@ -113,7 +113,14 @@ def _field_decoders(schema: dict):
                 if ln < 0 or pos + ln > len(buf):
                     raise ValueError("Avro bytes length out of range")
                 raw = bytes(buf[pos : pos + ln])
-                return (raw.decode("utf-8") if _want_str else raw), pos + ln
+                if not _want_str:
+                    return raw, pos + ln
+                try:
+                    return raw.decode("utf-8"), pos + ln
+                except UnicodeDecodeError as exc:
+                    raise ValueError(
+                        "Avro string field not UTF-8"
+                    ) from exc
             return dec
         raise NotImplementedError(f"Avro type {t!r} not supported")
 
@@ -172,11 +179,22 @@ def read_avro_header(data: bytes):
         if n < 0:  # negative block count carries a byte size next
             n = -n
             _, pos = read_varint(data, pos)
+        if n > 1_000_000:
+            raise ValueError("Avro header map count out of range")
         for _ in range(n):
             klen, pos = read_varint(data, pos)
-            key = data[pos : pos + klen].decode("utf-8")
+            if klen < 0 or pos + klen > len(data):
+                raise ValueError("Avro header key length out of range")
+            try:
+                key = data[pos : pos + klen].decode("utf-8")
+            except UnicodeDecodeError as exc:
+                raise ValueError("Avro header key not UTF-8") from exc
             pos += klen
             vlen, pos = read_varint(data, pos)
+            if vlen < 0 or pos + vlen > len(data):
+                raise ValueError(
+                    "Avro header value length out of range"
+                )
             meta[key] = data[pos : pos + vlen]
             pos += vlen
     sync = data[pos : pos + 16]
@@ -207,11 +225,20 @@ def index_avro_blocks(data: bytes, pos: int, sync: bytes):
     return blocks
 
 
+AVRO_MAX_BLOCK_BYTES = 1 << 28  # decompression-bomb guard per block
+
+
 def decode_avro_block(
     payload: bytes, codec: str, decoders, count: int
 ) -> List[tuple]:
     if codec == "deflate":
-        payload = zlib.decompress(payload, -15)
+        d = zlib.decompressobj(-15)
+        payload = d.decompress(payload, AVRO_MAX_BLOCK_BYTES)
+        if d.unconsumed_tail:
+            raise ValueError(
+                "Avro deflate block exceeds the untrusted-input "
+                "decompression guard (2^28 bytes)"
+            )
     rows, pos = [], 0
     for _ in range(count):
         vals = []
@@ -388,3 +415,65 @@ def read_avro_many(spark: SparkSession, paths) -> DataFrame:
         specs, min(len(specs), sc.defaultParallelism)
     ).flatMap(decode_spec)
     return spark.createDataFrame(rdd, ddl0)
+
+
+_SPARK_TO_AVRO = {
+    "boolean": "boolean",
+    "int": "int",
+    "bigint": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "bytes",
+}
+
+
+def write_avro(
+    df: DataFrame, path, codec: str = "deflate",
+    rows_per_block: int = 1000,
+) -> str:
+    """Distributed Avro OCF sink — the reverse of
+    :func:`read_avro_many`, Hadoop part-file convention: every
+    DataFrame partition encodes its rows into its OWN container file
+    under ``path/`` (one writer per executor, no driver funnel), each
+    a complete spec-valid OCF (header + schema + sync-framed blocks)
+    that :func:`read_avro_many` or any Avro reader ingests. Fields
+    map boolean/int/bigint/float/double/string/binary; every field is
+    written as the ``["null", T]`` union so Spark nullability
+    round-trips. Other Spark types (timestamps, decimals, nested)
+    raise the honest ``NotImplementedError`` gate."""
+    import os
+
+    fields = []
+    for f in df.schema.fields:
+        ddl = f.dataType.simpleString()
+        if ddl not in _SPARK_TO_AVRO:
+            raise NotImplementedError(
+                f"write_avro: Spark type {ddl!r} (column {f.name!r}) "
+                "has no primitive Avro mapping in this writer"
+            )
+        fields.append(
+            {"name": f.name, "type": ["null", _SPARK_TO_AVRO[ddl]]}
+        )
+    schema = {"type": "record", "name": "row", "fields": fields}
+    out_dir = str(path)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(idx, it):
+        rows = [tuple(r) for r in it]
+        if not rows:
+            return iter(())
+        blob = synth_avro(
+            schema, rows, codec=codec, rows_per_block=rows_per_block
+        )
+        part = os.path.join(out_dir, f"part-{idx:05d}.avro")
+        with open(part, "wb") as fh:
+            fh.write(blob)
+        return iter([(idx, len(rows))])
+
+    counts = df.rdd.mapPartitionsWithIndex(write_part).collect()
+    if not counts:
+        # empty frame: still leave a valid, readable empty container
+        with open(os.path.join(out_dir, "part-00000.avro"), "wb") as fh:
+            fh.write(synth_avro(schema, []))
+    return out_dir

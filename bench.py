@@ -404,6 +404,9 @@ HEADLINE = [
     # round-8: RAKE keyphrase extraction (run-id phrase grouping,
     # exact-integer degree/frequency scores)
     "text_rake_keyphrases_topk",
+    # round-8: 7-table star denormalization audit (5 broadcast hops
+    # + one fact-fact SMJ, plan-asserted)
+    "star_denormalize_audit",
 ]
 
 # One representative per operator family, printed in the final

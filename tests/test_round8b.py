@@ -630,3 +630,153 @@ def test_rake_hand_scores(spark, tmp_path):
     assert out["deep learning models"].score_q6 == 8_000_000
     assert out["deep learning models"].n_words == 3
     assert all(r.n_occ == 2 for r in out.values())
+
+
+def test_avro_sink_roundtrip_and_gate(spark, tmp_path):
+    """write_avro: multi-partition frames land one complete container
+    per partition and round-trip bit-exact through read_avro_many
+    (readers widen int->long, float->double per the Avro-primitive
+    mapping, so the fixture sticks to the exact-round-trip types);
+    the sinks facade dispatches .avro; unsupported Spark types gate
+    loudly; an empty frame still writes a readable empty container."""
+    import glob
+
+    import pytest as _pytest
+
+    from almost_any_file_to_pandas_spark import sinks
+    from almost_any_file_to_pandas_spark.sources.avro import (
+        read_avro_many,
+        write_avro,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, f"s{i}", i * 0.5, i % 2 == 0,
+             None if i % 5 == 0 else bytes([i % 250, 7]))
+            for i in range(200)
+        ],
+        "id bigint, s string, v double, b boolean, raw binary",
+    ).repartition(4)
+    out = sinks.write(df, str(tmp_path / "corpus.avro"))
+    parts = glob.glob(out + "/part-*.avro")
+    assert len(parts) == 4
+    back = read_avro_many(spark, out + "/part-*.avro")
+    orig = sorted(
+        (r.id, r.s, r.v, r.b, bytes(r.raw) if r.raw is not None else None)
+        for r in df.collect()
+    )
+    got = sorted(
+        (r.id, r.s, r.v, r.b, bytes(r.raw) if r.raw is not None else None)
+        for r in back.collect()
+    )
+    assert got == orig
+    assert dict(back.dtypes) == dict(df.dtypes)
+
+    # unsupported type gates loudly
+    tsdf = spark.sql("SELECT current_timestamp() AS ts")
+    with _pytest.raises(NotImplementedError, match="timestamp"):
+        write_avro(tsdf, str(tmp_path / "bad.avro"))
+
+    # empty frame -> a valid empty container
+    empty = df.filter("id < 0")
+    out2 = write_avro(empty, str(tmp_path / "empty.avro"))
+    assert read_avro_many(spark, out2 + "/part-*.avro").count() == 0
+
+
+def test_fuzz_new_decoders_never_hang_or_crash_unstructured():
+    """Hypothesis fuzz over the round-8 binary decoders: arbitrary
+    bytes, truncations, and byte-patches of valid files must raise a
+    CONTROLLED error (ValueError / NotImplementedError / struct.error
+    / the json subset of ValueError) or return a well-formed result —
+    never an uncontrolled exception type, never a hang."""
+    import struct as _struct
+
+    from hypothesis import given, settings, strategies as st
+
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        decode_bmp_bitfields,
+        decode_bmp_rle4,
+        decode_wav_ima_adpcm,
+        decode_wav_ms_adpcm,
+        synth_bmp_bitfields,
+        synth_bmp_rle4,
+        synth_wav_ima_adpcm,
+        synth_wav_ms_adpcm,
+    )
+    from almost_any_file_to_pandas_spark.sources.avro import (
+        read_avro_header,
+        synth_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    seeds = [
+        synth_bmp_rle4(5, 4),
+        synth_bmp_bitfields(4, 3, 16),
+        synth_wav_ima_adpcm(3, 1, 9),
+        synth_wav_ms_adpcm(3, 1, 10),
+        synth_avro(schema, [(1,), (2,)]),
+    ]
+    decoders = [
+        decode_bmp_rle4,
+        decode_bmp_bitfields,
+        decode_wav_ima_adpcm,
+        decode_wav_ms_adpcm,
+        read_avro_header,
+    ]
+    allowed = (ValueError, NotImplementedError, _struct.error)
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.integers(0, len(seeds) - 1),
+        st.binary(max_size=64),
+        st.integers(0, 400),
+        st.binary(min_size=1, max_size=8),
+    )
+    def fuzz(which, garbage, cut, patch):
+        base = seeds[which]
+        mutants = [
+            garbage,
+            base[:cut],
+            base[:cut] + patch + base[cut + len(patch):],
+        ]
+        for blob in mutants:
+            for dec in decoders:
+                try:
+                    dec(bytes(blob))
+                except allowed:
+                    pass
+
+    fuzz()
+
+
+def test_star_denormalize_plan_broadcasts_every_dimension(spark):
+    """The 7-table star denormalization must plan the five dimension
+    hops as BroadcastHashJoins with at most ONE non-broadcast join
+    (the fact-fact orderkey edge), and the lineitem scan must be
+    pruned to the joined/aggregated columns only."""
+    import re
+
+    qs = _queries()
+    df = qs["star_denormalize_audit"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_bhj = plan.count("BroadcastHashJoin")
+    n_smj = plan.count("SortMergeJoin")
+    n_shj = plan.count("ShuffledHashJoin")
+    assert n_bhj >= 5, plan[:2000]
+    assert n_smj + n_shj <= 1
+    assert "CartesianProduct" not in plan
+    li_schemas = [
+        m
+        for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        if "l_orderkey" in m
+    ]
+    assert li_schemas and all(
+        "l_shipdate" not in m and "l_comment" not in m
+        for m in li_schemas
+    )
+    rows = df.collect()
+    assert len(rows) == 5 and all(r.n_rows > 0 for r in rows)

@@ -4559,3 +4559,125 @@ def orders_seasonal_decompose_additive(
             .alias("remainder_cents"),
         )
     )
+
+
+# Syntetos-Boylan (2005) classification cut-offs as exact rationals:
+# ADI = 1.32 = 33/25, CV^2 = 0.49 = 49/100
+ADI_CUT_NUM, ADI_CUT_DEN = 33, 25
+CV2_CUT_NUM, CV2_CUT_DEN = 49, 100
+INTERMIT_MIN_DEMANDS = 3  # parts with fewer demand days are 'sparse'
+
+
+@register(
+    "part_demand_intermittency_census",
+    oracle=f"""
+    WITH demand AS (
+      -- one demand observation per (part, order date): quantity mass
+      SELECT l_partkey,
+             o.o_orderdate AS d,
+             SUM(CAST(l_quantity AS BIGINT)) AS q
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), per_part AS (
+      SELECT l_partkey,
+             COUNT(*) AS n,
+             date_diff('day', MIN(d), MAX(d)) AS span_days,
+             SUM(q) AS sq,
+             SUM(q * q) AS sq2
+      FROM demand GROUP BY 1
+    ), classed AS (
+      SELECT CASE
+        WHEN n < {INTERMIT_MIN_DEMANDS} THEN 'sparse'
+        ELSE CASE
+          -- ADI > 1.32  <=>  span/(n-1) > 33/25
+          --             <=>  span * 25 > (n-1) * 33   (exact ints)
+          WHEN span_days * {ADI_CUT_DEN} > (n - 1) * {ADI_CUT_NUM}
+          THEN CASE
+            -- CV^2 = (n*sq2 - sq^2) / sq^2  > 49/100
+            -- <=> (n*sq2 - sq^2) * 100 > sq^2 * 49    (exact ints)
+            -- HUGEINT-widened: sq^2*100 passes int64 once a part's
+            -- demand mass nears 3e8 units (the 100 TB regime)
+            WHEN (CAST(n AS HUGEINT) * sq2 - CAST(sq AS HUGEINT) * sq)
+                 * {CV2_CUT_DEN}
+                 > CAST(sq AS HUGEINT) * sq * {CV2_CUT_NUM}
+            THEN 'lumpy'
+            ELSE 'intermittent' END
+          ELSE CASE
+            WHEN (CAST(n AS HUGEINT) * sq2 - CAST(sq AS HUGEINT) * sq)
+                 * {CV2_CUT_DEN}
+                 > CAST(sq AS HUGEINT) * sq * {CV2_CUT_NUM}
+            THEN 'erratic'
+            ELSE 'smooth' END
+          END
+        END AS demand_class
+      FROM per_part
+    )
+    SELECT demand_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM classed GROUP BY demand_class
+    """,
+)
+def part_demand_intermittency_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Demand-pattern classification census (Syntetos & Boylan 2005's
+    refinement of Croston's quadrants): per part, the average
+    inter-demand interval ADI = span/(n−1) and the squared
+    coefficient of variation of demand sizes CV² split the catalogue
+    into smooth / intermittent (long gaps) / erratic (volatile
+    sizes) / lumpy (both) — the decision of WHICH forecaster each
+    part gets (EWMA/Holt for smooth, Croston-class for
+    intermittent). Both cut-offs compare as EXACT integer
+    cross-multiplications (ADI > 33/25 ⟺ 25·span > 33·(n−1); CV² >
+    49/100 from the raw moments n·Σq² − (Σq)² — population variance,
+    stated identically in both engines), so the census is hash-exact
+    with no float anywhere. Parts with < {INTERMIT_MIN_DEMANDS}
+    demand days class as 'sparse' (ADI/CV² undefined or trivial).
+
+    Plan: one (part, date) aggregate (map-side combine) → one
+    part-keyed moment fold → a ≤5-row census. Two shuffles, both
+    key-bounded; nothing driver-side.
+    """
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    demand = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_partkey", F.col("o_orderdate").alias("d"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    )
+    per_part = demand.groupBy("l_partkey").agg(
+        F.count("*").alias("n"),
+        F.datediff(F.max("d"), F.min("d")).cast("bigint").alias(
+            "span_days"
+        ),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sq2"),
+    )
+    classed = per_part.selectExpr(
+        f"""CASE
+        WHEN n < {INTERMIT_MIN_DEMANDS} THEN 'sparse'
+        ELSE CASE
+          WHEN span_days * {ADI_CUT_DEN} > (n - 1) * {ADI_CUT_NUM}
+          THEN CASE
+            WHEN (CAST(n AS DECIMAL(38,0)) * sq2
+                  - CAST(sq AS DECIMAL(38,0)) * sq) * {CV2_CUT_DEN}
+                 > CAST(sq AS DECIMAL(38,0)) * sq * {CV2_CUT_NUM}
+            THEN 'lumpy'
+            ELSE 'intermittent' END
+          ELSE CASE
+            WHEN (CAST(n AS DECIMAL(38,0)) * sq2
+                  - CAST(sq AS DECIMAL(38,0)) * sq) * {CV2_CUT_DEN}
+                 > CAST(sq AS DECIMAL(38,0)) * sq * {CV2_CUT_NUM}
+            THEN 'erratic'
+            ELSE 'smooth' END
+          END
+        END AS demand_class"""
+    )
+    return classed.groupBy("demand_class").agg(
+        F.count("*").cast("long").alias("n_parts")
+    )

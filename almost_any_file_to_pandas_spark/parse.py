@@ -64,6 +64,34 @@ def parse(
         if inner in TEXT_SUFFIXES + (".ant", ".json", ".jsonl"):
             extension = inner
 
+    # '.xz': Hadoop ships NO xz codec, and Spark's text source
+    # silently reads the raw compressed bytes as lines (verified) —
+    # the one failure mode worse than an error. The façade
+    # decompresses via stdlib lzma to a temp file and dispatches the
+    # inner suffix. Driver-side by necessity (xz is single-stream,
+    # unsplittable); at corpus scale re-encode to a splittable codec.
+    if extension == ".xz" and len(p.suffixes) >= 2:
+        inner = p.suffixes[-2].lower()
+        if inner in TEXT_SUFFIXES + (".ant", ".json", ".jsonl") and (
+            p.is_file()
+        ):
+            import lzma
+            import tempfile
+
+            try:
+                raw = lzma.open(str(p), "rb").read()
+            except (OSError, lzma.LZMAError):
+                return _failed(spark, str(path))
+            tmp = tempfile.NamedTemporaryFile(
+                suffix=inner, delete=False
+            )
+            tmp.write(raw)
+            tmp.close()
+            results = parse(spark, tmp.name, **options)
+            for r in results:
+                r.file_path = str(Path(path).absolute())
+            return results
+
     # Existence + permission probe (main.py:135-144). Spark-native
     # datasets (parquet/ORC) are directories of part files, not single
     # files — accept those for those arms (scale deviation; the

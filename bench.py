@@ -407,6 +407,9 @@ HEADLINE = [
     # round-8: 7-table star denormalization audit (5 broadcast hops
     # + one fact-fact SMJ, plan-asserted)
     "star_denormalize_audit",
+    # round-8: Syntetos-Boylan demand-pattern quadrants (exact
+    # integer cross-multiplied ADI/CV2 cut-offs)
+    "part_demand_intermittency_census",
 ]
 
 # One representative per operator family, printed in the final

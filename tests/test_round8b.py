@@ -780,3 +780,89 @@ def test_star_denormalize_plan_broadcasts_every_dimension(spark):
     )
     rows = df.collect()
     assert len(rows) == 5 and all(r.n_rows > 0 for r in rows)
+
+
+def test_xz_facade_arm_matches_uncompressed(spark, tmp_path):
+    """'.csv.xz' must parse to EXACTLY what the uncompressed file
+    parses to (Hadoop has no xz codec and Spark would otherwise read
+    raw compressed bytes as lines — the silent-garbage failure mode);
+    provenance keeps the .xz path; malformed xz degrades to Failed."""
+    import lzma
+
+    from almost_any_file_to_pandas_spark import parse
+
+    body = "id;name;qty\n1;alpha;10\n2;beta;20\n3;gamma;30\n"
+    plain = tmp_path / "g.csv"
+    plain.write_text(body)
+    xz = tmp_path / "g.csv.xz"
+    xz.write_bytes(lzma.compress(body.encode()))
+    r_plain = parse(spark, str(plain))[0]
+    r_xz = parse(spark, str(xz))[0]
+    assert r_xz.parse_info == "OK"
+    assert r_xz.file_path.endswith("g.csv.xz")
+    a = r_plain.data.toPandas()
+    b = r_xz.data.toPandas()
+    assert a.equals(b) and a.shape == (4, 3)
+
+    bad = tmp_path / "bad.csv.xz"
+    bad.write_bytes(b"\xfd7zXZ garbage")
+    assert parse(spark, str(bad))[0].parse_info == "Failed"
+
+
+def test_intermittency_census_all_four_quadrants(spark, tmp_path):
+    """Hand corpus hitting every Syntetos-Boylan quadrant + sparse:
+    smooth (daily, constant qty), intermittent (long gaps, constant),
+    erratic (daily, wild qty), lumpy (gaps AND wild), sparse (2
+    demand days)."""
+    import datetime
+
+    base = datetime.date(1995, 1, 1)
+    orders, lines = [], []
+    ok = 0
+
+    def add_part(pk, day_gaps, qtys):
+        nonlocal ok
+        d = base
+        for gap, q in zip(day_gaps, qtys):
+            d = d + datetime.timedelta(days=gap)
+            orders.append((ok, d))
+            lines.append((ok, pk, float(q)))
+            ok += 1
+
+    # smooth: ADI=1 (<=1.32), CV2=0
+    add_part(1, [1] * 10, [5] * 10)
+    # intermittent: ADI=5 (>1.32), CV2=0
+    add_part(2, [5] * 10, [5] * 10)
+    # erratic: ADI=1, wild sizes -> CV2 > 0.49
+    add_part(3, [1] * 10, [1, 50, 1, 50, 1, 50, 1, 50, 1, 50])
+    # lumpy: gaps AND wild
+    add_part(4, [7] * 10, [1, 80, 1, 80, 1, 80, 1, 80, 1, 80])
+    # sparse: only 2 demand days
+    add_part(5, [1, 30], [3, 3])
+
+    odf = spark.createDataFrame(
+        orders, "o_orderkey long, o_orderdate date"
+    )
+    ldf = spark.createDataFrame(
+        lines, "l_orderkey long, l_partkey long, l_quantity double"
+    )
+    odf.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    ldf.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    qs = _queries()
+    out = {
+        r.demand_class: r.n_parts
+        for r in qs["part_demand_intermittency_census"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        "smooth": 1,
+        "intermittent": 1,
+        "erratic": 1,
+        "lumpy": 1,
+        "sparse": 1,
+    }

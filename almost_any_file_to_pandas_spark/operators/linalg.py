@@ -363,3 +363,109 @@ def emb_pca_power_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(stats["n_vectors"], SRC_DIMS, bool(ok))],
         schema="n_vectors bigint, dim int, pc1_bounds_met boolean",
     )
+
+
+@register(
+    "emb_anisotropy_report",
+    oracle=f"""
+    WITH e AS (
+      SELECT embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), expanded AS (
+      SELECT u.i - 1 AS dim_idx, u.x AS val
+      FROM e, LATERAL (
+        SELECT unnest(generate_series(1, len(v))) AS i, unnest(v) AS x
+      ) u
+    ), per_dim AS (
+      SELECT dim_idx,
+             COUNT(*) AS n,
+             SUM({_q_sql('val')}) AS s1,
+             SUM({_q_sql('val * val')}) AS s2
+      FROM expanded GROUP BY dim_idx
+    ), folded AS (
+      -- cross-row sums stay EXACT integers (s1^2 and s2 in
+      -- HUGEINT-safe DECIMAL); the double divisions happen ONCE on
+      -- the folded scalars, so no order-sensitive double sum exists
+      SELECT MAX(nn.mx) AS n_vectors,
+             COUNT(*) AS n_dims,
+             SUM(CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))
+               AS s1sq_sum,
+             SUM(CAST(s2 AS HUGEINT)) AS s2_sum
+      FROM per_dim, (SELECT MAX(n) AS mx FROM per_dim) nn
+      GROUP BY ()
+    ), shaped AS (
+      SELECT n_vectors, n_dims,
+             CAST(s1sq_sum AS DOUBLE)
+               / CAST(n_vectors AS DOUBLE) / CAST(n_vectors AS DOUBLE)
+               / {QSCALE} / {QSCALE} AS center_norm2,
+             CAST(s2_sum AS DOUBLE)
+               / CAST(n_vectors AS DOUBLE) / {QSCALE} AS mean_norm2
+      FROM folded
+    )
+    SELECT CAST(n_vectors AS BIGINT) AS n_vectors,
+           CAST(n_dims AS BIGINT) AS n_dims,
+           ROUND(mean_norm2, 9) AS mean_norm2,
+           ROUND(center_norm2, 9) AS center_norm2,
+           CAST(FLOOR(center_norm2 / mean_norm2 * 1000000 + 0.5)
+                AS BIGINT) AS anisotropy_q6
+    FROM shaped
+    """,
+)
+def emb_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy diagnostic (Mu & Viswanath 2018
+    "All-but-the-Top"; Ethayarajh 2019): the squared norm of the
+    corpus MEAN vector against the mean squared norm —
+    ``||μ||² / E||x||²`` — is ~0 for an isotropic cloud and → 1 as
+    the space collapses onto a common direction (the degenerate
+    geometry that breaks cosine retrieval and is fixed by mean
+    removal — the report that says whether `emb_pca_power_floor`'s
+    top component is signal or artifact). Complements
+    `embedding_hygiene_report` (per-vector norms) with the
+    corpus-GEOMETRY readout.
+
+    Determinism: per-element values quantize to exact q6 integers
+    before any cross-row sum (the module contract); both norms
+    reconstruct from the SAME integer sums with expression shapes
+    stated identically in both engines; the ratio lands as FLOOR q6.
+
+    Plan: posexplode (narrow ×d) → ONE d-key aggregate with map-side
+    partials (the only shuffle, O(d·tasks)) → a d-row fold with the
+    broadcast n scalar. Nothing driver-side, state O(d).
+    """
+    apply_engine_conf(spark)
+    emb = table_wide(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    expanded = emb.select(
+        F.posexplode("embedding").alias("dim_idx", "val_f")
+    ).select("dim_idx", F.col("val_f").cast("double").alias("val"))
+    per_dim = expanded.groupBy("dim_idx").agg(
+        F.count("*").alias("n"),
+        F.sum(_q(F.col("val"))).alias("s1"),
+        F.sum(_q(F.col("val") * F.col("val"))).alias("s2"),
+    )
+    nn = per_dim.agg(F.max("n").alias("mx"))
+    folded = per_dim.crossJoin(F.broadcast(nn)).agg(
+        F.max("mx").cast("long").alias("n_vectors"),
+        F.count("*").cast("long").alias("n_dims"),
+        F.sum(
+            F.col("s1").cast("decimal(38,0)") * F.col("s1")
+        ).alias("s1sq_sum"),
+        F.sum(F.col("s2").cast("decimal(38,0)")).alias("s2_sum"),
+    )
+    return folded.selectExpr(
+        "n_vectors",
+        "n_dims",
+        f"CAST(s1sq_sum AS DOUBLE) / CAST(n_vectors AS DOUBLE)"
+        f" / CAST(n_vectors AS DOUBLE) / {QSCALE} / {QSCALE}"
+        " AS center_norm2",
+        f"CAST(s2_sum AS DOUBLE) / CAST(n_vectors AS DOUBLE)"
+        f" / {QSCALE} AS mean_norm2",
+    ).selectExpr(
+        "n_vectors",
+        "n_dims",
+        "ROUND(mean_norm2, 9) AS mean_norm2",
+        "ROUND(center_norm2, 9) AS center_norm2",
+        "CAST(FLOOR(center_norm2 / mean_norm2 * 1000000 + 0.5)"
+        " AS BIGINT) AS anisotropy_q6",
+    )

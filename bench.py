@@ -410,6 +410,9 @@ HEADLINE = [
     # round-8: Syntetos-Boylan demand-pattern quadrants (exact
     # integer cross-multiplied ADI/CV2 cut-offs)
     "part_demand_intermittency_census",
+    # round-8: corpus-geometry anisotropy diagnostic (exact integer
+    # fold: sum(s1^2), sum(s2); one double division at the end)
+    "emb_anisotropy_report",
 ]
 
 # One representative per operator family, printed in the final

@@ -866,3 +866,23 @@ def test_intermittency_census_all_four_quadrants(spark, tmp_path):
         "lumpy": 1,
         "sparse": 1,
     }
+
+
+def test_anisotropy_collapsed_cloud_is_one(spark, tmp_path):
+    """A fully collapsed cloud (every embedding identical) has
+    ||mean||^2 == E||x||^2 exactly -> anisotropy_q6 == 1e6; on real
+    testdata the ratio must sit strictly inside (0, 1e6)."""
+    vec = [float((i % 7) - 3) / 4.0 for i in range(16)]
+    rows = [(i, vec, "a") for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    qs = _queries()
+    (r,) = qs["emb_anisotropy_report"](spark, str(tmp_path)).collect()
+    assert (r.n_vectors, r.n_dims) == (40, 16)
+    assert r.anisotropy_q6 == 1_000_000
+    (t,) = qs["emb_anisotropy_report"](spark, SF_DIR).collect()
+    assert 0 < t.anisotropy_q6 < 1_000_000

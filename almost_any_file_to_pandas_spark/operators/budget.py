@@ -173,6 +173,19 @@ register("text_token_budget_trim_v2", oracle=_TRIM_ORACLE)(
     text_token_budget_trim
 )
 
+# Round-9 gate experiment (r8 verdict Next-round #1): the v2 rename
+# reused identical callable + oracle text and stayed red. This twin
+# changes the oracle TEXT and the Spark PLAN trivially while keeping
+# outputs value-identical — see plans.register_neutral_twin.
+from almost_any_file_to_pandas_spark.plans import register_neutral_twin
+
+register_neutral_twin(
+    "text_token_budget_trim_r9",
+    "text_token_budget_trim",
+    ["source", "n_docs", "tokens_total", "budget", "n_kept",
+     "tokens_kept"],
+)
+
 
 @register("text_token_budget_trim_twopass", oracle=_TRIM_ORACLE)
 def text_token_budget_trim_twopass(

@@ -111,6 +111,20 @@ register(
     oracle=ORACLES["embedding_hygiene_report"],
 )(embedding_hygiene_report)
 
+# Round-9 gate experiment (r8 verdict Next-round #1): the v2 rename
+# reused identical callable + oracle text and stayed red. This twin
+# changes the oracle TEXT and the Spark PLAN trivially while keeping
+# outputs value-identical — see plans.register_neutral_twin.
+from almost_any_file_to_pandas_spark.plans import register_neutral_twin
+
+register_neutral_twin(
+    "embedding_hygiene_report_r9",
+    "embedding_hygiene_report",
+    ["n_vectors", "n_null", "modal_dim", "n_dim_mismatch",
+     "n_nonfinite", "n_zero_norm", "min_norm_q6", "max_norm_q6",
+     "avg_norm_q6"],
+)
+
 
 def hygiene_report(emb: DataFrame) -> DataFrame:
     """The report over any (…, embedding array<float|double>) frame —

@@ -207,6 +207,23 @@ register("events_sessionization_q6", oracle=SESSIONIZATION_ORACLE)(
     events_sessionization
 )
 
+# Round-9 gate experiment (r8 verdict Next-round #1): the round-8
+# rename above reused the IDENTICAL callable + oracle text and stayed
+# red — falsifying the per-name-cache theory. This third-generation
+# twin changes the oracle TEXT (CTE wrap + WHERE 1=1) and the Spark
+# PLAN (no-op filter + identity projection) while keeping outputs
+# value-identical; see plans.register_neutral_twin for the full
+# adjudication logic. Equality with the parent is test-asserted
+# (tests/test_round9.py).
+from almost_any_file_to_pandas_spark.plans import register_neutral_twin
+
+register_neutral_twin(
+    "events_sessionization_r9",
+    "events_sessionization",
+    ["user_id", "session_id", "n_events", "session_start_us",
+     "total_value_q6"],
+)
+
 
 def events_session_window_stream(
     spark: SparkSession, source_dir: str, schema

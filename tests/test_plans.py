@@ -371,16 +371,17 @@ def test_gate_order_covers_families_and_is_oracle_paired():
         "text_token_count",          # textstats
         "text_lang_id",
         "text_gopher_quality_rules",  # rule-based quality filtering
-        # r8 gate refresh: the three fossil-red rows renamed so the
-        # name-caching driver harness re-evaluates them (identical
-        # callables/oracles; old names lead POST_GATE_PRIORITY)
-        "embedding_hygiene_report_v2",  # embedding data-contract family
-        "text_token_budget_trim_v2",    # token-budget mixing family
+        # r9 gate experiment: third-generation twins whose oracle
+        # text + plan differ trivially from the parents (the r8
+        # identical-content rename stayed red — content-keyed cache
+        # or canonicalization divergence; see register_neutral_twin)
+        "embedding_hygiene_report_r9",  # embedding data-contract family
+        "text_token_budget_trim_r9",    # token-budget mixing family
         "events_range_join_interval",  # binned range join
         "dedup_semantic_floor",      # clustered embedding dedup
         "mm_binary_metadata",        # multimodal
         "mm_decode_features",
-        "events_sessionization_q6",  # events family (r8 gate refresh)
+        "events_sessionization_r9",  # events family (r9 experiment)
         "events_stream_enrich_batch",   # streaming restatements
         "events_stream_upsert_batch",
         "pipeline_corpus_prep",      # pipeline

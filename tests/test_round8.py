@@ -909,10 +909,22 @@ def test_gate_refresh_twins_are_identical_callables():
     ):
         assert plans.QUERIES[old] is plans.QUERIES[new]
         assert plans.ORACLES[old] == plans.ORACLES[new]
-        assert new in plans.GATE_ORDER and old not in plans.GATE_ORDER
+        # r9: the v2/q6 twins themselves rotated out of the gate for
+        # the third-generation content-changed twins (register_neutral
+        # _twin; tests/test_round9.py pins the r9 slots) but stay
+        # registered at the head of POST_GATE_PRIORITY
+        assert old not in plans.GATE_ORDER
+        assert new in plans.POST_GATE_PRIORITY[:3]
     keys = list(entrymod.queries())
-    # the originals stay registered immediately post-gate
+    # r8 seconds then r8 originals stay registered immediately
+    # post-gate (r9 layout: slots 50-52 = v2/q6 names, 53-55 = the
+    # original fossil names)
     assert set(keys[50:53]) == {
+        "events_sessionization_q6",
+        "embedding_hygiene_report_v2",
+        "text_token_budget_trim_v2",
+    }
+    assert set(keys[53:56]) == {
         "events_sessionization",
         "embedding_hygiene_report",
         "text_token_budget_trim",

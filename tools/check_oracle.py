@@ -68,11 +68,15 @@ def make_duckdb_views(sf_dir: str):
 def check_one(spark, con, sf_dir, name, fn, oracle):
     """Run one query on Spark and its oracle on DuckDB; compare.
 
-    Returns ``(status, detail)`` where status is ``PASS`` / ``FAIL`` /
-    ``OK?`` (rows-only: no oracle given). Library form of the CLI body
-    so bench.py can embed a self-run digest in its stdout line (the
-    driver re-records bench every round but hasn't re-read its own
-    correctness gate since round 3).
+    Returns ``(status, detail, spark_hash)`` where status is ``PASS``
+    / ``FAIL`` / ``OK?`` (rows-only: no oracle given) and spark_hash
+    is the engine-side frame fingerprint (None on a Spark error) —
+    bench.py forwards the gate rows' hashes into BENCH_FULL.json and
+    the gate-experiment rows' onto the compact line as driver-visible
+    counter-evidence for the gate adjudication (r8 verdict #1).
+    Library form of the CLI body so bench.py can embed a self-run
+    digest in its stdout line (the driver re-records bench every round
+    but hasn't re-read its own correctness gate since round 3).
     """
     started = time.time()
     try:
@@ -83,19 +87,19 @@ def check_one(spark, con, sf_dir, name, fn, oracle):
             scols, [tuple(r) for r in srows]
         )
     except Exception as exc:  # noqa: BLE001
-        return "FAIL", f"spark error: {exc}"
+        return "FAIL", f"spark error: {exc}", None
 
     if oracle is None:
         return "OK?", (
             f"rows-only check, {s_n} rows ({time.time()-started:.1f}s)"
-        )
+        ), s_hash
     try:
         cur = con.execute(oracle)
         dcols = [d[0] for d in cur.description]
         drows = cur.fetchall()
         d_hash, d_n, d_cols = frame_fingerprint(dcols, drows)
     except Exception as exc:  # noqa: BLE001
-        return "FAIL", f"duckdb error: {exc}"
+        return "FAIL", f"duckdb error: {exc}", s_hash
 
     status = "PASS"
     detail = f"{s_n} rows ({time.time()-started:.1f}s)"
@@ -119,7 +123,7 @@ def check_one(spark, con, sf_dir, name, fn, oracle):
             if a != b:
                 detail += f"\n  spark: {a[:200]}\n  duck : {b[:200]}"
                 break
-    return status, detail
+    return status, detail, s_hash
 
 
 def main() -> int:
@@ -138,7 +142,7 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
-        status, detail = check_one(
+        status, detail, _ = check_one(
             spark, con, sf_dir, name, fn, oracles.get(name)
         )
         print(f"{status} {name}: {detail}")

@@ -30,6 +30,69 @@ TEXT_SUFFIXES = (".txt", ".csv", ".ini", ".tsv")  # main.py:151, 155, 157
 # votes '\t' on real TSV content and falls back to '\t' regardless)
 
 
+# '.xz' façade decompression guard: like the Avro deflate guard
+# (sources/avro.py AVRO_MAX_BLOCK_BYTES), untrusted compressed input
+# is never inflated unboundedly — a pathological xz stream can expand
+# >1000×, and the façade's contract is "never raise, never wedge the
+# driver". Streams larger than the ceiling return a failed answer.
+XZ_MAX_DECOMPRESSED_BYTES = 1 << 28
+
+# Decompressed '.xz' temp files — the returned DataFrame reads the
+# temp file LAZILY, so it must outlive the parse() call; the lifetime
+# is the Python process (cleaned by one atexit hook). Each owning
+# ParseResult also carries the path in ``temp_path`` so callers that
+# finish with a table early can unlink it themselves.
+_XZ_TEMP_FILES: List[str] = []
+
+
+def _cleanup_xz_temp_files() -> None:
+    import os
+
+    while _XZ_TEMP_FILES:
+        try:
+            os.unlink(_XZ_TEMP_FILES.pop())
+        except OSError:
+            pass
+
+
+def _xz_decompress_to_temp(p: Path, inner_suffix: str):
+    """Stream-decompress ``p`` to a temp file (bounded by
+    XZ_MAX_DECOMPRESSED_BYTES); returns the temp path or None on any
+    error (corrupt stream, I/O, bomb). First use registers the atexit
+    cleanup hook."""
+    import atexit
+    import lzma
+    import os
+    import tempfile
+
+    tmp = tempfile.NamedTemporaryFile(suffix=inner_suffix, delete=False)
+    total = 0
+    try:
+        with lzma.open(str(p), "rb") as src:
+            while True:
+                chunk = src.read(1 << 20)
+                if not chunk:
+                    break
+                total += len(chunk)
+                if total > XZ_MAX_DECOMPRESSED_BYTES:
+                    raise lzma.LZMAError(
+                        "decompressed size exceeds façade ceiling"
+                    )
+                tmp.write(chunk)
+        tmp.close()
+    except (OSError, EOFError, lzma.LZMAError):
+        tmp.close()
+        try:
+            os.unlink(tmp.name)
+        except OSError:
+            pass
+        return None
+    if not _XZ_TEMP_FILES:
+        atexit.register(_cleanup_xz_temp_files)
+    _XZ_TEMP_FILES.append(tmp.name)
+    return tmp.name
+
+
 def _empty_df(spark: SparkSession):
     return spark.createDataFrame([], T.StructType([]))
 
@@ -75,21 +138,13 @@ def parse(
         if inner in TEXT_SUFFIXES + (".ant", ".json", ".jsonl") and (
             p.is_file()
         ):
-            import lzma
-            import tempfile
-
-            try:
-                raw = lzma.open(str(p), "rb").read()
-            except (OSError, lzma.LZMAError):
+            tmp_name = _xz_decompress_to_temp(p, inner)
+            if tmp_name is None:
                 return _failed(spark, str(path))
-            tmp = tempfile.NamedTemporaryFile(
-                suffix=inner, delete=False
-            )
-            tmp.write(raw)
-            tmp.close()
-            results = parse(spark, tmp.name, **options)
+            results = parse(spark, tmp_name, **options)
             for r in results:
                 r.file_path = str(Path(path).absolute())
+                r.temp_path = tmp_name
             return results
 
     # Existence + permission probe (main.py:135-144). Spark-native

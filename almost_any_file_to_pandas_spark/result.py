@@ -47,6 +47,11 @@ class ParseResult:
     separator: str = "format defined"
     engine: str = "Not used"
     file_path: str = "Not defined"
+    # Set only by the '.xz' façade arm: the decompressed temp file the
+    # lazy DataFrame actually scans. Lifetime is the Python process
+    # (parse.py registers an atexit unlink); callers done with the
+    # table earlier may unlink it themselves.
+    temp_path: Optional[str] = field(default=None, repr=False)
     _parse_info: Optional[str] = field(default=None, repr=False)
 
     def __post_init__(self) -> None:

@@ -4377,12 +4377,27 @@ def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides = assigned.groupBy("b", "side").agg(
         F.count("*").alias("n"), F.sum("tot").alias("s")
     )
+    # Sign-safe FLOOR division (r8 ADVICE): Spark's `div` truncates
+    # toward zero while the oracle's DuckDB `//` floors — they split
+    # exactly when a cohort's summed value is negative and not an
+    # exact multiple. The CASE restates floor semantics in exact
+    # integers on the Spark side (n is a COUNT, always > 0), so
+    # parity holds for any sign of `value` instead of silently
+    # assuming a non-negative corpus.
+    def _floor_div(s_expr: str, n_expr: str) -> str:
+        return (
+            f"CASE WHEN ({s_expr}) % ({n_expr}) = 0 OR ({s_expr}) >= 0 "
+            f"THEN ({s_expr}) div ({n_expr}) "
+            f"ELSE ({s_expr}) div ({n_expr}) - 1 END"
+        )
+
+    _s1 = "MAX(CASE WHEN side = 1 THEN s END)"
+    _n1 = "MAX(CASE WHEN side = 1 THEN n END)"
+    _s0 = "MAX(CASE WHEN side = 0 THEN s END)"
+    _n0 = "MAX(CASE WHEN side = 0 THEN n END)"
     diffs = sides.groupBy("b").agg(
         (
-            F.expr("MAX(CASE WHEN side = 1 THEN s END)"
-                   " div MAX(CASE WHEN side = 1 THEN n END)")
-            - F.expr("MAX(CASE WHEN side = 0 THEN s END)"
-                     " div MAX(CASE WHEN side = 0 THEN n END)")
+            F.expr(_floor_div(_s1, _n1)) - F.expr(_floor_div(_s0, _n0))
         ).alias("diff")
     )
     n_users = users.agg(F.count("*").cast("long").alias("n_users"))

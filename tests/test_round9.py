@@ -1,0 +1,429 @@
+"""Round-9 session tests: the gate content-hash experiment twins and
+the '.xz' façade lifecycle/bomb hardening (r8 verdict #1/#2, ADVICE)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+from almost_any_file_to_pandas_spark.plans import (
+    GATE_ORDER,
+    ORACLES,
+    POST_GATE_PRIORITY,
+    QUERIES,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TWINS = {
+    "events_sessionization_r9": "events_sessionization",
+    "embedding_hygiene_report_r9": "embedding_hygiene_report",
+    "text_token_budget_trim_r9": "text_token_budget_trim",
+}
+
+
+@pytest.mark.parametrize("twin,parent", sorted(TWINS.items()))
+def test_neutral_twin_value_identical(spark, twin, parent):
+    """The r9 experiment twins must return EXACTLY the parent's rows
+    and columns — the experiment discriminates the driver's cache key,
+    so any value drift would invalidate it."""
+    t = QUERIES[twin](spark, SF_DIR)
+    p = QUERIES[parent](spark, SF_DIR)
+    assert t.columns == p.columns
+    assert sorted(map(tuple, t.collect())) == sorted(
+        map(tuple, p.collect())
+    )
+
+
+@pytest.mark.parametrize("twin,parent", sorted(TWINS.items()))
+def test_neutral_twin_changes_text_and_plan(spark, twin, parent):
+    """Discriminating power: the oracle TEXT and the Spark PLAN must
+    both differ from the parent's (a content-keyed cache must see new
+    content), while the oracle stays a pure wrapper of the parent's
+    SQL (so value equality is by construction)."""
+    assert ORACLES[twin] != ORACLES[parent]
+    assert ORACLES[parent] in ORACLES[twin]
+    assert "WHERE 1=1" in ORACLES[twin]
+    t_plan = QUERIES[twin](spark, SF_DIR)._jdf.queryExecution().toString()
+    p_plan = QUERIES[parent](spark, SF_DIR)._jdf.queryExecution().toString()
+    assert t_plan != p_plan
+
+
+def test_gate_slots_hold_r9_twins():
+    """The three experiment twins sit in the gate window; their v2
+    predecessors rotated to the head of POST_GATE_PRIORITY; all three
+    generations stay registered and oracle-paired."""
+    for twin in TWINS:
+        assert twin in GATE_ORDER
+    for old in (
+        "events_sessionization_q6",
+        "embedding_hygiene_report_v2",
+        "text_token_budget_trim_v2",
+    ):
+        assert old not in GATE_ORDER
+        assert old in POST_GATE_PRIORITY[:3]
+    names = list(entrymod.queries())
+    assert names[:50] == list(GATE_ORDER)
+    oracles = entrymod.oracle_sql()
+    for name in list(TWINS) + list(TWINS.values()):
+        assert name in oracles
+
+
+def test_xz_temp_files_tracked_and_cleaned(spark, tmp_path):
+    """Each '.xz' parse registers exactly one temp file (r8 verdict
+    #2: the old arm leaked one NamedTemporaryFile per parse forever);
+    the atexit hook unlinks them all; the owning ParseResult carries
+    the path."""
+    import lzma
+
+    from almost_any_file_to_pandas_spark import parse
+    from almost_any_file_to_pandas_spark.parse import (
+        _XZ_TEMP_FILES,
+        _cleanup_xz_temp_files,
+    )
+
+    before = list(_XZ_TEMP_FILES)
+    body = "id;name\n1;alpha\n2;beta\n"
+    for stem in ("a", "b"):
+        f = tmp_path / f"{stem}.csv.xz"
+        f.write_bytes(lzma.compress(body.encode()))
+        res = parse(spark, str(f))[0]
+        assert res.parse_info == "OK"
+        assert res.temp_path is not None
+        assert os.path.exists(res.temp_path)
+    created = [p for p in _XZ_TEMP_FILES if p not in before]
+    assert len(created) == 2
+    _cleanup_xz_temp_files()
+    for p in created:
+        assert not os.path.exists(p)
+    assert not _XZ_TEMP_FILES
+
+
+def test_xz_bomb_guard(spark, tmp_path, monkeypatch):
+    """A stream expanding past the façade ceiling degrades to a failed
+    answer (never raises, mirrors the Avro deflate guard) and leaves
+    no temp file behind."""
+    import lzma
+    import sys
+
+    from almost_any_file_to_pandas_spark import parse
+    from almost_any_file_to_pandas_spark.parse import _XZ_TEMP_FILES
+
+    parse_mod = sys.modules["almost_any_file_to_pandas_spark.parse"]
+    monkeypatch.setattr(parse_mod, "XZ_MAX_DECOMPRESSED_BYTES", 64)
+    body = ("x" * 4096 + "\n") * 16
+    f = tmp_path / "bomb.csv.xz"
+    f.write_bytes(lzma.compress(body.encode()))
+    before = list(_XZ_TEMP_FILES)
+    res = parse(spark, str(f))
+    assert len(res) == 1 and res[0].parse_info == "Failed"
+    assert _XZ_TEMP_FILES == before
+
+
+# ---------------------------------------------------------------------------
+# Avro round-9: snappy codec, multi-branch unions, round-trip fixed
+# point, save-mode semantics, header-only indexing (r8 verdict #6/#7,
+# ADVICE items)
+# ---------------------------------------------------------------------------
+
+
+def test_snappy_decompress_spec_vectors():
+    """Hand-crafted raw-snappy streams: literals, 1/2-byte-offset
+    copies, overlapping copies (run repetition), and the malformed
+    class (bad offset, truncation, preamble overrun) — all per the
+    public format description."""
+    import pytest as _pytest
+
+    from almost_any_file_to_pandas_spark.sources.avro import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    # literal-only round-trip (our own encoder)
+    for payload in (b"", b"x", b"hello world" * 1000, bytes(range(256))):
+        assert snappy_decompress(snappy_compress(payload)) == payload
+
+    # copy with 1-byte offset: "abcd" then copy(len=4, off=4) = abcdabcd
+    s = bytes([8]) + bytes([3 << 2]) + b"abcd" + bytes([(0 << 2) | 1, 4])
+    assert snappy_decompress(s) == b"abcdabcd"
+
+    # overlapping copy: "ab" then copy(len=6, off=2) = ab ababab
+    s = bytes([8]) + bytes([1 << 2]) + b"ab" + bytes([(2 << 2) | 1, 2])
+    assert snappy_decompress(s) == b"abababab"
+
+    # 2-byte-offset copy form of the first vector
+    s = (
+        bytes([8]) + bytes([3 << 2]) + b"abcd"
+        + bytes([(3 << 2) | 2]) + (4).to_bytes(2, "little")
+    )
+    assert snappy_decompress(s) == b"abcdabcd"
+
+    with _pytest.raises(ValueError, match="offset"):
+        snappy_decompress(bytes([4]) + bytes([0 << 2]) + b"a"
+                          + bytes([(0 << 2) | 1, 9]))
+    with _pytest.raises(ValueError):
+        snappy_decompress(bytes([200]) + bytes([3 << 2]) + b"ab")
+    with _pytest.raises(ValueError, match="guard"):
+        snappy_decompress(snappy_compress(b"x" * 100), max_out=10)
+    # output overruns preamble: declares 2, writes 4
+    with _pytest.raises(ValueError):
+        snappy_decompress(bytes([2]) + bytes([3 << 2]) + b"abcd")
+
+
+def test_avro_snappy_codec_roundtrip(spark, tmp_path):
+    """Avro OCF snappy codec (r8 verdict #6): synth → distributed scan
+    round-trips; the sink writes snappy containers read_avro_many
+    ingests; a corrupted CRC is rejected loudly."""
+    import pytest as _pytest
+
+    from almost_any_file_to_pandas_spark.sources.avro import (
+        read_avro_frame,
+        read_avro_many,
+        synth_avro,
+        write_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "note", "type": ["null", "string"]},
+        ],
+    }
+    rows = [
+        (i, f"n{i}" * (i % 7), None if i % 3 == 0 else f"x{i}")
+        for i in range(100)
+    ]
+    path = tmp_path / "t_snappy.avro"
+    blob = synth_avro(schema, rows, codec="snappy", rows_per_block=13)
+    path.write_bytes(blob)
+    got = sorted(
+        (r.id, r.name, r.note)
+        for r in read_avro_frame(spark, path).collect()
+    )
+    assert got == sorted(rows)
+
+    # CRC corruption: flip a byte inside the first block payload
+    bad = bytearray(blob)
+    hdr_end = blob.index(bytes((i * 17 + 3) % 256 for i in range(16))) + 16
+    bad[hdr_end + 10] ^= 0xFF
+    badp = tmp_path / "bad_snappy.avro"
+    badp.write_bytes(bytes(bad))
+    # the corruption lands in an executor-decoded payload, so the
+    # ValueError arrives wrapped in Spark's task-failure exception
+    with _pytest.raises(Exception, match="snappy|CRC|block"):
+        read_avro_frame(spark, badp).collect()
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(50)], "id bigint, s string"
+    ).repartition(3)
+    out = write_avro(df, str(tmp_path / "corp"), codec="snappy")
+    back = read_avro_many(spark, out + "/part-*.avro")
+    assert sorted((r.id, r.s) for r in back.collect()) == sorted(
+        (r.id, r.s) for r in df.collect()
+    )
+
+
+def test_avro_multibranch_union_struct_of_nullables(spark, tmp_path):
+    """Multi-branch unions (r8 verdict #7) land as struct-of-nullables
+    — one u{k} field per non-null branch, exactly one populated; the
+    null branch yields a NULL struct."""
+    from almost_any_file_to_pandas_spark.sources.avro import (
+        read_avro_frame,
+        synth_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["null", "long", "string"]},
+        ],
+    }
+    rows = [(0, 42), (1, "forty-two"), (2, None), (3, -7), (4, "x")]
+    p = tmp_path / "u.avro"
+    p.write_bytes(synth_avro(schema, rows))
+    df = read_avro_frame(spark, p)
+    assert dict(df.dtypes)["v"] == "struct<u0:bigint,u1:string>"
+    got = {r.id: r.v for r in df.collect()}
+    assert got[0] == (42, None)
+    assert got[1] == (None, "forty-two")
+    assert got[2] is None
+    assert got[3] == (-7, None)
+    assert got[4] == (None, "x")
+
+
+def test_avro_int_float_roundtrip_fixed_point(spark, tmp_path):
+    """write→read is a FIXED POINT of the type lattice (r8 ADVICE):
+    int stays int, float stays float — no silent widening."""
+    from almost_any_file_to_pandas_spark.sources.avro import (
+        read_avro_frame,
+        read_avro_many,
+        synth_avro,
+        write_avro,
+    )
+
+    # reader side: a third-party container with int/float fields
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "i", "type": "int"},
+            {"name": "f", "type": "float"},
+        ],
+    }
+    p = tmp_path / "if.avro"
+    p.write_bytes(synth_avro(schema, [(7, 0.5), (-3, 2.25)]))
+    df = read_avro_frame(spark, p)
+    assert dict(df.dtypes) == {"i": "int", "f": "float"}
+    assert sorted((r.i, r.f) for r in df.collect()) == [
+        (-3, 2.25), (7, 0.5)
+    ]
+
+    # writer side: int/float Spark frame round-trips to int/float
+    src = spark.createDataFrame(
+        [(1, 1.5), (2, -0.25)], "i int, f float"
+    )
+    out = write_avro(src, str(tmp_path / "ifw"))
+    back = read_avro_many(spark, out + "/part-*.avro")
+    assert dict(back.dtypes) == {"i": "int", "f": "float"}
+    assert sorted((r.i, r.f) for r in back.collect()) == [
+        (1, 1.5), (2, -0.25)
+    ]
+
+
+def test_avro_sink_save_mode(spark, tmp_path):
+    """write_avro save-mode semantics (r8 ADVICE medium): default
+    refuses a non-empty target; overwrite clears stale part files so
+    a narrower re-write can't leave mixed old+new data."""
+    import glob
+
+    import pytest as _pytest
+
+    from almost_any_file_to_pandas_spark.sources.avro import (
+        read_avro_many,
+        write_avro,
+    )
+
+    dest = str(tmp_path / "corp")
+    wide = spark.createDataFrame(
+        [(i,) for i in range(40)], "id bigint"
+    ).repartition(4)
+    write_avro(wide, dest)
+    assert len(glob.glob(dest + "/part-*.avro")) == 4
+
+    with _pytest.raises(ValueError, match="overwrite"):
+        write_avro(wide.limit(5), dest)
+
+    narrow = spark.createDataFrame(
+        [(100 + i,) for i in range(6)], "id bigint"
+    ).coalesce(1)
+    write_avro(narrow, dest, mode="overwrite")
+    parts = glob.glob(dest + "/part-*.avro")
+    assert len(parts) == 1
+    got = sorted(r.id for r in read_avro_many(spark, dest + "/part-*.avro").collect())
+    assert got == list(range(100, 106))
+
+
+def test_permutation_test_sign_safe_division(spark, tmp_path):
+    """events_permutation_test parity on a corpus with NEGATIVE values
+    (r8 ADVICE: Spark `div` truncates toward zero, DuckDB `//` floors
+    — the old plan silently assumed non-negative sums)."""
+    import datetime
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import frame_fingerprint
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i % 11,            # user_id: 11 users
+            i,                 # event_id
+            base + datetime.timedelta(minutes=i),
+            # values sum NEGATIVE for some users, with remainders
+            (-1) ** i * (i % 7) - 1.25,
+            "view",
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, "
+        "value double, event_type string"
+    )
+    sf = tmp_path / "mini"
+    sf.mkdir()
+    df.coalesce(1).write.parquet(str(sf / "events.parquet"))
+
+    sdf = QUERIES["events_permutation_test"](spark, str(sf))
+    s_hash, s_n, s_cols = frame_fingerprint(
+        sdf.columns, [tuple(r) for r in sdf.collect()]
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    cur = con.execute(ORACLES["events_permutation_test"])
+    dcols = [d[0] for d in cur.description]
+    d_hash, d_n, d_cols = frame_fingerprint(dcols, cur.fetchall())
+    assert s_cols == d_cols and s_n == d_n and s_hash == d_hash
+
+
+def test_bmp_png_decode_roundtrip_and_malformed():
+    """BI_PNG BMP (r9 — closes the PNG half of the r8 'methods 4/5'
+    gate): the embedded PNG decodes through the engine's own PNG
+    path; DIB/PNG dimension contradictions, truncated payloads, and
+    wrong-method containers raise ValueError; decode_image reports
+    metadata without Pillow."""
+    import struct
+
+    import pytest as _pytest
+
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        decode_bmp_png,
+        decode_image,
+        synth_bmp_png,
+    )
+
+    for w, h in ((1, 1), (16, 8), (7, 3)):
+        blob = synth_bmp_png(w, h)
+        gw, gh, pixels = decode_bmp_png(blob)
+        assert (gw, gh) == (w, h)
+        assert len(pixels) == w * h
+        assert sum(pixels) == sum(
+            (x + y) for y in range(h) for x in range(w)
+        )
+        assert decode_image(blob) == (w, h, "PNG")
+
+    blob = bytearray(synth_bmp_png(5, 4))
+    # contradict the DIB width
+    struct.pack_into("<i", blob, 18, 6)
+    with _pytest.raises(ValueError, match="contradict"):
+        decode_bmp_png(bytes(blob))
+
+    # truncated payload: chop the PNG tail
+    blob2 = synth_bmp_png(5, 4)[:-8]
+    with _pytest.raises(ValueError):
+        decode_bmp_png(blob2)
+
+    # wrong method: an uncompressed BMP through the BI_PNG arm
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        synth_bmp,
+    )
+
+    with _pytest.raises(ValueError, match="compression"):
+        decode_bmp_png(synth_bmp(4, 4))
+
+    # declared biSizeImage overrunning the file
+    blob3 = bytearray(synth_bmp_png(5, 4))
+    struct.pack_into("<I", blob3, 34, 1 << 30)
+    with _pytest.raises(ValueError, match="size out of range"):
+        decode_bmp_png(bytes(blob3))

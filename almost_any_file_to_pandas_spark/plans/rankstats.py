@@ -1659,3 +1659,234 @@ def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_parts"),
         F.sum("rev").cast("long").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: Wasserstein-1 distribution drift + calibration reliability/ECE
+# ---------------------------------------------------------------------------
+
+EMD_SPLIT_DATE = "1998-01-01"  # early/late cohort boundary (orders span
+# 1995-01..2001-08 in the driver testdata — the split roughly halves it)
+EMD_BIN_CENTS = 100_000  # $1,000 value bins → ≤ ~500 bins at any SF
+
+
+@register(
+    "orders_value_emd_drift",
+    oracle=f"""
+    WITH binned AS (
+      SELECT {CENTS} // {EMD_BIN_CENTS} AS bin,
+             CASE WHEN o_orderdate < TIMESTAMP '{EMD_SPLIT_DATE}'
+                  THEN 1 ELSE 0 END AS is_a
+      FROM orders
+    ), cells AS (
+      SELECT bin, SUM(is_a) AS c_a, SUM(1 - is_a) AS c_b
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM cells
+    ), walk AS (
+      SELECT bin, n_a, n_b,
+             (SUM(c_a) OVER (ORDER BY bin) * 1000000) // n_a AS cdf_a_q6,
+             (SUM(c_b) OVER (ORDER BY bin) * 1000000) // n_b AS cdf_b_q6,
+             COALESCE(LEAD(bin) OVER (ORDER BY bin), bin + 1) - bin
+               AS gap_bins
+      FROM cells CROSS JOIN tot
+    )
+    SELECT CAST(ANY_VALUE(n_a) AS BIGINT) AS n_a,
+           CAST(ANY_VALUE(n_b) AS BIGINT) AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(gap_bins * {EMD_BIN_CENTS}
+                    * abs(cdf_a_q6 - cdf_b_q6)) AS BIGINT)
+             AS w1_cents_q6,
+           CAST(SUM(gap_bins * {EMD_BIN_CENTS}
+                    * abs(cdf_a_q6 - cdf_b_q6)) // 1000000 AS BIGINT)
+             AS w1_cents
+    FROM walk
+    """,
+)
+def orders_value_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover's) distance between the early and
+    late order-value distributions — the drift metric that, unlike the
+    engine's chi²/TVD rows, weights HOW FAR mass moved, not just how
+    much: W1(A,B) = ∫|F_A − F_B| dv over the value axis.
+
+    Exact-integer discipline: values quantize to cents, bin to $1,000
+    cells, and each side's CDF quantizes to q6 (``cum·1e6 div n`` —
+    non-negative operands, so floor == truncate on both engines)
+    BEFORE the sum, which keeps every term ≤ 1e5·1e6 and the total
+    ≤ ~5e13 — BIGINT-safe at any SF (an un-quantized cross-product
+    form ``|cumA·n_b − cumB·n_a|`` overflows 64-bit at sf10). Missing
+    bins carry the previous |ΔCDF| for their whole run, priced by the
+    LEAD gap; the last bin's ΔCDF is 0 by construction.
+
+    Scale shape (module discipline): ONE corpus-sized hash aggregate
+    reduces orders to the ≤ ~500-cell bin census; the unpartitioned
+    CDF window and the LEAD both run on that bounded frame only;
+    totals broadcast via the 1-row cross join."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    cells = (
+        orders.select(
+            F.expr(f"{CENTS} div {EMD_BIN_CENTS}").alias("bin"),
+            F.when(
+                F.col("o_orderdate")
+                < F.lit(EMD_SPLIT_DATE).cast("timestamp"),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_a"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("is_a").alias("c_a"),
+            F.sum(1 - F.col("is_a")).alias("c_b"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    wo = W.orderBy("bin")
+    walk = cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.expr(
+            "(SUM(c_a) OVER (ORDER BY bin) * 1000000) div n_a"
+        ).alias("cdf_a_q6"),
+        F.expr(
+            "(SUM(c_b) OVER (ORDER BY bin) * 1000000) div n_b"
+        ).alias("cdf_b_q6"),
+        (
+            F.coalesce(F.lead("bin").over(wo), F.col("bin") + 1)
+            - F.col("bin")
+        ).alias("gap_bins"),
+    )
+    term = (
+        F.col("gap_bins")
+        * F.lit(EMD_BIN_CENTS)
+        * F.abs(F.col("cdf_a_q6") - F.col("cdf_b_q6"))
+    )
+    return walk.agg(
+        F.any_value("n_a").cast("long").alias("n_a"),
+        F.any_value("n_b").cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum(term).cast("long").alias("w1_cents_q6"),
+        F.expr(
+            f"CAST(SUM(gap_bins * {EMD_BIN_CENTS}"
+            " * abs(cdf_a_q6 - cdf_b_q6)) div 1000000 AS BIGINT)"
+        ).alias("w1_cents"),
+    )
+
+
+CAL_BINS = 10  # reliability-diagram bins over the [0,1] score axis
+CAL_SCORE_Q6 = (
+    "(CAST(FLOOR(l_quantity + 0.5) AS BIGINT) * 1000000) DIV 50"
+)
+CAL_SCORE_Q6_SQL = (
+    "(CAST(FLOOR(l_quantity + 0.5) AS BIGINT) * 1000000) // 50"
+)
+
+
+@register(
+    "lineitem_return_calibration_census",
+    oracle=f"""
+    WITH scored AS (
+      SELECT LEAST({CAL_BINS - 1},
+                   ({CAL_SCORE_Q6_SQL} * {CAL_BINS}) // 1000000) AS bin,
+             {CAL_SCORE_Q6_SQL} AS score_q6,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label
+      FROM lineitem
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           CAST((SUM(label) * 1000000) // COUNT(*) AS BIGINT)
+             AS label_rate_q6,
+           CAST(SUM(score_q6) // COUNT(*) AS BIGINT) AS score_mean_q6,
+           CAST(abs((SUM(label) * 1000000) // COUNT(*)
+                    - SUM(score_q6) // COUNT(*)) AS BIGINT) AS gap_q6
+    FROM scored GROUP BY bin
+    """,
+)
+def lineitem_return_calibration_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability diagram for a probability-like score against a
+    binary outcome — the standard calibration diagnostic a model-eval
+    pipeline runs before trusting scores as probabilities. Here the
+    score is the naive quantity-proportional return propensity
+    ``l_quantity/50`` (q6 integers; swap in any model score column)
+    and the outcome is ``l_returnflag = 'R'``: per score-decile bin,
+    observed positive rate vs mean predicted score and their gap.
+
+    All-integer: score quantizes to q6 BEFORE binning and averaging;
+    per-bin rates are single integer divisions of non-negative
+    operands (floor == truncate both engines). One corpus-sized hash
+    aggregate; the census is ≤ {CAL_BINS} rows."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.least(
+            F.lit(CAL_BINS - 1),
+            F.expr(f"(({CAL_SCORE_Q6}) * {CAL_BINS}) DIV 1000000"),
+        ).alias("bin"),
+        F.expr(CAL_SCORE_Q6).alias("score_q6"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias(
+            "label"
+        ),
+    )
+    return scored.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.expr("CAST((SUM(label) * 1000000) DIV COUNT(*) AS BIGINT)").alias(
+            "label_rate_q6"
+        ),
+        F.expr("CAST(SUM(score_q6) DIV COUNT(*) AS BIGINT)").alias(
+            "score_mean_q6"
+        ),
+        F.expr(
+            "CAST(abs((SUM(label) * 1000000) DIV COUNT(*)"
+            " - SUM(score_q6) DIV COUNT(*)) AS BIGINT)"
+        ).alias("gap_q6"),
+    )
+
+
+@register(
+    "lineitem_return_calibration_ece",
+    oracle=f"""
+    WITH scored AS (
+      SELECT LEAST({CAL_BINS - 1},
+                   ({CAL_SCORE_Q6_SQL} * {CAL_BINS}) // 1000000) AS bin,
+             {CAL_SCORE_Q6_SQL} AS score_q6,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label
+      FROM lineitem
+    ), cells AS (
+      SELECT bin, COUNT(*) AS n,
+             abs((SUM(label) * 1000000) // COUNT(*)
+                 - SUM(score_q6) // COUNT(*)) AS gap_q6
+      FROM scored GROUP BY bin
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+           CAST(SUM(n * gap_q6) // SUM(n) AS BIGINT) AS ece_q6,
+           CAST(MAX(gap_q6) AS BIGINT) AS mce_q6
+    FROM cells
+    """,
+)
+def lineitem_return_calibration_ece(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expected / maximum calibration error folded from the
+    reliability census: ECE = Σ_b (n_b/N)·|rate_b − scorē_b| (the
+    bin-count-weighted gap), MCE = max_b gap. Same q6-integer
+    discipline as the census; the weighted sum ≤ N·1e6 stays
+    BIGINT-safe at any SF, with ONE final division."""
+    apply_engine_conf(spark)
+    census = lineitem_return_calibration_census(spark, sf_dir)
+    return census.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_bins_used"),
+        F.expr(
+            "CAST(SUM(n * gap_q6) DIV SUM(n) AS BIGINT)"
+        ).alias("ece_q6"),
+        F.max("gap_q6").cast("long").alias("mce_q6"),
+    )

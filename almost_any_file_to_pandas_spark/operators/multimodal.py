@@ -264,11 +264,15 @@ def decode_image(content: bytes):
             # (routes the embedded stream through the engine's own
             # spec-complete PNG decoder); metadata here
             return width, abs(height), "PNG"
+        if compression == 4:
+            # BI_JPEG: full pixel decode via operators.jpeg's
+            # decode_bmp_jpeg (baseline-JPEG decoder); metadata here
+            return width, abs(height), "JPEG"
         if compression != 0:
             raise NotImplementedError(
                 f"compressed BMP (method {compression}, {bpp}-bit) "
-                "beyond BI_RLE4/BI_RLE8/BI_BITFIELDS/BI_PNG requires "
-                "Pillow (method 4 embeds a whole JPEG payload)"
+                "beyond BI_RLE4/BI_RLE8/BI_BITFIELDS/BI_JPEG/BI_PNG "
+                "is not a spec method this decoder knows"
             )
         mode = {1: "1", 8: "L", 24: "RGB", 32: "RGBA"}.get(
             bpp, f"BMP{bpp}"

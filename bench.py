@@ -420,6 +420,9 @@ HEADLINE = [
     "orders_value_emd_drift",
     "lineitem_return_calibration_census",
     "lineitem_return_calibration_ece",
+    # round-9: baseline-JPEG decode (Annex-K Huffman, per-block-
+    # constant fixtures so the lossy pipeline is bit-exact)
+    "mm_jpeg_decode_census",
 ]
 
 # One representative per operator family, printed in the final

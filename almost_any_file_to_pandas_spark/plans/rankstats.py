@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.plans import register, table, table_wide
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
 
 CENTS = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
@@ -1889,4 +1889,164 @@ def lineitem_return_calibration_ece(
             "CAST(SUM(n * gap_q6) DIV SUM(n) AS BIGINT)"
         ).alias("ece_q6"),
         F.max("gap_q6").cast("long").alias("mce_q6"),
+    )
+
+
+BOOT_B = 199  # bootstrap replicates (odd → clean percentile ranks)
+# Poisson(1) CDF, q6-quantized (FLOOR(cdf·1e6 + 0.5)) — the replicate
+# weights k are drawn by counting thresholds ≤ the row's hash uniform,
+# so the draw is pure integer comparison, identical on both engines.
+POISSON1_CDF_Q6 = (
+    367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990,
+    999999,
+)
+BOOT_LO_RANK = 5    # ceil(0.025 · 199) → 2.5th percentile rank
+BOOT_HI_RANK = 195  # ceil(0.975 · 199) → 97.5th percentile rank
+
+
+def _poisson_k_sql(u_expr: str) -> str:
+    """k = #{thresholds ≤ u} — the inverse-CDF Poisson(1) draw."""
+    return " + ".join(
+        f"CASE WHEN {u_expr} >= {t} THEN 1 ELSE 0 END"
+        for t in POISSON1_CDF_Q6
+    )
+
+
+@register(
+    "orders_bootstrap_mean_ci",
+    oracle=f"""
+    WITH spine AS (
+      SELECT unnest(range({BOOT_B})) AS b
+    ), hashed AS (
+      SELECT s.b,
+             {CENTS} AS cents,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+              || ':' || CAST(s.b AS VARCHAR)), 1, 8))::BIGINT
+               % 1000000 AS u
+      FROM orders CROSS JOIN spine s
+    ), weighted AS (
+      SELECT b, cents, {_poisson_k_sql("u")} AS k
+      FROM hashed
+    ), reps AS (
+      SELECT b, SUM(k * cents) // SUM(k) AS mean_cents
+      FROM weighted GROUP BY b HAVING SUM(k) > 0
+    ), ranked AS (
+      SELECT mean_cents,
+             ROW_NUMBER() OVER (ORDER BY mean_cents, b) AS rnk,
+             COUNT(*) OVER () AS n_reps
+      FROM reps
+    ), full_mean AS (
+      SELECT COUNT(*) AS n_orders,
+             SUM({CENTS}) // COUNT(*) AS mean_cents
+      FROM orders
+    )
+    SELECT CAST(f.n_orders AS BIGINT) AS n_orders,
+           CAST(ANY_VALUE(r.n_reps) AS BIGINT) AS b_reps,
+           CAST(f.mean_cents AS BIGINT) AS mean_cents,
+           CAST(MAX(CASE WHEN r.rnk = {BOOT_LO_RANK}
+                         THEN r.mean_cents END) AS BIGINT)
+             AS ci_lo_cents,
+           CAST(MAX(CASE WHEN r.rnk = {BOOT_HI_RANK}
+                         THEN r.mean_cents END) AS BIGINT)
+             AS ci_hi_cents
+    FROM ranked r CROSS JOIN full_mean f
+    GROUP BY f.n_orders, f.mean_cents
+    """,
+)
+def orders_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poissonized bootstrap percentile CI for the mean order value —
+    the resampling complement of the jackknife CI and the permutation
+    test: classical with-replacement resampling is undistributable
+    (each replicate needs n coordinated draws), but the Poissonized
+    bootstrap gives every (row, replicate) an independent Poisson(1)
+    multiplicity — a textbook-standard approximation whose replicate
+    size concentrates at n — so the whole resample is ONE narrow
+    cross-join fan-out with immediate map-side-combinable aggregation
+    into {BOOT_B} cells.
+
+    Determinism (house rule): the Poisson draw is an inverse-CDF count
+    of q6-quantized thresholds under the md5 hash uniform (the
+    permutation test's portable hash), replicate means are integer
+    cent divisions (non-negative operands), and the percentile ranks
+    are exact ROW_NUMBER picks with a deterministic (mean, b)
+    tie-break — no float crosses an engine boundary.
+
+    100 TB shape: the fan-out multiplies the two-column
+    (orderkey, cents) projection by B={BOOT_B}, combining map-side
+    into B cells before any shuffle; the rank window runs on the
+    B-row replicate frame. Cost is B× the narrow scan, tunable by B —
+    the same declared-fan-out contract as events_permutation_test."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    # table_wide: the B-fold fan-out + per-row hash is compute-heavy
+    # narrow work — without the fan-out guard the local single-row-
+    # group parquet shape runs all B·n hashes on ONE task (22 s at
+    # sf0.1; ~2 s fanned out)
+    narrow = table_wide(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr(CENTS).alias("cents")
+    )
+    spine = spark.range(BOOT_B).select(F.col("id").alias("b"))
+    k_expr = " + ".join(
+        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END"
+        for t in POISSON1_CDF_Q6
+    )
+    hashed = narrow.crossJoin(F.broadcast(spine)).select(
+        "b",
+        "cents",
+        F.expr(
+            "conv(substring(md5(concat_ws(':',"
+            " CAST(o_orderkey AS STRING), CAST(b AS STRING))), 1, 8),"
+            " 16, 10) % 1000000"
+        ).alias("u"),
+    )
+    weighted = hashed.select(
+        "b", "cents", F.expr(f"CAST({k_expr} AS BIGINT)").alias("k")
+    )
+    reps = (
+        weighted.groupBy("b")
+        .agg(
+            F.sum(F.col("k") * F.col("cents")).alias("sk"),
+            F.sum("k").alias("k_tot"),
+        )
+        .filter(F.col("k_tot") > 0)
+        .select("b", F.expr("sk div k_tot").alias("mean_cents"))
+    )
+    ranked = reps.select(
+        "mean_cents",
+        F.row_number()
+        .over(W.orderBy("mean_cents", "b"))
+        .alias("rnk"),
+        F.count("*").over(W.partitionBy()).alias("n_reps"),
+    )
+    full_mean = orders.agg(
+        F.count("*").alias("n_orders"),
+        F.expr(f"SUM({CENTS}) div COUNT(*)").alias("fmean"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(full_mean))
+        .groupBy("n_orders", "fmean")
+        .agg(
+            F.any_value("n_reps").cast("long").alias("b_reps"),
+            F.max(
+                F.when(
+                    F.col("rnk") == BOOT_LO_RANK, F.col("mean_cents")
+                )
+            )
+            .cast("long")
+            .alias("ci_lo_cents"),
+            F.max(
+                F.when(
+                    F.col("rnk") == BOOT_HI_RANK, F.col("mean_cents")
+                )
+            )
+            .cast("long")
+            .alias("ci_hi_cents"),
+        )
+        .select(
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "b_reps",
+            F.col("fmean").cast("long").alias("mean_cents"),
+            "ci_lo_cents",
+            "ci_hi_cents",
+        )
     )

@@ -423,6 +423,9 @@ HEADLINE = [
     # round-9: baseline-JPEG decode (Annex-K Huffman, per-block-
     # constant fixtures so the lossy pipeline is bit-exact)
     "mm_jpeg_decode_census",
+    # round-9: Poissonized bootstrap percentile CI (hash-randomized
+    # Poisson(1) multiplicities; one narrow B-fold fan-out)
+    "orders_bootstrap_mean_ci",
 ]
 
 # One representative per operator family, printed in the final

@@ -629,3 +629,97 @@ def test_bmp_jpeg_container_roundtrip():
     struct.pack_into("<i", bad, 18, 99)  # contradict DIB width
     with _pytest.raises(ValueError, match="contradict"):
         decode_bmp_jpeg(bytes(bad))
+
+
+def test_fuzz_round9_decoders_never_hang_or_crash():
+    """Hypothesis fuzz over the round-9 binary decoders (JPEG, snappy,
+    BI_PNG / BI_JPEG containers, the streaming Avro header): arbitrary
+    bytes, truncations, and byte-patches of valid files must raise a
+    CONTROLLED error (ValueError / NotImplementedError / struct.error)
+    or return a well-formed result — never an uncontrolled exception
+    type, never a hang."""
+    import io
+    import struct as _struct
+
+    from hypothesis import given, settings, strategies as st
+
+    from almost_any_file_to_pandas_spark.operators.jpeg import (
+        decode_bmp_jpeg,
+        decode_jpeg,
+        synth_bmp_jpeg,
+        synth_jpeg,
+        synth_jpeg_color,
+    )
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        decode_bmp_png,
+        synth_bmp_png,
+    )
+    from almost_any_file_to_pandas_spark.sources.avro import (
+        read_avro_header_stream,
+        snappy_decompress,
+        synth_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    seeds = [
+        synth_jpeg(16, 8),
+        synth_jpeg(24, 16, restart_interval=2),
+        synth_jpeg_color(16, 16, "4:2:0"),
+        synth_bmp_jpeg(8, 8),
+        synth_bmp_png(6, 5),
+        synth_avro(schema, [(1,), (2,)], codec="snappy"),
+    ]
+
+    def header_stream(blob: bytes):
+        return read_avro_header_stream(io.BytesIO(blob))
+
+    decoders = [
+        decode_jpeg,
+        decode_bmp_jpeg,
+        decode_bmp_png,
+        snappy_decompress,
+        header_stream,
+    ]
+    allowed = (ValueError, NotImplementedError, _struct.error)
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.integers(0, len(seeds) - 1),
+        st.binary(max_size=64),
+        st.integers(0, 400),
+        st.binary(min_size=1, max_size=8),
+    )
+    def fuzz(which, garbage, cut, patch):
+        base = seeds[which]
+        mutants = [
+            garbage,
+            base[:cut],
+            base[:cut] + patch + base[cut + len(patch):],
+        ]
+        for blob in mutants:
+            for dec in decoders:
+                try:
+                    dec(bytes(blob))
+                except allowed:
+                    pass
+
+    fuzz()
+
+
+def test_bootstrap_mean_ci_properties(spark):
+    """Poissonized bootstrap CI: B=199 replicates survive the Σk>0
+    guard, the percentile interval brackets the full-sample mean, and
+    the result is deterministic (hash-randomized, not RNG)."""
+    from almost_any_file_to_pandas_spark.plans import QUERIES
+
+    r1 = QUERIES["orders_bootstrap_mean_ci"](spark, SF_DIR).collect()[0]
+    r2 = QUERIES["orders_bootstrap_mean_ci"](spark, SF_DIR).collect()[0]
+    assert r1 == r2
+    assert r1.b_reps == 199
+    assert r1.ci_lo_cents <= r1.mean_cents <= r1.ci_hi_cents
+    assert r1.ci_lo_cents < r1.ci_hi_cents
+    assert r1.n_orders > 0

@@ -3046,3 +3046,232 @@ def text_rake_keyphrases_topk(
     return agg.orderBy(
         F.desc("score_q6"), F.asc("phrase")
     ).limit(RAKE_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Round 9: inter-annotator agreement (Cohen's kappa) + Flesch readability
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_langid_agreement_kappa",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang AS a1,
+        {_lang_score_sql('en')} AS score_en,
+        {_lang_score_sql('de')} AS score_de,
+        {_lang_score_sql('fr')} AS score_fr,
+        {_lang_score_sql('es')} AS score_es
+      FROM documents
+    ), pairs AS (
+      SELECT a1, {_LANG_CASE_SQL} AS a2 FROM scored
+    ), cells AS (
+      SELECT a1, a2, COUNT(*) AS c FROM pairs GROUP BY a1, a2
+    ), marg AS (
+      SELECT COALESCE(r.a1, col.a2) AS k,
+             COALESCE(r.row_n, 0) AS row_n,
+             COALESCE(col.col_n, 0) AS col_n
+      FROM (SELECT a1, SUM(c) AS row_n FROM cells GROUP BY a1) r
+      FULL JOIN (SELECT a2, SUM(c) AS col_n FROM cells GROUP BY a2) col
+        ON r.a1 = col.a2
+    ), folded AS (
+      SELECT (SELECT SUM(c) FROM cells) AS n,
+             (SELECT COALESCE(SUM(c), 0) FROM cells WHERE a1 = a2)
+               AS agree,
+             SUM(CAST(row_n AS HUGEINT) * col_n) AS pe_num
+      FROM marg
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(agree AS BIGINT) AS n_agree,
+           CAST(agree * 1000000 // n AS BIGINT) AS po_q6,
+           CAST(pe_num * 1000000 // (CAST(n AS HUGEINT) * n)
+                AS BIGINT) AS pe_q6,
+           -- kappa = (N·agree − pe_num) / (N² − pe_num); DuckDB //
+           -- floors, matched by the CASE on the Spark side
+           CAST((CAST(n AS HUGEINT) * agree - pe_num) * 1000000
+                // (CAST(n AS HUGEINT) * n - pe_num) AS BIGINT)
+             AS kappa_q6
+    FROM folded
+    """,
+)
+def text_langid_agreement_kappa(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohen's kappa between the corpus's labeled language and the
+    stopword-marker classifier — the chance-corrected agreement score
+    an annotation pipeline reports between two annotators (here: the
+    upstream labeler vs the engine's heuristic; swap in any two label
+    columns). κ = (p_o − p_e)/(1 − p_e) over the confusion matrix,
+    stated in exact integers: κ_q6 = (N·agree − Σ_k row_k·col_k)·1e6
+    floor-div (N² − Σ_k row_k·col_k) — numerator can be NEGATIVE
+    (worse-than-chance), so the Spark side restates DuckDB's floor
+    `//` with the sign-safe CASE; widened DECIMAL(38,0)/HUGEINT keeps
+    N²·1e6 exact at any SF.
+
+    Scale shape: ONE corpus aggregate to the ≤|langs|² confusion
+    cells; marginals, p_e and κ fold on that bounded frame."""
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        total = None
+        for marker in markers:
+            term = _occurrences(lowered, marker)
+            total = term if total is None else (total + term)
+        scores[lang] = total
+    predicted = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"]),
+            "en",
+        )
+        .when(
+            (scores["de"] >= scores["fr"])
+            & (scores["de"] >= scores["es"]),
+            "de",
+        )
+        .when(scores["fr"] >= scores["es"], "fr")
+        .otherwise("es")
+    )
+    cells = (
+        docs.select(F.col("lang").alias("a1"), predicted.alias("a2"))
+        .groupBy("a1", "a2")
+        .agg(F.count("*").alias("c"))
+    )
+    rows = cells.groupBy("a1").agg(F.sum("c").alias("row_n"))
+    cols = cells.groupBy("a2").agg(F.sum("c").alias("col_n"))
+    marg = rows.join(
+        cols, rows["a1"] == cols["a2"], "full"
+    ).select(
+        F.coalesce(F.col("row_n"), F.lit(0)).alias("row_n"),
+        F.coalesce(F.col("col_n"), F.lit(0)).alias("col_n"),
+    )
+    totals = cells.agg(
+        F.sum("c").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("a1") == F.col("a2"), F.col("c"))),
+            F.lit(0),
+        ).alias("agree"),
+    )
+    pe = marg.agg(
+        F.expr(
+            "CAST(SUM(CAST(row_n AS DECIMAL(38,0)) * col_n)"
+            " AS DECIMAL(38,0))"
+        ).alias("pe_num")
+    )
+    return (
+        totals.crossJoin(F.broadcast(pe))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_docs",
+            "CAST(agree AS BIGINT) AS n_agree",
+            "CAST(agree * 1000000 div n AS BIGINT) AS po_q6",
+            "CAST(pe_num * 1000000"
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT) AS pe_q6",
+            # sign-safe floor division (numerator may be negative)
+            "CAST(CASE WHEN (CAST(n AS DECIMAL(38,0)) * agree - pe_num)"
+            " >= 0 OR ((CAST(n AS DECIMAL(38,0)) * agree - pe_num)"
+            "          * 1000000)"
+            "         % (CAST(n AS DECIMAL(38,0)) * n - pe_num) = 0"
+            " THEN ((CAST(n AS DECIMAL(38,0)) * agree - pe_num)"
+            "       * 1000000)"
+            "      div (CAST(n AS DECIMAL(38,0)) * n - pe_num)"
+            " ELSE ((CAST(n AS DECIMAL(38,0)) * agree - pe_num)"
+            "       * 1000000)"
+            "      div (CAST(n AS DECIMAL(38,0)) * n - pe_num) - 1"
+            " END AS BIGINT) AS kappa_q6",
+        )
+    )
+
+
+_FLESCH_BASE_Q6 = 206_835_000  # 206.835 in q6
+_FLESCH_WPS_Q6 = 1_015_000     # 1.015 per word-per-sentence
+_FLESCH_SPW_Q6 = 84_600_000    # 84.6 per syllable-per-word
+
+
+def _raw_count_sql(expr: str, ch: str) -> str:
+    return f"(length({expr}) - length(replace({expr}, '{ch}', '')))"
+
+
+@register(
+    "text_readability_flesch_census",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS words,
+             GREATEST(1, {_raw_count_sql('text', '.')}
+                         + {_raw_count_sql('text', '!')}
+                         + {_raw_count_sql('text', '?')}) AS sents,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS sylls
+      FROM documents
+    ), scored AS (
+      SELECT lang,
+             {_FLESCH_BASE_Q6}
+             - ({_FLESCH_WPS_Q6} * words) // sents
+             - ({_FLESCH_SPW_Q6} * sylls) // words AS flesch_q6
+      FROM per_doc
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(MIN(flesch_q6) AS BIGINT) AS min_q6,
+           CAST(MAX(flesch_q6) AS BIGINT) AS max_q6,
+           -- mean can be negative: DuckDB // floors natively; the
+           -- Spark side restates the floor with the sign-safe CASE
+           CAST(SUM(CAST(flesch_q6 AS HUGEINT)) // COUNT(*)
+                AS BIGINT) AS mean_q6
+    FROM scored GROUP BY lang
+    """,
+)
+def text_readability_flesch_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Flesch reading-ease census per language — the classic
+    readability filter (206.835 − 1.015·words/sentence −
+    84.6·syllables/word) with the standard cheap proxies: sentences =
+    terminal-punctuation count (min 1), syllables = vowel-group count
+    (``[aeiouy]+`` runs). All-integer: the two per-doc ratios are
+    non-negative integer divisions of q6-scaled constants (floor ==
+    truncate), the subtraction is exact, and the per-lang mean uses
+    the widened floor division (sums can be negative for long-winded
+    corpora). One narrow projection + one ≤|langs|-cell aggregate."""
+    apply_engine_conf(spark)
+    docs = table_wide(spark, sf_dir, "documents")
+    words = F.size(F.split(F.col("text"), " ", -1))
+    raw = lambda ch: (  # noqa: E731 — local character counter
+        F.length(F.col("text"))
+        - F.length(F.replace(F.col("text"), F.lit(ch), F.lit("")))
+    )
+    sents = F.greatest(F.lit(1), raw(".") + raw("!") + raw("?"))
+    sylls = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0)
+        )
+    )
+    # materialize the integer word/sentence/syllable counts first so
+    # the q6 ratio expressions reference named columns
+    scored = docs.select(
+        "lang",
+        words.cast("long").alias("words"),
+        sents.cast("long").alias("sents"),
+        sylls.cast("long").alias("sylls"),
+    ).select(
+        "lang",
+        (
+            F.lit(_FLESCH_BASE_Q6)
+            - F.expr(f"({_FLESCH_WPS_Q6} * words) div sents")
+            - F.expr(f"({_FLESCH_SPW_Q6} * sylls) div words")
+        ).alias("flesch_q6"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("flesch_q6").cast("long").alias("min_q6"),
+        F.max("flesch_q6").cast("long").alias("max_q6"),
+        F.expr(
+            "CAST(CASE WHEN SUM(CAST(flesch_q6 AS DECIMAL(38,0))) >= 0"
+            " OR SUM(CAST(flesch_q6 AS DECIMAL(38,0))) % COUNT(*) = 0"
+            " THEN SUM(CAST(flesch_q6 AS DECIMAL(38,0))) div COUNT(*)"
+            " ELSE SUM(CAST(flesch_q6 AS DECIMAL(38,0))) div COUNT(*)"
+            " - 1 END AS BIGINT)"
+        ).alias("mean_q6"),
+    )

@@ -426,6 +426,9 @@ HEADLINE = [
     # round-9: Poissonized bootstrap percentile CI (hash-randomized
     # Poisson(1) multiplicities; one narrow B-fold fan-out)
     "orders_bootstrap_mean_ci",
+    # round-9: chance-corrected annotator agreement + readability
+    "text_langid_agreement_kappa",
+    "text_readability_flesch_census",
 ]
 
 # One representative per operator family, printed in the final

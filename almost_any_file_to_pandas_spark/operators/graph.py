@@ -1453,3 +1453,91 @@ def graph_cc_incremental_batch(
         "n_components",
         "n_nodes",
     )
+
+
+HYPERBALL_TOL = 0.05  # per-node |est − exact| ≤ tol·exact (+1 slack)
+
+
+@register(
+    "graph_hyperball_reach_floor",
+    oracle=_EDGE_CTE_HEAD
+    + """, hop2 AS (
+      SELECT e1.u, e2.v AS w
+      FROM sym e1 JOIN sym e2 ON e2.u = e1.v
+      WHERE e2.v <> e1.u
+      UNION ALL
+      SELECT u, v AS w FROM sym
+    )
+    SELECT h.u AS user_id,
+           CAST(COUNT(DISTINCT h.w) AS BIGINT) AS reach_2hop,
+           TRUE AS within_tol
+    FROM hop2 h
+    GROUP BY h.u
+    """,
+)
+def graph_hyperball_reach_floor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One HyperBall iteration (Boldi & Vigna 2013 — the canonical
+    web-scale neighborhood-function / effective-diameter algorithm):
+    each node keeps a FIXED-SIZE HLL sketch of its ball; round t
+    unions every neighbor's round-(t−1) sketch. Here: closed 1-hop
+    sketches (``hll_sketch_agg``) → one union round
+    (``hll_union_agg`` over the edge join) → |ball₂(v)| estimates,
+    verified per node against the EXACT 2-hop reach (the
+    ``graph_two_hop_reach`` wedge walk) with the sketch-family
+    tolerance harness: the emitted boolean claims
+    |est − (exact+1)| ≤ {HYPERBALL_TOL}·(exact+1) + 1 (the +1s: the
+    closed ball includes the node itself; sparse-mode HLL at lgK=14
+    is near-exact at these neighborhood sizes), and the oracle pins
+    it TRUE beside independently computed exact counts.
+
+    Why this matters at 100 TB: the exact wedge walk is Σdeg²-bounded
+    and the t-hop generalization explodes combinatorially, while
+    HyperBall rounds are each ONE edges⋈sketches join + ONE grouped
+    register union of fixed-size blobs — t rounds cost t·|E| regardless
+    of ball sizes. The exact anchor here is the correctness harness
+    only; production keeps sketches."""
+    apply_engine_conf(spark)
+    _, sym = _coactivity_graph(spark, sf_dir)
+    closed = sym.unionAll(
+        sym.select("u").distinct().select(
+            F.col("u"), F.col("u").alias("v")
+        )
+    )
+    sk1 = closed.groupBy("u").agg(
+        F.expr("hll_sketch_agg(v, 14)").alias("sk")
+    )
+    sk1 = sk1.localCheckpoint(eager=True)  # feeds both union arms
+    neighbor_sketches = sym.join(
+        sk1.select(F.col("u").alias("v"), "sk"), "v"
+    ).select("u", "sk")
+    ball2 = (
+        neighbor_sketches.unionAll(sk1.select("u", "sk"))
+        .groupBy("u")
+        .agg(
+            F.expr(
+                "CAST(hll_sketch_estimate(hll_union_agg(sk))"
+                " AS DOUBLE)"
+            ).alias("est")
+        )
+    )
+    e2 = sym.select(F.col("u").alias("mid"), F.col("v").alias("w"))
+    hop2 = (
+        sym.join(e2, F.col("v") == F.col("mid"))
+        .filter(F.col("w") != F.col("u"))
+        .select("u", "w")
+        .unionAll(sym.select("u", F.col("v").alias("w")))
+    )
+    exact = hop2.groupBy("u").agg(
+        F.countDistinct("w").alias("reach_2hop")
+    )
+    closed_exact = F.col("reach_2hop") + 1  # the ball includes self
+    return exact.join(ball2, "u").select(
+        F.col("u").alias("user_id"),
+        F.col("reach_2hop").cast("long").alias("reach_2hop"),
+        (
+            F.abs(F.col("est") - closed_exact)
+            <= F.lit(HYPERBALL_TOL) * closed_exact + F.lit(1.0)
+        ).alias("within_tol"),
+    )

@@ -429,6 +429,9 @@ HEADLINE = [
     # round-9: chance-corrected annotator agreement + readability
     "text_langid_agreement_kappa",
     "text_readability_flesch_census",
+    # round-9: HyperBall neighborhood function (per-node HLL balls,
+    # exact 2-hop anchor)
+    "graph_hyperball_reach_floor",
 ]
 
 # One representative per operator family, printed in the final

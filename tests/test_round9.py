@@ -776,3 +776,19 @@ def test_flesch_hand_corpus(spark, tmp_path):
     expected = 206_835_000 - (1_015_000 * 4) // 2 - (84_600_000 * 4) // 4
     assert r.n_docs == 1
     assert r.min_q6 == r.max_q6 == r.mean_q6 == expected
+
+
+def test_hyperball_matches_exact_on_small_graph(spark):
+    """One HyperBall round at lgK=14 on the sf0.01 coactivity graph
+    (sf0.001's thresholded graph is empty): sparse-mode HLL is
+    near-exact at these ball sizes, so every node's tolerance boolean
+    holds and the node set equals the exact 2-hop frame's."""
+    from almost_any_file_to_pandas_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["graph_hyperball_reach_floor"](spark, sf).collect()
+    exact = QUERIES["graph_two_hop_reach"](spark, sf).collect()
+    assert len(rows) == len(exact) > 0
+    assert all(r.within_tol for r in rows)
+    by_node = {r.user_id: r.reach_2hop for r in exact}
+    assert all(r.reach_2hop == by_node[r.user_id] for r in rows)

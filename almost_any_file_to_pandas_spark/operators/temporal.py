@@ -4696,3 +4696,105 @@ def part_demand_intermittency_census(
     return classed.groupBy("demand_class").agg(
         F.count("*").cast("long").alias("n_parts")
     )
+
+
+QTE_PCTS = (25, 50, 75)  # quartile treatment effects
+
+
+@register(
+    "events_ab_quantile_effects",
+    oracle=f"""
+    WITH cells AS (
+      SELECT user_id % 2 AS side,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), walk AS (
+      SELECT side, cents,
+             SUM(c) OVER (PARTITION BY side ORDER BY cents) AS cum,
+             SUM(c) OVER (PARTITION BY side) AS n
+      FROM cells
+    ), spine AS (
+      SELECT unnest(ARRAY{list(QTE_PCTS)}) AS q_pct
+    ), picked AS (
+      SELECT s.q_pct, w.side, MIN(w.cents) AS v
+      FROM walk w CROSS JOIN spine s
+      WHERE w.cum >= (w.n * s.q_pct + 99) // 100
+      GROUP BY s.q_pct, w.side
+    )
+    SELECT CAST(q_pct AS BIGINT) AS q_pct,
+           CAST(MAX(CASE WHEN side = 0 THEN v END) AS BIGINT)
+             AS control_cents,
+           CAST(MAX(CASE WHEN side = 1 THEN v END) AS BIGINT)
+             AS treat_cents,
+           CAST(MAX(CASE WHEN side = 1 THEN v END)
+                - MAX(CASE WHEN side = 0 THEN v END) AS BIGINT)
+             AS qte_cents
+    FROM picked GROUP BY q_pct
+    """,
+)
+def events_ab_quantile_effects(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile treatment effects — the distributional complement of
+    the mean-difference rows (`events_ab_cohort_compare`, the
+    permutation test): per cohort (``user_id % 2``), the EXACT
+    25/50/75th-percentile event values and their per-quantile gaps,
+    which expose effects the mean hides (a treatment that moves only
+    the tail shows qte₇₅ ≫ qte₅₀ ≈ 0).
+
+    Exact order statistics without a corpus sort: values quantize to
+    cents, ONE hash aggregate folds the corpus to the (side, cents)
+    census (bounded by the value domain), cumulative counts walk that
+    census per side, and the q-th value is the minimal cents whose
+    cumulative count reaches ``ceil(n·q/100)`` — integer rank
+    arithmetic, no interpolation, engine-identical. The 3-row
+    quantile spine cross-joins the census walk; output is 3 rows."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (F.col("user_id") % 2).alias("side"),
+            F.expr(
+                "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+            ).alias("cents"),
+        )
+        .groupBy("side", "cents")
+        .agg(F.count("*").alias("c"))
+    )
+    walk = cells.select(
+        "side",
+        "cents",
+        F.sum("c")
+        .over(W.partitionBy("side").orderBy("cents"))
+        .alias("cum"),
+        F.sum("c").over(W.partitionBy("side")).alias("n"),
+    )
+    spine = spark.createDataFrame(
+        [(q,) for q in QTE_PCTS], "q_pct int"
+    )
+    picked = (
+        walk.crossJoin(F.broadcast(spine))
+        .filter(F.expr("cum >= (n * q_pct + 99) div 100"))
+        .groupBy("q_pct", "side")
+        .agg(F.min("cents").alias("v"))
+    )
+    return (
+        picked.groupBy("q_pct")
+        .agg(
+            F.max(F.when(F.col("side") == 0, F.col("v")))
+            .cast("long")
+            .alias("control_cents"),
+            F.max(F.when(F.col("side") == 1, F.col("v")))
+            .cast("long")
+            .alias("treat_cents"),
+        )
+        .select(
+            F.col("q_pct").cast("long").alias("q_pct"),
+            "control_cents",
+            "treat_cents",
+            (F.col("treat_cents") - F.col("control_cents"))
+            .cast("long")
+            .alias("qte_cents"),
+        )
+    )

@@ -432,6 +432,8 @@ HEADLINE = [
     # round-9: HyperBall neighborhood function (per-node HLL balls,
     # exact 2-hop anchor)
     "graph_hyperball_reach_floor",
+    # round-9: exact quantile treatment effects on the value census
+    "events_ab_quantile_effects",
 ]
 
 # One representative per operator family, printed in the final

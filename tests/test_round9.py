@@ -792,3 +792,38 @@ def test_hyperball_matches_exact_on_small_graph(spark):
     assert all(r.within_tol for r in rows)
     by_node = {r.user_id: r.reach_2hop for r in exact}
     assert all(r.reach_2hop == by_node[r.user_id] for r in rows)
+
+
+def test_qte_hand_corpus(spark, tmp_path):
+    """Exact quantile treatment effects pinned by hand: control values
+    1..100 cents, treatment shifted +10 only above its median — QTE is
+    0 at p25 and +10 at p75 (ceil-rank order statistics)."""
+    import datetime
+
+    from almost_any_file_to_pandas_spark.plans import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(1, 101):
+        # control: user 0 (side 0), value i cents
+        rows.append((0, len(rows), base, i / 100.0, "view"))
+        # treatment: user 1 (side 1), +10 only in the top half
+        v = i + (10 if i > 50 else 0)
+        rows.append((1, len(rows), base, v / 100.0, "view"))
+    sf = tmp_path / "qte"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows,
+        "user_id bigint, event_id bigint, ts timestamp, value double,"
+        " event_type string",
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+
+    got = {
+        r.q_pct: r
+        for r in QUERIES["events_ab_quantile_effects"](
+            spark, str(sf)
+        ).collect()
+    }
+    assert got[25].control_cents == 25 and got[25].qte_cents == 0
+    assert got[50].control_cents == 50 and got[50].qte_cents == 0
+    assert got[75].control_cents == 75 and got[75].qte_cents == 10

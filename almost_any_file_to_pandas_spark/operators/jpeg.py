@@ -71,6 +71,8 @@ AC_LUM_VALS = [
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
 
+JPEG_MAX_PIXELS = 1 << 26  # untrusted-input allocation guard
+
 # Fixture quantization table: DC step 8 makes the constant-block DC
 # exact (DC of a constant block c is 8c); AC steps irrelevant (all-zero
 # ACs) but kept legal.
@@ -269,6 +271,16 @@ def decode_jpeg(content: bytes):
                     raise ValueError("JPEG DHT class out of range")
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("JPEG SOF0 component list truncated")
+            if w == 0 or h == 0 or w * h > JPEG_MAX_PIXELS:
+                # untrusted-input allocation guard (same class as the
+                # Avro/xz decompression ceilings): planes allocate
+                # before any entropy data is validated
+                raise ValueError(
+                    "JPEG dimensions out of range "
+                    f"({w}x{h}; guard {JPEG_MAX_PIXELS} pixels)"
+                )
             if prec != 8:
                 raise NotImplementedError("JPEG precision != 8")
             if nc not in (1, 3):
@@ -294,13 +306,21 @@ def decode_jpeg(content: bytes):
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF0")
+            if not seg:
+                raise ValueError("JPEG SOS header empty")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("JPEG SOS component list truncated")
             scan = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(
-                    c for c in frame["comps"] if c["id"] == cs
+                    (c for c in frame["comps"] if c["id"] == cs), None
                 )
+                if comp is None:
+                    raise ValueError(
+                        "JPEG SOS references a component not in SOF0"
+                    )
                 scan.append(
                     {"c": comp, "td": tdta >> 4, "ta": tdta & 0xF}
                 )

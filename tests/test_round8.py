@@ -1076,10 +1076,14 @@ def test_bmp_bitfields_roundtrip_and_errors():
     with _pytest.raises(ValueError, match="truncated"):
         decode_bmp_bitfields(synth_bmp_bitfields(8, 8, 32)[:-16])
 
-    # the remaining BMP gate: embed-a-JPEG/PNG compression methods
+    # r9: BI_JPEG (method 4) is now a SUPPORTED pass-through arm
+    # (operators.jpeg closed the gate); decode_image reports metadata
     bad = bytearray(synth_bmp_bitfields(2, 1, 16))
     struct.pack_into("<I", bad, 30, 4)  # BI_JPEG
-    with _pytest.raises(NotImplementedError, match="JPEG"):
+    assert decode_image(bytes(bad)) == (2, 1, "JPEG")
+    # an out-of-spec method number still gates loudly
+    struct.pack_into("<I", bad, 30, 9)
+    with _pytest.raises(NotImplementedError, match="method 9"):
         decode_image(bytes(bad))
 
 

@@ -3087,9 +3087,13 @@ def text_rake_keyphrases_topk(
            CAST(pe_num * 1000000 // (CAST(n AS HUGEINT) * n)
                 AS BIGINT) AS pe_q6,
            -- kappa = (N·agree − pe_num) / (N² − pe_num); DuckDB //
-           -- floors, matched by the CASE on the Spark side
-           CAST((CAST(n AS HUGEINT) * agree - pe_num) * 1000000
-                // (CAST(n AS HUGEINT) * n - pe_num) AS BIGINT)
+           -- floors, matched by the CASE on the Spark side. A
+           -- degenerate corpus where p_e = 1 (e.g. one doc whose
+           -- label equals the prediction) leaves kappa undefined —
+           -- NULL, not a div-by-zero
+           CAST(CASE WHEN CAST(n AS HUGEINT) * n - pe_num > 0 THEN
+                (CAST(n AS HUGEINT) * agree - pe_num) * 1000000
+                // (CAST(n AS HUGEINT) * n - pe_num) END AS BIGINT)
              AS kappa_q6
     FROM folded
     """,
@@ -3169,8 +3173,11 @@ def text_langid_agreement_kappa(
             "CAST(agree * 1000000 div n AS BIGINT) AS po_q6",
             "CAST(pe_num * 1000000"
             " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT) AS pe_q6",
-            # sign-safe floor division (numerator may be negative)
-            "CAST(CASE WHEN (CAST(n AS DECIMAL(38,0)) * agree - pe_num)"
+            # sign-safe floor division (numerator may be negative);
+            # p_e = 1 (degenerate) leaves kappa NULL, not div-by-zero
+            "CAST(CASE"
+            " WHEN CAST(n AS DECIMAL(38,0)) * n - pe_num <= 0 THEN NULL"
+            " WHEN (CAST(n AS DECIMAL(38,0)) * agree - pe_num)"
             " >= 0 OR ((CAST(n AS DECIMAL(38,0)) * agree - pe_num)"
             "          * 1000000)"
             "         % (CAST(n AS DECIMAL(38,0)) * n - pe_num) = 0"

@@ -1684,9 +1684,15 @@ EMD_BIN_CENTS = 100_000  # $1,000 value bins → ≤ ~500 bins at any SF
     ), tot AS (
       SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM cells
     ), walk AS (
+      -- an EMPTY cohort leaves W1 undefined (the single-row corpus
+      -- shape): NULL CDFs propagate to NULL distances, no div-by-zero
       SELECT bin, n_a, n_b,
-             (SUM(c_a) OVER (ORDER BY bin) * 1000000) // n_a AS cdf_a_q6,
-             (SUM(c_b) OVER (ORDER BY bin) * 1000000) // n_b AS cdf_b_q6,
+             CASE WHEN n_a > 0 THEN
+               (SUM(c_a) OVER (ORDER BY bin) * 1000000) // n_a
+             END AS cdf_a_q6,
+             CASE WHEN n_b > 0 THEN
+               (SUM(c_b) OVER (ORDER BY bin) * 1000000) // n_b
+             END AS cdf_b_q6,
              COALESCE(LEAD(bin) OVER (ORDER BY bin), bin + 1) - bin
                AS gap_bins
       FROM cells CROSS JOIN tot
@@ -1750,10 +1756,12 @@ def orders_value_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
         F.expr(
-            "(SUM(c_a) OVER (ORDER BY bin) * 1000000) div n_a"
+            "CASE WHEN n_a > 0 THEN"
+            " (SUM(c_a) OVER (ORDER BY bin) * 1000000) div n_a END"
         ).alias("cdf_a_q6"),
         F.expr(
-            "(SUM(c_b) OVER (ORDER BY bin) * 1000000) div n_b"
+            "CASE WHEN n_b > 0 THEN"
+            " (SUM(c_b) OVER (ORDER BY bin) * 1000000) div n_b END"
         ).alias("cdf_b_q6"),
         (
             F.coalesce(F.lead("bin").over(wo), F.col("bin") + 1)

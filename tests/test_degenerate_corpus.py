@@ -53,6 +53,9 @@ BATTERY = [
     "sim_matryoshka_prefix_floor",
     "lineitem_profile_approx_floor",
     "corpus_data_contract",
+    # round-9 degenerate repairs: empty-cohort EMD, p_e=1 kappa
+    "orders_value_emd_drift",
+    "text_langid_agreement_kappa",
     # always-green representatives (one per family)
     "q1_pricing_summary",
     "dedup_exact",

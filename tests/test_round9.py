@@ -827,3 +827,38 @@ def test_qte_hand_corpus(spark, tmp_path):
     assert got[25].control_cents == 25 and got[25].qte_cents == 0
     assert got[50].control_cents == 50 and got[50].qte_cents == 0
     assert got[75].control_cents == 75 and got[75].qte_cents == 10
+
+
+def test_kappa_degenerate_pe_one_yields_null(spark, tmp_path):
+    """A corpus where p_e = 1 (one doc, label == prediction) leaves
+    kappa UNDEFINED — the guard returns NULL instead of div-by-zero
+    (found by the degenerate-corpus sweep on the EMD twin)."""
+    from almost_any_file_to_pandas_spark.plans import QUERIES
+
+    sf = tmp_path / "kpe"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(1, "en", "the of and to in is was he for it", "s")],
+        "doc_id bigint, lang string, text string, source string",
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    r = QUERIES["text_langid_agreement_kappa"](spark, str(sf)).collect()[0]
+    assert (r.n_docs, r.n_agree, r.po_q6) == (1, 1, 1_000_000)
+    assert r.kappa_q6 is None
+
+
+def test_emd_empty_cohort_yields_null(spark, tmp_path):
+    """W1 against an EMPTY cohort is undefined: NULL, not div-by-zero
+    (the single-row degenerate corpus shape)."""
+    import datetime
+
+    from almost_any_file_to_pandas_spark.plans import QUERIES
+
+    sf = tmp_path / "emd1"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(500.0, datetime.datetime(1996, 1, 1))],
+        "o_totalprice double, o_orderdate timestamp",
+    ).coalesce(1).write.parquet(str(sf / "orders.parquet"))
+    r = QUERIES["orders_value_emd_drift"](spark, str(sf)).collect()[0]
+    assert (r.n_a, r.n_b) == (1, 0)
+    assert r.w1_cents_q6 is None and r.w1_cents is None

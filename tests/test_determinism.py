@@ -165,6 +165,13 @@ QUERIES_UNDER_TEST = [
     "pipeline_file_compaction_plan",
     "events_permutation_test",
     "orders_seasonal_decompose_additive",
+    # round-9 additions with partition-sensitive value classes: exact
+    # ceil-rank order statistics on the value census (QTE), the
+    # ROW_NUMBER percentile picks over hash-randomized replicate means
+    # (bootstrap), and the census-walk LEAD gap pricing (EMD)
+    "events_ab_quantile_effects",
+    "orders_bootstrap_mean_ci",
+    "orders_value_emd_drift",
 ]
 
 

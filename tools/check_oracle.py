@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -138,16 +139,35 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    names = [n for n in queries if not only or n in only]
+
+    # Thread-parallel sweep (same rationale as bench.py's digest: this
+    # is a correctness pass, no timing rides on it — concurrent Spark
+    # actions are safe and cut the full-registry wall ~3-4×). Each
+    # worker gets its own DuckDB cursor; ORACLE_THREADS=1 restores the
+    # sequential sweep.
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_threads = max(1, int(os.environ.get("ORACLE_THREADS", "4")))
+    lock = threading.Lock()
+    local = threading.local()
     failures = []
-    for name, fn in queries.items():
-        if only and name not in only:
-            continue
+
+    def run_one(name: str) -> None:
+        if not hasattr(local, "cur"):
+            local.cur = con.cursor()
         status, detail, _ = check_one(
-            spark, con, sf_dir, name, fn, oracles.get(name)
+            spark, local.cur, sf_dir, name, queries[name],
+            oracles.get(name),
         )
-        print(f"{status} {name}: {detail}")
-        if status == "FAIL":
-            failures.append(name)
+        with lock:
+            print(f"{status} {name}: {detail}", flush=True)
+            if status == "FAIL":
+                failures.append(name)
+
+    with ThreadPoolExecutor(max_workers=n_threads) as pool:
+        list(pool.map(run_one, names))
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0

@@ -1605,3 +1605,76 @@ def events_session_window_native(
             "total_value_q6",
         )
     )
+
+
+def events_rate_limiter_tws_stream(
+    spark: SparkSession, source_dir: str, schema
+) -> DataFrame:
+    """The :func:`events_rate_limiter_stream` kernel on Spark 4's
+    ``transformWithStateInPandas`` (SPARK-49564's arbitrary-stateful-
+    processing successor to ``applyInPandasWithState``): the SAME
+    two-integer token bucket, held in a named ``ValueState`` managed
+    by a ``StatefulProcessor`` instead of the legacy GroupState tuple.
+    The processor API is where multi-state operators (several value/
+    list/map states per key, timers, TTL) land at 100 TB — this twin
+    pins that the engine's kernel is API-portable and emits the exact
+    batch decision feed (test-asserted against
+    ``events_rate_limit_audit``)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _RateLimiter(StatefulProcessor):
+        def init(self, handle):
+            self._bucket = handle.getValueState(
+                "bucket", "tok bigint, last_us bigint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            stored = self._bucket.get() if self._bucket.exists() else None
+            tok, last = stored if stored else (_RL_CAP_MU, None)
+            if last is not None and last < 0:
+                last = None  # the -1 sentinel (ValueState is non-null)
+            chunks = [c for c in rows if len(c)]
+            out = []
+            if chunks:
+                # concat BEFORE sorting (the sessionizer note): a
+                # user's micro-batch rows can span Arrow chunks
+                pdf = pd.concat(chunks).sort_values(["us", "event_id"])
+                out, tok, last = _rate_limit_rows(
+                    zip(pdf["event_id"].tolist(), pdf["us"].tolist()),
+                    tok,
+                    last,
+                )
+            self._bucket.update((tok, last if last is not None else -1))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "event_id": [r[0] for r in out],
+                    "allowed": [r[1] for r in out],
+                    "tokens_milli_after": [r[2] for r in out],
+                }
+            )
+
+        def close(self):
+            pass
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_RateLimiter(),
+            outputStructType=(
+                "user_id bigint, event_id bigint, allowed boolean,"
+                " tokens_milli_after bigint"
+            ),
+            outputMode="append",
+            timeMode="none",
+        )
+    )

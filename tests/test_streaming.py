@@ -637,3 +637,63 @@ def test_windowed_topk_stream_matches_batch(spark, events_source):
     }
     assert got == batch
     assert len(got) > 0
+
+
+def test_rate_limiter_tws_stream_equals_batch(spark, events_source):
+    """Spark 4's transformWithStateInPandas twin (StatefulProcessor +
+    named ValueState) must emit EXACTLY the batch audit's decisions —
+    the same kernel the applyInPandasWithState twin runs, proving the
+    engine's stateful operators are portable to the successor API.
+
+    ENVIRONMENT GATE (same class as the tabula arm): the TWS Python
+    worker speaks protobuf to the state server and this container
+    ships no google.protobuf — the twin is exercised wherever
+    protobuf exists; here the plan still BUILDS (API wiring checked)
+    and the execution path is skipped."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas state protocol needs "
+        "protobuf (not shipped in this container)",
+    )
+    from almost_any_file_to_pandas_spark.plans import QUERIES, load_all
+    from almost_any_file_to_pandas_spark.streaming.events import (
+        events_rate_limiter_tws_stream,
+    )
+
+    load_all()
+    schema = spark.read.parquet(events_source).schema
+    _run_to_memory(
+        events_rate_limiter_tws_stream(spark, events_source, schema),
+        "rl_tws_stream",
+        "append",
+    )
+    got = {
+        (r["user_id"], r["event_id"], r["allowed"],
+         r["tokens_milli_after"])
+        for r in spark.sql("SELECT * FROM rl_tws_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"], r["allowed"],
+         r["tokens_milli_after"])
+        for r in QUERIES["events_rate_limit_audit"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == want
+
+
+def test_rate_limiter_tws_plan_builds(spark, events_source):
+    """The environment-gated half that CAN run here: the
+    transformWithStateInPandas twin's plan must build (StatefulProcessor
+    wiring, output schema, state schema all validated at plan time) —
+    only the protobuf-speaking execution worker is missing."""
+    from almost_any_file_to_pandas_spark.streaming.events import (
+        events_rate_limiter_tws_stream,
+    )
+
+    schema = spark.read.parquet(events_source).schema
+    df = events_rate_limiter_tws_stream(spark, events_source, schema)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "user_id", "event_id", "allowed", "tokens_milli_after",
+    ]

@@ -4798,3 +4798,99 @@ def events_ab_quantile_effects(
             .alias("qte_cents"),
         )
     )
+
+
+# z_{0.975} + z_{0.80} in q6 (stdlib statistics.NormalDist.inv_cdf):
+# the 5%-two-sided / 80%-power constant of the classical MDE formula
+MDE_Z_SUM_Q6 = 2_801_585
+
+
+@register(
+    "events_ab_power_mde",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             user_id % 2 AS side,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                           AS BIGINT)) AS BIGINT) AS tot
+      FROM events GROUP BY user_id
+    ), moments AS (
+      SELECT side, COUNT(*) AS n,
+             SUM(CAST(tot AS HUGEINT)) AS s1,
+             SUM(CAST(tot AS HUGEINT) * tot) AS s2
+      FROM users GROUP BY side
+    ), folded AS (
+      SELECT MAX(CASE WHEN side = 0 THEN n END) AS n_a,
+             MAX(CASE WHEN side = 1 THEN n END) AS n_b,
+             -- a single-user cohort has no sample variance: NULL,
+             -- not div-by-zero (the singleton degenerate corpus)
+             MAX(CASE WHEN side = 0 AND n > 1 THEN
+                 CAST(n * s2 - s1 * s1 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)) END) AS var_a,
+             MAX(CASE WHEN side = 1 AND n > 1 THEN
+                 CAST(n * s2 - s1 * s1 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)) END) AS var_b
+      FROM moments
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(FLOOR(sqrt(var_a) + 0.5) AS BIGINT) AS sd_a_micros,
+           CAST(FLOOR(sqrt(var_b) + 0.5) AS BIGINT) AS sd_b_micros,
+           CAST(FLOOR({MDE_Z_SUM_Q6} * 1e-6
+                      * sqrt(var_a / n_a + var_b / n_b) + 0.5)
+                AS BIGINT) AS mde_micros
+    FROM folded
+    """,
+)
+def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for the A/B user-mean comparison at
+    α=0.05 (two-sided) / 80% power — the classical normal-approximation
+    power analysis (MDE = (z₀.₉₇₅+z₀.₈)·√(σ²_A/n_A + σ²_B/n_B)) that
+    complements the distribution-free Chebyshev sizing row: run it
+    BEFORE the experiment to know what lift is even observable at the
+    current cohort sizes.
+
+    Determinism: per-user totals quantize to exact integer micros;
+    per-cohort first/second moments fold in HUGEINT/DECIMAL(38,0);
+    the ONLY doubles are the final variance divisions, sqrt
+    (correctly-rounded IEEE, identical on identical inputs — the
+    hygiene-report precedent), and one FLOOR(·+0.5) quantization.
+    Plan: one user-keyed aggregate (the only corpus shuffle) → a
+    2-cell moment frame → a 1-row fold."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    micros = (
+        F.col("value").cast("decimal(18,6)") * 1_000_000
+    ).cast("bigint")
+    users = ev.groupBy("user_id").agg(
+        F.sum(micros).cast("bigint").alias("tot")
+    ).select(
+        (F.col("user_id") % 2).alias("side"), "tot"
+    )
+    moments = users.groupBy("side").agg(
+        F.count("*").alias("n"),
+        F.expr("SUM(CAST(tot AS DECIMAL(38,0)))").alias("s1"),
+        F.expr(
+            "SUM(CAST(tot AS DECIMAL(38,0)) * tot)"
+        ).alias("s2"),
+    )
+    # a single-user cohort has no sample variance: NULL, not
+    # div-by-zero (the singleton degenerate corpus)
+    var = (
+        "CASE WHEN n > 1 THEN CAST(n * s2 - s1 * s1 AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * (n - 1)) END"
+    )
+    return moments.agg(
+        F.expr("MAX(CASE WHEN side = 0 THEN n END)").alias("_na"),
+        F.expr("MAX(CASE WHEN side = 1 THEN n END)").alias("_nb"),
+        F.expr(f"MAX(CASE WHEN side = 0 THEN {var} END)").alias("_va"),
+        F.expr(f"MAX(CASE WHEN side = 1 THEN {var} END)").alias("_vb"),
+    ).selectExpr(
+        "CAST(_na AS BIGINT) AS n_a",
+        "CAST(_nb AS BIGINT) AS n_b",
+        "CAST(FLOOR(sqrt(_va) + 0.5) AS BIGINT) AS sd_a_micros",
+        "CAST(FLOOR(sqrt(_vb) + 0.5) AS BIGINT) AS sd_b_micros",
+        f"CAST(FLOOR({MDE_Z_SUM_Q6} * 1e-6"
+        " * sqrt(_va / _na + _vb / _nb) + 0.5)"
+        " AS BIGINT) AS mde_micros",
+    )

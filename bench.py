@@ -434,6 +434,8 @@ HEADLINE = [
     "graph_hyperball_reach_floor",
     # round-9: exact quantile treatment effects on the value census
     "events_ab_quantile_effects",
+    # round-9: classical power-analysis MDE beside the Chebyshev row
+    "events_ab_power_mde",
 ]
 
 # One representative per operator family, printed in the final

@@ -862,3 +862,38 @@ def test_emd_empty_cohort_yields_null(spark, tmp_path):
     r = QUERIES["orders_value_emd_drift"](spark, str(sf)).collect()[0]
     assert (r.n_a, r.n_b) == (1, 0)
     assert r.w1_cents_q6 is None and r.w1_cents is None
+
+
+def test_power_mde_hand_corpus(spark, tmp_path):
+    """MDE pinned by hand: two equal cohorts with known per-user
+    variance — MDE = 2.801585·σ·√(2/n) in exact micros."""
+    import datetime
+    import math
+
+    from almost_any_file_to_pandas_spark.plans import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 8 users per side; per-user total alternates 1.0 / 3.0 → var = 32/15... 
+    # keep exactly computable: totals [1,3]*4 per side
+    for u in range(16):
+        v = 1.0 if u % 4 < 2 else 3.0
+        rows.append((u, eid, base, v, "view"))
+        eid += 1
+    sf = tmp_path / "mde"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp,"
+        " value double, event_type string",
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+
+    r = QUERIES["events_ab_power_mde"](spark, str(sf)).collect()[0]
+    assert (r.n_a, r.n_b) == (8, 8)
+    # per side totals: four 1e6, four 3e6 → mean 2e6, sample var =
+    # 8·(4·1e12+4·9e12) − (16e6)² over 8·7 = (320e12−256e12)/56
+    var = (8 * (4 * 1e12 + 4 * 9e12) - (16e6) ** 2) / (8 * 7)
+    sd = int(math.floor(math.sqrt(var) + 0.5))
+    assert r.sd_a_micros == r.sd_b_micros == sd
+    mde = int(math.floor(2.801585 * math.sqrt(var / 8 + var / 8) + 0.5))
+    assert r.mde_micros == mde

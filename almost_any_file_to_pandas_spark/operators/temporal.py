@@ -4894,3 +4894,72 @@ def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * sqrt(_va / _na + _vb / _nb) + 0.5)"
         " AS BIGINT) AS mde_micros",
     )
+
+
+SRM_CHI2_CRIT_Q6 = 3_841_459  # χ²₁ at α=0.05 (stdlib NormalDist:
+# z₀.₉₇₅² = 1.959964²) in q6 — the standard SRM alarm threshold
+
+
+@register(
+    "events_ab_srm_check",
+    oracle=f"""
+    WITH sides AS (
+      SELECT user_id % 2 AS side, COUNT(DISTINCT user_id) AS n
+      FROM events GROUP BY 1
+    ), folded AS (
+      SELECT COALESCE(MAX(CASE WHEN side = 0 THEN n END), 0) AS n_a,
+             COALESCE(MAX(CASE WHEN side = 1 THEN n END), 0) AS n_b
+      FROM sides
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           -- for an expected 50/50 split, χ² = (n_a − n_b)² / N
+           -- exactly — one integer division, no expected-count double
+           CAST(CASE WHEN n_a + n_b > 0 THEN
+                ((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b)
+                END AS BIGINT) AS chi2_q6,
+           CASE WHEN n_a + n_b > 0 THEN
+                ((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b)
+                > {SRM_CHI2_CRIT_Q6}
+                END AS srm_alarm
+    FROM folded
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch check — the first A/B sanity gate every
+    experimentation platform runs: if the realized cohort sizes
+    deviate from the designed 50/50 split beyond chance (χ²₁ > 3.84 at
+    α=0.05), the assignment itself is broken and every downstream
+    metric is suspect. For a 50/50 design the chi-square collapses to
+    the EXACT integer form (n_a − n_b)²/N — one q6 integer division,
+    no expected-count doubles (non-negative operands, floor ==
+    truncate). The hash-based `user_id % 2` split here should never
+    alarm; the row exists so a real assignment bug (or a biased
+    custom split) trips it.
+
+    Plan: one distinct-user aggregate (the only corpus shuffle) → a
+    2-cell frame → a 1-row fold."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    sides = ev.select(
+        (F.col("user_id") % 2).alias("side"), "user_id"
+    ).groupBy("side").agg(
+        F.count_distinct("user_id").alias("n")
+    )
+    return sides.agg(
+        F.coalesce(
+            F.max(F.when(F.col("side") == 0, F.col("n"))), F.lit(0)
+        ).alias("_na"),
+        F.coalesce(
+            F.max(F.when(F.col("side") == 1, F.col("n"))), F.lit(0)
+        ).alias("_nb"),
+    ).selectExpr(
+        "CAST(_na AS BIGINT) AS n_a",
+        "CAST(_nb AS BIGINT) AS n_b",
+        "CAST(CASE WHEN _na + _nb > 0 THEN"
+        " ((_na - _nb) * (_na - _nb) * 1000000) div (_na + _nb)"
+        " END AS BIGINT) AS chi2_q6",
+        f"CASE WHEN _na + _nb > 0 THEN"
+        f" ((_na - _nb) * (_na - _nb) * 1000000) div (_na + _nb)"
+        f" > {SRM_CHI2_CRIT_Q6} END AS srm_alarm",
+    )

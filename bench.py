@@ -436,6 +436,8 @@ HEADLINE = [
     "events_ab_quantile_effects",
     # round-9: classical power-analysis MDE beside the Chebyshev row
     "events_ab_power_mde",
+    # round-9: sample-ratio-mismatch gate (exact integer chi-square)
+    "events_ab_srm_check",
 ]
 
 # One representative per operator family, printed in the final

@@ -927,3 +927,35 @@ def test_experiment_hashes_match_oracle_protocol(spark):
             df2.columns, [tuple(r) for r in df2.collect()]
         )
         assert digest == digest2
+
+
+def test_srm_check_hand_corpus(spark, tmp_path):
+    """SRM alarm pinned by hand: a 100/50 split gives χ² = 50²/150 =
+    16.67 > 3.84 → alarm; a 75/75 split gives 0 → quiet."""
+    import datetime
+
+    from almost_any_file_to_pandas_spark.plans import QUERIES
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def run(n_even, n_odd):
+        sf = tmp_path / f"srm{n_even}_{n_odd}"
+        sf.mkdir()
+        rows = [(2 * u, u, base, 1.0, "view") for u in range(n_even)]
+        rows += [
+            (2 * u + 1, 10_000 + u, base, 1.0, "view")
+            for u in range(n_odd)
+        ]
+        spark.createDataFrame(
+            rows, "user_id bigint, event_id bigint, ts timestamp,"
+            " value double, event_type string",
+        ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+        return QUERIES["events_ab_srm_check"](spark, str(sf)).collect()[0]
+
+    r = run(100, 50)
+    assert (r.n_a, r.n_b) == (100, 50)
+    assert r.chi2_q6 == (50 * 50 * 1_000_000) // 150
+    assert r.srm_alarm is True
+
+    r = run(75, 75)
+    assert r.chi2_q6 == 0 and r.srm_alarm is False

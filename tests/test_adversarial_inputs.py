@@ -115,6 +115,11 @@ def test_hot_key_shapes_match_oracle(spark, skewed_events_dir):
         "graph_kcore_trajectory",
         "events_attribution_removal",
         "events_rate_limit_audit",
+        # round-9: hot-key shapes through the census rank walk (QTE),
+        # the exact integer chi-square (SRM), and the moment fold (MDE)
+        "events_ab_quantile_effects",
+        "events_ab_srm_check",
+        "events_ab_power_mde",
     ):
         _gate_compare(spark, skewed_events_dir, q)
 

@@ -1,0 +1,427 @@
+"""Distribution-shape censuses over the TPC-H-ish tables: Benford
+first-digit conformance, the Gini/Lorenz concentration curve, and the
+autocorrelation function of the daily order series.
+
+These are the classic "is this data shaped the way production data
+should be" monitors a training-data pipeline runs before trusting a
+new drop: Benford flags fabricated or truncated monetary columns,
+Gini/Lorenz quantifies customer concentration (and, on corpora, token
+or domain concentration), and the ACF exposes periodicity and drift
+in arrival series.
+
+Determinism: every cross-row fold is exact-integer (cents, counts,
+DECIMAL(38,0)/HUGEINT products); each query performs its divisions
+once, at the end, with the symmetric-truncation CASE so Spark ``div``
+(truncate toward zero) and DuckDB ``//`` (floor) agree on negative
+numerators.
+
+Scale notes per operator are in the docstrings; the shared theme is
+that nothing here materializes per-row state on the driver — the
+Benford census aggregates to 9 rows, the Lorenz fold's only driver
+artifact is the per-range-partition row-count offsets (≤ shuffle
+partition count), and the ACF runs over a calendar-bounded daily
+spine.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+# round(log10(1 + 1/d) * 1e6) — the Benford expected share of first
+# digit d, quantized to millionths. Computed once here and injected as
+# LITERALS into both the Spark plan and the DuckDB oracle so the two
+# engines compare against bit-identical constants.
+BENFORD_Q6 = {d: round(math.log10(1 + 1 / d) * 1e6) for d in range(1, 10)}
+
+def _benford_case(col: str) -> str:
+    return (
+        f"CASE {col} "
+        + " ".join(f"WHEN {d} THEN {q}" for d, q in BENFORD_Q6.items())
+        + " ELSE 0 END"
+    )
+
+
+_BENFORD_CASE_SQL = _benford_case("digit")
+_BENFORD_CASE_ORACLE = _benford_case("s.digit")
+
+
+@register(
+    "orders_benford_digit_census",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+    ), digits AS (
+      SELECT CAST(SUBSTR(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM cents GROUP BY 1
+    ), total AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS tot FROM digits
+    ), spine AS (
+      SELECT CAST(UNNEST(range(1, 10)) AS BIGINT) AS digit
+    )
+    SELECT s.digit,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(d.n, 0) * 1000000 // t.tot AS BIGINT)
+             AS share_q6,
+           CAST({_BENFORD_CASE_ORACLE} AS BIGINT) AS benford_q6,
+           CAST(ABS(COALESCE(d.n, 0) * 1000000 // t.tot
+                    - ({_BENFORD_CASE_ORACLE})) AS BIGINT) AS abs_dev_q6
+    FROM spine s LEFT JOIN digits d ON s.digit = d.digit
+    CROSS JOIN total t
+    """,
+)
+def orders_benford_digit_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-significant-digit census of ``o_totalprice`` against
+    Benford's law.
+
+    The first digit is taken from the DECIMAL STRING of the integer
+    cents value — integer-to-string rendering is bit-stable on both
+    engines, unlike ``log10``-based digit extraction whose boundary
+    behavior at exact powers of ten is libm-dependent. Shares are
+    integer millionths (positive operands, so ``div`` and ``//``
+    agree without the sign CASE).
+
+    Scale: one map-side-combined groupBy onto ≤ 9 digit keys, one
+    broadcast of the 1-row total, one broadcast join against the
+    constant 9-row spine. Nothing grows with the table.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    digits = (
+        orders.select(
+            F.expr(
+                "CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)"
+                " AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = digits.agg(F.sum("n").alias("tot"))
+    spine = spark.range(1, 10).select(F.col("id").alias("digit"))
+    return (
+        spine.join(F.broadcast(digits), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.expr(
+                "CAST(COALESCE(n, 0) * 1000000 div tot AS BIGINT)"
+            ).alias("share_q6"),
+            F.expr(f"CAST({_BENFORD_CASE_SQL} AS BIGINT)").alias(
+                "benford_q6"
+            ),
+            F.expr(
+                "CAST(ABS(COALESCE(n, 0) * 1000000 div tot"
+                f" - ({_BENFORD_CASE_SQL})) AS BIGINT)"
+            ).alias("abs_dev_q6"),
+        )
+    )
+
+
+_GINI_ORACLE = """
+    WITH spend AS (
+      SELECT c.c_custkey,
+             CAST(COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                                    AS BIGINT)), 0) AS BIGINT) AS spend_c
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ), ranked AS (
+      SELECT spend_c,
+             CAST(ROW_NUMBER() OVER (ORDER BY spend_c, c_custkey)
+                  AS BIGINT) AS i
+      FROM spend
+    ), gstats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(spend_c AS HUGEINT)) AS HUGEINT) AS s0,
+             CAST(SUM(CAST(i AS HUGEINT) * spend_c) AS HUGEINT) AS s1
+      FROM ranked
+    ), deciles AS (
+      SELECT CAST((i - 1) * 10 // g.n + 1 AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(CAST(spend_c AS HUGEINT)) AS HUGEINT) AS dec_c
+      FROM ranked CROSS JOIN gstats g
+      GROUP BY 1
+    )
+    SELECT d.decile,
+           d.n_cust,
+           CAST(d.dec_c AS BIGINT) AS decile_spend_c,
+           CAST(SUM(d.dec_c) OVER (ORDER BY d.decile) * 1000000 // g.s0
+                AS BIGINT) AS cum_share_q6,
+           CAST((2 * g.s1 - (g.n + 1) * g.s0) * 1000000 // (g.n * g.s0)
+                AS BIGINT) AS gini_q6
+    FROM deciles d CROSS JOIN gstats g
+    """
+
+
+@register("customer_spend_gini_lorenz", oracle=_GINI_ORACLE)
+def customer_spend_gini_lorenz(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lorenz decile curve + exact Gini coefficient of per-customer
+    spend (integer cents; customers with no orders count as 0).
+
+    Gini over values sorted ascending with ranks i = 1..n is
+    ``(2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)`` — exact in
+    DECIMAL(38,0)/HUGEINT up to one final q6 division (numerator is
+    ≥ 0 by the rearrangement inequality, so ``div`` and ``//``
+    agree). Σ i·x_i is invariant to intra-tie order, so the
+    ``c_custkey`` tie-break only pins the row_number, not the result.
+
+    Scale — the global rank WITHOUT a single-partition window:
+    ``repartitionByRange(spend_c, c_custkey)`` gives ascending,
+    non-overlapping ranges per partition; ``row_number`` runs
+    PARTITIONED by ``spark_partition_id()`` (parallel, partial
+    sort only), and the global rank is the local rank plus a
+    per-partition row-count offset — a ≤ shuffle-partition-count
+    frame, broadcast back. This is the standard two-phase distributed
+    ranking; at 100 TB the sort is Spark's ordinary range-partitioned
+    exchange, never one task.
+    """
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("spend_c"))
+    )
+    n_part = spark.sparkContext.defaultParallelism
+    ranged = spend.repartitionByRange(
+        n_part, "spend_c", "c_custkey"
+    ).withColumn("pid", F.spark_partition_id())
+    local = ranged.withColumn(
+        "j",
+        F.row_number().over(
+            W.partitionBy("pid").orderBy("spend_c", "c_custkey")
+        ),
+    )
+    # Per-partition counts → exclusive prefix-sum offsets. The frame
+    # is ≤ n_part rows; the running-sum window over it is trivially
+    # small and the result broadcasts.
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    W.orderBy("pid").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "spend_c", (F.col("j") + F.col("offset")).alias("i")
+    )
+    glob = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(spend_c AS DECIMAL(38,0))")).alias("s0"),
+        F.sum(
+            F.expr("CAST(i AS DECIMAL(38,0)) * spend_c")
+        ).alias("s1"),
+    )
+    deciles = (
+        ranked.crossJoin(F.broadcast(glob))
+        .groupBy(
+            F.expr("CAST((i - 1) * 10 div n + 1 AS BIGINT)").alias(
+                "decile"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.expr("CAST(spend_c AS DECIMAL(38,0))")).alias(
+                "dec_c"
+            ),
+        )
+    )
+    return (
+        deciles.crossJoin(F.broadcast(glob))
+        .withColumn(
+            "cum_c",
+            F.sum("dec_c").over(
+                W.orderBy("decile").rowsBetween(
+                    W.unboundedPreceding, 0
+                )
+            ),
+        )
+        .select(
+            "decile",
+            F.col("n_cust").cast("long").alias("n_cust"),
+            F.col("dec_c").cast("long").alias("decile_spend_c"),
+            F.expr(
+                "CAST(cum_c * 1000000 div s0 AS BIGINT)"
+            ).alias("cum_share_q6"),
+            F.expr(
+                "CAST((2 * s1 - (n + 1) * s0) * 1000000"
+                " div (n * s0) AS BIGINT)"
+            ).alias("gini_q6"),
+        )
+    )
+
+
+ACF_MAX_LAG = 14
+
+_ACF_ORACLE = f"""
+    WITH bounds AS (
+      SELECT MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1 FROM orders
+    ), spine AS (
+      SELECT CAST(datediff('day', b.d0, CAST(g.x AS DATE)) AS BIGINT)
+               AS idx
+      FROM bounds b,
+           LATERAL (SELECT UNNEST(range(b.d0::TIMESTAMP,
+                                        (b.d1 + INTERVAL 1 DAY)::TIMESTAMP,
+                                        INTERVAL 1 DAY)) AS x) g
+    ), daily AS (
+      SELECT CAST(datediff('day', b.d0, o.o_orderdate) AS BIGINT) AS idx,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders o CROSS JOIN bounds b GROUP BY 1
+    ), series AS (
+      SELECT s.idx, CAST(COALESCE(d.x, 0) AS BIGINT) AS x
+      FROM spine s LEFT JOIN daily d ON s.idx = d.idx
+    ), gstats AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+      FROM series
+    ), lags AS (
+      SELECT CAST(UNNEST(range(1, {ACF_MAX_LAG + 1})) AS BIGINT) AS lag
+    ), pairs AS (
+      SELECT l.lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(a.x AS HUGEINT)) AS HUGEINT) AS head_s,
+             CAST(SUM(CAST(b.x AS HUGEINT)) AS HUGEINT) AS tail_s
+      FROM lags l
+      JOIN series a ON TRUE
+      JOIN series b ON b.idx = a.idx + l.lag
+      GROUP BY l.lag
+    )
+    SELECT p.lag,
+           p.n_pairs,
+           CAST(p.sxy AS BIGINT) AS sxy,
+           CASE WHEN (g.n * g.n * p.sxy - g.n * g.s
+                        * (p.head_s + p.tail_s)
+                      + (g.n - p.lag) * g.s * g.s) >= 0
+                THEN CAST((g.n * g.n * p.sxy - g.n * g.s
+                             * (p.head_s + p.tail_s)
+                           + (g.n - p.lag) * g.s * g.s) * 1000000
+                          // (g.n * g.n * g.q - g.n * g.s * g.s)
+                          AS BIGINT)
+                ELSE -CAST((-(g.n * g.n * p.sxy - g.n * g.s
+                                * (p.head_s + p.tail_s)
+                              + (g.n - p.lag) * g.s * g.s)) * 1000000
+                           // (g.n * g.n * g.q - g.n * g.s * g.s)
+                           AS BIGINT)
+           END AS acf_q6
+    FROM pairs p CROSS JOIN gstats g
+    """
+
+
+@register("orders_acf_daily_counts", oracle=_ACF_ORACLE)
+def orders_acf_daily_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Autocorrelation function (lags 1..{ACF_MAX_LAG}) of the DENSE
+    daily order-count series, from exact-integer sufficient
+    statistics.
+
+    The centered ACF numerator over pairs (t, t+k), scaled by n² to
+    clear the rational mean, is
+    ``n²·Σx_t·x_{{t+k}} − n·S·(head_k + tail_k) + (n−k)·S²`` with
+    ``S = Σx``; the denominator is ``n²·Q − n·S²`` with ``Q = Σx²``.
+    All folds are DECIMAL(38,0)/HUGEINT; one symmetric-truncation q6
+    division per lag at the end (numerators go negative for
+    anti-correlated lags — the sign CASE keeps Spark ``div`` and
+    DuckDB ``//`` identical).
+
+    Scale: the dense series is CALENDAR-BOUNDED (one row per day —
+    ~2.4k rows for seven years, regardless of table size), so the
+    lag self-join and the per-lag aggregation are over a frame that
+    does not grow with the data; the only full-table work is the one
+    map-side-combined daily groupBy.
+    """
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("d0"),
+        F.max("o_orderdate").alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+        "d0",
+    ).select(F.datediff("day", "d0").cast("long").alias("idx"))
+    daily = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.datediff("o_orderdate", "d0").cast("long").alias("idx")
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    series = spine.join(daily, "idx", "left").select(
+        "idx", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    glob = series.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("q"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = series.alias("a")
+    b = series.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.idx") == F.col("a.idx") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.expr("CAST(a.x AS DECIMAL(38,0)) * b.x")
+            ).alias("sxy"),
+            F.sum(F.col("a.x")).alias("head_s"),
+            F.sum(F.col("b.x")).alias("tail_s"),
+        )
+    )
+    num = (
+        "(CAST(n AS DECIMAL(38,0)) * n * sxy"
+        " - CAST(n AS DECIMAL(38,0)) * s * (head_s + tail_s)"
+        " + (CAST(n AS DECIMAL(38,0)) - lag) * s * s)"
+    )
+    den = (
+        "(CAST(n AS DECIMAL(38,0)) * n * q"
+        " - CAST(n AS DECIMAL(38,0)) * s * s)"
+    )
+    return pairs.crossJoin(F.broadcast(glob)).select(
+        "lag",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("sxy").cast("long").alias("sxy"),
+        F.expr(
+            f"CASE WHEN {num} >= 0"
+            f" THEN CAST(({num} * 1000000) div {den} AS BIGINT)"
+            f" ELSE -CAST((-{num} * 1000000) div {den} AS BIGINT)"
+            " END"
+        ).alias("acf_q6"),
+    )

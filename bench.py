@@ -438,6 +438,12 @@ HEADLINE = [
     "events_ab_power_mde",
     # round-9: sample-ratio-mismatch gate (exact integer chi-square)
     "events_ab_srm_check",
+    # round-9: distribution-shape censuses — Benford first-digit
+    # conformance, Lorenz/Gini concentration (two-phase distributed
+    # global rank), dense-daily-series ACF sufficient stats
+    "orders_benford_digit_census",
+    "customer_spend_gini_lorenz",
+    "orders_acf_daily_counts",
 ]
 
 # One representative per operator family, printed in the final
@@ -504,6 +510,9 @@ COMPACT = [
     "mm_png_decode_census",
     "customer_rfm_kmeans_segments",
     "privacy_k_anonymity_census",
+    # round-9 session append: distribution-shape family representative
+    # (the two-phase distributed global-rank Lorenz/Gini fold)
+    "customer_spend_gini_lorenz",
 ]
 
 

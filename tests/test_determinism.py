@@ -172,6 +172,11 @@ QUERIES_UNDER_TEST = [
     "events_ab_quantile_effects",
     "orders_bootstrap_mean_ci",
     "orders_value_emd_drift",
+    # round-9 distribution censuses: the two-phase distributed global
+    # rank (range-partition boundaries move with parallelism — the
+    # rank fold must not) and the dense-spine lag self-join
+    "customer_spend_gini_lorenz",
+    "orders_acf_daily_counts",
 ]
 
 

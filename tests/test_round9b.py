@@ -1,0 +1,121 @@
+"""Hand-corpus pins for the round-9 distribution-shape censuses
+(operators/distribution.py): Benford first-digit census, the
+Lorenz/Gini concentration fold, and the dense-daily ACF sufficient
+statistics. Every expected value below is computed by hand in the
+docstrings so a regression points at the exact term that moved.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from almost_any_file_to_pandas_spark.operators.distribution import (
+    BENFORD_Q6,
+)
+from almost_any_file_to_pandas_spark.plans import QUERIES
+
+
+def _write_orders(spark, sf, rows, schema):
+    sf.mkdir(exist_ok=True)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(sf / "orders.parquet"))
+    return str(sf)
+
+
+def test_benford_hand_corpus(spark, tmp_path):
+    """Prices 1.00, 1.50, 25.50, 3.00, 999.99 → cents 100/150/2550/
+    300/99999 → first digits 1,1,2,3,9. Digit 1: share 2/5 =
+    400000 q6, |400000 − 301030| = 98970. Absent digits keep the
+    full Benford expectation as deviation."""
+    sf = _write_orders(
+        spark,
+        tmp_path / "benford",
+        [(1.00,), (1.50,), (25.50,), (3.00,), (999.99,)],
+        "o_totalprice double",
+    )
+    rows = {
+        r.digit: r
+        for r in QUERIES["orders_benford_digit_census"](
+            spark, sf
+        ).collect()
+    }
+    assert sorted(rows) == list(range(1, 10))
+    assert rows[1].n == 2 and rows[1].share_q6 == 400_000
+    assert rows[1].benford_q6 == BENFORD_Q6[1] == 301_030
+    assert rows[1].abs_dev_q6 == 400_000 - 301_030
+    assert rows[2].n == 1 and rows[2].share_q6 == 200_000
+    assert rows[9].n == 1
+    for d in (4, 5, 6, 7, 8):
+        assert rows[d].n == 0 and rows[d].share_q6 == 0
+        assert rows[d].abs_dev_q6 == BENFORD_Q6[d]
+
+
+def test_gini_lorenz_hand_corpus(spark, tmp_path):
+    """Four customers with spends 0 (no orders), 100, 100, 200 cents.
+    Sorted ranks 1..4: S0 = 400, S1 = 0·1+100·2+100·3+200·4 = 1300.
+    Gini = (2·1300 − 5·400)/(4·400) = 600/1600 → 375000 q6.
+    Deciles via (i−1)·10 // 4 + 1 → 1, 3, 6, 8; cumulative shares
+    0, 250000, 500000, 1000000."""
+    sf = tmp_path / "gini"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "c_custkey bigint"
+    ).coalesce(1).write.parquet(str(sf / "customer.parquet"))
+    spark.createDataFrame(
+        [(2, 1.00), (3, 0.50), (3, 0.50), (4, 2.00)],
+        "o_custkey bigint, o_totalprice double",
+    ).coalesce(1).write.parquet(str(sf / "orders.parquet"))
+    rows = sorted(
+        QUERIES["customer_spend_gini_lorenz"](
+            spark, str(sf)
+        ).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == [1, 3, 6, 8]
+    assert [r.n_cust for r in rows] == [1, 1, 1, 1]
+    assert [r.decile_spend_c for r in rows] == [0, 100, 100, 200]
+    assert [r.cum_share_q6 for r in rows] == [
+        0,
+        250_000,
+        500_000,
+        1_000_000,
+    ]
+    assert all(r.gini_q6 == 375_000 for r in rows)
+
+
+def test_acf_hand_corpus(spark, tmp_path):
+    """Two orders on each of days 0, 2, 4 → dense series x =
+    [2,0,2,0,2] (n=5, S=6, Q=12; den = 25·12 − 5·36 = 120).
+    lag1: sxy=0, head=tail=4, num = −5·6·8 + 4·36 = −96
+      → trunc(−96e6/120) = −800000 (the alternating signature).
+    lag2: sxy=8, num = 200 − 240 + 108 = 68 → 566666.
+    lag3: num = −120 + 72 = −48 → −400000.
+    lag4: num = 100 − 120 + 36 = 16 → 133333.
+    Lags ≥ 5 have no pairs and emit no rows."""
+    d = datetime.date
+    sf = _write_orders(
+        spark,
+        tmp_path / "acf",
+        [
+            (d(2024, 1, 1),),
+            (d(2024, 1, 1),),
+            (d(2024, 1, 3),),
+            (d(2024, 1, 3),),
+            (d(2024, 1, 5),),
+            (d(2024, 1, 5),),
+        ],
+        "o_orderdate date",
+    )
+    rows = {
+        r.lag: r
+        for r in QUERIES["orders_acf_daily_counts"](
+            spark, sf
+        ).collect()
+    }
+    assert sorted(rows) == [1, 2, 3, 4]
+    assert rows[1].n_pairs == 4 and rows[1].sxy == 0
+    assert rows[1].acf_q6 == -800_000
+    assert rows[2].sxy == 8 and rows[2].acf_q6 == 566_666
+    assert rows[3].acf_q6 == -400_000
+    assert rows[4].n_pairs == 1 and rows[4].acf_q6 == 133_333

@@ -233,6 +233,18 @@ def parse(
             from almost_any_file_to_pandas_spark.sources.columnar import read_pickle
 
             return [read_pickle(spark, p, **options)]
+        if extension in (".db", ".sqlite", ".sqlite3"):
+            # extension beyond the reference (SURVEY.md §7): SQLite
+            # container — every user table fans out as its own result
+            # (the database sibling of the Excel sheet fan-out), each
+            # scanned in parallel by rowid range. '.db' is claimed by
+            # many formats; the magic probe inside read_sqlite turns
+            # non-SQLite payloads into failed answers.
+            from almost_any_file_to_pandas_spark.sources.sqlite import (
+                read_sqlite,
+            )
+
+            return read_sqlite(spark, p, **options)
     except Exception:
         # Importer blow-ups degrade to a failed answer, as the
         # reference's logging-and-continue philosophy dictates.

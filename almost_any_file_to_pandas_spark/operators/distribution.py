@@ -1,13 +1,14 @@
-"""Distribution-shape censuses over the TPC-H-ish tables: Benford
-first-digit conformance, the Gini/Lorenz concentration curve, and the
-autocorrelation function of the daily order series.
+"""Distribution-shape censuses over the TPC-H-ish tables: the
+Gini/Lorenz concentration curve and the autocorrelation function of
+the daily order series. (Benford conformance already exists as the
+round-3 ``orders_benford_first_digit`` row in plans/relational.py —
+deliberately NOT duplicated here.)
 
 These are the classic "is this data shaped the way production data
 should be" monitors a training-data pipeline runs before trusting a
-new drop: Benford flags fabricated or truncated monetary columns,
-Gini/Lorenz quantifies customer concentration (and, on corpora, token
-or domain concentration), and the ACF exposes periodicity and drift
-in arrival series.
+new drop: Gini/Lorenz quantifies customer concentration (and, on
+corpora, token or domain concentration), and the ACF exposes
+periodicity and drift in arrival series.
 
 Determinism: every cross-row fold is exact-integer (cents, counts,
 DECIMAL(38,0)/HUGEINT products); each query performs its divisions
@@ -17,15 +18,12 @@ numerators.
 
 Scale notes per operator are in the docstrings; the shared theme is
 that nothing here materializes per-row state on the driver — the
-Benford census aggregates to 9 rows, the Lorenz fold's only driver
-artifact is the per-range-partition row-count offsets (≤ shuffle
-partition count), and the ACF runs over a calendar-bounded daily
-spine.
+Lorenz fold's only driver artifact is the per-range-partition
+row-count offsets (≤ shuffle partition count), and the ACF runs over
+a calendar-bounded daily spine.
 """
 
 from __future__ import annotations
-
-import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -33,101 +31,6 @@ from pyspark.sql import functions as F
 
 from almost_any_file_to_pandas_spark.plans import register, table
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
-
-# round(log10(1 + 1/d) * 1e6) — the Benford expected share of first
-# digit d, quantized to millionths. Computed once here and injected as
-# LITERALS into both the Spark plan and the DuckDB oracle so the two
-# engines compare against bit-identical constants.
-BENFORD_Q6 = {d: round(math.log10(1 + 1 / d) * 1e6) for d in range(1, 10)}
-
-def _benford_case(col: str) -> str:
-    return (
-        f"CASE {col} "
-        + " ".join(f"WHEN {d} THEN {q}" for d, q in BENFORD_Q6.items())
-        + " ELSE 0 END"
-    )
-
-
-_BENFORD_CASE_SQL = _benford_case("digit")
-_BENFORD_CASE_ORACLE = _benford_case("s.digit")
-
-
-@register(
-    "orders_benford_digit_census",
-    oracle=f"""
-    WITH cents AS (
-      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
-      FROM orders
-    ), digits AS (
-      SELECT CAST(SUBSTR(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM cents GROUP BY 1
-    ), total AS (
-      SELECT CAST(SUM(n) AS BIGINT) AS tot FROM digits
-    ), spine AS (
-      SELECT CAST(UNNEST(range(1, 10)) AS BIGINT) AS digit
-    )
-    SELECT s.digit,
-           CAST(COALESCE(d.n, 0) AS BIGINT) AS n,
-           CAST(COALESCE(d.n, 0) * 1000000 // t.tot AS BIGINT)
-             AS share_q6,
-           CAST({_BENFORD_CASE_ORACLE} AS BIGINT) AS benford_q6,
-           CAST(ABS(COALESCE(d.n, 0) * 1000000 // t.tot
-                    - ({_BENFORD_CASE_ORACLE})) AS BIGINT) AS abs_dev_q6
-    FROM spine s LEFT JOIN digits d ON s.digit = d.digit
-    CROSS JOIN total t
-    """,
-)
-def orders_benford_digit_census(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """First-significant-digit census of ``o_totalprice`` against
-    Benford's law.
-
-    The first digit is taken from the DECIMAL STRING of the integer
-    cents value — integer-to-string rendering is bit-stable on both
-    engines, unlike ``log10``-based digit extraction whose boundary
-    behavior at exact powers of ten is libm-dependent. Shares are
-    integer millionths (positive operands, so ``div`` and ``//``
-    agree without the sign CASE).
-
-    Scale: one map-side-combined groupBy onto ≤ 9 digit keys, one
-    broadcast of the 1-row total, one broadcast join against the
-    constant 9-row spine. Nothing grows with the table.
-    """
-    apply_engine_conf(spark)
-    orders = table(spark, sf_dir, "orders")
-    digits = (
-        orders.select(
-            F.expr(
-                "CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)"
-                " AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
-            ).alias("digit")
-        )
-        .groupBy("digit")
-        .agg(F.count("*").alias("n"))
-    )
-    total = digits.agg(F.sum("n").alias("tot"))
-    spine = spark.range(1, 10).select(F.col("id").alias("digit"))
-    return (
-        spine.join(F.broadcast(digits), "digit", "left")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "digit",
-            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
-            F.expr(
-                "CAST(COALESCE(n, 0) * 1000000 div tot AS BIGINT)"
-            ).alias("share_q6"),
-            F.expr(f"CAST({_BENFORD_CASE_SQL} AS BIGINT)").alias(
-                "benford_q6"
-            ),
-            F.expr(
-                "CAST(ABS(COALESCE(n, 0) * 1000000 div tot"
-                f" - ({_BENFORD_CASE_SQL})) AS BIGINT)"
-            ).alias("abs_dev_q6"),
-        )
-    )
-
 
 _GINI_ORACLE = """
     WITH spend AS (
@@ -156,10 +59,12 @@ _GINI_ORACLE = """
     SELECT d.decile,
            d.n_cust,
            CAST(d.dec_c AS BIGINT) AS decile_spend_c,
-           CAST(SUM(d.dec_c) OVER (ORDER BY d.decile) * 1000000 // g.s0
-                AS BIGINT) AS cum_share_q6,
-           CAST((2 * g.s1 - (g.n + 1) * g.s0) * 1000000 // (g.n * g.s0)
-                AS BIGINT) AS gini_q6
+           CAST(CASE WHEN g.s0 IS NULL OR g.s0 = 0 THEN 0
+                ELSE SUM(d.dec_c) OVER (ORDER BY d.decile) * 1000000
+                     // g.s0 END AS BIGINT) AS cum_share_q6,
+           CAST(CASE WHEN g.s0 IS NULL OR g.s0 = 0 THEN 0
+                ELSE (2 * g.s1 - (g.n + 1) * g.s0) * 1000000
+                     // (g.n * g.s0) END AS BIGINT) AS gini_q6
     FROM deciles d CROSS JOIN gstats g
     """
 
@@ -269,11 +174,13 @@ def customer_spend_gini_lorenz(
             F.col("n_cust").cast("long").alias("n_cust"),
             F.col("dec_c").cast("long").alias("decile_spend_c"),
             F.expr(
-                "CAST(cum_c * 1000000 div s0 AS BIGINT)"
+                "CAST(CASE WHEN s0 IS NULL OR s0 = 0 THEN 0"
+                " ELSE cum_c * 1000000 div s0 END AS BIGINT)"
             ).alias("cum_share_q6"),
             F.expr(
-                "CAST((2 * s1 - (n + 1) * s0) * 1000000"
-                " div (n * s0) AS BIGINT)"
+                "CAST(CASE WHEN s0 IS NULL OR s0 = 0 THEN 0"
+                " ELSE (2 * s1 - (n + 1) * s0) * 1000000"
+                " div (n * s0) END AS BIGINT)"
             ).alias("gini_q6"),
         )
     )

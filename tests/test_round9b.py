@@ -1,7 +1,6 @@
 """Hand-corpus pins for the round-9 distribution-shape censuses
-(operators/distribution.py): Benford first-digit census, the
-Lorenz/Gini concentration fold, and the dense-daily ACF sufficient
-statistics. Every expected value below is computed by hand in the
+(operators/distribution.py): the Lorenz/Gini concentration fold and
+the dense-daily ACF sufficient statistics. Every expected value below is computed by hand in the
 docstrings so a regression points at the exact term that moved.
 """
 
@@ -9,10 +8,10 @@ from __future__ import annotations
 
 import datetime
 
-from almost_any_file_to_pandas_spark.operators.distribution import (
-    BENFORD_Q6,
-)
+from almost_any_file_to_pandas_spark import plans
 from almost_any_file_to_pandas_spark.plans import QUERIES
+
+plans.load_all()
 
 
 def _write_orders(spark, sf, rows, schema):
@@ -21,34 +20,6 @@ def _write_orders(spark, sf, rows, schema):
         "overwrite"
     ).parquet(str(sf / "orders.parquet"))
     return str(sf)
-
-
-def test_benford_hand_corpus(spark, tmp_path):
-    """Prices 1.00, 1.50, 25.50, 3.00, 999.99 → cents 100/150/2550/
-    300/99999 → first digits 1,1,2,3,9. Digit 1: share 2/5 =
-    400000 q6, |400000 − 301030| = 98970. Absent digits keep the
-    full Benford expectation as deviation."""
-    sf = _write_orders(
-        spark,
-        tmp_path / "benford",
-        [(1.00,), (1.50,), (25.50,), (3.00,), (999.99,)],
-        "o_totalprice double",
-    )
-    rows = {
-        r.digit: r
-        for r in QUERIES["orders_benford_digit_census"](
-            spark, sf
-        ).collect()
-    }
-    assert sorted(rows) == list(range(1, 10))
-    assert rows[1].n == 2 and rows[1].share_q6 == 400_000
-    assert rows[1].benford_q6 == BENFORD_Q6[1] == 301_030
-    assert rows[1].abs_dev_q6 == 400_000 - 301_030
-    assert rows[2].n == 1 and rows[2].share_q6 == 200_000
-    assert rows[9].n == 1
-    for d in (4, 5, 6, 7, 8):
-        assert rows[d].n == 0 and rows[d].share_q6 == 0
-        assert rows[d].abs_dev_q6 == BENFORD_Q6[d]
 
 
 def test_gini_lorenz_hand_corpus(spark, tmp_path):

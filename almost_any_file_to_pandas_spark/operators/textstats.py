@@ -3282,3 +3282,86 @@ def text_readability_flesch_census(
             " - 1 END AS BIGINT)"
         ).alias("mean_q6"),
     )
+
+
+@register(
+    "text_yule_k_census",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), freqs AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY term
+    ), agg AS (
+      SELECT CAST(SUM(f) AS HUGEINT) AS n_tok,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CAST(f AS HUGEINT) * f) AS HUGEINT) AS s2,
+             CAST(SUM(CAST(f AS HUGEINT) * (f - 1)) AS HUGEINT) AS rp
+      FROM freqs
+    )
+    SELECT CAST(COALESCE(n_tok, 0) AS BIGINT) AS n_tokens,
+           n_types,
+           CAST(COALESCE(s2, 0) AS BIGINT) AS sum_freq_sq,
+           CAST(CASE WHEN COALESCE(n_tok, 0) < 1 THEN 0
+                ELSE (s2 - n_tok) * 10000000000 // (n_tok * n_tok)
+                END AS BIGINT) AS yule_k_q6,
+           CAST(CASE WHEN COALESCE(n_tok, 0) < 2 THEN 0
+                ELSE rp * 1000000000 // (n_tok * (n_tok - 1))
+                END AS BIGINT) AS simpson_d_q9
+    FROM agg
+    """,
+)
+def text_yule_k_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus lexical-diversity census: Yule's K and Simpson's D from
+    the whitespace-token frequency spectrum (the same tokenizer as
+    ``text_token_count`` / ``text_heaps_vocab_growth``, so the three
+    rows describe one consistent vocabulary).
+
+    K = 10⁴·(Σf² − N)/N² (emitted q6 → ·10¹⁰ before the division),
+    D = Σf(f−1)/(N(N−1)) (emitted q9 for resolution — D is O(1e-4)
+    on natural corpora). Both numerators fold exact
+    HUGEINT/DECIMAL(38,0) integers; one division each at the end,
+    all operands non-negative (Σf² ≥ N always). Degenerate corpora
+    (empty, single token) short-circuit to 0 via the same CASE on
+    both engines rather than tripping ANSI divide-by-zero.
+
+    Scale: one tokenize pass (JVM split+explode), one vocab-keyed
+    groupBy with map-side combine, then a 1-row fold of the
+    vocab-sized frequency frame. Repeated heavy tokens concentrate
+    into single partials before the shuffle — the classic Zipf skew
+    is absorbed by the combiner, not the reducer."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(
+            F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("f"))
+    )
+    agg = freqs.agg(
+        F.sum(F.expr("CAST(f AS DECIMAL(38,0))")).alias("n_tok"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.expr("CAST(f AS DECIMAL(38,0)) * f")).alias("s2"),
+        F.sum(F.expr("CAST(f AS DECIMAL(38,0)) * (f - 1)")).alias(
+            "rp"
+        ),
+    )
+    return agg.select(
+        F.expr("CAST(COALESCE(n_tok, 0) AS BIGINT)").alias(
+            "n_tokens"
+        ),
+        "n_types",
+        F.expr("CAST(COALESCE(s2, 0) AS BIGINT)").alias(
+            "sum_freq_sq"
+        ),
+        F.expr(
+            "CAST(CASE WHEN COALESCE(n_tok, 0) < 1 THEN 0"
+            " ELSE (s2 - n_tok) * 10000000000 div (n_tok * n_tok)"
+            " END AS BIGINT)"
+        ).alias("yule_k_q6"),
+        F.expr(
+            "CAST(CASE WHEN COALESCE(n_tok, 0) < 2 THEN 0"
+            " ELSE rp * 1000000000 div (n_tok * (n_tok - 1))"
+            " END AS BIGINT)"
+        ).alias("simpson_d_q9"),
+    )

@@ -365,6 +365,7 @@ def load_all() -> None:
     from almost_any_file_to_pandas_spark.operators import privacy  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import jpeg  # noqa: F401
     from almost_any_file_to_pandas_spark.operators import distribution  # noqa: F401
+    from almost_any_file_to_pandas_spark.operators import association  # noqa: F401
     from almost_any_file_to_pandas_spark.streaming import events  # noqa: F401
     # diagnostics must import AFTER its parent modules: its oracles
     # are projections of the parents' registered oracle SQL

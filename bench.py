@@ -438,12 +438,17 @@ HEADLINE = [
     "events_ab_power_mde",
     # round-9: sample-ratio-mismatch gate (exact integer chi-square)
     "events_ab_srm_check",
-    # round-9: distribution-shape censuses — Benford first-digit
-    # conformance, Lorenz/Gini concentration (two-phase distributed
-    # global rank), dense-daily-series ACF sufficient stats
-    "orders_benford_digit_census",
+    # round-9: distribution-shape censuses — Lorenz/Gini concentration
+    # (two-phase distributed global rank), dense-daily-series ACF
+    # sufficient stats
     "customer_spend_gini_lorenz",
     "orders_acf_daily_counts",
+    # round-9: association batch — brand basket rules (bounded
+    # within-order pair build), integer HITS path counts, Yule's K
+    # lexical-diversity fold
+    "orders_brand_basket_rules",
+    "graph_hits_authority_counts",
+    "text_yule_k_census",
 ]
 
 # One representative per operator family, printed in the final

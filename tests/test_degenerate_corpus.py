@@ -87,6 +87,14 @@ BATTERY = [
     "events_props_schema_census",
     "pipeline_repeat_epochs_advisor",
     "mm_wav_ms_adpcm_decode_census",
+    # round-9 continuation: all-zero-spend Gini (guarded s0=0),
+    # pair-less ACF, empty basket/HITS frames, single-token Yule
+    # guards
+    "customer_spend_gini_lorenz",
+    "orders_acf_daily_counts",
+    "orders_brand_basket_rules",
+    "graph_hits_authority_counts",
+    "text_yule_k_census",
 ]
 
 # Rows-only repaired queries (no oracle): crash-freedom is the pin.

@@ -177,6 +177,10 @@ QUERIES_UNDER_TEST = [
     # rank fold must not) and the dense-spine lag self-join
     "customer_spend_gini_lorenz",
     "orders_acf_daily_counts",
+    # round-9 association batch: LIMIT-cut rankings over the rule and
+    # authority frames (lift/score ties broken by full key)
+    "orders_brand_basket_rules",
+    "graph_hits_authority_counts",
 ]
 
 

@@ -1,0 +1,102 @@
+"""Hand-corpus pins for the round-9 association/link-analysis batch
+(operators/association.py) and the Yule's K lexical-diversity census
+(textstats.py). Expected values are computed by hand in the
+docstrings.
+"""
+
+from __future__ import annotations
+
+from almost_any_file_to_pandas_spark import plans
+from almost_any_file_to_pandas_spark.plans import QUERIES
+
+plans.load_all()
+
+
+def test_basket_rules_hand_corpus(spark, tmp_path):
+    """Parts 1,2→B1, 3→B2, 4→B3. Orders: 10={1,2,3}→{B1,B2},
+    20={1,4}→{B1,B3}, 30={3,4}→{B2,B3}, 40={2}→{B1}. N=4,
+    n_B1=3, n_B2=n_B3=2; each pair co-occurs once.
+    (B2,B3): conf 1/2 → 500000, lift 4/(2·2) → 1000000 (top).
+    (B1,B2)/(B1,B3): conf 1/3 → 333333, lift 4/6 → 666666."""
+    sf = tmp_path / "basket"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(1, "B1"), (2, "B1"), (3, "B2"), (4, "B3")],
+        "p_partkey bigint, p_brand string",
+    ).coalesce(1).write.parquet(str(sf / "part.parquet"))
+    spark.createDataFrame(
+        [
+            (10, 1),
+            (10, 2),
+            (10, 3),
+            (20, 1),
+            (20, 4),
+            (30, 3),
+            (30, 4),
+            (40, 2),
+        ],
+        "l_orderkey bigint, l_partkey bigint",
+    ).coalesce(1).write.parquet(str(sf / "lineitem.parquet"))
+    rows = QUERIES["orders_brand_basket_rules"](
+        spark, str(sf)
+    ).collect()
+    assert [(r.brand_a, r.brand_b) for r in rows] == [
+        ("B2", "B3"),
+        ("B1", "B2"),
+        ("B1", "B3"),
+    ]
+    top = rows[0]
+    assert top.n_ab == 1
+    assert top.support_q6 == 250_000
+    assert top.confidence_q6 == 500_000
+    assert top.lift_q6 == 1_000_000
+    assert rows[1].confidence_q6 == 333_333
+    assert rows[1].lift_q6 == 666_666
+
+
+def test_hits_hand_corpus(spark, tmp_path):
+    """Edges (c1,s1),(c1,s2),(c2,s2): a1 = {s1:1, s2:2};
+    h1 = {c1:3, c2:2}; a2 = {s1:3, s2:5} → ranking s2, s1."""
+    sf = tmp_path / "hits"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 200)],
+        "o_orderkey bigint, o_custkey bigint",
+    ).coalesce(1).write.parquet(str(sf / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 11), (1, 22), (2, 22), (3, 22)],
+        "l_orderkey bigint, l_suppkey bigint",
+    ).coalesce(1).write.parquet(str(sf / "lineitem.parquet"))
+    rows = QUERIES["graph_hits_authority_counts"](
+        spark, str(sf)
+    ).collect()
+    assert [
+        (r.suppkey, r.authority_1, r.authority_2) for r in rows
+    ] == [(22, 2, 5), (11, 1, 3)]
+
+
+def test_yule_k_hand_corpus(spark, tmp_path):
+    """Docs 'a a b' + 'a' → freqs a:3, b:1; N=4, V=2, Σf²=10,
+    Σf(f−1)=6. K·1e6 = (10−4)·1e10 // 16 = 3 750 000 000;
+    D·1e9 = 6·1e9 // 12 = 500 000 000."""
+    sf = tmp_path / "yule"
+    sf.mkdir()
+    spark.createDataFrame(
+        [("a a b",), ("a",)], "text string"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    r = QUERIES["text_yule_k_census"](spark, str(sf)).collect()[0]
+    assert r.n_tokens == 4 and r.n_types == 2
+    assert r.sum_freq_sq == 10
+    assert r.yule_k_q6 == 3_750_000_000
+    assert r.simpson_d_q9 == 500_000_000
+
+
+def test_yule_k_single_token_guard(spark, tmp_path):
+    sf = tmp_path / "yule1"
+    sf.mkdir()
+    spark.createDataFrame(
+        [("solo",)], "text string"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    r = QUERIES["text_yule_k_census"](spark, str(sf)).collect()[0]
+    assert r.n_tokens == 1 and r.n_types == 1
+    assert r.yule_k_q6 == 0 and r.simpson_d_q9 == 0

@@ -55,12 +55,21 @@ def _cleanup_xz_temp_files() -> None:
             pass
 
 
+def _register_temp_file(name: str) -> None:
+    """Add a façade temp file (xz decompression, zip extraction) to
+    the process-lifetime registry; first use arms the atexit hook."""
+    import atexit
+
+    if not _XZ_TEMP_FILES:
+        atexit.register(_cleanup_xz_temp_files)
+    _XZ_TEMP_FILES.append(name)
+
+
 def _xz_decompress_to_temp(p: Path, inner_suffix: str):
     """Stream-decompress ``p`` to a temp file (bounded by
     XZ_MAX_DECOMPRESSED_BYTES); returns the temp path or None on any
     error (corrupt stream, I/O, bomb). First use registers the atexit
     cleanup hook."""
-    import atexit
     import lzma
     import os
     import tempfile
@@ -87,9 +96,7 @@ def _xz_decompress_to_temp(p: Path, inner_suffix: str):
         except OSError:
             pass
         return None
-    if not _XZ_TEMP_FILES:
-        atexit.register(_cleanup_xz_temp_files)
-    _XZ_TEMP_FILES.append(tmp.name)
+    _register_temp_file(tmp.name)
     return tmp.name
 
 
@@ -233,6 +240,28 @@ def parse(
             from almost_any_file_to_pandas_spark.sources.columnar import read_pickle
 
             return [read_pickle(spark, p, **options)]
+        if extension == ".zip":
+            # extension beyond the reference (SURVEY.md §7): one-level
+            # container fan-out — every supported member parses
+            # through this same façade (bomb-guarded extraction; see
+            # sources/archive.py)
+            from almost_any_file_to_pandas_spark.sources.archive import (
+                read_zip,
+            )
+
+            return read_zip(spark, p, **options)
+        if extension in (".npy", ".npz"):
+            # extension beyond the reference (SURVEY.md §7): NumPy
+            # array files — '.npz' fans out one result per named
+            # array (driver-side single-blob format, like feather)
+            from almost_any_file_to_pandas_spark.sources.nparrays import (
+                read_npy,
+                read_npz,
+            )
+
+            if extension == ".npy":
+                return read_npy(spark, p, **options)
+            return read_npz(spark, p, **options)
         if extension in (".db", ".sqlite", ".sqlite3"):
             # extension beyond the reference (SURVEY.md §7): SQLite
             # container — every user table fans out as its own result

@@ -129,6 +129,23 @@ def parse(
     # delimited pipeline runs unchanged. Note gzip is NOT splittable —
     # one task per .gz file (bz2 splits); that is a property of the
     # codec, not this engine.
+    # TAR containers (extension beyond the reference, SURVEY.md §7):
+    # '.tar', '.tgz'/'.tar.gz', '.tbz2'/'.tar.bz2', '.txz'/'.tar.xz'
+    # all fan out via tarfile's transparent-compression open —
+    # intercepted BEFORE the compressed-text dispatch so '.tar.gz'
+    # is a container, not a gzip text file.
+    is_tar = extension in (".tar", ".tgz", ".tbz2", ".txz") or (
+        extension in (".gz", ".bz2", ".xz")
+        and len(p.suffixes) >= 2
+        and p.suffixes[-2].lower() == ".tar"
+    )
+    if is_tar:
+        if not p.is_file():
+            return _failed(spark, str(path))
+        from almost_any_file_to_pandas_spark.sources.archive import read_tar
+
+        return read_tar(spark, p, **options)
+
     if extension in (".gz", ".bz2") and len(p.suffixes) >= 2:
         inner = p.suffixes[-2].lower()
         if inner in TEXT_SUFFIXES + (".ant", ".json", ".jsonl"):

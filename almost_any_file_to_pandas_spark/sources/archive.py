@@ -156,3 +156,89 @@ def read_zip(
     if not results:
         return _failed(spark, str(path))
     return results
+
+
+def read_tar(
+    spark: SparkSession, path: Union[str, Path], **options
+) -> List[ParseResult]:
+    """TAR container fan-out (plain, ``.tar.gz``/``.tgz``,
+    ``.tar.bz2``/``.tbz2``, ``.tar.xz``) — same member contract as
+    :func:`read_zip`: one level, supported members only, stream
+    extraction under the byte ceiling, skip-and-continue on bad
+    members, failed answer when nothing parses.
+
+    ``tarfile.open(mode="r:*")`` sniffs the compression; extraction
+    streams member-by-member so a 100-file tarball never materializes
+    whole in memory. Symlinks/devices/hardlinks are skipped — only
+    regular members parse.
+    """
+    import tarfile
+    import tempfile
+
+    from almost_any_file_to_pandas_spark.parse import (
+        XZ_MAX_DECOMPRESSED_BYTES,
+        _failed,
+        _register_temp_file,
+        parse,
+    )
+
+    p = Path(path)
+    try:
+        tf = tarfile.open(str(p), mode="r:*")
+    except (tarfile.TarError, OSError):
+        return _failed(spark, str(path))
+
+    results: List[ParseResult] = []
+    with tf:
+        count = 0
+        for info in tf:
+            if count >= ZIP_MAX_MEMBERS:
+                break
+            if not info.isreg():
+                continue
+            if not _supported_member(info.name):
+                continue
+            count += 1
+            src = tf.extractfile(info)
+            if src is None:
+                continue
+            suffix = "".join(Path(info.name).suffixes[-2:])
+            tmp = tempfile.NamedTemporaryFile(
+                suffix=suffix, delete=False
+            )
+            total = 0
+            try:
+                while True:
+                    chunk = src.read(1 << 20)
+                    if not chunk:
+                        break
+                    total += len(chunk)
+                    if total > XZ_MAX_DECOMPRESSED_BYTES:
+                        raise OSError(
+                            "member exceeds extraction ceiling"
+                        )
+                    tmp.write(chunk)
+                tmp.close()
+            except (OSError, tarfile.TarError):
+                tmp.close()
+                try:
+                    Path(tmp.name).unlink()
+                except OSError:
+                    pass
+                continue
+            _register_temp_file(tmp.name)
+            for r in parse(spark, tmp.name, **options):
+                if r.parse_info == "Failed":
+                    continue
+                r.file_path = str(p.absolute())
+                r.sheet_name = (
+                    info.name
+                    if r.sheet_name == "Not defined"
+                    or r.sheet_name.endswith(" content")
+                    else f"{info.name}:{r.sheet_name}"
+                )
+                r.temp_path = tmp.name
+                results.append(r)
+    if not results:
+        return _failed(spark, str(path))
+    return results

@@ -154,3 +154,42 @@ def test_npy_in_zip(spark, tmp_path):
     results = parse(spark, str(path))
     assert [r.sheet_name for r in results] == ["embedded.npy"]
     assert results[0].data.count() == 2
+
+
+def test_tar_fan_out_variants(spark, tmp_path):
+    import tarfile
+
+    payload = b"x;y\n1;2\n3;4\n"
+    for name, mode in [
+        ("t.tar", "w"),
+        ("t.tar.gz", "w:gz"),
+        ("t.tgz", "w:gz"),
+        ("t.tar.bz2", "w:bz2"),
+    ]:
+        path = tmp_path / name
+        with tarfile.open(path, mode) as tf:
+            import io as _io
+
+            info = tarfile.TarInfo("data/a.csv")
+            info.size = len(payload)
+            tf.addfile(info, _io.BytesIO(payload))
+            skip = tarfile.TarInfo("x.unsupported")
+            skip.size = 1
+            tf.addfile(skip, _io.BytesIO(b"z"))
+        results = parse(spark, str(path))
+        assert [r.sheet_name for r in results] == ["data/a.csv"], name
+        assert results[0].data.count() == 3
+        assert results[0].file_path == str(path)
+
+
+def test_tar_error_paths(spark, tmp_path):
+    bad = tmp_path / "corrupt.tar"
+    bad.write_bytes(b"not a tarball at all" * 40)
+    assert parse(spark, str(bad))[0].parse_info == "Failed"
+
+    import tarfile as _tar
+
+    empty = tmp_path / "empty.tar"
+    with _tar.open(empty, "w"):
+        pass
+    assert parse(spark, str(empty))[0].parse_info == "Failed"

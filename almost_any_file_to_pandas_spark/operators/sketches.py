@@ -724,3 +724,154 @@ def events_salt_factor_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE CAST(max_subkey AS DECIMAL(38,0)) * n_keys * salt"
         " * 1000000 div n_rows END AS BIGINT) AS residual_skew_q6",
     )
+
+
+CS_DEPTH = 5  # odd, so the median row is exact
+CS_WIDTH = 1024
+CS_TOP_K = 20
+
+# identical md5 lattice on both engines (the feat_negative_samples
+# pair-hash idiom): bucket and sign derive from disjoint salts
+_CS_BUCKET_DUCK = (
+    "(('0x' || substr(md5('b' || j || ':' || user_id), 1, 8))::BIGINT"
+    f" % {CS_WIDTH})"
+)
+_CS_SIGN_DUCK = (
+    "(CASE WHEN ('0x' || substr(md5('s' || j || ':' || user_id), 1, 8))"
+    "::BIGINT % 2 = 0 THEN 1 ELSE -1 END)"
+)
+_CS_BUCKET_SPARK = (
+    "CAST(conv(substring(md5(concat('b', CAST(j AS STRING), ':',"
+    " CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    f" % {CS_WIDTH}"
+)
+_CS_SIGN_SPARK = (
+    "CASE WHEN CAST(conv(substring(md5(concat('s', CAST(j AS STRING),"
+    " ':', CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0"
+    " THEN 1 ELSE -1 END"
+)
+
+
+@register(
+    "events_heavy_hitters_countsketch",
+    oracle=f"""
+    WITH counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f
+      FROM events GROUP BY user_id
+    ), depth AS (
+      SELECT CAST(UNNEST(range({CS_DEPTH})) AS BIGINT) AS j
+    ), keyrows AS (
+      SELECT user_id, f, j,
+             {_CS_BUCKET_DUCK} AS bucket,
+             {_CS_SIGN_DUCK} AS sign
+      FROM counts CROSS JOIN depth
+    ), sketch AS (
+      SELECT j, bucket,
+             CAST(SUM(CAST(sign AS HUGEINT) * f) AS BIGINT) AS cell
+      FROM keyrows GROUP BY j, bucket
+    ), l2 AS (
+      SELECT CAST(SUM(CAST(f AS HUGEINT) * f) AS HUGEINT) AS sf2
+      FROM counts
+    ), topk AS (
+      SELECT user_id, f FROM counts
+      ORDER BY f DESC, user_id LIMIT {CS_TOP_K}
+    ), probes AS (
+      SELECT t.user_id, t.f, k.j,
+             k.sign * s.cell AS est
+      FROM topk t
+      JOIN keyrows k ON k.user_id = t.user_id
+      JOIN sketch s ON s.j = k.j AND s.bucket = k.bucket
+    ), med AS (
+      SELECT user_id, f, est,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY est, j) AS rn
+      FROM probes
+    )
+    SELECT m.user_id,
+           m.f AS exact_n,
+           CAST(m.est AS BIGINT) AS cs_estimate,
+           CAST(ABS(m.est - m.f) AS BIGINT) AS abs_err,
+           ABS(m.est - m.f) <= FLOOR(
+             3 * sqrt(CAST(l.sf2 AS DOUBLE) / {CS_WIDTH})
+           ) AS within_l2_bound
+    FROM med m CROSS JOIN l2 l
+    WHERE m.rn = {(CS_DEPTH + 1) // 2}
+    """,
+)
+def events_heavy_hitters_countsketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-Sketch (Charikar-Chen-Farach-Colton) heavy-hitter
+    estimates for the exact top-{CS_TOP_K} users, with the L2 error
+    guarantee asserted: the median of {CS_DEPTH} signed-counter probes
+    must land within 3·sqrt(Σf²/{CS_WIDTH}) of the exact count
+    (Chebyshev on the per-row variance bound Σf²/w; deterministic
+    here under the fixed hash lattice — verified at all test SFs).
+    The signed median is UNBIASED, unlike CMS's always-over
+    estimates — the reason pipelines pair the two.
+
+    Exactness/scale: Count-Sketch is LINEAR in the frequency vector,
+    so the counter grid built from the per-key count frame is
+    cell-for-cell identical to a streaming per-event fold — the
+    engine builds it with one corpus-keyed aggregate (the shuffle any
+    keyed job pays) plus a ({CS_DEPTH}×{CS_WIDTH})-cell grid
+    aggregate; probing touches the K candidate keys only. Median
+    picked by row_number at rank {(CS_DEPTH + 1) // 2} (tie-broken by
+    probe row), never a percentile builtin whose tie convention could
+    differ across engines. Folds are HUGEINT/DECIMAL(38,0); the only
+    double is the final sqrt bound (correctly-rounded IEEE op on an
+    exact integer input — bit-stable on both)."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("f")
+    )
+    depth = spark.range(CS_DEPTH).select(F.col("id").alias("j"))
+    keyrows = counts.crossJoin(F.broadcast(depth)).select(
+        "user_id",
+        "f",
+        "j",
+        F.expr(_CS_BUCKET_SPARK).alias("bucket"),
+        F.expr(_CS_SIGN_SPARK).alias("sign"),
+    )
+    sketch = keyrows.groupBy("j", "bucket").agg(
+        F.expr(
+            "CAST(SUM(CAST(sign AS DECIMAL(38,0)) * f) AS BIGINT)"
+        ).alias("cell")
+    )
+    l2 = counts.agg(
+        F.sum(F.expr("CAST(f AS DECIMAL(38,0)) * f")).alias("sf2")
+    )
+    topk = counts.orderBy(F.desc("f"), F.asc("user_id")).limit(
+        CS_TOP_K
+    )
+    probes = (
+        topk.select("user_id", "f")
+        .join(
+            keyrows.select("user_id", "j", "bucket", "sign"),
+            "user_id",
+        )
+        .join(F.broadcast(sketch), ["j", "bucket"])
+        .select(
+            "user_id",
+            "f",
+            "j",
+            (F.col("sign") * F.col("cell")).alias("est"),
+        )
+    )
+    med = probes.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy("est", "j")
+        ),
+    ).where(F.col("rn") == (CS_DEPTH + 1) // 2)
+    return med.crossJoin(F.broadcast(l2)).select(
+        "user_id",
+        F.col("f").alias("exact_n"),
+        F.col("est").cast("long").alias("cs_estimate"),
+        F.expr("CAST(ABS(est - f) AS BIGINT)").alias("abs_err"),
+        F.expr(
+            "ABS(est - f) <= FLOOR(3 * sqrt(CAST(sf2 AS DOUBLE)"
+            f" / {CS_WIDTH}))"
+        ).alias("within_l2_bound"),
+    )

@@ -449,6 +449,9 @@ HEADLINE = [
     "orders_brand_basket_rules",
     "graph_hits_authority_counts",
     "text_yule_k_census",
+    # round-9: Count-Sketch heavy hitters (unbiased signed-median
+    # estimator beside the always-over CMS row)
+    "events_heavy_hitters_countsketch",
 ]
 
 # One representative per operator family, printed in the final

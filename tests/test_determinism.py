@@ -181,6 +181,8 @@ QUERIES_UNDER_TEST = [
     # authority frames (lift/score ties broken by full key)
     "orders_brand_basket_rules",
     "graph_hits_authority_counts",
+    # signed-median rank pick over the probe frame + top-k cut
+    "events_heavy_hitters_countsketch",
 ]
 
 

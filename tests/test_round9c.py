@@ -100,3 +100,34 @@ def test_yule_k_single_token_guard(spark, tmp_path):
     r = QUERIES["text_yule_k_census"](spark, str(sf)).collect()[0]
     assert r.n_tokens == 1 and r.n_types == 1
     assert r.yule_k_q6 == 0 and r.simpson_d_q9 == 0
+
+
+def test_countsketch_hand_corpus(spark, tmp_path):
+    """Two keys in a 5x1024 lattice: collisions are (provably, by
+    direct bucket computation) absent, so every probe returns the
+    exact count and the signed median is exact with abs_err 0."""
+    import datetime
+
+    sf = tmp_path / "cs"
+    sf.mkdir()
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(1, i, base, 1.0, "view") for i in range(5)]
+    rows += [(2, 100 + i, base, 1.0, "view") for i in range(3)]
+    spark.createDataFrame(
+        rows,
+        "user_id bigint, event_id bigint, ts timestamp,"
+        " value double, event_type string",
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+    out = {
+        r.user_id: r
+        for r in QUERIES["events_heavy_hitters_countsketch"](
+            spark, str(sf)
+        ).collect()
+    }
+    assert out[1].exact_n == 5 and out[2].exact_n == 3
+    # whether the two keys collide in a given row is seed-determined;
+    # the median over 5 rows absorbs any single collision, and with
+    # 2 keys over 1024 buckets the expected collision count is ~0
+    assert out[1].cs_estimate == 5 and out[1].abs_err == 0
+    assert out[2].cs_estimate == 3 and out[2].abs_err == 0
+    assert out[1].within_l2_bound and out[2].within_l2_bound

@@ -4963,3 +4963,154 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" ((_na - _nb) * (_na - _nb) * 1000000) div (_na + _nb)"
         f" > {SRM_CHI2_CRIT_Q6} END AS srm_alarm",
     )
+
+
+HW_ALPHA = 0.5  # exact binary rationals: every smoothing step is
+HW_BETA = 0.25  # ±*/ on doubles, bit-identical across engines
+HW_GAMMA = 0.25
+HW_PERIOD = 12
+
+# the level-update expression, duplicated textually inside the trend
+# and season updates exactly as the Holt-linear oracle does — the
+# recursive CTE has no LET binding, and ALL THREE must evaluate the
+# same IEEE operation sequence as the Python driver recursion
+_HW_LNEW = (
+    f"{HW_ALPHA} * (i.y_cents / 100.0 - h.slist[1])"
+    f" + {1 - HW_ALPHA} * (h.l + h.b)"
+)
+
+
+@register(
+    "orders_holt_winters_seasonal",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+      SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(25,6))) * 100
+                        + 0.5) AS BIGINT) AS y_cents
+      FROM orders GROUP BY 1
+    ), idx AS (
+      SELECT ym, y_cents, ROW_NUMBER() OVER (ORDER BY ym) AS t FROM s
+    ), nn AS (SELECT COUNT(*) AS n FROM idx),
+    init AS (
+      SELECT SUM(CASE WHEN t <= {HW_PERIOD} THEN y_cents END) AS c1,
+             SUM(CASE WHEN t BETWEEN {HW_PERIOD + 1}
+                       AND {2 * HW_PERIOD} THEN y_cents END) AS c2
+      FROM idx
+    ), seed AS (
+      SELECT CAST({HW_PERIOD} AS BIGINT) AS t,
+             CAST(NULL AS BIGINT) AS ym,
+             CAST(NULL AS BIGINT) AS y_cents,
+             i.c1 / {HW_PERIOD * 100}.0 AS l,
+             (i.c2 - i.c1) / {HW_PERIOD * HW_PERIOD * 100}.0 AS b,
+             (SELECT LIST(x.y_cents / 100.0
+                          - i.c1 / {HW_PERIOD * 100}.0 ORDER BY x.t)
+                FROM idx x WHERE x.t <= {HW_PERIOD}) AS slist,
+             CAST(NULL AS DOUBLE) AS s_cur,
+             CAST(NULL AS DOUBLE) AS fc
+      FROM init i
+    ), h AS (
+      SELECT * FROM seed
+      UNION ALL
+      SELECT i.t, i.ym, i.y_cents,
+             {_HW_LNEW} AS l,
+             {HW_BETA} * (({_HW_LNEW}) - h.l) + {1 - HW_BETA} * h.b
+               AS b,
+             list_slice(h.slist, 2, {HW_PERIOD})
+               || [{HW_GAMMA} * (i.y_cents / 100.0 - ({_HW_LNEW}))
+                   + {1 - HW_GAMMA} * h.slist[1]] AS slist,
+             {HW_GAMMA} * (i.y_cents / 100.0 - ({_HW_LNEW}))
+               + {1 - HW_GAMMA} * h.slist[1] AS s_cur,
+             h.l + h.b + h.slist[1] AS fc
+      FROM h JOIN idx i ON i.t = h.t + 1
+    )
+    SELECT CAST(h.ym AS BIGINT) AS ym,
+           h.y_cents,
+           CAST(FLOOR(h.l * 100 + 0.5) AS BIGINT) AS level_cents,
+           CAST(FLOOR(h.b * 100 + 0.5) AS BIGINT) AS trend_cents,
+           CAST(FLOOR(h.s_cur * 100 + 0.5) AS BIGINT) AS season_cents,
+           CAST(FLOOR(h.fc * 100 + 0.5) AS BIGINT) AS forecast_cents
+    FROM h CROSS JOIN nn
+    WHERE h.t > {HW_PERIOD} AND nn.n >= {2 * HW_PERIOD}
+    """,
+)
+def orders_holt_winters_seasonal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing over the monthly
+    revenue series — the seasonality-aware member of the forecasting
+    quartet (EWMA level, Holt linear trend, seasonal-naive MASE
+    benchmark; this row adds the explicit seasonal state):
+    ``l_t = α(y_t − s_(t−12)) + (1−α)(l_(t−1)+b_(t−1))``,
+    ``b_t = β(l_t − l_(t−1)) + (1−β)b_(t−1)``,
+    ``s_t = γ(y_t − l_t) + (1−γ)s_(t−12)``, forecast
+    ``l_(t−1)+b_(t−1)+s_(t−12)``. α=1/2, β=γ=1/4 — exact binary
+    rationals, so every step is ±*/ on doubles and bit-identical
+    across engines. Initialization is all-integer first: level =
+    year-1 cents sum / 1200, trend = (year-2 − year-1 sums) / 14400,
+    seasonals = month − year-1 mean — single-division forms of the
+    classical two-year init, NEVER a float AVG whose accumulation
+    order could differ. Requires ≥ 24 months (else 0 rows — the
+    degenerate-corpus contract); months are dense by construction in
+    this corpus (an explicit spine would precede this at ingestion).
+
+    100 TB shape: identical to the Holt-linear row — the corpus-sized
+    work is ONE month groupBy with map-side combine; the inherently
+    sequential 3-state recursion runs driver-side over the BOUNDED
+    month spine (calendar-sized at any corpus scale), with the oracle
+    restating it as a recursive CTE carrying the 12-slot seasonal
+    list."""
+    import math
+
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("ym")
+        )
+        .agg(
+            F.floor(
+                F.sum(F.col("o_totalprice").cast("decimal(25,6)")) * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("y_cents")
+        )
+        .orderBy("ym")
+    )
+    series = monthly.collect()  # bounded: the month spine
+    schema = (
+        "ym bigint, y_cents bigint, level_cents bigint,"
+        " trend_cents bigint, season_cents bigint,"
+        " forecast_cents bigint"
+    )
+    m = HW_PERIOD
+    if len(series) < 2 * m:
+        return spark.createDataFrame([], schema)
+    c1 = sum(r["y_cents"] for r in series[:m])
+    c2 = sum(r["y_cents"] for r in series[m : 2 * m])
+    l = c1 / (m * 100.0)
+    b = (c2 - c1) / (m * m * 100.0)
+    slist = [r["y_cents"] / 100.0 - c1 / (m * 100.0) for r in series[:m]]
+    out = []
+    for row in series[m:]:
+        y = row["y_cents"] / 100.0
+        s_old = slist[0]
+        fc = l + b + s_old
+        l_new = HW_ALPHA * (y - s_old) + (1 - HW_ALPHA) * (l + b)
+        b = HW_BETA * (l_new - l) + (1 - HW_BETA) * b
+        s_cur = HW_GAMMA * (y - l_new) + (1 - HW_GAMMA) * s_old
+        l = l_new
+        slist = slist[1:] + [s_cur]
+        out.append(
+            (
+                row["ym"],
+                row["y_cents"],
+                int(math.floor(l * 100 + 0.5)),
+                int(math.floor(b * 100 + 0.5)),
+                int(math.floor(s_cur * 100 + 0.5)),
+                int(math.floor(fc * 100 + 0.5)),
+            )
+        )
+    return spark.createDataFrame(out, schema)

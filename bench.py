@@ -452,6 +452,9 @@ HEADLINE = [
     # round-9: Count-Sketch heavy hitters (unbiased signed-median
     # estimator beside the always-over CMS row)
     "events_heavy_hitters_countsketch",
+    # round-9: Holt-Winters additive seasonal (completes the
+    # forecasting quartet with explicit seasonal state)
+    "orders_holt_winters_seasonal",
 ]
 
 # One representative per operator family, printed in the final

@@ -95,6 +95,10 @@ BATTERY = [
     "orders_brand_basket_rules",
     "graph_hits_authority_counts",
     "text_yule_k_census",
+    # sub-24-month corpora emit 0 rows on both engines (the n>=2m
+    # guard); the CS lattice collapses to tiny frames
+    "orders_holt_winters_seasonal",
+    "events_heavy_hitters_countsketch",
 ]
 
 # Rows-only repaired queries (no oracle): crash-freedom is the pin.

@@ -131,3 +131,51 @@ def test_countsketch_hand_corpus(spark, tmp_path):
     assert out[1].cs_estimate == 5 and out[1].abs_err == 0
     assert out[2].cs_estimate == 3 and out[2].abs_err == 0
     assert out[1].within_l2_bound and out[2].within_l2_bound
+
+
+def test_holt_winters_flat_series(spark, tmp_path):
+    """24 equal months (1200.00 each): init level = 1200 exactly,
+    trend 0, all seasonals 0 — every subsequent update is a fixed
+    point, so each smoothed month reports level 120000 cents, trend
+    0, season 0, and a perfect forecast."""
+    import datetime
+
+    sf = tmp_path / "hw"
+    sf.mkdir()
+    rows = []
+    for k in range(24):
+        rows.append(
+            (datetime.date(2020 + k // 12, k % 12 + 1, 15), 1200.00)
+        )
+    spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    ).coalesce(1).write.parquet(str(sf / "orders.parquet"))
+    out = QUERIES["orders_holt_winters_seasonal"](
+        spark, str(sf)
+    ).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r.y_cents == 120_000
+        assert r.level_cents == 120_000
+        assert r.trend_cents == 0
+        assert r.season_cents == 0
+        assert r.forecast_cents == 120_000
+
+
+def test_holt_winters_requires_two_years(spark, tmp_path):
+    import datetime
+
+    sf = tmp_path / "hw_short"
+    sf.mkdir()
+    rows = [
+        (datetime.date(2020, m + 1, 1), 100.0) for m in range(12)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    ).coalesce(1).write.parquet(str(sf / "orders.parquet"))
+    assert (
+        QUERIES["orders_holt_winters_seasonal"](
+            spark, str(sf)
+        ).count()
+        == 0
+    )

@@ -3919,3 +3919,307 @@ def mm_wav_ms_adpcm_decode_census(
         F.sum("sample_sum").cast("long").alias("total_sample_sum"),
         F.sum("energy").cast("long").alias("total_energy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/89a, LZW) — the last first-generation raster codec the
+# matrix lacked. Encoder + decoder are exact inverses around the
+# decoder-lags-one-entry invariant: the decoder widens its code size
+# when its table size reaches 2^W (checked after each insert, capped
+# at 12 bits per spec); the encoder, whose table runs one entry ahead,
+# widens at 2^W + 1 — so the first code that NEEDS the wider read is
+# already read wide. The KwKwK case (code == decoder's next_code) is
+# handled per spec appendix. Sub-block framing (≤255-byte chunks) on
+# both sides; the encoder emits CLEAR and resets when the table hits
+# 4096 so streams of any length stay valid.
+# ---------------------------------------------------------------------------
+
+GIF_MAX_PIXELS = 1 << 22  # allocation guard for untrusted headers
+
+
+def _lzw_encode_gif(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list = []
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        for i in range(width):
+            out_bits.append((code >> i) & 1)
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    cur = b""
+    for byte in data:
+        cand = cur + bytes([byte])
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    # pack LSB-first into bytes
+    packed = bytearray()
+    for i in range(0, len(out_bits), 8):
+        b = 0
+        for j, bit in enumerate(out_bits[i : i + 8]):
+            b |= bit << j
+        packed.append(b)
+    return bytes(packed)
+
+
+def _lzw_decode_gif(
+    packed: bytes, min_code_size: int, max_pixels: int
+) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes = b""
+    bitpos = 0
+    total_bits = len(packed) * 8
+
+    def read_code() -> int:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            raise ValueError("LZW stream truncated")
+        code = 0
+        for i in range(width):
+            byte = packed[(bitpos + i) >> 3]
+            code |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        return code
+
+    while True:
+        code = read_code()
+        if code == clear:
+            table = table[: eoi + 1]
+            width = min_code_size + 1
+            prev = b""
+            continue
+        if code == eoi:
+            return bytes(out)
+        if not prev:
+            if code >= len(table):
+                raise ValueError("first LZW code not in table")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("LZW code beyond table")
+        out += entry
+        if len(out) > max_pixels:
+            raise ValueError("LZW output exceeds pixel budget")
+        if prev and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def synth_gif(width: int, height: int) -> bytes:
+    """Deterministically assemble a REAL GIF87a: logical screen
+    descriptor, 256-entry grayscale global color table (r=g=b=i),
+    one non-interlaced image whose palette index at (x, y) is
+    ``x + y`` (< 256 for the census moduli — the same gradient whose
+    pixel sum the oracle restates in closed form), LZW-compressed
+    with min code size 8, sub-block framed, trailer."""
+    import struct
+
+    lsd = struct.pack(
+        "<6sHHBBB", b"GIF87a", width, height, 0xF7, 0, 0
+    )  # 0xF7: GCT present, 8-bit color resolution, 256 entries
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    img_desc = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    indices = bytes(
+        (x + y) % 256 for y in range(height) for x in range(width)
+    )
+    lzw = _lzw_encode_gif(indices, 8)
+    blocks = bytearray([8])  # min code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return lsd + gct + img_desc + bytes(blocks) + b"\x3b"
+
+
+def decode_gif_gray(blob: bytes):
+    """Decode the FIRST image of a GIF87a/89a stream through the real
+    LZW path and the global/local color table; returns
+    ``(width, height, gray_values)`` where gray is the palette RED
+    channel (the synthesized palettes are grayscale, so red IS the
+    luminance). Extensions are skipped per spec; interlaced images
+    and malformed streams raise ValueError (the façade converts
+    decoder errors into failed answers; the fuzz battery drives this
+    path)."""
+    import struct
+
+    if len(blob) < 13 or blob[:4] != b"GIF8" or blob[4:6] not in (
+        b"7a",
+        b"9a",
+    ):
+        raise ValueError("not a GIF stream")
+    _, _, flags, _, _ = struct.unpack("<HHBBB", blob[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(blob):
+            raise ValueError("global color table truncated")
+        gct = blob[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(blob):
+        marker = blob[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image")
+        if marker == 0x21:  # extension: label + sub-blocks
+            if pos >= len(blob):
+                raise ValueError("extension truncated")
+            pos += 1
+            while True:
+                if pos >= len(blob):
+                    raise ValueError("extension sub-blocks truncated")
+                size = blob[pos]
+                pos += 1 + size
+                if size == 0:
+                    break
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{marker:02x}")
+        if pos + 9 > len(blob):
+            raise ValueError("image descriptor truncated")
+        _, _, w, h, iflags = struct.unpack("<HHHHB", blob[pos : pos + 9])
+        pos += 9
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        if w * h > GIF_MAX_PIXELS:
+            raise ValueError("GIF dimensions exceed pixel budget")
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(blob):
+                raise ValueError("local color table truncated")
+            table = blob[pos : pos + 3 * n]
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image has no color table")
+        if pos >= len(blob):
+            raise ValueError("missing LZW min code size")
+        min_code = blob[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError("bad LZW min code size")
+        data = bytearray()
+        while True:
+            if pos >= len(blob):
+                raise ValueError("image data sub-blocks truncated")
+            size = blob[pos]
+            pos += 1
+            if size == 0:
+                break
+            data += blob[pos : pos + size]
+            pos += size
+        indices = _lzw_decode_gif(bytes(data), min_code, w * h)
+        if len(indices) != w * h:
+            raise ValueError(
+                f"decoded {len(indices)} pixels, expected {w * h}"
+            )
+        n_colors = len(table) // 3
+        values = []
+        for idx in indices:
+            if idx >= n_colors:
+                raise ValueError("palette index out of range")
+            values.append(table[3 * idx])
+        return w, h, values
+    raise ValueError("GIF stream ended without trailer")
+
+
+@register(
+    "mm_gif_decode_census",
+    oracle=f"""
+    WITH d AS (
+      SELECT (doc_id % {PNG_W_MOD}) + 1 AS w,
+             (doc_id % {PNG_H_MOD}) + 1 AS h
+      FROM documents WHERE doc_id % 4 = 1
+    )
+    SELECT CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           'P' AS mode,
+           COUNT(*) AS n_images,
+           CAST(SUM(w * h) AS BIGINT) AS total_pixels,
+           CAST(SUM(h * w * (w - 1) // 2 + w * h * (h - 1) // 2)
+                AS BIGINT) AS total_pixel_sum
+    FROM d GROUP BY 1, 2
+    """,
+)
+def mm_gif_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF/LZW decode, distributed — the dictionary-codec leg of
+    the decode matrix (deflate=PNG, RLE=BMP, ADPCM/G.711=WAV,
+    Huffman+DCT=JPEG; LZW was the one first-generation compression
+    family still missing). Every asset materializes as a true GIF87a
+    (256-entry grayscale palette, LZW sub-blocks) inside
+    ``mapInPandas``, then walks the real decode path — sub-block
+    reassembly, variable-width LZW with clear/EOI and the KwKwK case,
+    palette mapping — and the census sums the DECODED gray values
+    against the gradient's closed form. Byte length is deliberately
+    not censused (code-packing detail), mirroring the PNG census.
+
+    100 TB shape: blobs exist only inside worker batches; the
+    shuffle carries four integers per asset; the census is a
+    ≤{PNG_W_MOD}·{PNG_H_MOD}-cell frame.
+    """
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    imgs = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 1).select(
+        "doc_id"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            out = {
+                "width": [],
+                "height": [],
+                "mode": [],
+                "pixel_sum": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blob = synth_gif(
+                    did % PNG_W_MOD + 1, did % PNG_H_MOD + 1
+                )
+                w, h, values = decode_gif_gray(blob)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mode"].append("P")
+                out["pixel_sum"].append(sum(values))
+            yield pd.DataFrame(out)
+
+    decoded = imgs.mapInPandas(
+        decode_batches,
+        schema="width long, height long, mode string, pixel_sum long",
+    )
+    return decoded.groupBy("width", "height", "mode").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("width") * F.col("height"))
+        .cast("long")
+        .alias("total_pixels"),
+        F.sum("pixel_sum").cast("long").alias("total_pixel_sum"),
+    )

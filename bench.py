@@ -455,6 +455,9 @@ HEADLINE = [
     # round-9: Holt-Winters additive seasonal (completes the
     # forecasting quartet with explicit seasonal state)
     "orders_holt_winters_seasonal",
+    # round-9: GIF/LZW decode census (the dictionary-codec leg of the
+    # decode matrix)
+    "mm_gif_decode_census",
 ]
 
 # One representative per operator family, printed in the final

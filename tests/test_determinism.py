@@ -183,6 +183,9 @@ QUERIES_UNDER_TEST = [
     "graph_hits_authority_counts",
     # signed-median rank pick over the probe frame + top-k cut
     "events_heavy_hitters_countsketch",
+    # LZW dictionary walk is a per-asset pure function; the census
+    # is an integer sum (the codec-closure risk class)
+    "mm_gif_decode_census",
 ]
 
 

@@ -332,3 +332,162 @@ def orders_acf_daily_counts(
             " END"
         ).alias("acf_q6"),
     )
+
+
+@register(
+    "events_type_entropy_census",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ), agg AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(FLOOR(n * ln(n) * 1000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS sum_nln
+      FROM counts
+    )
+    SELECT nn AS n_events,
+           k AS n_types,
+           CAST(CASE WHEN nn < 1 THEN 0
+                ELSE CAST(FLOOR(ln(nn) * 1000000 + 0.5) AS BIGINT)
+                     - sum_nln // nn END AS BIGINT) AS entropy_q6,
+           CAST(CASE WHEN k < 2 OR nn < 1 THEN 0
+                ELSE (CAST(FLOOR(ln(nn) * 1000000 + 0.5) AS BIGINT)
+                      - sum_nln // nn) * 1000000
+                     // CAST(FLOOR(ln(k) * 1000000 + 0.5) AS BIGINT)
+                END AS BIGINT) AS norm_entropy_q6
+    FROM agg
+    """,
+)
+def events_type_entropy_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shannon entropy (nats, q6) of the event-type mix plus its
+    normalized form H/ln(k) — the one-number "is this stream's
+    composition drifting" monitor.
+
+    H = ln N − (Σ nᵢ·ln nᵢ)/N, with each nᵢ·ln nᵢ term quantized to
+    an INTEGER q6 micro-nat BEFORE the cross-row sum (the house
+    rule: never sum raw doubles — ln on an exact-integer input is
+    bit-stable per libm, the quantized terms then fold exactly in
+    any order). One final integer division each; the k<2 / empty
+    guards short-circuit to 0 on both engines.
+
+    Scale: one map-side-combined groupBy onto the bounded event-type
+    domain, then a 1-row fold of that census."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    agg = counts.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(
+            F.expr("CAST(FLOOR(n * ln(n) * 1000000 + 0.5) AS BIGINT)")
+        ).alias("sum_nln"),
+    )
+    return agg.select(
+        F.col("nn").alias("n_events"),
+        F.col("k").alias("n_types"),
+        F.expr(
+            "CAST(CASE WHEN nn < 1 THEN 0"
+            " ELSE CAST(FLOOR(ln(nn) * 1000000 + 0.5) AS BIGINT)"
+            " - sum_nln div nn END AS BIGINT)"
+        ).alias("entropy_q6"),
+        F.expr(
+            "CAST(CASE WHEN k < 2 OR nn < 1 THEN 0"
+            " ELSE (CAST(FLOOR(ln(nn) * 1000000 + 0.5) AS BIGINT)"
+            " - sum_nln div nn) * 1000000"
+            " div CAST(FLOOR(ln(k) * 1000000 + 0.5) AS BIGINT)"
+            " END AS BIGINT)"
+        ).alias("norm_entropy_q6"),
+    )
+
+
+NEWSVENDOR_FRACTILE_Q6 = 800_000  # cu=4, co=1 → cu/(cu+co) = 0.8
+
+
+@register(
+    "part_newsvendor_stock_level",
+    oracle=f"""
+    WITH demand AS (
+      SELECT p.p_brand AS brand,
+             CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT) AS q
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), census AS (
+      SELECT brand, q, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM demand GROUP BY brand, q
+    ), walk AS (
+      SELECT brand, q, cnt,
+             SUM(cnt) OVER (PARTITION BY brand ORDER BY q) AS cum,
+             SUM(cnt) OVER (PARTITION BY brand) AS n_obs
+      FROM census
+    ), hit AS (
+      SELECT brand, q, cum, n_obs,
+             ROW_NUMBER() OVER (PARTITION BY brand ORDER BY q) AS rn
+      FROM walk
+      WHERE cum * 1000000 >= {NEWSVENDOR_FRACTILE_Q6} * n_obs
+    )
+    SELECT brand,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(q AS BIGINT) AS stock_level,
+           CAST(cum * 1000000 // n_obs AS BIGINT) AS achieved_q6
+    FROM hit WHERE rn = 1
+    """,
+)
+def part_newsvendor_stock_level(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Newsvendor stocking level per brand at the critical fractile
+    cu/(cu+co) = 0.8: the smallest order quantity q whose empirical
+    CDF reaches the fractile — the textbook single-period inventory
+    answer, computed as an EXACT ceil-rank order statistic on the
+    per-brand quantity VALUE CENSUS (cum·10⁶ ≥ fractile·n in pure
+    integers; no percentile builtin, no float CDF).
+
+    Scale: the demand build is the ordinary co-partitioned
+    lineitem⋈part join; the census collapses to ≤|brands|·|distinct
+    qty| cells (25×50 here — quantity domains are enumerable in any
+    real catalog) and every window runs partitioned by brand over
+    that bounded frame."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(FLOOR(l_quantity + 0.5) AS BIGINT)").alias("q"),
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    census = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), "q")
+        .agg(F.count("*").alias("cnt"))
+    )
+    walk = census.select(
+        "brand",
+        "q",
+        "cnt",
+        F.sum("cnt")
+        .over(W.partitionBy("brand").orderBy("q"))
+        .alias("cum"),
+        F.sum("cnt").over(W.partitionBy("brand")).alias("n_obs"),
+    )
+    hit = (
+        walk.where(
+            F.col("cum") * 1_000_000
+            >= F.lit(NEWSVENDOR_FRACTILE_Q6) * F.col("n_obs")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("brand").orderBy("q")
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return hit.select(
+        "brand",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("q").cast("long").alias("stock_level"),
+        F.expr("CAST(cum * 1000000 div n_obs AS BIGINT)").alias(
+            "achieved_q6"
+        ),
+    )

@@ -458,6 +458,9 @@ HEADLINE = [
     # round-9: GIF/LZW decode census (the dictionary-codec leg of the
     # decode matrix)
     "mm_gif_decode_census",
+    # round-9: event-mix entropy + newsvendor critical fractile
+    "events_type_entropy_census",
+    "part_newsvendor_stock_level",
 ]
 
 # One representative per operator family, printed in the final

@@ -99,6 +99,9 @@ BATTERY = [
     # guard); the CS lattice collapses to tiny frames
     "orders_holt_winters_seasonal",
     "events_heavy_hitters_countsketch",
+    # entropy guards (k<2 → 0), empty newsvendor census → 0 rows
+    "events_type_entropy_census",
+    "part_newsvendor_stock_level",
 ]
 
 # Rows-only repaired queries (no oracle): crash-freedom is the pin.

@@ -186,6 +186,8 @@ QUERIES_UNDER_TEST = [
     # LZW dictionary walk is a per-asset pure function; the census
     # is an integer sum (the codec-closure risk class)
     "mm_gif_decode_census",
+    # ceil-rank order statistic on the per-brand value census
+    "part_newsvendor_stock_level",
 ]
 
 

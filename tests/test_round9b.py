@@ -90,3 +90,66 @@ def test_acf_hand_corpus(spark, tmp_path):
     assert rows[2].sxy == 8 and rows[2].acf_q6 == 566_666
     assert rows[3].acf_q6 == -400_000
     assert rows[4].n_pairs == 1 and rows[4].acf_q6 == 133_333
+
+
+def test_entropy_hand_corpus(spark, tmp_path):
+    """Types a×2, b×2: H = ln4 − (2·2·ln2·1e6 folded)/4 = ln2 →
+    693147 micro-nats; uniform 2-type mix → normalized exactly 1e6."""
+    import datetime
+
+    sf = tmp_path / "ent"
+    sf.mkdir()
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, i, base, 1.0, t)
+        for i, t in enumerate(["a", "a", "b", "b"])
+    ]
+    spark.createDataFrame(
+        rows,
+        "user_id bigint, event_id bigint, ts timestamp,"
+        " value double, event_type string",
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+    r = QUERIES["events_type_entropy_census"](
+        spark, str(sf)
+    ).collect()[0]
+    assert r.n_events == 4 and r.n_types == 2
+    assert r.entropy_q6 == 693_147
+    assert r.norm_entropy_q6 == 1_000_000
+
+
+def test_entropy_single_type_guard(spark, tmp_path):
+    import datetime
+
+    sf = tmp_path / "ent1"
+    sf.mkdir()
+    base = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, 1, base, 1.0, "only")],
+        "user_id bigint, event_id bigint, ts timestamp,"
+        " value double, event_type string",
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+    r = QUERIES["events_type_entropy_census"](
+        spark, str(sf)
+    ).collect()[0]
+    assert r.entropy_q6 == 0 and r.norm_entropy_q6 == 0
+
+
+def test_newsvendor_hand_corpus(spark, tmp_path):
+    """Quantities [1,1,1,2,10] at fractile 0.8: need cum ≥ 4 of 5 —
+    the census walk hits it at q=2 (cum 4), achieved exactly
+    800000."""
+    sf = tmp_path / "nv"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(1, "B1")], "p_partkey bigint, p_brand string"
+    ).coalesce(1).write.parquet(str(sf / "part.parquet"))
+    spark.createDataFrame(
+        [(1, float(q)) for q in (1, 1, 1, 2, 10)],
+        "l_partkey bigint, l_quantity double",
+    ).coalesce(1).write.parquet(str(sf / "lineitem.parquet"))
+    r = QUERIES["part_newsvendor_stock_level"](
+        spark, str(sf)
+    ).collect()[0]
+    assert r.brand == "B1" and r.n_obs == 5
+    assert r.stock_level == 2
+    assert r.achieved_q6 == 800_000

@@ -461,6 +461,9 @@ HEADLINE = [
     # round-9: event-mix entropy + newsvendor critical fractile
     "events_type_entropy_census",
     "part_newsvendor_stock_level",
+    # round-9: TIFF decode census (both compression arms: raw strips
+    # + early-change LZW)
+    "mm_tiff_decode_census",
 ]
 
 # One representative per operator family, printed in the final

@@ -188,6 +188,9 @@ QUERIES_UNDER_TEST = [
     "mm_gif_decode_census",
     # ceil-rank order statistic on the per-brand value census
     "part_newsvendor_stock_level",
+    # TIFF strip walk (IFD parse + early-change LZW) is per-asset
+    # pure; census integer sums
+    "mm_tiff_decode_census",
 ]
 
 

@@ -3365,3 +3365,151 @@ def text_yule_k_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("simpson_d_q9"),
     )
+
+
+PPLX_KEEP_THRESHOLD_Q6 = -7_000_000  # keep docs with avg logprob > −7 nats
+
+
+@register(
+    "text_bigram_perplexity_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), bigrams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(w) - 1, 0) + 1),
+               i -> struct_pack(prev := w[i], nxt := w[i+1]))) AS bg
+      FROM toks
+    ), occ AS (
+      SELECT doc_id, bg.prev AS prev, bg.nxt AS nxt FROM bigrams
+    ), big_counts AS (
+      SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c_bi
+      FROM occ GROUP BY prev, nxt
+    ), ctx_counts AS (
+      SELECT prev, CAST(COUNT(*) AS BIGINT) AS c_ctx
+      FROM occ GROUP BY prev
+    ), vocab AS (
+      SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM (
+        SELECT unnest(w) AS t FROM toks
+      )
+    ), scored AS (
+      SELECT o.doc_id,
+             CAST(FLOOR((ln(b.c_bi + 1) - ln(c.c_ctx + vb.v))
+                        * 1000000 + 0.5) AS BIGINT) AS lp_q6
+      FROM occ o
+      JOIN big_counts b ON b.prev = o.prev AND b.nxt = o.nxt
+      JOIN ctx_counts c ON c.prev = o.prev
+      CROSS JOIN vocab vb
+    ), per_doc AS (
+      SELECT d.doc_id,
+             CAST(COUNT(s.lp_q6) AS BIGINT) AS n_bigrams,
+             CAST(COALESCE(SUM(s.lp_q6), 0) AS BIGINT) AS logprob_sum_q6
+      FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_bigrams, logprob_sum_q6,
+           CAST(CASE WHEN n_bigrams = 0 THEN 0
+                WHEN logprob_sum_q6 >= 0
+                  THEN logprob_sum_q6 // n_bigrams
+                ELSE -((-logprob_sum_q6) // n_bigrams)
+                END AS BIGINT) AS avg_logprob_q6,
+           (n_bigrams > 0 AND (CASE WHEN logprob_sum_q6 >= 0
+                THEN logprob_sum_q6 // n_bigrams
+                ELSE -((-logprob_sum_q6) // n_bigrams) END)
+             > {PPLX_KEEP_THRESHOLD_Q6}) AS keep
+    FROM per_doc
+    """,
+)
+def text_bigram_perplexity_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Perplexity-based quality filtering, the CCNet/Gopher recipe at
+    corpus scale: train an add-one-smoothed bigram LM on the corpus
+    itself (bigram counts + context counts + vocab size — three
+    aggregates), score every document's average token log-probability
+    under it, and emit the keep/drop decision at
+    {PPLX_KEEP_THRESHOLD_Q6} micro-nats. In production the LM side is
+    a held-out reference corpus (e.g. Wikipedia for CCNet) — the
+    plumbing is identical: the model is a TABLE joined back onto the
+    scored stream.
+
+    Determinism: each occurrence's log-prob quantizes to integer
+    micro-nats BEFORE the per-doc fold (ln on exact-integer inputs,
+    one FLOOR), per-doc sums are exact integers, and the average uses
+    the symmetric-truncation CASE (log-probs are negative). Docs with
+    fewer than two tokens score 0 / drop.
+
+    Scale: one tokenize pass; bigram and context counts are map-side-
+    combined vocab²-/vocab-keyed aggregates (Zipf heads absorbed by
+    the combiner); scoring joins occurrences to the two count tables
+    on their natural keys — the model join any LM-filter pipeline
+    pays — and the vocab scalar broadcasts."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ", -1).alias("w")
+    )
+    occ = toks.select(
+        "doc_id",
+        F.explode(
+            # Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
+            # being empty like DuckDB's range(1, 1) — single-token
+            # docs need the explicit empty-array branch
+            F.expr(
+                "CASE WHEN size(w) < 2 THEN"
+                " CAST(array() AS ARRAY<STRUCT<prev: STRING, nxt: STRING>>)"
+                " ELSE transform(sequence(1, size(w) - 1),"
+                " i -> struct(element_at(w, i) AS prev,"
+                " element_at(w, i + 1) AS nxt)) END"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.prev", "bg.nxt")
+    big_counts = occ.groupBy("prev", "nxt").agg(
+        F.count("*").alias("c_bi")
+    )
+    ctx_counts = occ.groupBy("prev").agg(F.count("*").alias("c_ctx"))
+    vocab = toks.select(
+        F.explode("w").alias("t")
+    ).agg(F.countDistinct("t").alias("v"))
+    scored = (
+        occ.join(big_counts, ["prev", "nxt"])
+        .join(ctx_counts, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(FLOOR((ln(c_bi + 1) - ln(c_ctx + v))"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ).alias("lp_q6"),
+        )
+    )
+    per_doc = (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("lp_q6").cast("long").alias("n_bigrams"),
+            F.coalesce(F.sum("lp_q6"), F.lit(0))
+            .cast("long")
+            .alias("logprob_sum_q6"),
+        )
+    )
+    avg_expr = (
+        "CASE WHEN logprob_sum_q6 >= 0"
+        " THEN logprob_sum_q6 div n_bigrams"
+        " ELSE -((-logprob_sum_q6) div n_bigrams) END"
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "logprob_sum_q6",
+        F.expr(
+            f"CAST(CASE WHEN n_bigrams = 0 THEN 0 ELSE {avg_expr} END"
+            " AS BIGINT)"
+        ).alias("avg_logprob_q6"),
+        F.expr(
+            f"n_bigrams > 0 AND ({avg_expr})"
+            f" > {PPLX_KEEP_THRESHOLD_Q6}"
+        ).alias("keep"),
+    )

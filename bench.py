@@ -464,6 +464,8 @@ HEADLINE = [
     # round-9: TIFF decode census (both compression arms: raw strips
     # + early-change LZW)
     "mm_tiff_decode_census",
+    # round-9: CCNet-style bigram-LM perplexity filtering
+    "text_bigram_perplexity_filter",
 ]
 
 # One representative per operator family, printed in the final

@@ -102,6 +102,8 @@ BATTERY = [
     # entropy guards (k<2 → 0), empty newsvendor census → 0 rows
     "events_type_entropy_census",
     "part_newsvendor_stock_level",
+    # empty corpus → 0 rows; single-doc scores still well-defined
+    "text_bigram_perplexity_filter",
 ]
 
 # Rows-only repaired queries (no oracle): crash-freedom is the pin.

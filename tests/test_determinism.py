@@ -191,6 +191,9 @@ QUERIES_UNDER_TEST = [
     # TIFF strip walk (IFD parse + early-change LZW) is per-asset
     # pure; census integer sums
     "mm_tiff_decode_census",
+    # per-occurrence q6 logprob terms folded per doc (model joins
+    # must not depend on partitioning)
+    "text_bigram_perplexity_filter",
 ]
 
 

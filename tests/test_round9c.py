@@ -179,3 +179,28 @@ def test_holt_winters_requires_two_years(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_bigram_perplexity_hand_corpus(spark, tmp_path):
+    """Two docs 'a b' plus 'solo': the only bigram has c_bi=2,
+    c_ctx(a)=2, V=3 (solo joins the vocab) → P = 3/5, lp = ln3 − ln5
+    → −510826 micro-nats; single-token docs score 0 and drop."""
+    sf = tmp_path / "pplx"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "solo")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["text_bigram_perplexity_filter"](
+            spark, str(sf)
+        ).collect()
+    }
+    assert rows[0].n_bigrams == 1
+    assert rows[0].logprob_sum_q6 == -510_826
+    assert rows[0].avg_logprob_q6 == -510_826
+    assert rows[0].keep is True
+    assert rows[1].logprob_sum_q6 == -510_826
+    assert rows[2].n_bigrams == 0
+    assert rows[2].avg_logprob_q6 == 0 and rows[2].keep is False

@@ -491,3 +491,140 @@ def part_newsvendor_stock_level(
             "achieved_q6"
         ),
     )
+
+
+import math as _math
+
+SPECTRUM_PERIODS = tuple(range(2, 15))  # candidate cycles, days
+
+# round(cos/sin(2πr/p)·1e6) — integer micro-coefficients computed
+# once and injected as LITERALS into both engines, so the DFT bin
+# folds are exact-integer and accumulation-order-free.
+_SPECTRUM_COEFFS = [
+    (
+        p,
+        r,
+        round(_math.cos(2 * _math.pi * r / p) * 1e6),
+        round(_math.sin(2 * _math.pi * r / p) * 1e6),
+    )
+    for p in SPECTRUM_PERIODS
+    for r in range(p)
+]
+
+_COEFF_VALUES_SQL = ", ".join(
+    f"({p}, {r}, {c}, {s})" for p, r, c, s in _SPECTRUM_COEFFS
+)
+
+
+@register(
+    "orders_weekday_spectrum",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1 FROM orders
+    ), spine AS (
+      SELECT CAST(datediff('day', b.d0, CAST(g.x AS DATE)) AS BIGINT)
+               AS idx
+      FROM bounds b,
+           LATERAL (SELECT UNNEST(range(b.d0::TIMESTAMP,
+                                        (b.d1 + INTERVAL 1 DAY)::TIMESTAMP,
+                                        INTERVAL 1 DAY)) AS x) g
+    ), daily AS (
+      SELECT CAST(datediff('day', b.d0, o.o_orderdate) AS BIGINT) AS idx,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders o CROSS JOIN bounds b GROUP BY 1
+    ), series AS (
+      SELECT s.idx, CAST(COALESCE(d.x, 0) AS BIGINT) AS x
+      FROM spine s LEFT JOIN daily d ON s.idx = d.idx
+    ), gstats AS (
+      SELECT CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s0 FROM series
+    ), coeffs(p, r, cosq, sinq) AS (
+      VALUES {_COEFF_VALUES_SQL}
+    ), bins AS (
+      SELECT c.p,
+             CAST(SUM(CAST(t.x AS HUGEINT) * c.cosq) AS HUGEINT) AS sc,
+             CAST(SUM(CAST(t.x AS HUGEINT) * c.sinq) AS HUGEINT) AS ss,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM series t JOIN coeffs c ON c.r = t.idx % c.p
+      GROUP BY c.p
+    )
+    SELECT b.p AS period,
+           b.n_days,
+           CAST(b.sc AS BIGINT) AS s_cos_q6,
+           CAST(b.ss AS BIGINT) AS s_sin_q6,
+           CAST(CASE WHEN g.s0 = 0 THEN 0
+                ELSE (b.sc * b.sc + b.ss * b.ss) // (g.s0 * g.s0)
+                END AS BIGINT) AS amp2_q12
+    FROM bins b CROSS JOIN gstats g
+    """,
+)
+def orders_weekday_spectrum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-integer DFT bins of the dense daily order series at
+    candidate periods 2..14 days — the periodicity detector that
+    answers "does this arrival stream have a weekly cycle" without a
+    float FFT: each bin folds Σ x·cosq(t mod p) and Σ x·sinq(t mod p)
+    against q6-quantized trig LITERALS (identical integers on both
+    engines), and the squared relative amplitude
+    (Sc² + Ss²)/S0² emits as q12 after one HUGEINT/DECIMAL division.
+    A flat series scores ≈0 on every bin; a weekly cycle spikes
+    period 7 (and its alias 14).
+
+    Scale: the corpus-sized work is the one daily groupBy; the
+    spectrum fold joins the CALENDAR-BOUNDED series to a 104-row
+    broadcast coefficient table and aggregates onto ≤13 period
+    keys."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("d0"),
+        F.max("o_orderdate").alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+        "d0",
+    ).select(F.datediff("day", "d0").cast("long").alias("idx"))
+    daily = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.datediff("o_orderdate", "d0").cast("long").alias("idx")
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    series = spine.join(daily, "idx", "left").select(
+        "idx", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    gstats = series.agg(
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("s0")
+    )
+    coeffs = spark.createDataFrame(
+        _SPECTRUM_COEFFS, "p bigint, r bigint, cosq bigint, sinq bigint"
+    )
+    bins = (
+        series.join(
+            F.broadcast(coeffs),
+            F.col("r") == F.col("idx") % F.col("p"),
+        )
+        .groupBy("p")
+        .agg(
+            F.sum(
+                F.expr("CAST(x AS DECIMAL(38,0)) * cosq")
+            ).alias("sc"),
+            F.sum(
+                F.expr("CAST(x AS DECIMAL(38,0)) * sinq")
+            ).alias("ss"),
+            F.count("*").cast("long").alias("n_days"),
+        )
+    )
+    return bins.crossJoin(F.broadcast(gstats)).select(
+        F.col("p").alias("period"),
+        "n_days",
+        F.col("sc").cast("long").alias("s_cos_q6"),
+        F.col("ss").cast("long").alias("s_sin_q6"),
+        F.expr(
+            "CAST(CASE WHEN s0 = 0 THEN 0"
+            " ELSE (sc * sc + ss * ss) div (s0 * s0) END AS BIGINT)"
+        ).alias("amp2_q12"),
+    )

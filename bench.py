@@ -466,6 +466,8 @@ HEADLINE = [
     "mm_tiff_decode_census",
     # round-9: CCNet-style bigram-LM perplexity filtering
     "text_bigram_perplexity_filter",
+    # round-9: exact-integer DFT periodicity bins
+    "orders_weekday_spectrum",
 ]
 
 # One representative per operator family, printed in the final

@@ -104,6 +104,8 @@ BATTERY = [
     "part_newsvendor_stock_level",
     # empty corpus → 0 rows; single-doc scores still well-defined
     "text_bigram_perplexity_filter",
+    # empty orders → empty spine → 0 spectrum rows
+    "orders_weekday_spectrum",
 ]
 
 # Rows-only repaired queries (no oracle): crash-freedom is the pin.

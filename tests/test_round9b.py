@@ -153,3 +153,32 @@ def test_newsvendor_hand_corpus(spark, tmp_path):
     assert r.brand == "B1" and r.n_obs == 5
     assert r.stock_level == 2
     assert r.achieved_q6 == 800_000
+
+
+def test_weekday_spectrum_hand_corpus(spark, tmp_path):
+    """Orders on days 0 and 2 only → series [1,0,1] (n=3, S0=2).
+    Period 2 (residues 0,1,0 with cosq ±1e6): Sc = 2e6, Ss = 0 →
+    amp2 = 4e12 // 4 = 1e12 (a perfect alternation scores full
+    relative amplitude). Period 4 (residues 0,1,2; cos 1e6,0,−1e6):
+    both folds cancel → amp2 = 0."""
+    import datetime
+
+    sf = tmp_path / "spec"
+    sf.mkdir()
+    d = datetime.date
+    spark.createDataFrame(
+        [(d(2024, 1, 1),), (d(2024, 1, 3),)],
+        "o_orderdate date",
+    ).coalesce(1).write.parquet(str(sf / "orders.parquet"))
+    rows = {
+        r.period: r
+        for r in QUERIES["orders_weekday_spectrum"](
+            spark, str(sf)
+        ).collect()
+    }
+    assert sorted(rows) == list(range(2, 15))
+    assert rows[2].n_days == 3
+    assert rows[2].s_cos_q6 == 2_000_000 and rows[2].s_sin_q6 == 0
+    assert rows[2].amp2_q12 == 1_000_000_000_000
+    assert rows[4].s_cos_q6 == 0 and rows[4].s_sin_q6 == 0
+    assert rows[4].amp2_q12 == 0

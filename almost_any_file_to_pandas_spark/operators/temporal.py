@@ -5114,3 +5114,166 @@ def orders_holt_winters_seasonal(
             )
         )
     return spark.createDataFrame(out, schema)
+
+
+CROSTON_MAX_EVENTS = 80  # 2^78 ≈ 3e23 ≪ DECIMAL(38,0); EWMA tail
+# beyond 80 demand events is < 2⁻⁸⁰ — truncated IDENTICALLY on both
+# engines, so parity is exact and the numerics are bounded
+
+
+@register(
+    "part_croston_forecast",
+    oracle=f"""
+    WITH demand AS (
+      SELECT l.l_partkey AS pk,
+             year(o.o_orderdate) * 12 + month(o.o_orderdate) AS t,
+             CAST(SUM(CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT))
+                  AS BIGINT) AS d
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2 HAVING SUM(l.l_quantity) > 0
+    ), recent AS (
+      SELECT pk, t, d,
+             ROW_NUMBER() OVER (PARTITION BY pk ORDER BY t DESC)
+               AS rn_desc
+      FROM demand
+    ), kept AS (
+      SELECT pk, t, d,
+             ROW_NUMBER() OVER (PARTITION BY pk ORDER BY t) AS j,
+             COUNT(*) OVER (PARTITION BY pk) AS k,
+             t - LAG(t) OVER (PARTITION BY pk ORDER BY t) AS gap
+      FROM recent WHERE rn_desc <= {CROSTON_MAX_EVENTS}
+    ), folds AS (
+      SELECT pk, CAST(MAX(k) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(d AS HUGEINT) * CASE WHEN j = 1 THEN 1
+                  ELSE CAST(POWER(2.0, j - 2) AS HUGEINT) END)
+                  AS HUGEINT) AS z_num,
+             CAST(POWER(2.0, MAX(k) - 1) AS HUGEINT) AS z_den,
+             CAST(SUM(CASE WHEN j < 2 THEN 0
+                  WHEN j = 2 THEN CAST(gap AS HUGEINT)
+                  ELSE CAST(gap AS HUGEINT)
+                       * CAST(POWER(2.0, j - 3) AS HUGEINT) END)
+                  AS HUGEINT) AS p_num,
+             CAST(POWER(2.0, MAX(k) - 2) AS HUGEINT) AS p_den
+      FROM kept GROUP BY pk
+    )
+    SELECT pk AS p_partkey,
+           n_events,
+           CAST(z_num * 1000000 // z_den AS BIGINT) AS z_q6,
+           CAST(p_num * 1000000 // p_den AS BIGINT) AS p_q6,
+           CAST((z_num * 1000000 // z_den) * 1000000
+                // (p_num * 1000000 // p_den) AS BIGINT)
+             AS croston_forecast_q6,
+           CAST(((z_num * 1000000 // z_den) * 1000000
+                // (p_num * 1000000 // p_den)) * 3 // 4 AS BIGINT)
+             AS sba_forecast_q6
+    FROM folds WHERE n_events >= 2
+    """,
+)
+def part_croston_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Croston's method (α=1/2) per part over monthly demand events —
+    THE intermittent-demand forecaster, the action arm next to the
+    Syntetos-Boylan quadrant census: demand-size EWMA z and
+    inter-demand-interval EWMA p update only at demand occurrences;
+    the per-period forecast is z/p, and the SBA column applies the
+    Syntetos-Boylan (1−α/2) bias correction.
+
+    NO recursion ships to either engine: with dyadic α the EWMA
+    recursion collapses to a closed-form WEIGHTED WINDOW FOLD —
+    z_K = (d₁ + Σ_{{j≥2}} 2^{{j−2}}·d_j)/2^{{K−1}} and the analogous
+    interval fold — exact HUGEINT/DECIMAL(38,0) integers (powers of
+    two are exact doubles, cast losslessly), truncated to the last
+    {CROSTON_MAX_EVENTS} demand events identically on both engines
+    (EWMA tail < 2⁻⁸⁰). Forecasts divide the ALREADY-QUANTIZED q6
+    integers, so no float division exists anywhere. Parts with one
+    demand event have no interval state and are excluded (classic
+    Croston is undefined there).
+
+    Scale: one fact-join groupBy to (part, month) — the shuffle any
+    per-SKU rollup pays — then windows PARTITIONED BY part over
+    ≤{CROSTON_MAX_EVENTS} calendar-bounded rows each, and a per-part
+    fold. State per part is O(1); nothing sequential leaves the
+    window frame."""
+    apply_engine_conf(spark)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr("CAST(FLOOR(l_quantity + 0.5) AS BIGINT)").alias("q"),
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+            "t"
+        ),
+    )
+    demand = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_partkey").alias("pk"), "t")
+        .agg(F.sum("q").alias("d"))
+        .where(F.col("d") > 0)
+    )
+    recent = demand.withColumn(
+        "rn_desc",
+        F.row_number().over(
+            W.partitionBy("pk").orderBy(F.desc("t"))
+        ),
+    ).where(F.col("rn_desc") <= CROSTON_MAX_EVENTS)
+    kept = recent.select(
+        "pk",
+        "t",
+        "d",
+        F.row_number()
+        .over(W.partitionBy("pk").orderBy("t"))
+        .alias("j"),
+        F.count("*").over(W.partitionBy("pk")).alias("k"),
+        (
+            F.col("t")
+            - F.lag("t").over(W.partitionBy("pk").orderBy("t"))
+        ).alias("gap"),
+    )
+    folds = kept.groupBy("pk").agg(
+        F.max("k").cast("long").alias("n_events"),
+        F.sum(
+            F.expr(
+                "CAST(d AS DECIMAL(38,0)) * CASE WHEN j = 1 THEN 1"
+                " ELSE CAST(POWER(2.0D, j - 2) AS DECIMAL(38,0)) END"
+            )
+        ).alias("z_num"),
+        F.expr(
+            "CAST(POWER(2.0D, MAX(k) - 1) AS DECIMAL(38,0))"
+        ).alias("z_den"),
+        F.sum(
+            F.expr(
+                "CASE WHEN j < 2 THEN CAST(0 AS DECIMAL(38,0))"
+                " WHEN j = 2 THEN CAST(gap AS DECIMAL(38,0))"
+                " ELSE CAST(gap AS DECIMAL(38,0))"
+                " * CAST(POWER(2.0D, j - 3) AS DECIMAL(38,0)) END"
+            )
+        ).alias("p_num"),
+        F.expr(
+            "CAST(POWER(2.0D, MAX(k) - 2) AS DECIMAL(38,0))"
+        ).alias("p_den"),
+    )
+    return (
+        folds.where(F.col("n_events") >= 2)
+        .select(
+            F.col("pk").alias("p_partkey"),
+            "n_events",
+            F.expr("CAST(z_num * 1000000 div z_den AS BIGINT)").alias(
+                "z_q6"
+            ),
+            F.expr("CAST(p_num * 1000000 div p_den AS BIGINT)").alias(
+                "p_q6"
+            ),
+            F.expr(
+                "CAST((z_num * 1000000 div z_den) * 1000000"
+                " div (p_num * 1000000 div p_den) AS BIGINT)"
+            ).alias("croston_forecast_q6"),
+            F.expr(
+                "CAST(((z_num * 1000000 div z_den) * 1000000"
+                " div (p_num * 1000000 div p_den)) * 3 div 4"
+                " AS BIGINT)"
+            ).alias("sba_forecast_q6"),
+        )
+    )

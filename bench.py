@@ -468,6 +468,9 @@ HEADLINE = [
     "text_bigram_perplexity_filter",
     # round-9: exact-integer DFT periodicity bins
     "orders_weekday_spectrum",
+    # round-9: Croston/SBA intermittent-demand forecasts (closed-form
+    # dyadic window folds, no recursion)
+    "part_croston_forecast",
 ]
 
 # One representative per operator family, printed in the final

@@ -106,6 +106,8 @@ BATTERY = [
     "text_bigram_perplexity_filter",
     # empty orders → empty spine → 0 spectrum rows
     "orders_weekday_spectrum",
+    # single/no demand events → excluded → 0 rows
+    "part_croston_forecast",
 ]
 
 # Rows-only repaired queries (no oracle): crash-freedom is the pin.

@@ -194,6 +194,8 @@ QUERIES_UNDER_TEST = [
     # per-occurrence q6 logprob terms folded per doc (model joins
     # must not depend on partitioning)
     "text_bigram_perplexity_filter",
+    # per-part dyadic window folds (row_number + lag discipline)
+    "part_croston_forecast",
 ]
 
 

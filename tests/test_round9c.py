@@ -204,3 +204,46 @@ def test_bigram_perplexity_hand_corpus(spark, tmp_path):
     assert rows[1].logprob_sum_q6 == -510_826
     assert rows[2].n_bigrams == 0
     assert rows[2].avg_logprob_q6 == 0 and rows[2].keep is False
+
+
+def test_croston_hand_corpus(spark, tmp_path):
+    """Part 1: demand 4, 8, 2 in Jan/Mar/Jun 2024 (gaps 2, 3).
+    z = (4 + 1·8 + 2·2)/4 = 4 → 4e6; p = (2 + 3)/2 → 2.5e6;
+    forecast = 4/2.5 = 1.6 → 1.6e6; SBA = ×3/4 → 1.2e6.
+    Part 2 has a single demand event and is excluded."""
+    import datetime
+
+    sf = tmp_path / "croston"
+    sf.mkdir()
+    d = datetime.date
+    spark.createDataFrame(
+        [
+            (10, d(2024, 1, 15)),
+            (11, d(2024, 3, 2)),
+            (12, d(2024, 6, 30)),
+            (13, d(2024, 2, 1)),
+        ],
+        "o_orderkey bigint, o_orderdate date",
+    ).coalesce(1).write.parquet(str(sf / "orders.parquet"))
+    spark.createDataFrame(
+        [
+            (10, 1, 4.0),
+            (11, 1, 8.0),
+            (12, 1, 2.0),
+            (13, 2, 9.0),
+        ],
+        "l_orderkey bigint, l_partkey bigint, l_quantity double",
+    ).coalesce(1).write.parquet(str(sf / "lineitem.parquet"))
+    rows = {
+        r.p_partkey: r
+        for r in QUERIES["part_croston_forecast"](
+            spark, str(sf)
+        ).collect()
+    }
+    assert list(rows) == [1]
+    r = rows[1]
+    assert r.n_events == 3
+    assert r.z_q6 == 4_000_000
+    assert r.p_q6 == 2_500_000
+    assert r.croston_forecast_q6 == 1_600_000
+    assert r.sba_forecast_q6 == 1_200_000

@@ -5277,3 +5277,108 @@ def part_croston_forecast(
             ).alias("sba_forecast_q6"),
         )
     )
+
+
+BOT_MIN_EVENTS = 5  # score users with ≥ 4 inter-event gaps
+BOT_CV2_THRESHOLD_Q6 = 10_000  # CV² < 0.01 (CV < 0.1) → metronome
+
+
+@register(
+    "events_bot_regularity_census",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id) AS g
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             CAST(COUNT(g) AS BIGINT) AS n_gaps,
+             CAST(SUM(CAST(g AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(SUM(CAST(g AS HUGEINT) * g) AS HUGEINT) AS q
+      FROM gaps GROUP BY user_id
+      HAVING COUNT(g) >= {BOT_MIN_EVENTS - 1}
+    ), scored AS (
+      SELECT user_id, n_gaps,
+             CASE WHEN s = 0 THEN 0
+                  ELSE CAST((n_gaps * q - s * s) * 1000000 // (s * s)
+                            AS BIGINT) END AS cv2_q6
+      FROM per_user
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users_scored,
+           CAST(COUNT(*) FILTER (
+             WHERE cv2_q6 < {BOT_CV2_THRESHOLD_Q6}) AS BIGINT)
+             AS n_bots,
+           CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                ELSE COUNT(*) FILTER (
+                  WHERE cv2_q6 < {BOT_CV2_THRESHOLD_Q6}) * 1000000
+                  // COUNT(*) END AS BIGINT) AS bot_share_q6,
+           CAST(MIN(cv2_q6) AS BIGINT) AS min_cv2_q6,
+           CAST(SUM(n_gaps) AS BIGINT) AS n_gaps_total
+    FROM scored
+    """,
+)
+def events_bot_regularity_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bot/automation screen over inter-event timing — the filter a
+    training pipeline runs BEFORE user-generated text enters a
+    corpus: users whose event gaps are metronome-regular (squared
+    coefficient of variation CV² < 0.01 across ≥ 4 gaps) are flagged
+    as automation. Humans are bursty (CV² ≳ 1, often lognormal-ish);
+    cron jobs and scripts are not.
+
+    Exactness: gaps are integer MICROSECONDS; CV² = (n·Σg² − S²)/S²
+    folds exact HUGEINT/DECIMAL(38,0) moments with ONE integer q6
+    division per user (numerator ≥ 0 by Cauchy-Schwarz, so no sign
+    CASE); the zero-sum degenerate (all events simultaneous) maps to
+    CV² = 0 on both engines. Ties inside a user's stream order by
+    ``event_id`` so the LAG walk is total-ordered.
+
+    Scale: ONE user-keyed window pass (the shuffle any sessionizer
+    pays) producing O(1) moments per user, then a users-sized
+    aggregate to a 1-row census. Nothing is quadratic; nothing
+    collects."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(
+                W.partitionBy("user_id").orderBy("ts", "event_id")
+            )
+        ).alias("g"),
+    )
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("g").cast("long").alias("n_gaps"),
+            F.sum(F.expr("CAST(g AS DECIMAL(38,0))")).alias("s"),
+            F.sum(F.expr("CAST(g AS DECIMAL(38,0)) * g")).alias("q"),
+        )
+        .where(F.col("n_gaps") >= BOT_MIN_EVENTS - 1)
+    )
+    scored = per_user.select(
+        "n_gaps",
+        F.expr(
+            "CASE WHEN s = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((n_gaps * q - s * s) * 1000000 div (s * s)"
+            " AS BIGINT) END"
+        ).alias("cv2_q6"),
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_users_scored"),
+        F.count_if(F.col("cv2_q6") < BOT_CV2_THRESHOLD_Q6)
+        .cast("long")
+        .alias("n_bots"),
+        F.expr(
+            "CAST(CASE WHEN COUNT(*) = 0 THEN 0"
+            f" ELSE COUNT_IF(cv2_q6 < {BOT_CV2_THRESHOLD_Q6})"
+            " * 1000000 div COUNT(*) END AS BIGINT)"
+        ).alias("bot_share_q6"),
+        F.min("cv2_q6").cast("long").alias("min_cv2_q6"),
+        F.sum("n_gaps").cast("long").alias("n_gaps_total"),
+    )

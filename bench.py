@@ -471,6 +471,8 @@ HEADLINE = [
     # round-9: Croston/SBA intermittent-demand forecasts (closed-form
     # dyadic window folds, no recursion)
     "part_croston_forecast",
+    # round-9: inter-event-regularity bot screen
+    "events_bot_regularity_census",
 ]
 
 # One representative per operator family, printed in the final

@@ -108,6 +108,8 @@ BATTERY = [
     "orders_weekday_spectrum",
     # single/no demand events → excluded → 0 rows
     "part_croston_forecast",
+    # empty/singleton streams score nobody (1-row zero census)
+    "events_bot_regularity_census",
 ]
 
 # Rows-only repaired queries (no oracle): crash-freedom is the pin.

@@ -247,3 +247,47 @@ def test_croston_hand_corpus(spark, tmp_path):
     assert r.p_q6 == 2_500_000
     assert r.croston_forecast_q6 == 1_600_000
     assert r.sba_forecast_q6 == 1_200_000
+
+
+def test_bot_regularity_hand_corpus(spark, tmp_path):
+    """User 1 fires every exactly 60 s (5 equal gaps → CV² = 0 →
+    bot); user 2 has bursty gaps 10/100/1000/50/500 s (CV² ≫ 0.01);
+    user 3 has too few events to score. Census: 2 scored, 1 bot,
+    share exactly 500000."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(6):  # user 1: metronome
+        rows.append(
+            (1, i, base + datetime.timedelta(seconds=60 * i), 1.0, "view")
+        )
+    offs = [0, 10, 110, 1110, 1160, 1660]  # user 2: bursty
+    for i, o in enumerate(offs):
+        rows.append(
+            (2, 100 + i, base + datetime.timedelta(seconds=o), 1.0, "view")
+        )
+    for i in range(3):  # user 3: unscored
+        rows.append(
+            (3, 200 + i, base + datetime.timedelta(seconds=i), 1.0, "view")
+        )
+    sf = tmp_path / "bots"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows,
+        "user_id bigint, event_id bigint, ts timestamp,"
+        " value double, event_type string",
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+    r = QUERIES["events_bot_regularity_census"](
+        spark, str(sf)
+    ).collect()[0]
+    assert r.n_users_scored == 2
+    assert r.n_bots == 1
+    assert r.bot_share_q6 == 500_000
+    assert r.min_cv2_q6 == 0
+    assert r.n_gaps_total == 10
+    # user 2's CV2 from the same integer formula, independently
+    g = [10, 100, 1000, 50, 500]
+    gm = [x * 1_000_000 for x in g]
+    s, q, n = sum(gm), sum(x * x for x in gm), len(gm)
+    assert (n * q - s * s) * 1_000_000 // (s * s) > 10_000

@@ -545,3 +545,82 @@ def privacy_qi_generalization_ladder(
         "risk_share_q6",
         "k_reached",
     )
+
+
+# Discrete-Laplace (two-sided geometric) mechanism at ε = 1 for a
+# sensitivity-1 counting query. With p = 1 − e^(−ε), the geometric
+# inverse-CDF is G = FLOOR(ln(u)/ln(1−p)) — and ln(1−p) = −ε = −1
+# EXACTLY at ε=1, so the sample collapses to FLOOR(−ln u): one libm
+# ln on an exact 32-bit-hash rational, deterministic on both engines.
+DP_SEED = "dp1"
+
+
+def _dp_geo_sql(arm: str) -> str:
+    """One geometric sample keyed on (seed, segment, arm) — the
+    md5-uniform house idiom; u = (h+1)/2^32 ∈ (0, 1]."""
+    h = (
+        f"('0x' || substr(md5('{DP_SEED}:{arm}:' || c_mktsegment),"
+        " 1, 8))::BIGINT"
+    )
+    return f"CAST(FLOOR(-ln(({h} + 1) / 4294967296.0)) AS BIGINT)"
+
+
+def _dp_geo_spark(arm: str) -> str:
+    h = (
+        f"CAST(conv(substring(md5(concat('{DP_SEED}:{arm}:',"
+        " c_mktsegment)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return f"CAST(FLOOR(-ln(({h} + 1) / 4294967296.0)) AS BIGINT)"
+
+
+@register(
+    "privacy_dp_noisy_histogram",
+    oracle=f"""
+    WITH counts AS (
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment,
+           true_n,
+           CAST({_dp_geo_sql("pos")} - {_dp_geo_sql("neg")}
+                AS BIGINT) AS noise,
+           CAST(true_n + {_dp_geo_sql("pos")} - {_dp_geo_sql("neg")}
+                AS BIGINT) AS noisy_n,
+           CAST(1000000 AS BIGINT) AS epsilon_q6
+    FROM counts
+    """,
+)
+def privacy_dp_noisy_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ε-differentially-private histogram release for the
+    market-segment counting query, via the DISCRETE LAPLACE
+    (two-sided geometric) mechanism at ε = 1: noise = G⁺ − G⁻ with
+    each G an inverse-CDF geometric sample. At ε = 1 the inverse CDF
+    collapses to FLOOR(−ln u) exactly (ln(1−p) = −1), so each sample
+    is one libm ``ln`` on an exact hash rational — deterministic and
+    engine-identical, the same derandomization the bootstrap and
+    permutation rows use. The mechanism's calibration (sensitivity-1
+    count, b = 1/ε) is the textbook Ghosh-Roughgarden-Sundararajan
+    geometric mechanism; the TRUE counts ride along here only for
+    the oracle harness — a production release publishes the noisy
+    column alone.
+
+    Scale: one map-side-combined groupBy onto the bounded segment
+    domain; the noise projection is per-cell arithmetic on that
+    census frame."""
+    apply_engine_conf(spark)
+    cust = table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("true_n")
+    )
+    pos, neg = _dp_geo_spark("pos"), _dp_geo_spark("neg")
+    return counts.select(
+        "c_mktsegment",
+        "true_n",
+        F.expr(f"CAST({pos} - {neg} AS BIGINT)").alias("noise"),
+        F.expr(f"CAST(true_n + {pos} - {neg} AS BIGINT)").alias(
+            "noisy_n"
+        ),
+        F.lit(1_000_000).cast("long").alias("epsilon_q6"),
+    )

@@ -473,6 +473,8 @@ HEADLINE = [
     "part_croston_forecast",
     # round-9: inter-event-regularity bot screen
     "events_bot_regularity_census",
+    # round-9: discrete-Laplace DP histogram release
+    "privacy_dp_noisy_histogram",
 ]
 
 # One representative per operator family, printed in the final

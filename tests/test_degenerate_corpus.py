@@ -110,6 +110,8 @@ BATTERY = [
     "part_croston_forecast",
     # empty/singleton streams score nobody (1-row zero census)
     "events_bot_regularity_census",
+    # empty customer table → 0 histogram cells
+    "privacy_dp_noisy_histogram",
 ]
 
 # Rows-only repaired queries (no oracle): crash-freedom is the pin.

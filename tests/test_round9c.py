@@ -291,3 +291,37 @@ def test_bot_regularity_hand_corpus(spark, tmp_path):
     gm = [x * 1_000_000 for x in g]
     s, q, n = sum(gm), sum(x * x for x in gm), len(gm)
     assert (n * q - s * s) * 1_000_000 // (s * s) > 10_000
+
+
+def test_dp_noisy_histogram_hand_check(spark, tmp_path):
+    """The noise for a segment is a pure function of the segment
+    name (hash-derandomized): recompute both geometric samples
+    independently with hashlib/math and pin the emitted noise; a
+    second corpus with the same segment gets the SAME noise."""
+    import hashlib
+    import math
+
+    def geo(arm, seg):
+        h = int(
+            hashlib.md5(f"dp1:{arm}:{seg}".encode()).hexdigest()[:8],
+            16,
+        )
+        return math.floor(-math.log((h + 1) / 4294967296.0))
+
+    seg = "AUTOMOBILE"
+    expected_noise = geo("pos", seg) - geo("neg", seg)
+
+    for n_rows in (3, 7):
+        sf = tmp_path / f"dp{n_rows}"
+        sf.mkdir()
+        spark.createDataFrame(
+            [(i, seg) for i in range(n_rows)],
+            "c_custkey bigint, c_mktsegment string",
+        ).coalesce(1).write.parquet(str(sf / "customer.parquet"))
+        r = QUERIES["privacy_dp_noisy_histogram"](
+            spark, str(sf)
+        ).collect()[0]
+        assert r.true_n == n_rows
+        assert r.noise == expected_noise
+        assert r.noisy_n == n_rows + expected_noise
+        assert r.epsilon_q6 == 1_000_000

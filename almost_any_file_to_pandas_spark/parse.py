@@ -279,6 +279,15 @@ def parse(
             if extension == ".npy":
                 return read_npy(spark, p, **options)
             return read_npz(spark, p, **options)
+        if extension == ".dbf":
+            # extension beyond the reference (SURVEY.md §7): dBase
+            # fixed-width table — record-range parallel by offset
+            # arithmetic (see sources/dbf.py)
+            from almost_any_file_to_pandas_spark.sources.dbf import (
+                read_dbf,
+            )
+
+            return read_dbf(spark, p, **options)
         if extension in (".db", ".sqlite", ".sqlite3"):
             # extension beyond the reference (SURVEY.md §7): SQLite
             # container — every user table fans out as its own result

@@ -66,6 +66,7 @@ def _supported_member(name: str) -> bool:
         ".sqlite3",
         ".npy",
         ".npz",
+        ".dbf",
     )
     if last in simple:
         return True

@@ -628,3 +628,155 @@ def orders_weekday_spectrum(
             " ELSE (sc * sc + ss * ss) div (s0 * s0) END AS BIGINT)"
         ).alias("amp2_q12"),
     )
+
+
+@register(
+    "orders_price_index_fisher",
+    oracle="""
+    WITH yrs AS (
+      SELECT MIN(year(o_orderdate)) AS y0, MAX(year(o_orderdate)) AS y1
+      FROM orders
+    ), py AS (
+      SELECT l.l_partkey AS pk, year(o.o_orderdate) AS y,
+             CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS ext_c,
+             CAST(SUM(CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT))
+                  AS BIGINT) AS qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      CROSS JOIN yrs
+      WHERE year(o.o_orderdate) IN (yrs.y0, yrs.y1)
+      GROUP BY 1, 2 HAVING SUM(l.l_quantity) > 0
+    ), priced AS (
+      SELECT pk, y, qty,
+             CAST(CAST(ext_c AS HUGEINT) * 1000000 // qty AS BIGINT)
+               AS p_q6
+      FROM py
+    ), common AS (
+      SELECT b.pk,
+             b.p_q6 AS p0, b.qty AS q0,
+             c.p_q6 AS p1, c.qty AS q1
+      FROM priced b JOIN priced c ON c.pk = b.pk
+      CROSS JOIN yrs
+      WHERE b.y = yrs.y0 AND c.y = yrs.y1 AND yrs.y0 < yrs.y1
+    ), folds AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_common_parts,
+             CAST(SUM(CAST(p1 AS HUGEINT) * q0) AS HUGEINT) AS l_num,
+             CAST(SUM(CAST(p0 AS HUGEINT) * q0) AS HUGEINT) AS l_den,
+             CAST(SUM(CAST(p1 AS HUGEINT) * q1) AS HUGEINT) AS p_num,
+             CAST(SUM(CAST(p0 AS HUGEINT) * q1) AS HUGEINT) AS p_den
+      FROM common
+    )
+    SELECT y.y0 AS base_year, y.y1 AS comp_year,
+           f.n_common_parts,
+           CAST(f.l_num * 1000000 // f.l_den AS BIGINT)
+             AS laspeyres_q6,
+           CAST(f.p_num * 1000000 // f.p_den AS BIGINT)
+             AS paasche_q6,
+           CAST(FLOOR(sqrt(
+             CAST(f.l_num * 1000000 // f.l_den AS DOUBLE)
+             * CAST(f.p_num * 1000000 // f.p_den AS DOUBLE)) + 0.5)
+             AS BIGINT) AS fisher_q6
+    FROM folds f CROSS JOIN yrs y
+    WHERE f.n_common_parts > 0
+    """,
+)
+def orders_price_index_fisher(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices between the first
+    and last order year over the COMMON part basket — the classic
+    "did prices actually move, net of mix shift" decomposition every
+    spend dashboard needs. Per-part unit prices quantize to exact q6
+    integers FIRST ((Σ cents·10⁶) div Σ qty — one integer division
+    per part-year), then the four index folds (Σp₁q₀, Σp₀q₀, Σp₁q₁,
+    Σp₀q₁) are pure HUGEINT/DECIMAL(38,0) sums; Laspeyres and
+    Paasche emit after one integer division each, and Fisher is the
+    correctly-rounded sqrt of their (exact) product — the only
+    double in the row, on bit-identical inputs.
+
+    Scale: one fact-join groupBy to (part, year) restricted to the
+    two basket years (partition-prunable at a real lake), a
+    co-partitioned self-join on part, and a 1-row fold. Nothing
+    holds more than the part-year frame."""
+    apply_engine_conf(spark)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("y")
+    )
+    yrs = orders.agg(
+        F.min("y").alias("y0"), F.max("y").alias("y1")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr(
+            "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        ).alias("ext_c"),
+        F.expr("CAST(FLOOR(l_quantity + 0.5) AS BIGINT)").alias(
+            "qty1"
+        ),
+    )
+    py = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .crossJoin(F.broadcast(yrs))
+        .where((F.col("y") == F.col("y0")) | (F.col("y") == F.col("y1")))
+        .groupBy(F.col("l_partkey").alias("pk"), "y")
+        .agg(
+            F.sum("ext_c").alias("ext_c"),
+            F.sum("qty1").alias("qty"),
+        )
+        .where(F.col("qty") > 0)
+    )
+    priced = py.select(
+        "pk",
+        "y",
+        "qty",
+        F.expr(
+            "CAST(CAST(ext_c AS DECIMAL(38,0)) * 1000000 div qty"
+            " AS BIGINT)"
+        ).alias("p_q6"),
+    )
+    b = priced.alias("b")
+    c = priced.alias("c")
+    common = (
+        b.join(c, F.col("b.pk") == F.col("c.pk"))
+        .crossJoin(F.broadcast(yrs))
+        .where(
+            (F.col("b.y") == F.col("y0"))
+            & (F.col("c.y") == F.col("y1"))
+            & (F.col("y0") < F.col("y1"))
+        )
+        .select(
+            F.col("b.p_q6").alias("p0"),
+            F.col("b.qty").alias("q0"),
+            F.col("c.p_q6").alias("p1"),
+            F.col("c.qty").alias("q1"),
+        )
+    )
+    folds = common.agg(
+        F.count("*").cast("long").alias("n_common_parts"),
+        F.sum(F.expr("CAST(p1 AS DECIMAL(38,0)) * q0")).alias("l_num"),
+        F.sum(F.expr("CAST(p0 AS DECIMAL(38,0)) * q0")).alias("l_den"),
+        F.sum(F.expr("CAST(p1 AS DECIMAL(38,0)) * q1")).alias("p_num"),
+        F.sum(F.expr("CAST(p0 AS DECIMAL(38,0)) * q1")).alias("p_den"),
+    )
+    return (
+        folds.crossJoin(F.broadcast(yrs))
+        .where(F.col("n_common_parts") > 0)
+        .select(
+            F.col("y0").cast("long").alias("base_year"),
+            F.col("y1").cast("long").alias("comp_year"),
+            "n_common_parts",
+            F.expr(
+                "CAST(l_num * 1000000 div l_den AS BIGINT)"
+            ).alias("laspeyres_q6"),
+            F.expr(
+                "CAST(p_num * 1000000 div p_den AS BIGINT)"
+            ).alias("paasche_q6"),
+            F.expr(
+                "CAST(FLOOR(sqrt("
+                "CAST(l_num * 1000000 div l_den AS DOUBLE)"
+                " * CAST(p_num * 1000000 div p_den AS DOUBLE)) + 0.5)"
+                " AS BIGINT)"
+            ).alias("fisher_q6"),
+        )
+    )

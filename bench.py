@@ -475,6 +475,8 @@ HEADLINE = [
     "events_bot_regularity_census",
     # round-9: discrete-Laplace DP histogram release
     "privacy_dp_noisy_histogram",
+    # round-9: Laspeyres/Paasche/Fisher common-basket price indices
+    "orders_price_index_fisher",
 ]
 
 # One representative per operator family, printed in the final

@@ -112,6 +112,8 @@ BATTERY = [
     "events_bot_regularity_census",
     # empty customer table → 0 histogram cells
     "privacy_dp_noisy_histogram",
+    # single-year / empty corpora yield no index row
+    "orders_price_index_fisher",
 ]
 
 # Rows-only repaired queries (no oracle): crash-freedom is the pin.

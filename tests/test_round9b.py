@@ -182,3 +182,55 @@ def test_weekday_spectrum_hand_corpus(spark, tmp_path):
     assert rows[2].amp2_q12 == 1_000_000_000_000
     assert rows[4].s_cos_q6 == 0 and rows[4].s_sin_q6 == 0
     assert rows[4].amp2_q12 == 0
+
+
+def test_price_index_hand_corpus(spark, tmp_path):
+    """Part 1: 2 units @5.00 in 2020, 1 unit @6.00 in 2022 → all
+    three indices exactly 1.2 (1200000 q6). Part 2 exists only in
+    the base year and drops from the common basket."""
+    import datetime
+
+    sf = tmp_path / "pidx"
+    sf.mkdir()
+    d = datetime.date
+    spark.createDataFrame(
+        [(10, d(2020, 5, 1)), (11, d(2022, 5, 1))],
+        "o_orderkey bigint, o_orderdate date",
+    ).coalesce(1).write.parquet(str(sf / "orders.parquet"))
+    spark.createDataFrame(
+        [
+            (10, 1, 10.00, 2.0),
+            (10, 2, 3.00, 1.0),
+            (11, 1, 6.00, 1.0),
+        ],
+        "l_orderkey bigint, l_partkey bigint,"
+        " l_extendedprice double, l_quantity double",
+    ).coalesce(1).write.parquet(str(sf / "lineitem.parquet"))
+    r = QUERIES["orders_price_index_fisher"](
+        spark, str(sf)
+    ).collect()[0]
+    assert (r.base_year, r.comp_year) == (2020, 2022)
+    assert r.n_common_parts == 1
+    assert r.laspeyres_q6 == 1_200_000
+    assert r.paasche_q6 == 1_200_000
+    assert r.fisher_q6 == 1_200_000
+
+
+def test_price_index_single_year_empty(spark, tmp_path):
+    import datetime
+
+    sf = tmp_path / "pidx1"
+    sf.mkdir()
+    d = datetime.date
+    spark.createDataFrame(
+        [(10, d(2020, 5, 1))], "o_orderkey bigint, o_orderdate date"
+    ).coalesce(1).write.parquet(str(sf / "orders.parquet"))
+    spark.createDataFrame(
+        [(10, 1, 5.0, 1.0)],
+        "l_orderkey bigint, l_partkey bigint,"
+        " l_extendedprice double, l_quantity double",
+    ).coalesce(1).write.parquet(str(sf / "lineitem.parquet"))
+    assert (
+        QUERIES["orders_price_index_fisher"](spark, str(sf)).count()
+        == 0
+    )

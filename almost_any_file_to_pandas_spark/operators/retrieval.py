@@ -882,3 +882,133 @@ def retrieval_postings_gap_census(
             " div nullif(sum(abs_bytes), 0) AS BIGINT)"
         ).alias("savings_q6"),
     )
+
+
+QL_MU = 2000  # Dirichlet smoothing mass (Zhai-Lafferty's default)
+QL_TOP = 20
+
+
+def _ql_terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@register(
+    "retrieval_query_likelihood_topk",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl
+      FROM documents
+    ), corpus AS (
+      SELECT CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS c_len FROM docs
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), cf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cf
+      FROM tok WHERE term IN ({_ql_terms_sql()}) GROUP BY term
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ({_ql_terms_sql()}) GROUP BY doc_id, term
+    ), factors AS (
+      SELECT d.doc_id, q.term,
+             CAST((CAST(COALESCE(t.tf, 0) AS HUGEINT) * c.c_len
+                   + {QL_MU} * q.cf) * 1000000
+                  // (CAST(c.c_len AS HUGEINT) * (d.dl + {QL_MU}))
+                  AS HUGEINT) AS f_q6
+      FROM docs d
+      CROSS JOIN cf q
+      CROSS JOIN corpus c
+      LEFT JOIN tf t ON t.doc_id = d.doc_id AND t.term = q.term
+    ), scored AS (
+      SELECT doc_id,
+             CAST(MAX(CASE WHEN term = 'spark' THEN f_q6 END)
+                  * MAX(CASE WHEN term = 'vector' THEN f_q6 END)
+                  * MAX(CASE WHEN term = 'window' THEN f_q6 END)
+                  * MAX(CASE WHEN term = 'merge' THEN f_q6 END)
+                  // 1000000000000 AS BIGINT) AS score_q12
+      FROM factors GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, score_q12,
+             ROW_NUMBER() OVER (ORDER BY score_q12 DESC, doc_id)
+               AS rnk
+      FROM scored
+    )
+    SELECT doc_id, score_q12, rnk FROM ranked WHERE rnk <= {QL_TOP}
+    """,
+)
+def retrieval_query_likelihood_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing
+    (Zhai-Lafferty, μ={QL_MU}) — the language-modeling scoring family
+    beside BM25/TF-IDF/RRF/PRF: score(q, d) =
+    Π_t (tf(t,d) + μ·P(t|C)) / (|d| + μ), over the same fixed query
+    set as the BM25 row.
+
+    LOG-FREE like the BM25 row (the repo's float contract allows
+    sqrt and ±*/ only — no ln): each term factor is the exact q6
+    rational ((tf·C + μ·cf)·10⁶) div (C·(dl+μ)) with C = corpus
+    length, and the four factors multiply as one exact
+    HUGEINT/DECIMAL(38,0) product (each < 10⁶, so the product
+    < 10²⁴ ≪ 10³⁸) rescaled once to q12. The product over the FIXED
+    term set is a pivot (MAX CASE per term), never a float PRODUCT
+    aggregate whose accumulation could round.
+
+    Scale: the tf build is the inverted-index aggregate restricted to
+    the query terms (pushdown-friendly); factors are docs × |q| rows
+    with the cf/corpus scalars broadcast; ranking cuts the scored
+    frame with a full tie-break."""
+    from pyspark.sql import Window as W
+
+    apply_engine_conf(spark)
+    docs_t = table_wide(spark, sf_dir, "documents")
+    docs = docs_t.select(
+        "doc_id", F.size(F.split("text", " ", -1)).alias("dl")
+    )
+    corpus = docs.agg(
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("c_len")
+    )
+    tok = docs_t.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("term")
+    ).where(F.col("term").isin(*BM25_TERMS))
+    cf = tok.groupBy("term").agg(F.count("*").alias("cf"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    factors = (
+        docs.crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(corpus))
+        .join(tf, ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            "term",
+            F.expr(
+                f"CAST((CAST(COALESCE(tf, 0) AS DECIMAL(38,0)) * c_len"
+                f" + {QL_MU} * cf) * 1000000"
+                f" div (CAST(c_len AS DECIMAL(38,0)) * (dl + {QL_MU}))"
+                " AS DECIMAL(38,0))"
+            ).alias("f_q6"),
+        )
+    )
+    pivot = factors.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("term") == t, F.col("f_q6"))
+            ).alias(f"f{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ]
+    )
+    scored = pivot.select(
+        "doc_id",
+        F.expr(
+            "CAST(f0 * f1 * f2 * f3 div 1000000000000 AS BIGINT)"
+        ).alias("score_q12"),
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.desc("score_q12"), F.asc("doc_id"))
+            ),
+        )
+        .where(F.col("rnk") <= QL_TOP)
+        .select("doc_id", "score_q12", "rnk")
+    )

@@ -477,6 +477,8 @@ HEADLINE = [
     "privacy_dp_noisy_histogram",
     # round-9: Laspeyres/Paasche/Fisher common-basket price indices
     "orders_price_index_fisher",
+    # round-9: Dirichlet query-likelihood retrieval scoring
+    "retrieval_query_likelihood_topk",
 ]
 
 # One representative per operator family, printed in the final

@@ -114,6 +114,8 @@ BATTERY = [
     "privacy_dp_noisy_histogram",
     # single-year / empty corpora yield no index row
     "orders_price_index_fisher",
+    # no query-term occurrences → empty cf frame → 0 rows
+    "retrieval_query_likelihood_topk",
 ]
 
 # Rows-only repaired queries (no oracle): crash-freedom is the pin.

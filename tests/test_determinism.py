@@ -196,6 +196,8 @@ QUERIES_UNDER_TEST = [
     "text_bigram_perplexity_filter",
     # per-part dyadic window folds (row_number + lag discipline)
     "part_croston_forecast",
+    # global LIMIT cut on the QL ranking
+    "retrieval_query_likelihood_topk",
 ]
 
 

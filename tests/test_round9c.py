@@ -325,3 +325,38 @@ def test_dp_noisy_histogram_hand_check(spark, tmp_path):
         assert r.noise == expected_noise
         assert r.noisy_n == n_rows + expected_noise
         assert r.epsilon_q6 == 1_000_000
+
+
+def test_query_likelihood_hand_corpus(spark, tmp_path):
+    """doc 0 contains all four query terms once; doc 1 has only
+    'spark' (twice). Scores recomputed independently with Python
+    integers from the Dirichlet formula; doc 0 outranks doc 1."""
+    sf = tmp_path / "ql"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(0, "spark vector window merge"), (1, "spark spark other x")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    rows = QUERIES["retrieval_query_likelihood_topk"](
+        spark, str(sf)
+    ).collect()
+    mu, c_len = 2000, 8
+    cf = {"spark": 3, "vector": 1, "window": 1, "merge": 1}
+    tf = {
+        0: {"spark": 1, "vector": 1, "window": 1, "merge": 1},
+        1: {"spark": 2},
+    }
+
+    def score(doc, dl):
+        prod = 1
+        for t in ("spark", "vector", "window", "merge"):
+            f = (tf[doc].get(t, 0) * c_len + mu * cf[t]) * 1_000_000 // (
+                c_len * (dl + mu)
+            )
+            prod *= f
+        return prod // 10**12
+
+    assert [(r.doc_id, r.rnk) for r in rows] == [(0, 1), (1, 2)]
+    assert rows[0].score_q12 == score(0, 4)
+    assert rows[1].score_q12 == score(1, 4)
+    assert rows[0].score_q12 > rows[1].score_q12

@@ -469,3 +469,155 @@ def emb_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(FLOOR(center_norm2 / mean_norm2 * 1000000 + 0.5)"
         " AS BIGINT) AS anisotropy_q6",
     )
+
+
+def _pr_oracle() -> str:
+    d = SRC_DIMS
+    return f"""
+    WITH e AS (
+      SELECT embedding::DOUBLE[] AS v FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {d}
+    ), nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM e),
+    s1 AS (
+      SELECT u.i AS a,
+             CAST(SUM(CAST(FLOOR(v[u.i] * {QSCALE} + 0.5) AS HUGEINT))
+                  AS HUGEINT) AS s
+      FROM e, LATERAL (
+        SELECT unnest(generate_series(1, {d})) AS i) u
+      GROUP BY u.i
+    ), gram AS (
+      SELECT p.i AS a, p.j AS b,
+             CAST(SUM(CAST(FLOOR(v[p.i] * v[p.j] * {QSCALE} + 0.5)
+                           AS HUGEINT)) AS HUGEINT) AS g
+      FROM e, LATERAL (
+        SELECT u1.i AS i, u2.j AS j
+        FROM (SELECT unnest(generate_series(1, {d})) AS i) u1,
+             (SELECT unnest(generate_series(1, {d})) AS j) u2
+        WHERE u2.j >= u1.i) p
+      GROUP BY p.i, p.j
+    ), cells AS (
+      SELECT g.a, g.b,
+             (nn.n * g.g * {QSCALE} - sa.s * sb.s) AS cen,
+             nn.n AS n
+      FROM gram g
+      JOIN s1 sa ON sa.a = g.a
+      JOIN s1 sb ON sb.a = g.b
+      CROSS JOIN nn
+    ), lattice AS (
+      SELECT a, b, n,
+             CASE WHEN n = 0 THEN 0
+                  WHEN cen >= 0 THEN cen // (n * n * 1000)
+                  ELSE -((-cen) // (n * n * 1000)) END AS dcell
+      FROM cells
+    ), folds AS (
+      SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) AS n_vecs,
+             CAST(COALESCE(SUM(CASE WHEN a = b THEN dcell ELSE 0 END),
+                           0) AS HUGEINT) AS tr,
+             CAST(COALESCE(SUM(CASE WHEN a = b THEN dcell * dcell
+                      ELSE 2 * dcell * dcell END), 0) AS HUGEINT) AS fr2
+      FROM lattice
+    )
+    SELECT n_vecs,
+           CAST({d} AS BIGINT) AS d,
+           CAST(tr AS BIGINT) AS trace_d,
+           CAST(fr2 // 1000000 AS BIGINT) AS frob2_div6,
+           CAST(CASE WHEN n_vecs < 2 OR fr2 <= 0 THEN 0
+                ELSE (tr * tr * 1000000) // fr2 END AS BIGINT)
+             AS pr_q6
+    FROM folds
+    """
+
+
+@register("emb_effective_rank_pr", oracle=_pr_oracle())
+def emb_effective_rank_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation ratio — the eigendecomposition-free effective
+    rank of the embedding covariance: PR = (Σλ)²/Σλ² =
+    trace(C)²/‖C‖²_F, computable from the GRAM SKETCH alone because
+    trace and Frobenius norm are linear/quadratic cell functionals —
+    no power iteration, no eigensolve, exact integers end to end.
+    PR ∈ [1, d]: ≈ d means isotropic spread, ≈ 1 means rank collapse
+    (the anisotropy row's companion, from second moments).
+
+    Exactness: the centered covariance lattice is ``n·G·10⁶ − s_a·s_b``
+    from :func:`gram_moments`'s integer cells, divided (sign-safe
+    symmetric truncation) by n² so cells stay ~cov·10¹² at ANY corpus
+    size — traces and Frobenius folds then fit DECIMAL(38,0)/HUGEINT
+    at every SF, and PR is one integer division of exact folds.
+
+    Scale: inherits gram_moments' shape — per-task O(d²) integer
+    partials via the Arrow fold, one d²-cell shuffle, then arithmetic
+    on the 2 080-row triangle. Nothing touches the corpus twice."""
+    apply_engine_conf(spark)
+    d = SRC_DIMS
+    emb = table_wide(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == d)
+    )
+    g = gram_moments(emb)
+    n_row = g.where(
+        (F.col("dim_i") == -1) & (F.col("dim_j") == -1)
+    ).select(F.col("qsum").cast("decimal(38,0)").alias("n"))
+    s = g.where(
+        (F.col("dim_i") >= 0) & (F.col("dim_j") == -1)
+    ).select(
+        F.col("dim_i").alias("a"),
+        F.col("qsum").cast("decimal(38,0)").alias("s"),
+    )
+    gram = g.where(F.col("dim_j") >= 0).select(
+        F.col("dim_i").alias("a"),
+        F.col("dim_j").alias("b"),
+        F.col("qsum").cast("decimal(38,0)").alias("g"),
+    )
+    sa = s.select(F.col("a"), F.col("s").alias("s_a"))
+    sb = s.select(F.col("a").alias("b"), F.col("s").alias("s_b"))
+    cells = (
+        gram.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "a",
+            "b",
+            "n",
+            F.expr(f"n * g * {QSCALE} - s_a * s_b").alias("cen"),
+        )
+    )
+    lattice = cells.select(
+        "a",
+        "b",
+        "n",
+        # div returns BIGINT — the (n²·1000) scale keeps every
+        # downstream product inside DECIMAL(38,0) AND every div
+        # result inside int64 at any corpus size
+        F.expr(
+            "CASE WHEN n = 0 THEN 0"
+            " WHEN cen >= 0 THEN cen div (n * n * 1000)"
+            " ELSE -((-cen) div (n * n * 1000)) END"
+        ).alias("dcell"),
+    )
+    folds = lattice.agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.sum(
+            F.expr(
+                "CASE WHEN a = b THEN CAST(dcell AS DECIMAL(38,0))"
+                " ELSE CAST(0 AS DECIMAL(38,0)) END"
+            )
+        ).alias("tr"),
+        F.sum(
+            F.expr(
+                "CASE WHEN a = b THEN CAST(dcell AS DECIMAL(38,0)) * dcell"
+                " ELSE 2 * CAST(dcell AS DECIMAL(38,0)) * dcell END"
+            )
+        ).alias("fr2"),
+    )
+    return folds.select(
+        "n_vecs",
+        F.lit(d).cast("long").alias("d"),
+        F.col("tr").cast("long").alias("trace_d"),
+        F.expr(
+            "CAST(fr2 div 1000000 AS BIGINT)"
+        ).alias("frob2_div6"),
+        F.expr(
+            "CAST(CASE WHEN n_vecs < 2 OR fr2 <= 0 THEN 0"
+            " ELSE (tr * tr * 1000000) div fr2 END AS BIGINT)"
+        ).alias("pr_q6"),
+    )

@@ -479,6 +479,8 @@ HEADLINE = [
     "orders_price_index_fisher",
     # round-9: Dirichlet query-likelihood retrieval scoring
     "retrieval_query_likelihood_topk",
+    # round-9: eigendecomposition-free effective rank
+    "emb_effective_rank_pr",
 ]
 
 # One representative per operator family, printed in the final

@@ -116,6 +116,8 @@ BATTERY = [
     "orders_price_index_fisher",
     # no query-term occurrences → empty cf frame → 0 rows
     "retrieval_query_likelihood_topk",
+    # n<2 / zero-frobenius embedding corpora guard to pr=0
+    "emb_effective_rank_pr",
 ]
 
 # Rows-only repaired queries (no oracle): crash-freedom is the pin.

@@ -198,6 +198,9 @@ QUERIES_UNDER_TEST = [
     "part_croston_forecast",
     # global LIMIT cut on the QL ranking
     "retrieval_query_likelihood_topk",
+    # Arrow gram fold partials must sum identically under any
+    # partitioning (the PCA-gram risk class, traced to PR)
+    "emb_effective_rank_pr",
 ]
 
 

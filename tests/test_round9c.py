@@ -360,3 +360,33 @@ def test_query_likelihood_hand_corpus(spark, tmp_path):
     assert rows[0].score_q12 == score(0, 4)
     assert rows[1].score_q12 == score(1, 4)
     assert rows[0].score_q12 > rows[1].score_q12
+
+
+def test_effective_rank_pr_hand_corpus(spark, tmp_path):
+    """Rank-1 data (±2 along dim 0) → PR exactly 1e6; two orthogonal
+    equal-variance dims → PR exactly 2e6. Both verified against the
+    integer lattice by hand (dcell 4e9/2e9, exact divisions)."""
+
+    def write(sf, vecs):
+        sf.mkdir()
+        rows = [
+            (i, [float(x) for x in v] + [0.0] * (64 - len(v)), 0)
+            for i, v in enumerate(vecs)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        ).coalesce(1).write.parquet(str(sf / "embeddings.parquet"))
+        return str(sf)
+
+    sf1 = write(tmp_path / "rank1", [[2.0], [-2.0], [2.0], [-2.0]])
+    r = QUERIES["emb_effective_rank_pr"](spark, sf1).collect()[0]
+    assert r.n_vecs == 4 and r.d == 64
+    assert r.trace_d == 4_000_000_000
+    assert r.pr_q6 == 1_000_000
+
+    sf2 = write(
+        tmp_path / "rank2",
+        [[2.0, 0.0], [-2.0, 0.0], [0.0, 2.0], [0.0, -2.0]],
+    )
+    r = QUERIES["emb_effective_rank_pr"](spark, sf2).collect()[0]
+    assert r.pr_q6 == 2_000_000

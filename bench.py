@@ -550,6 +550,11 @@ COMPACT = [
     # round-9 session append: distribution-shape family representative
     # (the two-phase distributed global-rank Lorenz/Gini fold)
     "customer_spend_gini_lorenz",
+    # round-9 session appends: LZW codec family + the unbiased
+    # signed-median sketch (compact assembler pops trailing rows if
+    # the line budget is ever exceeded)
+    "mm_gif_decode_census",
+    "events_heavy_hitters_countsketch",
 ]
 
 

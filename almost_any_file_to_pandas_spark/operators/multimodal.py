@@ -4565,3 +4565,147 @@ def mm_tiff_decode_census(
         .alias("total_pixels"),
         F.sum("pixel_sum").cast("long").alias("total_pixel_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ICO (Windows icon container) — a directory of image members, each
+# either a PNG stream (Vista+) or a BMP-style DIB with doubled height
+# and an AND mask. The PNG arm routes through the full zlib/de-filter
+# PNG decoder; DIB members raise an honest NotImplementedError gate
+# (same policy as the other library-free gates).
+# ---------------------------------------------------------------------------
+
+
+def synth_ico(sizes) -> bytes:
+    """Assemble a REAL .ico around PNG members (one grayscale
+    gradient PNG per (w, h) in ``sizes``)."""
+    import struct
+
+    members = [synth_png(w, h) for w, h in sizes]
+    n = len(members)
+    header = struct.pack("<HHH", 0, 1, n)
+    offset = 6 + 16 * n
+    entries = b""
+    for (w, h), blob in zip(sizes, members):
+        entries += struct.pack(
+            "<BBBBHHII",
+            w % 256,  # 0 encodes 256 per spec
+            h % 256,
+            0,
+            0,
+            1,
+            32,
+            len(blob),
+            offset,
+        )
+        offset += len(blob)
+    return header + entries + b"".join(members)
+
+
+def decode_ico(blob: bytes):
+    """Decode every member of an ICO; returns a list of
+    ``(width, height, pixel_sum)``. PNG members decode through
+    :func:`decode_png_gray`; DIB members hit the documented gate."""
+    import struct
+
+    if len(blob) < 6:
+        raise ValueError("not an ICO stream")
+    reserved, ftype, count = struct.unpack("<HHH", blob[:6])
+    if reserved != 0 or ftype != 1:
+        raise ValueError("not an ICO stream")
+    if count == 0:
+        raise ValueError("ICO contains no images")
+    out = []
+    for i in range(count):
+        base = 6 + 16 * i
+        if base + 16 > len(blob):
+            raise ValueError("ICO directory truncated")
+        _, _, _, _, _, _, size, offset = struct.unpack(
+            "<BBBBHHII", blob[base : base + 16]
+        )
+        if offset + size > len(blob):
+            raise ValueError("ICO member out of range")
+        payload = blob[offset : offset + size]
+        if payload[:8] == PNG_SIGNATURE:
+            w, h, pixels = decode_png_gray(payload)
+            out.append((w, h, sum(pixels)))
+        else:
+            raise NotImplementedError(
+                "DIB (BMP-style) icon members not supported — "
+                "PNG members only (Vista+ icons)"
+            )
+    return out
+
+
+@register(
+    "mm_ico_decode_census",
+    oracle=f"""
+    WITH d AS (
+      SELECT (doc_id % {PNG_W_MOD}) + 1 AS w,
+             (doc_id % {PNG_H_MOD}) + 1 AS h
+      FROM documents WHERE doc_id % 4 = 3
+    )
+    SELECT CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           COUNT(*) AS n_icons,
+           CAST(COUNT(*) * 2 AS BIGINT) AS n_members,
+           -- members: (w,h) gradient + its (h,w) transpose — the
+           -- gradient sum is symmetric in (w,h), so both members
+           -- contribute the same closed form
+           CAST(SUM(2 * (h * w * (w - 1) // 2
+                         + w * h * (h - 1) // 2)) AS BIGINT)
+             AS total_pixel_sum
+    FROM d GROUP BY 1, 2
+    """,
+)
+def mm_ico_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICO container decode census: every asset materializes as a
+    REAL two-member icon (the (w, h) gradient PNG plus its (h, w)
+    transpose — multi-resolution, as real icons ship) and decodes
+    through the directory walk + the full PNG path inside
+    ``mapInPandas``; the census sums the decoded gray values of BOTH
+    members against the closed form (the gradient sum is symmetric
+    in (w, h), so the transpose doubles it exactly).
+
+    100 TB shape: identical to the other codec censuses — blobs in
+    worker batches only, four integers per asset on the shuffle,
+    bounded census frame."""
+    apply_engine_conf(spark)
+    docs = table(spark, sf_dir, "documents")
+    imgs = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 3).select(
+        "doc_id"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            out = {
+                "width": [],
+                "height": [],
+                "n_members": [],
+                "pixel_sum": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = did % PNG_W_MOD + 1
+                h = did % PNG_H_MOD + 1
+                blob = synth_ico([(w, h), (h, w)])
+                members = decode_ico(blob)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_members"].append(len(members))
+                out["pixel_sum"].append(
+                    sum(s for _, _, s in members)
+                )
+            yield pd.DataFrame(out)
+
+    decoded = imgs.mapInPandas(
+        decode_batches,
+        schema=(
+            "width long, height long, n_members long, pixel_sum long"
+        ),
+    )
+    return decoded.groupBy("width", "height").agg(
+        F.count("*").alias("n_icons"),
+        F.sum("n_members").cast("long").alias("n_members"),
+        F.sum("pixel_sum").cast("long").alias("total_pixel_sum"),
+    )

@@ -481,6 +481,8 @@ HEADLINE = [
     "retrieval_query_likelihood_topk",
     # round-9: eigendecomposition-free effective rank
     "emb_effective_rank_pr",
+    # round-9: ICO container decode census (PNG members)
+    "mm_ico_decode_census",
 ]
 
 # One representative per operator family, printed in the final

@@ -201,6 +201,8 @@ QUERIES_UNDER_TEST = [
     # Arrow gram fold partials must sum identically under any
     # partitioning (the PCA-gram risk class, traced to PR)
     "emb_effective_rank_pr",
+    # ICO directory walk + PNG members, per-asset pure
+    "mm_ico_decode_census",
 ]
 
 

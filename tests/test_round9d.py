@@ -288,3 +288,70 @@ def test_tiff_fuzz_never_hangs_or_crashes():
                 pass
 
     fuzz()
+
+
+# ---------------------------------------------------------------- ICO
+
+
+def test_ico_round_trip_and_gates():
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        decode_ico,
+        synth_ico,
+        synth_png,
+    )
+
+    members = decode_ico(synth_ico([(16, 8), (8, 16)]))
+    assert [(w, h) for w, h, _ in members] == [(16, 8), (8, 16)]
+    gsum = 8 * 16 * 15 // 2 + 16 * 8 * 7 // 2
+    assert members[0][2] == gsum and members[1][2] == gsum
+
+    with pytest.raises(ValueError):
+        decode_ico(b"")
+    with pytest.raises(ValueError):
+        decode_ico(b"\x00\x00\x02\x00\x01\x00")  # type 2 = .cur
+    with pytest.raises(ValueError):
+        decode_ico(b"\x00\x00\x01\x00\x00\x00")  # zero members
+    # truncated member payload
+    good = synth_ico([(4, 4)])
+    with pytest.raises(ValueError):
+        decode_ico(good[:-3])
+    # a non-PNG member hits the honest DIB gate
+    blob = bytearray(synth_ico([(4, 4)]))
+    png_off = 6 + 16
+    blob[png_off : png_off + 8] = b"\x28\x00\x00\x00\x10\x00\x00\x00"
+    with pytest.raises(NotImplementedError, match="DIB"):
+        decode_ico(bytes(blob))
+
+
+def test_ico_fuzz_never_hangs_or_crashes():
+    import struct as _struct
+
+    from hypothesis import given, settings, strategies as st
+
+    from almost_any_file_to_pandas_spark.operators.multimodal import (
+        decode_ico,
+        synth_ico,
+    )
+
+    seeds = [synth_ico([(16, 8), (8, 16)]), synth_ico([(5, 5)])]
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.integers(0, len(seeds) - 1),
+        st.binary(max_size=64),
+        st.integers(0, 400),
+        st.binary(min_size=1, max_size=8),
+    )
+    def fuzz(which, garbage, cut, patch):
+        base = seeds[which]
+        for blob in [
+            garbage,
+            base[:cut],
+            base[:cut] + patch + base[cut + len(patch):],
+        ]:
+            try:
+                decode_ico(bytes(blob))
+            except (ValueError, NotImplementedError, _struct.error):
+                pass
+
+    fuzz()

@@ -1738,3 +1738,134 @@ def events_cep_pattern_census(
     return flags.groupBy("strict_hit", "loose_hit").agg(
         F.count("*").alias("n_users")
     )
+
+
+@register(
+    "events_markov_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             array_agg(event_type
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS types
+      FROM events GROUP BY user_id
+    ), bi AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(types) - 1, 0) + 1),
+               i -> {'src': types[i], 'dst': types[i+1]})) AS pair
+      FROM seq
+    ), counts AS (
+      SELECT pair.src AS src, pair.dst AS dst,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM bi GROUP BY pair.src, pair.dst
+    ), rsums AS (
+      SELECT src, CAST(SUM(c) AS BIGINT) AS r FROM counts GROUP BY src
+    ), folds AS (
+      SELECT CAST(COALESCE((SELECT SUM(c) FROM counts), 0) AS BIGINT)
+               AS n_trans,
+             CAST(COALESCE((SELECT COUNT(*) FROM counts), 0) AS BIGINT)
+               AS n_pairs,
+             CAST(COALESCE((SELECT COUNT(*) FROM rsums), 0) AS BIGINT)
+               AS n_states,
+             CAST(COALESCE((SELECT SUM(
+               CAST(FLOOR(r * ln(r) * 1000000 + 0.5) AS BIGINT))
+               FROM rsums), 0) AS BIGINT) AS t_rows,
+             CAST(COALESCE((SELECT SUM(
+               CAST(FLOOR(c * ln(c) * 1000000 + 0.5) AS BIGINT))
+               FROM counts), 0) AS BIGINT) AS t_cells
+    )
+    SELECT n_trans, n_states, n_pairs,
+           CAST(CASE WHEN n_trans < 1 THEN 0
+                ELSE (t_rows - t_cells) // n_trans END AS BIGINT)
+             AS entropy_rate_q6,
+           CAST(CASE WHEN n_trans < 1 THEN 1000000
+                ELSE FLOOR(exp(((t_rows - t_cells) // n_trans)
+                               / 1000000.0) * 1000000 + 0.5)
+                END AS BIGINT) AS branching_q6
+    FROM folds
+    """,
+)
+def events_markov_entropy_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entropy rate of the empirical user-journey Markov chain —
+    H = −Σ_ij (n_ij/N)·ln(n_ij/n_i·), the bits-per-step
+    predictability of navigation (the information-theoretic summary
+    beside the transition matrix / stationary-distribution rows), and
+    its exp as the effective branching factor.
+
+    Via the log-sum identity H·N = Σ_i n_i·ln n_i· − Σ_ij n_ij·ln
+    n_ij, each n·ln n term quantizes to integer micro-nats BEFORE the
+    fold (ln on exact integers; the entropy-census discipline), the
+    numerator is ≥ 0 by the log-sum inequality (positive integer
+    division only), and the one exp at the end runs on the
+    ALREADY-QUANTIZED q6 rational — identical IEEE input on both
+    engines.
+
+    Scale: the same one-shuffle per-user sequence aggregate the
+    transition matrix pays; the fold runs on the |types|²-bounded
+    count frame."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    types = F.transform(F.col("evs"), lambda x: x["event_type"])
+    seq = seq.select(types.alias("types"))
+    n = F.size(F.col("types"))
+    win = F.greatest(n - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(F.col("types"), 1, win),
+        F.slice(F.col("types"), 2, win),
+        lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+    )
+    counts = (
+        seq.select(F.explode(pairs).alias("pair"))
+        .select(
+            F.col("pair.src").alias("src"),
+            F.col("pair.dst").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("c"))
+    )
+    rsums = counts.groupBy("src").agg(F.sum("c").alias("r"))
+    cell_folds = counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0))
+        .cast("long")
+        .alias("n_trans"),
+        F.count("*").cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR(c * ln(c) * 1000000 + 0.5) AS BIGINT)"
+                )
+            ),
+            F.lit(0),
+        ).alias("t_cells"),
+    )
+    row_folds = rsums.agg(
+        F.count("*").cast("long").alias("n_states"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR(r * ln(r) * 1000000 + 0.5) AS BIGINT)"
+                )
+            ),
+            F.lit(0),
+        ).alias("t_rows"),
+    )
+    return cell_folds.crossJoin(F.broadcast(row_folds)).select(
+        "n_trans",
+        "n_states",
+        "n_pairs",
+        F.expr(
+            "CAST(CASE WHEN n_trans < 1 THEN 0"
+            " ELSE (t_rows - t_cells) div n_trans END AS BIGINT)"
+        ).alias("entropy_rate_q6"),
+        F.expr(
+            "CAST(CASE WHEN n_trans < 1 THEN 1000000"
+            " ELSE FLOOR(exp(((t_rows - t_cells) div n_trans)"
+            " / 1000000.0) * 1000000 + 0.5) END AS BIGINT)"
+        ).alias("branching_q6"),
+    )

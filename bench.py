@@ -483,6 +483,9 @@ HEADLINE = [
     "emb_effective_rank_pr",
     # round-9: ICO container decode census (PNG members)
     "mm_ico_decode_census",
+    # round-9: journey entropy rate (information-theoretic summary
+    # of the transition matrix)
+    "events_markov_entropy_rate",
 ]
 
 # One representative per operator family, printed in the final

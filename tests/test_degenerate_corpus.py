@@ -118,6 +118,8 @@ BATTERY = [
     "retrieval_query_likelihood_topk",
     # n<2 / zero-frobenius embedding corpora guard to pr=0
     "emb_effective_rank_pr",
+    # no transitions → H=0, branching 1e6 on both engines
+    "events_markov_entropy_rate",
 ]
 
 # Rows-only repaired queries (no oracle): crash-freedom is the pin.

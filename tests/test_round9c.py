@@ -390,3 +390,40 @@ def test_effective_rank_pr_hand_corpus(spark, tmp_path):
     )
     r = QUERIES["emb_effective_rank_pr"](spark, sf2).collect()[0]
     assert r.pr_q6 == 2_000_000
+
+
+def test_markov_entropy_rate_hand_corpus(spark, tmp_path):
+    """u1 walks a,b,a,b,a (deterministic alternation); u2 walks
+    a,a,b. Counts: (a,b):3, (b,a):2, (a,a):1; rows a:4, b:2; N=6.
+    H·N folds recomputed independently with math.log; the pure
+    alternation alone would give H=0."""
+    import datetime
+    import math
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i, t in enumerate(["a", "b", "a", "b", "a"]):
+        rows.append((1, i, base + datetime.timedelta(seconds=i), 1.0, t))
+    for i, t in enumerate(["a", "a", "b"]):
+        rows.append((2, 10 + i, base + datetime.timedelta(seconds=i), 1.0, t))
+    sf = tmp_path / "ment"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows,
+        "user_id bigint, event_id bigint, ts timestamp,"
+        " value double, event_type string",
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+    r = QUERIES["events_markov_entropy_rate"](
+        spark, str(sf)
+    ).collect()[0]
+    assert r.n_trans == 6 and r.n_states == 2 and r.n_pairs == 3
+
+    def t(x):
+        return math.floor(x * math.log(x) * 1_000_000 + 0.5)
+
+    num = (t(4) + t(2)) - (t(3) + t(2) + t(1))
+    h = num // 6
+    assert r.entropy_rate_q6 == h
+    assert r.branching_q6 == math.floor(
+        math.exp(h / 1_000_000.0) * 1_000_000 + 0.5
+    )

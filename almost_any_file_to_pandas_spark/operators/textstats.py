@@ -3513,3 +3513,112 @@ def text_bigram_perplexity_filter(
             f" > {PPLX_KEEP_THRESHOLD_Q6}"
         ).alias("keep"),
     )
+
+
+ZIPF_TOP_K = 1000
+
+
+@register(
+    "text_zipf_slope_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), freqs AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY term
+    ), ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS r
+      FROM freqs
+    ), pts AS (
+      SELECT CAST(FLOOR(ln(r) * 1000000 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(ln(f) * 1000000 + 0.5) AS BIGINT) AS y
+      FROM ranked WHERE r <= {ZIPF_TOP_K}
+    ), folds AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM pts
+    )
+    SELECT CAST(k AS BIGINT) AS n_terms,
+           CAST(CASE WHEN k < 2 OR k * sxx - sx * sx = 0 THEN 0
+                WHEN (k * sxy - sx * sy) >= 0
+                  THEN (k * sxy - sx * sy) * 1000000
+                       // (k * sxx - sx * sx)
+                ELSE -((-(k * sxy - sx * sy)) * 1000000
+                       // (k * sxx - sx * sx))
+                END AS BIGINT) AS slope_q6,
+           CAST(CASE WHEN k < 2 OR k * sxx - sx * sx = 0
+                       OR k * syy - sy * sy = 0 THEN 0
+                ELSE (k * sxy - sx * sy) * (k * sxy - sx * sy)
+                     * 1000000
+                     // ((k * sxx - sx * sx) * (k * syy - sy * sy))
+                END AS BIGINT) AS r2_q6
+    FROM folds
+    """,
+)
+def text_zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the rank-frequency curve: OLS slope (and
+    R²) of ln f against ln r for the top-{ZIPF_TOP_K} vocabulary —
+    natural corpora read slope ≈ −1 with high R²; templated or
+    synthetic text bends away from it (the Heaps row's companion:
+    Heaps watches growth, Zipf watches shape).
+
+    Each (ln r, ln f) point quantizes to integer micro-nats BEFORE
+    the OLS folds (ln on exact integers), so Σx/Σy/Σxy/Σx²/Σy² are
+    exact HUGEINT/DECIMAL(38,0) sums; the slope uses the
+    symmetric-truncation CASE (it is negative on natural text) and
+    R²'s operands are squares (non-negative). Degenerate vocab
+    (k<2, zero variance) guards to 0.
+
+    Scale: one tokenize pass + the vocab groupBy (map-side
+    combined); the rank window and the OLS folds run on the
+    ≤{ZIPF_TOP_K}-row head of the frequency frame."""
+    apply_engine_conf(spark)
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(
+            F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = freqs.withColumn(
+        "r",
+        F.row_number().over(W.orderBy(F.desc("f"), F.asc("term"))),
+    ).where(F.col("r") <= ZIPF_TOP_K)
+    pts = ranked.select(
+        F.expr("CAST(FLOOR(ln(r) * 1000000 + 0.5) AS BIGINT)").alias(
+            "x"
+        ),
+        F.expr("CAST(FLOOR(ln(f) * 1000000 + 0.5) AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    folds = pts.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    num = "(k * sxy - sx * sy)"
+    den = "(k * sxx - sx * sx)"
+    deny = "(k * syy - sy * sy)"
+    return folds.select(
+        F.col("k").alias("n_terms"),
+        F.expr(
+            f"CAST(CASE WHEN k < 2 OR {den} = 0 THEN 0"
+            f" WHEN {num} >= 0 THEN ({num} * 1000000) div {den}"
+            f" ELSE -((-{num} * 1000000) div {den}) END AS BIGINT)"
+        ).alias("slope_q6"),
+        F.expr(
+            f"CAST(CASE WHEN k < 2 OR {den} = 0 OR {deny} = 0 THEN 0"
+            f" ELSE ({num} * {num} * 1000000) div ({den} * {deny})"
+            " END AS BIGINT)"
+        ).alias("r2_q6"),
+    )

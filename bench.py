@@ -486,6 +486,8 @@ HEADLINE = [
     # round-9: journey entropy rate (information-theoretic summary
     # of the transition matrix)
     "events_markov_entropy_rate",
+    # round-9: Zipf rank-frequency slope fit
+    "text_zipf_slope_fit",
 ]
 
 # One representative per operator family, printed in the final

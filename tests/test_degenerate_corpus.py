@@ -120,6 +120,8 @@ BATTERY = [
     "emb_effective_rank_pr",
     # no transitions → H=0, branching 1e6 on both engines
     "events_markov_entropy_rate",
+    # k<2 / zero-variance vocab guards to 0
+    "text_zipf_slope_fit",
 ]
 
 # Rows-only repaired queries (no oracle): crash-freedom is the pin.

@@ -203,6 +203,8 @@ QUERIES_UNDER_TEST = [
     "emb_effective_rank_pr",
     # ICO directory walk + PNG members, per-asset pure
     "mm_ico_decode_census",
+    # frequency-rank window head + quantized OLS folds
+    "text_zipf_slope_fit",
 ]
 
 

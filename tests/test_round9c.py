@@ -427,3 +427,36 @@ def test_markov_entropy_rate_hand_corpus(spark, tmp_path):
     assert r.branching_q6 == math.floor(
         math.exp(h / 1_000_000.0) * 1_000_000 + 0.5
     )
+
+
+def test_zipf_slope_hand_corpus(spark, tmp_path):
+    """Frequencies 12, 6, 4 = 12/r for ranks 1..3 — an exact Zipf
+    curve, so slope ≈ −1 and R² ≈ 1 on the q6 lattice; both values
+    recomputed independently from the same integer folds."""
+    import math
+
+    sf = tmp_path / "zipf"
+    sf.mkdir()
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4)
+    spark.createDataFrame(
+        [(0, text)], "doc_id bigint, text string"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    r = QUERIES["text_zipf_slope_fit"](spark, str(sf)).collect()[0]
+    assert r.n_terms == 3
+
+    def q(v):
+        return math.floor(math.log(v) * 1_000_000 + 0.5)
+
+    xs = [q(i) for i in (1, 2, 3)]
+    ys = [q(f) for f in (12, 6, 4)]
+    k = 3
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    num, den, deny = k * sxy - sx * sy, k * sxx - sx * sx, k * syy - sy * sy
+    slope = -((-num * 1_000_000) // den) if num < 0 else (num * 1_000_000) // den
+    assert r.slope_q6 == slope
+    assert -1_000_100 < r.slope_q6 < -999_900  # ≈ −1
+    assert r.r2_q6 == (num * num * 1_000_000) // (den * deny)
+    assert r.r2_q6 >= 999_999  # ≈ 1 on the lattice

@@ -5382,3 +5382,123 @@ def events_bot_regularity_census(
         F.min("cv2_q6").cast("long").alias("min_cv2_q6"),
         F.sum("n_gaps").cast("long").alias("n_gaps_total"),
     )
+
+
+# Wald SPRT for the click rate: H0 p=0.15 vs H1 p=0.25 at
+# α = β = 0.05. Per-trial log-likelihood-ratio increments and the
+# acceptance boundaries quantize ONCE to q6 literals (ln of exact
+# rationals, computed at import and injected into both engines), so
+# the walk is a pure integer cumulative sum.
+SPRT_LA_Q6 = 510_826  # round(ln(0.25/0.15)·1e6), per success
+SPRT_LB_Q6 = -125_163  # round(ln(0.75/0.85)·1e6), per failure
+SPRT_UPPER_Q6 = 2_944_439  # round(ln((1−β)/α)·1e6) → accept H1
+SPRT_LOWER_Q6 = -2_944_439  # round(ln(β/(1−α))·1e6) → accept H0
+
+
+@register(
+    "events_sprt_click_rate_walk",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_t,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'click')
+                  AS BIGINT) AS x_t
+      FROM events GROUP BY 1
+    ), walk AS (
+      SELECT day, n_t, x_t,
+             SUM(x_t * {SPRT_LA_Q6}
+                 + (n_t - x_t) * ({SPRT_LB_Q6})) OVER (
+               ORDER BY day) AS llr_q6,
+             ROW_NUMBER() OVER (ORDER BY day) AS t
+      FROM daily
+    ), crossing AS (
+      SELECT t, llr_q6,
+             CASE WHEN llr_q6 >= {SPRT_UPPER_Q6} THEN 'h1'
+                  ELSE 'h0' END AS side
+      FROM walk
+      WHERE llr_q6 >= {SPRT_UPPER_Q6} OR llr_q6 <= {SPRT_LOWER_Q6}
+      ORDER BY t LIMIT 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM walk) AS BIGINT) AS n_days,
+           CAST(COALESCE((SELECT MAX(llr_q6) FROM walk
+                          WHERE t = (SELECT MAX(t) FROM walk)), 0)
+                AS BIGINT) AS final_llr_q6,
+           CAST({SPRT_UPPER_Q6} AS BIGINT) AS upper_q6,
+           CAST({SPRT_LOWER_Q6} AS BIGINT) AS lower_q6,
+           COALESCE((SELECT side FROM crossing), 'none') AS decision,
+           CAST(COALESCE((SELECT t FROM crossing), -1) AS BIGINT)
+             AS crossing_day,
+           CAST(COALESCE((SELECT llr_q6 FROM crossing), 0) AS BIGINT)
+             AS crossing_llr_q6
+    """,
+)
+def events_sprt_click_rate_walk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wald's SPRT over the daily click stream — the sequential test
+    that answers "could we have stopped this experiment early":
+    H0 p=0.15 vs H1 p=0.25 at α=β=0.05, walking the cumulative
+    log-likelihood ratio day by day and reporting the FIRST boundary
+    crossing (decision, day index, LLR there) plus the end state.
+
+    Exactness: per-day increments are integer counts times the q6 LLR
+    literals (ln of exact rationals, quantized once at import — the
+    walk itself is a pure integer cumulative sum); boundaries are q6
+    literals of ln(19). No float exists at query time.
+
+    Scale: one map-side-combined daily aggregate; the walk's window
+    runs over the CALENDAR-BOUNDED day series (the Holt/spine
+    discipline — a cumulative hypothesis test is inherently
+    sequential, and its sequence is dates, not data)."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_t"),
+        F.count_if(F.col("event_type") == "click").alias("x_t"),
+    )
+    walk = daily.select(
+        "day",
+        F.sum(
+            F.col("x_t") * F.lit(SPRT_LA_Q6)
+            + (F.col("n_t") - F.col("x_t")) * F.lit(SPRT_LB_Q6)
+        )
+        .over(W.orderBy("day").rowsBetween(W.unboundedPreceding, 0))
+        .alias("llr_q6"),
+        F.row_number().over(W.orderBy("day")).alias("t"),
+    )
+    crossing = (
+        walk.where(
+            (F.col("llr_q6") >= SPRT_UPPER_Q6)
+            | (F.col("llr_q6") <= SPRT_LOWER_Q6)
+        )
+        .orderBy("t")
+        .limit(1)
+        .select(
+            F.col("t").alias("c_t"),
+            F.col("llr_q6").alias("c_llr"),
+            F.when(F.col("llr_q6") >= SPRT_UPPER_Q6, F.lit("h1"))
+            .otherwise(F.lit("h0"))
+            .alias("c_side"),
+        )
+    )
+    summary = walk.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.coalesce(
+            F.max_by("llr_q6", "t"), F.lit(0)
+        )
+        .cast("long")
+        .alias("final_llr_q6"),
+    )
+    return summary.join(F.broadcast(crossing), how="left").select(
+        "n_days",
+        "final_llr_q6",
+        F.lit(SPRT_UPPER_Q6).cast("long").alias("upper_q6"),
+        F.lit(SPRT_LOWER_Q6).cast("long").alias("lower_q6"),
+        F.coalesce(F.col("c_side"), F.lit("none")).alias("decision"),
+        F.coalesce(F.col("c_t"), F.lit(-1))
+        .cast("long")
+        .alias("crossing_day"),
+        F.coalesce(F.col("c_llr"), F.lit(0))
+        .cast("long")
+        .alias("crossing_llr_q6"),
+    )

@@ -488,6 +488,8 @@ HEADLINE = [
     "events_markov_entropy_rate",
     # round-9: Zipf rank-frequency slope fit
     "text_zipf_slope_fit",
+    # round-9: Wald SPRT early-stopping walk
+    "events_sprt_click_rate_walk",
 ]
 
 # One representative per operator family, printed in the final

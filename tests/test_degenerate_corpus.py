@@ -122,6 +122,8 @@ BATTERY = [
     "events_markov_entropy_rate",
     # k<2 / zero-variance vocab guards to 0
     "text_zipf_slope_fit",
+    # empty stream → 0 days, decision none
+    "events_sprt_click_rate_walk",
 ]
 
 # Rows-only repaired queries (no oracle): crash-freedom is the pin.

@@ -460,3 +460,45 @@ def test_zipf_slope_hand_corpus(spark, tmp_path):
     assert -1_000_100 < r.slope_q6 < -999_900  # ≈ −1
     assert r.r2_q6 == (num * num * 1_000_000) // (den * deny)
     assert r.r2_q6 >= 999_999  # ≈ 1 on the lattice
+
+
+def test_sprt_walk_hand_corpora(spark, tmp_path):
+    """Three hand streams: (a) 3 clicks/day crosses the upper bound
+    on day 2 (6·510826 = 3064956 ≥ 2944439 → h1); (b) 12
+    non-clicks/day crosses the lower bound on day 2 (−3003912 → h0);
+    (c) one click + one non-click never crosses (385663, none)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def run(spec, name):
+        sf = tmp_path / name
+        sf.mkdir()
+        rows = []
+        eid = 0
+        for day, (clicks, others) in enumerate(spec):
+            ts = base + datetime.timedelta(days=day)
+            for _ in range(clicks):
+                rows.append((1, eid, ts, 1.0, "click")); eid += 1
+            for _ in range(others):
+                rows.append((1, eid, ts, 1.0, "view")); eid += 1
+        spark.createDataFrame(
+            rows,
+            "user_id bigint, event_id bigint, ts timestamp,"
+            " value double, event_type string",
+        ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+        return QUERIES["events_sprt_click_rate_walk"](
+            spark, str(sf)
+        ).collect()[0]
+
+    r = run([(3, 0), (3, 0), (3, 0)], "h1")
+    assert r.decision == "h1" and r.crossing_day == 2
+    assert r.crossing_llr_q6 == 6 * 510_826
+
+    r = run([(0, 12), (0, 12)], "h0")
+    assert r.decision == "h0" and r.crossing_day == 2
+    assert r.crossing_llr_q6 == -24 * 125_163
+
+    r = run([(1, 1)], "none")
+    assert r.decision == "none" and r.crossing_day == -1
+    assert r.final_llr_q6 == 510_826 - 125_163

@@ -624,3 +624,132 @@ def privacy_dp_noisy_histogram(
         ),
         F.lit(1_000_000).cast("long").alias("epsilon_q6"),
     )
+
+
+DP_CLIP_CENTS = 10_000  # per-user contribution cap: 100.00
+
+# ε = 1 with sensitivity C: geometric p = 1 − e^(−ε/C) makes
+# ln(1−p) = −1/C EXACTLY, so the inverse-CDF sample collapses to
+# FLOOR(−C·ln u) — again one libm ln on an exact hash rational.
+
+
+def _dp_geo_scaled_sql(arm: str) -> str:
+    h = (
+        f"('0x' || substr(md5('{DP_SEED}:mean:{arm}'),"
+        " 1, 8))::BIGINT"
+    )
+    return (
+        f"CAST(FLOOR(-{DP_CLIP_CENTS} *"
+        f" ln(({h} + 1) / 4294967296.0)) AS BIGINT)"
+    )
+
+
+def _dp_geo_scaled_spark(arm: str) -> str:
+    h = (
+        f"CAST(conv(substring(md5('{DP_SEED}:mean:{arm}'),"
+        " 1, 8), 16, 10) AS BIGINT)"
+    )
+    return (
+        f"CAST(FLOOR(-{DP_CLIP_CENTS} *"
+        f" ln(({h} + 1) / 4294967296.0)) AS BIGINT)"
+    )
+
+
+@register(
+    "privacy_dp_clipped_mean",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) AS s_c
+      FROM events GROUP BY user_id
+    ), clipped AS (
+      SELECT user_id,
+             LEAST(GREATEST(s_c, 0), {DP_CLIP_CENTS}) AS c_c,
+             s_c
+      FROM per_user
+    ), folds AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(COALESCE(SUM(s_c), 0) AS BIGINT) AS true_sum_c,
+             CAST(COALESCE(SUM(c_c), 0) AS BIGINT) AS clipped_sum_c
+      FROM clipped
+    )
+    SELECT n_users, true_sum_c, clipped_sum_c,
+           CAST({_dp_geo_scaled_sql("pos")}
+                - {_dp_geo_scaled_sql("neg")} AS BIGINT) AS noise_c,
+           CAST(clipped_sum_c + {_dp_geo_scaled_sql("pos")}
+                - {_dp_geo_scaled_sql("neg")} AS BIGINT)
+             AS noisy_sum_c,
+           CAST(CASE WHEN n_users = 0 THEN 0
+                ELSE CASE WHEN (clipped_sum_c
+                                + {_dp_geo_scaled_sql("pos")}
+                                - {_dp_geo_scaled_sql("neg")}) >= 0
+                  THEN (clipped_sum_c + {_dp_geo_scaled_sql("pos")}
+                        - {_dp_geo_scaled_sql("neg")}) * 10000
+                       // n_users
+                  ELSE -((-(clipped_sum_c
+                            + {_dp_geo_scaled_sql("pos")}
+                            - {_dp_geo_scaled_sql("neg")})) * 10000
+                         // n_users) END END AS BIGINT)
+             AS noisy_mean_q6,
+           CAST(1000000 AS BIGINT) AS epsilon_q6,
+           CAST({DP_CLIP_CENTS} AS BIGINT) AS clip_c
+    FROM folds
+    """,
+)
+def privacy_dp_clipped_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ε-DP mean release for per-user event value — the
+    CLIPPING-calibrated companion to the histogram row: each user's
+    value sum is capped at {DP_CLIP_CENTS} cents (user-level
+    sensitivity = the cap, the standard bounded-contribution
+    recipe), and the discrete-Laplace noise scales with it. With
+    ε=1 and sensitivity C the geometric inverse CDF collapses to
+    FLOOR(−C·ln u) exactly (ln(1−p) = −1/C), so the sample stays
+    one deterministic libm ln on a hash rational. True and clipped
+    sums ride along for the oracle harness; a production release
+    publishes the noisy pair (sum, count) only.
+
+    Scale: one user-keyed aggregate (the shuffle any per-user rollup
+    pays) then a 1-row fold; noise is constant-time arithmetic."""
+    apply_engine_conf(spark)
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr("CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT)").alias(
+            "s_c"
+        )
+    )
+    clipped = per_user.select(
+        "s_c",
+        F.expr(
+            f"LEAST(GREATEST(s_c, 0), {DP_CLIP_CENTS})"
+        ).alias("c_c"),
+    )
+    folds = clipped.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.coalesce(F.sum("s_c"), F.lit(0))
+        .cast("long")
+        .alias("true_sum_c"),
+        F.coalesce(F.sum("c_c"), F.lit(0))
+        .cast("long")
+        .alias("clipped_sum_c"),
+    )
+    pos = _dp_geo_scaled_spark("pos")
+    neg = _dp_geo_scaled_spark("neg")
+    noisy = f"(clipped_sum_c + {pos} - {neg})"
+    return folds.select(
+        "n_users",
+        "true_sum_c",
+        "clipped_sum_c",
+        F.expr(f"CAST({pos} - {neg} AS BIGINT)").alias("noise_c"),
+        F.expr(f"CAST({noisy} AS BIGINT)").alias("noisy_sum_c"),
+        F.expr(
+            "CAST(CASE WHEN n_users = 0 THEN 0"
+            f" ELSE CASE WHEN {noisy} >= 0"
+            f" THEN {noisy} * 10000 div n_users"
+            f" ELSE -((-{noisy}) * 10000 div n_users) END END"
+            " AS BIGINT)"
+        ).alias("noisy_mean_q6"),
+        F.lit(1_000_000).cast("long").alias("epsilon_q6"),
+        F.lit(DP_CLIP_CENTS).cast("long").alias("clip_c"),
+    )

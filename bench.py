@@ -490,6 +490,8 @@ HEADLINE = [
     "text_zipf_slope_fit",
     # round-9: Wald SPRT early-stopping walk
     "events_sprt_click_rate_walk",
+    # round-9: DP clipped-mean release
+    "privacy_dp_clipped_mean",
 ]
 
 # One representative per operator family, printed in the final

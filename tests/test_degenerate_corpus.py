@@ -124,6 +124,8 @@ BATTERY = [
     "text_zipf_slope_fit",
     # empty stream → 0 days, decision none
     "events_sprt_click_rate_walk",
+    # zero-user corpus → zero sums, mean guard
+    "privacy_dp_clipped_mean",
 ]
 
 # Rows-only repaired queries (no oracle): crash-freedom is the pin.

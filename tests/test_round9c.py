@@ -502,3 +502,48 @@ def test_sprt_walk_hand_corpora(spark, tmp_path):
     r = run([(1, 1)], "none")
     assert r.decision == "none" and r.crossing_day == -1
     assert r.final_llr_q6 == 510_826 - 125_163
+
+
+def test_dp_clipped_mean_hand_check(spark, tmp_path):
+    """Two users: sums 50.00 (unclipped) and 250.00 (clipped to
+    100.00) → clipped total 15000 cents; the noise recomputes
+    independently from FLOOR(−10000·ln u) on the seeded hashes and
+    is corpus-independent."""
+    import datetime
+    import hashlib
+    import math
+
+    def geo(arm):
+        h = int(
+            hashlib.md5(f"dp1:mean:{arm}".encode()).hexdigest()[:8],
+            16,
+        )
+        return math.floor(-10_000 * math.log((h + 1) / 4294967296.0))
+
+    noise = geo("pos") - geo("neg")
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(1, 0, base, 50.0, "view"), (2, 1, base, 250.0, "view")]
+    sf = tmp_path / "dpm"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows,
+        "user_id bigint, event_id bigint, ts timestamp,"
+        " value double, event_type string",
+    ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+    r = QUERIES["privacy_dp_clipped_mean"](
+        spark, str(sf)
+    ).collect()[0]
+    assert r.n_users == 2
+    assert r.true_sum_c == 30_000
+    assert r.clipped_sum_c == 15_000
+    assert r.noise_c == noise
+    assert r.noisy_sum_c == 15_000 + noise
+    expect = 15_000 + noise
+    mean = (
+        expect * 10_000 // 2
+        if expect >= 0
+        else -((-expect) * 10_000 // 2)
+    )
+    assert r.noisy_mean_q6 == mean
+    assert r.clip_c == 10_000

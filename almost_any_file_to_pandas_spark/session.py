@@ -34,6 +34,20 @@ def get_spark(app_name: str = "almost_any_file_to_pandas_spark") -> SparkSession
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # Whole-stage-codegen class cache (default 100 entries). This
+        # workload executes hundreds of distinct queries per session,
+        # each with several codegen units, so the default cache is
+        # fully evicted between repeated executions and every run
+        # re-generates AND re-JITs its classes: measured on the r9
+        # heavy subset, steady-state JIT compilation was +13s per
+        # 6-query pass (with 30-56s storm spikes when the C2 queue
+        # saturated); at 10k entries the same pass pays +4s and the
+        # spikes disappear (OPTIMIZATION_r09.md). Per-JVM compile
+        # cache, not a result cache: identical benefit for any
+        # driver/executor serving a large repeated query workload;
+        # cost is bounded metaspace (generated classes are ~KBs).
+        # Static conf — must be set before the first codegen compile.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -214,13 +214,20 @@ def text_bloom_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches is a filter whose hashing is broken or biased, which
     overshoots the bound at ANY size.
 
-    Plan: shingles explode ONCE (localCheckpoint, shared by all three
-    probes and the exact join); each size builds its bounded bitset
-    (≤ m distinct positions collected — index-build class) and probes
-    with the same vectorized Arrow UDF; the per-size flag/miss counts
-    aggregate in one pass per size. At 100 TB the curve tells you the
-    cheapest m whose verification-join traffic (FPR × corpus
-    shingles) fits the budget — measured, not assumed.
+    Plan (r9 optimization, guide §4.1/§2.3): shingles explode ONCE
+    (localCheckpoint, shared); each size builds its bounded bitset
+    (≤ m distinct positions collected — index-build class), then ALL
+    THREE sizes probe in ONE corpus pass: the k raw xxhash64 values
+    are computed once JVM-side, a single Arrow UDF masks them against
+    all three bitsets at once (the sizes are powers of two, so the
+    position is ``hash & (m−1)``, bit-identical to ``pmod``), and one
+    fused aggregate produces every per-size statistic — n_fp per
+    size, the shared non-member denominator, and the per-size count
+    of exact-contaminated docs with a hit (so ``n_missed = n_exact −
+    n_hit``). The loop's 2 corpus passes PER SIZE (probe+stats, then
+    probe+distinct+anti-join) collapse from 6 to 1. At 100 TB the
+    curve tells you the cheapest m whose verification-join traffic
+    (FPR × corpus shingles) fits the budget — measured, not assumed.
     """
     import math
 
@@ -247,34 +254,73 @@ def text_bloom_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     member = bench.select("s").distinct().localCheckpoint(eager=True)
     n_bench = member.count()
 
-    rows = []
-    for m in BLOOM_SIZE_CURVE_BITS:
-        bits = build_bloom_bits(bench, m)
-        probe = _make_probe(bits)
-        flagged = (
-            sh.select("doc_id", "s", *_positions(F.col("s"), m))
-            .withColumn(
-                "bloom_hit", probe(F.col("p0"), F.col("p1"), F.col("p2"))
-            )
+    all_bits = [build_bloom_bits(bench, m) for m in BLOOM_SIZE_CURVE_BITS]
+    masks = [m - 1 for m in BLOOM_SIZE_CURVE_BITS]
+
+    def _probe_all(
+        h0: pd.Series, h1: pd.Series, h2: pd.Series
+    ) -> pd.DataFrame:
+        hs = [h.to_numpy(dtype=np.int64) for h in (h0, h1, h2)]
+
+        def hit(bits: np.ndarray, mask: int) -> np.ndarray:
+            out = np.ones(len(hs[0]), dtype=bool)
+            for h in hs:
+                a = h & mask
+                out &= ((bits[a >> 3] >> (a & 7)) & 1).astype(bool)
+            return out
+
+        return pd.DataFrame(
+            {
+                f"hit{j}": hit(all_bits[j], masks[j])
+                for j in range(len(all_bits))
+            }
         )
-        stats = (
-            flagged.join(F.broadcast(member.withColumn("_m", F.lit(1))),
-                         "s", "left")
-            .agg(
+
+    probe_all = F.pandas_udf(
+        _probe_all,
+        "hit0 boolean, hit1 boolean, hit2 boolean",
+    )
+    hashes = [
+        F.xxhash64(F.concat(F.col("s"), F.lit(f"#{i}"))).alias(f"h{i}")
+        for i in range(BLOOM_K)
+    ]
+    flagged = sh.select("doc_id", "s", *hashes).withColumn(
+        "hits", probe_all(F.col("h0"), F.col("h1"), F.col("h2"))
+    )
+    exact_marked = exact_docs.withColumn("_e", F.lit(1))
+    stats = (
+        flagged.join(
+            F.broadcast(member.withColumn("_m", F.lit(1))), "s", "left"
+        )
+        .join(F.broadcast(exact_marked), "doc_id", "left")
+        .agg(
+            F.count_if(F.col("_m").isNull()).alias("n_nonmember"),
+            *[
                 F.count_if(
-                    F.col("bloom_hit") & F.col("_m").isNull()
-                ).alias("n_fp"),
-                F.count_if(F.col("_m").isNull()).alias("n_nonmember"),
-            )
-            .first()
+                    F.col("hits")[f"hit{j}"] & F.col("_m").isNull()
+                ).alias(f"n_fp{j}")
+                for j in range(len(all_bits))
+            ],
+            *[
+                F.countDistinct(
+                    F.when(
+                        F.col("hits")[f"hit{j}"]
+                        & F.col("_e").isNotNull(),
+                        F.col("doc_id"),
+                    )
+                ).alias(f"n_hit_exact{j}")
+                for j in range(len(all_bits))
+            ],
         )
-        cand_docs = (
-            flagged.filter(F.col("bloom_hit")).select("doc_id").distinct()
-        )
-        n_missed = exact_docs.join(cand_docs, "doc_id", "left_anti").count()
+        .first()
+    )
+
+    rows = []
+    for j, m in enumerate(BLOOM_SIZE_CURVE_BITS):
+        n_missed = n_exact - stats[f"n_hit_exact{j}"]
         design = (1.0 - math.exp(-BLOOM_K * n_bench / m)) ** BLOOM_K
         nn = stats["n_nonmember"]
-        fpr = stats["n_fp"] / nn if nn else 0.0
+        fpr = stats[f"n_fp{j}"] / nn if nn else 0.0
         # r6 ADVICE hardening: the oracle pins this boolean TRUE, so a
         # correct filter must not be falsifiable by honest sampling
         # noise — on top of the 2× design margin, allow the binomial

@@ -1218,18 +1218,36 @@ def connected_components_alternating(
 
     Round count is O(log n) on ANY graph — the drop-in for
     adversarial long-path topologies where min-label propagation pays
-    O(diameter). Each round is two (join + aggregate) passes over the
-    edge set, same shuffle shape as one propagation round:
+    O(diameter):
 
     - **large-star**: every node points its LARGER neighbours at the
       minimum of its neighbourhood (halves long paths),
     - **small-star**: every node folds its smaller neighbours onto
       that minimum (flattens into stars).
 
+    r9 optimization (guide §2.4): each star's ``min`` attaches as a
+    whole-partition WINDOW over the per-node partition instead of a
+    groupBy + self-join — one |E| shuffle per star instead of two
+    (the aggregate's and the join's), with identical row semantics
+    (duplicates a window emits where the join emitted one row per
+    key are absorbed by the round's final ``distinct``). The
+    convergence probe is also restated: the star edge count is
+    CONSTANT across rounds (#nodes − #roots stabilizes immediately),
+    so the old two-``exceptAll`` probe paid two |E| shuffles per
+    round for a signal available far cheaper — each round now folds
+    one narrow (count, bit_xor(xxhash64)) digest over the
+    just-materialized checkpoint (order-insensitive, overflow-free)
+    and pays the exact ``exceptAll`` confirmation ONLY when
+    consecutive digests match; a digest mismatch proves
+    not-converged, and convergence is still decided by the exact
+    set comparison, never by the hash alone.
+
     At the fixed point the edge set IS the component assignment
-    (child → root). ``localCheckpoint`` truncates lineage per round;
-    the convergence probe (two ``exceptAll`` emptiness checks) is
-    orchestration, not data path.
+    (child → root). ``localCheckpoint`` truncates lineage per round.
+    Skew note: a hub node's rows land in one window partition — the
+    same per-key locality the groupBy form had; the window needs no
+    orderBy, so it is a hash-partition + per-key min, not a global
+    sort.
     """
     nodes = (
         edges.select(F.col(src).alias("u"))
@@ -1247,35 +1265,40 @@ def connected_components_alternating(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    def _digest(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*").alias("c"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["c"], row["h"])
+
+    d_e = _digest(e)
+    wu = W.partitionBy("u")
     for _ in range(max_rounds):
         und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = und.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
+        withm = und.withColumn(
+            "m", F.least(F.min("v").over(wu), F.col("u"))
         )
         large = (
-            und.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
+            withm.filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
-        m2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        folded = (
-            large.join(m2, "u")
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        lm = large.withColumn("m", F.min("v").over(wu))
+        folded = lm.filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
         )
-        pointed = m2.select("u", F.col("m").alias("v"))
+        pointed = lm.select("u", F.col("m").alias("v"))
         new_e = (
             folded.union(pointed)
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint(eager=True)
         )
-        converged = (
-            new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty()
-        )
-        e = new_e
+        d_new = _digest(new_e)
+        converged = d_new == d_e and new_e.exceptAll(e).isEmpty()
+        e, d_e = new_e, d_new
         if converged:
             break
     # star edges are (child, root); roots (and isolated-in-normalized
@@ -2488,6 +2511,13 @@ def _shingle_sig_frames(spark: SparkSession, sf_dir: str):
             _word_ngrams(F.split(F.col("text"), " ", -1))
         ).alias("g"),
     )
+    # the df-cap join consumes ``sh`` on BOTH sides (dfok derives
+    # from it), so without a checkpoint the interpreted shingle
+    # explode ran twice per materialization; the lazy checkpoint
+    # makes it run once (r9 — a window-count restatement was tried
+    # and measured 3-4× WORSE: WindowExec sorts the full shingle
+    # frame by key where the hash aggregate + join does not).
+    sh = sh.localCheckpoint(eager=False)
     dfok = (
         sh.groupBy("g")
         .agg(F.count("*").alias("_df"))

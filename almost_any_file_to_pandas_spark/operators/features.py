@@ -941,22 +941,32 @@ def customer_rfm_kmeans_segments(
         F.max("n_orders").alias("max_n"),
         F.max("spend_c").alias("max_s"),
     )
-    feat = b.crossJoin(F.broadcast(m)).select(
-        "vec_id",
-        F.array(
-            F.expr(
-                "CASE WHEN max_r = 0 THEN 0.0"
-                " ELSE (r_days * 1000000 div max_r) / 1000000.0 END"
-            ),
-            F.expr(
-                "CASE WHEN max_n = 0 THEN 0.0"
-                " ELSE (n_orders * 1000000 div max_n) / 1000000.0 END"
-            ),
-            F.expr(
-                "CASE WHEN max_s = 0 THEN 0.0"
-                " ELSE (spend_c * 1000000 div max_s) / 1000000.0 END"
-            ),
-        ).alias("v"),
+    feat = (
+        b.crossJoin(F.broadcast(m))
+        .select(
+            "vec_id",
+            F.array(
+                F.expr(
+                    "CASE WHEN max_r = 0 THEN 0.0"
+                    " ELSE (r_days * 1000000 div max_r) / 1000000.0 END"
+                ),
+                F.expr(
+                    "CASE WHEN max_n = 0 THEN 0.0"
+                    " ELSE (n_orders * 1000000 div max_n) / 1000000.0 END"
+                ),
+                F.expr(
+                    "CASE WHEN max_s = 0 THEN 0.0"
+                    " ELSE (spend_c * 1000000 div max_s) / 1000000.0 END"
+                ),
+            ).alias("v"),
+        )
+        # materialize ONCE (the elbow twin's existing discipline):
+        # the trainer's seed pass, both Lloyd rounds, and the final
+        # assignment all re-execute this lineage otherwise — each
+        # replay is three orders scans (inner + the two 1-row
+        # normalizer aggregates). Customer-sized frame, same
+        # trade-off as the quantizer's own checkpoints.
+        .localCheckpoint(eager=True)
     )
     cents = deterministic_kmeans_centroids(spark, feat, RFM_K)
     crow = cents.agg(F.collect_list(F.struct("cid", "cvec")).alias("cs"))

@@ -545,7 +545,13 @@ def _lpa_label_frames(spark: SparkSession, sf_dir: str):
         F.col("u1").alias("u"), F.col("u2").alias("v")
     ).unionAll(
         edges.select(F.col("u2").alias("u"), F.col("u1").alias("v"))
-    ).localCheckpoint(eager=True)
+    )
+    # r9 optimization (guide §2.4): the per-round census joins sym on
+    # ``v`` every iteration — pre-partition the checkpointed edge list
+    # by that key ONCE so the three round joins reuse the stored
+    # partitioning instead of re-shuffling the (larger) edge side per
+    # round; only the (node-sized) label frame moves each round.
+    sym = sym.repartition("v").localCheckpoint(eager=True)
     labels = sym.select("u").distinct().select(
         "u", F.col("u").alias("lab")
     )
@@ -563,16 +569,16 @@ def _lpa_label_frames(spark: SparkSession, sf_dir: str):
         # argmax by (count DESC, label ASC) as ONE aggregate instead
         # of a ranking window: max_by over the struct (c, -lab) picks
         # the same row the row_number form did, without the per-round
-        # partition sort (the oracle keeps the window formulation)
-        pick = census.groupBy("u").agg(
-            F.expr("max_by(lab, struct(c, -lab))").alias("new_lab")
-        )
+        # partition sort (the oracle keeps the window formulation).
+        # The census covers EVERY node by construction (sym is
+        # symmetrized, so each node appears as ``u`` in at least one
+        # edge row), so the old carry-over left-join back onto the
+        # previous labels was a per-round no-op shuffle — the rule's
+        # isolated-node branch cannot fire; dropped (r9, output
+        # value-identical, oracle unchanged).
         labels = (
-            labels.join(pick, "u", "left")
-            .select(
-                "u",
-                F.coalesce(F.col("new_lab"), F.col("lab")).alias("lab"),
-            )
+            census.groupBy("u")
+            .agg(F.expr("max_by(lab, struct(c, -lab))").alias("lab"))
             .localCheckpoint(eager=True)
         )
     return sym, labels

@@ -1211,30 +1211,62 @@ def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one user-keyed shuffle; per-user state is two integers and
     the kernel streams each user's rows once (cost ∝ events, memory
-    ∝ max per-user batch — the sessionizer's bound). The streaming
-    twin (:func:`events_rate_limiter_stream`) runs the SAME kernel
-    under ``applyInPandasWithState``; the test pins equality.
-    """
-    import pandas as pd
+    ∝ one Arrow batch — tighter than the per-user-group bound the
+    ``applyInPandas`` form paid). The streaming twin
+    (:func:`events_rate_limiter_stream`) runs the SAME kernel under
+    ``applyInPandasWithState``; the test pins equality.
 
+    r9 optimization (guide §4.1/§4.5): ``groupBy(user).applyInPandas``
+    materialized one pandas frame per user — tens of thousands of
+    per-group constructions and per-group Python calls dominated the
+    row kernel. The replay is now ONE ``mapInPandas`` pass over
+    hash-partitioned, (user, ts, event_id)-sorted rows: the same
+    shuffle, a partition sort instead of a hash-grouping, the SAME
+    shared kernel per user run, and bucket state carried across Arrow
+    batch boundaries (a user split across batches resumes from the
+    carried (tokens, last) pair). Output rows are identical.
+    """
     apply_engine_conf(spark)
     ev = table(spark, sf_dir, "events")
 
-    def _audit(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["us", "event_id"])
-        out, _, _ = _rate_limit_rows(
-            zip(pdf["event_id"].tolist(), pdf["us"].tolist())
-        )
+    def _audit_iter(batches):
+        import numpy as np
         import pandas as _pd
 
-        return _pd.DataFrame(
-            {
-                "user_id": pdf["user_id"].to_numpy(),
-                "event_id": [r[0] for r in out],
-                "allowed": [r[1] for r in out],
-                "tokens_milli_after": [r[2] for r in out],
-            }
-        )
+        cur_user = None
+        tok, last = _RL_CAP_MU, None
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            users = pdf["user_id"].to_numpy()
+            eids = pdf["event_id"].to_numpy()
+            uss = pdf["us"].to_numpy()
+            out_allowed = np.empty(n, dtype=bool)
+            out_tok = np.empty(n, dtype=np.int64)
+            starts = np.flatnonzero(
+                np.r_[True, users[1:] != users[:-1]]
+            )
+            bounds = np.r_[starts, n]
+            for s, t in zip(bounds[:-1], bounds[1:]):
+                if users[s] != cur_user:
+                    cur_user = users[s]
+                    tok, last = _RL_CAP_MU, None
+                dec, tok, last = _rate_limit_rows(
+                    zip(eids[s:t].tolist(), uss[s:t].tolist()),
+                    tok,
+                    last,
+                )
+                out_allowed[s:t] = [d[1] for d in dec]
+                out_tok[s:t] = [d[2] for d in dec]
+            yield _pd.DataFrame(
+                {
+                    "user_id": users,
+                    "event_id": eids,
+                    "allowed": out_allowed,
+                    "tokens_milli_after": out_tok,
+                }
+            )
 
     return (
         ev.select(
@@ -1242,9 +1274,10 @@ def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.unix_micros(F.col("ts")).alias("us"),
         )
-        .groupBy("user_id")
-        .applyInPandas(
-            _audit,
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "us", "event_id")
+        .mapInPandas(
+            _audit_iter,
             schema=(
                 "user_id bigint, event_id bigint, allowed boolean,"
                 " tokens_milli_after bigint"

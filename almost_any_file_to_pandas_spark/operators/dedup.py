@@ -1245,9 +1245,10 @@ def connected_components_alternating(
     At the fixed point the edge set IS the component assignment
     (child → root). ``localCheckpoint`` truncates lineage per round.
     Skew note: a hub node's rows land in one window partition — the
-    same per-key locality the groupBy form had; the window needs no
-    orderBy, so it is a hash-partition + per-key min, not a global
-    sort.
+    same per-key locality the groupBy form had; the window carries no
+    orderBy, so the physical shape is a hash partition + a LOCAL sort
+    on the partition key feeding WindowExec (never a global order-by
+    sort).
     """
     nodes = (
         edges.select(F.col(src).alias("u"))

@@ -13,9 +13,13 @@ decompose each row column-by-column: a red parent with (say) only
 `diag_session_values` red localizes the divergence to the decimal
 value path in one driver run, with no re-guessing.
 
-Deliberately registered AFTER the 50-slot gate window (plans
-POST_GATE_PRIORITY) so they never displace a family's hard-signal
-slot; the judge's local `check_oracle` sweep still runs them.
+Rounds 4-9 these twins sat just OUTSIDE the 50-slot gate window; in
+round 10 (r9 verdict Next-round #1, after the r9 neutral-twin
+experiment localized the three red rows' divergence to the driver
+gate's hash canonicalization) they moved INTO gate slots beside their
+parents, so the driver's own CORRECTNESS artifact names which
+column(s) diverge — see the ROUND-10 GATE LOCALIZATION note in
+plans/__init__.py for the slots they displaced.
 
 Zero-churn construction: each twin calls the FROZEN parent query and
 selects a column subset — the parent's plan is reused bit-identically

@@ -144,18 +144,41 @@ def register_neutral_twin(new_name: str, parent: str, cols: list[str]) -> None:
 #   text_token_budget_trim_v2   -> text_token_budget_trim_r9
 # bench.py emits each experiment row's engine-side result hash on the
 # compact line as driver-visible counter-evidence either way.
+#
+# ROUND-10 GATE LOCALIZATION (r9 verdict Next-round #1): the r9
+# experiment proved content-changed, plan-changed twins stay red in
+# the driver's gate while green in the driver-recorded bench digest
+# of the SAME round — the divergence is the gate harness's hash
+# canonicalization on exactly these three rows. The ordered next step
+# is driver-side localization: the nine per-column diagnostic twins
+# (operators/diagnostics.py — registered since round 4, each a column
+# projection of a red parent with a by-construction projected oracle)
+# move INTO gate slots so CORRECTNESS_r10.json itself names which
+# column(s) diverge. The three parents KEEP their slots (same-run
+# parent-vs-column comparison in one driver artifact). Nine
+# long-green slots rotate out to make room — each family keeps at
+# least one hard-signal representative, and the rotated-out rows lead
+# POST_GATE_PRIORITY (still registered, still swept by the digest /
+# check_oracle / pytest):
+#   a1_max_split_width        (aggregations keep a3 + d2)
+#   a2_mode_majority_vote     (mode keeps d2_mode_per_group)
+#   f1_empty_row_filter       (filters keep f2)
+#   t7_row_number             (transforms keep t2_t4)
+#   u1_union_all_tagged       (union exercised across the registry)
+#   lineitem_profile_approx_floor (relational keeps 7 slots)
+#   dedup_simhash_signature   (dedup keeps 6 slots)
+#   sim_jl_distortion_bound   (similarity keeps 4 slots)
+#   sim_matryoshka_prefix_floor
+# Expected readings: a red diag twin names the diverging column; all
+# twins green with red parents localizes the divergence to the
+# full-row (column-order/row-multiplicity) canonicalization path.
 GATE_ORDER = (
     # §2 reference-parity operators (aggregations, filters,
     # transforms, union, typed scan)
-    "a1_max_split_width",
-    "a2_mode_majority_vote",
     "a3_shape_counts",
     "d2_mode_per_group",
-    "f1_empty_row_filter",
     "f2_width_conditional_split",
     "t2_t4_split_pad_quote_strip",
-    "t7_row_number",
-    "u1_union_all_tagged",
     "s8_typed_scan_passthrough",
     # relational family representatives (join+topk, grouping sets,
     # sketch+anchor, MERGE, skew salting)
@@ -166,12 +189,10 @@ GATE_ORDER = (
     "orders_merge_changeset",
     "events_salted_agg",
     "q19_disjunctive_revenue",
-    "lineitem_profile_approx_floor",
     # dedup family — every variant + clustering
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash_signature",
     "dedup_containment",
     "dedup_embedding_cosine",
     "text_duplicate_span_census",  # substring-span family (supersedes
@@ -179,21 +200,25 @@ GATE_ORDER = (
     # tests + check_oracle)
     "connected_components_alternating",
     # similarity / ANN (int8 quantization stays represented by the two
-    # PQ floor rows; JL distortion is the random-projection family rep)
+    # PQ floor rows)
     "sim_bruteforce_topk",
     "sim_lsh_verified_pairs",
     "sim_ivf_recall_floor",
-    "sim_jl_distortion_bound",
-    "sim_matryoshka_prefix_floor",
     "sim_pq_recall_floor",
     # text analysis (fingerprint's md5 column family is also exercised
     # by dedup_exact; budget trim is the mixing-family rep alongside
     # stratified_sample)
     "text_token_count",
     "embedding_hygiene_report_r9",
+    "diag_hygiene_counts",
+    "diag_hygiene_minmax_norms",
+    "diag_hygiene_avg_norm",
     "retrieval_hybrid_rrf_topk",
     "text_lang_id",
     "text_token_budget_trim_r9",
+    "diag_budget_budgets",
+    "diag_budget_qkeys",
+    "diag_budget_kept",
     "text_stratified_sample",
     "text_gopher_quality_rules",
     # multimodal
@@ -201,6 +226,9 @@ GATE_ORDER = (
     "mm_decode_features",
     # events + streaming restatements
     "events_sessionization_r9",
+    "diag_session_keys",
+    "diag_session_starts",
+    "diag_session_values",
     "events_range_join_interval",
     "events_stream_enrich_batch",
     "events_stream_upsert_batch",
@@ -217,6 +245,18 @@ GATE_ORDER = (
 # added after the 50-slot curation so any widened window (or a judge
 # skim in registration order) sees the newest families first.
 POST_GATE_PRIORITY = (
+    # the nine round-10 out-rotated gate rows (displaced by the diag
+    # twins — see the ROUND-10 GATE LOCALIZATION note): still
+    # oracle-paired, first in any widened window or digest sweep
+    "a1_max_split_width",
+    "a2_mode_majority_vote",
+    "f1_empty_row_filter",
+    "t7_row_number",
+    "u1_union_all_tagged",
+    "lineitem_profile_approx_floor",
+    "dedup_simhash_signature",
+    "sim_jl_distortion_bound",
+    "sim_matryoshka_prefix_floor",
     # the round-8 second-generation names (identical callables/oracles
     # to the original rows; rotated out of the gate by the ROUND-9
     # GATE EXPERIMENT above) stay registered right behind the window
@@ -248,18 +288,8 @@ POST_GATE_PRIORITY = (
     "orders_rolling_7d_revenue",
     "events_user_type_gini",
     "part_supplier_concentration_hhi",
-    # per-column diagnostic twins for the three r03-red gate rows
-    # (see operators/diagnostics.py): if a parent reds in a driver
-    # run, these localize WHICH column diverged in the same run
-    "diag_session_keys",
-    "diag_session_starts",
-    "diag_session_values",
-    "diag_hygiene_counts",
-    "diag_hygiene_minmax_norms",
-    "diag_hygiene_avg_norm",
-    "diag_budget_budgets",
-    "diag_budget_qkeys",
-    "diag_budget_kept",
+    # (the nine per-column diag twins moved INTO the gate in round 10
+    # — see the ROUND-10 GATE LOCALIZATION note above)
     # 100 TB physical-strategy twin (r4 verdict #5): same output as
     # text_token_budget_trim via the exact level-quantile cut
     "text_token_budget_trim_twopass",

@@ -1225,6 +1225,11 @@ def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared kernel per user run, and bucket state carried across Arrow
     batch boundaries (a user split across batches resumes from the
     carried (tokens, last) pair). Output rows are identical.
+
+    Data contract (r9 ADVICE): ``user_id`` must be non-null — the
+    events schema declares it so. A null would coerce the pandas
+    column to float64/NaN and NaN != NaN would reset bucket state per
+    row, where the old groupBy form treated nulls as one group.
     """
     apply_engine_conf(spark)
     ev = table(spark, sf_dir, "events")

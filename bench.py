@@ -956,12 +956,27 @@ def main() -> int:
     # ~2000-char tail so it always parses. Suite total covers ALL
     # queries; the per-query dict is the fixed representative subset.
     # The digest's skipped-names list lives only in BENCH_FULL.
+    #
+    # r9 verdict #2 (the repo's own "no silent caps" rule applied to
+    # this assembler): per-query values ride the line at 2 decimals —
+    # BENCH_FULL keeps the full 3-decimal record — so every
+    # cross-round comparable row fits the 1800-char budget, and any
+    # row the budget still pops is RECORDED (count on the line, names
+    # in BENCH_FULL), never silently dropped. The r9-only
+    # experiment_hashes block is retired from the line with its
+    # experiment: every gate row's engine-side hash — including the
+    # r10 per-column diag twins' — lands in BENCH_FULL's gate_hashes.
     digest_line = {
         k: v
         for k, v in digest.items()
-        if k not in ("digest_skipped_names", "gate_hashes")
+        if k not in (
+            "digest_skipped_names", "gate_hashes", "experiment_hashes"
+        )
     }
-    compact_q = {k: timings[k] for k in COMPACT if k in timings}
+    compact_q = {
+        k: round(timings[k], 2) for k in COMPACT if k in timings
+    }
+    popped: list = []
     line = ""
     while True:
         line = json.dumps(
@@ -975,6 +990,7 @@ def main() -> int:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "full": "BENCH_FULL.json",
+                **({"compact_popped": len(popped)} if popped else {}),
                 # self-run oracle digest — never trimmed (the while
                 # loop pops per-query timing rows only)
                 **digest_line,
@@ -982,7 +998,11 @@ def main() -> int:
         )
         if len(line) <= 1800 or not compact_q:
             break
-        compact_q.pop(next(reversed(compact_q)))
+        popped.append(next(reversed(compact_q)))
+        compact_q.pop(popped[-1])
+    if popped:
+        full["compact_popped_names"] = popped
+        (REPO / "BENCH_FULL.json").write_text(json.dumps(full, indent=1))
     print(line)
     return 0
 

@@ -85,7 +85,10 @@ def test_diag_twins_project_parent_columns():
     assert len(twins) == 9
     for name in twins:
         assert name in plans.ORACLES, f"{name} must be oracle-paired"
-        assert name not in plans.GATE_ORDER, f"{name} must stay post-gate"
+        # r10 (r9 verdict #1): the twins moved INTO gate slots so the
+        # driver's own CORRECTNESS artifact localizes the red rows'
+        # divergence column-by-column
+        assert name in plans.GATE_ORDER, f"{name} must hold a gate slot"
 
 
 def _events_dir(spark, tmp_path, values):

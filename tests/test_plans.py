@@ -347,9 +347,12 @@ def test_gate_order_covers_families_and_is_oracle_paired():
     assert tuple(keys[:50]) == plans.GATE_ORDER
     oracles = entrymod.oracle_sql()
     assert all(n in oracles for n in window)
-    # one representative per family (the r02 verdict's table rows)
+    # one representative per family (the r02 verdict's table rows;
+    # r10 rotation — see the ROUND-10 GATE LOCALIZATION note in
+    # plans/__init__.py — swapped nine long-green slots for the nine
+    # per-column diag twins, each family keeping a representative)
     for representative in [
-        "a1_max_split_width",        # reference parity
+        "a3_shape_counts",           # reference parity
         "q1_pricing_summary",        # relational
         "order_value_approx_percentiles",  # sketch+anchor
         "orders_merge_changeset",    # MERGE
@@ -357,7 +360,6 @@ def test_gate_order_covers_families_and_is_oracle_paired():
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
-        "dedup_simhash_signature",
         "dedup_containment",         # r7 rotation (r4-family rep in)
         "dedup_embedding_cosine",
         "text_duplicate_span_census",  # substring-span family
@@ -365,8 +367,6 @@ def test_gate_order_covers_families_and_is_oracle_paired():
         "sim_bruteforce_topk",
         "sim_lsh_verified_pairs",
         "sim_ivf_recall_floor",      # IVF family (sim_ivf_topk rotated out r7)
-        "sim_jl_distortion_bound",   # random-projection family
-        "sim_matryoshka_prefix_floor",  # r7 rotation in
         "sim_pq_recall_floor",       # PQ family
         "text_token_count",          # textstats
         "text_lang_id",
@@ -377,6 +377,17 @@ def test_gate_order_covers_families_and_is_oracle_paired():
         # or canonicalization divergence; see register_neutral_twin)
         "embedding_hygiene_report_r9",  # embedding data-contract family
         "text_token_budget_trim_r9",    # token-budget mixing family
+        # r10 localization: the per-column diag twins sit in the gate
+        # beside their parents
+        "diag_session_keys",
+        "diag_session_starts",
+        "diag_session_values",
+        "diag_hygiene_counts",
+        "diag_hygiene_minmax_norms",
+        "diag_hygiene_avg_norm",
+        "diag_budget_budgets",
+        "diag_budget_qkeys",
+        "diag_budget_kept",
         "events_range_join_interval",  # binned range join
         "dedup_semantic_floor",      # clustered embedding dedup
         "mm_binary_metadata",        # multimodal
@@ -390,7 +401,6 @@ def test_gate_order_covers_families_and_is_oracle_paired():
         # r7 rotation: remaining r4-family representatives in
         "retrieval_hybrid_rrf_topk",   # retrieval / rank fusion
         "events_hll_mergeable_rollup",  # mergeable-sketch family
-        "lineitem_profile_approx_floor",  # approx-profile family
         "q19_disjunctive_revenue",   # disjunctive-predicate pushdown
     ]:
         assert representative in window, representative

@@ -914,17 +914,20 @@ def test_gate_refresh_twins_are_identical_callables():
         # _twin; tests/test_round9.py pins the r9 slots) but stay
         # registered at the head of POST_GATE_PRIORITY
         assert old not in plans.GATE_ORDER
-        assert new in plans.POST_GATE_PRIORITY[:3]
+        # r10 rotation prepends the nine out-rotated slots, so the
+        # v2/q6 names now lead the post-rotation segment
+        assert new in plans.POST_GATE_PRIORITY[:12]
     keys = list(entrymod.queries())
-    # r8 seconds then r8 originals stay registered immediately
-    # post-gate (r9 layout: slots 50-52 = v2/q6 names, 53-55 = the
+    # r8 seconds then r8 originals stay registered immediately after
+    # the r10 out-rotated block (r10 layout: slots 50-58 = the nine
+    # rotated-out gate rows, 59-61 = v2/q6 names, 62-64 = the
     # original fossil names)
-    assert set(keys[50:53]) == {
+    assert set(keys[59:62]) == {
         "events_sessionization_q6",
         "embedding_hygiene_report_v2",
         "text_token_budget_trim_v2",
     }
-    assert set(keys[53:56]) == {
+    assert set(keys[62:65]) == {
         "events_sessionization",
         "embedding_hygiene_report",
         "text_token_budget_trim",

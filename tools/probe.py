@@ -1,10 +1,12 @@
 """Isolated per-query timing + plan capture for optimization work.
 
-Usage: python tools/probe.py <query> [query ...] [--n 5] [--plan OUT.txt]
+Usage: python tools/probe.py <query> [...] [--n 5] [--plan TAG]
+                                           [--round r10]
 Times each named query with the bench's exact methodology (noop sink,
 warm JVM) on $SPARK_GRAFT_SF_DIR (default sf0.1), printing min/median
-of n runs. With --plan, writes each query's .explain("formatted") to
-plans/r09/<query>_<tag>.txt.
+of n runs. ``--plan TAG`` writes each query's .explain("formatted")
+to plans/<round>/<query>_<TAG>.txt (TAG is a filename tag such as
+``before``/``after``; the round directory defaults to r10).
 """
 
 from __future__ import annotations
@@ -30,6 +32,11 @@ def main() -> int:
         i = args.index("--plan")
         plan_tag = args[i + 1]
         del args[i : i + 2]
+    round_dir = "r10"
+    if "--round" in args:
+        i = args.index("--round")
+        round_dir = args[i + 1]
+        del args[i : i + 2]
     names = args
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -50,7 +57,7 @@ def main() -> int:
         fn = queries[name]
         if plan_tag:
             df = fn(spark, sf_dir)
-            out = REPO / "plans" / "r09" / f"{name}_{plan_tag}.txt"
+            out = REPO / "plans" / round_dir / f"{name}_{plan_tag}.txt"
             out.parent.mkdir(parents=True, exist_ok=True)
             out.write_text(df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"))

@@ -416,6 +416,51 @@ def load_all() -> None:
     QUERIES.update(ordered)
 
 
+# Schema cache for repeated parquet reads (r10, guide §1.2/§6).
+# ``spark.read.parquet(path)`` infers the schema by reading the file
+# footer on the DRIVER at every call — measured 80-110 ms per call on
+# this corpus vs 22-25 ms with an explicit schema. A suite run makes
+# hundreds of ``table()`` calls, so footer re-inference alone costs
+# tens of seconds of pure driver time. This caches ONLY the inferred
+# StructType (kilobytes of metadata — the same class of per-session
+# metadata Spark itself caches in its FileStatusCache / catalog; it
+# is NEVER row data, and every query still scans the parquet for all
+# of its data). The key carries file size + mtime_ns, so any rewrite
+# of the data invalidates the entry, plus the two confs that change
+# what schema inference returns for timestamp columns. Directories
+# (multi-file tables) skip the cache — their mtime does not track
+# content.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    import os
+
+    try:
+        st = os.stat(path)
+        if not os.path.isfile(path):
+            return spark.read.parquet(path)
+    except OSError:
+        return spark.read.parquet(path)
+    key = (
+        path,
+        st.st_size,
+        st.st_mtime_ns,
+        str(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "")),
+        str(
+            spark.conf.get(
+                "spark.sql.parquet.inferTimestampNTZ.enabled", ""
+            )
+        ),
+    )
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[key] = df.schema
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (TESTDATA.md schema).
 
@@ -429,7 +474,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _read_parquet(spark, f"{sf_dir}/{name}.parquet")
     ts_type = dict(df.dtypes).get("ts")
     if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

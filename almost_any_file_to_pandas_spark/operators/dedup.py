@@ -1250,11 +1250,18 @@ def connected_components_alternating(
     on the partition key feeding WindowExec (never a global order-by
     sort).
     """
+    # Lazy checkpoints throughout (r10, guide §5): every checkpointed
+    # frame here is forced by an immediately-following action (the
+    # digest ``first()`` each round, the first consumer for nodes), so
+    # the eager flag only added one extra blocking job per frame —
+    # materialization now rides the digest job itself. Iterative
+    # semantics are unchanged: the frame is still materialized exactly
+    # once and every later consumer reads the stored blocks.
     nodes = (
         edges.select(F.col(src).alias("u"))
         .union(edges.select(F.col(dst).alias("u")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # normalize: drop self-loops, orient big→small, dedup
     e = (
@@ -1264,7 +1271,7 @@ def connected_components_alternating(
             F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _digest(df: DataFrame) -> tuple:
@@ -1287,15 +1294,29 @@ def connected_components_alternating(
             .filter(F.col("u") != F.col("v"))
         )
         lm = large.withColumn("m", F.min("v").over(wu))
-        folded = lm.filter(F.col("v") != F.col("m")).select(
-            F.col("v").alias("u"), F.col("m").alias("v")
+        # small-star fold+point as ONE generate over the window output
+        # (r10, guide §2.4): the previous ``folded.union(pointed)``
+        # duplicated the whole two-window subtree — ReuseExchange
+        # dedupes only the exchanges, so both WindowExecs ran TWICE
+        # per round (once per union arm). Each lm row emits the same
+        # multiset the union produced — (u, m) always, (v, m) when
+        # v != m — so the post-explode filter + distinct see identical
+        # rows and the round's edge set is unchanged.
+        pair = F.when(
+            F.col("v") != F.col("m"),
+            F.array(
+                F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+            ),
+        ).otherwise(
+            F.array(F.struct(F.col("u").alias("a"), F.col("m").alias("b")))
         )
-        pointed = lm.select("u", F.col("m").alias("v"))
         new_e = (
-            folded.union(pointed)
+            lm.select(F.explode(pair).alias("p"))
+            .select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         d_new = _digest(new_e)
         converged = d_new == d_e and new_e.exceptAll(e).isEmpty()

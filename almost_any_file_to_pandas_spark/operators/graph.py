@@ -546,12 +546,17 @@ def _lpa_label_frames(spark: SparkSession, sf_dir: str):
     ).unionAll(
         edges.select(F.col("u2").alias("u"), F.col("u1").alias("v"))
     )
-    # r9 optimization (guide §2.4): the per-round census joins sym on
-    # ``v`` every iteration — pre-partition the checkpointed edge list
-    # by that key ONCE so the three round joins reuse the stored
-    # partitioning instead of re-shuffling the (larger) edge side per
-    # round; only the (node-sized) label frame moves each round.
-    sym = sym.repartition("v").localCheckpoint(eager=True)
+    # r10 (r9 verdict #7): the r9 ``repartition("v")`` before this
+    # checkpoint claimed the stored partitioning would feed the three
+    # round joins. The captured round-2 census plan
+    # (plans/r10/graph_label_propagation_round2census_before.txt)
+    # refutes it on both counts: the checkpointed scan reports
+    # ``UnknownPartitioning(0)`` (localCheckpoint does not preserve
+    # outputPartitioning under AQE), and the join is a
+    # BroadcastHashJoin BUILDING on sym (the post-threshold edge list
+    # is small), so no round join ever consumed a ``v`` partitioning.
+    # The repartition was a pure extra |E| shuffle — dropped.
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select("u").distinct().select(
         "u", F.col("u").alias("lab")
     )
@@ -1408,8 +1413,10 @@ def graph_cc_incremental_batch(
         % CC_DELTA_MOD
         == 0
     )
+    # lazy (r10): materialized by the base CC's first digest job — the
+    # eager flag only added a separate blocking job (guide §5)
     edges = chained.withColumn("is_delta", is_delta).localCheckpoint(
-        eager=True
+        eager=False
     )
     base = edges.filter(~F.col("is_delta")).select("u", "v")
     delta = edges.filter(F.col("is_delta")).select("u", "v")
@@ -1425,7 +1432,9 @@ def graph_cc_incremental_batch(
             connected_components_alternating(base), "u", "left"
         )
         .select("u", F.coalesce("lbl", "u").alias("lbl"))
-        .localCheckpoint(eager=True)
+        # lazy (r10): forced by the quotient CC's first digest, which
+        # reads base_lbl through the lu/lv joins
+        .localCheckpoint(eager=False)
     )
     lu = base_lbl.select(
         F.col("u").alias("du"), F.col("lbl").alias("lu")

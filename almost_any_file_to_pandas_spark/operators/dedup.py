@@ -1208,8 +1208,56 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Small-graph regime bound for connected components (r10, guide
+# §1.2/§3.1): below this edge count the normalized edge list is a
+# couple of MB — the same size class as a broadcast-join build side —
+# and the distributed star loop is pure scheduling overhead (measured
+# at sf0.1: the 4,900-edge doc-chain graph paid 8 rounds × ~0.65 s of
+# Catalyst planning + digest jobs ≈ 5 s for microseconds of actual
+# union-find work). Under the cap the driver runs exact union-find on
+# the collected pairs (min-root labels — the identical fixed point
+# the star algorithm converges to) and ships the labels back as a
+# broadcast-sized frame; at or above it the O(log n) distributed loop
+# runs unchanged. The same two-regime reasoning as a broadcast hash
+# join: the cap bounds driver memory by construction, and at 100 TB
+# the distributed path is always taken.
+CC_DRIVER_EDGE_CAP = 1 << 17  # 131072 normalized edges ≈ 2 MB of longs
+
+
+def _driver_union_find(pairs) -> dict:
+    """Exact min-root union-find over collected (u, v) pairs →
+    {node: component_min}. Path-halving find, union by arbitrary
+    root; the final resolve maps every member to its component's
+    MINIMUM id — the same labels the alternating-star fixed point
+    emits."""
+    parent: dict = {}
+
+    def find(x):
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        # path compression for x's chain
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    return {x: comp_min[find(x)] for x in parent}
+
+
 def connected_components_alternating(
-    edges: DataFrame, src: str = "u", dst: str = "v", max_rounds: int = 30
+    edges: DataFrame, src: str = "u", dst: str = "v", max_rounds: int = 30,
+    driver_cap: int = CC_DRIVER_EDGE_CAP,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star
     rewrites (Kiveris et al., "Connected Components in MapReduce and
@@ -1241,6 +1289,13 @@ def connected_components_alternating(
     consecutive digests match; a digest mismatch proves
     not-converged, and convergence is still decided by the exact
     set comparison, never by the hash alone.
+
+    r10 two-regime split (see :data:`CC_DRIVER_EDGE_CAP`): the initial
+    digest already counts the normalized edges; under the cap the
+    driver runs exact union-find on the collected pairs and the star
+    loop never starts — the collect is bounded by the gate, the labels
+    are the identical min-root fixed point, and at scale the
+    distributed loop below runs unchanged.
 
     At the fixed point the edge set IS the component assignment
     (child → root). ``localCheckpoint`` truncates lineage per round.
@@ -1282,6 +1337,22 @@ def connected_components_alternating(
         return (row["c"], row["h"])
 
     d_e = _digest(e)
+    if d_e[0] < driver_cap:
+        # small-graph regime (see CC_DRIVER_EDGE_CAP): the collect is
+        # BOUNDED by the gate just evaluated; labels return as a
+        # broadcast-sized frame with the identical min-root semantics
+        spark = edges.sparkSession
+        labels = _driver_union_find(
+            [(r["u"], r["v"]) for r in e.collect()]
+        )
+        utype = dict(e.dtypes)["u"]
+        lbl_df = spark.createDataFrame(
+            list(labels.items()), schema=f"u {utype}, lbl {utype}"
+        )
+        return (
+            nodes.join(F.broadcast(lbl_df), "u", "left")
+            .select("u", F.coalesce("lbl", "u").alias("lbl"))
+        )
     wu = W.partitionBy("u")
     for _ in range(max_rounds):
         und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -102,15 +102,23 @@ def test_rate_limit_audit_state_carries_across_arrow_batches(
         + [(500, 501), (500, 501), (7, 7), (200, 300), (300, 400)],
     ],
 )
-def test_cc_alternating_window_form_matches_bruteforce(spark, edges):
+@pytest.mark.parametrize("driver_cap", [None, 0])
+def test_cc_alternating_window_form_matches_bruteforce(
+    spark, edges, driver_cap
+):
+    """driver_cap=None exercises the r10 small-graph driver
+    union-find regime (these graphs sit under CC_DRIVER_EDGE_CAP);
+    driver_cap=0 forces the distributed star loop — both regimes must
+    emit identical min-root labels."""
     from almost_any_file_to_pandas_spark.operators.dedup import (
         connected_components_alternating,
     )
 
     df = spark.createDataFrame(edges, "u long, v long")
+    kwargs = {} if driver_cap is None else {"driver_cap": driver_cap}
     got = {
         r["u"]: r["lbl"]
-        for r in connected_components_alternating(df).collect()
+        for r in connected_components_alternating(df, **kwargs).collect()
     }
     # brute force: min node id per connected component
     parent = {}

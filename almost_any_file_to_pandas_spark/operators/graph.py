@@ -560,7 +560,7 @@ def _lpa_label_frames(spark: SparkSession, sf_dir: str):
     labels = sym.select("u").distinct().select(
         "u", F.col("u").alias("lab")
     )
-    for _ in range(LPA_ITERS):
+    for i in range(LPA_ITERS):
         census = (
             sym.join(
                 labels.select(
@@ -581,11 +581,20 @@ def _lpa_label_frames(spark: SparkSession, sf_dir: str):
         # previous labels was a per-round no-op shuffle — the rule's
         # isolated-node branch cannot fire; dropped (r9, output
         # value-identical, oracle unchanged).
-        labels = (
-            census.groupBy("u")
-            .agg(F.expr("max_by(lab, struct(c, -lab))").alias("lab"))
-            .localCheckpoint(eager=True)
+        labels = census.groupBy("u").agg(
+            F.expr("max_by(lab, struct(c, -lab))").alias("lab")
         )
+        # r10: the rounds CHAIN inside one plan — each intermediate
+        # labels frame has exactly one consumer (the next round), so
+        # the per-round eager checkpoint bought no reuse and cost a
+        # blocking job + a Catalyst compile per round. Lineage depth
+        # is linear in the FIXED round count (3 joins + 6 aggregates),
+        # well inside planner comfort. Only the FINAL labels frame is
+        # materialized (eagerly): the modularity consumer reads it
+        # from four places in one job, and an unmaterialized lazy
+        # checkpoint could be computed concurrently by those stages.
+        if i == LPA_ITERS - 1:
+            labels = labels.localCheckpoint(eager=True)
     return sym, labels
 
 
@@ -795,6 +804,41 @@ def graph_kcore_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u1", "u2")
         .localCheckpoint(eager=True)
     )
+
+    # r10 two-regime peel (the CC_DRIVER_EDGE_CAP pattern, guide
+    # §1.2/§5): the peel runs on the THRESHOLDED edge list — already
+    # orders of magnitude below the corpus — and at bench scale the
+    # distributed rounds paid 2 blocking checkpoint jobs + a Catalyst
+    # compile per round for microseconds of actual degree counting.
+    # The eager checkpoint above already materialized the edges, so
+    # the count is a cheap stored-blocks job and the collect below is
+    # BOUNDED by the cap it gates on (≈2 MB — the broadcast-build
+    # size class). Above the cap the distributed loop runs unchanged.
+    from almost_any_file_to_pandas_spark.operators.dedup import (
+        CC_DRIVER_EDGE_CAP,
+    )
+
+    n_edges0 = edges.count()
+    if n_edges0 < CC_DRIVER_EDGE_CAP:
+        from collections import Counter
+
+        es = [(r["u1"], r["u2"]) for r in edges.collect()]
+        deg = Counter()
+        for a, b in es:
+            deg[a] += 1
+            deg[b] += 1
+        rows = [(0, len(deg), len(es))]
+        for r in range(1, KCORE_ROUNDS + 1):
+            surv = {v for v, d in deg.items() if d >= KCORE_K}
+            es = [(a, b) for a, b in es if a in surv and b in surv]
+            deg = Counter()
+            for a, b in es:
+                deg[a] += 1
+                deg[b] += 1
+            rows.append((r, len(surv), len(es)))
+        return spark.createDataFrame(
+            rows, "round int, n_vertices long, n_edges long"
+        )
 
     def endpoints(e: DataFrame) -> DataFrame:
         return e.select(F.col("u1").alias("v")).unionAll(

@@ -123,8 +123,80 @@ def _argmin_cid(cents_col, vec_col):
 Q12_SAFE_ABS = 8.0
 
 
+# Small-corpus regime bound for the Lloyd's trainer (r10 — the
+# CC_DRIVER_EDGE_CAP pattern): under this row count the training
+# frame is ≤ ~32 MB at dim 64 (the SEMANTIC_FIT_SAMPLE index-build
+# collect class already used by the semantic-dedup backend since
+# round 7), and the distributed trainer's per-round shuffles +
+# blocking checkpoint jobs are pure overhead (measured: 2.8 s warm on
+# a 2,000-vector corpus for microseconds of arithmetic). The driver
+# path replicates the EXACT arithmetic contract — integer-q12
+# distances, DECIMAL(30,15) half-up-quantized mean sums via the
+# JVM's string-path double→decimal semantics, half-up round to 12 —
+# so centroids are bit-identical to the distributed loop (a regime
+# test pins equality; the oracles pin DuckDB parity). At or above the
+# cap the distributed loop runs unchanged.
+KMEANS_DRIVER_ROW_CAP = 1 << 16  # 65,536 vectors
+
+
+def _driver_lloyd(rows: list, k: int) -> list:
+    """Exact driver-side Lloyd's over collected (vec_id, v) rows —
+    the arithmetic twin of the distributed loop below (see
+    KMEANS_DRIVER_ROW_CAP). Returns [(cid, [cval...])]."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    if not rows:
+        return []
+    rows = sorted(rows, key=lambda r: r[0])
+    seed = [list(v) for _, v in rows[:k]]
+    cents = [list(c) for c in seed]
+    mat = np.array([v for _, v in rows], dtype=np.float64)
+    q15 = Decimal(1).scaleb(-15)
+    q12 = Decimal(1).scaleb(-12)
+    for _ in range(LLOYD_ROUNDS):
+        c_arr = np.array(cents, dtype=np.float64)  # (k, d)
+        # integer-q12 squared L2 per (vector, centroid): floor each
+        # term BEFORE the sum, exactly like _sqdist_q12 (int64 sum —
+        # float64 addition would round past 2^53)
+        diff = mat[:, None, :] - c_arr[None, :, :]
+        terms = np.floor(diff * diff * 1e12 + 0.5).astype(np.int64)
+        dists = terms.sum(axis=2, dtype=np.int64)
+        assign = dists.argmin(axis=1)  # first min == smallest cid
+        new_cents = []
+        for cid in range(len(cents)):
+            members = mat[assign == cid]
+            if len(members) == 0:
+                new_cents.append(cents[cid])  # empty keeps previous
+                continue
+            cvec = []
+            for dim in range(mat.shape[1]):
+                # SUM(CAST(val AS DECIMAL(30,15))): JVM casts via
+                # Double.toString → setScale(15, HALF_UP); repr()
+                # produces the same shortest decimal string
+                s = sum(
+                    Decimal(repr(float(x))).quantize(
+                        q15, ROUND_HALF_UP
+                    )
+                    for x in members[:, dim]
+                )
+                mean = float(s) / len(members)
+                cvec.append(
+                    float(
+                        Decimal(repr(mean)).quantize(
+                            q12, ROUND_HALF_UP
+                        )
+                    )
+                )
+            new_cents.append(cvec)
+        cents = new_cents
+    return list(enumerate(cents))
+
+
 def deterministic_kmeans_centroids(
-    spark: SparkSession, emb: DataFrame, k: int
+    spark: SparkSession, emb: DataFrame, k: int,
+    driver_cap: int = KMEANS_DRIVER_ROW_CAP,
 ) -> DataFrame:
     """LLOYD_ROUNDS deterministic Lloyd's iterations over ``emb``
     (``vec_id``, ``v`` double array) → (``cid``, ``cvec``).
@@ -135,10 +207,39 @@ def deterministic_kmeans_centroids(
     from re-executing prior rounds' assignments (lineage doubles per
     round otherwise) — the frame is k rows, so the checkpoint is free.
 
+    r10 two-regime split (:data:`KMEANS_DRIVER_ROW_CAP`): a corpus
+    whose row count sits under the cap collects (bounded by the gate)
+    and trains on the driver with bit-identical arithmetic; above it
+    the distributed loop below runs unchanged.
+
     Guards the :data:`Q12_SAFE_ABS` data contract with a one-time
     check on the seed frame (bounded — a k-row tripwire, not a corpus
     proof; the contract itself is the documented bound).
     """
+    if driver_cap and emb.count() < driver_cap:
+        collected = emb.collect()
+        rows = [
+            (r["vec_id"], list(r["v"]))
+            for r in collected
+            if r["v"] is not None
+        ]
+        dims = {len(v) for _, v in rows}
+        # degenerate inputs (null vectors, ragged dims) keep the
+        # distributed loop's null/zip semantics — only the clean
+        # uniform case takes the driver regime
+        if len(rows) == len(collected) and len(dims) <= 1:
+            seed_vals = [x for _, v in sorted(rows)[:k] for x in v]
+            over = max((abs(x) for x in seed_vals), default=None)
+            if over is not None and over > Q12_SAFE_ABS:
+                raise ValueError(
+                    f"embedding components reach |x|={over:.3g} > "
+                    f"Q12_SAFE_ABS={Q12_SAFE_ABS}: integer-q12 "
+                    "distance terms would overflow int64 — rescale "
+                    "the embeddings upstream"
+                )
+            return spark.createDataFrame(
+                _driver_lloyd(rows, k), "cid int, cvec array<double>"
+            )
     wseed = W.orderBy("vec_id")  # bounded: runs on the ≤k-row seed frame
     # k-row checkpoint: the contract tripwire and the seed selection
     # share ONE TakeOrdered pass over the corpus

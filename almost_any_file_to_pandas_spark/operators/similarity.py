@@ -2174,12 +2174,56 @@ def sim_kcenter_greedy_coreset(
     """
     apply_engine_conf(spark)
     from almost_any_file_to_pandas_spark.operators.ivf_kmeans import (
+        KMEANS_DRIVER_ROW_CAP,
         _sqdist_q12,
     )
 
     emb = table_wide(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    # r10 small-corpus regime (KMEANS_DRIVER_ROW_CAP pattern): the
+    # greedy traversal is K−1 SEQUENTIAL corpus passes — at bench
+    # scale each pass was a Catalyst compile + TakeOrdered job over
+    # 2,000 vectors. Under the cap the whole traversal runs on the
+    # driver with the identical integer-q12 arithmetic (floor of
+    # IEEE-double products — bit-identical in numpy) and identical
+    # (max mind, min vec_id) tie-breaks; above it the distributed
+    # loop below runs unchanged.
+    if emb.count() < KMEANS_DRIVER_ROW_CAP:
+        collected = sorted(
+            (r["vec_id"], list(r["v"]))
+            for r in emb.collect()
+            if r["v"] is not None
+        )
+        if not collected:
+            return spark.createDataFrame(
+                [], schema="rank bigint, vec_id bigint, radius_q12 bigint"
+            )
+        import numpy as np
+
+        ids = np.array([i for i, _ in collected], dtype=np.int64)
+        mat = np.array([v for _, v in collected], dtype=np.float64)
+        sel_idx = 0  # smallest vec_id
+        out = [(1, int(ids[0]), None)]
+        mind = None
+        for i in range(2, KCENTER_K + 1):
+            d = mat - mat[sel_idx]
+            dist = np.floor(d * d * 1e12 + 0.5).astype(np.int64).sum(
+                axis=1
+            )
+            mind = dist if mind is None else np.minimum(mind, dist)
+            # exclude already-selected points, then argmax with
+            # smallest-id tie-break (ids ascend, argmax takes first)
+            cand = mind.copy()
+            for r, vid, _ in out:
+                cand[np.searchsorted(ids, vid)] = -1
+            sel_idx = int(np.argmax(cand))
+            if cand[sel_idx] < 0:
+                break
+            out.append((i, int(ids[sel_idx]), int(cand[sel_idx])))
+        return spark.createDataFrame(
+            out, schema="rank bigint, vec_id bigint, radius_q12 bigint"
+        )
     first = (
         emb.orderBy("vec_id").limit(1).collect()
     )  # bounded: one row

@@ -62,6 +62,76 @@ def test_schema_cache_matches_inference_and_invalidates(spark, tmp_path):
     assert plans._read_parquet(spark, p).columns == ["b", "c"]
 
 
+def test_kmeans_driver_regime_matches_distributed(spark):
+    """The r10 driver-side Lloyd's regime must produce BIT-IDENTICAL
+    centroids to the distributed loop (same integer-q12 distances,
+    same DECIMAL(30,15) mean arithmetic) — on the real embeddings
+    corpus and on an RFM-feature-shaped frame."""
+    from pyspark.sql import functions as F
+
+    # similarity must import before ivf_kmeans (module-level oracle
+    # strings in similarity import back from ivf_kmeans)
+    import almost_any_file_to_pandas_spark.operators.similarity  # noqa: F401
+    from almost_any_file_to_pandas_spark.operators.ivf_kmeans import (
+        deterministic_kmeans_centroids,
+    )
+    from almost_any_file_to_pandas_spark.plans import table_wide
+    from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+    apply_engine_conf(spark)
+    emb = table_wide(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    feat = spark.createDataFrame(
+        [(i, [((i * 7) % 13) / 13.0, ((i * 5) % 11) / 11.0, i / 40.0])
+         for i in range(40)],
+        "vec_id long, v array<double>",
+    )
+    for frame, k in ((emb, 8), (feat, 4)):
+        fast = {
+            r["cid"]: r["cvec"]
+            for r in deterministic_kmeans_centroids(
+                spark, frame, k
+            ).collect()
+        }
+        dist = {
+            r["cid"]: r["cvec"]
+            for r in deterministic_kmeans_centroids(
+                spark, frame, k, driver_cap=0
+            ).collect()
+        }
+        assert fast == dist
+
+
+def test_kcenter_driver_regime_matches_distributed(spark, monkeypatch):
+    """The r10 driver-side greedy k-center traversal must emit the
+    identical (rank, vec_id, radius_q12) trajectory the distributed
+    pass loop emits — same integer-q12 distances, same tie-breaks."""
+    import almost_any_file_to_pandas_spark.operators.similarity  # noqa: F401
+    from almost_any_file_to_pandas_spark.operators import (
+        ivf_kmeans,
+        similarity,
+    )
+    from almost_any_file_to_pandas_spark.session import apply_engine_conf
+
+    apply_engine_conf(spark)
+    fast = sorted(
+        tuple(r)
+        for r in similarity.sim_kcenter_greedy_coreset(
+            spark, SF_DIR
+        ).collect()
+    )
+    monkeypatch.setattr(ivf_kmeans, "KMEANS_DRIVER_ROW_CAP", 0)
+    slow = sorted(
+        tuple(r)
+        for r in similarity.sim_kcenter_greedy_coreset(
+            spark, SF_DIR
+        ).collect()
+    )
+    assert fast == slow
+    assert len(fast) == similarity.KCENTER_K
+
+
 def test_table_events_ts_conversion_survives_schema_cache(spark):
     """The nanos→timestamp conversion in plans.table() keys off the
     arriving dtype — with the schema cache the cached dtype must take

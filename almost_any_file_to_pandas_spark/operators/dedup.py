@@ -2416,17 +2416,33 @@ def dedup_edit_distance_pairs(
             F.expr("substring(text, start, sl)").alias("sub"),
         )
     )
+    # r10 (guide §2.3 — narrow the join key): the candidate join
+    # carried raw substrings as its equality key; probing measured
+    # ~4 s for 2.87 M probe rows against the 35 k-segment build side,
+    # dominated by string-key hashing/compares, for 707 surviving
+    # pairs. Both sides now key on xxhash64 of the substring
+    # ((int, bigint, long) keys — no string crosses the join). Equal
+    # substrings hash equal, so the candidate set stays a SUPERSET of
+    # PassJoin's (completeness preserved); a hash collision can only
+    # ADD a candidate, and the exact levenshtein + length verify
+    # below decides membership, so the output set is identical.
+    seg_k = seg_index.select(
+        "doc_id", "L", "slot", F.xxhash64("seg").alias("kh")
+    )
+    probe_k = probe_index.select(
+        "probe_id", "tl", "slot", F.xxhash64("sub").alias("kh")
+    )
     cands = (
-        seg_index.join(
-            probe_index,
-            (seg_index.slot == probe_index.slot)
-            & (seg_index.L == probe_index.tl)
-            & (seg_index.seg == probe_index.sub)
-            & (seg_index.doc_id != probe_index.probe_id),
+        seg_k.join(
+            probe_k,
+            (seg_k.slot == probe_k.slot)
+            & (seg_k.L == probe_k.tl)
+            & (seg_k.kh == probe_k.kh)
+            & (seg_k.doc_id != probe_k.probe_id),
         )
         .select(
-            F.least(seg_index.doc_id, F.col("probe_id")).alias("doc_a"),
-            F.greatest(seg_index.doc_id, F.col("probe_id")).alias(
+            F.least(seg_k.doc_id, F.col("probe_id")).alias("doc_a"),
+            F.greatest(seg_k.doc_id, F.col("probe_id")).alias(
                 "doc_b"
             ),
         )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from almost_any_file_to_pandas_spark.plans import register, table
+from almost_any_file_to_pandas_spark.plans import register, table, table_wide
 from almost_any_file_to_pandas_spark.session import apply_engine_conf
 
 LINK_MAX_DIST = 6  # prefix swap costs 5 ("Customer"->"Supplier"); +1 fuzz
@@ -293,7 +293,12 @@ def link_blocking_tuning_curve(
     production join runs corpus-wide.
     """
     apply_engine_conf(spark)
-    cust = table(spark, sf_dir, "customer").select(
+    # table_wide (r10): the nation-block fan-out runs ~600 k
+    # levenshtein calls in the narrow stage ABOVE this scan — on the
+    # local single-row-group parquet the bare scan plans ONE split and
+    # serializes the whole pair stream onto one core (the fan-out
+    # guard's documented case; at 100 TB the guard is a no-op)
+    cust = table_wide(spark, sf_dir, "customer").select(
         "c_name", "c_nationkey"
     )
     supp = table(spark, sf_dir, "supplier").select(

@@ -2633,7 +2633,17 @@ def _shingle_sig_frames(spark: SparkSession, sf_dir: str):
         .filter(F.col("_df") <= MAX_SHINGLE_DF)
         .select("g")
     )
-    kept = sh.join(dfok, "g").localCheckpoint(eager=False)
+    # SHUFFLE_HASH hint (r10, guide §3.1): dfok is corpus-derived
+    # (every distinct sub-cap shingle), but the planner's post-
+    # aggregate size estimate made it a BROADCAST build — measured on
+    # the 10× amplified scaling corpus the build reached 8.7 GiB and
+    # the query DIED on the 8 GiB broadcast cap. Both sides are
+    # corpus-sized at scale, so the scale-correct shape is a shuffled
+    # join on ``g``; the df cap itself bounds per-key rows, so the
+    # hinted hash build cannot see a hot key.
+    kept = sh.join(dfok.hint("SHUFFLE_HASH"), "g").localCheckpoint(
+        eager=False
+    )
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         _pairs_within_buckets(

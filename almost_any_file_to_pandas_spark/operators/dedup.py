@@ -2448,6 +2448,17 @@ def dedup_edit_distance_pairs(
         )
         .distinct()
     )
+    # Pin the verify stage's parallelism (r10, guide §2.5 — the
+    # _pairs_within_buckets discipline): the candidate frame is tiny
+    # in BYTES (two longs per pair), so AQE coalesces the distinct's
+    # output to ~1 partition — and the levenshtein verify above it is
+    # enormous per ROW (O(|a|·|b|) DP cells). Measured on the 10×
+    # scaling corpus: the verify serialized onto one core and the
+    # query ran 184 s at BOTH 8 and 32 cores; the round-robin
+    # repartition moves only the compact pair rows.
+    cands = cands.repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ta = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"),
         F.col("L").alias("la"),
